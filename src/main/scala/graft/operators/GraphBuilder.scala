@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-structure derivations from a deduped `edges(src, dst)` frame.
+  *
+  * Mirrors the reference's preprocess stage (GraphBuilderMapper/Reducer:
+  * vertex-universe closure via the `"!"` placeholder emission, adjacency
+  * build, N count) but keeps everything normalized-columnar instead of the
+  * reference's packed `id\tPR|outlinks` strings — packed strings defeat
+  * column pruning and predicate pushdown (SURVEY.md §4.2).
+  *
+  * All shapes here are one-shuffle aggregations over the edge set; at scale
+  * the edge frame is the big input and every derivation is a map-side
+  * partial + exchange on the group key, which is the minimum possible.
+  */
+object GraphBuilder {
+
+  /** Vertex universe = sources ∪ destinations (sink-only vertices included —
+    * reference GraphBuilderMapper.java:40-43). Schema: `id LONG`.
+    */
+  def vertices(edges: DataFrame): DataFrame =
+    edges
+      .select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** Out-degree per vertex over the *deduped* edge set; vertices with no
+    * out-edges (dangling) carry outdeg=0. Schema: `id LONG, outdeg LONG`.
+    */
+  def outDegrees(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id")).agg(count("*").as("outdeg"))
+    vertices(edges)
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+  }
+
+  /** In- and out-degree per vertex (the README's degree-distribution
+    * analysis, reference README.md:410-416).
+    * Schema: `id, outdeg, indeg`.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count("*").as("outdeg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count("*").as("indeg"))
+    vertices(edges)
+      .join(out, Seq("id"), "left_outer")
+      .join(in, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+  }
+
+  /** Adjacency as `id, outlinks ARRAY<LONG>` with the list sorted for
+    * deterministic output (the reference's LinkedHashSet preserves
+    * first-seen order, which is not reproducible under parallel reads;
+    * SURVEY.md §2.1 O4 canonicalizes with array_sort). Dangling vertices
+    * get an empty array, matching the reference's `id\tPR|` rows.
+    */
+  def adjacency(edges: DataFrame): DataFrame = {
+    val adj = edges
+      .groupBy(col("src").as("id"))
+      .agg(array_sort(collect_list(col("dst"))).as("outlinks"))
+    vertices(edges)
+      .join(adj, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        coalesce(col("outlinks"), array().cast("array<long>")).as("outlinks"))
+  }
+
+  /** Dangling vertices (outdeg == 0): appear only as destinations. */
+  def danglingVertices(edges: DataFrame): DataFrame =
+    outDegrees(edges).filter(col("outdeg") === 0).select(col("id"))
+}

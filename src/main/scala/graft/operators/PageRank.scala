@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Parameters, defaults from the reference CLI
+  * (PageRankDriver.java:67-70; Giraph twin PageRankDriver.java:46-56).
+  */
+final case class PageRankConfig(
+    damping: Double = 0.85,
+    maxIter: Int = 10,
+    tol: Double = 1e-6,
+    minIter: Int = 5,
+    checkpointEvery: Int = 5)
+
+/** Per-iteration trace — the numeric part of the reference's
+  * performance_report / _timings.csv side channel
+  * (PerformanceMonitor.java, PageRankMasterCompute.java:125-143).
+  */
+final case class IterationStat(
+    iteration: Int,
+    danglingSum: Double,
+    avgDiff: Double,
+    totalPR: Double,
+    millis: Long)
+
+final case class PageRankResult(
+    ranks: DataFrame, // id LONG, rank DOUBLE
+    iterations: Int,
+    trace: Seq[IterationStat])
+
+/** NetworkX-aligned PageRank with dangling-mass redistribution, expressed
+  * as a pure DataFrame iteration.
+  *
+  * Semantics reproduced exactly from the reference (SURVEY.md §2.3):
+  *   - `PR'(v) = (1−d)/N + d·danglingSum_prev/N + d·Σ_{u→v} PR(u)/outdeg(u)`
+  *     (PageRankReducer.java:100-110, PageRankVertex.java:40-41)
+  *   - **dangling lag**: the dangling mass applied in iteration i is summed
+  *     over iteration i−1's ranks; the initial mass is pre-scanned before
+  *     iteration 1 (PageRankDriver.java:112-114, 194-199)
+  *   - init PR = 1/N uniform (PageRankDriver.java:102-105)
+  *   - stop when (Σ|ΔPR|)/N ≤ tol AND iteration ≥ minIter, else cap at
+  *     maxIter (PageRankDriver.java:211-216)
+  *
+  * Scale design (the part the reference gets wrong — SURVEY.md §4.1):
+  *   - The edge frame is partitioned by `src` ONCE before the loop and
+  *     persisted; the per-iteration join ships only the (id, rank) state to
+  *     the edges (|V| rows, not |E|), and only (dst, contrib) pairs shuffle.
+  *     The reference re-ships the whole adjacency through the shuffle every
+  *     iteration (PageRankMapper.java:71-81).
+  *   - Contribution aggregation gets map-side partial aggregation for free
+  *     (the reference configures no combiner, paying full shuffle).
+  *   - All three global metrics (Σ PR, Σ|Δ|, dangling sum) fold into ONE
+  *     aggregation action per iteration over the already-persisted new
+  *     state — one job, one pass, mirroring the reference's piggybacked
+  *     counters without the scaled-long quantization quirk.
+  *   - Lineage is cut with localCheckpoint every `checkpointEvery`
+  *     iterations — the Spark analogue of the reference's
+  *     iteration-dir rotation; without it the plan grows unboundedly.
+  */
+object PageRank {
+
+  def run(
+      spark: SparkSession,
+      edgesRaw: DataFrame,
+      cfg: PageRankConfig = PageRankConfig(),
+      explicitVertices: Option[DataFrame] = None): PageRankResult = {
+
+    val d = cfg.damping
+
+    // One-time structure build; edges partitioned by src so every
+    // iteration's contribution join reuses this exchange.
+    val edges = edgesRaw
+      .select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Vertex universe: src ∪ dst, plus any caller-supplied isolated
+    // vertices (an edge list alone cannot represent a vertex with no
+    // edges at all — FIXTURES.md F2).
+    val verts = explicitVertices match {
+      case Some(v) =>
+        v.select(col("id")).union(GraphBuilder.vertices(edges)).distinct()
+      case None => GraphBuilder.vertices(edges)
+    }
+
+    // state: id, outdeg, rank — partitioned by id (same hash space as src).
+    val deg =
+      edges.groupBy(col("src").as("id")).agg(count("*").as("outdeg"))
+    var state = verts
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val n = state.count() // action: materializes edges + state; N for formula
+    require(n > 0, "empty graph")
+
+    // uniform 1/N init (PageRankDriver.java:102-108)
+    state = state
+      .select(col("id"), col("outdeg"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // initial dangling scan (PageRankDriver.java:112-114)
+    var danglingSum: Double = state
+      .filter(col("outdeg") === 0)
+      .agg(coalesce(sum(col("rank")), lit(0.0)))
+      .first()
+      .getDouble(0)
+
+    val trace = scala.collection.mutable.ArrayBuffer.empty[IterationStat]
+    var iter = 0
+    var converged = false
+    var prevCheckpoint: DataFrame = null // last iteration's blocks to drop
+
+    while (iter < cfg.maxIter && !converged) {
+      val t0 = System.nanoTime()
+
+      // Scatter: only sources with outdeg>0 appear in edges, so no filter
+      // is needed; the join is co-partitioned (edges by src, state by id).
+      val contribs = edges
+        .join(state.hint("shuffle_hash"), edges("src") === state("id"))
+        .groupBy(col("dst").as("cid"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+
+      // Gather + apply (left_outer: vertices with no in-links get 0 contrib
+      // — the reference gets this via the STRUCT record owning the group,
+      // PageRankReducer.java:95-98).
+      //
+      // Eager localCheckpoint each iteration: truncates the logical plan to
+      // a LogicalRDD. Without it the plan tree doubles per iteration and
+      // analysis/codegen costs explode long before execution does. This is
+      // the Spark analogue of the reference's iteration-dir rotation
+      // (PageRankDriver.java:121-122,177-185); on a real cluster swap in
+      // reliable `checkpoint()` at `checkpointEvery` cadence for
+      // fault-tolerance of long chains.
+      val newState = state
+        .join(contribs, state("id") === contribs("cid"), "left_outer")
+        .select(
+          col("id"),
+          col("outdeg"),
+          (lit((1.0 - d) / n) + lit(d * danglingSum / n) +
+            lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"),
+          col("rank").as("prev_rank"))
+        .localCheckpoint(true)
+
+      // One pass for all three global metrics + next iteration's dangling
+      // mass (preserving the reference's one-iteration lag).
+      val m = newState
+        .agg(
+          sum(abs(col("rank") - col("prev_rank"))).as("l1"),
+          sum(col("rank")).as("total"),
+          coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0))
+            .as("dangling"))
+        .first()
+
+      val l1 = m.getDouble(0)
+      val totalPR = m.getDouble(1)
+      danglingSum = m.getDouble(2)
+      val avgDiff = l1 / n
+
+      val old = state
+      // projection over the checkpointed RDD — plan stays O(1) size
+      state = newState.select(col("id"), col("outdeg"), col("rank"))
+      old.unpersist(false)
+      if (prevCheckpoint != null) prevCheckpoint.unpersist(false)
+      prevCheckpoint = newState
+
+      iter += 1
+      trace += IterationStat(
+        iter, danglingSum, avgDiff, totalPR,
+        (System.nanoTime() - t0) / 1000000)
+
+      // convergence guard (PageRankDriver.java:211-216): threshold AND
+      // min-iteration floor
+      if (avgDiff <= cfg.tol && iter >= cfg.minIter) converged = true
+    }
+
+    edges.unpersist(false)
+    PageRankResult(state.select(col("id"), col("rank")), iter, trace.toSeq)
+  }
+
+  /** Fixed-k variant for oracle checking (Q5): always runs exactly k
+    * iterations, no convergence test.
+    */
+  def runFixed(
+      spark: SparkSession,
+      edges: DataFrame,
+      k: Int,
+      damping: Double = 0.85): PageRankResult =
+    run(
+      spark,
+      edges,
+      PageRankConfig(
+        damping = damping, maxIter = k, tol = -1.0, minIter = k))
+
+  /** Top-K by rank, descending, deterministic tie-break on id — Catalyst
+    * plans this as TakeOrderedAndProject, the same bounded-heap + merge the
+    * reference hand-rolls (PageRankDriver.java:352-384).
+    */
+  def topK(ranks: DataFrame, k: Int = 50): DataFrame =
+    ranks.orderBy(desc("rank"), asc("id")).limit(k)
+}

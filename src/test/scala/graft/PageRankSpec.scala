@@ -1,0 +1,188 @@
+package graft
+
+import graft.core.GraftSession
+import graft.operators._
+import graft.sources.EdgeListReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session; suites run forked
+  * in the same test JVM).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = GraftSession.local("graft-test", 4)
+}
+
+/** Golden fixtures from FIXTURES.md §3 — lock the NetworkX-aligned
+  * semantics (dangling lag, 1/N init, minIter guard) analytically.
+  */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  def edges(pairs: (Long, Long)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  def ranksMap(r: PageRankResult): Map[Long, Double] =
+    r.ranks.collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+
+  // F1 tiny3: 1→2, 2→1, 2→3; node 3 dangling. Exact iteration-1 values
+  // (FIXTURES.md F1) — catches any dangling-lag off-by-one.
+  test("F1 tiny3: exact iteration-1 ranks, dangling lag, trace") {
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L)
+    val res = PageRank.runFixed(spark, e, k = 1)
+    val m = ranksMap(res)
+    assert(math.abs(m(1L) - 103.0 / 360.0) < 1e-12)
+    assert(math.abs(m(2L) - 77.0 / 180.0) < 1e-12)
+    assert(math.abs(m(3L) - 103.0 / 360.0) < 1e-12)
+    assert(res.iterations == 1)
+    val st = res.trace.head
+    assert(math.abs(st.totalPR - 1.0) < 1e-12)
+    assert(math.abs(st.avgDiff - 17.0 / 270.0) < 1e-12)
+    // next danglingSum = new PR(3) = 103/360
+    assert(math.abs(st.danglingSum - 103.0 / 360.0) < 1e-12)
+  }
+
+  test("F1 tiny3: mass conserved over 10 iterations") {
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L)
+    val res = PageRank.runFixed(spark, e, k = 10)
+    res.trace.foreach(st => assert(math.abs(st.totalPR - 1.0) < 1e-9))
+  }
+
+  // F2 single vertex, no edges: PR stays exactly 1.0; converges at minIter.
+  test("F2 single: PR stays 1.0, stops at minIter") {
+    val sp = spark
+    import sp.implicits._
+    val verts = Seq(7L).toDF("id")
+    val e = edges() // empty
+    val res =
+      PageRank.run(spark, e, PageRankConfig(), explicitVertices = Some(verts))
+    val m = ranksMap(res)
+    assert(math.abs(m(7L) - 1.0) < 1e-12)
+    assert(res.iterations == 5) // minIter floor, not 1
+  }
+
+  // F3 two-cycle: fixed point from iteration 1 but early stop must wait
+  // for minIter=5 (PageRankDriver.java:211).
+  test("F3 two-cycle: symmetric fixed point, minIter guard") {
+    val e = edges(1L -> 2L, 2L -> 1L)
+    val res = PageRank.run(spark, e, PageRankConfig())
+    val m = ranksMap(res)
+    assert(math.abs(m(1L) - 0.5) < 1e-12)
+    assert(math.abs(m(2L) - 0.5) < 1e-12)
+    assert(res.iterations == 5)
+  }
+
+  // F4 star5: hub with in-only node 1 (dangling); sink materialization.
+  test("F4 star5: sink materialized, hub aggregation") {
+    val e = edges(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val res = PageRank.runFixed(spark, e, k = 1)
+    val m = ranksMap(res)
+    assert(m.size == 5) // node 1 exists though only ever a dst
+    // iteration 1: spokes get (1-d)/5 + d*(1/5)/5 = 0.03+0.034 = 0.064
+    assert(math.abs(m(2L) - 0.064) < 1e-12)
+    // hub gets 0.064 + d * 4*(1/5) = 0.064 + 0.68
+    assert(math.abs(m(1L) - 0.744) < 1e-12)
+    assert(math.abs(m.values.sum - 1.0) < 1e-12)
+  }
+
+  test("fixed-k never early-stops") {
+    val e = edges(1L -> 2L, 2L -> 1L)
+    val res = PageRank.runFixed(spark, e, k = 8)
+    assert(res.iterations == 8)
+  }
+
+  test("topK deterministic ordering with ties") {
+    val e = edges(1L -> 2L, 2L -> 1L)
+    val res = PageRank.runFixed(spark, e, k = 3)
+    val top = PageRank.topK(res.ranks, 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // tie → id asc
+  }
+
+  test("checkpoint cadence survives 12 iterations") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 2L)
+    val res = PageRank.runFixed(spark, e, k = 12)
+    assert(res.iterations == 12)
+    assert(math.abs(ranksMap(res).values.sum - 1.0) < 1e-9)
+  }
+}
+
+/** Differential: DataFrame impl vs GraphX BSP twin must agree to 1e-12
+  * (mirrors the reference's MR-vs-Giraph duality).
+  */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("DataFrame and GraphX agree on a messy graph") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq(
+      1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 2L,
+      5L -> 6L, 6L -> 7L, 8L -> 1L)
+      .toDF("src", "dst")
+    val a = PageRank.run(spark, e, PageRankConfig(maxIter = 7, tol = -1, minIter = 7))
+    val b = GraphXPageRank.run(spark, e, PageRankConfig(maxIter = 7, tol = -1, minIter = 7))
+    assert(a.iterations == b.iterations)
+    val ma = a.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mb = b.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ma.keySet == mb.keySet)
+    ma.foreach { case (k, v) => assert(math.abs(v - mb(k)) < 1e-12) }
+    // traces agree too
+    a.trace.zip(b.trace).foreach { case (x, y) =>
+      assert(math.abs(x.danglingSum - y.danglingSum) < 1e-12)
+      assert(math.abs(x.avgDiff - y.avgDiff) < 1e-12)
+    }
+  }
+}
+
+/** F5 messy-input parsing (FIXTURES.md §1.1/§3 F5). */
+class EdgeListReaderSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("F5 messy input: comments, blanks, dups, self-loop, extra tokens") {
+    val sp = spark
+    import sp.implicits._
+    val lines = Seq(
+      "# Directed graph: example",
+      "# FromNodeId\tToNodeId",
+      "",
+      "1\t2",
+      "2 1",
+      "  2\t 3",
+      "1\t2", // duplicate
+      "3 3 99", // self-loop + trailing token
+      "   ",
+      "justonetoken").toDF("value")
+    val e = EdgeListReader.fromLines(lines)
+    val got = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L)))
+    // self-loop makes node 3 non-dangling
+    assert(GraphBuilder.danglingVertices(e).count() == 0)
+    assert(GraphBuilder.vertices(e).count() == 3)
+  }
+
+  test("degrees: in/out with dangling zero-fill") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L).toDF("src", "dst")
+    val d = GraphBuilder
+      .degrees(e)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(d(1L) == ((1L, 1L)))
+    assert(d(2L) == ((2L, 1L)))
+    assert(d(3L) == ((0L, 1L)))
+  }
+
+  test("giraph adjacency format flattens to edges") {
+    val sp = spark
+    val tmp = java.nio.file.Files.createTempFile("adj", ".txt")
+    java.nio.file.Files.writeString(tmp, "1 2 3\n2 1\n3\n")
+    val e = EdgeListReader.giraphAdjacency(sp, tmp.toString)
+    val got = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+}

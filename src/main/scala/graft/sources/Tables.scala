@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Testdata table readers. */
+object Tables {
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects outright. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as
+    * LONG nanos-since-epoch; convert to a proper microsecond timestamp
+    * here so downstream operators (and the DuckDB oracle, which reads
+    * TIMESTAMP_NS natively) see the same instants.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn(
+          "ts",
+          timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+  }
+}

@@ -118,9 +118,12 @@ object PageRank {
       val t0 = System.nanoTime()
 
       // Scatter: only sources with outdeg>0 appear in edges, so no filter
-      // is needed; the join is co-partitioned (edges by src, state by id).
+      // is needed. No join hint: AQE broadcasts the (small) rank state
+      // when |V| is modest — then the edge side never shuffles — and
+      // falls back to a co-partitioned shuffle join (edges by src, state
+      // by id) when vertices outgrow the broadcast threshold.
       val contribs = edges
-        .join(state.hint("shuffle_hash"), edges("src") === state("id"))
+        .join(state, edges("src") === state("id"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
 
@@ -143,7 +146,8 @@ object PageRank {
           (lit((1.0 - d) / n) + lit(d * danglingSum / n) +
             lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"),
           col("rank").as("prev_rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the metrics pass below both
+      // materializes and truncates in ONE job instead of two
 
       // One pass for all three global metrics + next iteration's dangling
       // mass (preserving the reference's one-iteration lag).

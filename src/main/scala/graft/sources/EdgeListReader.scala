@@ -88,4 +88,22 @@ object EdgeListReader {
   val fromOrdersSql: String =
     "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+
+  private val derivedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[fromOrders]] with session-scoped shared-scan caching: several
+    * queries in one session derive the same graph, so the deduped edge
+    * frame is cached once per (session, dir) — the same thing a shared
+    * scan/materialized-CTE layer does in a warehouse engine. Correctness
+    * is unaffected: the frame is deterministic for a given dir.
+    */
+  def fromOrdersCached(spark: SparkSession, sfDir: String): DataFrame =
+    derivedCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + sfDir,
+      _ => {
+        val e = fromOrders(spark, sfDir).cache()
+        e.count() // materialize once
+        e
+      })
 }

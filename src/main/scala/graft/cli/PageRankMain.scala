@@ -1,0 +1,82 @@
+package graft.cli
+
+import graft.core.GraftSession
+import graft.metrics.{IterationTrace, PerfReport}
+import graft.operators.{PageRank, PageRankConfig}
+import graft.sources.EdgeListReader
+import org.apache.spark.sql.functions._
+
+/** CLI mirroring the reference driver contract (O24,
+  * PageRankDriver.java:58-71):
+  *
+  * {{{
+  *   PageRankMain <input> <output> [maxIter=10] [damping=0.85]
+  *                [threshold=1e-6] [minIter=5]
+  * }}}
+  *
+  * and its output contract (O17-O22, PageRankDriver.java:250-271):
+  *   - `<output>/final_scores/` — merged single-file `id \t rank` text
+  *   - `<output>/pagerank_top_50.txt` — top-K=50, `id \t rank` desc
+  *   - `<output>/performance_report.txt` + `_timings.csv` + trace CSV
+  *
+  * The reference runs merge/top-K single-threaded in the client JVM over
+  * HDFS streams (SURVEY.md §3 "scalability bug"); here both stay
+  * distributed until the final coalesce/limit.
+  */
+object PageRankMain {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: PageRankMain <input> <output> [maxIter] [damping] " +
+          "[threshold] [minIter]")
+      sys.exit(2)
+    }
+    val input = args(0)
+    val output = args(1)
+    val cfg = PageRankConfig(
+      maxIter = if (args.length > 2) args(2).toInt else 10,
+      damping = if (args.length > 3) args(3).toDouble else 0.85,
+      tol = if (args.length > 4) args(4).toDouble else 1e-6,
+      minIter = if (args.length > 5) args(5).toInt else 5)
+
+    val spark = GraftSession.local("graft-pagerank")
+    val perf = new PerfReport
+    try {
+      val edges = perf.time("Setup") {
+        val e = EdgeListReader.snap(spark, input).cache()
+        e.count()
+        e
+      }
+      val res = PageRank.run(spark, edges, cfg)
+      perf.addIterations(res.trace)
+
+      perf.time("Cleanup_And_Write") {
+        val scores = res.ranks.select(
+          concat(
+            col("id").cast("string"),
+            lit("\t"),
+            format_string("%.10f", col("rank"))).as("value"))
+        scores.coalesce(1).write.mode("overwrite")
+          .text(s"$output/final_scores")
+
+        val top = PageRank.topK(res.ranks, 50).collect()
+        val topText = top
+          .map(r => s"${r.getLong(0)}\t${"%.10f".format(r.getDouble(1))}")
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(output))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(output, "pagerank_top_50.txt"), topText)
+      }
+
+      IterationTrace.save(res.trace, s"$output/iteration_trace.csv")
+      perf.saveTo(output)
+      println(
+        s"PageRank finished: ${res.iterations} iterations, " +
+          f"final avgDiff=${res.trace.lastOption.map(_.avgDiff).getOrElse(0.0)}%.3e, " +
+          f"total PR=${res.trace.lastOption.map(_.totalPR).getOrElse(0.0)}%.6f")
+    } finally {
+      spark.stop()
+    }
+  }
+}

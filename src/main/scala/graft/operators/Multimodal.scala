@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the training-data-pipeline surface:
+  * image/audio/video carried as opaque `BINARY` columns with typed
+  * metadata, processed by per-partition batch operators.
+  *
+  * The actual media codecs are NOT in this container (builder brief), so
+  * the decode kernel is a clearly-marked deterministic stub — but every
+  * Spark-side piece a real deployment needs is real and tested: the
+  * schema contract, binary-friendly partition sizing, the batched
+  * per-partition execution shape (decode libraries amortize per-batch
+  * init), and metadata pushdown staying columnar so Catalyst can prune
+  * scans to metadata-only queries without touching the bytes.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType), // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Deterministic synthetic media table (documents stand in as payload
+    * bytes) — exercises the exact schema/partitioning a real media lake
+    * would have.
+    */
+  def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        col("n_chars").as("n_bytes"),
+        (pmod(col("doc_id") * 37, lit(1920)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id") * 53, lit(1080)) + 1).cast("int").as("height"),
+        (pmod(col("doc_id") * 97, lit(600000)) + 1).as("duration_ms"))
+        .as("meta"))
+  }
+
+  /** STUB decode kernel — stands in for an image/audio codec call.
+    * Deterministic: "features" are byte-statistics of the payload. A real
+    * deployment swaps only this function body for the codec invocation;
+    * the batching/partitioning contract around it is unchanged.
+    */
+  private def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
+    else {
+      val n = payload.length.toDouble
+      var sum = 0L; var mn = 255; var mx = 0
+      payload.foreach { b =>
+        val v = b & 0xff
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      }
+      Array(n, sum / n, mn.toDouble, mx.toDouble)
+    }
+  }
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, kind: String, features: Array[Double])
+
+  /** Batched per-partition feature extraction: one kernel "session" per
+    * partition (where a real codec would init once), rows streamed
+    * through it. mapPartitions — not a per-row UDF — is the right
+    * execution shape for codec-style kernels with heavy init.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // real impl: codec/library init happens HERE, once per partition
+        rows.map(r =>
+          MediaFeatures(r.media_id, r.kind, stubDecodeFeatures(r.payload)))
+      }
+      .toDF()
+  }
+
+  /** Metadata-only projection — must compile to a scan that never reads
+    * the payload bytes (ReadSchema excludes `payload`); this is the
+    * pruning contract that makes metadata queries cheap on a 100 TB
+    * media lake.
+    */
+  def metadataStats(media: DataFrame): DataFrame =
+    media
+      .groupBy(col("kind"))
+      .agg(
+        count("*").as("n_media"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        max(col("meta.width")).as("max_width"))
+
+  /** Deterministic frame-sampling plan for video rows: emits (media_id,
+    * frame_no) for every `everyMs` tick of the clip duration — the
+    * explode/flatMap shape of a real frame extractor, bounded per row.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 10000L): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .select(
+        col("media_id"),
+        explode(
+          sequence(
+            lit(0L),
+            floor(col("meta.duration_ms") / lit(everyMs)).cast("long"),
+            lit(1L))).as("frame_no"))
+}

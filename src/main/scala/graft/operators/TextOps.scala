@@ -72,7 +72,7 @@ object TextOps {
     * hits, ties broken by language code order). Candidate lists are tiny
     * and inlined into the expression — no join, no shuffle.
     */
-  private val langStops: Seq[(String, Seq[String])] = Seq(
+  val langStops: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
     "es" -> Seq("el", "la", "los", "y", "es", "un", "de"),

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table shape
+  * (`event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,
+  * value DOUBLE, props STRING`).
+  *
+  * The reference is strictly batch-iterative (SURVEY.md §2.2 "Streaming:
+  * absent") — this is the extended surface the north star asks for:
+  * watermarked windowed aggregation, late-data-tolerant dedup, and
+  * stateful sessionization, all expressed on the streaming Dataset API so
+  * the same code runs over Kafka/files in production and over the testdata
+  * parquet in tests (file source + memory sink).
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos in the testdata parquet
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the testdata events parquet. The nanosecond
+    * timestamp arrives as LONG (nanosAsLong) and is converted to a proper
+    * timestamp, mirroring graft.sources.Tables.events.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      // the file stream source requires a directory; glob down to the
+      // events table inside the sf dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Sliding-window aggregation with a watermark: counts + value sums per
+    * (window, event_type). Late rows beyond the watermark are dropped —
+    * state is bounded, which is what makes this runnable forever at
+    * production rates.
+    */
+  def windowedAgg(
+      events: DataFrame,
+      window: String = "5 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count("*").as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Exactly-once-per-id dedup within the watermark horizon (the
+    * streaming twin of TextOps.dedupExact).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  // ---- sessionization via explicit state (mapGroupsWithState) ----
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+
+  final case class Session(
+      user_id: Long, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization: a user's session closes after `gapMs` of
+    * inactivity (processing-time timeout so sessions also close when the
+    * stream goes quiet). State per user is O(1) — four numbers — so the
+    * operator holds at any user cardinality that fits the state store.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(
+              userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(
+                    lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += Session(
+                    userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[sessionize]] for oracle checking: gap-based sessions
+    * via a window lag — same semantics, expressible in DuckDB.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs,
+          1L).otherwise(0L))
+      .withColumn(
+        "session_no",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count("*").as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators._
+import graft.sources.IterationStateIO
+import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IterationStateIOSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("reference state format round-trip (id\\tPR|links)") {
+    val sp = spark
+    import sp.implicits._
+    val lines = Seq(
+      "0\t0.2500000000|1,2",
+      "1\t0.2500000000|2",
+      "2\t0.2500000000|2",
+      "3\t0.2500000000|", // dangling
+      "bad line with no tab",
+      "9\tnopipe").toDF("value")
+    val st = IterationStateIO.fromLines(lines).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    assert(st.length == 4)
+    assert(st(3) == ((3L, 0.25, Seq())))
+    assert(st(0) == ((0L, 0.25, Seq(1L, 2L))))
+
+    val out = IterationStateIO
+      .toLines(IterationStateIO.fromLines(lines))
+      .collect().map(_.getString(0)).sorted
+    assert(out.contains("0\t0.2500000000|1,2"))
+    assert(out.contains("3\t0.2500000000|"))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  def docs(rows: (Long, String, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("minhash LSH finds near-identical docs, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      (1L, base, "s"),
+      (2L, base + " extra", "s"),
+      (3L, "completely different words about spark catalyst optimizer rules", "s"))
+    val pairs = Dedup
+      .minhashDedupPairs(d, threshold = 0.3, k = 64, bands = 16)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near docs close, far docs far") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", "s"),
+      (3L, "one two three four five six seven eight", "s"))
+    val sig = Dedup.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("exact dedup keeps min doc_id per text") {
+    val d = docs((5L, "same", "s"), (2L, "same", "s"), (9L, "other", "s"))
+    val kept = TextOps.dedupExact(d).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("feature extraction preserves ids, emits fixed-width features") {
+    val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.orderBy("media_id").first()
+    assert(feats.count() == media.count())
+    assert(row.getSeq[Double](2).length == 4)
+    // n_bytes feature equals payload length (= n_chars for ASCII text)
+    val nb = media.orderBy("media_id").select(col("meta.n_bytes")).first().getLong(0)
+    assert(row.getSeq[Double](2).head == nb.toDouble)
+  }
+
+  test("metadata-only query does not read payload bytes (column pruning)") {
+    val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+    val plan = Multimodal.metadataStats(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), "payload column must be pruned")
+  }
+
+  test("frame sampling emits duration/10s + 1 frames per video") {
+    val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+    val frames = Multimodal.sampleFrames(media)
+    val one = media
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.duration_ms")).first()
+    val expected = one.getLong(1) / 10000 + 1
+    val got = frames.filter(col("media_id") === one.getLong(0)).count()
+    assert(got == expected)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("windowed agg over file stream matches batch groupBy") {
+    val sfDir = "/root/testdata/sf0.001"
+    val stream = EventStreams.windowedAgg(
+      EventStreams.readEvents(spark, sfDir), "1 hour", "1 hour", "2 hours")
+    val q = stream.writeStream
+      .format("memory").queryName("winagg").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // append mode flushes only watermark-expired windows; the final
+    // window may be withheld, so compare against batch on the emitted set
+    val got = spark.table("winagg")
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count("*").as("n_events"))
+    val mismatch = got.join(batch, Seq("ws", "event_type"))
+      .filter(got("n_events") =!= batch("n_events")).count()
+    assert(mismatch == 0)
+    assert(got.count() > 0)
+  }
+
+  test("streaming dedup drops duplicate event_ids") {
+    val sp = spark
+    import sp.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = EventStreams.readEvents(spark, sfDir)
+    val q = EventStreams.dedupEvents(events).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val n = spark.table("dedup").count()
+    val distinct = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts").distinct().count()
+    assert(n == distinct)
+  }
+
+  test("batch sessionization: session count and sums are gap-consistent") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val df = Seq(
+      (1L, t(0), 7L, "click", 1.0, "{}"),
+      (2L, t(10), 7L, "click", 2.0, "{}"),
+      (3L, t(70), 7L, "click", 4.0, "{}"), // >30min gap → new session
+      (4L, t(5), 8L, "view", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = EventStreams.sessionizeBatch(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(sessions == Set(
+      (7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0), (8L, 1L, 1L, 8.0)))
+  }
+}

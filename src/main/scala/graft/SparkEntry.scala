@@ -36,11 +36,14 @@ object SparkEntry {
   /** Shared SQL prefix for the graph oracles (DuckDB CTEs mirroring
     * EdgeListReader.fromOrders + GraphBuilder).
     */
+  // AS MATERIALIZED: each CTE is referenced several times per iteration;
+  // without it DuckDB inlines the chain and the k-iteration PageRank
+  // oracle blows up exponentially (2^k scans of the base tables)
   private val graphCtes: String =
-    s"""edges AS (${EdgeListReader.fromOrdersSql}),
-       |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
-       |deg AS (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM verts v LEFT JOIN (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1) d USING (id))""".stripMargin
+    s"""edges AS MATERIALIZED (${EdgeListReader.fromOrdersSql}),
+       |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+       |deg AS MATERIALIZED (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM verts v LEFT JOIN (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1) d USING (id))""".stripMargin
 
   /** Unrolled fixed-k PageRank as pure ANSI SQL CTE chain (Q5 oracle):
     * r0 = 1/N init; each step applies the exact reference formula with
@@ -50,11 +53,11 @@ object SparkEntry {
     val sb = new StringBuilder
     sb.append("WITH ").append(graphCtes).append(",\n")
     sb.append(
-      "r0 AS (SELECT id, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM deg)")
+      "r0 AS MATERIALIZED (SELECT id, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM deg)")
     for (i <- 0 until k) {
       sb.append(s""",
-        |d$i AS (SELECT coalesce(sum(rank), 0.0) AS ds FROM r$i WHERE outdeg = 0),
-        |r${i + 1} AS (
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS ds FROM r$i WHERE outdeg = 0),
+        |r${i + 1} AS MATERIALIZED (
         |  SELECT s.id, s.outdeg,
         |         (1 - $D)/(SELECT n FROM nn)
         |       + $D*(SELECT ds FROM d$i)/(SELECT n FROM nn)
@@ -138,6 +141,32 @@ object SparkEntry {
         .degrees(EdgeListReader.fromOrders(s, dir))
         .groupBy(col("outdeg"))
         .agg(count("*").as("n_nodes"))
+    },
+    "g5b_pagerank_k1" -> { (s, dir) =>
+      val res =
+        PageRank.runFixed(s, EdgeListReader.fromOrdersCached(s, dir), k = 1)
+      res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g5c_pagerank_k10" -> { (s, dir) =>
+      val res =
+        PageRank.runFixed(s, EdgeListReader.fromOrdersCached(s, dir), k = 10)
+      res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g10_trace_k4" -> { (s, dir) =>
+      // per-iteration metric trace (Q9: danglingSum, avgDiff, ΣPR) —
+      // the numeric core of the reference's report side channel
+      val res =
+        PageRank.runFixed(s, EdgeListReader.fromOrdersCached(s, dir), k = 4)
+      val sp = s
+      import sp.implicits._
+      res.trace
+        .map(st => (st.iteration, st.danglingSum, st.avgDiff, st.totalPR))
+        .toDF("iteration", "dangling_sum", "avg_diff", "total_pr")
+        .select(
+          col("iteration"),
+          round(col("dangling_sum"), 9).as("dangling_sum"),
+          round(col("avg_diff"), 9).as("avg_diff"),
+          round(col("total_pr"), 9).as("total_pr"))
     },
     "g9_powerlaw_pagerank" -> { (s, dir) =>
       // bench-scale fixture: web-Google-shaped seeded power-law graph
@@ -245,6 +274,7 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_tokens_bpe"),
         col("n_chars"))
     },
     "d3_quality" -> ((s, dir) =>
@@ -326,6 +356,25 @@ object SparkEntry {
     "g5_pagerank_k4" -> pageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
+    "g5b_pagerank_k1" -> pageRankSql(
+      1,
+      "SELECT id, round(rank, 9) AS rank_r FROM r1"),
+    "g5c_pagerank_k10" -> pageRankSql(
+      10,
+      "SELECT id, round(rank, 9) AS rank_r FROM r10"),
+    "g10_trace_k4" -> {
+      val rows = (1 to 4).map { i =>
+        s"""SELECT $i AS iteration,
+           |  round((SELECT ds FROM d$i), 9) AS dangling_sum,
+           |  round((SELECT sum(abs(a.rank - b.rank))
+           |         FROM r$i a JOIN r${i - 1} b USING (id))
+           |        / (SELECT n FROM nn), 9) AS avg_diff,
+           |  round((SELECT sum(rank) FROM r$i), 9) AS total_pr""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      // k=5 so the chain defines d4 (dangling of r4); the extra r5 CTE is
+      // never referenced and is skipped by DuckDB's optimizer
+      pageRankSql(5, rows)
+    },
     "g7_top50" -> pageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4 " +
@@ -388,6 +437,8 @@ object SparkEntry {
     "d2_token_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+        |    AS n_tokens_bpe,
         |  n_chars
         |FROM documents""".stripMargin,
     "d3_quality" ->

@@ -28,8 +28,11 @@ object GraphXPageRank {
 
     val d = cfg.damping
 
+    // edge-SET semantics, as in the reference's LongNullHashSetEdges
+    // (Giraph PageRankDriver.java:81-82)
     val edgeRdd: RDD[Edge[Unit]] = edgesDf
       .select("src", "dst")
+      .distinct()
       .rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
 

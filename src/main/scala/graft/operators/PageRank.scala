@@ -12,7 +12,13 @@ final case class PageRankConfig(
     maxIter: Int = 10,
     tol: Double = 1e-6,
     minIter: Int = 5,
-    checkpointEvery: Int = 5)
+    checkpointEvery: Int = 5,
+    /** The reference treats edges as a SET (GraphBuilderReducer.java:17,
+      * LinkedHashSet; NetworkX-aligned). Dedup is applied here by default
+      * so multi-edge inputs can't skew out-degrees; set false to skip the
+      * one-time distinct shuffle when the input is known deduped.
+      */
+    dedupEdges: Boolean = true)
 
 /** Per-iteration trace — the numeric part of the reference's
   * performance_report / _timings.csv side channel
@@ -71,8 +77,10 @@ object PageRank {
 
     // One-time structure build; edges partitioned by src so every
     // iteration's contribution join reuses this exchange.
-    val edges = edgesRaw
-      .select(col("src"), col("dst"))
+    val deduped =
+      if (cfg.dedupEdges) edgesRaw.select(col("src"), col("dst")).distinct()
+      else edgesRaw.select(col("src"), col("dst"))
+    val edges = deduped
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -23,6 +23,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword proxy: alphanumeric runs and single punctuation
+    * marks each count as one token (the usual pre-tokenization split a
+    * byte-pair encoder starts from). Pure regex — identical semantics in
+    * the DuckDB oracle.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
   /** Exact dedup groups: one row per distinct text with a deterministic
     * representative (min doc id) and the multiplicity. At scale this is a
     * single hash-aggregate on a 128-bit text digest, not on the full text

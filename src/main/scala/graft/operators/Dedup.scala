@@ -25,16 +25,27 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** k-permutation MinHash signature: h_i(S) = min_{s∈S} xxhash64(i, s).
-    * One pass over the shingle array per permutation — O(k·|S|) column
-    * algebra, no shuffle.
+  /** k-permutation MinHash signature from an ALREADY-MATERIALIZED shingle
+    * hash array column: h_i(S) = min_{s∈S} xxhash64(i, s).
+    *
+    * The shingle array must be a bound column, not an inline expression:
+    * higher-order functions are interpreted (not codegen'd), and an
+    * inlined shingle expression would be re-evaluated once per
+    * permutation — measured 50× slower at sf0.1.
     */
-  def minhashSignature(text: Column, k: Int, shingle: Int = 3): Column = {
-    val sh = shingleHashes(text, shingle)
+  def minhashSigFromShingles(sh: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
+
+  /** `doc_id, sig ARRAY<LONG>` — two projections so Catalyst binds the
+    * shingle array once (CollapseProject keeps them separate because the
+    * reference is expensive and used k times).
+    */
+  def minhashSignatures(docs: DataFrame, k: Int, shingle: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh"))
+      .select(col("doc_id"), minhashSigFromShingles(col("sh"), k).as("sig"))
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * k/bands rows; docs sharing any full band land in a bucket; pairs
@@ -47,9 +58,12 @@ object Dedup {
       bands: Int = 8,
       shingle: Int = 3): DataFrame = {
     val rows = k / bands
-    val sigs = docs.select(
-      col("doc_id"),
-      minhashSignature(col("text"), k, shingle).as("sig"))
+    // persist the signature matrix: it is THE materialization point of an
+    // LSH pipeline (|D|·k longs). Without the barrier, Catalyst inlines
+    // the whole minhash computation into the band-explode generator AND
+    // into both sides of the bucket self-join — measured 100× slower.
+    val sigs = minhashSignatures(docs, k, shingle)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
       explode(
@@ -60,6 +74,7 @@ object Dedup {
             xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))
               .as("band_hash")))).as("band"))
       .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded
       .as("a")
       .join(banded.as("b"), Seq("band_no", "band_hash"))
@@ -78,9 +93,9 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       shingle: Int = 3): DataFrame = {
-    val sh = docs.select(
-      col("doc_id"),
-      shingleHashes(col("text"), shingle).as("sh"))
+    val sh = docs
+      .select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lshCandidatePairs(docs, k, bands, shingle)
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -77,8 +77,11 @@ object Similarity {
           (acc, v) => acc + v)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }: _*)
+    // persist: the bucketed frame feeds both sides of the self-join;
+    // without the barrier the hyperplane projection is recomputed per side
     val bucketed = embeddings
       .select(col("vec_id"), emb.as("e"), sig.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed
       .as("a")
       .join(bucketed.as("b"), Seq("bucket"))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the optimizations the engine's scale story rests
+  * on must be visible in `explain` — filters reaching the parquet scan,
+  * projection pruning the read schema, whole-stage codegen fusing the hot
+  * paths, top-k planning as TakeOrderedAndProject.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q5 filter/project: predicates pushed to parquet, schema pruned") {
+    val p = plan("q5_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    // only the 5 needed columns are read, not the 11-column table
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_returnflag"), "unused column must be pruned")
+  }
+
+  test("q1 aggregation is a two-phase hash agg with map-side combine") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+    // exactly one exchange: the partial->final hash repartition
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("g7 top-50 plans as TakeOrderedAndProject (bounded heap, no sort)") {
+    val p = SparkEntry.queries("g7_top50")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q2 join broadcasts the customer dimension") {
+    val p = plan("q2_top_customers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("e1 knn probe: broadcast probe, no shuffle of the scan side") {
+    val p = plan("e1_knn_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d2 token stats: text scan reads only needed columns") {
+    val p = plan("d2_token_stats")
+    assert(!p.contains("lang"), "lang/source must be pruned from the scan")
+  }
+}

@@ -267,6 +267,19 @@ object SparkEntry {
         .select(col("c_custkey"))
     },
 
+    "q9_json_extract" -> { (s, dir) =>
+      // JSON scalar extraction from the events props column
+      graft.sources.Tables.events(s, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(
+          count("*").as("n"),
+          sum(col("k_val")).as("sum_k"),
+          max(col("k_val")).as("max_k"))
+    },
+
     // ---- LLM-pipeline surface: text ----
     "d1_dedup_groups" -> ((s, dir) =>
       TextOps.exactDedupGroups(t(s, dir, "documents"))),
@@ -315,6 +328,11 @@ object SparkEntry {
           round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
     },
+    "e4_knn_ivf" -> ((s, dir) =>
+      // IVF approximate kNN (scale path; recall tested vs e1 baseline)
+      Similarity.knnIvf(
+        t(s, dir, "embeddings"), probeId = 0L, k = 10,
+        nList = 16, nProbe = 4)),
     "e3_lsh_neardup" -> ((s, dir) =>
       // hyperplane-LSH bucketed near-dup — scale path, rows-only check
       Similarity.nearDupPairs(
@@ -430,6 +448,12 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q9_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "d1_dedup_groups" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

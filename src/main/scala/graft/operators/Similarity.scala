@@ -48,6 +48,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate kNN — the classic scale path for ANN:
+    * a deterministic coarse quantizer (every `stride`-th vector by id
+    * serves as a centroid — seeded sampling without randomness), each
+    * vector assigned to its nearest centroid once (broadcast centroids,
+    * single scan), and a query probes only the `nProbe` nearest centroid
+    * lists. At 100 TB the assignment is a one-time pass and each query
+    * touches |D|·nProbe/nList of the data instead of all of it.
+    *
+    * Returns (vec_id, cos_sim) top-k among the probed lists. Recall < 1
+    * by construction; [[knnToProbe]] is the exact baseline.
+    */
+  def knnIvf(
+      embeddings: DataFrame,
+      probeId: Long,
+      k: Int,
+      nList: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val n = embeddings.count()
+    val stride = math.max(n / nList, 1L)
+    val centroids = broadcast(
+      embeddings
+        .filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .limit(nList)
+        .select(col("vec_id").as("c_id"), emb.as("c_emb")))
+    // one-time assignment: nearest centroid per vector (max cosine)
+    val assigned = embeddings
+      .select(col("vec_id"), emb.as("e"))
+      .crossJoin(centroids)
+      .withColumn("sim", cosine(col("e"), col("c_emb")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id"))
+            .orderBy(desc("sim"), asc("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe: the query vector's nProbe nearest centroid lists
+    val probeVec = assigned.filter(col("vec_id") === probeId)
+      .select(col("e").as("probe_e"))
+    val probeLists = probeVec
+      .crossJoin(centroids)
+      .select(
+        col("c_id"),
+        cosine(col("probe_e"), col("c_emb")).as("sim"))
+      .orderBy(desc("sim"), asc("c_id"))
+      .limit(nProbe)
+      .select(col("c_id"))
+    assigned
+      .join(broadcast(probeLists), Seq("c_id"))
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probeVec))
+      .select(
+        col("vec_id"),
+        round(cosine(col("e"), col("probe_e")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate candidates above a cosine threshold via
     * random-hyperplane LSH (SimHash for vectors): vectors agreeing on all
     * `bits` signs of seeded pseudo-random hyperplanes land in one bucket;

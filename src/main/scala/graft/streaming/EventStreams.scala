@@ -84,12 +84,17 @@ object EventStreams {
     */
   def sessionize(
       events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      // ProcessingTimeTimeout closes idle sessions on live streams; pass
+      // NoTimeout for bounded inputs (timeout-armed state keeps the query
+      // scheduling wake-up batches, so processAllAvailable never settles)
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         case (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -118,7 +123,8 @@ object EventStreams {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(gapMs)
             closed.result().iterator
           }
       }

@@ -146,6 +146,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct)
   }
 
+  test("stateful streaming sessionization emits closed sessions") {
+    val sp = spark
+    import sp.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = EventStreams.readEvents(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(
+      events, gapMs = 30 * 60 * 1000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val closed = spark.table("sess")
+    // one batch: every session closed by an observed gap is emitted; each
+    // user's final session stays open in state → batch twin count minus
+    // one per user
+    val batchTotal = EventStreams
+      .sessionizeBatch(graft.sources.Tables.events(spark, sfDir))
+      .count()
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(closed.count() == batchTotal - users)
+    assert(closed.filter(col("n_events") <= 0).count() == 0)
+  }
+
   test("batch sessionization: session count and sums are gap-consistent") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Sinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF kNN reaches ≥50% recall@10 of exact kNN and stays ordered") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.knnToProbe(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.knnIvf(emb, 0L, 10, nList = 8, nProbe = 4)
+      .collect()
+    val ids = ivf.map(_.getLong(0))
+    val sims = ivf.map(_.getDouble(1))
+    assert(sims.sorted.reverse.toSeq == sims.toSeq, "descending order")
+    val recall = ids.toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("IVF with nProbe = nList equals exact kNN") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.knnToProbe(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.knnIvf(emb, 0L, 10, nList = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+}
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("bucketed tables join with zero exchanges") {
+    val sp = spark
+    import sp.implicits._
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "vb")
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    Sinks.writeBucketed(spark, a, "bkt_a", "k", 8)
+    Sinks.writeBucketed(spark, b, "bkt_b", "k", 8)
+    // disable broadcast so the join must use the bucket layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      joined.collect() // force final AQE plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned write prunes directories on the partition predicate") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "cat", "v")
+    Sinks.writePartitioned(df, tmp, Seq("cat"))
+    val read = spark.read.parquet(tmp).filter(col("cat") === "a")
+    assert(read.count() == 2)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
+  test("single-file text sink writes exactly one part file") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("single").toString + "/out"
+    Sinks.writeSingleTextFile(Seq((1L, 0.5), (2L, 0.25)).toDF("id", "r"), tmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+    assert(parts.length == 1)
+  }
+}

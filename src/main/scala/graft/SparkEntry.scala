@@ -267,6 +267,36 @@ object SparkEntry {
         .select(col("c_custkey"))
     },
 
+    "q10_date_agg" -> { (s, dir) =>
+      // date part extraction + grouping over order dates
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(
+          count("*").as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+    "q11_string_funcs" -> { (s, dir) =>
+      // LIKE filter + substring/upper/concat projections
+      t(s, dir, "part")
+        .filter(col("p_name").like("%red%") || col("p_type") === "ECONOMY")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_brand"), 7, 10).as("brand_no"),
+          concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
+          length(col("p_name")).cast("long").as("name_len"))
+    },
+    "q12_semi_join" -> { (s, dir) =>
+      // EXISTS: customers having at least one order over 400k
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
     "q9_json_extract" -> { (s, dir) =>
       // JSON scalar extraction from the events props column
       graft.sources.Tables.events(s, dir)
@@ -448,6 +478,22 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q10_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q11_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |  substring(p_brand, 7, 10) AS brand_no,
+        |  concat_ws('/', p_type, p_brand) AS type_brand,
+        |  length(p_name) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%red%' OR p_type = 'ECONOMY'""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "q9_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

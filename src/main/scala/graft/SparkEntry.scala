@@ -142,6 +142,15 @@ object SparkEntry {
         .groupBy(col("outdeg"))
         .agg(count("*").as("n_nodes"))
     },
+    "g11_adjacency" -> { (s, dir) =>
+      // adjacency build (O4) with canonical sort; outlinks emitted as a
+      // comma string so the oracle compare is list-format-agnostic
+      GraphBuilder
+        .adjacency(EdgeListReader.fromOrders(s, dir))
+        .select(
+          col("id"),
+          concat_ws(",", col("outlinks")).as("outlinks_str"))
+    },
     "g5b_pagerank_k1" -> { (s, dir) =>
       val res =
         PageRank.runFixed(s, EdgeListReader.fromOrdersCached(s, dir), k = 1)
@@ -404,6 +413,12 @@ object SparkEntry {
     "g5_pagerank_k4" -> pageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
+    "g11_adjacency" ->
+      s"""WITH $graphCtes,
+         |adj AS (SELECT src AS id, array_to_string(list_sort(list(dst)), ',') AS outlinks_str
+         |        FROM edges GROUP BY 1)
+         |SELECT v.id, coalesce(a.outlinks_str, '') AS outlinks_str
+         |FROM verts v LEFT JOIN adj a USING (id)""".stripMargin,
     "g5b_pagerank_k1" -> pageRankSql(
       1,
       "SELECT id, round(rank, 9) AS rank_r FROM r1"),

@@ -18,7 +18,15 @@ final case class PageRankConfig(
       * so multi-edge inputs can't skew out-degrees; set false to skip the
       * one-time distinct shuffle when the input is known deduped.
       */
-    dedupEdges: Boolean = true)
+    dedupEdges: Boolean = true,
+    /** Broadcast the (id, rank) state into the scatter/gather joins while
+      * |V| ≤ this limit — the edge side then never shuffles and each
+      * iteration runs with a single exchange (the contribution combine).
+      * Above the limit the joins fall back to co-partitioned shuffles.
+      * The driver knows N exactly, so this beats relying on AQE stats
+      * (which are lost at the per-iteration checkpoint boundary).
+      */
+    broadcastVertexLimit: Long = 10000000L)
 
 /** Per-iteration trace — the numeric part of the reference's
   * performance_report / _timings.csv side channel
@@ -104,6 +112,7 @@ object PageRank {
 
     val n = state.count() // action: materializes edges + state; N for formula
     require(n > 0, "empty graph")
+    val bcast = n <= cfg.broadcastVertexLimit
 
     // uniform 1/N init (PageRankDriver.java:102-108)
     state = state
@@ -131,7 +140,9 @@ object PageRank {
       // falls back to a co-partitioned shuffle join (edges by src, state
       // by id) when vertices outgrow the broadcast threshold.
       val contribs = edges
-        .join(state, edges("src") === state("id"))
+        .join(
+          if (bcast) broadcast(state) else state,
+          edges("src") === state("id"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
 
@@ -147,7 +158,10 @@ object PageRank {
       // reliable `checkpoint()` at `checkpointEvery` cadence for
       // fault-tolerance of long chains.
       val newState = state
-        .join(contribs, state("id") === contribs("cid"), "left_outer")
+        .join(
+          if (bcast) broadcast(contribs) else contribs,
+          state("id") === contribs("cid"),
+          "left_outer")
         .select(
           col("id"),
           col("outdeg"),

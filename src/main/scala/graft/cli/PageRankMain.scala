@@ -40,7 +40,11 @@ object PageRankMain {
       tol = if (args.length > 4) args(4).toDouble else 1e-6,
       minIter = if (args.length > 5) args(5).toInt else 5)
 
-    val spark = GraftSession.local("graft-pagerank")
+    // reuse a live session if the caller has one (embedding/tests);
+    // only a session created here is stopped here
+    val existing = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val spark = existing.getOrElse(GraftSession.local("graft-pagerank"))
     val perf = new PerfReport
     try {
       val edges = perf.time("Setup") {
@@ -76,7 +80,7 @@ object PageRankMain {
           f"final avgDiff=${res.trace.lastOption.map(_.avgDiff).getOrElse(0.0)}%.3e, " +
           f"total PR=${res.trace.lastOption.map(_.totalPR).getOrElse(0.0)}%.6f")
     } finally {
-      spark.stop()
+      if (existing.isEmpty) spark.stop()
     }
   }
 }

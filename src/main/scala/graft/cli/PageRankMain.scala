@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   PageRankMain <input> <output> [maxIter=10] [damping=0.85]
-  *                [threshold=1e-6] [minIter=5]
+  *                [threshold=1e-6] [minIter=5] [format=snap]
   * }}}
+  *
+  * `format` accepts `snap` (raw edge list, the MapReduce module's input),
+  * `giraph` (adjacency text `id nbr nbr...`, the Giraph module's input —
+  * run_pagerank.sh:6 feeds a pre-cleaned file), or `state` (the packed
+  * `id\tPR|links` iteration-state rows) — so every ingest path a user of
+  * the reference has keeps working.
   *
   * and its output contract (O17-O22, PageRankDriver.java:250-271):
   *   - `<output>/final_scores/` — merged single-file `id \t rank` text
@@ -29,7 +35,7 @@ object PageRankMain {
     if (args.length < 2) {
       System.err.println(
         "usage: PageRankMain <input> <output> [maxIter] [damping] " +
-          "[threshold] [minIter]")
+          "[threshold] [minIter] [format=snap|giraph|state]")
       sys.exit(2)
     }
     val input = args(0)
@@ -47,12 +53,31 @@ object PageRankMain {
     val spark = existing.getOrElse(GraftSession.local("graft-pagerank"))
     val perf = new PerfReport
     try {
-      val edges = perf.time("Setup") {
-        val e = EdgeListReader.snap(spark, input).cache()
-        e.count()
-        e
+      val format = if (args.length > 6) args(6) else "snap"
+      val (edges, explicitVerts) = perf.time("Setup") {
+        val (e, v) = format match {
+          case "snap" => (EdgeListReader.snap(spark, input), None)
+          case "giraph" =>
+            (EdgeListReader.giraphAdjacency(spark, input), None)
+          case "state" =>
+            // state rows enumerate every vertex (including isolated ones
+            // an edge list cannot express) — pass them through explicitly
+            val st = graft.sources.IterationStateIO.read(spark, input)
+            val e = st.select(
+              org.apache.spark.sql.functions.col("id").as("src"),
+              org.apache.spark.sql.functions
+                .explode(org.apache.spark.sql.functions.col("outlinks"))
+                .as("dst"))
+            (e, Some(st.select("id")))
+          case other =>
+            System.err.println(s"unknown format: $other (snap|giraph|state)")
+            sys.exit(2)
+        }
+        val cached = e.cache()
+        cached.count()
+        (cached, v)
       }
-      val res = PageRank.run(spark, edges, cfg)
+      val res = PageRank.run(spark, edges, cfg, explicitVerts)
       perf.addIterations(res.trace)
 
       perf.time("Cleanup_And_Write") {

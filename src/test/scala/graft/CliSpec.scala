@@ -46,4 +46,24 @@ class CliSpec extends AnyFunSuite {
     // graph has no dangling nodes (4→3→2 cycle closure): dangling sum 0
     assert(trace.linesIterator.drop(1).next().startsWith("1,0.000000000000000"))
   }
+
+  test("giraph and state ingest formats produce the same ranks as snap") {
+    def runFmt(content: String, fmt: String): List[String] = {
+      val in = java.nio.file.Files.createTempFile("g", ".txt")
+      java.nio.file.Files.writeString(in, content)
+      val out = java.nio.file.Files.createTempDirectory("pr").toString
+      graft.cli.PageRankMain.main(
+        Array(in.toString, out, "5", "0.85", "1e-6", "5", fmt))
+      java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(out, "pagerank_top_50.txt"))
+        .toArray.map(_.toString).toList
+    }
+    // same 4-node graph in all three formats: 1→2, 2→1, 2→3
+    val snap = runFmt("1 2\n2 1\n2 3\n", "snap")
+    val giraph = runFmt("1 2\n2 1 3\n", "giraph")
+    val state = runFmt(
+      "1\t0.33|2\n2\t0.33|1,3\n3\t0.33|\n", "state")
+    assert(snap == giraph)
+    assert(snap == state)
+  }
 }

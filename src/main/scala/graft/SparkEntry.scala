@@ -579,8 +579,8 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
         |FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8""".stripMargin,
+        |WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.8""".stripMargin,
     "d8_langid" -> langIdSql,
     "e2_label_neardup" ->
       """WITH e AS (

@@ -58,7 +58,9 @@ object PageRankMain {
         val (e, v) = format match {
           case "snap" => (EdgeListReader.snap(spark, input), None)
           case "giraph" =>
-            (EdgeListReader.giraphAdjacency(spark, input), None)
+            // adjacency lines enumerate vertices; keep neighbor-less ones
+            (EdgeListReader.giraphAdjacency(spark, input),
+              Some(EdgeListReader.giraphVertices(spark, input)))
           case "state" =>
             // state rows enumerate every vertex (including isolated ones
             // an edge list cannot express) — pass them through explicitly

@@ -12,7 +12,6 @@ final case class PageRankConfig(
     maxIter: Int = 10,
     tol: Double = 1e-6,
     minIter: Int = 5,
-    checkpointEvery: Int = 5,
     /** The reference treats edges as a SET (GraphBuilderReducer.java:17,
       * LinkedHashSet; NetworkX-aligned). Dedup is applied here by default
       * so multi-edge inputs can't skew out-degrees; set false to skip the
@@ -69,9 +68,9 @@ final case class PageRankResult(
   *     aggregation action per iteration over the already-persisted new
   *     state — one job, one pass, mirroring the reference's piggybacked
   *     counters without the scaled-long quantization quirk.
-  *   - Lineage is cut with localCheckpoint every `checkpointEvery`
-  *     iterations — the Spark analogue of the reference's
-  *     iteration-dir rotation; without it the plan grows unboundedly.
+  *   - Lineage is cut with an eager-on-first-action localCheckpoint every
+  *     iteration — the Spark analogue of the reference's iteration-dir
+  *     rotation; without it the plan tree doubles per iteration.
   */
 object PageRank {
 
@@ -155,8 +154,7 @@ object PageRank {
       // analysis/codegen costs explode long before execution does. This is
       // the Spark analogue of the reference's iteration-dir rotation
       // (PageRankDriver.java:121-122,177-185); on a real cluster swap in
-      // reliable `checkpoint()` at `checkpointEvery` cadence for
-      // fault-tolerance of long chains.
+      // reliable `checkpoint()` for fault-tolerance of long chains.
       val newState = state
         .join(
           if (bcast) broadcast(contribs) else contribs,

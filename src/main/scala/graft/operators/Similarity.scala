@@ -71,6 +71,9 @@ object Similarity {
     val centroids = broadcast(
       embeddings
         .filter(pmod(col("vec_id"), lit(stride)) === 0)
+        // ordered before limit: an unordered limit picks whichever rows
+        // the scan reaches first, breaking the determinism contract
+        .orderBy(col("vec_id"))
         .limit(nList)
         .select(col("vec_id").as("c_id"), emb.as("c_emb")))
     // one-time assignment: nearest centroid per vector (max cosine)

@@ -38,19 +38,21 @@ object EdgeListReader {
       .filter(col("line") =!= "" && !col("line").startsWith("#"))
       .select(split(col("line"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
+      // try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW on
+      // malformed tokens; the reference drops such rows
       .select(
-        col("toks").getItem(0).cast("long").as("src"),
-        col("toks").getItem(1).cast("long").as("dst"))
+        expr("try_cast(toks[0] AS BIGINT)").as("src"),
+        expr("try_cast(toks[1] AS BIGINT)").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
   }
 
   /** Giraph adjacency-text ingest (`vertexId nbr1 nbr2 ...` per line, all
     * longs — reference Giraph module `PageRankDriver.java:79`
-    * LongLongNullTextInputFormat). Flattens to the same edge schema.
-    * A vertex line with no neighbors still matters for the vertex universe,
-    * so dangling vertices are emitted as a (id, null) pair filtered by the
-    * caller via [[verticesFromAdjacencyText]].
+    * LongLongNullTextInputFormat). Flattens to the edge schema. A vertex
+    * line with no neighbors produces no edges — callers that must keep
+    * isolated vertices (the CLI does) pair this with
+    * [[giraphVertices]] as the explicit vertex universe.
     */
   def giraphAdjacency(spark: SparkSession, path: String): DataFrame = {
     val toks = spark.read
@@ -60,12 +62,28 @@ object EdgeListReader {
       .select(split(col("line"), "\\s+").as("toks"))
     toks
       .select(
-        col("toks").getItem(0).cast("long").as("src"),
+        expr("try_cast(toks[0] AS BIGINT)").as("src"),
         explode(slice(col("toks"), 2, Int.MaxValue)).as("dstStr"))
-      .select(col("src"), col("dstStr").cast("long").as("dst"))
+      .select(
+        col("src"),
+        expr("try_cast(dstStr AS BIGINT)").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
   }
+
+  /** The vertex ids enumerated by a Giraph adjacency file (first token of
+    * every line) — includes vertices with no neighbors, which
+    * [[giraphAdjacency]]'s edge view cannot represent.
+    */
+  def giraphVertices(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .text(path)
+      .select(trim(col("value")).as("line"))
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
+      .select(split(col("line"), "\\s+").as("toks"))
+      .select(expr("try_cast(toks[0] AS BIGINT)").as("id"))
+      .filter(col("id").isNotNull)
+      .distinct()
 
   /** Deterministic graph derived from the relational testdata: one edge per
     * distinct (customer, supplier) pair that co-occur on an order. Both the

@@ -34,9 +34,12 @@ object IterationStateIO {
       .select(
         split(col("line"), "\t", 2).as("kv"))
       .filter(size(col("kv")) === 2 && instr(col("kv").getItem(1), "|") > 0)
+      // try_cast throughout: ANSI mode (Spark 4 default) makes plain casts
+      // THROW on malformed tokens; the reference skips bad rows/links
+      // (PageRankMapper.java DataQuality counters)
       .select(
-        col("kv").getItem(0).cast("long").as("id"),
-        substring_index(col("kv").getItem(1), "|", 1).cast("double")
+        expr("try_cast(kv[0] AS BIGINT)").as("id"),
+        expr("try_cast(substring_index(kv[1], '|', 1) AS DOUBLE)")
           .as("rank"),
         // everything after the first '|'; empty string ⇒ dangling
         expr("substring(kv[1], instr(kv[1], '|') + 1)").as("links_str"))
@@ -45,7 +48,14 @@ object IterationStateIO {
         col("rank"),
         when(col("links_str") === "", array().cast("array<long>"))
           .otherwise(
-            transform(split(col("links_str"), ","), s => s.cast("long")))
+            // non-numeric neighbor tokens → null via rlike-guarded cast
+            // (conditional, so ANSI cast never sees bad input) — dropped
+            // rather than corrupting N / leaking rank mass
+            filter(
+              transform(
+                split(col("links_str"), ","),
+                s => when(s.rlike("^-?\\d+$"), s.cast("long"))),
+              x => x.isNotNull))
           .as("outlinks"))
       .filter(col("id").isNotNull && col("rank").isNotNull)
   }

@@ -22,9 +22,10 @@ object Tables {
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn(
-          "ts",
-          timestamp_micros((col("ts") / 1000).cast("long")))
+        // integral `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
+        // 2^53 exact range, so float division + cast floors ~2% of
+        // timestamps to the previous microsecond
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

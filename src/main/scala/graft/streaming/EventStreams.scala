@@ -38,7 +38,8 @@ object EventStreams {
       // events table inside the sf dir
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integral div — see graft.sources.Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Sliding-window aggregation with a watermark: counts + value sums per
@@ -110,8 +111,12 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
+                  // late events may arrive out of order across batches:
+                  // never move the session window backwards
                   cur = Some(s.copy(
-                    lastTs = t, nEvents = s.nEvents + 1,
+                    start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1,
                     sumValue = s.sumValue + e.value))
                 case Some(s) =>
                   closed += Session(

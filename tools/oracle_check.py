@@ -74,6 +74,8 @@ def main(sf_dir, out_dir):
         n = con.execute(
             f"SELECT count(*) FROM parquet_scan('{out_dir}/{name}/*.parquet')").fetchone()[0]
         print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+        if n == 0:
+            failures += 1  # driver smoke-checks rows>0; empty is a fail
     print(f"\n{'ALL PASS' if failures == 0 else str(failures) + ' FAILURES'}")
     return failures
 

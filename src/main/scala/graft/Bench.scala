@@ -33,21 +33,38 @@ object Bench {
     // two reps, report the min: measures the engine's steady state
     // instead of JIT/GC noise (observed ±30% swings between identical
     // runs); the second rep is skipped for queries already over 30s so
-    // a pathological query can't double the bench wall-clock
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a pathological query can't double the bench wall-clock.
+    // A query that THROWS is reported as "err:<Exception>" — never as a
+    // fake (fast) timing that would silently improve the bench total.
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(e.getClass.getSimpleName)
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = once(fn)
-      val best = if (first > 30.0) first else math.min(first, once(fn))
+      val best = once(fn) match {
+        case Right(first) if first <= 30.0 =>
+          once(fn) match {
+            case Right(second) => Right(math.min(first, second))
+            case err           => err
+          }
+        case other => other
+      }
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v))  => "\"" + k + "\":" + v
+      case (k, Left(err)) => "\"" + k + "\":\"err:" + err + "\""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(v)) => v }
+    val nErr = results.count(_._2.isLeft)
+    val total = ok.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    if (nErr > 0) System.err.println(s"[bench] $nErr queries FAILED")
     spark.stop()
   }
 }

@@ -70,6 +70,38 @@ object SparkEntry {
     sb.append(s"\n$select").toString
   }
 
+  /** Oracle for the run-to-convergence mode (Q6 / O16): unrolls maxIter
+    * iterations, computes the per-iteration avgDiff trace in SQL, and
+    * selects the ranks of the FIRST iteration satisfying the reference's
+    * stopping rule (avgDiff ≤ tol AND iter ≥ minIter,
+    * PageRankDriver.java:207-216), falling back to maxIter. This
+    * reproduces the engine's early-stop decision inside DuckDB, so the
+    * convergence semantics themselves are hash-checked.
+    */
+  private def pageRankConvergedSql(
+      maxIter: Int, tol: Double, minIter: Int): String = {
+    val diffs = (1 to maxIter).map { i =>
+      s"""SELECT $i AS i,
+         |  (SELECT sum(abs(a.rank - b.rank)) FROM r$i a JOIN r${i - 1} b USING (id))
+         |    / (SELECT n FROM nn) AS ad""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val allr = (1 to maxIter)
+      .map(i => s"SELECT $i AS i, id, rank FROM r$i")
+      .mkString("\nUNION ALL\n")
+    pageRankSql(
+      maxIter,
+      s""", diffs AS MATERIALIZED (
+         |$diffs
+         |), chosen AS (
+         |  SELECT coalesce(min(i), $maxIter) AS it FROM diffs
+         |  WHERE i >= $minIter AND ad <= $tol
+         |), allr AS (
+         |$allr
+         |)
+         |SELECT id, round(rank, 9) AS rank_r FROM allr
+         |WHERE i = (SELECT it FROM chosen)""".stripMargin)
+  }
+
   /** DuckDB twin of TextOps.languageGuess, generated from the same
     * stopword lists so the two can never drift: per-language hit counts,
     * argmax with first-in-order tie-break.
@@ -369,20 +401,10 @@ object SparkEntry {
     // ---- LLM-pipeline surface: vectors ----
     "e1_knn_probe" -> ((s, dir) =>
       Similarity.knnToProbe(t(s, dir, "embeddings"), probeId = 0L, k = 10)),
-    "e2_label_neardup" -> { (s, dir) =>
+    "e2_label_neardup" -> ((s, dir) =>
       // exact within-block near-dup (blocking key = label): oracle-checkable
-      val e = t(s, dir, "embeddings").select(
-        col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      e.as("a")
-        .join(e.as("b"), Seq("label"))
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("id_a"),
-          col("b.vec_id").as("id_b"),
-          round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.3)
-    },
+      Similarity.blockedNearDupPairs(
+        t(s, dir, "embeddings"), blockCol = "label", threshold = 0.3)),
     "e4_knn_ivf" -> ((s, dir) =>
       // IVF approximate kNN (scale path; recall tested vs e1 baseline)
       Similarity.knnIvf(
@@ -396,14 +418,29 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.metadataStats(Multimodal.syntheticMedia(s, dir))),
-    "m2_media_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))),
+    "m2_media_features" -> { (s, dir) =>
+      // f_mean rounded for cross-engine compare; the other features are
+      // exact small integers in double carriers
+      Multimodal
+        .extractFeatures(Multimodal.syntheticMedia(s, dir))
+        .select(
+          col("media_id"), col("kind"), col("f_len"),
+          round(col("f_mean"), 6).as("f_mean"),
+          col("f_min"), col("f_max"))
+    },
     "m3_video_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(s, dir))),
 
-    // ---- sessionization (batch twin of the streaming operator) ----
+    // ---- streaming operators (batch twins for the oracle gate; the
+    // streaming forms themselves are locked by StreamingSpec) ----
     "st1_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(
+        graft.sources.Tables.events(s, dir))),
+    "st2_windowed_agg" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedAggBatch(
+        graft.sources.Tables.events(s, dir))),
+    "st3_event_dedup" -> ((s, dir) =>
+      graft.streaming.EventStreams.dedupEventsBatch(
         graft.sources.Tables.events(s, dir)))
   )
 
@@ -448,6 +485,8 @@ object SparkEntry {
          |        FROM edges GROUP BY 1)
          |SELECT v.id, coalesce(a.outlinks_str, '') AS outlinks_str
          |FROM verts v LEFT JOIN adj a USING (id)""".stripMargin,
+    "g6_pagerank_converged" -> pageRankConvergedSql(
+      maxIter = 10, tol = 1e-6, minIter = 5),
     "g5b_pagerank_k1" -> pageRankSql(
       1,
       "SELECT id, round(rank, 9) AS rank_r FROM r1"),
@@ -593,9 +632,22 @@ object SparkEntry {
     "m1_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
-        |  count(*) AS n_media, sum(n_chars) AS total_bytes,
+        |  count(*) AS n_media, CAST(sum(n_chars) AS BIGINT) AS total_bytes,
         |  max(CAST((doc_id * 37) % 1920 + 1 AS INTEGER)) AS max_width
         |FROM documents GROUP BY 1""".stripMargin,
+    "m2_media_features" ->
+      """WITH cp AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    list_transform(split(text, ''), x -> unicode(x)) AS cps
+        |  FROM documents)
+        |SELECT doc_id AS media_id, kind,
+        |  CAST(len(cps) AS DOUBLE) AS f_len,
+        |  round(CAST(list_sum(cps) AS DOUBLE) / len(cps), 6) AS f_mean,
+        |  CAST(list_min(cps) AS DOUBLE) AS f_min,
+        |  CAST(list_max(cps) AS DOUBLE) AS f_max
+        |FROM cp""".stripMargin,
     "m3_video_frames" ->
       """SELECT doc_id AS media_id,
         |  unnest(generate_series(0, ((doc_id * 97) % 600000 + 1) // 10000))
@@ -610,12 +662,22 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |y AS (
         |  SELECT user_id, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |                           ROWS UNBOUNDED PRECEDING) AS session_no
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         |  FROM x)
         |SELECT user_id, session_no, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM y GROUP BY 1, 2""".stripMargin,
+    "st2_windowed_agg" ->
+      """SELECT strftime(make_timestamp((epoch_ms(ts) // 300000) * 300000000),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st3_event_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (SELECT DISTINCT event_id, ts, event_type, user_id FROM events)
+        |GROUP BY 1""".stripMargin,
     "e1_knn_probe" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)

@@ -25,27 +25,32 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** k-permutation MinHash signature from an ALREADY-MATERIALIZED shingle
-    * hash array column: h_i(S) = min_{s∈S} xxhash64(i, s).
-    *
-    * The shingle array must be a bound column, not an inline expression:
-    * higher-order functions are interpreted (not codegen'd), and an
-    * inlined shingle expression would be re-evaluated once per
-    * permutation — measured 50× slower at sf0.1.
+  /** k-permutation MinHash from a `(doc_id, sh ARRAY<LONG>)` shingle
+    * frame: h_i(S) = min_{s∈S} xxhash64(i, s), computed as
+    * explode(shingles) → ONE hash-aggregate with k codegen'd `min`
+    * aggregates. Higher-order-function lambdas are interpreted in Spark,
+    * so the transform-based formulation pays k interpreted array passes
+    * per doc; the explode+min-agg plan keeps everything inside
+    * whole-stage codegen with map-side partial aggregation — the shuffle
+    * carries one combined row per (partition, doc), not the exploded
+    * shingles.
     */
-  def minhashSigFromShingles(sh: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+  def minhashSigsFromShingleFrame(sh: DataFrame, k: Int): DataFrame = {
+    val aggs =
+      (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h_$i"))
+    sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id"),
+        array((0 until k).map(i => col(s"h_$i")): _*).as("sig"))
+  }
 
-  /** `doc_id, sig ARRAY<LONG>` — two projections so Catalyst binds the
-    * shingle array once (CollapseProject keeps them separate because the
-    * reference is expensive and used k times).
-    */
+  /** `doc_id, sig ARRAY<LONG>` signature matrix. */
   def minhashSignatures(docs: DataFrame, k: Int, shingle: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh"))
-      .select(col("doc_id"), minhashSigFromShingles(col("sh"), k).as("sig"))
+    minhashSigsFromShingleFrame(
+      docs.select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh")),
+      k)
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * k/bands rows; docs sharing any full band land in a bucket; pairs
@@ -56,13 +61,23 @@ object Dedup {
       docs: DataFrame,
       k: Int = 32,
       bands: Int = 8,
-      shingle: Int = 3): DataFrame = {
+      shingle: Int = 3): DataFrame =
+    lshCandidatePairsFromSigs(minhashSignatures(docs, k, shingle), k, bands)
+
+  /** LSH banding over a precomputed `(doc_id, sig)` signature matrix —
+    * lets pipelines that also need the shingle arrays (verification)
+    * compute shingles exactly once.
+    */
+  def lshCandidatePairsFromSigs(
+      sigsRaw: DataFrame,
+      k: Int,
+      bands: Int): DataFrame = {
     val rows = k / bands
     // persist the signature matrix: it is THE materialization point of an
     // LSH pipeline (|D|·k longs). Without the barrier, Catalyst inlines
     // the whole minhash computation into the band-explode generator AND
     // into both sides of the bucket self-join — measured 100× slower.
-    val sigs = minhashSignatures(docs, k, shingle)
+    val sigs = sigsRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
@@ -96,7 +111,9 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshCandidatePairs(docs, k, bands, shingle)
+    // signatures derive from the SAME persisted shingle frame used by the
+    // verify stage — shingling runs once end-to-end
+    lshCandidatePairsFromSigs(minhashSigsFromShingleFrame(sh, k), k, bands)
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(
@@ -109,34 +126,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Pack 64 per-bit vote counters into the 64-bit SimHash signature:
+    * bit b set iff counter b is positive. Shift amounts are compile-time
+    * constants — static column algebra, fully codegen'd.
+    */
+  def simhashFromCounts(count: Int => Column): Column =
+    (0 until 64)
+      .map(b => when(count(b) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+
   /** 64-bit SimHash over whitespace tokens: bit b of the signature is the
     * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Near-dups have
-    * small Hamming distance between signatures. The 64 per-bit vote
-    * counters fold in ONE pass over the token hashes (array of counters
-    * as the aggregate accumulator); shift amounts are compile-time
-    * constants, so the whole signature is static column algebra.
+    * small Hamming distance between signatures.
+    *
+    * Plan: explode the token hashes → ONE hash-aggregate with 64
+    * codegen'd conditional sums, then pack the sign bits. The previous
+    * formulation folded a 64-wide array accumulator inside an interpreted
+    * `aggregate` lambda — O(64·|tokens|) interpreted array rebuilds per
+    * doc; this plan stays inside whole-stage codegen with map-side
+    * partial aggregation.
     */
-  def simhashFromHashes(tokHashes: Column): Column = {
-    val counts = aggregate(
-      tokHashes,
-      array((0 until 64).map(_ => lit(0)): _*),
-      (acc, h) =>
-        array((0 until 64).map { b =>
-          element_at(acc, b + 1) +
-            when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)
-        }: _*))
-    (0 until 64)
-      .map(b =>
-        when(element_at(counts, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-  }
-
-  def simhashSignatures(docs: DataFrame): DataFrame =
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      sum(
+        when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"c_$b")
+    }
     docs
       .select(
         col("doc_id"),
-        transform(TextOps.tokens(col("text")), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), simhashFromHashes(col("th")).as("simhash"))
+        explode(transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+          .as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        simhashFromCounts(b => col(s"c_$b")).as("simhash"))
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -149,10 +175,19 @@ object Dedup {
       docs: DataFrame,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val toksets = docs.select(
-      col("doc_id"),
-      col(blockCol).as("blk"),
-      array_distinct(TextOps.tokens(col("text"))).as("ts"))
+    // tokens hashed to 64-bit longs BEFORE the pairwise set-ops: per-pair
+    // intersect/union compares 8-byte values instead of strings, and the
+    // self-join shuffle ships long arrays, not token text. Jaccard on
+    // hashed sets equals Jaccard on token sets modulo xxhash64 collisions
+    // (~|vocab|²/2^65 — negligible). persist: without the barrier
+    // Catalyst inlines tokenize+hash into both join sides.
+    val toksets = docs
+      .select(
+        col("doc_id"),
+        col(blockCol).as("blk"),
+        array_distinct(
+          transform(TextOps.tokens(col("text")), t => xxhash64(t))).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     toksets
       .as("a")
       .join(toksets.as("b"), Seq("blk"))

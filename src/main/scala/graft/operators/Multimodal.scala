@@ -52,12 +52,13 @@ object Multimodal {
   }
 
   /** STUB decode kernel — stands in for an image/audio codec call.
-    * Deterministic: "features" are byte-statistics of the payload. A real
-    * deployment swaps only this function body for the codec invocation;
-    * the batching/partitioning contract around it is unchanged.
+    * Deterministic: "features" are byte-statistics of the payload
+    * (length, mean, min, max byte value). A real deployment swaps only
+    * this function body for the codec invocation; the batching/
+    * partitioning contract around it is unchanged.
     */
-  private def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
+  private def stubDecodeFeatures(payload: Array[Byte]): (Double, Double, Double, Double) = {
+    if (payload == null || payload.isEmpty) (0.0, 0.0, 0.0, 0.0)
     else {
       val n = payload.length.toDouble
       var sum = 0L; var mn = 255; var mx = 0
@@ -65,13 +66,17 @@ object Multimodal {
         val v = b & 0xff
         sum += v; if (v < mn) mn = v; if (v > mx) mx = v
       }
-      Array(n, sum / n, mn.toDouble, mx.toDouble)
+      (n, sum / n, mn.toDouble, mx.toDouble)
     }
   }
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class MediaFeatures(
-      media_id: Long, kind: String, features: Array[Double])
+      media_id: Long, kind: String,
+      // scalar feature columns (not one ARRAY column): downstream
+      // filters/aggregates stay columnar and the frame remains sortable/
+      // comparable by generic tools
+      f_len: Double, f_mean: Double, f_min: Double, f_max: Double)
 
   /** Batched per-partition feature extraction: one kernel "session" per
     * partition (where a real codec would init once), rows streamed
@@ -86,8 +91,10 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         // real impl: codec/library init happens HERE, once per partition
-        rows.map(r =>
-          MediaFeatures(r.media_id, r.kind, stubDecodeFeatures(r.payload)))
+        rows.map { r =>
+          val (l, m, mn, mx) = stubDecodeFeatures(r.payload)
+          MediaFeatures(r.media_id, r.kind, l, m, mn, mx)
+        }
       }
       .toDF()
   }

@@ -18,14 +18,19 @@ final case class PageRankConfig(
       * one-time distinct shuffle when the input is known deduped.
       */
     dedupEdges: Boolean = true,
-    /** Broadcast the (id, rank) state into the scatter/gather joins while
-      * |V| ≤ this limit — the edge side then never shuffles and each
+    /** Broadcast the (id, outdeg, rank) state into the scatter/gather
+      * joins while its ESTIMATED SIZE (N × [[PageRank.stateRowBytes]])
+      * stays under this cap — the edge side then never shuffles and each
       * iteration runs with a single exchange (the contribution combine).
-      * Above the limit the joins fall back to co-partitioned shuffles.
+      * Above the cap the joins fall back to co-partitioned shuffles.
       * The driver knows N exactly, so this beats relying on AQE stats
-      * (which are lost at the per-iteration checkpoint boundary).
+      * (which are lost at the per-iteration checkpoint boundary). A
+      * size bound, not a row-count bound: what actually limits a
+      * broadcast is executor memory for the hash relation, and at the
+      * old 10M-row bound the per-iteration broadcast was already
+      * hundreds of MB per executor.
       */
-    broadcastVertexLimit: Long = 10000000L)
+    broadcastStateMaxBytes: Long = 64L << 20)
 
 /** Per-iteration trace — the numeric part of the reference's
   * performance_report / _timings.csv side channel
@@ -74,6 +79,12 @@ final case class PageRankResult(
   */
 object PageRank {
 
+  /** Estimated broadcast bytes per state row: three 8-byte fields plus
+    * UnsafeRow + broadcast-hash-relation overhead. Deliberately
+    * conservative — underestimating would OOM executors at scale.
+    */
+  val stateRowBytes: Long = 64L
+
   def run(
       spark: SparkSession,
       edgesRaw: DataFrame,
@@ -111,7 +122,7 @@ object PageRank {
 
     val n = state.count() // action: materializes edges + state; N for formula
     require(n > 0, "empty graph")
-    val bcast = n <= cfg.broadcastVertexLimit
+    val bcast = n * stateRowBytes <= cfg.broadcastStateMaxBytes
 
     // uniform 1/N init (PageRankDriver.java:102-108)
     state = state

@@ -25,6 +25,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with PRE-materialized norms: `dot(a,b)/(na·nb)`. The
+    * expression tree is identical to [[cosine]] (same fold, same
+    * multiply/divide order), so results are bit-equal — but the two norm
+    * folds are paid once per VECTOR instead of once per PAIR. The array
+    * folds are interpreted (not codegen'd) in Spark, so on an all-pairs
+    * stage this cuts the interpreted work per pair from 3 folds to 1.
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Brute-force top-k nearest neighbours of one probe vector by cosine.
@@ -36,16 +46,50 @@ object Similarity {
     val probe = broadcast(
       embeddings
         .filter(col("vec_id") === probeId)
-        .select(asDouble(col("embedding")).as("probe_emb")))
+        .select(asDouble(col("embedding")).as("probe_emb"))
+        // probe norm computed once in the 1-row broadcast frame, not
+        // re-folded per scanned row
+        .withColumn("probe_nrm", norm(col("probe_emb"))))
     embeddings
       .filter(col("vec_id") =!= probeId)
       .crossJoin(probe)
       .select(
         col("vec_id"),
-        round(cosine(asDouble(col("embedding")), col("probe_emb")), 6)
-          .as("cos_sim"))
+        round(
+          cosinePre(
+            asDouble(col("embedding")), col("probe_emb"),
+            norm(asDouble(col("embedding"))), col("probe_nrm")),
+          6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Exact all-pairs near-dup within a blocking key (e.g. `label`):
+    * oracle-checkable baseline for the LSH scale path. Norms are
+    * materialized once per vector (persisted) so each pair pays a single
+    * interpreted dot-fold instead of dot + two norm folds.
+    */
+  def blockedNearDupPairs(
+      embeddings: DataFrame,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val e = embeddings
+      .select(
+        col("vec_id"),
+        col(blockCol).as("blk"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.as("a")
+      .join(e.as("b"), Seq("blk"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        round(
+          cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")),
+          6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** IVF (inverted-file) approximate kNN — the classic scale path for ANN:
@@ -75,29 +119,39 @@ object Similarity {
         // the scan reaches first, breaking the determinism contract
         .orderBy(col("vec_id"))
         .limit(nList)
-        .select(col("vec_id").as("c_id"), emb.as("c_emb")))
-    // one-time assignment: nearest centroid per vector (max cosine)
-    val assigned = embeddings
+        .select(col("vec_id").as("c_id"), emb.as("c_emb"))
+        .withColumn("c_nrm", norm(col("c_emb"))))
+    // base projection persisted so each vector's norm folds ONCE, not
+    // once per (vector, centroid) pair in the assignment cross join
+    val base = embeddings
       .select(col("vec_id"), emb.as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-time assignment: nearest centroid per vector (max cosine, no
+    // window sort — max_by folds the argmax inside the hash aggregate)
+    val assigned = base
       .crossJoin(centroids)
-      .withColumn("sim", cosine(col("e"), col("c_emb")))
       .withColumn(
-        "rn",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id"))
-            .orderBy(desc("sim"), asc("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("c_id"))
+        "sim",
+        cosinePre(col("e"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("c_id"), col("e"), col("nrm")),
+        // deterministic argmax: highest sim, lowest c_id on ties
+        struct(col("sim"), -col("c_id"))).as("best"))
+      .select(
+        col("vec_id"), col("best.e").as("e"),
+        col("best.nrm").as("nrm"), col("best.c_id").as("c_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probe: the query vector's nProbe nearest centroid lists
     val probeVec = assigned.filter(col("vec_id") === probeId)
-      .select(col("e").as("probe_e"))
+      .select(col("e").as("probe_e"), col("nrm").as("probe_nrm"))
     val probeLists = probeVec
       .crossJoin(centroids)
       .select(
         col("c_id"),
-        cosine(col("probe_e"), col("c_emb")).as("sim"))
+        cosinePre(col("probe_e"), col("c_emb"), col("probe_nrm"), col("c_nrm"))
+          .as("sim"))
       .orderBy(desc("sim"), asc("c_id"))
       .limit(nProbe)
       .select(col("c_id"))
@@ -107,7 +161,9 @@ object Similarity {
       .crossJoin(broadcast(probeVec))
       .select(
         col("vec_id"),
-        round(cosine(col("e"), col("probe_e")), 6).as("cos_sim"))
+        round(
+          cosinePre(col("e"), col("probe_e"), col("nrm"), col("probe_nrm")),
+          6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
   }
@@ -145,6 +201,7 @@ object Similarity {
     // without the barrier the hyperplane projection is recomputed per side
     val bucketed = embeddings
       .select(col("vec_id"), emb.as("e"), sig.as("bucket"))
+      .withColumn("nrm", norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed
       .as("a")
@@ -153,7 +210,9 @@ object Similarity {
       .select(
         col("a.vec_id").as("id_a"),
         col("b.vec_id").as("id_b"),
-        round(cosine(col("a.e"), col("b.e")), 6).as("cos_sim"))
+        round(
+          cosinePre(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")),
+          6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

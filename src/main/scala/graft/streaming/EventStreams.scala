@@ -65,6 +65,34 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Batch twin of [[windowedAgg]] for oracle checking: identical tumbling
+    * `window()` aggregation minus the watermark (batch input is complete —
+    * no late data to bound). Window starts align to the epoch in both
+    * Spark and the SQL oracle, and are emitted as formatted strings for
+    * cross-engine comparison.
+    */
+  def windowedAggBatch(events: DataFrame, window: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count("*").as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch twin of [[dedupEvents]]: dedup on (event_id, ts) then a
+    * per-type summary — same distinct semantics, DuckDB-expressible.
+    */
+  def dedupEventsBatch(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates(Seq("event_id", "ts"))
+      .groupBy(col("event_type"))
+      .agg(
+        count("*").as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+
   // ---- sessionization via explicit state (mapGroupsWithState) ----
 
   final case class Event(

@@ -77,15 +77,18 @@ class DedupSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 
-  test("feature extraction preserves ids, emits fixed-width features") {
+  test("feature extraction preserves ids, emits scalar feature columns") {
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(media)
     val row = feats.orderBy("media_id").first()
     assert(feats.count() == media.count())
-    assert(row.getSeq[Double](2).length == 4)
-    // n_bytes feature equals payload length (= n_chars for ASCII text)
+    assert(feats.columns.toSeq ==
+      Seq("media_id", "kind", "f_len", "f_mean", "f_min", "f_max"))
+    // f_len equals payload length (= n_chars for ASCII text)
     val nb = media.orderBy("media_id").select(col("meta.n_bytes")).first().getLong(0)
-    assert(row.getSeq[Double](2).head == nb.toDouble)
+    assert(row.getDouble(2) == nb.toDouble)
+    // byte stats are internally consistent
+    assert(row.getDouble(4) <= row.getDouble(3) && row.getDouble(3) <= row.getDouble(5))
   }
 
   test("metadata-only query does not read payload bytes (column pruning)") {

@@ -107,6 +107,16 @@ class PageRankSpec extends AnyFunSuite {
     assert(res.iterations == 12)
     assert(math.abs(ranksMap(res).values.sum - 1.0) < 1e-9)
   }
+
+  test("shuffle-join fallback (broadcast cap forced to 0) matches broadcast path") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 2L, 4L -> 1L)
+    val cfgB = PageRankConfig(maxIter = 4, tol = -1, minIter = 4)
+    val cfgS = cfgB.copy(broadcastStateMaxBytes = 0L) // large-N code path
+    val a = ranksMap(PageRank.run(spark, e, cfgB))
+    val b = ranksMap(PageRank.run(spark, e, cfgS))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-15) }
+  }
 }
 
 /** Differential: DataFrame impl vs GraphX BSP twin must agree to 1e-12

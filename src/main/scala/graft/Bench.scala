@@ -45,7 +45,14 @@ object Bench {
         case e: Throwable => Left(e.getClass.getSimpleName)
       }
     }
+    // stage-level resource accounting (shuffle/spill/input bytes) per
+    // query — the scale signals wall-clock alone misses. Snapshots are
+    // taken OUTSIDE the timed window (quiesce waits for async listener
+    // events, it must not count against the query).
+    val res = graft.metrics.ResourceMetrics.attach(spark.sparkContext)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      res.quiesce(); res.resetPeak()
+      val snap0 = res.snapshot
       val best = once(fn) match {
         case Right(first) if first <= 30.0 =>
           once(fn) match {
@@ -54,16 +61,20 @@ object Bench {
           }
         case other => other
       }
-      name -> best
+      res.quiesce()
+      val used = res.snapshot - snap0
+      (name, best, used)
     }
     val qs = results.map {
-      case (k, Right(v))  => "\"" + k + "\":" + v
-      case (k, Left(err)) => "\"" + k + "\":\"err:" + err + "\""
+      case (k, Right(v), _)  => "\"" + k + "\":" + v
+      case (k, Left(err), _) => "\"" + k + "\":\"err:" + err + "\""
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, Right(v)) => v }
+    val rs = results.map { case (k, _, u) => "\"" + k + "\":" + u.toJson }
+      .mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(v), _) => v }
     val nErr = results.count(_._2.isLeft)
     val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"resources":$rs,"sf":"$sfDir"}""")
     if (nErr > 0) System.err.println(s"[bench] $nErr queries FAILED")
     spark.stop()
   }

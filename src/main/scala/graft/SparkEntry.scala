@@ -397,6 +397,12 @@ object SparkEntry {
         col("doc_id"),
         TextOps.languageGuess(col("text")).as("lang_guess"))
     },
+    "d9_neardup_groups" -> ((s, dir) =>
+      // pairs → clusters: connected components over the oracle-checkable
+      // blocked-Jaccard pair list, min doc_id as the keep representative
+      Dedup.componentsFromPairs(
+        Dedup.blockedJaccardPairs(
+          t(s, dir, "documents"), blockCol = "source", threshold = 0.8))),
 
     // ---- LLM-pipeline surface: vectors ----
     "e1_knn_probe" -> ((s, dir) =>
@@ -621,6 +627,24 @@ object SparkEntry {
         |WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.8""".stripMargin,
     "d8_langid" -> langIdSql,
+    "d9_neardup_groups" ->
+      """WITH RECURSIVE ts AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.8),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |       UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS id FROM ed),
+        |r(id, m) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+        |SELECT id AS doc_id, min(m) AS group_id FROM r GROUP BY 1""".stripMargin,
     "e2_label_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

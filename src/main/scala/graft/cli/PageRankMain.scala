@@ -52,6 +52,9 @@ object PageRankMain {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
     val spark = existing.getOrElse(GraftSession.local("graft-pagerank"))
     val perf = new PerfReport
+    // shuffle/spill/input accounting for the whole run — the numeric
+    // core of the reference's per-node monitoring CSVs (O22)
+    val resources = graft.metrics.ResourceMetrics.attach(spark.sparkContext)
     try {
       val format = if (args.length > 6) args(6) else "snap"
       val (edges, explicitVerts) = perf.time("Setup") {
@@ -102,6 +105,10 @@ object PageRankMain {
 
       IterationTrace.save(res.trace, s"$output/iteration_trace.csv")
       perf.saveTo(output)
+      resources.quiesce()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(output, "resource_metrics.csv"),
+        resources.snapshot.toCsv)
       println(
         s"PageRank finished: ${res.iterations} iterations, " +
           f"final avgDiff=${res.trace.lastOption.map(_.avgDiff).getOrElse(0.0)}%.3e, " +

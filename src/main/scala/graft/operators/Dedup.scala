@@ -167,6 +167,33 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-duplicate GROUPS from a near-dup pair list: connected
+    * components over the undirected pair graph, every member labelled
+    * with the minimum doc_id of its component (the canonical "keep"
+    * representative). Composes `graphx.lib.ConnectedComponents` (Pregel
+    * HashMin — per-iteration shuffle is one message per edge, the same
+    * shape a hand-rolled DataFrame loop would pay, but battle-tested)
+    * rather than re-implementing the fixpoint.
+    *
+    * This is the step that turns pairwise detection (minhash/LSH/
+    * blocked-Jaccard) into an actionable dedup decision: keep
+    * `group_id`, drop the rest.
+    */
+  def componentsFromPairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .as[(Long, Long)]
+      .rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    org.apache.spark.graphx.Graph
+      .fromEdges(edges, ())
+      .connectedComponents()
+      .vertices
+      .toDF("doc_id", "group_id")
+  }
+
   /** Exact token-set Jaccard for all pairs within a blocking key (e.g.
     * `source`) — the brute-force baseline used by oracle checks; the
     * blocked join keeps it Σ|block|², not |D|².

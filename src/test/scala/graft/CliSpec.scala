@@ -45,6 +45,32 @@ class CliSpec extends AnyFunSuite {
     assert(trace.startsWith("iteration,dangling_sum,avg_diff,total_pr,millis"))
     // graph has no dangling nodes (4→3→2 cycle closure): dangling sum 0
     assert(trace.linesIterator.drop(1).next().startsWith("1,0.000000000000000"))
+
+    val rcsv = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "resource_metrics.csv"))
+    assert(rcsv.startsWith("Metric,Value"))
+    assert(rcsv.contains("Shuffle_Write_bytes,"))
+  }
+
+  test("ResourceListener accounts shuffle bytes of an aggregation") {
+    val sp = spark
+    import sp.implicits._
+    val l = graft.metrics.ResourceMetrics.attach(spark.sparkContext)
+    l.quiesce()
+    val before = l.snapshot
+    // force a real exchange: wide-ish agg over enough distinct keys
+    (1L to 50000L).toDF("k")
+      .groupBy(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.lit(1000L)))
+      .count()
+      .count()
+    l.quiesce()
+    val used = l.snapshot - before
+    spark.sparkContext.removeSparkListener(l)
+    assert(used.shuffleWriteBytes > 0, used.toString)
+    assert(used.shuffleReadBytes > 0, used.toString)
+    assert(used.executorRunMs >= 0)
   }
 
   test("giraph and state ingest formats produce the same ranks as snap") {

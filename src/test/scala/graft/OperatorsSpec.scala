@@ -72,6 +72,15 @@ class DedupSpec extends AnyFunSuite {
     val kept = TextOps.dedupExact(d).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 9L))
   }
+
+  test("near-dup components: chain merges, min doc_id is the label") {
+    val sp = spark
+    import sp.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.componentsFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -53,4 +53,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("d2_token_stats")
     assert(!p.contains("lang"), "lang/source must be pruned from the scan")
   }
+
+  test("d7 simhash is a codegen'd hash-agg, not an interpreted array fold") {
+    val p = graft.operators.Dedup
+      .simhashSignatures(spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    // the 64 vote counters must be aggregate columns, not an aggregate()
+    // lambda over a 64-wide accumulator array
+    assert(!p.contains("aggregate(array"), "interpreted fold crept back in")
+  }
+
+  test("d5 minhash signatures: explode + 64 codegen'd min aggregates") {
+    val p = graft.operators.Dedup
+      .minhashSignatures(
+        spark.read.parquet(s"$dir/documents.parquet"), k = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_min"), "map-side combine missing")
+    assert(p.contains("Generate explode"), p)
+  }
 }

@@ -77,4 +77,62 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("simhash is token-order invariant (vote sums commute)") {
+    val sp = spark
+    import sp.implicits._
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = List.fill(12)(rnd.alphanumeric.take(4).mkString)
+      val d = Seq(
+        (1L, words.mkString(" "), "en", "s", 1L),
+        (2L, rnd.shuffle(words).mkString(" "), "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val sig = Dedup.simhashSignatures(d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sig(1L) == sig(2L), s"seed=$seed")
+    }
+  }
+
+  test("minhash signature: supersets only lower each component (min-agg)") {
+    val sp = spark
+    import sp.implicits._
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = List.fill(10)(rnd.alphanumeric.take(5).mkString)
+      val extra = List.fill(4)(rnd.alphanumeric.take(5).mkString)
+      val d = Seq(
+        (1L, words.mkString(" "), "en", "s", 1L),
+        (2L, (words ++ extra).mkString(" "), "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val sigs = Dedup.minhashSignatures(d, k = 16).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // appending tokens preserves every existing 3-shingle, so doc 2's
+      // shingle set is a superset of doc 1's — each min-hash component
+      // can only decrease (min over a superset)
+      sigs(1L).zip(sigs(2L)).foreach { case (a, b) =>
+        assert(b <= a, s"seed=$seed: superset raised a min component")
+      }
+      assert(sigs(1L).length == 16 && sigs(2L).length == 16)
+    }
+  }
+
+  test("components: every pair's endpoints share a label; label is a member min") {
+    val sp = spark
+    import sp.implicits._
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val pairs = List.fill(8)(
+        (rnd.nextInt(10).toLong, 10L + rnd.nextInt(10)))
+      val df = pairs.toDF("id_a", "id_b")
+      val comp = Dedup.componentsFromPairs(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      pairs.foreach { case (a, b) =>
+        assert(comp(a) == comp(b), s"seed=$seed pair=($a,$b)")
+      }
+      comp.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min == label, s"seed=$seed label=$label")
+      }
+    }
+  }
 }

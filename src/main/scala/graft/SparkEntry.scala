@@ -615,6 +615,15 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
         |    AS n_punct
         |FROM toks""".stripMargin,
+    "d4_fingerprint" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(range(greatest(len(tk) - 2, 1)),
+        |    i -> md5(array_to_string(tk[i+1:i+3], ' ')))) AS min_shingle_hash,
+        |  md5(array_to_string(tk, ' ')) AS doc_hash
+        |FROM tk""".stripMargin,
     "d6_blocked_jaccard" ->
       """WITH ts AS (
         |  SELECT doc_id, source,

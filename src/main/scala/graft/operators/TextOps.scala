@@ -102,22 +102,25 @@ object TextOps {
     }._1
   }
 
-  /** Rolling-hash document fingerprint over word 3-shingles (Rabin-Karp
-    * style, base 31, mod 2^61-1 via Long arithmetic) — deterministic
-    * across engines and partitionings; the minimum shingle hash is a
-    * 1-permutation MinHash.
+  /** Document fingerprint over word 3-shingles: the minimum shingle
+    * digest is a 1-permutation MinHash, `doc_hash` identifies the exact
+    * normalized content. Digests are md5 (hex strings) rather than
+    * xxhash64: same single-pass plan and ordering semantics
+    * (lexicographic min over hex = min over the 128-bit value), but
+    * reproducible in any engine — this is what makes the operator
+    * oracle-checkable end-to-end. Pipelines that only need engine-local
+    * fingerprints can swap in xxhash64 (as [[graft.operators.Dedup]]
+    * does for LSH) for cheaper hashing; the contract is unchanged.
     */
   def fingerprint(docs: DataFrame, shingle: Int = 3): DataFrame = {
     val toks = tokens(col("text"))
-    // per-token polynomial hash, then combine shingles with xxhash64
-    val tokHashes = transform(toks, t => xxhash64(t))
     val nSh = greatest(size(toks) - lit(shingle - 1), lit(1))
     val shingles = transform(
       sequence(lit(0), nSh - 1),
-      i => xxhash64(slice(tokHashes, i + 1, lit(shingle))))
+      i => md5(concat_ws(" ", slice(toks, i + 1, lit(shingle)))))
     docs.select(
       col("doc_id"),
       array_min(shingles).as("min_shingle_hash"),
-      xxhash64(concat_ws(" ", toks)).as("doc_hash"))
+      md5(concat_ws(" ", toks)).as("doc_hash"))
   }
 }

@@ -53,16 +53,31 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       res.quiesce(); res.resetPeak()
       val snap0 = res.snapshot
-      val best = once(fn) match {
-        case Right(first) if first <= 30.0 =>
+      val first = once(fn)
+      res.quiesce()
+      // resource delta spans EXACTLY the first rep — comparable across
+      // queries regardless of how many timing reps follow
+      val used = res.snapshot - snap0
+      val best = first match {
+        case Right(f) if f <= 30.0 =>
           once(fn) match {
-            case Right(second) => Right(math.min(first, second))
-            case err           => err
+            case Right(second) => Right(math.min(f, second))
+            case Left(e) =>
+              // a transient second-rep failure must not discard the real
+              // first-rep sample; it is still surfaced on stderr
+              System.err.println(s"[bench] $name rep2 failed: $e")
+              Right(f)
           }
         case other => other
       }
-      res.quiesce()
-      val used = res.snapshot - snap0
+      // drop caches persisted inside operators (LSH signatures, token
+      // sets, IVF assignments): without this they accumulate across the
+      // whole run and their eviction pollutes LATER queries' spill
+      // attribution. The graph family ("g*") is exempt: it shares one
+      // deliberately-cached edge frame (fromOrdersCached — the registry
+      // would hand back a permanently-uncached frame after clearCache),
+      // and PageRank.run unpersists its own loop state.
+      if (!name.startsWith("g")) spark.catalog.clearCache()
       (name, best, used)
     }
     val qs = results.map {

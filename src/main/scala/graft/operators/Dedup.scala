@@ -149,13 +149,17 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val votes = (0 until 64).map { b =>
       sum(
-        when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        when(col("h").isNull, 0) // null text: keep the doc, vote nothing
+          .when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"c_$b")
     }
     docs
       .select(
         col("doc_id"),
-        explode(transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+        // explode_outer: a null text must still yield an output row
+        // (signature 0, matching the pre-explode formulation) — plain
+        // explode would silently drop the doc from the signature table
+        explode_outer(transform(TextOps.tokens(col("text")), t => xxhash64(t)))
           .as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)

@@ -82,16 +82,23 @@ object EventStreams {
           .as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Batch twin of [[dedupEvents]]: dedup on (event_id, ts) then a
-    * per-type summary — same distinct semantics, DuckDB-expressible.
+  /** Batch twin of [[dedupEvents]]: one survivor per (event_id, ts) key,
+    * then a per-type summary. The streaming form keeps the FIRST arrival
+    * per key (arrival order is meaningful on a stream); a batch input has
+    * no arrival order, so the twin keeps the lexicographically smallest
+    * (event_type, user_id) — a deterministic rule both engines express
+    * identically (`min` over a struct orders lexicographically in Spark
+    * and DuckDB), which keeps the oracle honest even when true duplicate
+    * keys with differing payloads appear.
     */
   def dedupEventsBatch(events: DataFrame): DataFrame =
     events
-      .dropDuplicates(Seq("event_id", "ts"))
-      .groupBy(col("event_type"))
+      .groupBy(col("event_id"), col("ts"))
+      .agg(min(struct(col("event_type"), col("user_id"))).as("m"))
+      .groupBy(col("m.event_type").as("event_type"))
       .agg(
         count("*").as("n_events"),
-        count_distinct(col("user_id")).as("n_users"))
+        count_distinct(col("m.user_id")).as("n_users"))
 
   // ---- sessionization via explicit state (mapGroupsWithState) ----
 

@@ -365,6 +365,17 @@ object SparkEntry {
           "left_semi")
         .select(col("c_custkey"), col("c_name"))
     },
+    "q13_percentiles" -> { (s, dir) =>
+      // exact interpolated percentiles (ordered-set aggregate class)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4)
+            .as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4)
+            .as("p90_price"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+    },
     "q9_json_extract" -> { (s, dir) =>
       // JSON scalar extraction from the events props column
       graft.sources.Tables.events(s, dir)
@@ -458,6 +469,9 @@ object SparkEntry {
         graft.sources.Tables.events(s, dir))),
     "st3_event_dedup" -> ((s, dir) =>
       graft.streaming.EventStreams.dedupEventsBatch(
+        graft.sources.Tables.events(s, dir))),
+    "st4_sliding_windows" -> ((s, dir) =>
+      graft.streaming.EventStreams.slidingWindowAggBatch(
         graft.sources.Tables.events(s, dir)))
   )
 
@@ -598,6 +612,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q13_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q9_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
@@ -726,6 +746,17 @@ object SparkEntry {
         |                '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st4_sliding_windows" ->
+      // window=10min slide=5min ⇒ every event is in exactly 2 epoch-
+      // aligned windows: starts floor(t/5min)·5min and one slide earlier
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    make_timestamp(((epoch_ms(ts) // 300000) - k.k) * 300000000)
+        |      AS ws
+        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "st3_event_dedup" ->
       """WITH d AS (
         |  SELECT event_id, ts,

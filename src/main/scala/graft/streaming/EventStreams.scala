@@ -82,6 +82,25 @@ object EventStreams {
           .as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** SLIDING-window batch twin (overlap = each event lands in
+    * window/slide windows): the semantics that separate a streaming
+    * window operator from a plain `date_trunc` group-by. Epoch-aligned
+    * starts, so an SQL oracle can regenerate the window set per event.
+    */
+  def slidingWindowAggBatch(
+      events: DataFrame,
+      window: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count("*").as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Batch twin of [[dedupEvents]]: one survivor per (event_id, ts) key,
     * then a per-type summary. The streaming form keeps the FIRST arrival
     * per key (arrival order is meaningful on a stream); a batch input has

@@ -141,6 +141,18 @@ object PageRank {
     var converged = false
     var prevCheckpoint: DataFrame = null // last iteration's blocks to drop
 
+    // In broadcast mode the per-iteration plan is fully determined (two
+    // broadcast joins + one exchange) — AQE's stage-by-stage
+    // materialization only adds a scheduling barrier per exchange,
+    // measured ~15% of iteration wall-clock at sf0.1. Disable it for the
+    // loop and restore after. The shuffle fallback path keeps AQE: there
+    // runtime re-planning (skew-join splitting, partition coalescing) is
+    // exactly what we want at scale.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    if (bcast) spark.conf.set(aqeKey, "false")
+    try {
+
     while (iter < cfg.maxIter && !converged) {
       val t0 = System.nanoTime()
 
@@ -210,6 +222,13 @@ object PageRank {
       // convergence guard (PageRankDriver.java:211-216): threshold AND
       // min-iteration floor
       if (avgDiff <= cfg.tol && iter >= cfg.minIter) converged = true
+    }
+
+    } finally {
+      if (bcast) prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
     }
 
     edges.unpersist(false)

@@ -239,9 +239,14 @@ object SparkEntry {
     "g9_powerlaw_pagerank" -> { (s, dir) =>
       // bench-scale fixture: web-Google-shaped seeded power-law graph
       // (875k v / 5.1M e at sf0.1 — BASELINE.md S1 target); rows-only
-      // check at verify time, per-iteration cost is the bench signal
-      val res = PageRank.runFixed(
-        s, graft.sources.SyntheticGraph.s1Shaped(s, dir), k = 3)
+      // check at verify time, per-iteration cost is the bench signal.
+      // dedupEdges=false: the generator's own distinct() already
+      // guarantees edge-set semantics — skipping the second full-edge
+      // shuffle PageRank would otherwise pay
+      val res = PageRank.run(
+        s, graft.sources.SyntheticGraph.s1Shaped(s, dir),
+        PageRankConfig(maxIter = 3, tol = -1.0, minIter = 3,
+          dedupEdges = false))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
     },
 

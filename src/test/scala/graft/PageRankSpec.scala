@@ -145,6 +145,25 @@ class DifferentialSpec extends AnyFunSuite {
       assert(math.abs(x.avgDiff - y.avgDiff) < 1e-12)
     }
   }
+
+  test("convergence mode: both engines stop at the same iteration") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq(
+      1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 2L,
+      5L -> 6L, 6L -> 7L, 8L -> 1L)
+      .toDF("src", "dst")
+    // tol in the avgDiff decay range so the early stop fires mid-run
+    val cfg = PageRankConfig(maxIter = 20, tol = 1e-3, minIter = 5)
+    val a = PageRank.run(spark, e, cfg)
+    val b = GraphXPageRank.run(spark, e, cfg)
+    assert(a.iterations == b.iterations)
+    assert(a.iterations > 5 && a.iterations < 20,
+      s"early stop must fire mid-run, got ${a.iterations}")
+    val ma = a.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mb = b.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ma.foreach { case (k, v) => assert(math.abs(v - mb(k)) < 1e-12) }
+  }
 }
 
 /** F5 messy-input parsing (FIXTURES.md §1.1/§3 F5). */

@@ -430,6 +430,8 @@ object SparkEntry {
       Dedup.componentsFromPairs(
         Dedup.blockedJaccardPairs(
           t(s, dir, "documents"), blockCol = "source", threshold = 0.8))),
+    "d10_vocabulary" -> ((s, dir) =>
+      TextOps.vocabulary(t(s, dir, "documents"), topK = 1000)),
 
     // ---- LLM-pipeline surface: vectors ----
     "e1_knn_probe" -> ((s, dir) =>
@@ -664,6 +666,15 @@ object SparkEntry {
         |    i -> md5(array_to_string(tk[i+1:i+3], ' ')))) AS min_shingle_hash,
         |  md5(array_to_string(tk, ' ')) AS doc_hash
         |FROM tk""".stripMargin,
+    "d10_vocabulary" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY 1
+        |ORDER BY n_occurrences DESC, token ASC LIMIT 1000""".stripMargin,
     "d6_blocked_jaccard" ->
       """WITH ts AS (
         |  SELECT doc_id, source,

@@ -102,6 +102,22 @@ object TextOps {
     }._1
   }
 
+  /** Corpus vocabulary: token → document-frequency and total count,
+    * top-K by count. The canonical explode → hash-agg shape: at 100 TB
+    * this is one shuffle keyed by token (map-side combined), and the
+    * top-K is a bounded heap (`TakeOrderedAndProject`), never a full
+    * sort. Ties break lexicographically for cross-engine determinism.
+    */
+  def vocabulary(docs: DataFrame, topK: Int = 1000): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count("*").as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(topK)
+
   /** Document fingerprint over word 3-shingles: the minimum shingle
     * digest is a 1-permutation MinHash, `doc_hash` identifies the exact
     * normalized content. Digests are md5 (hex strings) rather than

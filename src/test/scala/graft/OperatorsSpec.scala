@@ -143,6 +143,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("sliding streaming windows match the overlapping batch twin") {
+    val sfDir = "/root/testdata/sf0.001"
+    val stream = EventStreams.windowedAgg(
+      EventStreams.readEvents(spark, sfDir),
+      "10 minutes", "5 minutes", "20 minutes")
+    val q = stream.writeStream
+      .format("memory").queryName("slidewin").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("slidewin")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n_events"))
+    val batch = EventStreams.slidingWindowAggBatch(
+      graft.sources.Tables.events(spark, sfDir))
+    // every watermark-flushed streaming window must agree with the batch
+    // twin bucket-for-bucket
+    val mismatch = got.join(batch, Seq("win_start", "event_type"))
+      .filter(got("n_events") =!= batch("n_events")).count()
+    assert(mismatch == 0)
+    assert(got.count() > 0)
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val sp = spark
     import sp.implicits._

@@ -85,6 +85,33 @@ object PageRank {
     */
   val stateRowBytes: Long = 64L
 
+  // Refcounted AQE suppression: concurrent broadcast-mode loops on a
+  // shared session (parallel test suites, embedded CLI) must not
+  // interleave save/restore — the original value is captured by the
+  // FIRST entering loop and restored by the LAST exiting one. While any
+  // loop runs, other queries on the same session also plan without AQE;
+  // that is a local-mode latency trade, not a correctness issue.
+  private val aqeKey = "spark.sql.adaptive.enabled"
+  private val aqeLock = new Object
+  private var aqeDepth = 0
+  private var aqeSaved: Option[String] = None
+
+  private def suppressAqe(spark: SparkSession): Unit = aqeLock.synchronized {
+    if (aqeDepth == 0) {
+      aqeSaved = spark.conf.getOption(aqeKey)
+      spark.conf.set(aqeKey, "false")
+    }
+    aqeDepth += 1
+  }
+
+  private def restoreAqe(spark: SparkSession): Unit = aqeLock.synchronized {
+    aqeDepth -= 1
+    if (aqeDepth == 0) aqeSaved match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None    => spark.conf.unset(aqeKey)
+    }
+  }
+
   def run(
       spark: SparkSession,
       edgesRaw: DataFrame,
@@ -144,13 +171,13 @@ object PageRank {
     // In broadcast mode the per-iteration plan is fully determined (two
     // broadcast joins + one exchange) — AQE's stage-by-stage
     // materialization only adds a scheduling barrier per exchange,
-    // measured ~15% of iteration wall-clock at sf0.1. Disable it for the
-    // loop and restore after. The shuffle fallback path keeps AQE: there
-    // runtime re-planning (skew-join splitting, partition coalescing) is
-    // exactly what we want at scale.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    if (bcast) spark.conf.set(aqeKey, "false")
+    // measured ~15% of iteration wall-clock at sf0.1. Suppress it for
+    // the loop (refcounted: overlapping runs on a shared session restore
+    // the ORIGINAL value only when the last loop exits, so interleaved
+    // save/restore can't leave AQE permanently off). The shuffle
+    // fallback path keeps AQE: there runtime re-planning (skew-join
+    // splitting, partition coalescing) is exactly what we want at scale.
+    if (bcast) suppressAqe(spark)
     try {
 
     while (iter < cfg.maxIter && !converged) {
@@ -225,10 +252,7 @@ object PageRank {
     }
 
     } finally {
-      if (bcast) prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None    => spark.conf.unset(aqeKey)
-      }
+      if (bcast) restoreAqe(spark)
     }
 
     edges.unpersist(false)

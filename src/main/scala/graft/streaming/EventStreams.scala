@@ -72,20 +72,15 @@ object EventStreams {
     * cross-engine comparison.
     */
   def windowedAggBatch(events: DataFrame, window: String = "5 minutes"): DataFrame =
-    events
-      .groupBy(
-        org.apache.spark.sql.functions.window(col("ts"), window),
-        col("event_type"))
-      .agg(count("*").as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
-          .as("win_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    slidingWindowAggBatch(events, window, slide = window)
 
   /** SLIDING-window batch twin (overlap = each event lands in
     * window/slide windows): the semantics that separate a streaming
     * window operator from a plain `date_trunc` group-by. Epoch-aligned
     * starts, so an SQL oracle can regenerate the window set per event.
+    * `slide == window` degenerates to tumbling — [[windowedAggBatch]]
+    * delegates here so the output contract (round-4 sums, formatted
+    * epoch-aligned `win_start`) lives in exactly one place.
     */
   def slidingWindowAggBatch(
       events: DataFrame,

@@ -122,49 +122,70 @@ class MultimodalSpec extends AnyFunSuite {
 class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 
-  test("windowed agg over file stream matches batch groupBy") {
-    val sfDir = "/root/testdata/sf0.001"
-    val stream = EventStreams.windowedAgg(
-      EventStreams.readEvents(spark, sfDir), "1 hour", "1 hour", "2 hours")
+  /** Run a streaming frame to a memory sink and return the emitted table. */
+  private def runToMemory(
+      stream: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
     val q = stream.writeStream
-      .format("memory").queryName("winagg").outputMode("append").start()
+      .format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable()
     finally q.stop()
-    // append mode flushes only watermark-expired windows; the final
-    // window may be withheld, so compare against batch on the emitted set
-    val got = spark.table("winagg")
+    spark.table(name)
+  }
+
+  /** Assert the streaming output agrees with the batch frame on every
+    * emitted (key, value) row — and that the comparison actually matched
+    * rows, so a key-format drift can't pass vacuously.
+    */
+  private def assertAgreesOnEmitted(
+      got: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String]): Unit = {
+    val joined = got.join(batch, keys)
+    val nJoined = joined.count()
+    assert(nJoined > 0, "zero matched buckets: key drift between twins")
+    // streaming emits a subset (watermark-withheld tail) — every emitted
+    // key must exist in batch...
+    assert(got.join(batch, keys, "left_anti").count() == 0,
+      "streaming emitted a bucket the batch twin does not have")
+    // ...and agree on every value column
+    valueCols.foreach { c =>
+      val mismatch = joined.filter(got(c) =!= batch(c)).count()
+      assert(mismatch == 0, s"$mismatch buckets disagree on $c")
+    }
+  }
+
+  test("windowed agg over file stream matches batch groupBy") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = runToMemory(
+      EventStreams.windowedAgg(
+        EventStreams.readEvents(spark, sfDir), "1 hour", "1 hour", "2 hours"),
+      "winagg")
       .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
     val batch = graft.sources.Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
       .agg(count("*").as("n_events"))
-    val mismatch = got.join(batch, Seq("ws", "event_type"))
-      .filter(got("n_events") =!= batch("n_events")).count()
-    assert(mismatch == 0)
-    assert(got.count() > 0)
+    assertAgreesOnEmitted(got, batch, Seq("ws", "event_type"), Seq("n_events"))
   }
 
   test("sliding streaming windows match the overlapping batch twin") {
     val sfDir = "/root/testdata/sf0.001"
-    val stream = EventStreams.windowedAgg(
-      EventStreams.readEvents(spark, sfDir),
-      "10 minutes", "5 minutes", "20 minutes")
-    val q = stream.writeStream
-      .format("memory").queryName("slidewin").outputMode("append").start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val got = spark.table("slidewin")
+    val got = runToMemory(
+      EventStreams.windowedAgg(
+        EventStreams.readEvents(spark, sfDir),
+        "10 minutes", "5 minutes", "20 minutes"),
+      "slidewin")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("win_start"),
-        col("event_type"), col("n_events"))
+        col("event_type"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
     val batch = EventStreams.slidingWindowAggBatch(
       graft.sources.Tables.events(spark, sfDir))
-    // every watermark-flushed streaming window must agree with the batch
-    // twin bucket-for-bucket
-    val mismatch = got.join(batch, Seq("win_start", "event_type"))
-      .filter(got("n_events") =!= batch("n_events")).count()
-    assert(mismatch == 0)
-    assert(got.count() > 0)
+    assertAgreesOnEmitted(
+      got, batch, Seq("win_start", "event_type"),
+      Seq("n_events", "sum_value"))
   }
 
   test("streaming dedup drops duplicate event_ids") {

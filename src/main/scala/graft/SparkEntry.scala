@@ -432,6 +432,8 @@ object SparkEntry {
           t(s, dir, "documents"), blockCol = "source", threshold = 0.8))),
     "d10_vocabulary" -> ((s, dir) =>
       TextOps.vocabulary(t(s, dir, "documents"), topK = 1000)),
+    "d11_tfidf" -> ((s, dir) =>
+      TextOps.tfidfKeywords(t(s, dir, "documents"), k = 3)),
 
     // ---- LLM-pipeline surface: vectors ----
     "e1_knn_probe" -> ((s, dir) =>
@@ -675,6 +677,24 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY 1
         |ORDER BY n_occurrences DESC, token ASC LIMIT 1000""".stripMargin,
+    "d11_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+        |       FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln((SELECT n_docs FROM nd) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, token, tfidf, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token ASC) AS INTEGER) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
     "d6_blocked_jaccard" ->
       """WITH ts AS (
         |  SELECT doc_id, source,

@@ -118,6 +118,36 @@ object TextOps {
       .orderBy(desc("n_occurrences"), asc("token"))
       .limit(topK)
 
+  /** Top-k keywords per document by TF-IDF. Two passes over the exploded
+    * token stream — (doc, token) term frequencies, then a join back to
+    * the corpus document-frequency table — followed by a per-doc ranked
+    * window. At 100 TB both aggregates are map-side-combined hash-aggs
+    * keyed by token, the DF table is tiny (vocabulary-sized → broadcast
+    * join), and the window partitions by doc_id, which is exactly how
+    * the exploded stream is already grouped. Scores rounded for
+    * cross-engine determinism; ties break lexicographically.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(count_distinct(col("doc_id")).as("n_docs"))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count("*").as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count("*").as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), asc("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
+  }
+
   /** Document fingerprint over word 3-shingles: the minimum shingle
     * digest is a 1-permutation MinHash, `doc_hash` identifies the exact
     * normalized content. Digests are md5 (hex strings) rather than

@@ -73,6 +73,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(2L, 9L))
   }
 
+  test("tfidf ranks a document's distinctive token above ubiquitous ones") {
+    val d = docs(
+      (1L, "common common rare", "s"),
+      (2L, "common common common", "s"),
+      (3L, "common other other", "s"))
+    val top = TextOps.tfidfKeywords(d, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" appears in every doc (idf = ln(1) = 0) — never a keyword
+    assert(top(1L) == "rare")
+    assert(top(3L) == "other")
+  }
+
   test("near-dup components: chain merges, min doc_id is the label") {
     val sp = spark
     import sp.implicits._

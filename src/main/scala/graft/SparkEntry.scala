@@ -370,6 +370,18 @@ object SparkEntry {
           "left_semi")
         .select(col("c_custkey"), col("c_name"))
     },
+    "q14_approx_distinct" -> { (s, dir) =>
+      // HyperLogLog++ sketch — the constant-memory path for cardinality
+      // at 100 TB (exact distinct shuffles every key; the sketch merges
+      // 2^p registers). Approximate ⇒ rows-only check; the ±5% accuracy
+      // contract vs exact counts is locked by a unit test instead
+      // (OperatorsSpec "hll approx distinct stays within rsd bounds").
+      graft.sources.Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+    },
     "q13_percentiles" -> { (s, dir) =>
       // exact interpolated percentiles (ordered-set aggregate class)
       t(s, dir, "lineitem")

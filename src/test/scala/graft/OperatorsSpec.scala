@@ -73,6 +73,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(2L, 9L))
   }
 
+  test("hll approx distinct stays within rsd bounds") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val joined = ev.groupBy(col("event_type"))
+      .agg(
+        org.apache.spark.sql.functions
+          .approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    joined.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      // rsd 0.02 ⇒ 3σ ≈ 6%; allow 10% for tiny-cardinality bias
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+    assert(joined.nonEmpty)
+  }
+
   test("tfidf ranks a document's distinctive token above ubiquitous ones") {
     val d = docs(
       (1L, "common common rare", "s"),

@@ -373,9 +373,11 @@ object SparkEntry {
     "q14_approx_distinct" -> { (s, dir) =>
       // HyperLogLog++ sketch — the constant-memory path for cardinality
       // at 100 TB (exact distinct shuffles every key; the sketch merges
-      // 2^p registers). Approximate ⇒ rows-only check; the ±5% accuracy
-      // contract vs exact counts is locked by a unit test instead
-      // (OperatorsSpec "hll approx distinct stays within rsd bounds").
+      // 2^p registers). Approximate ⇒ rows-only check; the 3·rsd ≈ 6%
+      // accuracy contract is locked by a unit test at dense-mode
+      // cardinality (OperatorsSpec "hll approx distinct stays within
+      // rsd bounds") — the sketch is exact below its sparse threshold,
+      // so small fixtures alone would prove nothing.
       graft.sources.Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
@@ -498,10 +500,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for ops whose output is
-    * engine-hash- or recall-defined (d5 LSH buckets, d7 simhash bits,
-    * e3/e4 approximate neighbours, g9 synthetic-graph scale fixture) →
-    * driver records a weaker rows-only check; each of those carries a
-    * unit/property/recall test instead.
+    * engine-hash-, recall-, or sketch-defined (d5 LSH buckets, d7
+    * simhash bits, e3/e4 approximate neighbours, q14 HLL estimates, g9
+    * synthetic-graph scale fixture) → driver records a weaker rows-only
+    * check; each of those carries a unit/property/recall test instead.
     */
   def oracleSql: Map[String, String] = Map(
     "g1_edges" -> EdgeListReader.fromOrdersSql,

@@ -129,12 +129,17 @@ object TextOps {
     */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one cheap single-column pass for N; the token stream is scanned
+    // and exploded exactly ONCE — tf is persisted and df derives from it
+    // (each tf row is one distinct (doc, token) pair, so counting rows
+    // per token IS the document frequency)
     val nDocs = docs.select(count_distinct(col("doc_id")).as("n_docs"))
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
       .agg(count("*").as("tf"))
-    val df = toks.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count("*").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("token")).agg(count("*").as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), asc("token"))
     tf.join(broadcast(df), Seq("token"))

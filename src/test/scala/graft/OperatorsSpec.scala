@@ -74,20 +74,29 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("hll approx distinct stays within rsd bounds") {
-    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-    val joined = ev.groupBy(col("event_type"))
+    val sp = spark
+    import sp.implicits._
+    // cardinality must be large enough to leave HLL++'s exact sparse
+    // representation and exercise the dense estimator — a small fixture
+    // (e.g. 15 users) would pass for ANY implementation
+    val big = sp.range(300000L).select(
+      (col("id") % 3).as("grp"),
+      // multiplicities so exact ≠ row count: ~100k distinct per group
+      (col("id") / 3).cast("long").as("user"))
+    val rows = big.groupBy(col("grp"))
       .agg(
         org.apache.spark.sql.functions
-          .approx_count_distinct(col("user_id"), 0.02).as("approx"),
-        countDistinct(col("user_id")).as("exact"))
+          .approx_count_distinct(col("user"), 0.02).as("approx"),
+        countDistinct(col("user")).as("exact"))
       .collect()
-    joined.foreach { r =>
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      // rsd 0.02 ⇒ 3σ ≈ 6%; allow 10% for tiny-cardinality bias
-      assert(math.abs(approx - exact) / exact <= 0.10,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+      assert(exact > 50000, "fixture must exceed the sparse threshold")
+      // the contract q14 advertises: 3·rsd = 6% at rsd 0.02
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"grp=${r.getLong(0)}: approx=$approx exact=$exact")
     }
-    assert(joined.nonEmpty)
   }
 
   test("tfidf ranks a document's distinctive token above ubiquitous ones") {

@@ -756,7 +756,13 @@ object SparkEntry {
     "m2_media_features" ->
       // empty-text guard: DuckDB split('','') yields [''] (unicode -1),
       // while the engine's kernel returns all-zero features for an empty
-      // payload — each stat falls back to 0.0 at length(text)=0
+      // payload — each stat falls back to 0.0 at length(text)=0.
+      // ASCII assumption: the oracle folds unicode CODEPOINTS and
+      // length(text) CHARACTERS while the engine kernel folds UTF-8
+      // payload BYTES — identical only while the documents fixture is
+      // pure ASCII (true for the driver-generated testdata; a non-ASCII
+      // doc would turn this row red with a confusing value diff, not an
+      // engine bug)
       """WITH cp AS (
         |  SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -85,30 +85,40 @@ object PageRank {
     */
   val stateRowBytes: Long = 64L
 
-  // Refcounted AQE suppression: concurrent broadcast-mode loops on a
-  // shared session (parallel test suites, embedded CLI) must not
-  // interleave save/restore — the original value is captured by the
-  // FIRST entering loop and restored by the LAST exiting one. While any
-  // loop runs, other queries on the same session also plan without AQE;
-  // that is a local-mode latency trade, not a correctness issue.
+  // Refcounted AQE suppression, keyed PER SESSION: the conf being guarded
+  // is per-SparkSession, so the (depth, saved-value) bookkeeping must be
+  // too — a JVM-global counter would let loop A's exit restore session
+  // A's saved value onto session B (leaving A without AQE forever).
+  // Within one session, concurrent broadcast-mode loops (parallel test
+  // suites, embedded CLI) still save/restore correctly: the original
+  // value is captured by the FIRST entering loop and restored by the
+  // LAST exiting one. While any loop runs, other queries on the same
+  // session also plan without AQE; that is a local-mode latency trade,
+  // not a correctness issue.
   private val aqeKey = "spark.sql.adaptive.enabled"
   private val aqeLock = new Object
-  private var aqeDepth = 0
-  private var aqeSaved: Option[String] = None
+  private val aqeState =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
 
   private def suppressAqe(spark: SparkSession): Unit = aqeLock.synchronized {
-    if (aqeDepth == 0) {
-      aqeSaved = spark.conf.getOption(aqeKey)
-      spark.conf.set(aqeKey, "false")
+    aqeState.get(spark) match {
+      case Some((depth, saved)) => aqeState(spark) = (depth + 1, saved)
+      case None =>
+        aqeState(spark) = (1, spark.conf.getOption(aqeKey))
+        spark.conf.set(aqeKey, "false")
     }
-    aqeDepth += 1
   }
 
   private def restoreAqe(spark: SparkSession): Unit = aqeLock.synchronized {
-    aqeDepth -= 1
-    if (aqeDepth == 0) aqeSaved match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None    => spark.conf.unset(aqeKey)
+    aqeState.get(spark) match {
+      case Some((1, saved)) =>
+        aqeState.remove(spark)
+        saved match {
+          case Some(v) => spark.conf.set(aqeKey, v)
+          case None    => spark.conf.unset(aqeKey)
+        }
+      case Some((depth, saved)) => aqeState(spark) = (depth - 1, saved)
+      case None => // unbalanced restore: nothing saved, nothing to do
     }
   }
 

@@ -12,13 +12,15 @@ object Tables {
 
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
     * parquet reader rejects outright. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as
-    * LONG nanos-since-epoch; convert to a proper microsecond timestamp
-    * here so downstream operators (and the DuckDB oracle, which reads
-    * TIMESTAMP_NS natively) see the same instants.
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at session build by
+    * [[graft.core.GraftSession]] — this reader is side-effect-free and
+    * does NOT mutate session conf) the column arrives as LONG
+    * nanos-since-epoch; convert to a proper microsecond timestamp here so
+    * downstream operators (and the DuckDB oracle, which reads TIMESTAMP_NS
+    * natively) see the same instants. On a session missing the flag the
+    * read fails fast with Spark's "Illegal Parquet type" error.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

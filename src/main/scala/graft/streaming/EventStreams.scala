@@ -27,11 +27,12 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** File-source stream over the testdata events parquet. The nanosecond
-    * timestamp arrives as LONG (nanosAsLong) and is converted to a proper
-    * timestamp, mirroring graft.sources.Tables.events.
+    * timestamp arrives as LONG (`nanosAsLong`, set at session build by
+    * [[graft.core.GraftSession]] — readers don't mutate session conf) and
+    * is converted to a proper timestamp, mirroring
+    * graft.sources.Tables.events.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventSchema)
       // the file stream source requires a directory; glob down to the

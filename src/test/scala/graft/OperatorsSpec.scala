@@ -81,8 +81,11 @@ class DedupSpec extends AnyFunSuite {
     // (e.g. 15 users) would pass for ANY implementation
     val big = sp.range(300000L).select(
       (col("id") % 3).as("grp"),
-      // multiplicities so exact ≠ row count: ~100k distinct per group
-      (col("id") / 3).cast("long").as("user"))
+      // REAL multiplicities (not a bijection): 100k rows per group fold
+      // onto 60k distinct users — ids 0..39999 twice, 40000..59999 once —
+      // so the sketch's merge-over-duplicate-values path is exercised and
+      // exact distinct (60000) ≠ per-group row count (100000)
+      ((col("id") / 3).cast("long") % 60000).as("user"))
     val rows = big.groupBy(col("grp"))
       .agg(
         org.apache.spark.sql.functions

@@ -72,14 +72,10 @@ object Bench {
           }
         case other => other
       }
-      // drop caches persisted inside operators (LSH signatures, token
-      // sets, IVF assignments): without this they accumulate across the
-      // whole run and their eviction pollutes LATER queries' spill
-      // attribution. The graph family ("g*") is exempt: it shares one
-      // deliberately-cached edge frame (fromOrdersCached — the registry
-      // would hand back a permanently-uncached frame after clearCache),
-      // and PageRank.run unpersists its own loop state.
-      if (!name.startsWith("g")) spark.catalog.clearCache()
+      // no clearCache needed: pipeline operators seal their own caches
+      // (CacheScope.sealAfter) and PageRank.run unpersists its loop
+      // state; the only cross-query cache is the deliberate shared edge
+      // frame (fromOrdersCached). A cache-hygiene test locks this.
       (name, best, used)
     }
     val qs = results.map {

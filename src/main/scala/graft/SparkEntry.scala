@@ -425,9 +425,23 @@ object SparkEntry {
 
     "d5_minhash_neardup" -> ((s, dir) =>
       // full MinHash+LSH pipeline (shingle→sign→band→bucket-join→verify);
-      // engine-hash-specific → rows-only check
+      // the CANDIDATE set is engine-hash-specific → rows-only check here,
+      // but the verify stage it flows through is hash-certified by d5b
       Dedup.minhashDedupPairs(
         t(s, dir, "documents"), threshold = 0.3, k = 64, bands = 16)),
+    "d5b_verified_jaccard" -> ((s, dir) =>
+      // the dedup pipeline's VERIFY stage on an oracle-reproducible
+      // candidate set (source-block pairs): DuckDB rebuilds the md5
+      // 3-gram shingle sets and recomputes every decision value, so the
+      // one stage where a bug would silently corrupt dedup decisions is
+      // hash-checked — same code path d5's LSH survivors run through.
+      // threshold 0.01 (not d5's 0.3) on purpose: at the gate's sf it
+      // keeps ~180 pairs, so the check certifies hundreds of decision
+      // values rather than the one pair that clears 0.3 within a block
+      Dedup.verifiedJaccardPairs(
+        t(s, dir, "documents"),
+        Dedup.blockCandidatePairs(t(s, dir, "documents"), "source"),
+        threshold = 0.01)),
     "d6_blocked_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(
         t(s, dir, "documents"), blockCol = "source", threshold = 0.8)),
@@ -709,6 +723,25 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, token ASC) AS INTEGER) AS rn
         |  FROM scored)
         |WHERE rn <= 3""".stripMargin,
+    "d5b_verified_jaccard" ->
+      // md5 shingle construction mirrors d4_fingerprint (tk[i+1:i+3] over
+      // range(greatest(len-2,1)) ≡ Spark slice(toks, i+1, 3)); Jaccard on
+      // distinct md5 digests == Jaccard on raw shingle sets
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(greatest(len(tk) - 2, 1)),
+        |      i -> md5(array_to_string(tk[i+1:i+3], ' ')))) AS sh
+        |  FROM tk)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.01""".stripMargin,
     "d6_blocked_jaccard" ->
       """WITH ts AS (
         |  SELECT doc_id, source,

@@ -25,6 +25,22 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** Word n-gram shingle set as PORTABLE md5 hex digests (the
+    * [[TextOps.fingerprint]] trick): identical construction in DuckDB, so
+    * any Jaccard computed over these sets is oracle-checkable — unlike
+    * [[shingleHashes]], whose xxhash64 exists only in Spark. Used by the
+    * dedup pipeline's VERIFY stage; the LSH bucketing keeps the cheaper
+    * engine-local xxhash64.
+    */
+  def shingleSetMd5(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val nSh = greatest(size(toks) - lit(n - 1), lit(1))
+    array_distinct(
+      transform(
+        sequence(lit(0), nSh - 1),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
   /** k-permutation MinHash from a `(doc_id, sh ARRAY<LONG>)` shingle
     * frame: h_i(S) = min_{s∈S} xxhash64(i, s), computed as
     * explode(shingles) → ONE hash-aggregate with k codegen'd `min`
@@ -90,32 +106,42 @@ object Dedup {
               .as("band_hash")))).as("band"))
       .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded
+    val pairs = banded
       .as("a")
       .join(banded.as("b"), Seq("band_no", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    CacheScope.sealAfter(pairs, sigs, banded)
   }
 
-  /** MinHash-estimated Jaccard for candidate pairs, with exact n-gram
-    * Jaccard verification — the full dedup pipeline: shingle → minhash →
-    * band → bucket-join → verify survivors only.
+  /** VERIFY stage of the dedup pipeline, factored out so it can be
+    * hash-certified independently of how candidates were generated: exact
+    * n-gram Jaccard over md5 shingle sets for an explicit candidate pair
+    * list `(id_a, id_b)`, keeping pairs at or above `threshold`.
+    *
+    * md5 (not xxhash64) is what makes this the oracle-checkable stage —
+    * DuckDB builds the identical shingle sets and recomputes the decision
+    * values (see SparkEntry d5b). Jaccard over distinct hashed shingles
+    * equals Jaccard over the raw shingle sets modulo hash collisions.
+    * Cost shape at scale: one shingle scan over the docs plus two
+    * candidate-keyed joins — never an all-pairs stage; |candidates| is
+    * whatever the generation stage bounded it to.
     */
-  def minhashDedupPairs(
+  def verifiedJaccardPairs(
       docs: DataFrame,
+      candidates: DataFrame,
       threshold: Double,
-      k: Int = 32,
-      bands: Int = 8,
       shingle: Int = 3): DataFrame = {
+    // persist: the shingle frame feeds both join sides; without the
+    // barrier Catalyst re-inlines tokenize+md5 into each
     val sh = docs
-      .select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh"))
+      .select(col("doc_id"), shingleSetMd5(col("text"), shingle).as("shm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signatures derive from the SAME persisted shingle frame used by the
-    // verify stage — shingling runs once end-to-end
-    lshCandidatePairsFromSigs(minhashSigsFromShingleFrame(sh, k), k, bands)
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    val verified = candidates
+      .select(col("id_a"), col("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("shm").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shm").as("sh_b")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
@@ -124,7 +150,39 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))),
           6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    CacheScope.sealAfter(verified, sh)
   }
+
+  /** All candidate pairs within a blocking key — the oracle-reproducible
+    * candidate generator (a plain equi-self-join DuckDB can mirror),
+    * paired with [[verifiedJaccardPairs]] to hash-certify the verify
+    * stage that LSH candidates also flow through.
+    */
+  def blockCandidatePairs(docs: DataFrame, blockCol: String): DataFrame = {
+    val ids = docs.select(col("doc_id"), col(blockCol).as("blk"))
+    ids.as("a")
+      .join(ids.as("b"), Seq("blk"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
+  /** MinHash-estimated Jaccard for candidate pairs, with exact n-gram
+    * Jaccard verification — the full dedup pipeline: shingle → minhash →
+    * band → bucket-join → verify survivors only. The verify stage is the
+    * shared [[verifiedJaccardPairs]] (md5 shingles, hash-certified by the
+    * d5b oracle query); bucketing stays on engine-local xxhash64. The
+    * shingle scan therefore runs twice (once per digest family) — a
+    * deliberate trade of one cheap extra text pass for an oracle-checked
+    * decision stage.
+    */
+  def minhashDedupPairs(
+      docs: DataFrame,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8,
+      shingle: Int = 3): DataFrame =
+    verifiedJaccardPairs(
+      docs, lshCandidatePairs(docs, k, bands, shingle), threshold, shingle)
 
   /** Pack 64 per-bit vote counters into the 64-bit SimHash signature:
     * bit b set iff counter b is positive. Shift amounts are compile-time
@@ -219,7 +277,7 @@ object Dedup {
         array_distinct(
           transform(TextOps.tokens(col("text")), t => xxhash64(t))).as("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    toksets
+    val pairs = toksets
       .as("a")
       .join(toksets.as("b"), Seq("blk"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -231,5 +289,6 @@ object Dedup {
             size(array_union(col("a.ts"), col("b.ts"))),
           6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    CacheScope.sealAfter(pairs, toksets)
   }
 }

@@ -80,7 +80,7 @@ object Similarity {
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.as("a")
+    val pairs = e.as("a")
       .join(e.as("b"), Seq("blk"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -90,6 +90,7 @@ object Similarity {
           cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")),
           6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    CacheScope.sealAfter(pairs, e)
   }
 
   /** IVF (inverted-file) approximate kNN — the classic scale path for ANN:
@@ -155,7 +156,7 @@ object Similarity {
       .orderBy(desc("sim"), asc("c_id"))
       .limit(nProbe)
       .select(col("c_id"))
-    assigned
+    val top = assigned
       .join(broadcast(probeLists), Seq("c_id"))
       .filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probeVec))
@@ -166,6 +167,7 @@ object Similarity {
           6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
+    CacheScope.sealAfter(top, base, assigned)
   }
 
   /** All-pairs near-duplicate candidates above a cosine threshold via
@@ -203,7 +205,7 @@ object Similarity {
       .select(col("vec_id"), emb.as("e"), sig.as("bucket"))
       .withColumn("nrm", norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bucketed
+    val pairs = bucketed
       .as("a")
       .join(bucketed.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
@@ -214,5 +216,6 @@ object Similarity {
           cosinePre(col("a.e"), col("b.e"), col("a.nrm"), col("b.nrm")),
           6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    CacheScope.sealAfter(pairs, bucketed)
   }
 }

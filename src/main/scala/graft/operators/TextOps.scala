@@ -142,7 +142,7 @@ object TextOps {
     val df = tf.groupBy(col("token")).agg(count("*").as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), asc("token"))
-    tf.join(broadcast(df), Seq("token"))
+    val keywords = tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .select(
         col("doc_id"), col("token"),
@@ -151,6 +151,7 @@ object TextOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
+    CacheScope.sealAfter(keywords, tf)
   }
 
   /** Document fingerprint over word 3-shingles: the minimum shingle

@@ -128,10 +128,52 @@ object EventStreams {
       user_id: Long, start_ts: java.sql.Timestamp,
       end_ts: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  /** Shared per-batch session advance: fold this batch's (sorted) events
+    * into the current state, closing a session whenever a gap > gapMs is
+    * observed WITHIN the data. Returns (closed sessions, open state).
+    */
+  private def advanceSessions(
+      userId: Long,
+      it: Iterator[Event],
+      prior: Option[SessionState],
+      gapMs: Long): (Seq[Session], Option[SessionState]) = {
+    val sorted = it.toSeq.sortBy(_.ts.getTime)
+    var cur = prior
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastTs <= gapMs =>
+          // late events may arrive out of order across batches:
+          // never move the session window backwards
+          cur = Some(s.copy(
+            start = math.min(s.start, t),
+            lastTs = math.max(s.lastTs, t),
+            nEvents = s.nEvents + 1,
+            sumValue = s.sumValue + e.value))
+        case Some(s) =>
+          closed += Session(
+            userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue)
+          cur = Some(SessionState(t, t, 1L, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1L, e.value))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  private def toSession(userId: Long, s: SessionState): Session =
+    Session(
+      userId, new java.sql.Timestamp(s.start),
+      new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue)
+
   /** Gap-based sessionization: a user's session closes after `gapMs` of
     * inactivity (processing-time timeout so sessions also close when the
     * stream goes quiet). State per user is O(1) — four numbers — so the
     * operator holds at any user cardinality that fits the state store.
+    * For history replay where wall-clock is meaningless, use
+    * [[sessionizeEventTime]] (watermark-driven closure).
     */
   def sessionize(
       events: Dataset[Event],
@@ -150,37 +192,63 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(
-              userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue))
+            Iterator(toSession(userId, s))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  // late events may arrive out of order across batches:
-                  // never move the session window backwards
-                  cur = Some(s.copy(
-                    start = math.min(s.start, t),
-                    lastTs = math.max(s.lastTs, t),
-                    nEvents = s.nEvents + 1,
-                    sumValue = s.sumValue + e.value))
-                case Some(s) =>
-                  closed += Session(
-                    userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue)
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
-              }
-            }
+            val (closed, cur) =
+              advanceSessions(userId, it, state.getOption, gapMs)
             cur.foreach(state.update)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(gapMs)
-            closed.result().iterator
+            closed.iterator
+          }
+      }
+  }
+
+  /** EVENT-TIME sessionization: sessions close when the WATERMARK (not
+    * wall-clock) passes `lastTs + gapMs` — the semantics a production
+    * pipeline replaying history needs, where processing time is
+    * meaningless and out-of-order arrival is the norm. Late events within
+    * the watermark horizon extend or backfill their session; events older
+    * than the watermark are dropped by the watermark itself before
+    * reaching the state function (standard late-data policy).
+    *
+    * Differences from [[sessionize]] (processing-time form):
+    *   - deterministic given the event stream + watermark sequence: no
+    *     dependence on when batches happen to execute
+    *   - a quiet stream does NOT close sessions (the watermark only
+    *     advances with new data); on a live feed that's what a heartbeat
+    *     source is for
+    * State per user is the same O(1) four numbers.
+    */
+  def sessionizeEventTime(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(toSession(userId, s))
+          } else {
+            val (closed, cur) =
+              advanceSessions(userId, it, state.getOption, gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes the gap horizon; the
+              // timeout timestamp must stay ABOVE the current watermark
+              // (Spark rejects an already-expired timestamp), so a
+              // session whose horizon has passed closes one batch later
+              state.setTimeoutTimestamp(
+                math.max(
+                  s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator
           }
       }
   }

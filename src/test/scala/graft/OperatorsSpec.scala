@@ -114,6 +114,54 @@ class DedupSpec extends AnyFunSuite {
     assert(top(3L) == "other")
   }
 
+  test("pipeline operators release their caches (CacheScope seal)") {
+    val sp = spark
+    import sp.implicits._
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta", "s"),
+      (2L, "alpha beta gamma delta epsilon eta", "s"),
+      (3L, "one two three four five six", "t"))
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f), "x"),
+      (2L, Array(0.9f, 0.1f, 0.5f), "x"),
+      (3L, Array(0.0f, 1.0f, 0.0f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    // suites run sequentially in the forked test JVM, so clearing the
+    // shared CacheManager is race-free; the only deliberate cross-query
+    // cache (fromOrdersCached) merely recomputes afterwards — correct,
+    // just uncached
+    def cacheManagerEmpty: Boolean = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+    spark.catalog.clearCache()
+    assert(cacheManagerEmpty)
+    // every sealed pipeline: run + consume, then assert nothing remains
+    def check(label: String)(run: => Long): Unit = {
+      assert(run >= 0)
+      assert(cacheManagerEmpty, s"$label left entries in the CacheManager")
+    }
+    check("minhashDedupPairs") {
+      Dedup.minhashDedupPairs(d, threshold = 0.1, k = 16, bands = 4).count()
+    }
+    check("blockedJaccardPairs") {
+      Dedup.blockedJaccardPairs(d, "source", 0.5).count()
+    }
+    check("verifiedJaccardPairs") {
+      Dedup.verifiedJaccardPairs(
+        d, Dedup.blockCandidatePairs(d, "source"), 0.01).count()
+    }
+    check("blockedNearDupPairs") {
+      Similarity.blockedNearDupPairs(emb, "label", 0.3).count()
+    }
+    check("knnIvf") {
+      Similarity.knnIvf(emb, 1L, 2, nList = 2, nProbe = 2).count()
+    }
+    check("nearDupPairs") {
+      Similarity.nearDupPairs(emb, 0.3, bits = 2).count()
+    }
+    check("tfidfKeywords") { TextOps.tfidfKeywords(d, k = 2).count() }
+  }
+
   test("near-dup components: chain merges, min doc_id is the label") {
     val sp = spark
     import sp.implicits._
@@ -269,6 +317,54 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(closed.count() == batchTotal - users)
     assert(closed.filter(col("n_events") <= 0).count() == 0)
+  }
+
+  test("event-time sessionization: out-of-order replay, watermark closes sessions") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(u: Long, sec: Long, v: Double) = EventStreams.Event(
+      u * 100000 + sec, new java.sql.Timestamp(base + sec * 1000L), u, "c", v)
+    val ms = MemoryStream[EventStreams.Event]
+    // batch 1: user 1 out of order WITHIN the batch; user 2 opens
+    ms.addData(ev(1, 5, 2.0), ev(1, 0, 1.0), ev(2, 3, 10.0))
+    val q = EventStreams.sessionizeEventTime(
+        ms.toDS(), gapMs = 30000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("etsess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event for user 1 (ts=8s, within watermark horizon)
+      // extends the open session instead of starting a new one
+      ms.addData(ev(1, 8, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("etsess").count() == 0,
+        "no session may close before the watermark passes its gap horizon")
+      // batch 3: ts=100s pushes the watermark past 8s+30s → user 1's
+      // first session must close (events 0,5,8 merged despite disorder)
+      ms.addData(ev(1, 100, 7.0))
+      q.processAllAvailable()
+      // timeout fires on the batch AFTER the horizon passes (the timeout
+      // timestamp is clamped above the watermark) → one more batch
+      ms.addData(ev(2, 200, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("etsess").as[EventStreams.Session]
+        .collect().sortBy(s => (s.user_id, s.start_ts.getTime))
+      // by now the watermark (200s) has passed BOTH of user 1's horizons
+      val u1 = closed.filter(_.user_id == 1L)
+      assert(u1.length == 2, s"expected both user-1 sessions closed: ${closed.toSeq}")
+      assert(u1.head.n_events == 3L && u1.head.sum_value == 7.0)
+      assert(u1.head.start_ts.getTime == base && u1.head.end_ts.getTime == base + 8000L)
+      // agree with the batch twin on the same replayed events
+      val batchDf = Seq(ev(1, 5, 2.0), ev(1, 0, 1.0), ev(1, 8, 4.0)).toDF()
+      val twin = EventStreams.sessionizeBatch(batchDf, gapMs = 30000L)
+        .filter(col("user_id") === 1L).collect()
+      assert(twin.length == 1)
+      assert(twin.head.getAs[Long]("n_events") == u1.head.n_events
+        && twin.head.getAs[Double]("sum_value") == u1.head.sum_value)
+    } finally q.stop()
   }
 
   test("batch sessionization: session count and sums are gap-consistent") {

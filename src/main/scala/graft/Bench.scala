@@ -38,11 +38,12 @@ object Bench {
     // a pathological query can't double the bench wall-clock.
     // A query that THROWS is reported as "err:<Exception>" — never as a
     // fake (fast) timing that would silently improve the bench total.
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, org.apache.spark.sql.DataFrame)] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        Right((System.nanoTime() - t0) / 1e9)
+        val df = fn(spark, sfDir)
+        df.count()
+        Right(((System.nanoTime() - t0) / 1e9, df))
       } catch {
         case e: Throwable => Left(e.getClass.getSimpleName)
       }
@@ -61,14 +62,14 @@ object Bench {
       // queries regardless of how many timing reps follow
       val used = res.snapshot - snap0
       val best = first match {
-        case Right(f) if f <= 30.0 =>
+        case Right((f, df)) if f <= 30.0 =>
           once(fn) match {
-            case Right(second) => Right(math.min(f, second))
+            case Right((second, _)) => Right((math.min(f, second), df))
             case Left(e) =>
               // a transient second-rep failure must not discard the real
               // first-rep sample; it is still surfaced on stderr
               System.err.println(s"[bench] $name rep2 failed: $e")
-              Right(f)
+              Right((f, df))
           }
         case other => other
       }
@@ -78,16 +79,51 @@ object Bench {
       // frame (fromOrdersCached). A cache-hygiene test locks this.
       (name, best, used)
     }
+    // supplementary signals lifted from already-computed results — no
+    // re-runs in here except q14's small exact-distinct reference query
+    val extras = scala.collection.mutable.ListBuffer[String]()
+    // g13: per-iteration shuffle-fallback seconds (its result IS the
+    // per-iteration trace, a 2-row local frame — collect is free). This
+    // is the BASELINE.md S3 comparison: Giraph ~17 s/superstep.
+    results.collectFirst { case ("g13_s3_pagerank", Right((_, df)), _) =>
+      val iters = df.collect().sortBy(_.getInt(0))
+        .map(r => r.getDouble(1)).mkString("[", ",", "]")
+      extras += "\"s3_iter_sec\":" + iters
+    }
+    // q14: sketch accuracy vs exact distinct — worst |estimate/exact - 1|
+    // across event_types and both sketched columns. Exact distinct on the
+    // bench fixture is cheap; at 100 TB it wouldn't be, which is the
+    // point of the sketch.
+    results.collectFirst { case ("q14_approx_distinct", Right((_, df)), _) =>
+      try {
+        import org.apache.spark.sql.functions.{col, countDistinct}
+        val exact = graft.sources.Tables.events(spark, sfDir)
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("xu"),
+            countDistinct(col("event_id")).as("xe"))
+        val err = df.join(exact, "event_type").collect().flatMap { r =>
+          Seq(
+            math.abs(r.getAs[Long]("approx_users").toDouble / r.getAs[Long]("xu") - 1.0),
+            math.abs(r.getAs[Long]("approx_events").toDouble / r.getAs[Long]("xe") - 1.0))
+        }.max
+        extras += "\"q14_max_rel_err\":" + err
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] q14 accuracy probe failed: ${e.getClass.getSimpleName}")
+      }
+    }
     val qs = results.map {
-      case (k, Right(v), _)  => "\"" + k + "\":" + v
-      case (k, Left(err), _) => "\"" + k + "\":\"err:" + err + "\""
+      case (k, Right((v, _)), _) => "\"" + k + "\":" + v
+      case (k, Left(err), _)     => "\"" + k + "\":\"err:" + err + "\""
     }.mkString("{", ",", "}")
     val rs = results.map { case (k, _, u) => "\"" + k + "\":" + u.toJson }
       .mkString("{", ",", "}")
-    val ok = results.collect { case (_, Right(v), _) => v }
+    val ok = results.collect { case (_, Right((v, _)), _) => v }
     val nErr = results.count(_._2.isLeft)
     val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"resources":$rs,"sf":"$sfDir"}""")
+    val extraJson = if (extras.isEmpty) "" else extras.mkString(",", ",", "")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"resources":$rs$extraJson,"sf":"$sfDir"}""")
     if (nErr > 0) System.err.println(s"[bench] $nErr queries FAILED")
     spark.stop()
   }

@@ -240,14 +240,31 @@ object SparkEntry {
       // bench-scale fixture: web-Google-shaped seeded power-law graph
       // (875k v / 5.1M e at sf0.1 — BASELINE.md S1 target); rows-only
       // check at verify time, per-iteration cost is the bench signal.
-      // dedupEdges=false: the generator's own distinct() already
-      // guarantees edge-set semantics — skipping the second full-edge
-      // shuffle PageRank would otherwise pay
+      // Edge-set dedup happens inside PageRank, fused into the
+      // src-repartition shuffle (the generator emits raw samples).
       val res = PageRank.run(
         s, graft.sources.SyntheticGraph.s1Shaped(s, dir),
-        PageRankConfig(maxIter = 3, tol = -1.0, minIter = 3,
-          dedupEdges = false))
+        PageRankConfig(maxIter = 3, tol = -1.0, minIter = 3))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g13_s3_pagerank" -> { (s, dir) =>
+      // LiveJournal-shaped fixture (4.85M v / 69M e at sf0.1 — BASELINE.md
+      // S3, 13× the g9 shape) run with broadcastStateMaxBytes=0 so the
+      // iteration joins take the co-partitioned SHUFFLE-FALLBACK path —
+      // the plan a 1000-executor graph runs, measured every round instead
+      // of only in ad-hoc README notes. Returns the per-iteration trace
+      // (wall seconds are nondeterministic ⇒ rows-only check); Bench
+      // lifts iter_sec into BENCH_r{N}.json for the BASELINE.md S3
+      // comparison (Giraph: ~17 s/superstep on 1+4 nodes).
+      val sp = s
+      import sp.implicits._
+      val res = PageRank.run(
+        s, graft.sources.SyntheticGraph.s3Shaped(s, dir),
+        PageRankConfig(maxIter = 2, tol = -1.0, minIter = 2,
+          broadcastStateMaxBytes = 0L))
+      res.trace
+        .map(st => (st.iteration, st.millis / 1000.0))
+        .toDF("iteration", "iter_sec")
     },
 
     // ---- relational carriers (SURVEY §2.2 / Q10) ----
@@ -515,8 +532,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for ops whose output is
     * engine-hash-, recall-, or sketch-defined (d5 LSH buckets, d7
-    * simhash bits, e3/e4 approximate neighbours, q14 HLL estimates, g9
-    * synthetic-graph scale fixture) → driver records a weaker rows-only
+    * simhash bits, e3/e4 approximate neighbours, q14 HLL estimates,
+    * g9/g13 synthetic-graph scale fixtures) → driver records a weaker
+    * rows-only
     * check; each of those carries a unit/property/recall test instead.
     */
   def oracleSql: Map[String, String] = Map(
@@ -724,9 +742,11 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rn <= 3""".stripMargin,
     "d5b_verified_jaccard" ->
-      // md5 shingle construction mirrors d4_fingerprint (tk[i+1:i+3] over
-      // range(greatest(len-2,1)) ≡ Spark slice(toks, i+1, 3)); Jaccard on
-      // distinct md5 digests == Jaccard on raw shingle sets
+      // shingle construction mirrors d4_fingerprint (tk[i+1:i+3] over
+      // range(greatest(len-2,1)) ≡ Spark slice(toks, i+1, 3)); the 60-bit
+      // portable digest is CAST('0x'||substr(md5,1,15) AS BIGINT) ≡ Spark
+      // conv(substring(md5,1,15),16,10); Jaccard on distinct digests ==
+      // Jaccard on raw shingle sets
       """WITH tk AS (
         |  SELECT doc_id, source,
         |    regexp_split_to_array(trim(text), '\s+') AS tk
@@ -734,7 +754,9 @@ object SparkEntry {
         |sh AS (
         |  SELECT doc_id, source,
         |    list_distinct(list_transform(range(greatest(len(tk) - 2, 1)),
-        |      i -> md5(array_to_string(tk[i+1:i+3], ' ')))) AS sh
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 15))
+        |        AS BIGINT))) AS sh
         |  FROM tk)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

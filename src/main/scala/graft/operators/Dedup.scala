@@ -25,20 +25,27 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Word n-gram shingle set as PORTABLE md5 hex digests (the
-    * [[TextOps.fingerprint]] trick): identical construction in DuckDB, so
-    * any Jaccard computed over these sets is oracle-checkable — unlike
-    * [[shingleHashes]], whose xxhash64 exists only in Spark. Used by the
-    * dedup pipeline's VERIFY stage; the LSH bucketing keeps the cheaper
+  /** Word n-gram shingle set as PORTABLE 60-bit digests — the first 15
+    * hex chars of md5, parsed to a long (Spark `conv(_,16,10)` ≡ DuckDB
+    * `CAST('0x'||substr(md5,1,15) AS BIGINT)`): identical construction in
+    * both engines, so any Jaccard computed over these sets is
+    * oracle-checkable — unlike [[shingleHashes]], whose xxhash64 exists
+    * only in Spark. Long digests (not the hex strings) keep the
+    * downstream intersect/union set algebra on primitive arrays — the
+    * string form measured ~10× slower at the gate SF. Used by the dedup
+    * pipeline's VERIFY stage; the LSH bucketing keeps the cheaper
     * engine-local xxhash64.
     */
-  def shingleSetMd5(text: Column, n: Int): Column = {
+  def shingleSetPortable(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
     val nSh = greatest(size(toks) - lit(n - 1), lit(1))
     array_distinct(
       transform(
         sequence(lit(0), nSh - 1),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        i =>
+          conv(
+            substring(md5(concat_ws(" ", slice(toks, i + 1, lit(n)))), 1, 15),
+            16, 10).cast("long")))
   }
 
   /** k-permutation MinHash from a `(doc_id, sh ARRAY<LONG>)` shingle
@@ -117,11 +124,11 @@ object Dedup {
 
   /** VERIFY stage of the dedup pipeline, factored out so it can be
     * hash-certified independently of how candidates were generated: exact
-    * n-gram Jaccard over md5 shingle sets for an explicit candidate pair
+    * n-gram Jaccard over portable md5-derived shingle sets for a candidate pair
     * list `(id_a, id_b)`, keeping pairs at or above `threshold`.
     *
-    * md5 (not xxhash64) is what makes this the oracle-checkable stage —
-    * DuckDB builds the identical shingle sets and recomputes the decision
+    * The md5-derived digest (not xxhash64) is what makes this stage
+    * oracle-checkable — DuckDB builds identical shingle sets and recomputes the decision
     * values (see SparkEntry d5b). Jaccard over distinct hashed shingles
     * equals Jaccard over the raw shingle sets modulo hash collisions.
     * Cost shape at scale: one shingle scan over the docs plus two
@@ -136,7 +143,7 @@ object Dedup {
     // persist: the shingle frame feeds both join sides; without the
     // barrier Catalyst re-inlines tokenize+md5 into each
     val sh = docs
-      .select(col("doc_id"), shingleSetMd5(col("text"), shingle).as("shm"))
+      .select(col("doc_id"), shingleSetPortable(col("text"), shingle).as("shm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = candidates
       .select(col("id_a"), col("id_b"))
@@ -169,7 +176,7 @@ object Dedup {
   /** MinHash-estimated Jaccard for candidate pairs, with exact n-gram
     * Jaccard verification — the full dedup pipeline: shingle → minhash →
     * band → bucket-join → verify survivors only. The verify stage is the
-    * shared [[verifiedJaccardPairs]] (md5 shingles, hash-certified by the
+    * shared [[verifiedJaccardPairs]] (portable digests, hash-certified by the
     * d5b oracle query); bucketing stays on engine-local xxhash64. The
     * shingle scan therefore runs twice (once per digest family) — a
     * deliberate trade of one cheap extra text pass for an oracle-checked

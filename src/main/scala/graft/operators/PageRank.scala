@@ -131,12 +131,31 @@ object PageRank {
     val d = cfg.damping
 
     // One-time structure build; edges partitioned by src so every
-    // iteration's contribution join reuses this exchange.
-    val deduped =
-      if (cfg.dedupEdges) edgesRaw.select(col("src"), col("dst")).distinct()
-      else edgesRaw.select(col("src"), col("dst"))
-    val edges = deduped
-      .repartition(col("src"))
+    // iteration's contribution join reuses this exchange. Dedup is FUSED
+    // into the same shuffle: after repartition(src), every (src, dst)
+    // duplicate is colocated (HashPartitioning(src) satisfies the
+    // distinct's ClusteredDistribution(src, dst)), so dropDuplicates
+    // plans as a partial+final hash-agg with NO second exchange — one
+    // full-edge shuffle total instead of two.
+    //
+    // Partition COUNT is sized from |E|, not left at
+    // spark.sql.shuffle.partitions: the dedup hash table is per TASK
+    // (~56 B per distinct edge), so at 69M edges on 32 partitions each
+    // task holds a ~120 MB table — past the execution pool that means
+    // sort-based fallback, i.e. the whole edge set spills (measured
+    // ~15 GB at the S3 bench shape). ~1M rows per partition keeps every
+    // table ~50 MB; the raw count is column-pruned (no expression eval,
+    // no shuffle) and at 100 TB this is the same sizing job
+    // files.maxPartitionBytes does for scans.
+    val nEdgesRaw = edgesRaw.count()
+    val edgeParts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      (nEdgesRaw / 1000000L).toInt + 1)
+    val repartitioned = edgesRaw
+      .select(col("src"), col("dst"))
+      .repartition(edgeParts, col("src"))
+    val edges = (if (cfg.dedupEdges) repartitioned.dropDuplicates()
+                 else repartitioned)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Vertex universe: src ∪ dst, plus any caller-supplied isolated
@@ -194,16 +213,38 @@ object PageRank {
       val t0 = System.nanoTime()
 
       // Scatter: only sources with outdeg>0 appear in edges, so no filter
-      // is needed. No join hint: AQE broadcasts the (small) rank state
-      // when |V| is modest — then the edge side never shuffles — and
-      // falls back to a co-partitioned shuffle join (edges by src, state
-      // by id) when vertices outgrow the broadcast threshold.
-      val contribs = edges
+      // is needed. Broadcast mode hash-joins against the broadcast state
+      // — the edge side never shuffles. Fallback mode is a co-partitioned
+      // SHUFFLE_HASH join building on the (|V|-sized) state side: the
+      // cached edge frame is already hash-partitioned by src, so the big
+      // side neither re-shuffles NOR re-sorts per iteration — the
+      // sort-merge default would sort all |E| rows every iteration
+      // (measured 33 GB of sort spill over 2 iterations at the 69M-edge
+      // S3 shape before this hint).
+      val scattered = edges
         .join(
-          if (bcast) broadcast(state) else state,
+          if (bcast) broadcast(state) else state.hint("shuffle_hash"),
           edges("src") === state("id"))
-        .groupBy(col("dst").as("cid"))
-        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+        .select(
+          col("dst").as("cid"),
+          (col("rank") / col("outdeg")).as("share"))
+      // Combine strategy differs by mode. Broadcast (small graph): plain
+      // groupBy → map-side partial agg combines before the one exchange.
+      // Fallback (big graph): repartition FIRST so both agg phases run
+      // post-shuffle — a map-side combine over a high-cardinality dst
+      // domain builds a per-task hash table proportional to |V|, which
+      // at S3 shape overflowed the execution pool and sort-spilled all
+      // |E| partial rows every iteration (~6 GB/iter measured); raw
+      // pairs shuffle a similar byte volume (power-law dst means little
+      // map-side reduction anyway) and aggregate into small
+      // post-shuffle tables. Extreme single-hub in-degrees (rows per
+      // key ≫ a partition) would call for salted two-level aggregation
+      // instead; at web-graph skew (max in-degree ≪ partition rows) the
+      // hash spread over dst is already balanced.
+      val contribs = (if (bcast) scattered
+                      else scattered.repartition(col("cid")))
+        .groupBy(col("cid"))
+        .agg(sum(col("share")).as("contrib"))
 
       // Gather + apply (left_outer: vertices with no in-links get 0 contrib
       // — the reference gets this via the STRUCT record owning the group,
@@ -217,7 +258,7 @@ object PageRank {
       // reliable `checkpoint()` for fault-tolerance of long chains.
       val newState = state
         .join(
-          if (bcast) broadcast(contribs) else contribs,
+          if (bcast) broadcast(contribs) else contribs.hint("shuffle_hash"),
           state("id") === contribs("cid"),
           "left_outer")
         .select(

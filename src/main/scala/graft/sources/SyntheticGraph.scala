@@ -35,13 +35,15 @@ object SyntheticGraph {
     // γ=1.45 calibrates max/mean in-degree to ≈74 at web-Google scale:
     // edges landing on the top vertex ≈ E·N^(-1/γ), so
     // skew ≈ N^(1-1/γ) ≈ N^0.31 ≈ 69 at S1 scale (measured ≈72).
+    // No distinct() here: PageRank fuses edge-set dedup into its
+    // src-repartition shuffle (one full-edge shuffle total); standalone
+    // consumers that need set semantics dedup at the use site.
     spark
       .range(nEdges)
       .select(
         floor(uniform(seed, 1) * nVertices).cast("long").as("src"),
         floor(pow(uniform(seed, 2), gamma) * nVertices)
           .cast("long").as("dst"))
-      .distinct()
   }
 
   /** S1-shaped graph (web-Google scale) or a 1/10 version for smaller
@@ -52,4 +54,17 @@ object SyntheticGraph {
       powerLaw(spark, 875000L, 5100000L)
     else
       powerLaw(spark, 87500L, 510000L)
+
+  /** S3-shaped graph (soc-LiveJournal1 scale: ≈4.85M vertices, ≈69M
+    * edges — reference README.md:118, BASELINE.md S3) at sf0.1, or a
+    * 1/100 version for the correctness gate. The S3 shape is 13× the S1
+    * bench fixture and is what the bench uses to measure the PageRank
+    * SHUFFLE-FALLBACK path (the state no longer broadcasts), i.e. the
+    * plan a 100 TB graph actually runs.
+    */
+  def s3Shaped(spark: SparkSession, sfDir: String): DataFrame =
+    if (sfDir.contains("sf0.1"))
+      powerLaw(spark, 4850000L, 69000000L)
+    else
+      powerLaw(spark, 48500L, 690000L)
 }

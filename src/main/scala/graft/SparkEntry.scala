@@ -526,7 +526,87 @@ object SparkEntry {
         graft.sources.Tables.events(s, dir))),
     "st4_sliding_windows" -> ((s, dir) =>
       graft.streaming.EventStreams.slidingWindowAggBatch(
-        graft.sources.Tables.events(s, dir)))
+        graft.sources.Tables.events(s, dir))),
+
+    // ---- temporal joins (operators the reference lacks entirely) ----
+    "q15_asof_join" -> { (s, dir) =>
+      // "latest click at or before each purchase, per user" — the as-of
+      // join every feature/label pipeline needs. Timestamps compared as
+      // epoch MICROsecond longs in both engines (events is TIMESTAMP_NS
+      // parquet: Spark floors ns→us via Tables.events, DuckDB's epoch_us
+      // floors identically). The quote side is pre-deduplicated to one
+      // row per (user, instant) so the as-of pick is deterministic.
+      val ev = graft.sources.Tables.events(s, dir)
+      val probes = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("p_id"))
+      val quotes = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("c_us"))
+        .agg(min(col("event_id")).as("c_id"))
+      TemporalJoins
+        .asofJoin(probes, quotes, "user_id", "p_us", "c_us",
+          payload = Seq("c_id", "c_us"))
+        .select(
+          col("user_id"), col("p_us"), col("p_id"),
+          coalesce(col("c_id"), lit(-1L)).as("c_id"),
+          coalesce(col("c_us"), lit(-1L)).as("c_us"))
+    },
+    "q16_range_join" -> { (s, dir) =>
+      // bounded-range join: clicks in the hour BEFORE each purchase by
+      // the same user ([p-1h, p), half-open). The bucketed equi-join
+      // rewrite keeps this a plain shuffled hash join at any scale; the
+      // left_outer re-join keeps zero-click purchases in the result.
+      val winUs = 3600L * 1000000L
+      val ev = graft.sources.Tables.events(s, dir)
+      val probes = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("event_id").as("p_id"),
+          (unix_micros(col("ts")) - winUs).as("lo"),
+          unix_micros(col("ts")).as("hi"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          col("value"))
+      val matched = TemporalJoins
+        .bucketedRangeJoin(probes, clicks, "user_id", "lo", "hi", "c_us",
+          bucketWidth = winUs)
+        .groupBy(col("p_id"))
+        .agg(
+          count("*").as("n_clicks"),
+          round(sum(col("value")), 2).as("sum_value"))
+      probes
+        .select(col("p_id"), col("user_id"))
+        .join(matched, Seq("p_id"), "left_outer")
+        .select(
+          col("p_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    },
+
+    // ---- deterministic sampling / split curation ----
+    "d12_sample_split" -> { (s, dir) =>
+      // split assignment + per-source cap in one result: both decisions
+      // are md5-deterministic (reproducible in DuckDB and across any
+      // cluster layout — rand()/sample would not be)
+      Sampling
+        .stratumCap(
+          Sampling.assignSplit(
+            t(s, dir, "documents").select(col("doc_id"), col("source"))),
+          stratumCol = "source", cap = 10)
+        .select(
+          col("doc_id"), col("source"), col("split"),
+          col("cap_rank"), col("kept"))
+    },
+    "d13_repeated_ngrams" -> ((s, dir) =>
+      TextOps.repeatedNgramStats(t(s, dir, "documents")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -883,6 +963,73 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |                               (SELECT p FROM probe)), 6) AS cos_sim
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q15_asof_join" ->
+      // DuckDB's native ASOF LEFT JOIN is the semantic spec the engine's
+      // union+window rewrite must reproduce exactly (inclusive >=)
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, min(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.p_us, p.p_id,
+        |  coalesce(c.c_id, -1) AS c_id, coalesce(c.c_us, -1) AS c_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.p_us >= c.c_us""".stripMargin,
+    "q16_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, p.user_id,
+        |  CAST(count(c.c_us) AS BIGINT) AS n_clicks,
+        |  CASE WHEN count(c.c_us) = 0 THEN 0.0
+        |       ELSE round(sum(c.value), 2) END AS sum_value
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.c_us >= p.hi - 3600000000 AND c.c_us < p.hi
+        |GROUP BY 1, 2""".stripMargin,
+    "d12_sample_split" ->
+      // md5-bucket split + hash-ordered per-source cap, recomputed
+      // decision-for-decision (Sampling.hashBucket/stratumCap twins)
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':', 'split-v1')), 1, 8)) AS BIGINT) % 100 AS b,
+        |    md5(concat(CAST(doc_id AS VARCHAR), ':', 'cap-v1')) AS ch
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ch ASC, doc_id ASC) AS INTEGER) AS cap_rank
+        |  FROM h)
+        |SELECT doc_id, source, split, cap_rank,
+        |  CASE WHEN cap_rank <= 10 THEN 1 ELSE 0 END AS kept
+        |FROM r""".stripMargin,
+    "d13_repeated_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(tk) - 2 AS n_ngrams,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(range(len(tk) - 2),
+        |        i -> array_to_string(tk[i+1:i+3], ' '))
+        |    ELSE [] END AS grams
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CAST(greatest(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(CASE WHEN n_ngrams >= 1 THEN len(list_distinct(grams))
+        |       ELSE 0 END AS BIGINT) AS n_distinct,
+        |  CASE WHEN n_ngrams >= 1 THEN
+        |    round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |          / n_ngrams, 6)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin
   )
 }

@@ -30,7 +30,17 @@ final case class PageRankConfig(
       * old 10M-row bound the per-iteration broadcast was already
       * hundreds of MB per executor.
       */
-    broadcastStateMaxBytes: Long = 64L << 20)
+    broadcastStateMaxBytes: Long = 64L << 20,
+    /** Two-phase salted contribution aggregation for EXTREME in-degree
+      * skew (a single dst key with more rows than fit one partition —
+      * think a site-wide "home" vertex at 100 TB). 0/1 = off (default):
+      * one shuffle keyed by dst. S > 1: partial sums keyed by
+      * (dst, hash(src) mod S) — the hot key fans out over S reducers —
+      * then a final (tiny, ≤S rows per dst) re-aggregation keyed by dst.
+      * Costs a second (small) shuffle, so keep it off at web-graph skew;
+      * the differential test pins salted ≡ unsalted to ≤1e-12.
+      */
+    saltBuckets: Int = 0)
 
 /** Per-iteration trace — the numeric part of the reference's
   * performance_report / _timings.csv side channel
@@ -226,8 +236,15 @@ object PageRank {
           if (bcast) broadcast(state) else state.hint("shuffle_hash"),
           edges("src") === state("id"))
         .select(
-          col("dst").as("cid"),
-          (col("rank") / col("outdeg")).as("share"))
+          (col("dst").as("cid") +:
+            (col("rank") / col("outdeg")).as("share") +:
+            // salt derives from src (spreads WITHIN a hot dst key) and is
+            // computed here so the fallback shuffle never carries src
+            // itself; unsalted plans don't pay the extra column at all
+            (if (cfg.saltBuckets > 1 && !bcast)
+               Seq(pmod(xxhash64(col("src")), lit(cfg.saltBuckets))
+                 .as("_salt"))
+             else Seq.empty)): _*)
       // Combine strategy differs by mode. Broadcast (small graph): plain
       // groupBy → map-side partial agg combines before the one exchange.
       // Fallback (big graph): repartition FIRST so both agg phases run
@@ -241,10 +258,23 @@ object PageRank {
       // key ≫ a partition) would call for salted two-level aggregation
       // instead; at web-graph skew (max in-degree ≪ partition rows) the
       // hash spread over dst is already balanced.
-      val contribs = (if (bcast) scattered
-                      else scattered.repartition(col("cid")))
-        .groupBy(col("cid"))
-        .agg(sum(col("share")).as("contrib"))
+      val contribs =
+        if (cfg.saltBuckets > 1 && !bcast) {
+          // salted two-phase: the hot dst's rows split across S reducer
+          // keys (salt = hash(src) mod S — deterministic, spreads within
+          // a key because a hub's in-edges come from many sources), then
+          // the ≤S partials per dst re-aggregate in a second, tiny
+          // exchange. repartition-first for the same reason as below.
+          scattered
+            .repartition(col("cid"), col("_salt"))
+            .groupBy(col("cid"), col("_salt"))
+            .agg(sum(col("share")).as("psum"))
+            .groupBy(col("cid"))
+            .agg(sum(col("psum")).as("contrib"))
+        } else
+          (if (bcast) scattered else scattered.repartition(col("cid")))
+            .groupBy(col("cid"))
+            .agg(sum(col("share")).as("contrib"))
 
       // Gather + apply (left_outer: vertices with no in-links get 0 contrib
       // — the reference gets this via the STRUCT record owning the group,

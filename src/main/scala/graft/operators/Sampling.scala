@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data curation —
+  * the operations that decide which documents a 100 TB corpus actually
+  * contributes to a training run.
+  *
+  * All decisions are pure functions of (id, salt) via md5, never of
+  * partitioning, row order, or an RNG stream: re-running on a different
+  * cluster layout (or in DuckDB, for the oracle) reproduces the same
+  * split bit-for-bit. This is the property `DataFrame.sample`/`rand()`
+  * cannot give — their draws depend on partition layout, which reshuffles
+  * under AQE and repartitioning.
+  *
+  * Scale shape: split assignment is a stateless per-row projection (no
+  * shuffle); the per-stratum cap is one window partitioned by the
+  * stratum key — a single hash exchange, the same cost class as any
+  * grouped aggregate. Hashes are md5 (not xxhash64) so any engine can
+  * recompute the decision — see [[TextOps.fingerprint]] for the same
+  * trade.
+  */
+object Sampling {
+
+  /** Uniform [0, 100) bucket from the md5 of (id, salt): the first 8 hex
+    * chars are a 32-bit value — comfortably exact in a long — reduced
+    * mod 100. Changing `salt` draws an independent split.
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(
+      conv(substring(md5(concat_ws(":", id.cast("string"), lit(salt))), 1, 8),
+        16, 10).cast("long"),
+      lit(100L))
+
+  /** Train/validation/test split assignment: deterministic per-id
+    * percentage buckets (`trainPct` + `valPct` + rest). One stateless
+    * projection — no shuffle, no state, stable under any partitioning.
+    */
+  def assignSplit(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      trainPct: Int = 90,
+      valPct: Int = 5,
+      salt: String = "split-v1"): DataFrame = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val b = hashBucket(col(idCol), salt)
+    docs.withColumn(
+      "split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-stratum quota sampling ("domain cap"): keep at most `cap` rows
+    * per stratum, chosen by hash order (deterministic, uniform within
+    * the stratum — NOT first-seen order, which would bias toward
+    * whatever happened to be written first). `kept = 1` marks survivors;
+    * callers filter or weight on it.
+    */
+  def stratumCap(
+      docs: DataFrame,
+      stratumCol: String,
+      cap: Int,
+      idCol: String = "doc_id",
+      salt: String = "cap-v1"): DataFrame = {
+    val h = md5(concat_ws(":", col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    docs
+      .withColumn("cap_rank", row_number().over(w))
+      .withColumn(
+        "kept",
+        when(col("cap_rank") <= cap, lit(1)).otherwise(lit(0)))
+  }
+}

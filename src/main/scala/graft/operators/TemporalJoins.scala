@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference lacks entirely (its only join is
+  * the PageRank reduce-side equi-join, PageRankReducer.java:45-92) but a
+  * training-data pipeline needs constantly: as-of joins ("the latest
+  * signal at or before this timestamp") and bounded-range joins ("all
+  * events within a window around this timestamp").
+  *
+  * Both are expressed as compositions of existing Catalyst operators —
+  * the preferred extension path (brief: compose > custom Expression >
+  * custom SparkPlan) — with plans that survive 100× scale-up:
+  *
+  *   - [[asofJoin]] avoids the naive per-probe range scan (a theta join:
+  *     O(|L|·|R|) pairs before the "latest" filter) by UNIONING both
+  *     sides and running one `last(ignoreNulls)` window over
+  *     (key, time): a single hash exchange on the key plus a
+  *     per-partition sort — the same cost class as any windowed
+  *     aggregation, independent of match fan-out.
+  *   - [[bucketedRangeJoin]] turns an inequality join predicate into an
+  *     equi-join on (key, time-bucket): each probe interval of width ≤ W
+  *     overlaps at most 2 width-W buckets, so the join is a plain
+  *     shuffled hash join with 2× probe duplication, then an exact
+  *     residual filter. No broadcast-nested-loop, no cartesian corner.
+  */
+object TemporalJoins {
+
+  /** For every left row, attach the payload of the right row with the
+    * greatest `rightTs <= leftTs` for the same `key` (inclusive as-of;
+    * ties on the timestamp must be pre-deduplicated by the caller if
+    * determinism is required). Null payload when no right row precedes.
+    *
+    * @param left      probe side; must carry `key` and `leftTs`
+    * @param right     quote side; must carry `key`, `rightTs`, payload
+    * @param payload   right-side columns to carry onto matches
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(
+      payload.nonEmpty && !payload.contains(key),
+      "payload must be non-empty right-side value columns")
+
+    // tag 0 sorts before tag 1 at equal timestamps, so a quote exactly at
+    // the probe instant is visible to it (inclusive semantics).
+    val extra = leftCols.filterNot(c => c == key || c == leftTs)
+    val qFull = right.select(
+      (col(key) +: lit(0).as("_tag") +: col(rightTs).as("_t") +:
+        payload.map(c => col(c).as(s"_p_$c")) ++:
+        extra.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val pFull = left.select(
+      (col(key) +: lit(1).as("_tag") +: col(leftTs).as("_t") +:
+        payload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"_p_$c")) ++:
+        extra.map(col)): _*)
+    // union by name: probe rows carry their own columns, quote rows nulls
+    val unioned = qFull.unionByName(pFull)
+
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("_tag") === 1)
+      .select(
+        (col(key) +: col("_t").as(leftTs) +: extra.map(col) ++:
+          payload.map(c => col(s"_p_$c").as(c))): _*)
+  }
+
+  /** Inner equi-join of `right` point rows onto `left` interval rows
+    * (`[loCol, hiCol)`, half-open) sharing `key`, via time-bucketing.
+    * Caller guarantees every interval's width is ≤ `bucketWidth` (checked
+    * per row with a fail-fast expression), so each interval overlaps at
+    * most two buckets: the probe side is exploded to 2 bucket keys and
+    * joined on (key, bucket) — a plain shuffled equi-join — then the
+    * exact `[lo, hi)` residual predicate filters false candidates.
+    */
+  def bucketedRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      loCol: String,
+      hiCol: String,
+      rightTs: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // the width guard lives INSIDE the bucket expression (not a separate
+    // dropped column, which column pruning would silently remove): a row
+    // violating the ≤ bucketWidth contract fails the query instead of
+    // silently losing matches beyond the second bucket
+    val hiBucket = when(
+      col(hiCol) - col(loCol) <= bucketWidth,
+      floor((col(hiCol) - 1) / bucketWidth))
+      .otherwise(raise_error(concat(
+        lit("bucketedRangeJoin: interval wider than bucketWidth at "),
+        col(loCol).cast("string"))).cast("long"))
+    val probes = left.withColumn(
+      "_bucket",
+      explode(array_distinct(array(floor(col(loCol) / bucketWidth), hiBucket))))
+    val points = right.withColumn("_bucket", floor(col(rightTs) / bucketWidth))
+    probes
+      .join(points, Seq(key, "_bucket"))
+      .filter(col(rightTs) >= col(loCol) && col(rightTs) < col(hiCol))
+      .drop("_bucket")
+  }
+}

@@ -154,6 +154,35 @@ object TextOps {
     CacheScope.sealAfter(keywords, tf)
   }
 
+  /** Repetition quality signal: fraction of duplicate word n-grams per
+    * document (Gopher-style "repeated n-gram" filter — heavily repetitive
+    * boilerplate scores high and gets culled before training). Pure
+    * single-pass column algebra: the n-gram list is built per row inside
+    * the scan projection, so at 100 TB this is one pass over the text
+    * column with no shuffle at all. Documents with fewer than `n` tokens
+    * have no n-grams: ratio 0 by definition.
+    */
+  def repeatedNgramStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val nGrams = size(toks) - lit(n - 1)
+    val grams = transform(
+      sequence(lit(0), greatest(nGrams, lit(1)) - 1),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    docs.select(
+      col("doc_id"),
+      greatest(nGrams, lit(0)).cast("long").as("n_ngrams"),
+      when(nGrams >= 1, size(array_distinct(grams)))
+        .otherwise(lit(0)).cast("long").as("n_distinct"),
+      when(
+        nGrams >= 1,
+        round(
+          lit(1.0) -
+            size(array_distinct(grams)).cast("double") /
+            nGrams.cast("double"),
+          6))
+        .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
   /** Document fingerprint over word 3-shingles: the minimum shingle
     * digest is a 1-permutation MinHash, `doc_hash` identifies the exact
     * normalized content. Digests are md5 (hex strings) rather than

@@ -117,6 +117,23 @@ class PageRankSpec extends AnyFunSuite {
     assert(a.keySet == b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-15) }
   }
+
+  test("salted two-phase aggregation matches unsalted to 1e-12") {
+    // hub-heavy graph: vertex 1 receives from everyone (the skew shape
+    // salting exists for); salted runs in fallback mode so the salt path
+    // is actually exercised
+    val sp = spark
+    import sp.implicits._
+    val e = ((2L to 40L).map(i => i -> 1L) ++
+      (2L to 40L).map(i => 1L -> (i % 7 + 2)) ++
+      Seq(1L -> 2L, 5L -> 6L, 6L -> 5L)).toDF("src", "dst")
+    val base = PageRankConfig(maxIter = 5, tol = -1, minIter = 5)
+    val a = ranksMap(PageRank.run(spark, e, base))
+    val b = ranksMap(PageRank.run(spark, e,
+      base.copy(broadcastStateMaxBytes = 0L, saltBuckets = 8)))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
 }
 
 /** Differential: DataFrame impl vs GraphX BSP twin must agree to 1e-12

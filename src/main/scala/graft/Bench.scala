@@ -38,11 +38,17 @@ object Bench {
     // a pathological query can't double the bench wall-clock.
     // A query that THROWS is reported as "err:<Exception>" — never as a
     // fake (fast) timing that would silently improve the bench total.
+    // Force with a noop-sink WRITE, not count(): count() lets Catalyst
+    // prune every column, so a pure-projection query (tokenize/hash/
+    // feature extraction with no agg) degenerates to a parquet metadata
+    // row-count and the bench "measures" an empty plan. The noop sink
+    // evaluates every output row/column and discards it — the honest
+    // forcing function for projection-shaped operators.
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, org.apache.spark.sql.DataFrame)] = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
         Right(((System.nanoTime() - t0) / 1e9, df))
       } catch {
         case e: Throwable => Left(e.getClass.getSimpleName)

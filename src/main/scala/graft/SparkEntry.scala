@@ -402,8 +402,10 @@ object SparkEntry {
           approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
     },
     "q13_percentiles" -> { (s, dir) =>
-      // exact interpolated percentiles (ordered-set aggregate class)
-      t(s, dir, "lineitem")
+      // exact interpolated percentiles (ordered-set aggregate class);
+      // ensure(): the ObjectHashAggregate partials run in the scan
+      // stage, which on the small fixture has too few splits
+      graft.core.Parallelism.ensure(t(s, dir, "lineitem"))
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_extendedprice, 0.5)"), 4)
@@ -429,7 +431,7 @@ object SparkEntry {
     "d1_dedup_groups" -> ((s, dir) =>
       TextOps.exactDedupGroups(t(s, dir, "documents"))),
     "d2_token_stats" -> { (s, dir) =>
-      t(s, dir, "documents").select(
+      graft.core.Parallelism.ensure(t(s, dir, "documents")).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_tokens_bpe"),
@@ -465,7 +467,7 @@ object SparkEntry {
     "d7_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     "d8_langid" -> { (s, dir) =>
-      t(s, dir, "documents").select(
+      graft.core.Parallelism.ensure(t(s, dir, "documents")).select(
         col("doc_id"),
         TextOps.languageGuess(col("text")).as("lang_guess"))
     },

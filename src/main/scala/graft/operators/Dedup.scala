@@ -72,7 +72,8 @@ object Dedup {
   /** `doc_id, sig ARRAY<LONG>` signature matrix. */
   def minhashSignatures(docs: DataFrame, k: Int, shingle: Int = 3): DataFrame =
     minhashSigsFromShingleFrame(
-      docs.select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh")),
+      graft.core.Parallelism.ensure(docs)
+        .select(col("doc_id"), shingleHashes(col("text"), shingle).as("sh")),
       k)
 
   /** LSH candidate pairs: signatures split into `bands` bands of
@@ -142,11 +143,27 @@ object Dedup {
       shingle: Int = 3): DataFrame = {
     // persist: the shingle frame feeds both join sides; without the
     // barrier Catalyst re-inlines tokenize+md5 into each
-    val sh = docs
+    val sh = graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), shingleSetPortable(col("text"), shingle).as("shm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = candidates
-      .select(col("id_a"), col("id_b"))
+    CacheScope.sealAfter(
+      verifiedJaccardFromShingles(sh, candidates, threshold), sh)
+  }
+
+  /** Verify stage over an already-materialized `(doc_id, shm ARRAY<LONG>)`
+    * shingle frame — lets a pipeline that computed (and persisted) the
+    * shingle sets for candidate generation reuse them here instead of
+    * re-scanning the text. The caller owns the frame's cache lifetime.
+    */
+  def verifiedJaccardFromShingles(
+      sh: DataFrame,
+      candidates: DataFrame,
+      threshold: Double): DataFrame =
+    // ensure() on the candidate stream: with broadcast-joined shingle
+    // sides, the per-pair intersect/union runs in the CANDIDATE frame's
+    // partitions — a single-partition pair list would compute serially
+    graft.core.Parallelism.ensure(candidates
+      .select(col("id_a"), col("id_b")))
       .join(sh.select(col("doc_id").as("id_a"), col("shm").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shm").as("sh_b")), "id_b")
       .select(
@@ -157,8 +174,6 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))),
           6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    CacheScope.sealAfter(verified, sh)
-  }
 
   /** All candidate pairs within a blocking key — the oracle-reproducible
     * candidate generator (a plain equi-self-join DuckDB can mirror),
@@ -173,23 +188,33 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
   }
 
-  /** MinHash-estimated Jaccard for candidate pairs, with exact n-gram
-    * Jaccard verification — the full dedup pipeline: shingle → minhash →
-    * band → bucket-join → verify survivors only. The verify stage is the
-    * shared [[verifiedJaccardPairs]] (portable digests, hash-certified by the
-    * d5b oracle query); bucketing stays on engine-local xxhash64. The
-    * shingle scan therefore runs twice (once per digest family) — a
-    * deliberate trade of one cheap extra text pass for an oracle-checked
-    * decision stage.
+  /** The full dedup pipeline: shingle → minhash → band → bucket-join →
+    * exact-verify survivors only. The text is scanned and shingled
+    * exactly ONCE, into the portable md5-derived digest sets: minhash
+    * permutations hash those digests (`xxhash64(i, digest)` — a
+    * uniform hash of a uniform hash is as good a permutation family as
+    * hashing the raw shingle), the LSH banding buckets the resulting
+    * signatures, and the verify stage computes exact Jaccard over the
+    * SAME persisted digest arrays. Because the digests are portable, the
+    * verify stage is the code path hash-certified by the d5b oracle
+    * query (DuckDB rebuilds the digest sets and recomputes every
+    * decision value); only the bucketing stays engine-defined.
     */
   def minhashDedupPairs(
       docs: DataFrame,
       threshold: Double,
       k: Int = 32,
       bands: Int = 8,
-      shingle: Int = 3): DataFrame =
-    verifiedJaccardPairs(
-      docs, lshCandidatePairs(docs, k, bands, shingle), threshold, shingle)
+      shingle: Int = 3): DataFrame = {
+    val sh = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), shingleSetPortable(col("text"), shingle).as("shm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = lshCandidatePairsFromSigs(
+      minhashSigsFromShingleFrame(sh.select(col("doc_id"), col("shm").as("sh")), k),
+      k, bands)
+    CacheScope.sealAfter(
+      verifiedJaccardFromShingles(sh, candidates, threshold), sh)
+  }
 
   /** Pack 64 per-bit vote counters into the 64-bit SimHash signature:
     * bit b set iff counter b is positive. Shift amounts are compile-time
@@ -218,7 +243,7 @@ object Dedup {
           .when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"c_$b")
     }
-    docs
+    graft.core.Parallelism.ensure(docs)
       .select(
         col("doc_id"),
         // explode_outer: a null text must still yield an output row
@@ -277,7 +302,7 @@ object Dedup {
     // hashed sets equals Jaccard on token sets modulo xxhash64 collisions
     // (~|vocab|²/2^65 — negligible). persist: without the barrier
     // Catalyst inlines tokenize+hash into both join sides.
-    val toksets = docs
+    val toksets = graft.core.Parallelism.ensure(docs)
       .select(
         col("doc_id"),
         col(blockCol).as("blk"),

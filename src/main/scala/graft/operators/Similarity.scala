@@ -73,7 +73,7 @@ object Similarity {
       embeddings: DataFrame,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val e = embeddings
+    val e = graft.core.Parallelism.ensure(embeddings)
       .select(
         col("vec_id"),
         col(blockCol).as("blk"),
@@ -201,7 +201,7 @@ object Similarity {
       }: _*)
     // persist: the bucketed frame feeds both sides of the self-join;
     // without the barrier the hyperplane projection is recomputed per side
-    val bucketed = embeddings
+    val bucketed = graft.core.Parallelism.ensure(embeddings)
       .select(col("vec_id"), emb.as("e"), sig.as("bucket"))
       .withColumn("nrm", norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -59,7 +59,7 @@ object TextOps {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val stopArr = array(stopwords.map(lit): _*)
-    docs.select(
+    graft.core.Parallelism.ensure(docs).select(
       col("doc_id"),
       col("n_chars"),
       size(toks).cast("long").as("n_tokens"),
@@ -109,7 +109,7 @@ object TextOps {
     * sort. Ties break lexicographically for cross-engine determinism.
     */
   def vocabulary(docs: DataFrame, topK: Int = 1000): DataFrame =
-    docs
+    graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(
@@ -134,7 +134,7 @@ object TextOps {
     // (each tf row is one distinct (doc, token) pair, so counting rows
     // per token IS the document frequency)
     val nDocs = docs.select(count_distinct(col("doc_id")).as("n_docs"))
-    val tf = docs
+    val tf = graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count("*").as("tf"))
@@ -168,7 +168,7 @@ object TextOps {
     val grams = transform(
       sequence(lit(0), greatest(nGrams, lit(1)) - 1),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    docs.select(
+    graft.core.Parallelism.ensure(docs).select(
       col("doc_id"),
       greatest(nGrams, lit(0)).cast("long").as("n_ngrams"),
       when(nGrams >= 1, size(array_distinct(grams)))
@@ -199,7 +199,7 @@ object TextOps {
     val shingles = transform(
       sequence(lit(0), nSh - 1),
       i => md5(concat_ws(" ", slice(toks, i + 1, lit(shingle)))))
-    docs.select(
+    graft.core.Parallelism.ensure(docs).select(
       col("doc_id"),
       array_min(shingles).as("min_shingle_hash"),
       md5(concat_ws(" ", toks)).as("doc_hash"))

@@ -128,6 +128,38 @@ object SparkEntry {
        |SELECT doc_id, CASE $cases END AS lang_guess FROM mm""".stripMargin
   }
 
+  /** DuckDB twin of Dedup.simhashNearDupPairs: recomputes the portable
+    * 60-bit SimHash (same md5-derived token hashes, same sum>0 tie rule,
+    * same bit packing) and takes ALL pairs with Hamming ≤ maxDist — the
+    * engine's banded join is exact by pigeonhole, so the pair sets must
+    * match bit-for-bit.
+    */
+  private def simhashNearDupSql(maxDist: Int): String = {
+    val bits = 60
+    val votes = (0 until bits)
+      .map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c_$b")
+      .mkString(",\n    ")
+    val pack = (0 until bits)
+      .map(b => s"CASE WHEN c_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |hh AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM tok),
+       |v AS (SELECT doc_id,
+       |    $votes
+       |  FROM hh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS s FROM v)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= $maxDist""".stripMargin
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph surface (SURVEY §2.1 O1-O19) ----
@@ -608,7 +640,13 @@ object SparkEntry {
           col("cap_rank"), col("kept"))
     },
     "d13_repeated_ngrams" -> ((s, dir) =>
-      TextOps.repeatedNgramStats(t(s, dir, "documents")))
+      TextOps.repeatedNgramStats(t(s, dir, "documents"))),
+    "d14_simhash_neardup" -> ((s, dir) =>
+      // exact Hamming-≤3 pairs via banded self-join (pigeonhole: 4
+      // disjoint 15-bit bands ⇒ any such pair shares a full band) over
+      // the PORTABLE 60-bit SimHash — fully hash-checked: DuckDB
+      // recomputes signatures, bands are only an execution strategy
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 3))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1032,6 +1070,7 @@ object SparkEntry {
         |    round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
         |          / n_ngrams, 6)
         |  ELSE 0.0 END AS rep_ratio
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3)
   )
 }

@@ -261,6 +261,79 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** PORTABLE 60-bit SimHash: like [[simhashSignatures]] but the
+    * per-token hash is the md5-derived 60-bit digest (first 15 hex chars
+    * — the widest value both Spark's `conv` and DuckDB's BIGINT cast
+    * agree on), so the ENTIRE signature — votes, tie rule (sum > 0),
+    * bit packing — is reproducible in the oracle engine bit-for-bit.
+    * Same plan shape: explode → 60 codegen'd conditional sums.
+    */
+  def simhashSignaturesPortable(docs: DataFrame): DataFrame = {
+    val bits = 60
+    val votes = (0 until bits).map { b =>
+      sum(
+        when(col("h").isNull, 0)
+          .when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"c_$b")
+    }
+    graft.core.Parallelism.ensure(docs)
+      .select(
+        col("doc_id"),
+        explode_outer(
+          transform(
+            TextOps.tokens(col("text")),
+            t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+          .as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until bits)
+          .map(b => when(col(s"c_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance — the operator
+    * that makes the signature table actionable, EXACTLY, without the
+    * |D|² cross product: with `bands = maxDist + 1` disjoint bit bands,
+    * any pair within `maxDist` differing bits must agree on at least one
+    * full band (pigeonhole), so candidates come from an equi-self-join on
+    * (band_no, band_bits) — shuffle keyed by band content, Σ|bucket|²
+    * candidates — and the exact `bit_count(xor) ≤ maxDist` filter keeps
+    * precision at 100%. Recall is 100% by construction, not probability.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    val bits = 60
+    val bands = maxDist + 1
+    val width = bits / bands // 15-bit bands for maxDist = 3
+    require(bits % bands == 0, s"bands=$bands must divide $bits bits")
+    val sigs = simhashSignaturesPortable(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(
+          lit(b).as("band_no"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND((1L << width) - 1).as("band_bits"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_no"), col("bd.band_bits"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band_no", "band_bits"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("s_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("s_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        hamming(col("s_a"), col("s_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+    CacheScope.sealAfter(pairs, sigs)
+  }
+
   /** Near-duplicate GROUPS from a near-dup pair list: connected
     * components over the undirected pair graph, every member labelled
     * with the minimum doc_id of its component (the canonical "keep"

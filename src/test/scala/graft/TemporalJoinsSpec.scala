@@ -135,6 +135,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("simhash banded near-dup join equals brute force and finds planted dups") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (Seq(
+      (0L, base),
+      (1L, base), //                  exact dup of 0 -> hamming 0
+      (2L, base + " tail"), //        near dup
+      (3L, "completely different content about spark catalyst plans")
+    ) ++ (10L until 40L).map(i => (i, s"filler doc number $i with words " + ("x" + i) * 3)))
+      .toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDupPairs(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the portable signatures
+    val sigs = Dedup.simhashSignaturesPortable(docs)
+    val brute = sigs.as("a").join(sigs.as("b"),
+        org.apache.spark.sql.functions.col("a.doc_id") <
+          org.apache.spark.sql.functions.col("b.doc_id"))
+      .select(
+        org.apache.spark.sql.functions.col("a.doc_id"),
+        org.apache.spark.sql.functions.col("b.doc_id"),
+        Dedup.hamming(
+          org.apache.spark.sql.functions.col("a.simhash"),
+          org.apache.spark.sql.functions.col("b.simhash")).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 3).toSet
+    assert(banded == brute)
+    assert(banded.contains((0L, 1L, 0))) // exact dup found at distance 0
+  }
+
   test("repeatedNgramStats counts duplicate 3-grams") {
     val sp = spark
     import sp.implicits._

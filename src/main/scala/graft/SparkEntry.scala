@@ -546,6 +546,16 @@ object SparkEntry {
     },
     "m3_video_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(s, dir))),
+    "m4_image_resize" -> { (s, dir) =>
+      // resize kernel plumbing; the oracle recomputes the aspect-fit
+      // arithmetic and the stub thumbnail length from metadata — the
+      // binary itself stays engine-side (deterministic payload prefix)
+      Multimodal.resizeImages(Multimodal.syntheticMedia(s, dir))
+        .select(
+          col("media_id"), col("in_w"), col("in_h"),
+          col("out_w"), col("out_h"),
+          length(col("thumb")).cast("long").as("thumb_len"))
+    },
 
     // ---- streaming operators (batch twins for the oracle gate; the
     // streaming forms themselves are locked by StreamingSpec) ----
@@ -560,6 +570,12 @@ object SparkEntry {
         graft.sources.Tables.events(s, dir))),
     "st4_sliding_windows" -> ((s, dir) =>
       graft.streaming.EventStreams.slidingWindowAggBatch(
+        graft.sources.Tables.events(s, dir))),
+    "st5_attribution_join" -> ((s, dir) =>
+      // stream-stream interval join, exercised on its batch twin (the
+      // SAME code path — watermarks no-op on batch); the streaming form
+      // with state expiry runs in StreamingSpec
+      graft.streaming.EventStreams.attributionJoin(
         graft.sources.Tables.events(s, dir))),
 
     // ---- temporal joins (operators the reference lacks entirely) ----
@@ -646,7 +662,44 @@ object SparkEntry {
       // disjoint 15-bit bands ⇒ any such pair shares a full band) over
       // the PORTABLE 60-bit SimHash — fully hash-checked: DuckDB
       // recomputes signatures, bands are only an execution strategy
-      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 3))
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 3)),
+
+    "q17_pivot" -> { (s, dir) =>
+      // PIVOT: hourly event matrix, one column per event type. Explicit
+      // value list (not inferred) — inference costs an extra distinct
+      // pass and breaks column-set determinism at scale. Pivot cells
+      // with no rows are null in Spark but 0 under the oracle's
+      // conditional aggregation: coalesce to align.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = graft.sources.Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_str"))
+        .pivot("event_type", types)
+        .count()
+      p.select(
+        col("hour_str") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+    },
+    "q18_window_funcs" -> { (s, dir) =>
+      // the ranked-window family over one partition spec: rank /
+      // dense_rank, lag / lead (exact int carriers), and a running sum —
+      // one exchange + one sort serves all five functions
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)).as("prev_key"),
+        coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_key"),
+        round(
+          sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          4).as("run_spend"))
+    }
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1071,6 +1124,57 @@ object SparkEntry {
         |          / n_ngrams, 6)
         |  ELSE 0.0 END AS rep_ratio
         |FROM g""".stripMargin,
-    "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3)
+    "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
+    "m4_image_resize" ->
+      // mirrors Multimodal.fitDims + the stub thumb sizing; images are
+      // doc_id % 3 = 0, w/h derive from doc_id (syntheticMedia), payload
+      // is the UTF-8 text (ASCII fixture ⇒ n_bytes = length(text))
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST((doc_id * 37) % 1920 + 1 AS INTEGER) AS w,
+        |    CAST((doc_id * 53) % 1080 + 1 AS INTEGER) AS h,
+        |    length(text) AS nb
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (
+        |  SELECT media_id, w, h, nb,
+        |    CASE WHEN greatest(w, h) <= 256 THEN w
+        |         WHEN w >= h THEN 256
+        |         ELSE greatest(1, (w * 256) // h) END AS out_w,
+        |    CASE WHEN greatest(w, h) <= 256 THEN h
+        |         WHEN w >= h THEN greatest(1, (h * 256) // w)
+        |         ELSE 256 END AS out_h
+        |  FROM m)
+        |SELECT media_id, w AS in_w, h AS in_h, out_w, out_h,
+        |  CAST(least(nb, (out_w * out_h) // 8 + 1) AS BIGINT) AS thumb_len
+        |FROM f""".stripMargin,
+    "st5_attribution_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin,
+    "q17_pivot" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_str,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS n_purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q18_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key,
+        |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC
+        |    ROWS UNBOUNDED PRECEDING), 4) AS run_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
   )
 }

@@ -99,6 +99,53 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ResizeIn(
+      media_id: Long, width: Int, height: Int, payload: Array[Byte])
+  final case class ResizeOut(
+      media_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      thumb: Array[Byte])
+
+  /** Aspect-preserving target dims, integer floor arithmetic (shared by
+    * the kernel and, structurally, the SQL oracle — keep in sync with
+    * the m4 oracle in SparkEntry).
+    */
+  private[operators] def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) =
+    if (math.max(w, h) <= maxDim) (w, h)
+    else if (w >= h) (maxDim, math.max(1, h * maxDim / w))
+    else (math.max(1, w * maxDim / h), maxDim)
+
+  /** Image resize/thumbnail plumbing: the batched per-partition kernel a
+    * real pipeline runs (decode → scale → re-encode), with the codec
+    * call STUBBED deterministically (no image libraries in this
+    * container): target dims are real aspect-preserving integer
+    * arithmetic; the "thumbnail" bytes are a deterministic prefix of the
+    * payload sized to the target area. Everything around the stub —
+    * image-only pruned scan, typed row contract, one kernel init per
+    * partition, binary-in/binary-out schema — is the production shape.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image")
+      .select(
+        col("media_id"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("payload"))
+      .as[ResizeIn]
+      .mapPartitions { rows =>
+        // real impl: scaler/codec init happens HERE, once per partition
+        rows.map { r =>
+          val (ow, oh) = fitDims(r.width, r.height, maxDim)
+          val p = if (r.payload == null) Array.emptyByteArray else r.payload
+          val thumbLen = math.min(p.length, ow * oh / 8 + 1)
+          ResizeOut(r.media_id, r.width, r.height, ow, oh, p.take(thumbLen))
+        }
+      }
+      .toDF()
+  }
+
   /** Metadata-only projection — must compile to a scan that never reads
     * the payload bytes (ReadSchema excludes `payload`); this is the
     * pruning contract that makes metadata queries cheap on a 100 TB

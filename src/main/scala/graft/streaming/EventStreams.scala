@@ -115,6 +115,43 @@ object EventStreams {
         count("*").as("n_events"),
         count_distinct(col("m.user_id")).as("n_users"))
 
+  // ---- stream-stream interval join (attribution) ----
+
+  /** Click→purchase attribution as a STREAM-STREAM interval join: for
+    * each purchase, every click by the same user in the preceding
+    * `windowSec` seconds (`[p − W, p)`, half-open — the same contract as
+    * the batch `TemporalJoins.bucketedRangeJoin` q16 runs). Both sides
+    * carry watermarks and the join predicate bounds event-time distance,
+    * which is exactly what lets Spark EXPIRE buffered state: a click
+    * older than `watermark + windowSec` can never match a future
+    * purchase and is dropped from the state store — the property that
+    * makes the join runnable forever. Works unchanged on a batch frame
+    * (watermarks are a no-op there), which is how the oracle checks it.
+    */
+  def attributionJoin(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("c_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases
+      .join(
+        clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("c_id"))
+  }
+
   // ---- sessionization via explicit state (mapGroupsWithState) ----
 
   final case class Event(

@@ -292,6 +292,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct)
   }
 
+  test("stream-stream attribution join matches batch twin on out-of-order feed") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(id: Long, u: Long, tpe: String, sec: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(base + sec * 1000L), u, tpe, 1.0)
+    val rows = Seq(
+      ev(1, 1, "click", 100), //    inside window of purchase 10
+      ev(2, 1, "click", 3000), //   inside
+      ev(10, 1, "purchase", 3600),
+      ev(3, 1, "click", 3600), //   NOT < p_ts (same instant) ⇒ excluded
+      ev(4, 2, "click", 50), //     other user
+      ev(11, 2, "purchase", 7300), // click 4 is > 1h before ⇒ excluded
+      ev(5, 1, "click", 4000)) //   after purchase ⇒ excluded
+    val ms = MemoryStream[EventStreams.Event]
+    // feed OUT OF ORDER across two batches
+    ms.addData(rows(2), rows(0))
+    ms.addData(rows.drop(3) :+ rows(1): _*)
+    val q = EventStreams.attributionJoin(ms.toDS().toDF()).writeStream
+      .format("memory").queryName("attr").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("attr")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batch = EventStreams.attributionJoin(rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(batch == Set((10L, 1L), (10L, 2L)))
+    assert(got == batch)
+  }
+
   test("stateful streaming sessionization emits closed sessions") {
     val sp = spark
     import sp.implicits._

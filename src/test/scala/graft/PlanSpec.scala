@@ -74,4 +74,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), "map-side combine missing")
     assert(p.contains("Generate explode"), p)
   }
+
+  test("q15 as-of join plans as ONE window, zero joins") {
+    // the whole point of the union+last() rewrite: no join operator of
+    // any kind (a naive as-of is a range join that degenerates to
+    // BroadcastNestedLoopJoin), one Window over the union
+    val p = plan("q15_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "as-of rewrite must not contain a join: " + p)
+  }
+
+  test("q16/st5/d14: no nested-loop or cartesian join anywhere") {
+    // the bucketed-range, interval and banded-Hamming joins exist
+    // precisely to keep inequality predicates OUT of the join operator;
+    // if one ever degenerates, it shows up here before it ships
+    for (q <- Seq("q16_range_join", "st5_attribution_join",
+        "d14_simhash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to nested-loop: " + p)
+      assert(!p.contains("CartesianProduct"), s"$q has a cross product: " + p)
+    }
+  }
+
+  test("d12 split assignment adds no exchange beyond the stratum window") {
+    // assignSplit is a stateless projection; the only shuffle the whole
+    // d12 result needs is stratumCap's window partitioning
+    val p = plan("d12_sample_split")
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+  }
 }

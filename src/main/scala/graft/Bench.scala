@@ -125,6 +125,28 @@ object Bench {
     // lines carried full-precision doubles + the per-query resource map
     // and were truncated into unparseability).
     def r2d(v: Double): String = f"$v%.2f"
+    // q20: percentile-sketch accuracy vs the exact ordered-set aggregate
+    // (cheap at bench SF; the sketch exists for the scale where exact is
+    // not) — worst relative error across groups and both percentiles
+    results.collectFirst { case ("q20_approx_percentiles", Right((_, df)), _) =>
+      try {
+        import org.apache.spark.sql.functions.{col, expr}
+        val exact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("xm"),
+            expr("percentile(l_extendedprice, 0.9)").as("x90"))
+        val err = df.join(exact, "l_returnflag").collect().flatMap { r =>
+          Seq(
+            math.abs(r.getAs[Double]("median_price") / r.getAs[Double]("xm") - 1.0),
+            math.abs(r.getAs[Double]("p90_price") / r.getAs[Double]("x90") - 1.0))
+        }.max
+        extras += "\"q20_max_rel_err\":" + f"$err%.5f"
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] q20 accuracy probe failed: ${e.getClass.getSimpleName}")
+      }
+    }
     val qs = results.map {
       case (k, Right((v, _)), _) => "\"" + k + "\":" + r2d(v)
       case (k, Left(err), _)     => "\"" + k + "\":\"err:" + err + "\""

@@ -102,6 +102,41 @@ object SparkEntry {
          |WHERE i = (SELECT it FROM chosen)""".stripMargin)
   }
 
+  /** Unrolled PERSONALIZED PageRank oracle (g14): teleport distribution
+    * p = uniform over the `nSeeds` smallest vertex ids; both the restart
+    * and dangling mass redistribute to p (NetworkX personalized
+    * semantics), init stays uniform 1/N — mirrors
+    * [[graft.operators.PageRank.run]] with `teleport` set.
+    */
+  private def personalizedPageRankSql(k: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append(
+      s"""seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT $nSeeds),
+         |ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS sk FROM seeds),
+         |pv AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg,
+         |    CASE WHEN s.id IS NOT NULL
+         |         THEN CAST(1 AS DOUBLE) / (SELECT sk FROM ns)
+         |         ELSE 0.0 END AS p
+         |  FROM deg d LEFT JOIN seeds s USING (id)),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, outdeg, p, 1.0/(SELECT n FROM nn) AS rank FROM pv)""".stripMargin)
+    for (i <- 0 until k) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS ds FROM r$i WHERE outdeg = 0),
+        |r${i + 1} AS MATERIALIZED (
+        |  SELECT s.id, s.outdeg, s.p,
+        |         (1 - $D + $D*(SELECT ds FROM d$i)) * s.p
+        |       + $D*coalesce(c.contrib, 0.0) AS rank
+        |  FROM r$i s
+        |  LEFT JOIN (SELECT e.dst AS id, sum(r.rank/r.outdeg) AS contrib
+        |             FROM edges e JOIN r$i r ON e.src = r.id GROUP BY 1) c
+        |  USING (id))""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, round(rank, 7) AS rank_r FROM r$k").toString
+  }
+
   /** DuckDB twin of TextOps.languageGuess, generated from the same
     * stopword lists so the two can never drift: per-language hit counts,
     * argmax with first-in-order tie-break.
@@ -278,6 +313,19 @@ object SparkEntry {
         s, graft.sources.SyntheticGraph.s1Shaped(s, dir),
         PageRankConfig(maxIter = 3, tol = -1.0, minIter = 3))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g14_personalized_k4" -> { (s, dir) =>
+      // personalized PageRank: teleport restricted to the 3 smallest
+      // vertex ids (uniform over the seed set) — "rank relative to this
+      // seed set", the canonical recommendation/graph-proximity query
+      val edges = EdgeListReader.fromOrdersCached(s, dir)
+      val seeds = GraphBuilder.vertices(edges)
+        .orderBy(col("id")).limit(3)
+        .select(col("id"), lit(1.0).as("w"))
+      val res = PageRank.run(
+        s, edges, PageRankConfig(maxIter = 4, tol = -1.0, minIter = 4),
+        teleport = Some(seeds))
+      res.ranks.select(col("id"), round(col("rank"), 7).as("rank_r"))
     },
     "g13_s3_pagerank" -> { (s, dir) =>
       // LiveJournal-shaped fixture (4.85M v / 69M e at sf0.1 — BASELINE.md
@@ -664,6 +712,33 @@ object SparkEntry {
       // recomputes signatures, bands are only an execution strategy
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 3)),
 
+    "q19_cube" -> { (s, dir) =>
+      // CUBE: all 4 grouping combinations in one pass (completes the
+      // grouping-sets family next to q6's ROLLUP). grouping_id
+      // disambiguates real NULL keys from subtotal rows.
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count("*").as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          // must live inside agg: grouping_id() is only defined under
+          // the Cube/Rollup grouping it annotates
+          grouping_id().cast("long").as("gid"))
+    },
+    "q20_approx_percentiles" -> { (s, dir) =>
+      // sketch twin of q13: approx_percentile (KLL-style) — the
+      // constant-memory path at 100 TB where exact percentile's
+      // per-group sorted buffer is unpayable. Approximate ⇒ rows-only
+      // check; the accuracy contract is pinned by a unit test and the
+      // per-round bench error probe (q20_max_rel_err).
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            .as("median_price"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)")
+            .as("p90_price"))
+    },
     "q17_pivot" -> { (s, dir) =>
       // PIVOT: hourly event matrix, one column per event type. Explicit
       // value list (not inferred) — inference costs an extra distinct
@@ -756,6 +831,7 @@ object SparkEntry {
     "g5c_pagerank_k10" -> pageRankSql(
       10,
       "SELECT id, round(rank, 9) AS rank_r FROM r10"),
+    "g14_personalized_k4" -> personalizedPageRankSql(k = 4, nSeeds = 3),
     "g10_trace_k4" -> {
       val rows = (1 to 4).map { i =>
         s"""SELECT $i AS iteration,
@@ -1154,6 +1230,16 @@ object SparkEntry {
         |  AND p.user_id = c.user_id
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin,
+    "q19_cube" ->
+      // DuckDB GROUPING() returns one flag per column; combine to match
+      // Spark's packed grouping_id bitmask (status bit 1, priority bit 0)
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+        |       AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q17_pivot" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_str,

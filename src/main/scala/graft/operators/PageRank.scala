@@ -132,11 +132,21 @@ object PageRank {
     }
   }
 
+  /** @param teleport optional personalization: `(id LONG, w DOUBLE)`
+    *   positive weights, normalized internally to the teleport
+    *   distribution p. NetworkX-aligned personalized PageRank: both the
+    *   (1−d) restart mass AND the dangling mass redistribute to p
+    *   (instead of uniformly), init stays uniform 1/N. Vertices absent
+    *   from `teleport` get p = 0 — reachable only via links. `None`
+    *   (default) is the reference's uniform mode, bit-identical to
+    *   before (the literal expression tree is untouched).
+    */
   def run(
       spark: SparkSession,
       edgesRaw: DataFrame,
       cfg: PageRankConfig = PageRankConfig(),
-      explicitVertices: Option[DataFrame] = None): PageRankResult = {
+      explicitVertices: Option[DataFrame] = None,
+      teleport: Option[DataFrame] = None): PageRankResult = {
 
     val d = cfg.damping
 
@@ -177,12 +187,29 @@ object PageRank {
       case None => GraphBuilder.vertices(edges)
     }
 
-    // state: id, outdeg, rank — partitioned by id (same hash space as src).
+    // state: id, outdeg[, p] — partitioned by id (same hash space as src).
     val deg =
       edges.groupBy(col("src").as("id")).agg(count("*").as("outdeg"))
-    var state = verts
-      .join(deg, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    // personalization: normalized teleport weights joined into the state
+    // once (vertices not in the teleport set get p = 0); `carry` threads
+    // the column through every per-iteration projection below
+    val pJoin: DataFrame => DataFrame = teleport match {
+      case Some(tw) =>
+        val tot = tw.agg(coalesce(sum(col("w")), lit(0.0))).first().getDouble(0)
+        require(tot > 0, "teleport weights must have a positive sum")
+        val pNorm = broadcast(
+          tw.select(col("id"), (col("w") / tot).as("p")))
+        st =>
+          st.join(pNorm, Seq("id"), "left_outer")
+            .withColumn("p", coalesce(col("p"), lit(0.0)))
+      case None => identity
+    }
+    val carry: Seq[org.apache.spark.sql.Column] =
+      if (teleport.isDefined) Seq(col("p")) else Seq.empty
+    var state = pJoin(
+      verts
+        .join(deg, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -190,9 +217,10 @@ object PageRank {
     require(n > 0, "empty graph")
     val bcast = n * stateRowBytes <= cfg.broadcastStateMaxBytes
 
-    // uniform 1/N init (PageRankDriver.java:102-108)
+    // uniform 1/N init (PageRankDriver.java:102-108; NetworkX keeps the
+    // uniform start even in personalized mode)
     state = state
-      .select(col("id"), col("outdeg"), lit(1.0 / n).as("rank"))
+      .select(col("id") +: col("outdeg") +: carry :+ lit(1.0 / n).as("rank"): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // initial dangling scan (PageRankDriver.java:112-114)
@@ -286,17 +314,25 @@ object PageRank {
       // the Spark analogue of the reference's iteration-dir rotation
       // (PageRankDriver.java:121-122,177-185); on a real cluster swap in
       // reliable `checkpoint()` for fault-tolerance of long chains.
+      // Uniform mode keeps the reference's literal expression tree
+      // untouched (bit-identical to the oracle-pinned runs); personalized
+      // mode redirects BOTH the restart and dangling mass to p
+      // (NetworkX personalized semantics).
+      val rankExpr =
+        if (teleport.isDefined)
+          (lit(1.0 - d) + lit(d * danglingSum)) * col("p") +
+            lit(d) * coalesce(col("contrib"), lit(0.0))
+        else
+          lit((1.0 - d) / n) + lit(d * danglingSum / n) +
+            lit(d) * coalesce(col("contrib"), lit(0.0))
       val newState = state
         .join(
           if (bcast) broadcast(contribs) else contribs.hint("shuffle_hash"),
           state("id") === contribs("cid"),
           "left_outer")
         .select(
-          col("id"),
-          col("outdeg"),
-          (lit((1.0 - d) / n) + lit(d * danglingSum / n) +
-            lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"),
-          col("rank").as("prev_rank"))
+          col("id") +: col("outdeg") +: carry :+
+            rankExpr.as("rank") :+ col("rank").as("prev_rank"): _*)
         .localCheckpoint(false) // lazy: the metrics pass below both
       // materializes and truncates in ONE job instead of two
 
@@ -317,7 +353,8 @@ object PageRank {
 
       val old = state
       // projection over the checkpointed RDD — plan stays O(1) size
-      state = newState.select(col("id"), col("outdeg"), col("rank"))
+      state = newState.select(
+        col("id") +: col("outdeg") +: carry :+ col("rank"): _*)
       old.unpersist(false)
       if (prevCheckpoint != null) prevCheckpoint.unpersist(false)
       prevCheckpoint = newState

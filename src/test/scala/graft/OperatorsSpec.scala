@@ -292,6 +292,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct)
   }
 
+  test("approx_percentile stays within rank-error bound of exact") {
+    val sp = spark
+    import sp.implicits._
+    // skewed values so rank error translates into visible value error if
+    // the sketch is wrong; accuracy=1000 ⇒ rank error ≤ 0.1% of n
+    val vals = (0 until 200000).map(i => math.pow(i.toDouble, 1.5)).toDF("v")
+    val row = vals.agg(
+      expr("approx_percentile(v, 0.5, 1000)").as("am"),
+      expr("percentile(v, 0.5)").as("xm"),
+      expr("approx_percentile(v, 0.9, 1000)").as("a90"),
+      expr("percentile(v, 0.9)").as("x90")).first()
+    // rank error 1e-3 on v = i^1.5 ⇒ value error ≤ ~1.5e-3 relative;
+    // assert 3× margin
+    assert(math.abs(row.getAs[Double]("am") / row.getAs[Double]("xm") - 1) < 0.005)
+    assert(math.abs(row.getAs[Double]("a90") / row.getAs[Double]("x90") - 1) < 0.005)
+  }
+
   test("stream-stream attribution join matches batch twin on out-of-order feed") {
     val sp = spark
     import sp.implicits._

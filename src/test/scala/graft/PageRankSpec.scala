@@ -118,6 +118,27 @@ class PageRankSpec extends AnyFunSuite {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-15) }
   }
 
+  test("personalized PageRank: uniform teleport ≡ default; mass conserved; seeds favored") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq(
+      1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 1L,
+      6L -> 1L, 7L -> 3L).toDF("src", "dst")
+    val cfg = PageRankConfig(maxIter = 6, tol = -1, minIter = 6)
+    // uniform teleport weights must reproduce the default run (same
+    // semantics, different expression tree → 1e-12, not bit-equal)
+    val uni = (1L to 7L).map((_, 1.0)).toDF("id", "w")
+    val a = ranksMap(PageRank.run(spark, e, cfg))
+    val b = ranksMap(PageRank.run(spark, e, cfg, teleport = Some(uni)))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+    // seed-restricted teleport: mass conserved, seed outranks its uniform self
+    val seeds = Seq((6L, 1.0)).toDF("id", "w")
+    val p = ranksMap(PageRank.run(spark, e, cfg, teleport = Some(seeds)))
+    assert(math.abs(p.values.sum - 1.0) < 1e-9, s"mass=${p.values.sum}")
+    assert(p(6L) > a(6L) * 2, s"seed rank ${p(6L)} vs uniform ${a(6L)}")
+  }
+
   test("salted two-phase aggregation matches unsalted to 1e-12") {
     // hub-heavy graph: vertex 1 receives from everyone (the skew shape
     // salting exists for); salted runs in fallback mode so the salt path

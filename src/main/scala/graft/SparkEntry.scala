@@ -102,6 +102,17 @@ object SparkEntry {
          |WHERE i = (SELECT it FROM chosen)""".stripMargin)
   }
 
+  /** DuckDB twin of SyntheticGraph.portable — regenerates the identical
+    * md5-derived edge set from `range(nE)`.
+    */
+  private def portableGraphSql(nV: Long, nE: Long, salt: String): String = {
+    def ep(tag: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':$tag:', '$salt')), 1, 8)) AS BIGINT) % $nV"
+    s"""pe AS MATERIALIZED (
+       |  SELECT ${ep("s")} AS src, ${ep("d")} AS dst
+       |  FROM range($nE) t(i))""".stripMargin
+  }
+
   /** Unrolled PERSONALIZED PageRank oracle (g14): teleport distribution
     * p = uniform over the `nSeeds` smallest vertex ids; both the restart
     * and dangling mass redistribute to p (NetworkX personalized
@@ -313,6 +324,24 @@ object SparkEntry {
         s, graft.sources.SyntheticGraph.s1Shaped(s, dir),
         PageRankConfig(maxIter = 3, tol = -1.0, minIter = 3))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g15_components" -> { (s, dir) =>
+      // weakly-connected components (GraphX HashMin Pregel) on a
+      // PORTABLE md5-derived random graph — sparse, so the component
+      // structure is non-trivial and the recursive-CTE oracle can
+      // recompute every label (the orders-derived graph is one dense
+      // bipartite blob: correct but trivial)
+      val e = graft.sources.SyntheticGraph.portable(s, 600, 250, "g15")
+      Dedup
+        .componentsFromPairs(
+          e.select(col("src").as("id_a"), col("dst").as("id_b")))
+        .select(col("doc_id").as("id"), col("group_id").as("component_id"))
+    },
+    "g16_triangles" -> { (s, dir) =>
+      // exact per-vertex triangle counts on a denser portable graph
+      // (bipartite orders graph has zero triangles by construction)
+      GraphBuilder.triangleCounts(
+        graft.sources.SyntheticGraph.portable(s, 300, 1500, "g16"))
     },
     "g14_personalized_k4" -> { (s, dir) =>
       // personalized PageRank: teleport restricted to the 3 smallest
@@ -832,6 +861,32 @@ object SparkEntry {
       10,
       "SELECT id, round(rank, 9) AS rank_r FROM r10"),
     "g14_personalized_k4" -> personalizedPageRankSql(k = 4, nSeeds = 3),
+    "g15_components" ->
+      s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g15")},
+         |ed AS (SELECT src AS u, dst AS v FROM pe
+         |       UNION SELECT dst, src FROM pe),
+         |nodes AS (SELECT DISTINCT u AS id FROM ed),
+         |r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+         |SELECT id, min(m) AS component_id FROM r GROUP BY 1""".stripMargin,
+    "g16_triangles" ->
+      s"""WITH ${portableGraphSql(300, 1500, "g16")},
+         |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |       FROM pe WHERE src <> dst),
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ue e1
+         |  JOIN ue e2 ON e1.v = e2.u
+         |  JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pv AS (SELECT id, count(*) AS n FROM
+         |  (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |   UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT v.id, CAST(coalesce(pv.n, 0) AS BIGINT) AS n_triangles
+         |FROM verts v LEFT JOIN pv USING (id)""".stripMargin,
     "g10_trace_k4" -> {
       val rows = (1 to 4).map { i =>
         s"""SELECT $i AS iteration,

@@ -72,4 +72,37 @@ object GraphBuilder {
   /** Dangling vertices (outdeg == 0): appear only as destinations. */
   def danglingVertices(edges: DataFrame): DataFrame =
     outDegrees(edges).filter(col("outdeg") === 0).select(col("id"))
+
+  /** Per-vertex triangle counts over the UNDIRECTED simple graph
+    * underlying `edges` (direction and self-loops dropped, multi-edges
+    * collapse). The standard distributed triangle listing: canonicalize
+    * u < v, join two-paths `a→b→c` (ordering guarantees a < b < c, so
+    * each triangle enumerates exactly once), then a closing-edge join —
+    * two shuffled equi-joins, the same plan a dedicated graph engine
+    * runs for exact listing, with Σ over wedge counts as the true cost
+    * bound. Vertices in no triangle report 0.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val ue = edges
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tris = ue.as("e1")
+      .join(ue.as("e2"), col("e1.v") === col("e2.u"))
+      .join(
+        ue.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perVertex = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count("*").as("n_triangles"))
+    val out = vertices(edges)
+      .join(perVertex, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    CacheScope.sealAfter(out, ue)
+  }
 }

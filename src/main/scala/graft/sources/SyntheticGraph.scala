@@ -67,4 +67,31 @@ object SyntheticGraph {
       powerLaw(spark, 4850000L, 69000000L)
     else
       powerLaw(spark, 48500L, 690000L)
+
+  /** PORTABLE uniform random digraph: endpoints derive from md5 (not
+    * xxhash64), so an oracle engine can regenerate the identical edge
+    * set — `CAST(concat('0x', substr(md5(i || ':s:' || salt), 1, 8)) AS
+    * BIGINT) % n` in DuckDB ≡ the `conv(substring(md5(..),1,8),16,10)`
+    * column below. Used by the graph-analytics queries (components,
+    * triangles) that need a non-bipartite fixture the relational-derived
+    * graph cannot provide. Same zero-data-movement generation shape as
+    * [[powerLaw]].
+    */
+  def portable(
+      spark: SparkSession,
+      nVertices: Long,
+      nEdges: Long,
+      salt: String): DataFrame = {
+    def endpoint(tag: String) =
+      pmod(
+        conv(
+          substring(
+            md5(concat_ws(":", col("id").cast("string"), lit(tag), lit(salt))),
+            1, 8),
+          16, 10).cast("long"),
+        lit(nVertices))
+    spark
+      .range(nEdges)
+      .select(endpoint("s").as("src"), endpoint("d").as("dst"))
+  }
 }

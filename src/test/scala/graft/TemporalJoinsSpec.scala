@@ -166,6 +166,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(banded.contains((0L, 1L, 0))) // exact dup found at distance 0
   }
 
+  test("triangleCounts: direction, multi-edges and self-loops don't distort") {
+    val sp = spark
+    import sp.implicits._
+    // triangle 1-2-3; pendant 3-4; noise: reversed dup edge, self-loop
+    val e = Seq(
+      1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L,
+      2L -> 1L, 1L -> 1L).toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.triangleCounts(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("repeatedNgramStats counts duplicate 3-grams") {
     val sp = spark
     import sp.implicits._

@@ -197,8 +197,11 @@ object PageRank {
       case Some(tw) =>
         val tot = tw.agg(coalesce(sum(col("w")), lit(0.0))).first().getDouble(0)
         require(tot > 0, "teleport weights must have a positive sum")
-        val pNorm = broadcast(
-          tw.select(col("id"), (col("w") / tot).as("p")))
+        // no broadcast hint: a seed set broadcasts on its own size
+        // estimate, while a full |V|-sized personalization vector must
+        // be allowed to shuffle-join — this happens ONCE at setup, not
+        // per iteration (p rides the state frame thereafter)
+        val pNorm = tw.select(col("id"), (col("w") / tot).as("p"))
         st =>
           st.join(pNorm, Seq("id"), "left_outer")
             .withColumn("p", coalesce(col("p"), lit(0.0)))

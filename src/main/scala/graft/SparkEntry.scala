@@ -25,7 +25,11 @@ object SparkEntry {
     * full pipeline — derive graph, run PageRank to convergence, top-50.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val edges = EdgeListReader.fromOrders(spark, "/root/testdata/sf0.001")
+    // cached variant: besides the shared-scan reuse, the materialized
+    // cache carries EXACT size stats, so PageRank's stats-based edge
+    // partition sizing sees the true row count instead of the join's
+    // multiplicative size estimate
+    val edges = EdgeListReader.fromOrdersCached(spark, "/root/testdata/sf0.001")
     val res = PageRank.run(spark, edges)
     PageRank.topK(res.ranks, 50)
   }
@@ -101,6 +105,26 @@ object SparkEntry {
          |SELECT id, round(rank, 9) AS rank_r FROM allr
          |WHERE i = (SELECT it FROM chosen)""".stripMargin)
   }
+
+  /** Gap-based (30 min) session oracle over `events` — shared by st1
+    * (batch twin) and st6 (the real event-time streaming operator, fully
+    * flushed): both must reproduce these rows exactly.
+    */
+  private val gapSessionSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT user_id, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM x)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM y GROUP BY 1, 2""".stripMargin
 
   /** DuckDB twin of SyntheticGraph.portable — regenerates the identical
     * md5-derived edge set from `range(nE)`.
@@ -343,6 +367,17 @@ object SparkEntry {
       GraphBuilder.triangleCounts(
         graft.sources.SyntheticGraph.portable(s, 300, 1500, "g16"))
     },
+    "g19_bfs_hops" -> { (s, dir) =>
+      // directed min-hop BFS from the smallest source vertex (GraphX
+      // Pregel frontier traversal — one message per improved edge per
+      // round). Completes the graph-traversal operator class next to
+      // g15's undirected components; the oracle re-derives min(d) per
+      // vertex with a depth-bounded recursive CTE on the regenerated
+      // portable graph.
+      val e = graft.sources.SyntheticGraph.portable(s, 300, 1500, "g19")
+      val src = e.agg(min(col("src"))).first().getLong(0)
+      GraphBuilder.bfsHops(e, src, maxHops = 12)
+    },
     "g14_personalized_k4" -> { (s, dir) =>
       // personalized PageRank: teleport restricted to the 3 smallest
       // vertex ids (uniform over the seed set) — "rank relative to this
@@ -361,19 +396,77 @@ object SparkEntry {
       // S3, 13× the g9 shape) run with broadcastStateMaxBytes=0 so the
       // iteration joins take the co-partitioned SHUFFLE-FALLBACK path —
       // the plan a 1000-executor graph runs, measured every round instead
-      // of only in ad-hoc README notes. Returns the per-iteration trace
-      // (wall seconds are nondeterministic ⇒ rows-only check); Bench
-      // lifts iter_sec into BENCH_r{N}.json for the BASELINE.md S3
-      // comparison (Giraph: ~17 s/superstep on 1+4 nodes).
+      // of only in ad-hoc README notes. FOUR iterations (k=2 could not
+      // distinguish per-iteration cost growth from plateau), each row
+      // carrying executor run/CPU seconds + shuffle bytes alongside wall
+      // seconds, so a contended-host run is self-diagnosing: wall
+      // inflates, cpu and shuffle don't. Rows-only check (timings are
+      // nondeterministic); Bench lifts the per-iteration columns into
+      // BENCH_r{N}.json for the BASELINE.md S3 comparison (Giraph:
+      // ~17 s/superstep on 1+4 nodes).
       val sp = s
       import sp.implicits._
       val res = PageRank.run(
         s, graft.sources.SyntheticGraph.s3Shaped(s, dir),
-        PageRankConfig(maxIter = 2, tol = -1.0, minIter = 2,
-          broadcastStateMaxBytes = 0L))
+        PageRankConfig(maxIter = 4, tol = -1.0, minIter = 4,
+          broadcastStateMaxBytes = 0L, traceResources = true))
       res.trace
-        .map(st => (st.iteration, st.millis / 1000.0))
-        .toDF("iteration", "iter_sec")
+        .map(st => (st.iteration, st.millis / 1000.0,
+          st.executorRunMs / 1000.0, st.executorCpuMs / 1000.0,
+          st.shuffleReadMB + st.shuffleWriteMB))
+        .toDF("iteration", "iter_sec", "exec_sec", "cpu_sec", "shuffle_mb")
+    },
+    "g17_graphx_s3" -> { (s, dir) =>
+      // The GraphX/Pregel twin measured AT BENCH SCALE on the same S3
+      // fixture (k=2): BASELINE.json names "GraphX/Pregel for PageRank"
+      // as the approach, so the BSP path's per-superstep cost is a
+      // per-round number, not a tiny-fixture differential only. Rows-only
+      // check; Bench lifts iter_sec/cpu for the DataFrame-vs-GraphX
+      // comparison.
+      val sp = s
+      import sp.implicits._
+      val res = GraphXPageRank.run(
+        s, graft.sources.SyntheticGraph.s3Shaped(s, dir),
+        PageRankConfig(maxIter = 2, tol = -1.0, minIter = 2,
+          traceResources = true))
+      res.trace
+        .map(st => (st.iteration, st.millis / 1000.0,
+          st.executorRunMs / 1000.0, st.executorCpuMs / 1000.0))
+        .toDF("iteration", "iter_sec", "exec_sec", "cpu_sec")
+    },
+    "g18_hub_salt0" -> { (s, dir) =>
+      // single-hub skew fixture (SyntheticGraph.hubShaped: one dst key
+      // holding ~12× a partition's average rows after dedup), UNSALTED:
+      // the straggler baseline the salted twin below must beat. Forced
+      // onto the shuffle-fallback path — salting only applies there.
+      val sp = s
+      import sp.implicits._
+      val res = PageRank.run(
+        s, graft.sources.SyntheticGraph.hubShaped(s, dir),
+        PageRankConfig(maxIter = 2, tol = -1.0, minIter = 2,
+          broadcastStateMaxBytes = 0L, traceResources = true))
+      res.trace
+        .map(st => (st.iteration, st.millis / 1000.0,
+          st.executorRunMs / 1000.0, st.executorCpuMs / 1000.0))
+        .toDF("iteration", "iter_sec", "exec_sec", "cpu_sec")
+    },
+    "g18_hub_salt32" -> { (s, dir) =>
+      // same fixture with saltBuckets=32: the hot dst fans out over 32
+      // reducer keys, then a second (tiny) exchange re-aggregates. The
+      // differential test pins salted ≡ unsalted to ≤1e-12; this row
+      // records whether salting actually pays on the one fixture shape
+      // it exists for.
+      val sp = s
+      import sp.implicits._
+      val res = PageRank.run(
+        s, graft.sources.SyntheticGraph.hubShaped(s, dir),
+        PageRankConfig(maxIter = 2, tol = -1.0, minIter = 2,
+          broadcastStateMaxBytes = 0L, saltBuckets = 32,
+          traceResources = true))
+      res.trace
+        .map(st => (st.iteration, st.millis / 1000.0,
+          st.executorRunMs / 1000.0, st.executorCpuMs / 1000.0))
+        .toDF("iteration", "iter_sec", "exec_sec", "cpu_sec")
     },
 
     // ---- relational carriers (SURVEY §2.2 / Q10) ----
@@ -654,6 +747,55 @@ object SparkEntry {
       // with state expiry runs in StreamingSpec
       graft.streaming.EventStreams.attributionJoin(
         graft.sources.Tables.events(s, dir))),
+    "st6_eventtime_sessions" -> { (s, dir) =>
+      // EVENT-TIME sessionization through the REAL streaming operator
+      // (flatMapGroupsWithState + EventTimeTimeout), replayed OUT OF
+      // ORDER from the events table; sentinel batches then advance the
+      // watermark past every session horizon so ALL sessions flush.
+      // With the full history flushed, watermark-driven gap sessions
+      // equal batch gap sessions — which is exactly what the DuckDB
+      // oracle recomputes (same SQL as st1), so the streaming operator
+      // itself is hash-checked, not just its batch twin.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+        .collect()
+      // deterministic out-of-order replay: scramble by a hash of event_id
+      val scrambled = all.sortBy(e =>
+        java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 17))
+      val maxMs = all.iterator.map(_.ts.getTime).max
+      def sentinel(t: Long) = graft.streaming.EventStreams.Event(
+        -1L, new java.sql.Timestamp(t), -1L, "sentinel", 0.0)
+      val ms = MemoryStream[graft.streaming.EventStreams.Event]
+      val qname =
+        "st6_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.sessionizeEventTime(ms.toDS())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        ms.addData(scrambled.toIndexedSeq)
+        q.processAllAvailable()
+        // two sentinel batches: the first advances the watermark past
+        // every horizon; the second fires the (watermark-lagged) timeouts
+        ms.addData(sentinel(maxMs + 4L * 3600 * 1000))
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
+        q.processAllAvailable()
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start_ts"))
+      s.table(qname)
+        .filter(col("user_id") >= 0) // drop the sentinel user
+        .select(
+          col("user_id"),
+          row_number().over(w).cast("long").as("session_no"),
+          col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+    },
 
     // ---- temporal joins (operators the reference lacks entirely) ----
     "q15_asof_join" -> { (s, dir) =>
@@ -768,6 +910,32 @@ object SparkEntry {
           expr("approx_percentile(l_extendedprice, 0.9, 1000)")
             .as("p90_price"))
     },
+    "q21_geomean" -> { (s, dir) =>
+      // typed-Aggregator UDAF (the engine's user-defined-aggregate
+      // extension point, planned as a regular partial+final aggregate);
+      // the oracle runs the algebraic twin exp(avg(ln x)). round(2):
+      // summation order differs across engines/partitionings.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(
+            graft.functions.AggregatorFunctions
+              .geomean(col("l_extendedprice")),
+            2).as("geo_price"))
+    },
+    "q22_array_funcs" -> { (s, dir) =>
+      // array/list function carrier: sort, distinct, slice, join,
+      // negative element_at over whitespace tokens — cross-engine list
+      // semantics (clamping slices, binary string sort) pinned by hash
+      val toks = split(trim(col("text")), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",")
+          .as("first3"),
+        element_at(array_sort(toks), -1).as("top_token"))
+    },
     "q17_pivot" -> { (s, dir) =>
       // PIVOT: hourly event matrix, one column per event type. Explicit
       // value list (not inferred) — inference costs an extra distinct
@@ -871,6 +1039,30 @@ object SparkEntry {
          |  UNION
          |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
          |SELECT id, min(m) AS component_id FROM r GROUP BY 1""".stripMargin,
+    "g19_bfs_hops" ->
+      s"""WITH RECURSIVE ${portableGraphSql(300, 1500, "g19")},
+         |s AS (SELECT min(src) AS v FROM pe),
+         |r AS (
+         |  SELECT (SELECT v FROM s) AS id, 0 AS d
+         |  UNION
+         |  SELECT e.dst AS id, r.d + 1 AS d
+         |  FROM r JOIN pe e ON e.src = r.id
+         |  WHERE r.d < 12)
+         |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY 1""".stripMargin,
+    "q21_geomean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q22_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_sort(list_distinct(l))[1:3], ',') AS first3,
+        |  list_sort(l)[-1] AS top_token
+        |FROM t""".stripMargin,
     "g16_triangles" ->
       s"""WITH ${portableGraphSql(300, 1500, "g16")},
          |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
@@ -1141,21 +1333,10 @@ object SparkEntry {
         |  unnest(generate_series(0, ((doc_id * 97) % 600000 + 1) // 10000))
         |    AS frame_no
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
-    "st1_sessions" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |y AS (
-        |  SELECT user_id, value,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
-        |  FROM x)
-        |SELECT user_id, session_no, count(*) AS n_events,
-        |  round(sum(value), 4) AS sum_value
-        |FROM y GROUP BY 1, 2""".stripMargin,
+    "st1_sessions" -> gapSessionSql,
+    // the streaming event-time form, fully flushed, must equal the same
+    // batch gap sessions — one oracle, two independent engine paths
+    "st6_eventtime_sessions" -> gapSessionSql,
     "st2_windowed_agg" ->
       """SELECT strftime(make_timestamp((epoch_ms(ts) // 300000) * 300000000),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,

@@ -18,6 +18,7 @@ final case class ResourceSnapshot(
     inputBytes: Long,
     outputBytes: Long,
     executorRunMs: Long,
+    executorCpuMs: Long,
     peakStageShuffleWriteBytes: Long) {
 
   /** Delta between two snapshots of the SAME listener (peak is carried
@@ -31,17 +32,23 @@ final case class ResourceSnapshot(
     inputBytes - o.inputBytes,
     outputBytes - o.outputBytes,
     executorRunMs - o.executorRunMs,
+    executorCpuMs - o.executorCpuMs,
     peakStageShuffleWriteBytes)
 
   private def mb(b: Long): Double = math.round(b / 1048576.0 * 100) / 100.0
 
-  /** Compact JSON fragment (MB-denominated) for bench output. */
+  /** Compact JSON fragment (MB-denominated) for bench output.
+    * `executor_run_ms` is task WALL-clock (inflates on a CPU-contended
+    * host); `executor_cpu_ms` is actual CPU time (it does not) — the pair
+    * makes a contended run self-diagnosing.
+    */
   def toJson: String =
     s"""{"shuffle_read_mb":${mb(shuffleReadBytes)},""" +
       s""""shuffle_write_mb":${mb(shuffleWriteBytes)},""" +
       s""""spill_mb":${mb(memorySpillBytes + diskSpillBytes)},""" +
       s""""input_mb":${mb(inputBytes)},""" +
-      s""""executor_run_ms":$executorRunMs}"""
+      s""""executor_run_ms":$executorRunMs,""" +
+      s""""executor_cpu_ms":$executorCpuMs}"""
 
   /** `metric,value` CSV — the analogue of the reference's per-node
     * monitoring CSVs (PerformanceMonitor.java:83-135), with totals
@@ -57,6 +64,7 @@ final case class ResourceSnapshot(
       s"Input_bytes,$inputBytes\n" +
       s"Output_bytes,$outputBytes\n" +
       s"Executor_Run_ms,$executorRunMs\n" +
+      s"Executor_Cpu_ms,$executorCpuMs\n" +
       s"Peak_Stage_Shuffle_Write_bytes,$peakStageShuffleWriteBytes\n"
 }
 
@@ -79,6 +87,7 @@ final class ResourceListener extends SparkListener {
   private val input = new AtomicLong(0)
   private val output = new AtomicLong(0)
   private val runMs = new AtomicLong(0)
+  private val cpuMs = new AtomicLong(0)
   private val peakStageShuffleWrite = new AtomicLong(0)
 
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
@@ -92,6 +101,7 @@ final class ResourceListener extends SparkListener {
       input.addAndGet(tm.inputMetrics.bytesRead)
       output.addAndGet(tm.outputMetrics.bytesWritten)
       runMs.addAndGet(tm.executorRunTime)
+      cpuMs.addAndGet(tm.executorCpuTime / 1000000L) // reported in ns
       peakStageShuffleWrite.updateAndGet(p => math.max(p, w))
     }
     updates.incrementAndGet()
@@ -100,7 +110,8 @@ final class ResourceListener extends SparkListener {
 
   def snapshot: ResourceSnapshot = ResourceSnapshot(
     shuffleRead.get(), shuffleWrite.get(), memSpill.get(), diskSpill.get(),
-    input.get(), output.get(), runMs.get(), peakStageShuffleWrite.get())
+    input.get(), output.get(), runMs.get(), cpuMs.get(),
+    peakStageShuffleWrite.get())
 
   def resetPeak(): Unit = peakStageShuffleWrite.set(0)
 

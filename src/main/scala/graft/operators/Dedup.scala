@@ -161,7 +161,10 @@ object Dedup {
       threshold: Double): DataFrame =
     // ensure() on the candidate stream: with broadcast-joined shingle
     // sides, the per-pair intersect/union runs in the CANDIDATE frame's
-    // partitions — a single-partition pair list would compute serially
+    // partitions. The guard only acts on scan-shaped candidate inputs
+    // (e.g. a pair list read from one small file); shuffle-produced
+    // candidate frames — every at-scale path — already carry shuffle
+    // parallelism and are passed through without even compiling a plan
     graft.core.Parallelism.ensure(candidates
       .select(col("id_a"), col("id_b")))
       .join(sh.select(col("doc_id").as("id_a"), col("shm").as("sh_a")), "id_a")

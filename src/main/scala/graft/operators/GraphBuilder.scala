@@ -73,6 +73,45 @@ object GraphBuilder {
   def danglingVertices(edges: DataFrame): DataFrame =
     outDegrees(edges).filter(col("outdeg") === 0).select(col("id"))
 
+  /** Minimum-hop distances from `source` over the DIRECTED edge set —
+    * frontier BFS as a GraphX Pregel program (one message per improved
+    * edge per round, the optimal distributed shape; a DataFrame
+    * self-join-per-hop would rescan the full edge set every round).
+    * `maxHops` bounds the rounds, mirroring the depth bound the
+    * recursive-CTE oracle needs to terminate. Unreached vertices are
+    * omitted. Schema: `id LONG, hops LONG`.
+    */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    import org.apache.spark.graphx._
+    val spark = edges.sparkSession
+    val edgeRdd = edges
+      .select(col("src"), col("dst"))
+      .distinct()
+      .rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val unreached = Long.MaxValue
+    val g = Graph
+      .fromEdges(edgeRdd, unreached)
+      .mapVertices((id, _) => if (id == source) 0L else unreached)
+    val res = Pregel(
+      g, initialMsg = unreached, maxIterations = maxHops,
+      activeDirection = EdgeDirection.Out)(
+      (_, d, msg) => math.min(d, msg),
+      t =>
+        if (t.srcAttr != unreached && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    val sp = spark
+    import sp.implicits._
+    val out = res.vertices
+      .filter { case (_, d) => d != unreached }
+      .map { case (id, d) => (id, d) }
+      .toDF("id", "hops")
+    g.unpersist(false)
+    out
+  }
+
   /** Per-vertex triangle counts over the UNDIRECTED simple graph
     * underlying `edges` (direction and self-loops dropped, multi-edges
     * collapse). The standard distributed triangle listing: canonicalize

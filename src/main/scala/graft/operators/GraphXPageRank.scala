@@ -58,7 +58,17 @@ object GraphXPageRank {
     var iter = 0
     var converged = false
 
+    // same opt-in per-superstep resource trace as the DataFrame loop
+    val resListener =
+      if (cfg.traceResources)
+        Some(graft.metrics.ResourceMetrics.attach(spark.sparkContext))
+      else None
+    def resSnap(): Option[graft.metrics.ResourceSnapshot] =
+      resListener.map { l => l.quiesce(); l.snapshot }
+
+    try {
     while (iter < cfg.maxIter && !converged) {
+      val snap0 = resSnap()
       val t0 = System.nanoTime()
 
       // sendMessageToAllEdges(v, PR/outdeg) + merge-sum
@@ -97,11 +107,26 @@ object GraphXPageRank {
       danglingSum = dang
       val avgDiff = l1 / n
       iter += 1
+      val iterMs = (System.nanoTime() - t0) / 1000000
+      val delta = (resSnap(), snap0) match {
+        case (Some(a), Some(b)) => Some(a - b)
+        case _                  => None
+      }
       trace += IterationStat(
-        iter, danglingSum, avgDiff, totalPR,
-        (System.nanoTime() - t0) / 1000000)
+        iter, danglingSum, avgDiff, totalPR, iterMs,
+        executorRunMs = delta.map(_.executorRunMs).getOrElse(0L),
+        executorCpuMs = delta.map(_.executorCpuMs).getOrElse(0L),
+        shuffleReadMB = delta
+          .map(d => math.round(d.shuffleReadBytes / 1048576.0 * 10) / 10.0)
+          .getOrElse(0.0),
+        shuffleWriteMB = delta
+          .map(d => math.round(d.shuffleWriteBytes / 1048576.0 * 10) / 10.0)
+          .getOrElse(0.0))
 
       if (avgDiff <= cfg.tol && iter >= cfg.minIter) converged = true
+    }
+    } finally {
+      resListener.foreach(spark.sparkContext.removeSparkListener)
     }
 
     val ranksDf = {

@@ -40,7 +40,16 @@ final case class PageRankConfig(
       * Costs a second (small) shuffle, so keep it off at web-graph skew;
       * the differential test pins salted ≡ unsalted to ≤1e-12.
       */
-    saltBuckets: Int = 0)
+    saltBuckets: Int = 0,
+    /** Attach a per-run stage listener and record per-iteration executor
+      * run/CPU time and shuffle bytes into the [[IterationStat]] trace.
+      * Off by default: the listener quiesce adds ~100 ms per iteration,
+      * which the oracle-scale queries shouldn't pay. The bench fixtures
+      * turn it on — per-iteration CPU vs wall is what separates "the
+      * engine got slower" from "the host was busy", and per-iteration
+      * shuffle bytes pin whether the plan changed.
+      */
+    traceResources: Boolean = false)
 
 /** Per-iteration trace — the numeric part of the reference's
   * performance_report / _timings.csv side channel
@@ -51,7 +60,15 @@ final case class IterationStat(
     danglingSum: Double,
     avgDiff: Double,
     totalPR: Double,
-    millis: Long)
+    millis: Long,
+    // resource columns, populated only when PageRankConfig.traceResources
+    // is on: task wall-time, task CPU-time, shuffle volume of the
+    // iteration — the signals that distinguish a plan regression (shuffle
+    // bytes move) from host contention (run inflates, cpu doesn't)
+    executorRunMs: Long = 0L,
+    executorCpuMs: Long = 0L,
+    shuffleReadMB: Double = 0.0,
+    shuffleWriteMB: Double = 0.0)
 
 final case class PageRankResult(
     ranks: DataFrame, // id LONG, rank DOUBLE
@@ -95,6 +112,30 @@ object PageRank {
     */
   val stateRowBytes: Long = 64L
 
+  /** Shuffle-partition count for the one-time edge repartition+dedup,
+    * sized so each task's dedup hash table stays ~50 MB (~1M edge rows).
+    * Row count is ESTIMATED from Catalyst's `sizeInBytes` statistics of
+    * the pruned (src, dst) projection — a plan inspection, no job runs.
+    * 12 bytes/row deliberately undershoots the ~24 B Catalyst charges a
+    * two-long row: overestimating rows only adds (cheap) partitions,
+    * while underestimating them overfills the per-task dedup tables.
+    * Sources with exact stats (cached relations, LocalRelation, range)
+    * land on the true count; file scans land on file bytes, the same
+    * signal `files.maxPartitionBytes` sizes scans with. Join-derived
+    * inputs can carry wildly multiplicative size estimates, so the result
+    * is capped — past the cap AQE partition coalescing is the backstop.
+    */
+  private[graft] def estimateEdgeParts(edgesRaw: DataFrame): Int = {
+    val spark = edgesRaw.sparkSession
+    val estBytes = edgesRaw
+      .select(col("src"), col("dst"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = (estBytes / 12).min(BigInt(Long.MaxValue)).toLong
+    math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      math.min((estRows / 1000000L) + 1L, 32768L).toInt)
+  }
+
   // Refcounted AQE suppression, keyed PER SESSION: the conf being guarded
   // is per-SparkSession, so the (depth, saved-value) bookkeeping must be
   // too — a JVM-global counter would let loop A's exit restore session
@@ -137,9 +178,11 @@ object PageRank {
     *   distribution p. NetworkX-aligned personalized PageRank: both the
     *   (1−d) restart mass AND the dangling mass redistribute to p
     *   (instead of uniformly), init stays uniform 1/N. Vertices absent
-    *   from `teleport` get p = 0 — reachable only via links. `None`
-    *   (default) is the reference's uniform mode, bit-identical to
-    *   before (the literal expression tree is untouched).
+    *   from `teleport` get p = 0 — reachable only via links. Teleport
+    *   entries whose id is NOT in the graph are ignored (weights are
+    *   normalized over the in-graph ids only, so Σp = 1 and total rank
+    *   mass stays 1). `None` (default) is the reference's uniform mode,
+    *   bit-identical to before (the literal expression tree is untouched).
     */
   def run(
       spark: SparkSession,
@@ -158,19 +201,16 @@ object PageRank {
     // plans as a partial+final hash-agg with NO second exchange — one
     // full-edge shuffle total instead of two.
     //
-    // Partition COUNT is sized from |E|, not left at
-    // spark.sql.shuffle.partitions: the dedup hash table is per TASK
-    // (~56 B per distinct edge), so at 69M edges on 32 partitions each
-    // task holds a ~120 MB table — past the execution pool that means
-    // sort-based fallback, i.e. the whole edge set spills (measured
-    // ~15 GB at the S3 bench shape). ~1M rows per partition keeps every
-    // table ~50 MB; the raw count is column-pruned (no expression eval,
-    // no shuffle) and at 100 TB this is the same sizing job
-    // files.maxPartitionBytes does for scans.
-    val nEdgesRaw = edgesRaw.count()
-    val edgeParts = math.max(
-      spark.sessionState.conf.numShufflePartitions,
-      (nEdgesRaw / 1000000L).toInt + 1)
+    // Partition COUNT is sized from the relation's ESTIMATED row count,
+    // not left at spark.sql.shuffle.partitions: the dedup hash table is
+    // per TASK (~56 B per distinct edge), so at 69M edges on 32
+    // partitions each task holds a ~120 MB table — past the execution
+    // pool that means sort-based fallback, i.e. the whole edge set spills
+    // (measured ~15 GB at the S3 bench shape). ~1M rows per partition
+    // keeps every table ~50 MB. The estimate comes from Catalyst stats
+    // (free — no action, no extra input scan; a full count() here used to
+    // cost a complete pass over the raw edges before any work).
+    val edgeParts = estimateEdgeParts(edgesRaw)
     val repartitioned = edgesRaw
       .select(col("src"), col("dst"))
       .repartition(edgeParts, col("src"))
@@ -195,13 +235,23 @@ object PageRank {
     // the column through every per-iteration projection below
     val pJoin: DataFrame => DataFrame = teleport match {
       case Some(tw) =>
-        val tot = tw.agg(coalesce(sum(col("w")), lit(0.0))).first().getDouble(0)
-        require(tot > 0, "teleport weights must have a positive sum")
+        // normalize over the teleport ids PRESENT IN THE GRAPH: weights
+        // on absent vertices are dropped by the state join below, so
+        // normalizing over the raw input would silently deflate total
+        // rank mass below 1 (mass teleporting to vertices that don't
+        // exist). One setup-time semi join + scalar agg, not per-iteration.
+        val twInGraph = tw.join(verts, Seq("id")).select(col("id"), col("w"))
+        val tot =
+          twInGraph.agg(coalesce(sum(col("w")), lit(0.0))).first().getDouble(0)
+        require(
+          tot > 0,
+          "teleport weights must have a positive sum over vertices present " +
+            "in the graph")
         // no broadcast hint: a seed set broadcasts on its own size
         // estimate, while a full |V|-sized personalization vector must
         // be allowed to shuffle-join — this happens ONCE at setup, not
         // per iteration (p rides the state frame thereafter)
-        val pNorm = tw.select(col("id"), (col("w") / tot).as("p"))
+        val pNorm = twInGraph.select(col("id"), (col("w") / tot).as("p"))
         st =>
           st.join(pNorm, Seq("id"), "left_outer")
             .withColumn("p", coalesce(col("p"), lit(0.0)))
@@ -238,6 +288,15 @@ object PageRank {
     var converged = false
     var prevCheckpoint: DataFrame = null // last iteration's blocks to drop
 
+    // per-iteration resource accounting (opt-in, see
+    // PageRankConfig.traceResources) — detached in the finally below
+    val resListener =
+      if (cfg.traceResources)
+        Some(graft.metrics.ResourceMetrics.attach(spark.sparkContext))
+      else None
+    def resSnap(): Option[graft.metrics.ResourceSnapshot] =
+      resListener.map { l => l.quiesce(); l.snapshot }
+
     // In broadcast mode the per-iteration plan is fully determined (two
     // broadcast joins + one exchange) — AQE's stage-by-stage
     // materialization only adds a scheduling barrier per exchange,
@@ -251,6 +310,7 @@ object PageRank {
     try {
 
     while (iter < cfg.maxIter && !converged) {
+      val snap0 = resSnap() // before t0: the quiesce wait is not engine time
       val t0 = System.nanoTime()
 
       // Scatter: only sources with outdeg>0 appear in edges, so no filter
@@ -363,9 +423,21 @@ object PageRank {
       prevCheckpoint = newState
 
       iter += 1
+      val iterMs = (System.nanoTime() - t0) / 1000000
+      val delta = (resSnap(), snap0) match {
+        case (Some(a), Some(b)) => Some(a - b)
+        case _                  => None
+      }
       trace += IterationStat(
-        iter, danglingSum, avgDiff, totalPR,
-        (System.nanoTime() - t0) / 1000000)
+        iter, danglingSum, avgDiff, totalPR, iterMs,
+        executorRunMs = delta.map(_.executorRunMs).getOrElse(0L),
+        executorCpuMs = delta.map(_.executorCpuMs).getOrElse(0L),
+        shuffleReadMB = delta
+          .map(d => math.round(d.shuffleReadBytes / 1048576.0 * 10) / 10.0)
+          .getOrElse(0.0),
+        shuffleWriteMB = delta
+          .map(d => math.round(d.shuffleWriteBytes / 1048576.0 * 10) / 10.0)
+          .getOrElse(0.0))
 
       // convergence guard (PageRankDriver.java:211-216): threshold AND
       // min-iteration floor
@@ -374,6 +446,7 @@ object PageRank {
 
     } finally {
       if (bcast) restoreAqe(spark)
+      resListener.foreach(spark.sparkContext.removeSparkListener)
     }
 
     edges.unpersist(false)

@@ -6,15 +6,25 @@ import org.apache.spark.sql.functions._
 /** Vector-similarity operators over an `embeddings(vec_id, embedding
   * ARRAY<FLOAT>, label)` table.
   *
-  * Dot products are expressed with `zip_with` + `aggregate` — pure
-  * Catalyst expressions, fully codegen'd, no UDF. The fold is sequential
-  * over the array in both Spark and the DuckDB oracle, so results match
-  * bit-for-bit modulo the final rounding.
+  * Dot products run through a native codegen'd Catalyst expression
+  * ([[graft.functions.DotProductExpr]]) emitting a tight primitive loop —
+  * the `zip_with` + `aggregate` composition it replaces evaluated its
+  * lambdas interpreted, one call per element per pair, and dominated the
+  * all-pairs profiles. The fold order is unchanged (sequential,
+  * left-to-right), so results are bit-identical to the HOF form and to
+  * the DuckDB oracle's fold modulo the final rounding; a differential
+  * spec pins native ≡ HOF exactly.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays (codegen'd). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotNative(a, b)
+
+  /** The HOF composition [[dot]] replaced — kept as the differential
+    * oracle for the native expression (DotProductSpec pins bit-equality).
+    */
+  private[graft] def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x * y),
       lit(0.0),
@@ -28,9 +38,9 @@ object Similarity {
   /** Cosine with PRE-materialized norms: `dot(a,b)/(na·nb)`. The
     * expression tree is identical to [[cosine]] (same fold, same
     * multiply/divide order), so results are bit-equal — but the two norm
-    * folds are paid once per VECTOR instead of once per PAIR. The array
-    * folds are interpreted (not codegen'd) in Spark, so on an all-pairs
-    * stage this cuts the interpreted work per pair from 3 folds to 1.
+    * folds are paid once per VECTOR instead of once per PAIR: even with
+    * the codegen'd dot, an all-pairs stage does 1 loop per pair instead
+    * of 3.
     */
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)

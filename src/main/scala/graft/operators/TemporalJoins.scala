@@ -33,9 +33,16 @@ object TemporalJoins {
     * ties on the timestamp must be pre-deduplicated by the caller if
     * determinism is required). Null payload when no right row precedes.
     *
+    * All payload columns ride the window in ONE struct, so every payload
+    * value comes from the SAME (latest) right row — including its NULLs.
+    * Per-column backfill would tear rows: a NULL in one payload column of
+    * the latest quote would be filled from an OLDER quote while the other
+    * columns came from the newer one, diverging from ASOF semantics.
+    *
     * @param left      probe side; must carry `key` and `leftTs`
     * @param right     quote side; must carry `key`, `rightTs`, payload
-    * @param payload   right-side columns to carry onto matches
+    * @param payload   right-side columns to carry onto matches; must not
+    *                  collide with any left-side column name
     */
   def asofJoin(
       left: DataFrame,
@@ -48,18 +55,24 @@ object TemporalJoins {
     require(
       payload.nonEmpty && !payload.contains(key),
       "payload must be non-empty right-side value columns")
+    val clash = payload.intersect(leftCols)
+    require(
+      clash.isEmpty,
+      s"payload columns [${clash.mkString(", ")}] collide with left-side " +
+        "columns — rename one side before joining")
 
     // tag 0 sorts before tag 1 at equal timestamps, so a quote exactly at
     // the probe instant is visible to it (inclusive semantics).
     val extra = leftCols.filterNot(c => c == key || c == leftTs)
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val qFull = right.select(
       (col(key) +: lit(0).as("_tag") +: col(rightTs).as("_t") +:
-        payload.map(c => col(c).as(s"_p_$c")) ++:
+        struct(payload.map(col): _*).as("_p") +:
         extra.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val pFull = left.select(
       (col(key) +: lit(1).as("_tag") +: col(leftTs).as("_t") +:
-        payload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"_p_$c")) ++:
+        lit(null).cast(pType).as("_p") +:
         extra.map(col)): _*)
     // union by name: probe rows carry their own columns, quote rows nulls
     val unioned = qFull.unionByName(pFull)
@@ -68,14 +81,14 @@ object TemporalJoins {
       .partitionBy(col(key))
       .orderBy(col("_t").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_p_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
-    }
-    filled
+    unioned
+      // probe rows carry a NULL struct (never a struct of nulls), so
+      // last(ignoreNulls) lands on the latest QUOTE row as a unit
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
       .select(
         (col(key) +: col("_t").as(leftTs) +: extra.map(col) ++:
-          payload.map(c => col(s"_p_$c").as(c))): _*)
+          payload.map(c => col("_p").getField(c).as(c))): _*)
   }
 
   /** Inner equi-join of `right` point rows onto `left` interval rows

@@ -107,21 +107,74 @@ object EdgeListReader {
     "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
 
-  private val derivedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // WEAK keys AND weak values: a discarded or stopped session's entry
+  // becomes collectable as soon as the caller drops the session — the
+  // previous applicationId-keyed process-global map pinned dead
+  // DataFrames for the life of the JVM. Values must be WeakReferences
+  // too: a strongly-held DataFrame references its session, which would
+  // resurrect the weak KEY through the value chain and make the entry
+  // immortal. Losing a value ref is cheap — the materialized blocks live
+  // in Spark's plan-matched CacheManager, so a rebuilt frame reattaches
+  // to them instead of recomputing. Guarded by its own monitor
+  // (WeakHashMap is not thread-safe).
+  private val derivedCache = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.HashMap[String, java.lang.ref.WeakReference[DataFrame]]]()
 
   /** [[fromOrders]] with session-scoped shared-scan caching: several
     * queries in one session derive the same graph, so the deduped edge
     * frame is cached once per (session, dir) — the same thing a shared
     * scan/materialized-CTE layer does in a warehouse engine. Correctness
-    * is unaffected: the frame is deterministic for a given dir.
+    * is unaffected: the frame is deterministic for a given dir. Entries
+    * are keyed per SparkSession (weakly — see [[derivedCache]]); a
+    * session that wants its blocks back eagerly calls [[release]].
     */
   def fromOrdersCached(spark: SparkSession, sfDir: String): DataFrame =
-    derivedCache.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + sfDir,
-      _ => {
+    derivedCache.synchronized {
+      val perSession = derivedCache.computeIfAbsent(
+        spark,
+        _ => new java.util.HashMap[
+          String, java.lang.ref.WeakReference[DataFrame]]())
+      val ref = perSession.get(sfDir)
+      val hit = if (ref == null) null else ref.get()
+      if (hit != null) hit
+      else {
         val e = fromOrders(spark, sfDir).cache()
-        e.count() // materialize once
+        e.count() // materialize once (no-op if blocks are still cached)
+        perSession.put(sfDir, new java.lang.ref.WeakReference(e))
         e
-      })
+      }
+    }
+
+  /** Unpersist and forget every derived-graph cache of `spark`. The weak
+    * map already lets a dropped session's entry be collected; this is the
+    * eager path for callers that keep the session alive but want the
+    * storage back (the next [[fromOrdersCached]] call rebuilds).
+    */
+  def release(spark: SparkSession): Unit = derivedCache.synchronized {
+    val m = derivedCache.remove(spark)
+    if (m != null) m.forEach { (dir, ref) =>
+      // if the weak value was already collected, rebuild the (identical)
+      // plan — unpersist matches by plan, so the blocks are freed either way
+      val df = { val d = ref.get(); if (d != null) d else fromOrders(spark, dir) }
+      df.unpersist(false)
+      ()
+    }
+  }
+
+  /** Test hook: live session entries (forces expunging of stale refs). */
+  private[graft] def cachedSessionCount: Int =
+    derivedCache.synchronized(derivedCache.size)
+
+  /** Test hook: this session's entries whose weak value is still live. */
+  private[graft] def liveValueCount(spark: SparkSession): Int =
+    derivedCache.synchronized {
+      val m = derivedCache.get(spark)
+      if (m == null) 0
+      else {
+        var n = 0
+        m.values.forEach(r => if (r.get() != null) n += 1)
+        n
+      }
+    }
 }

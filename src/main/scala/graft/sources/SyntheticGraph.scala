@@ -68,6 +68,41 @@ object SyntheticGraph {
     else
       powerLaw(spark, 48500L, 690000L)
 
+  /** EXTREME single-hub skew fixture: `hubFrac` of all edge samples point
+    * at vertex 0, the rest at uniform-random vertices; sources are
+    * uniform. With nVertices comparable to nEdges the hub's in-degree
+    * survives edge-set dedup at ~hubFrac·nEdges (most (src, 0) pairs are
+    * distinct), so the contribution aggregation sees ONE key holding
+    * many multiples of a partition's average rows — the condition
+    * `PageRankConfig.saltBuckets` exists for, which ordinary power-law
+    * graphs (web-graph skew) never reach. Same zero-data-movement
+    * generation shape as [[powerLaw]].
+    */
+  def singleHub(
+      spark: SparkSession,
+      nVertices: Long,
+      nEdges: Long,
+      hubFrac: Double = 0.5,
+      seed: Long = 77L): DataFrame =
+    spark
+      .range(nEdges)
+      .select(
+        floor(uniform(seed, 1) * nVertices).cast("long").as("src"),
+        when(uniform(seed, 3) < hubFrac, lit(0L))
+          .otherwise(floor(uniform(seed, 2) * nVertices).cast("long"))
+          .as("dst"))
+
+  /** Bench-scale hub fixture: 2M vertices / 5M edges, half of them into
+    * the hub (sf0.1), or 1/10 that for the correctness gate. After dedup
+    * the hub holds ≈1.4M in-edges vs ≈1.25 per ordinary vertex — ~12×
+    * a 32-partition task's average row count on one key.
+    */
+  def hubShaped(spark: SparkSession, sfDir: String): DataFrame =
+    if (sfDir.contains("sf0.1"))
+      singleHub(spark, 2000000L, 5000000L)
+    else
+      singleHub(spark, 200000L, 500000L)
+
   /** PORTABLE uniform random digraph: endpoints derive from md5 (not
     * xxhash64), so an oracle engine can regenerate the identical edge
     * set — `CAST(concat('0x', substr(md5(i || ':s:' || salt), 1, 8)) AS

@@ -416,6 +416,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st6: event-time streaming sessions, fully flushed, equal batch gap sessions") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("st6_eventtime_sessions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventStreams
+      .sessionizeBatch(graft.sources.Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("batch sessionization: session count and sums are gap-consistent") {
     val sp = spark
     import sp.implicits._
@@ -432,5 +447,55 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(sessions == Set(
       (7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0), (8L, 1L, 1L, 8.0)))
+  }
+}
+
+/** The native codegen'd dot product must be bit-identical to the HOF
+  * composition it replaced — IEEE addition order included.
+  */
+class DotProductSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("native dot is bit-identical to the HOF fold on random vectors") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(24)
+      (i.toLong,
+        Array.fill(n)(rnd.nextDouble() * 2 - 1),
+        Array.fill(n)(rnd.nextDouble() * 2 - 1))
+    }
+    val cmp = rows.toDF("id", "a", "b").select(
+      Similarity.dot(col("a"), col("b")).as("nat"),
+      Similarity.dotFold(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("native dot null semantics match zip_with padding") {
+    // length mismatch (zip_with pads with null → null sum) and a null
+    // element (null product poisons the fold) must both yield NULL in
+    // both forms; the interpreted eval path is covered via constant
+    // folding of literal inputs
+    val df = spark.range(1).selectExpr(
+      "array(1.0d, 2.0d) AS a2",
+      "array(3.0d) AS b1",
+      "array(3.0d, cast(null as double)) AS bn",
+      "array(3.0d, 4.0d) AS b2")
+    val r = df.select(
+      Similarity.dot(col("a2"), col("b1")).as("mismatch_nat"),
+      Similarity.dotFold(col("a2"), col("b1")).as("mismatch_hof"),
+      Similarity.dot(col("a2"), col("bn")).as("null_nat"),
+      Similarity.dotFold(col("a2"), col("bn")).as("null_hof"),
+      Similarity.dot(col("a2"), col("b2")).as("ok")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) == 1.0 * 3.0 + 2.0 * 4.0)
   }
 }

@@ -139,6 +139,64 @@ class PageRankSpec extends AnyFunSuite {
     assert(p(6L) > a(6L) * 2, s"seed rank ${p(6L)} vs uniform ${a(6L)}")
   }
 
+  test("personalized teleport ignores ids absent from the graph; mass stays 1") {
+    val sp = spark
+    import sp.implicits._
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L)
+    val cfg = PageRankConfig(maxIter = 4, tol = -1, minIter = 4)
+    // id 99 does not exist in the graph: its weight must not deflate the
+    // teleport distribution (normalization happens over in-graph ids)
+    val withGhost = Seq((1L, 1.0), (99L, 3.0)).toDF("id", "w")
+    val p = ranksMap(PageRank.run(spark, e, cfg, teleport = Some(withGhost)))
+    assert(math.abs(p.values.sum - 1.0) < 1e-9, s"mass=${p.values.sum}")
+    // and equals the run seeded on id 1 alone (any positive weight)
+    val clean = Seq((1L, 2.5)).toDF("id", "w")
+    val q = ranksMap(PageRank.run(spark, e, cfg, teleport = Some(clean)))
+    assert(p.keySet == q.keySet)
+    p.foreach { case (k, v) => assert(math.abs(v - q(k)) < 1e-12) }
+    // an all-ghost teleport is an error, not a silent zero-division
+    val ghostOnly = Seq((99L, 1.0)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      PageRank.run(spark, e, cfg, teleport = Some(ghostOnly))
+    }
+  }
+
+  test("estimateEdgeParts inspects stats without running a job") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(l)
+    try {
+      val tiny = edges(1L -> 2L, 2L -> 3L)
+      val s3 = graft.sources.SyntheticGraph.powerLaw(spark, 4850000L, 69000000L)
+      val p1 = PageRank.estimateEdgeParts(tiny)
+      val p2 = PageRank.estimateEdgeParts(s3)
+      // listener events are async; give the bus a beat before asserting
+      Thread.sleep(300)
+      assert(jobs.get() == 0, s"stats estimation ran ${jobs.get()} job(s)")
+      assert(p1 >= spark.sessionState.conf.numShufflePartitions)
+      // ~69M synthetic edges → ~1M-row partitions, as the count-based
+      // sizing produced before (70); stats land in the same decade
+      assert(p2 >= 40 && p2 <= 200, s"p2=$p2")
+    } finally sc.removeSparkListener(l)
+  }
+
+  test("salted aggregation on a single-hub graph matches unsalted to 1e-12") {
+    // the dedicated skew fixture: half of all edges into vertex 0
+    val hub = graft.sources.SyntheticGraph.singleHub(spark, 500L, 3000L)
+    val base = PageRankConfig(
+      maxIter = 2, tol = -1, minIter = 2, broadcastStateMaxBytes = 0L)
+    val a = ranksMap(PageRank.run(spark, hub, base))
+    val b = ranksMap(PageRank.run(spark, hub, base.copy(saltBuckets = 32)))
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
   test("salted two-phase aggregation matches unsalted to 1e-12") {
     // hub-heavy graph: vertex 1 receives from everyone (the skew shape
     // salting exists for); salted runs in fallback mode so the salt path
@@ -251,5 +309,51 @@ class EdgeListReaderSpec extends AnyFunSuite {
     val e = EdgeListReader.giraphAdjacency(sp, tmp.toString)
     val got = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("fromOrdersCached: per-session reuse; release unpersists and rebuilds") {
+    val dir = "/root/testdata/sf0.001"
+    val s2 = spark.newSession()
+    val df1 = EdgeListReader.fromOrdersCached(s2, dir)
+    // same session + dir reuses the same frame instance
+    assert(EdgeListReader.fromOrdersCached(s2, dir) eq df1)
+    assert(df1.storageLevel.useMemory, "derived frame must be cached")
+    EdgeListReader.release(s2)
+    assert(!df1.storageLevel.useMemory, "release must unpersist")
+    // next call rebuilds (fresh instance, cached again)
+    val df2 = EdgeListReader.fromOrdersCached(s2, dir)
+    assert(!(df2 eq df1) && df2.storageLevel.useMemory)
+    EdgeListReader.release(s2)
+  }
+
+  test("fromOrdersCached: the map never pins a dropped DataFrame") {
+    // The weak-KEY side (a dead session's entry expunging) can't be
+    // black-box tested on a shared SparkContext: Spark's own scheduler
+    // state (shuffle-stage reuse, RDD lineage → FileScanRDD.sparkSession)
+    // legitimately pins a session that has executed jobs until the
+    // context cleaner runs. What the cache must guarantee — and what the
+    // old applicationId-keyed map violated — is that IT holds the heavy
+    // object (the cached DataFrame) weakly, so dropping the last caller
+    // reference makes the frame collectable instead of JVM-immortal.
+    val dir = "/root/testdata/sf0.001"
+    val s2 = spark.newSession()
+    var df: org.apache.spark.sql.DataFrame =
+      EdgeListReader.fromOrdersCached(s2, dir)
+    df.unpersist(true) // release the CacheManager's (plan-keyed) pin too
+    assert(EdgeListReader.liveValueCount(s2) == 1)
+    df = null
+    var ok = false
+    var i = 0
+    while (!ok && i < 50) {
+      System.gc()
+      Thread.sleep(50)
+      ok = EdgeListReader.liveValueCount(s2) == 0
+      i += 1
+    }
+    assert(ok, "weak value was never collected — the cache pins DataFrames")
+    // a later call must rebuild rather than hand out a dead reference
+    val df2 = EdgeListReader.fromOrdersCached(s2, dir)
+    assert(df2.storageLevel.useMemory)
+    EdgeListReader.release(s2)
   }
 }

@@ -47,6 +47,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("e1_knn_probe")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    // dot products run through the native codegen'd expression, not the
+    // interpreted HOF fold
+    assert(p.contains("graft_dot"), "native dot expression missing: " + p)
+    assert(!p.contains("zip_with"), "interpreted HOF fold crept back in")
   }
 
   test("d2 token stats: text scan reads only needed columns") {

@@ -47,6 +47,36 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out.map(_._3).forall(_ == null) && out.size == 2)
   }
 
+  test("asofJoin: NULL payload in the latest quote is NOT backfilled from older rows") {
+    val sp = spark
+    import sp.implicits._
+    val probes = Seq((1L, 30L)).toDF("k", "pt")
+    // latest quote (qt=20) carries v=NULL, w=200; an older quote has
+    // v='old'. ASOF semantics: BOTH payloads come from the qt=20 row —
+    // v must surface as NULL, not torn-backfilled from qt=10.
+    val quotes = Seq(
+      (1L, 10L, Option("old"), Option(100L)),
+      (1L, 20L, Option.empty[String], Option(200L)))
+      .toDF("k", "qt", "v", "w")
+    val out = TemporalJoins
+      .asofJoin(probes, quotes, "k", "pt", "qt", payload = Seq("v", "w"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("v")))
+    assert(out.head.getAs[Long]("w") == 200L)
+  }
+
+  test("asofJoin rejects payload names colliding with left-side columns") {
+    val sp = spark
+    import sp.implicits._
+    val probes = Seq((1L, 1L, "x")).toDF("k", "pt", "v")
+    val quotes = Seq((1L, 1L, "y")).toDF("k", "qt", "v")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(probes, quotes, "k", "pt", "qt", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("bucketedRangeJoin matches across bucket boundaries exactly") {
     val sp = spark
     import sp.implicits._
@@ -176,6 +206,32 @@ class SamplingSpec extends AnyFunSuite {
     val got = graft.operators.GraphBuilder.triangleCounts(e)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("bfsHops: exact distances, unreached omitted, depth bound honored") {
+    val sp = spark
+    import sp.implicits._
+    // 1→2→3→4 with shortcut 1→3; 5 only points INTO the component (so it
+    // is unreachable from 1); 9 is a self-loop island
+    val e = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 5L -> 1L, 9L -> 9L)
+      .toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.bfsHops(e, source = 1L, maxHops = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val bounded = graft.operators.GraphBuilder.bfsHops(e, 1L, maxHops = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bounded == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("geomean Aggregator equals exp(avg(ln))") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 2.0), ("a", 8.0), ("b", 5.0)).toDF("g", "x")
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.AggregatorFunctions.geomean(col("x")).as("gm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 4.0) < 1e-12) // √(2·8)
+    assert(math.abs(got("b") - 5.0) < 1e-12)
   }
 
   test("repeatedNgramStats counts duplicate 3-grams") {

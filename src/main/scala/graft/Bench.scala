@@ -104,8 +104,9 @@ object Bench {
       extras += "\"s3_iter_cpu_sec\":" + iterArray(df, "cpu_sec")
       extras += "\"s3_iter_shuffle_mb\":" + iterArray(df, "shuffle_mb")
     }
-    // g17: the GraphX/Pregel twin on the same S3 fixture
-    results.collectFirst { case ("g17_graphx_s3", Right((_, df)), _) =>
+    // g17: the GraphX/Pregel twin on the S1 fixture (vs Giraph's
+    // published ~1.2 s/superstep on the same web-Google shape)
+    results.collectFirst { case ("g17_graphx_s1", Right((_, df)), _) =>
       extras += "\"graphx_iter_sec\":" + iterArray(df, "iter_sec")
     }
     // g18: salted vs unsalted contribution aggregation on the single-hub

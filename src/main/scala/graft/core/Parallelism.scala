@@ -42,4 +42,32 @@ object Parallelism {
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
+
+  /** Unconditional round-robin spread for SMALL-BYTES / HEAVY-CPU frames
+    * (candidate pair lists feeding per-row set/array comparisons). AQE
+    * coalesces post-shuffle partitions by BYTE size, so a few-MB pair
+    * list collapses to one or two partitions — and the verify stage that
+    * follows does quadratic-ish per-row work on one core (measured: the
+    * d5b verify stage went 32-way → serial, 10× wall). [[ensure]] cannot
+    * help: probing a post-shuffle frame's partitioning would execute it
+    * (see above). The exchange this inserts is priced in bytes (small by
+    * premise) and buys back full-cluster CPU for the expensive stage; at
+    * scale a big candidate list pays one cheap extra shuffle.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Key-clustered variant of [[spread]] for the INPUTS of a self-join
+    * whose per-bucket pair expansion is the expensive stage: an explicit
+    * partition COUNT makes the exchange non-coalescable (AQE leaves
+    * user-numbered repartitions alone), so the join — and the per-pair
+    * work fused into its tasks — keeps full width instead of collapsing
+    * to the one partition its few input MB would coalesce to. Both join
+    * sides get the same clustering, so no further exchange is added.
+    * Effective parallelism is still bounded by the number of distinct
+    * keys — inherent to any blocked join.
+    */
+  def spreadBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, keys: _*)
 }

@@ -114,9 +114,15 @@ object Dedup {
               .as("band_hash")))).as("band"))
       .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = banded
+    // explicit-width clustering: the Σ|bucket|² pair expansion happens
+    // INSIDE the self-join's tasks, and the banded frame's few MB would
+    // otherwise AQE-coalesce the join to one partition (see
+    // Parallelism.spreadBy)
+    val bandedW = graft.core.Parallelism
+      .spreadBy(banded, col("band_no"), col("band_hash"))
+    val pairs = bandedW
       .as("a")
-      .join(banded.as("b"), Seq("band_no", "band_hash"))
+      .join(bandedW.as("b"), Seq("band_no", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -159,13 +165,14 @@ object Dedup {
       sh: DataFrame,
       candidates: DataFrame,
       threshold: Double): DataFrame =
-    // ensure() on the candidate stream: with broadcast-joined shingle
-    // sides, the per-pair intersect/union runs in the CANDIDATE frame's
-    // partitions. The guard only acts on scan-shaped candidate inputs
-    // (e.g. a pair list read from one small file); shuffle-produced
-    // candidate frames — every at-scale path — already carry shuffle
-    // parallelism and are passed through without even compiling a plan
-    graft.core.Parallelism.ensure(candidates
+    // spread() the candidate stream: the per-pair intersect/union runs
+    // in the CANDIDATE frame's partitions, and AQE coalesces the pair
+    // list's few MB down to one partition — serializing the quadratic
+    // set-ops that follow (measured 82 s → 7 s at sf0.1 from this one
+    // exchange). spread is unconditional: probing a post-shuffle frame's
+    // partitioning would execute it (AdaptiveSparkPlanExec), and the
+    // exchange is priced in candidate bytes, small by premise
+    graft.core.Parallelism.spread(candidates
       .select(col("id_a"), col("id_b")))
       .join(sh.select(col("doc_id").as("id_a"), col("shm").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shm").as("sh_b")), "id_b")
@@ -177,6 +184,59 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))),
           6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** MinHash Jaccard ESTIMATE next to the exact value, per candidate
+    * pair, built entirely from PORTABLE md5 constructions so an oracle
+    * engine recomputes every estimate bit-for-bit — the hash-certified
+    * twin of the sketch the d5 LSH pipeline trusts. Estimator:
+    * `ĵ = |{i : h_i(A) = h_i(B)}| / k` with
+    * `h_i(S) = min_{s∈S} md5(i || ':' || s)` over the portable shingle
+    * digests, minima compared as hex strings (identical lexicographic
+    * order in both engines).
+    *
+    * Scale shape: one shingle scan feeds both the k min-aggregates
+    * (explode → ONE hash-agg, map-side combined) and the exact-Jaccard
+    * columns; candidates arrive from any bounded generator — never an
+    * all-pairs stage here.
+    */
+  def minhashEstimatePairs(
+      docs: DataFrame,
+      candidates: DataFrame,
+      k: Int = 16,
+      shingle: Int = 3): DataFrame = {
+    val sh = graft.core.Parallelism.ensure(docs)
+      .select(
+        col("doc_id"), shingleSetPortable(col("text"), shingle).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = (0 until k)
+      .map(i => min(md5(concat_ws(":", lit(i), col("s")))).as(s"h_$i"))
+    val sigs = sh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id"),
+        array((0 until k).map(i => col(s"h_$i")): _*).as("sig"))
+    val out = graft.core.Parallelism
+      .spread(candidates.select(col("id_a"), col("id_b")))
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(
+          size(filter(
+            zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            b => b)).cast("double") / k,
+          6).as("est_jaccard"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          6).as("exact_jaccard"))
+    CacheScope.sealAfter(out, sh)
+  }
 
   /** All candidate pairs within a blocking key — the oracle-reproducible
     * candidate generator (a plain equi-self-join DuckDB can mirror),
@@ -322,8 +382,12 @@ object Dedup {
           shiftright(col("simhash"), b * width)
             .bitwiseAND((1L << width) - 1).as("band_bits"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_no"), col("bd.band_bits"))
-    val cand = banded.as("a")
-      .join(banded.as("b"), Seq("band_no", "band_bits"))
+    // same AQE-coalescing hazard as the minhash band join: keep the pair
+    // expansion at full width (Parallelism.spreadBy)
+    val bandedW = graft.core.Parallelism
+      .spreadBy(banded, col("band_no"), col("band_bits"))
+    val cand = bandedW.as("a")
+      .join(bandedW.as("b"), Seq("band_no", "band_bits"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -385,9 +449,13 @@ object Dedup {
         array_distinct(
           transform(TextOps.tokens(col("text")), t => xxhash64(t))).as("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = toksets
+    // explicit-width clustering so the per-pair set-ops fused into the
+    // join keep full width (parallelism is inherently capped by the
+    // number of distinct blocks — see Parallelism.spreadBy)
+    val tokW = graft.core.Parallelism.spreadBy(toksets, col("blk"))
+    val pairs = tokW
       .as("a")
-      .join(toksets.as("b"), Seq("blk"))
+      .join(tokW.as("b"), Seq("blk"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id_a"),

@@ -134,6 +134,13 @@ object GraphXPageRank {
       import sp.implicits._
       g.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank")
     }
+    // the returned frame derives from g.vertices ONLY — release the
+    // columnar edge partitions (the dominant footprint: ~|E| longs) and
+    // the init-graph's vertex cache now instead of leaking them for the
+    // session's lifetime (a bench running many graph queries in one JVM
+    // OOMed on exactly this accumulation)
+    g.edges.unpersist(false)
+    base.vertices.unpersist(false)
     PageRankResult(ranksDf, iter, trace.toSeq)
   }
 }

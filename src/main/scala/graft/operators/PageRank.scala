@@ -259,29 +259,34 @@ object PageRank {
     }
     val carry: Seq[org.apache.spark.sql.Column] =
       if (teleport.isDefined) Seq(col("p")) else Seq.empty
-    var state = pJoin(
+    val state0 = pJoin(
       verts
         .join(deg, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val n = state.count() // action: materializes edges + state; N for formula
+    val n = state0.count() // action: materializes edges + state; N for formula
     require(n > 0, "empty graph")
     val bcast = n * stateRowBytes <= cfg.broadcastStateMaxBytes
 
     // uniform 1/N init (PageRankDriver.java:102-108; NetworkX keeps the
     // uniform start even in personalized mode)
-    state = state
+    var state = state0
       .select(col("id") +: col("outdeg") +: carry :+ lit(1.0 / n).as("rank"): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // initial dangling scan (PageRankDriver.java:112-114)
+    // initial dangling scan (PageRankDriver.java:112-114) — this also
+    // materializes the 1/N frame, after which the pre-init state frame is
+    // dead weight; dropping it here (not at the end) keeps ONE |V|-sized
+    // frame resident instead of two for the whole run (a 10-query bench
+    // session leaked a |V| frame per graph query before this)
     var danglingSum: Double = state
       .filter(col("outdeg") === 0)
       .agg(coalesce(sum(col("rank")), lit(0.0)))
       .first()
       .getDouble(0)
+    state0.unpersist(false)
 
     val trace = scala.collection.mutable.ArrayBuffer.empty[IterationStat]
     var iter = 0

@@ -90,8 +90,12 @@ object Similarity {
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = e.as("a")
-      .join(e.as("b"), Seq("blk"))
+    // per-pair dot products run inside the self-join's tasks; keep the
+    // join at full width (AQE would coalesce the small-bytes inputs to
+    // one partition — see Parallelism.spreadBy)
+    val eW = graft.core.Parallelism.spreadBy(e, col("blk"))
+    val pairs = eW.as("a")
+      .join(eW.as("b"), Seq("blk"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("id_a"),
@@ -101,6 +105,46 @@ object Similarity {
           6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
     CacheScope.sealAfter(pairs, e)
+  }
+
+  /** BATCHED exact kNN: top-k cosine neighbours for a SET of probe
+    * vectors in one pass — the shape a feature-backfill or eval job
+    * actually runs (thousands of probes), vs [[knnToProbe]]'s single
+    * probe. The probe set broadcasts; the scan side streams once and
+    * emits (probe, candidate, sim) tuples; one exchange on probe_id
+    * ranks each probe's list. Ranking keys use the ROUNDED similarity
+    * (then vec_id) so cross-engine float noise cannot reorder the
+    * boundary of the top-k. At larger probe counts the broadcast probe
+    * side becomes a bucketed join and the window becomes a partial
+    * top-k aggregation; at this surface the window is the idiomatic
+    * plan.
+    */
+  def knnBatch(
+      embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val probes = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
+        .withColumn("p_nrm", norm(col("p"))))
+    val scored = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .crossJoin(probes)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(cosinePre(col("e"), col("p"), col("nrm"), col("p_nrm")), 6)
+          .as("cos_sim"))
+    val w = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
   }
 
   /** IVF (inverted-file) approximate kNN — the classic scale path for ANN:
@@ -215,9 +259,12 @@ object Similarity {
       .select(col("vec_id"), emb.as("e"), sig.as("bucket"))
       .withColumn("nrm", norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = bucketed
+    // same width-preservation as blockedNearDupPairs: the per-pair dot
+    // products live in the join tasks
+    val bucketedW = graft.core.Parallelism.spreadBy(bucketed, col("bucket"))
+    val pairs = bucketedW
       .as("a")
-      .join(bucketed.as("b"), Seq("bucket"))
+      .join(bucketedW.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("id_a"),

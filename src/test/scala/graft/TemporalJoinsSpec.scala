@@ -208,6 +208,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("minhashEstimatePairs: est=1 on identical docs, est=0 on disjoint docs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s"), // identical to 1
+      (3L, "one two three four five six seven", "s")) //   disjoint
+      .toDF("doc_id", "text", "source")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.minhashEstimatePairs(docs, cands)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // identical shingle sets: every per-seed min matches, exact j = 1
+    assert(got((1L, 2L)) == ((1.0, 1.0)))
+    // disjoint shingle sets: a per-seed min can only match via a SHARED
+    // shingle (md5 collisions aside), so the estimate is exactly 0
+    assert(got((1L, 3L)) == ((0.0, 0.0)))
+  }
+
+  test("knnBatch per-probe results equal single-probe knnToProbe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = Seq(0L, 7L)
+    val batch = graft.operators.Similarity.knnBatch(emb, probes, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    probes.foreach { p =>
+      val single = graft.operators.Similarity.knnToProbe(emb, p, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(p) == single, s"probe $p disagreed")
+    }
+  }
+
   test("bfsHops: exact distances, unreached omitted, depth bound honored") {
     val sp = spark
     import sp.implicits._

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
-  * Queries are forced with .count() — no driver-side result collection in
-  * the timed path.
+  * Queries are forced with a noop-sink write (every output row/column
+  * evaluated, nothing collected — see the comment on `once`); no
+  * driver-side result collection in the timed path.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -189,10 +190,21 @@ object Bench {
       val errs = results.collect { case (k, Left(err), _) =>
         "\"" + k + "\":\"err:" + err + "\""
       }
+      // each slowest-N entry is [wall_sec, executor_cpu_sec]: task cpu
+      // does not inflate under host CPU oversubscription while wall does,
+      // so a contended query (wall up, cpu flat — the r5 d11 artifact:
+      // 16.9 s wall for 1.8 s of engine) is identifiable from the
+      // contract line alone, per query, without opening BENCH_DETAIL.
+      // cpu spans the FIRST rep (the same window the resource delta
+      // measures); wall is the min of both reps.
       val slow = results
-        .collect { case (k, Right((v, _)), _) => (k, v) }
+        .collect { case (k, Right((v, _)), u) =>
+          (k, v, u.executorCpuMs / 1000.0)
+        }
         .sortBy(-_._2).take(slowestN)
-        .map { case (k, v) => "\"" + k + "\":" + r2d(v) }
+        .map { case (k, v, c) =>
+          "\"" + k + "\":[" + r2d(v) + "," + r2d(c) + "]"
+        }
       (errs ++ slow).mkString("{", ",", "}")
     }
     val rs = results.map { case (k, _, u) => "\"" + k + "\":" + u.toJson }

@@ -801,13 +801,20 @@ object SparkEntry {
       } finally q.stop()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("start_ts"))
-      s.table(qname)
+      val out = s.table(qname)
         .filter(col("user_id") >= 0) // drop the sentinel user
         .select(
           col("user_id"),
           row_number().over(w).cast("long").as("session_no"),
           col("n_events"),
           round(col("sum_value"), 4).as("sum_value"))
+      // Dataset analysis is eager, so the plan above has already resolved
+      // the memory-sink view to its in-memory rows; dropping the temp
+      // view now frees the catalog entry (repeated invocations in one
+      // long-lived gate session would otherwise accumulate one sink
+      // table + its buffered rows per run) without invalidating `out`.
+      s.catalog.dropTempView(qname)
+      out
     },
 
     // ---- temporal joins (operators the reference lacks entirely) ----

@@ -114,26 +114,38 @@ object PageRank {
 
   /** Shuffle-partition count for the one-time edge repartition+dedup,
     * sized so each task's dedup hash table stays ~50 MB (~1M edge rows).
-    * Row count is ESTIMATED from Catalyst's `sizeInBytes` statistics of
-    * the pruned (src, dst) projection — a plan inspection, no job runs.
-    * 12 bytes/row deliberately undershoots the ~24 B Catalyst charges a
-    * two-long row: overestimating rows only adds (cheap) partitions,
+    * Row count is ESTIMATED from Catalyst statistics of the pruned
+    * (src, dst) projection — a plan inspection, no job runs. `rowCount`
+    * is preferred when the optimizer carries it (cached relations and
+    * LocalRelation populate it — and a cached relation's `sizeInBytes`
+    * reports COMPRESSED columnar bytes, which under the 12 B/row divisor
+    * would under-count rows and undersize the very hash tables this
+    * sizing protects). Otherwise rows are derived from `sizeInBytes` at
+    * 12 bytes/row, deliberately undershooting the ~24 B Catalyst charges
+    * a two-long row: overestimating rows only adds (cheap) partitions,
     * while underestimating them overfills the per-task dedup tables.
-    * Sources with exact stats (cached relations, LocalRelation, range)
-    * land on the true count; file scans land on file bytes, the same
-    * signal `files.maxPartitionBytes` sizes scans with. Join-derived
-    * inputs can carry wildly multiplicative size estimates, so the result
-    * is capped — past the cap AQE partition coalescing is the backstop.
+    * File scans land on file bytes, the same signal
+    * `files.maxPartitionBytes` sizes scans with. Join-derived inputs can
+    * carry wildly multiplicative size estimates, and the count feeds a
+    * USER-NUMBERED repartition that AQE does NOT coalesce (that
+    * stability is exactly what Parallelism.spreadBy relies on), so the
+    * CAP is the only backstop: 2048 partitions bounds a runaway estimate
+    * at ~2048 (cheap, empty-ish) tasks while still covering ~2B edges
+    * per loop at the 1M-row target — beyond that, callers at genuine
+    * 100 TB scale set `spark.sql.shuffle.partitions` for their cluster
+    * and the max() below honors it.
     */
   private[graft] def estimateEdgeParts(edgesRaw: DataFrame): Int = {
     val spark = edgesRaw.sparkSession
-    val estBytes = edgesRaw
+    val stats = edgesRaw
       .select(col("src"), col("dst"))
-      .queryExecution.optimizedPlan.stats.sizeInBytes
-    val estRows = (estBytes / 12).min(BigInt(Long.MaxValue)).toLong
+      .queryExecution.optimizedPlan.stats
+    val estRows = stats.rowCount
+      .getOrElse((stats.sizeInBytes / 12).min(BigInt(Long.MaxValue)))
+      .min(BigInt(Long.MaxValue)).toLong
     math.max(
       spark.sessionState.conf.numShufflePartitions,
-      math.min((estRows / 1000000L) + 1L, 32768L).toInt)
+      math.min((estRows / 1000000L) + 1L, 2048L).toInt)
   }
 
   // Refcounted AQE suppression, keyed PER SESSION: the conf being guarded

@@ -1,11 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the sequential-fold dot product of two
   * `ARRAY<DOUBLE>` columns — the hot inner loop of every similarity
@@ -96,6 +99,134 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH signature of an `ARRAY<DOUBLE>` vector:
+  * the '0'/'1' bucket string whose bit `b` is the sign of
+  * `Σ_d x_d · s(b, d)` with `s` the seeded ±1 hash
+  * `xxhash64(seed, b, d) % 2 == 0 ? +1 : -1` — the scale-dominant
+  * signature pass of the vector near-dup pipeline
+  * ([[graft.operators.Similarity.nearDupPairs]]).
+  *
+  * Why an Expression: the HOF composition it replaces (`aggregate` over
+  * `zip_with(vec, sequence(...))` per BIT, then `concat`) evaluates its
+  * lambdas interpreted — O(bits·dim) interpreted calls and `bits`
+  * separate array traversals per vector, plus a materialized index array.
+  * This emits one tight nested primitive loop via `doGenCode` (the same
+  * extension-path rationale as [[DotProductExpr]]; it was the last
+  * interpreted HOF in a similarity hot path).
+  *
+  * Semantics are IDENTICAL to the HOF form, bit for bit:
+  *   - per-bit accumulation is sequential left-to-right (IEEE-754
+  *     addition order preserved);
+  *   - the ±1 sign reproduces `pmod(xxhash64(lit(seed), lit(b), d), 2)`
+  *     exactly: XxHash64's fold of (LONG seed literal, INT bit literal,
+  *     INT element index) from Spark's default seed 42, parity-tested;
+  *   - a NULL vector, an EMPTY vector, or any NULL element yields the
+  *     all-'0' string — precisely what the HOF form produced (null/empty
+  *     poison each per-bit fold to NULL, and `when(NULL >= 0)` falls to
+  *     the '0' branch; empty vectors hit zip_with's null padding against
+  *     the descending `sequence(0, -1)`). Never NULL itself, so the
+  *     expression is non-nullable like the `concat` it replaces.
+  * A differential spec pins native ≡ HOF exactly (no tolerance).
+  */
+case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(bits > 0, s"bits must be positive, got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an ARRAY<DOUBLE> input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_proj"
+
+  // xxhash64(seed, b, d) folds left-to-right from Spark's default seed:
+  // hash(d, hash(b, hash(seed, 42))) — the (constant) first link is
+  // precomputed once per expression instance
+  private val seedHash: Long = XXH64.hashLong(seed, 42L)
+
+  override def eval(input: InternalRow): Any = {
+    val chars = new Array[Byte](bits)
+    java.util.Arrays.fill(chars, '0'.toByte)
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var bad = n == 0
+      var i = 0
+      while (i < n && !bad) {
+        if (arr.isNullAt(i)) bad = true
+        i += 1
+      }
+      if (!bad) {
+        var b = 0
+        while (b < bits) {
+          val hb = XXH64.hashInt(b, seedHash)
+          var s = 0.0
+          var d = 0
+          while (d < n) {
+            val sign = if ((XXH64.hashInt(d, hb) & 1L) == 0L) 1.0 else -1.0
+            s += arr.getDouble(d) * sign
+            d += 1
+          }
+          if (s >= 0) chars(b) = '1'.toByte
+          b += 1
+        }
+      }
+    }
+    UTF8String.fromBytes(chars)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val xxh = classOf[XXH64].getName
+    val chars = ctx.freshName("chars")
+    val arr = ctx.freshName("arr")
+    val n = ctx.freshName("n")
+    val bad = ctx.freshName("bad")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val hb = ctx.freshName("hb")
+    val s = ctx.freshName("s")
+    val d = ctx.freshName("d")
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |byte[] $chars = new byte[$bits];
+        |java.util.Arrays.fill($chars, (byte) '0');
+        |if (!${childGen.isNull}) {
+        |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
+        |  int $n = $arr.numElements();
+        |  boolean $bad = ($n == 0);
+        |  for (int $i = 0; $i < $n && !$bad; $i++) {
+        |    if ($arr.isNullAt($i)) $bad = true;
+        |  }
+        |  if (!$bad) {
+        |    for (int $b = 0; $b < $bits; $b++) {
+        |      long $hb = $xxh.hashInt($b, ${seedHash}L);
+        |      double $s = 0.0;
+        |      for (int $d = 0; $d < $n; $d++) {
+        |        $s += $arr.getDouble($d) *
+        |          ((($xxh.hashInt($d, $hb) & 1L) == 0L) ? 1.0d : -1.0d);
+        |      }
+        |      if ($s >= 0) $chars[$b] = (byte) '1';
+        |    }
+        |  }
+        |}
+        |org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+        |  org.apache.spark.unsafe.types.UTF8String.fromBytes($chars);
+       """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. */
 object VectorFunctions {
 
@@ -105,4 +236,9 @@ object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProductExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd hyperplane-LSH signature; see [[HyperplaneSigExpr]]. */
+  def hyperplaneSig(vec: Column, bits: Int, seed: Long): Column =
+    GraftSqlBridge.column(
+      HyperplaneSigExpr(GraftSqlBridge.expression(vec), bits, seed))
 }

@@ -232,19 +232,18 @@ object Similarity {
     * instead of |V|². Hyperplanes are generated from a seeded xxhash64 of
     * (bit, dim) so the bucketing is deterministic across runs and engines.
     */
-  def nearDupPairs(
-      embeddings: DataFrame,
-      threshold: Double,
-      bits: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val emb = asDouble(col("embedding"))
-    // sign bit b = sign(Σ_d h(b,d)·x_d) with h a deterministic ±1 hash
-    val sig = concat(
+  /** The interpreted HOF signature the native [[graft.functions.HyperplaneSigExpr]]
+    * replaced — kept as the differential oracle (HyperplaneSigSpec pins
+    * native ≡ HOF bit-for-bit, nulls and empty vectors included).
+    */
+  private[graft] def hyperplaneSigFold(
+      emb: Column, rawEmb: Column, bits: Int, seed: Long): Column =
+    concat(
       (0 until bits).map { b =>
         val proj = aggregate(
           zip_with(
             emb,
-            sequence(lit(0), size(col("embedding")) - 1),
+            sequence(lit(0), size(rawEmb) - 1),
             (x, d) =>
               x * (when(
                 pmod(xxhash64(lit(seed), lit(b), d), lit(2)) === 0,
@@ -253,6 +252,17 @@ object Similarity {
           (acc, v) => acc + v)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }: _*)
+
+  def nearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    // sign bit b = sign(Σ_d h(b,d)·x_d) with h a deterministic ±1 hash —
+    // ONE codegen'd pass per vector (the HOF form traversed the vector
+    // `bits` times through interpreted lambdas; see HyperplaneSigExpr)
+    val sig = graft.functions.VectorFunctions.hyperplaneSig(emb, bits, seed)
     // persist: the bucketed frame feeds both sides of the self-join;
     // without the barrier the hyperplane projection is recomputed per side
     val bucketed = graft.core.Parallelism.ensure(embeddings)

@@ -499,3 +499,83 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0 * 3.0 + 2.0 * 4.0)
   }
 }
+
+/** The native codegen'd hyperplane-LSH signature must be bit-identical to
+  * the HOF composition it replaced — seeded sign hashes, IEEE addition
+  * order, and the null/empty poisoning semantics included.
+  */
+class HyperplaneSigSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def both(bits: Int, seed: Long) = {
+    import graft.functions.VectorFunctions
+    (df: org.apache.spark.sql.DataFrame) =>
+      df.select(
+        VectorFunctions
+          .hyperplaneSig(col("v").cast("array<double>"), bits, seed)
+          .as("nat"),
+        Similarity
+          .hyperplaneSigFold(
+            col("v").cast("array<double>"), col("v"), bits, seed)
+          .as("hof"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+  }
+
+  test("native signature equals HOF signature on random vectors") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    for (bits <- Seq(4, 12); seed <- Seq(42L, 7L)) {
+      val rows = (0 until 200).map { i =>
+        val n = 1 + rnd.nextInt(24)
+        (i.toLong, Array.fill(n)(rnd.nextDouble() * 2 - 1))
+      }
+      val cmp = both(bits, seed)(rows.toDF("id", "v"))
+      assert(cmp.nonEmpty)
+      cmp.foreach { case (nat, hof) =>
+        assert(nat == hof, s"bits=$bits seed=$seed: native=$nat hof=$hof")
+        assert(nat.length == bits)
+      }
+    }
+  }
+
+  test("native signature matches HOF on null / empty / null-element vectors") {
+    // all three poison every per-bit fold in the HOF form → all-'0'
+    // buckets; the native expression must reproduce that, not return NULL
+    val df = spark.range(1).selectExpr(
+      "cast(null as array<double>) AS nullv",
+      "array() AS emptyv",
+      "array(1.0d, cast(null as double)) AS nelem",
+      "array(0.5d) AS ok")
+    val r = df.select(
+      Seq("nullv", "emptyv", "nelem", "ok").flatMap { c =>
+        Seq(
+          graft.functions.VectorFunctions
+            .hyperplaneSig(col(c).cast("array<double>"), 6, 42L)
+            .as(s"${c}_nat"),
+          Similarity
+            .hyperplaneSigFold(
+              col(c).cast("array<double>"), col(c), 6, 42L)
+            .as(s"${c}_hof"))
+      }: _*).collect().head
+    for (i <- 0 until 8 by 2) {
+      val nat = r.getString(i)
+      val hof = r.getString(i + 1)
+      assert(nat == hof, s"col $i: native=$nat hof=$hof")
+    }
+    assert(r.getString(0) == "000000") // null vector → all-zeros bucket
+    assert(r.getString(2) == "000000") // empty vector → all-zeros bucket
+  }
+
+  test("e3 pipeline result is unchanged by the native signature") {
+    // the full operator on real embeddings: pair set must be identical
+    // when signatures are computed by the HOF form (a temporary twin
+    // operator is overkill — equality of every signature suffices, since
+    // bucketing and scoring are downstream of the signature only)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cmp = both(12, 42L)(emb.select(col("embedding").as("v")))
+    assert(cmp.nonEmpty)
+    cmp.foreach { case (nat, hof) => assert(nat == hof) }
+  }
+}

@@ -53,6 +53,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("zip_with"), "interpreted HOF fold crept back in")
   }
 
+  test("e3 signature pass runs the native graft_proj expression in codegen") {
+    // the operator's own executed plan is opaque here (sealAfter returns
+    // the materialized pair frame), so audit the signature stage itself:
+    // it must plan as the native expression inside WholeStageCodegen,
+    // with no interpreted HOF projection
+    val p = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(
+        graft.functions.VectorFunctions
+          .hyperplaneSig(
+            org.apache.spark.sql.functions.col("embedding")
+              .cast("array<double>"),
+            12, 42L).as("bucket"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_proj"), "native signature expression missing: " + p)
+    // the "*(n)" operator prefix is the whole-stage-codegen marker in the
+    // compact plan string; execution itself is covered by the
+    // differential spec (a codegen compile failure would fall back to
+    // interpreted eval at runtime, which those tests would still pass —
+    // but this asserts the expression is codegen-SUPPORTED and fused)
+    assert(
+      p.contains("*(1) Project [graft_proj"),
+      "signature stage fell out of codegen: " + p)
+    assert(
+      !p.contains("zip_with"),
+      "interpreted HOF projection crept back into the signature pass")
+  }
+
   test("d2 token stats: text scan reads only needed columns") {
     val p = plan("d2_token_stats")
     assert(!p.contains("lang"), "lang/source must be pruned from the scan")

@@ -204,7 +204,11 @@ object SparkEntry {
     * engine's banded join is exact by pigeonhole, so the pair sets must
     * match bit-for-bit.
     */
-  private def simhashNearDupSql(maxDist: Int): String = {
+  /** Shared CTE prefix recomputing the portable 60-bit SimHash table in
+    * DuckDB (md5-derived token hashes, sum>0 tie rule, bit packing) —
+    * consumed by both the d7 signature oracle and the d14 pair oracle.
+    */
+  private val simhashSigCtes: String = {
     val bits = 60
     val votes = (0 until bits)
       .map(b =>
@@ -213,7 +217,7 @@ object SparkEntry {
     val pack = (0 until bits)
       .map(b => s"CASE WHEN c_$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
        |  FROM documents),
        |hh AS (
@@ -223,12 +227,24 @@ object SparkEntry {
        |v AS (SELECT doc_id,
        |    $votes
        |  FROM hh GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS s FROM v)
+       |sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS s FROM v)""".stripMargin
+  }
+
+  /** d7 oracle: the signature TABLE itself. The left join mirrors the
+    * engine's explode_outer: a doc whose text is NULL tokenizes to no
+    * rows in DuckDB (unnest of NULL) but must still carry signature 0.
+    */
+  private val simhashSigSql: String =
+    s"""WITH $simhashSigCtes
+       |SELECT d.doc_id, coalesce(sig.s, 0) AS simhash
+       |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id""".stripMargin
+
+  private def simhashNearDupSql(maxDist: Int): String =
+    s"""WITH $simhashSigCtes
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= $maxDist""".stripMargin
-  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -672,7 +688,12 @@ object SparkEntry {
       Dedup.blockedJaccardPairs(
         t(s, dir, "documents"), blockCol = "source", threshold = 0.8)),
     "d7_simhash" -> ((s, dir) =>
-      Dedup.simhashSignatures(t(s, dir, "documents"))),
+      // the PORTABLE 60-bit signature (md5-derived token hashes — the
+      // same table d14's near-dup join consumes), so the signature TABLE
+      // itself is hash-checked by the oracle, not just the pair set; the
+      // xxhash64 64-bit variant remains as Dedup.simhashSignatures with
+      // its own unit/property tests
+      Dedup.simhashSignaturesPortable(t(s, dir, "documents"))),
     "d8_langid" -> { (s, dir) =>
       graft.core.Parallelism.ensure(t(s, dir, "documents")).select(
         col("doc_id"),
@@ -1017,11 +1038,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for ops whose output is
-    * engine-hash-, recall-, or sketch-defined (d5 LSH buckets, d7
-    * simhash bits, e3/e4 approximate neighbours, q14 HLL estimates,
-    * g9/g13 synthetic-graph scale fixtures) → driver records a weaker
-    * rows-only
-    * check; each of those carries a unit/property/recall test instead.
+    * engine-hash-, recall-, or sketch-defined (d5 LSH buckets, e3/e4
+    * approximate neighbours, q14 HLL estimates, g9/g13 synthetic-graph
+    * scale fixtures) → driver records a weaker rows-only check; each of
+    * those carries a unit/property/recall test instead.
     */
   def oracleSql: Map[String, String] = Map(
     "g1_edges" -> EdgeListReader.fromOrdersSql,
@@ -1525,6 +1545,7 @@ object SparkEntry {
         |          / n_ngrams, 6)
         |  ELSE 0.0 END AS rep_ratio
         |FROM g""".stripMargin,
+    "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
     "m4_image_resize" ->
       // mirrors Multimodal.fitDims + the stub thumb sizing; images are

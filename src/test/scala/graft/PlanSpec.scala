@@ -86,8 +86,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d7 simhash is a codegen'd hash-agg, not an interpreted array fold") {
+    // the portable 60-bit variant IS the shipped d7 (oracle-checked);
+    // plan shape must match the xxhash64 form: explode → conditional sums
     val p = graft.operators.Dedup
-      .simhashSignatures(spark.read.parquet(s"$dir/documents.parquet"))
+      .simhashSignaturesPortable(spark.read.parquet(s"$dir/documents.parquet"))
       .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial_sum"), "map-side combine missing")

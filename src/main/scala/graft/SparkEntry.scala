@@ -246,6 +246,36 @@ object SparkEntry {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= $maxDist""".stripMargin
 
+  /** SQL-entry gate queries: ONE dialect-neutral string each, run
+    * verbatim by BOTH engines — Spark through [[GraftSql.sql]] (views +
+    * Catalyst) and DuckDB directly — so the general SQL surface itself
+    * is what the hash-match locks, not a hand-aligned translation pair.
+    */
+  private val sql1RevenueByNation: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  private val sql2TopOrdersPerCustomer: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2""".stripMargin
+
+  private val sql3BigSpenderExists: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph surface (SURVEY §2.1 O1-O19) ----
@@ -998,6 +1028,15 @@ object SparkEntry {
           |  SELECT avg(o2.o_totalprice) FROM orders_q23 o2
           |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     },
+    // ---- general SQL entry point (GraftSql: register once, run ANSI
+    // SQL through Catalyst; the SAME string is the DuckDB oracle) ----
+    "sql1_revenue_by_nation" -> ((s, dir) =>
+      GraftSql.sql(s, dir, sql1RevenueByNation)),
+    "sql2_top_orders_per_customer" -> ((s, dir) =>
+      GraftSql.sql(s, dir, sql2TopOrdersPerCustomer)),
+    "sql3_big_spender_exists" -> ((s, dir) =>
+      GraftSql.sql(s, dir, sql3BigSpenderExists)),
+
     "q17_pivot" -> { (s, dir) =>
       // PIVOT: hourly event matrix, one column per event type. Explicit
       // value list (not inferred) — inference costs an extra distinct
@@ -1545,6 +1584,9 @@ object SparkEntry {
         |          / n_ngrams, 6)
         |  ELSE 0.0 END AS rep_ratio
         |FROM g""".stripMargin,
+    "sql1_revenue_by_nation" -> sql1RevenueByNation,
+    "sql2_top_orders_per_customer" -> sql2TopOrdersPerCustomer,
+    "sql3_big_spender_exists" -> sql3BigSpenderExists,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
     "m4_image_resize" ->

@@ -80,6 +80,21 @@ class PlanSpec extends AnyFunSuite {
       "interpreted HOF projection crept back into the signature pass")
   }
 
+  test("SQL entry point: Catalyst optimizations reach parquet through views") {
+    // sql1 (4-table join-agg): the dimension sides must broadcast — SQL
+    // text through temp views gets the same join planning as DataFrames
+    val p1 = plan("sql1_revenue_by_nation")
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    // sql3 (EXISTS): decorrelates to a semi join, and the subquery's
+    // o_totalprice predicate is pushed into the orders parquet scan
+    val p3 = plan("sql3_big_spender_exists")
+    assert(p3.contains("LeftSemi"), p3)
+    assert(
+      p3.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice") ||
+        p3.contains("GreaterThan(o_totalprice"),
+      "predicate did not reach the orders scan: " + p3)
+  }
+
   test("d2 token stats: text scan reads only needed columns") {
     val p = plan("d2_token_stats")
     assert(!p.contains("lang"), "lang/source must be pruned from the scan")

@@ -764,6 +764,15 @@ object SparkEntry {
       Similarity.knnBatch(
         t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
+    "e6_knn_ivf_probe" -> ((s, dir) =>
+      // the IVF build/probe split at the e5 batch shape: ONE prebuilt
+      // index (assignment materialized once), 5 probes each touching
+      // only their nProbe/nList of the lists. Approximate ⇒ rows-only
+      // check; a differential test pins nProbe=nList ≡ exact knnBatch
+      // and a recall test bounds the approximate path.
+      Similarity.knnIvfBatch(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nList = 16, nProbe = 4)),
 
     // ---- multimodal plumbing ----
     "m1_media_meta" -> ((s, dir) =>

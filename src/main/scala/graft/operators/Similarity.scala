@@ -147,23 +147,31 @@ object Similarity {
       .drop("rn")
   }
 
-  /** IVF (inverted-file) approximate kNN — the classic scale path for ANN:
-    * a deterministic coarse quantizer (every `stride`-th vector by id
-    * serves as a centroid — seeded sampling without randomness), each
-    * vector assigned to its nearest centroid once (broadcast centroids,
-    * single scan), and a query probes only the `nProbe` nearest centroid
-    * lists. At 100 TB the assignment is a one-time pass and each query
-    * touches |D|·nProbe/nList of the data instead of all of it.
-    *
-    * Returns (vec_id, cos_sim) top-k among the probed lists. Recall < 1
-    * by construction; [[knnToProbe]] is the exact baseline.
+  /** A prebuilt IVF (inverted-file) index: the expensive one-time pass —
+    * deterministic centroid selection + nearest-centroid assignment of
+    * every vector — separated from the cheap per-query probe, which is
+    * how IVF is actually used at scale (build once over 100 TB, then
+    * each query touches |D|·nProbe/nList of the data). `assigned` is a
+    * persisted, already-materialized (vec_id, e, nrm, c_id) frame;
+    * `centroids` is broadcast-small. Release with [[release]] when done
+    * probing; results sealed before release stay valid.
     */
-  def knnIvf(
-      embeddings: DataFrame,
-      probeId: Long,
-      k: Int,
-      nList: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+  final class IvfIndex private[operators] (
+      private[operators] val assigned: DataFrame,
+      private[operators] val centroids: DataFrame,
+      val nList: Int) {
+    def release(): Unit = { assigned.unpersist(false); () }
+  }
+
+  /** Build an [[IvfIndex]]: a deterministic coarse quantizer (every
+    * `stride`-th vector by id serves as a centroid — seeded sampling
+    * without randomness), then each vector assigned to its nearest
+    * centroid in ONE broadcast-join scan (max cosine via max_by — the
+    * argmax folds inside the hash aggregate, no window sort). The
+    * assignment is materialized eagerly: "build" is the one pass a user
+    * pays up front so probes don't.
+    */
+  def buildIvfIndex(embeddings: DataFrame, nList: Int = 16): IvfIndex = {
     val emb = asDouble(col("embedding"))
     val n = embeddings.count()
     val stride = math.max(n / nList, 1L)
@@ -182,8 +190,6 @@ object Similarity {
       .select(col("vec_id"), emb.as("e"))
       .withColumn("nrm", norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one-time assignment: nearest centroid per vector (max cosine, no
-    // window sort — max_by folds the argmax inside the hash aggregate)
     val assigned = base
       .crossJoin(centroids)
       .withColumn(
@@ -198,11 +204,25 @@ object Similarity {
         col("vec_id"), col("best.e").as("e"),
         col("best.nrm").as("nrm"), col("best.c_id").as("c_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe: the query vector's nProbe nearest centroid lists
-    val probeVec = assigned.filter(col("vec_id") === probeId)
+    // materialize the build NOW (count touches every cached column's
+    // batch via the InMemoryRelation), then the norm-carrying scratch
+    // frame can go — probes must never re-trigger the assignment pass
+    assigned.count()
+    base.unpersist(false)
+    new IvfIndex(assigned, centroids, nList)
+  }
+
+  /** Probe a prebuilt [[IvfIndex]] for one query vector: rank the
+    * centroids against the query (broadcast-small), keep the `nProbe`
+    * nearest lists, score only their members. Lazy and cheap — the
+    * expensive pass already happened in [[buildIvfIndex]].
+    */
+  def probeIvf(
+      index: IvfIndex, probeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val probeVec = index.assigned.filter(col("vec_id") === probeId)
       .select(col("e").as("probe_e"), col("nrm").as("probe_nrm"))
     val probeLists = probeVec
-      .crossJoin(centroids)
+      .crossJoin(index.centroids)
       .select(
         col("c_id"),
         cosinePre(col("probe_e"), col("c_emb"), col("probe_nrm"), col("c_nrm"))
@@ -210,7 +230,7 @@ object Similarity {
       .orderBy(desc("sim"), asc("c_id"))
       .limit(nProbe)
       .select(col("c_id"))
-    val top = assigned
+    index.assigned
       .join(broadcast(probeLists), Seq("c_id"))
       .filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probeVec))
@@ -221,7 +241,92 @@ object Similarity {
           6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
-    CacheScope.sealAfter(top, base, assigned)
+  }
+
+  /** BATCHED probe of a prebuilt [[IvfIndex]]: top-k for a SET of query
+    * vectors in one pass — [[knnBatch]]'s shape pointed at the index, so
+    * the assignment cost is paid once across all probes (and once across
+    * CALLS, via the index handle). Each probe ranks the centroids
+    * (broadcast), keeps its own nProbe nearest lists, and scores only
+    * their members; ranking keys use the rounded similarity + vec_id so
+    * float noise cannot reorder the top-k boundary.
+    */
+  def probeIvfBatch(
+      index: IvfIndex,
+      probeIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val probes = broadcast(
+      index.assigned
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"),
+          col("e").as("probe_e"), col("nrm").as("probe_nrm")))
+    val wLists = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("c_sim"), asc("c_id"))
+    val probeLists = broadcast(
+      probes
+        .crossJoin(index.centroids)
+        .select(
+          col("probe_id"), col("c_id"),
+          cosinePre(
+            col("probe_e"), col("c_emb"),
+            col("probe_nrm"), col("c_nrm")).as("c_sim"))
+        .withColumn("rn", row_number().over(wLists))
+        .filter(col("rn") <= nProbe)
+        .select(col("probe_id"), col("c_id")))
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    index.assigned
+      .join(probeLists, Seq("c_id")) // broadcast: fans each member to its probing queries
+      .join(probes, Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(
+          cosinePre(col("e"), col("probe_e"), col("nrm"), col("probe_nrm")),
+          6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** One-shot IVF approximate kNN: build, probe, seal. Kept as the
+    * single-call convenience form; repeated probes should hold an
+    * [[IvfIndex]] instead ([[buildIvfIndex]] + [[probeIvf]]/
+    * [[probeIvfBatch]]) so the assignment pass is paid once.
+    * Returns (vec_id, cos_sim) top-k among the probed lists. Recall < 1
+    * by construction; [[knnToProbe]] is the exact baseline.
+    */
+  def knnIvf(
+      embeddings: DataFrame,
+      probeId: Long,
+      k: Int,
+      nList: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val index = buildIvfIndex(embeddings, nList)
+    CacheScope.sealAfter(probeIvf(index, probeId, k, nProbe), index.assigned)
+  }
+
+  /** One-shot batched IVF kNN: build, batch-probe, seal — the assignment
+    * pass is paid ONCE for the whole probe set (vs once per probe for
+    * repeated [[knnIvf]] calls). Long-lived consumers should hold the
+    * [[IvfIndex]] themselves.
+    */
+  def knnIvfBatch(
+      embeddings: DataFrame,
+      probeIds: Seq[Long],
+      k: Int,
+      nList: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val index = buildIvfIndex(embeddings, nList)
+    CacheScope.sealAfter(
+      probeIvfBatch(index, probeIds, k, nProbe), index.assigned)
   }
 
   /** All-pairs near-duplicate candidates above a cosine threshold via

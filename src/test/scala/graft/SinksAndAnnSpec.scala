@@ -31,6 +31,45 @@ class AnnRecallSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full == exact)
   }
+
+  test("prebuilt index: batch probe with nProbe = nList equals exact knnBatch") {
+    // the strongest check on the build/probe split: probing EVERY list of
+    // a prebuilt index must reproduce the exact batched kNN bit-for-bit
+    // (same rounded-sim ranking keys), for every probe in the set
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.knnBatch(emb, probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val index = Similarity.buildIvfIndex(emb, nList = 8)
+    try {
+      val full = Similarity.probeIvfBatch(index, probes, k = 10, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(full == exact)
+    } finally index.release()
+  }
+
+  test("prebuilt index: repeated probes reuse one assignment, recall holds") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val index = Similarity.buildIvfIndex(emb, nList = 8)
+    try {
+      // two single probes + one batch against the SAME index handle; each
+      // must match the one-shot operator's answer for that probe
+      for (p <- Seq(0L, 7L)) {
+        val viaIndex = Similarity.probeIvf(index, p, 10, nProbe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val oneShot = Similarity.knnIvf(emb, p, 10, nList = 8, nProbe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(viaIndex == oneShot, s"probe $p diverged from one-shot IVF")
+      }
+      val batch = Similarity.probeIvfBatch(index, Seq(0L, 7L), 10, nProbe = 4)
+        .collect()
+      val exact0 = Similarity.knnToProbe(emb, 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got0 = batch.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+      val recall = got0.intersect(exact0).size.toDouble / exact0.size
+      assert(recall >= 0.5, s"recall=$recall")
+    } finally index.release()
+  }
 }
 
 class SinksSpec extends AnyFunSuite {

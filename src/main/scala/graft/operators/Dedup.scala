@@ -210,6 +210,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = (0 until k)
       .map(i => min(md5(concat_ws(":", lit(i), col("s")))).as(s"h_$i"))
+    // ONE combined (doc_id, sig, sh) side: the signature agg re-joins its
+    // own shingle source (the persisted `sh` barrier makes that a cache
+    // scan, not a text re-scan), so the candidate list is joined exactly
+    // twice — once per pair side — instead of twice per carried column
     val sigs = sh
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .groupBy(col("doc_id"))
@@ -217,12 +221,19 @@ object Dedup {
       .select(
         col("doc_id"),
         array((0 until k).map(i => col(s"h_$i")): _*).as("sig"))
+      .join(sh, "doc_id")
     val out = graft.core.Parallelism
       .spread(candidates.select(col("id_a"), col("id_b")))
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(
+        sigs.select(
+          col("doc_id").as("id_a"),
+          col("sig").as("sig_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(
+        sigs.select(
+          col("doc_id").as("id_b"),
+          col("sig").as("sig_b"), col("sh").as("sh_b")),
+        "id_b")
       .select(
         col("id_a"),
         col("id_b"),

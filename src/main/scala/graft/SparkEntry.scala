@@ -487,9 +487,11 @@ object SparkEntry {
     },
     "g18_hub_salt0" -> { (s, dir) =>
       // single-hub skew fixture (SyntheticGraph.hubShaped: one dst key
-      // holding ~12× a partition's average rows after dedup), UNSALTED:
-      // the straggler baseline the salted twin below must beat. Forced
-      // onto the shuffle-fallback path — salting only applies there.
+      // holding ~27× a partition's average rows after dedup — scaled in
+      // r6 until the hub reducer actually dominates the stage critical
+      // path), UNSALTED: the straggler baseline the salted twin below
+      // beats (~14.5 s vs ~10.7 s measured idle). Forced onto the
+      // shuffle-fallback path — salting only applies there.
       val sp = s
       import sp.implicits._
       val res = PageRank.run(
@@ -503,10 +505,12 @@ object SparkEntry {
     },
     "g18_hub_salt32" -> { (s, dir) =>
       // same fixture with saltBuckets=32: the hot dst fans out over 32
-      // reducer keys, then a second (tiny) exchange re-aggregates. The
-      // differential test pins salted ≡ unsalted to ≤1e-12; this row
-      // records whether salting actually pays on the one fixture shape
-      // it exists for.
+      // reducer keys, then a second exchange re-aggregates the ≤32
+      // partials per key. The differential test pins salted ≡ unsalted
+      // to ≤1e-12; on the r6-scaled fixture this row is consistently
+      // FASTER than g18_hub_salt0 — the measured crossover that closes
+      // the salt decision (salting pays once the hub holds ≫ one task's
+      // rows AND the hub task dominates the stage, not before).
       val sp = s
       import sp.implicits._
       val res = PageRank.run(

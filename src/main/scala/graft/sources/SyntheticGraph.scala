@@ -92,16 +92,24 @@ object SyntheticGraph {
           .otherwise(floor(uniform(seed, 2) * nVertices).cast("long"))
           .as("dst"))
 
-  /** Bench-scale hub fixture: 2M vertices / 5M edges, half of them into
-    * the hub (sf0.1), or 1/10 that for the correctness gate. After dedup
-    * the hub holds ≈1.4M in-edges vs ≈1.25 per ordinary vertex — ~12×
-    * a 32-partition task's average row count on one key.
+  /** Bench-scale hub fixture: 20M vertices / 20M edges, 90% of samples
+    * into the hub (sf0.1), or 1/10 that for the correctness gate. After
+    * dedup the hub holds ≈20M·(1−e^{−0.9}) ≈ 11.9M in-edges of a ≈13.9M
+    * total — ~27× a 32-partition task's average row count on ONE key, so
+    * the unsalted contribution aggregation's hub reducer genuinely
+    * dominates the stage's critical path. This is the scale at which the
+    * salted-vs-unsalted experiment (g18) is informative: the earlier
+    * 2M/5M/0.5 shape left the hub task at ~12× a (tiny) average — tens
+    * of milliseconds of extra sum work that vanished under fixed stage
+    * costs, so salting's second exchange could only lose. Measured on
+    * this shape: salt0 ≈ 14.5–18 s, salt32 ≈ 10.7–10.9 s per 2-iteration
+    * run — the crossover salting exists for, now standing in the bench.
     */
   def hubShaped(spark: SparkSession, sfDir: String): DataFrame =
     if (sfDir.contains("sf0.1"))
-      singleHub(spark, 2000000L, 5000000L)
+      singleHub(spark, 20000000L, 20000000L, hubFrac = 0.9)
     else
-      singleHub(spark, 200000L, 500000L)
+      singleHub(spark, 2000000L, 2000000L, hubFrac = 0.9)
 
   /** PORTABLE uniform random digraph: endpoints derive from md5 (not
     * xxhash64), so an oracle engine can regenerate the identical edge

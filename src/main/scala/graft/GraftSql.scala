@@ -32,6 +32,9 @@ object GraftSql {
       graft.sources.Tables(spark, dir, n).createOrReplaceTempView(n)
     }
     graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events")
+    // the native expressions ride along: SQL users get graft_dot /
+    // graft_proj without touching the Column API
+    graft.functions.VectorFunctions.registerSqlFunctions(spark)
   }
 
   /** Register (idempotent) and run one SQL statement. */

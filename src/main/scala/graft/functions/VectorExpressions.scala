@@ -241,4 +241,15 @@ object VectorFunctions {
   def hyperplaneSig(vec: Column, bits: Int, seed: Long): Column =
     GraftSqlBridge.column(
       HyperplaneSigExpr(GraftSqlBridge.expression(vec), bits, seed))
+
+  /** Make the native expressions callable from SQL on a live session
+    * (`SELECT graft_dot(a, b)`, `graft_proj(vec, 12, 42)`). New sessions
+    * can instead inject [[GraftExtensions]] at build time.
+    */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(
+      spark, "graft_dot", GraftFunctionDefs.dotBuilder)
+    GraftSqlBridge.registerFunction(
+      spark, "graft_proj", GraftFunctionDefs.projBuilder)
+  }
 }

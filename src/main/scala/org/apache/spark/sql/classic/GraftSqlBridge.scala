@@ -16,4 +16,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression as a SQL temp function on a LIVE
+    * session (the `FunctionRegistry` is `private[sql]`, hence here).
+    * The builder-time path for new sessions is
+    * `graft.functions.GraftExtensions` via `withExtensions` /
+    * `spark.sql.extensions`; this is the same registration applied to an
+    * already-built session (e.g. the gate's shared session).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

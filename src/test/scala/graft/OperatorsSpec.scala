@@ -568,6 +568,37 @@ class HyperplaneSigSpec extends AnyFunSuite {
     assert(r.getString(2) == "000000") // empty vector → all-zeros bucket
   }
 
+  test("native expressions are SQL-callable after registration") {
+    graft.functions.VectorFunctions.registerSqlFunctions(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_proj(array(0.5d, -0.25d, 1.5d), 6, 42) AS p""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    // the SQL form must equal the Column-API form exactly
+    val viaColumn = spark.range(1)
+      .select(
+        graft.functions.VectorFunctions.hyperplaneSig(
+          expr("array(0.5d, -0.25d, 1.5d)"), 6, 42L).as("p"))
+      .collect().head.getString(0)
+    assert(r.getString(1) == viaColumn)
+    // bits/seed parameterize codegen, so non-literal arguments must be
+    // rejected at analysis time
+    intercept[Exception] {
+      spark.sql("SELECT graft_proj(array(1.0d), cast(id AS int), 42) FROM range(1)")
+        .collect()
+    }
+  }
+
+  test("GraftExtensions injects both functions at session-build time") {
+    // the builder-path injector: applying it to a fresh extensions bag
+    // must register without error (a full new-session integration needs a
+    // fresh JVM; the builders themselves are exercised via SQL above)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    (new graft.functions.GraftExtensions)(ext)
+  }
+
   test("e3 pipeline result is unchanged by the native signature") {
     // the full operator on real embeddings: pair set must be identical
     // when signatures are computed by the HOF form (a temporary twin

@@ -270,6 +270,26 @@ object SparkEntry {
       |  FROM orders) t
       |WHERE rn <= 2""".stripMargin
 
+  /** Exact batched-kNN oracle (probes 0–4, top-10, rounded-sim ranking):
+    * shared by e5 (in-memory exact) and e7 (disk IVF at nProbe = nList,
+    * which must reproduce the exact result through the round-trip).
+    */
+  private val knnBatchExactSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |r AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+      |      AS cos_sim
+      |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+      |rk AS (
+      |  SELECT probe_id, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY probe_id
+      |                       ORDER BY cos_sim DESC, vec_id) AS rn
+      |  FROM r)
+      |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin
+
   private val sql3BigSpenderExists: String =
     """SELECT c_custkey, c_name FROM customer c
       |WHERE EXISTS (
@@ -777,6 +797,32 @@ object SparkEntry {
       Similarity.knnIvfBatch(
         t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, nList = 16, nProbe = 4)),
+    "e7_knn_ivf_disk" -> { (s, dir) =>
+      // the PERSISTENT index: build → write the c_id-partitioned layout
+      // → reopen → statically-pruned batch probe. Run at nProbe = nList
+      // so the result is EXACT and e5's oracle hash-checks the whole
+      // disk round-trip (schema fidelity, partition-column typing, probe
+      // ranking) — the approximate pruned path is locked by unit tests
+      // + the PlanSpec PartitionFilters assert. Sealed eagerly so the
+      // temp layout can be deleted before returning.
+      val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_e7").toString
+      try {
+        Similarity.writeIvfIndex(idx, tmp)
+        idx.release()
+        val disk = Similarity.readIvfIndex(s, tmp)
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPruned(
+            disk, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 16))
+      } finally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(tmp)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    },
 
     // ---- multimodal plumbing ----
     "m1_media_meta" -> ((s, dir) =>
@@ -1199,21 +1245,11 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS exact_jaccard
         |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
-    "e5_knn_batch" ->
-      """WITH p AS (
-        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
-        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
-        |r AS (
-        |  SELECT p.probe_id, e.vec_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
-        |      AS cos_sim
-        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
-        |rk AS (
-        |  SELECT probe_id, vec_id, cos_sim,
-        |    row_number() OVER (PARTITION BY probe_id
-        |                       ORDER BY cos_sim DESC, vec_id) AS rn
-        |  FROM r)
-        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "e5_knn_batch" -> knnBatchExactSql,
+    // e7 runs the disk-index probe at nProbe = nList, which is exactly
+    // the e5 computation routed through write→read→pruned-probe — same
+    // oracle, so the round-trip itself is hash-checked
+    "e7_knn_ivf_disk" -> knnBatchExactSql,
     "q22_array_funcs" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l

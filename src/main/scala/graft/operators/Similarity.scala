@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators over an `embeddings(vec_id, embedding
@@ -311,6 +311,103 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val index = buildIvfIndex(embeddings, nList)
     CacheScope.sealAfter(probeIvf(index, probeId, k, nProbe), index.assigned)
+  }
+
+  /** Persist an [[IvfIndex]] to disk: the inverted lists land as a
+    * parquet layout PARTITIONED BY c_id (one directory per list), the
+    * centroid table beside them. This is the cross-job form of "build
+    * once": at 100 TB the assignment pass writes this layout once and
+    * every later job opens it — and because a list IS a partition
+    * directory, a pruned probe reads only its nProbe/nList of the data
+    * at the FILE level (visible as `PartitionFilters` in the scan),
+    * not just at the row filter level.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write
+      .partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reopen a disk [[IvfIndex]]. The explicit schema keeps the c_id
+    * partition column LongType (partition-value inference would narrow
+    * small ids to INT and break join/pruning key types). The lists frame
+    * is deliberately NOT cached — pruned probes read only their
+    * partitions, which is the point of the layout; `release()` on the
+    * returned handle is a harmless no-op.
+    */
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("e", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("c_id", LongType)))
+    val assigned = spark.read.schema(schema).parquet(s"$path/lists")
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    new IvfIndex(assigned, centroids, centroids.count().toInt)
+  }
+
+  /** Batched probe with STATIC partition pruning — the disk-index twin
+    * of [[probeIvfBatch]]. Which lists to probe is a tiny driver-side
+    * decision (≤ |probes|·nProbe ids, ranked against the
+    * broadcast-small centroid table), so it is collected and pushed as
+    * a literal `c_id IN (...)` predicate: on a partitioned disk index
+    * the scan then touches ONLY the probed list directories
+    * (`PartitionFilters`, plan-asserted) — no full-index pass of any
+    * kind, which is what makes a 100 TB index probeable from a small
+    * job. Ranking keys use the rounded similarity + vec_id as
+    * everywhere else.
+    */
+  def probeIvfPruned(
+      index: IvfIndex,
+      probeIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val probes = broadcast(
+      index.assigned
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"),
+          col("e").as("probe_e"), col("nrm").as("probe_nrm")))
+    val wLists = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("c_sim"), asc("c_id"))
+    // bounded collect by construction: |probeIds| × nProbe (probe_id,
+    // c_id) pairs from a broadcast × broadcast product
+    val pairs = probes
+      .crossJoin(index.centroids)
+      .select(
+        col("probe_id"), col("c_id"),
+        cosinePre(
+          col("probe_e"), col("c_emb"),
+          col("probe_nrm"), col("c_nrm")).as("c_sim"))
+      .withColumn("rn", row_number().over(wLists))
+      .filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("c_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val listIds = pairs.map(_._2).distinct.toSeq
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    index.assigned
+      .filter(col("c_id").isin(listIds: _*)) // literal IN → partition pruning
+      .join(broadcast(pairs.toSeq.toDF("probe_id", "c_id")), Seq("c_id"))
+      .join(probes, Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(
+          cosinePre(col("e"), col("probe_e"), col("nrm"), col("probe_nrm")),
+          6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
   }
 
   /** One-shot batched IVF kNN: build, batch-probe, seal — the assignment

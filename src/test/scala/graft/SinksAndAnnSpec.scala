@@ -48,6 +48,44 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally index.release()
   }
 
+  test("disk index: round-trip probe equals in-memory probe and prunes partitions") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = Seq(0L, 1L, 2L)
+    val index = Similarity.buildIvfIndex(emb, nList = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_rt").toString
+    try {
+      Similarity.writeIvfIndex(index, tmp)
+      val disk = Similarity.readIvfIndex(spark, tmp)
+      assert(disk.nList == 8)
+      // pruned disk probe ≡ in-memory batch probe at the same nProbe
+      val mem = Similarity.probeIvfBatch(index, probes, k = 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaDisk = Similarity.probeIvfPruned(disk, probes, k = 10, nProbe = 4)
+      val got = viaDisk.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == mem)
+      // the probed lists must be pruned at the FILE level: the literal
+      // c_id IN predicate has to reach the scan's PartitionFilters
+      val p = viaDisk.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: ["), p)
+      assert(
+        "PartitionFilters: \\[[^\\]]*c_id".r.findFirstIn(p).isDefined,
+        "c_id pruning missing from scan: " + p)
+      // and exactness through the round-trip at nProbe = nList
+      val exact = Similarity.knnBatch(emb, probes, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = Similarity.probeIvfPruned(disk, probes, k = 10, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(full == exact)
+    } finally {
+      index.release()
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("prebuilt index: repeated probes reuse one assignment, recall holds") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val index = Similarity.buildIvfIndex(emb, nList = 8)

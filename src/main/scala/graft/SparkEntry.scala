@@ -824,6 +824,12 @@ object SparkEntry {
       }
     },
 
+    "e8_quantize" -> ((s, dir) =>
+      // per-dimension scalar int8 quantization (the ANN-corpus
+      // compression step), exploded to scalar rows so every code is
+      // hash-checked; floor bucketing for cross-engine portability
+      Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
+
     // ---- multimodal plumbing ----
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.metadataStats(Multimodal.syntheticMedia(s, dir))),
@@ -1246,6 +1252,22 @@ object SparkEntry {
         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS exact_jaccard
         |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
     "e5_knn_batch" -> knnBatchExactSql,
+    "e8_quantize" ->
+      // identical affine mapping and floor bucketing; (val-mn)/(mx-mn)*255
+      // associates the same way in both engines, so codes match exactly
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, CAST(t.i AS BIGINT) AS d,
+        |         v[CAST(t.i AS INTEGER) + 1] AS val
+        |  FROM e, unnest(range(len(v))) AS t(i)),
+        |st AS (SELECT d, min(val) AS mn, max(val) AS mx FROM x GROUP BY d)
+        |SELECT x.vec_id, x.d,
+        |  CAST(CASE WHEN st.mx = st.mn THEN 0
+        |       ELSE least(255.0, greatest(0.0,
+        |              floor((x.val - st.mn) / (st.mx - st.mn) * 255)))
+        |       END AS INTEGER) AS code
+        |FROM x JOIN st USING (d)""".stripMargin,
     // e7 runs the disk-index probe at nProbe = nList, which is exactly
     // the e5 computation routed through write→read→pruned-probe — same
     // oracle, so the round-trip itself is hash-checked

@@ -86,6 +86,43 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes in range, dequantized kNN keeps high recall") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = Similarity.quantizeEmbeddings(emb)
+    val codes = q.collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 255))
+    // reconstruct vectors from codes (mid-bucket) and check top-10
+    // cosine recall vs the exact float path — int8 at 64 dims should
+    // lose almost nothing
+    val recon = q.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("code"))))
+        .as("sc"))
+      .select(
+        col("vec_id"),
+        transform(col("sc"), s => s.getField("code")).as("codes"))
+    // stats re-derived the same way the operator derived them
+    val st = emb
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnArr = array(st.map(s => lit(s._2)).toSeq: _*)
+    val rngArr = array(st.map(s => lit(s._3 - s._2)).toSeq: _*)
+    val deq = recon.select(
+      col("vec_id"),
+      Similarity.dequantize(col("codes"), mnArr, rngArr).as("embedding"))
+    val approx = Similarity.knnToProbe(deq, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.knnToProbe(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("prebuilt index: repeated probes reuse one assignment, recall holds") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val index = Similarity.buildIvfIndex(emb, nList = 8)

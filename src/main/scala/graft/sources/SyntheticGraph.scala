@@ -83,12 +83,13 @@ object SyntheticGraph {
       nVertices: Long,
       nEdges: Long,
       hubFrac: Double = 0.5,
-      seed: Long = 77L): DataFrame =
+      seed: Long = 77L,
+      hubId: Long = 0L): DataFrame =
     spark
       .range(nEdges)
       .select(
         floor(uniform(seed, 1) * nVertices).cast("long").as("src"),
-        when(uniform(seed, 3) < hubFrac, lit(0L))
+        when(uniform(seed, 3) < hubFrac, lit(hubId))
           .otherwise(floor(uniform(seed, 2) * nVertices).cast("long"))
           .as("dst"))
 
@@ -110,6 +111,25 @@ object SyntheticGraph {
       singleHub(spark, 20000000L, 20000000L, hubFrac = 0.9)
     else
       singleHub(spark, 2000000L, 2000000L, hubFrac = 0.9)
+
+  /** Skew fixture for the triangle-orientation bench pair (g20): a hub
+    * at a MID-RANGE id. Under the naive id-ordering the wedge count at
+    * a hub is (#lower-id neighbors)·(#higher-id neighbors) — a hub at
+    * id 0 pays nothing (it is always the canonical `u`), so the skew
+    * that hurts id-ordering needs the hub mid-range, where it pays
+    * ≈ d²/4 wedge rows (≈9.6·10⁷ at the sf0.1 shape's d≈19.6k).
+    * Degree-ordering orients every hub edge inward: zero wedges at the
+    * hub regardless of its id. Measured idle at sf0.1: id-ordered
+    * ≈8.5–11 s vs degree-ordered ≈3.1–3.8 s per run — the crossover
+    * the orientation pass exists for.
+    */
+  def triSkewShaped(spark: SparkSession, sfDir: String): DataFrame =
+    if (sfDir.contains("sf0.1"))
+      singleHub(spark, 500000L, 250000L, hubFrac = 0.08, seed = 91L,
+        hubId = 250000L)
+    else
+      singleHub(spark, 50000L, 25000L, hubFrac = 0.08, seed = 91L,
+        hubId = 25000L)
 
   /** PORTABLE uniform random digraph: endpoints derive from md5 (not
     * xxhash64), so an oracle engine can regenerate the identical edge

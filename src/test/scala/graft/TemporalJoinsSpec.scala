@@ -208,6 +208,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("triangleCounts: degree-ordered ≡ id-ordered on random and hub graphs") {
+    // the two orientations list the same triangle set, so per-vertex
+    // counts must agree exactly — on a uniform random graph AND on the
+    // mid-id-hub skew fixture the degree ordering exists for
+    val rand = graft.sources.SyntheticGraph.portable(spark, 120, 900, "g20t")
+    val hub = graft.sources.SyntheticGraph.singleHub(
+      spark, 2000L, 4000L, hubFrac = 0.1, seed = 91L, hubId = 1000L)
+    for (g <- Seq(rand, hub)) {
+      val deg = graft.operators.GraphBuilder.triangleCounts(g)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val id = graft.operators.GraphBuilder.triangleCountsIdOrdered(g)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(deg == id)
+      assert(deg.values.sum > 0, "fixture must actually contain triangles")
+    }
+  }
+
   test("minhashEstimatePairs: est=1 on identical docs, est=0 on disjoint docs") {
     val sp = spark
     import sp.implicits._

@@ -1054,6 +1054,31 @@ object SparkEntry {
       Dedup.minhashEstimatePairs(
         t(s, dir, "documents"),
         Dedup.blockCandidatePairs(t(s, dir, "documents"), "source"))),
+    "d16_chunking" -> ((s, dir) =>
+      // overlapping token-window chunking (RAG / training prep): a
+      // stateless flatMap, no shuffle — the chunker parallelizes with
+      // the input splits at any scale
+      TextOps.chunkTokens(t(s, dir, "documents"), chunkSize = 32,
+        stride = 16)),
+    "d17_boilerplate" -> ((s, dir) =>
+      // cross-document boilerplate 3-gram ratio (CCNet/C4-style corpus
+      // repetition filter; df keyed on md5 digests so the oracle
+      // recomputes every count)
+      TextOps.boilerplateStats(t(s, dir, "documents"), n = 3, minDf = 5,
+        maxRatio = 0.5)),
+    "d18_decontaminate" -> ((s, dir) =>
+      // benchmark decontamination: corpus docs sharing verbatim 4-grams
+      // with the held-out "benchmark" slice (doc_id % 50 = 0) get
+      // flagged; portable shingle digests make every overlap count
+      // DuckDB-checkable
+      Dedup.decontaminate(
+        t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0),
+        t(s, dir, "documents").filter(col("doc_id") % 50 === 0))),
+    "d19_pack_sequences" -> ((s, dir) =>
+      // per-shard sequence packing: cumulative token offsets cut into
+      // 512-token training sequences; window partitioned by source so
+      // shards pack in parallel (a global order would serialize)
+      Sampling.packSequences(t(s, dir, "documents"), budget = 512)),
 
     "q19_cube" -> { (s, dir) =>
       // CUBE: all 4 grouping combinations in one pass (completes the
@@ -1279,6 +1304,91 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS exact_jaccard
         |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+    "d16_chunking" ->
+      // chunk c covers tokens [c·16+1, c·16+32] (1-based inclusive in
+      // both dialects: Spark slice(tk, c*16+1, 32) ≡ DuckDB
+      // tk[c*16+1 : c*16+32], both clamping at the end); chunk starts
+      // are 0, 16, 32, ... while start < n_tokens
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(CAST(floor((len(tk) - 1) / 16.0) AS BIGINT) + 1)) AS c
+        |  FROM tk)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |  array_to_string(tk[c*16+1 : c*16+32], ' ') AS chunk_text,
+        |  CAST(len(tk[c*16+1 : c*16+32]) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+    "d17_boilerplate" ->
+      // same md5-digest 3-gram stream, df computed over distinct
+      // (doc, gram) pairs, boilerplate = df >= 5; keep uses the
+      // UNROUNDED ratio exactly as the Spark side does
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(greatest(len(tk) - 2, 1)),
+        |      i -> md5(array_to_string(tk[i+1:i+3], ' '))))) AS g
+        |  FROM tk),
+        |boiler AS (SELECT g FROM pairs GROUP BY g HAVING count(*) >= 5),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN g IN (SELECT g FROM boiler) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_boiler
+        |  FROM pairs GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_boiler,
+        |  round(CAST(n_boiler AS DOUBLE) / n_grams, 6) AS boiler_ratio,
+        |  CASE WHEN CAST(n_boiler AS DOUBLE) / n_grams <= 0.5
+        |    THEN 1 ELSE 0 END AS keep
+        |FROM agg""".stripMargin,
+    "d18_decontaminate" ->
+      // portable 60-bit 4-gram digests; benchmark slice = doc_id%50=0;
+      // every per-doc overlap count recomputed from scratch
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(tk) - 3, 1)),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(tk[i+1:i+4], ' ')), 1, 15))
+        |        AS BIGINT))) AS sh
+        |  FROM tk),
+        |bench AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_overlap
+        |  FROM corpus GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_overlap,
+        |  CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM agg""".stripMargin,
+    "d19_pack_sequences" ->
+      // per-source cumulative token offsets cut into 512-token
+      // sequences; window frame and ordering identical to the Spark
+      // window spec
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS start_offset
+        |  FROM n)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(start_offset AS BIGINT) AS start_offset,
+        |  CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(start_offset % 512 AS BIGINT) AS seq_offset
+        |FROM o""".stripMargin,
     "e5_knn_batch" -> knnBatchExactSql,
     "e8_quantize" ->
       // identical affine mapping and floor bucketing; (val-mn)/(mx-mn)*255

@@ -478,4 +478,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     CacheScope.sealAfter(pairs, toksets)
   }
+
+  /** Benchmark decontamination — the training-set hygiene pass that
+    * flags corpus documents sharing verbatim n-grams with an evaluation
+    * set (the standard n-gram-overlap check GPT-3/PaLM/Llama report):
+    * every corpus doc reports how many of its distinct word `n`-grams
+    * occur anywhere in `benchmark`, and `contaminated = 1` marks docs
+    * over `maxOverlap`. Shingles are the PORTABLE md5-derived 60-bit
+    * digests ([[shingleSetPortable]]), so an oracle engine recomputes
+    * every count.
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of
+    * documents, not billions — so its distinct-shingle table is
+    * broadcast-sized and the flagging join is a broadcast left-semi
+    * per shingle with NO shuffle of the corpus stream beyond the
+    * per-doc re-aggregation; the corpus is scanned exactly once.
+    * Output: `doc_id, n_grams, n_overlap, contaminated`.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 4,
+      maxOverlap: Int = 0): DataFrame = {
+    val benchGrams = graft.core.Parallelism.ensure(benchmark)
+      .select(explode(shingleSetPortable(col("text"), n)).as("g"))
+      .distinct()
+      .select(col("g"), lit(1).as("hit"))
+    val perDoc = graft.core.Parallelism.ensure(corpus)
+      .select(col("doc_id"), explode(shingleSetPortable(col("text"), n)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count("*").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+    perDoc.select(
+      col("doc_id"), col("n_grams"), col("n_overlap"),
+      when(col("n_overlap") > maxOverlap, lit(1)).otherwise(lit(0))
+        .as("contaminated"))
+  }
 }

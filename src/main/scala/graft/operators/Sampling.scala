@@ -73,4 +73,38 @@ object Sampling {
         "kept",
         when(col("cap_rank") <= cap, lit(1)).otherwise(lit(0)))
   }
+
+  /** Sequence packing for training: concatenate each shard's documents
+    * (in deterministic `idCol` order) into one token stream and cut it
+    * into fixed `budget`-token training sequences; each document reports
+    * the sequence its first token lands in and its offset there. This is
+    * the bookkeeping a packed-pretraining dataloader needs, computed as
+    * one windowed cumulative sum.
+    *
+    * The window partitions by `shardCol` — packing is PER SHARD by
+    * design, not global: a single global token order would serialize the
+    * window into one partition (the classic scale-killer), and training
+    * pipelines shard-pack anyway (sequences never need to cross file/
+    * source boundaries, loaders consume shards independently). At 100 TB
+    * this is one hash exchange on the shard key, each shard's running
+    * sum evaluated in parallel. Output: `doc_id, <shardCol>, n_tokens,
+    * start_offset, seq_id, seq_offset`.
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int,
+      shardCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val nTok = TextOps.tokenCount(col("text"))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(shardCol), nTok.as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col(idCol), col(shardCol), col("n_tokens"), col("start_offset"),
+        (col("start_offset") / budget).cast("long").as("seq_id"),
+        pmod(col("start_offset"), lit(budget.toLong)).as("seq_offset"))
+  }
 }

@@ -183,6 +183,84 @@ object TextOps {
         .otherwise(lit(0.0)).as("rep_ratio"))
   }
 
+  /** Overlapping token-window chunking (the RAG / training-prep step
+    * that turns documents into model-sized pieces): chunk `c` covers
+    * tokens `[c·stride, c·stride + chunkSize)`, so consecutive chunks
+    * overlap by `chunkSize − stride` tokens and every token is covered.
+    * One generator per doc built inside the scan projection (sequence →
+    * explode → slice): a stateless flatMap with NO shuffle — at 100 TB
+    * the chunker is a pure map stage that parallelizes with the input
+    * splits, which is the whole design. Empty/blank docs yield no
+    * chunks. Output: `doc_id, chunk_id, chunk_text, n_chunk_tokens`.
+    */
+  def chunkTokens(
+      docs: DataFrame, chunkSize: Int = 32, stride: Int = 16): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride,
+      "need stride >= 1 and chunkSize >= stride")
+    val toks = tokens(col("text"))
+    // last chunk start = the largest multiple of stride < n_tokens
+    val lastStart = floor((size(toks) - 1).cast("double") / stride).cast("int")
+    graft.core.Parallelism.ensure(docs)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        toks.as("tk"),
+        explode(sequence(lit(0), lastStart)).as("c"))
+      .select(
+        col("doc_id"),
+        col("c").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("tk"), col("c") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("tk"), col("c") * stride + 1, lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Cross-document boilerplate ratio (the CCNet/C4-style corpus-level
+    * repetition filter, complementing [[repeatedNgramStats]]'s
+    * within-document signal): an n-gram is "boilerplate" when it occurs
+    * in ≥ `minDf` distinct documents; each document reports how much of
+    * it is made of such shared n-grams, and `keep = 0` culls documents
+    * past `maxRatio`. Two map-side-combined hash-aggregates over ONE
+    * exploded distinct-n-gram stream (df keyed by a 128-bit digest, not
+    * the raw text, so group keys stay bounded) + a broadcast-sized
+    * boilerplate join back — at 100 TB the df table above any useful
+    * `minDf` is vocabulary-shaped, orders of magnitude smaller than the
+    * corpus. Output: `doc_id, n_grams, n_boiler, boiler_ratio, keep`.
+    */
+  def boilerplateStats(
+      docs: DataFrame,
+      n: Int = 3,
+      minDf: Int = 5,
+      maxRatio: Double = 0.5): DataFrame = {
+    val toks = tokens(col("text"))
+    val nGrams = greatest(size(toks) - lit(n - 1), lit(1))
+    val grams = array_distinct(
+      transform(
+        sequence(lit(0), nGrams - 1),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    // one distinct (doc, gram-digest) stream feeds BOTH the per-doc
+    // totals and the corpus df
+    val pairs = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = pairs.groupBy(col("g")).agg(count("*").as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("g"), lit(1).as("is_boiler"))
+    val perDoc = pairs
+      .join(broadcast(boiler), Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count("*").as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0))).cast("long").as("n_boiler"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 6)
+          .as("boiler_ratio"),
+        when(col("n_boiler").cast("double") / col("n_grams") <= maxRatio,
+          lit(1)).otherwise(lit(0)).as("keep"))
+    CacheScope.sealAfter(perDoc, pairs)
+  }
+
   /** Document fingerprint over word 3-shingles: the minimum shingle
     * digest is a 1-permutation MinHash, `doc_hash` identifies the exact
     * normalized content. Digests are md5 (hex strings) rather than

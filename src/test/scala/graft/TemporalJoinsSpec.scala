@@ -225,6 +225,74 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkTokens: overlapping windows cover every token, blank docs drop") {
+    val sp = spark
+    import sp.implicits._
+    // 7 tokens, chunkSize 4 / stride 2 → starts 0,2,4,6
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "x y"), (3L, "   ")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.chunkTokens(docs, chunkSize = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, 0L) -> (("a b c d", 4L)), (1L, 1L) -> (("c d e f", 4L)),
+      (1L, 2L) -> (("e f g", 3L)), (1L, 3L) -> (("g", 1L)),
+      (2L, 0L) -> (("x y", 2L))))
+  }
+
+  test("boilerplateStats: shared n-grams counted, unique docs keep") {
+    val sp = spark
+    import sp.implicits._
+    // the 3-gram "spam spam spam" appears in docs 1-3 (df=3 ≥ minDf);
+    // doc 4 shares nothing
+    val docs = Seq(
+      (1L, "spam spam spam alpha"), (2L, "beta spam spam spam"),
+      (3L, "spam spam spam"), (4L, "one two three four")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .boilerplateStats(docs, n = 3, minDf = 3, maxRatio = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    // doc 1: grams {sss, ssa} → 1 boiler of 2 → ratio .5 → keep
+    // doc 3: 1 of 1 → ratio 1 → culled
+    assert(got(1L) == ((2L, 1L, 1)))
+    assert(got(2L) == ((2L, 1L, 1)))
+    assert(got(3L) == ((1L, 1L, 0)))
+    assert(got(4L) == ((2L, 0L, 1)))
+  }
+
+  test("decontaminate flags docs sharing n-grams with the benchmark") {
+    val sp = spark
+    import sp.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx the quick brown fox yy"), // shares 4-grams 'the quick brown fox'/'quick brown fox jumps'? only the first
+      (2L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.decontaminate(corpus, bench, n = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((1L, 1))) // exactly one shared 4-gram
+    assert(got(2L) == ((0L, 0)))
+  }
+
+  test("packSequences: per-shard offsets, seq boundaries, determinism") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e f g", "s1"), (3L, "h i", "s1"),
+      (10L, "x y z w v", "s2")).toDF("doc_id", "text", "source")
+    val got = graft.operators.Sampling.packSequences(docs, budget = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // s1 stream: doc1 tokens 0-2, doc2 3-6, doc3 7-8 → seqs of 5 tokens
+    assert(got(1L) == ((3L, 0L, 0L, 0L)))
+    assert(got(2L) == ((4L, 3L, 0L, 3L)))
+    assert(got(3L) == ((2L, 7L, 1L, 2L)))
+    assert(got(10L) == ((5L, 0L, 0L, 0L)))
+  }
+
   test("minhashEstimatePairs: est=1 on identical docs, est=0 on disjoint docs") {
     val sp = spark
     import sp.implicits._

@@ -151,4 +151,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("d12_sample_split")
     assert("Exchange".r.findAllIn(p).length <= 1, p)
   }
+
+  test("d16 chunking is a stateless flatMap: no key shuffle, codegen'd") {
+    // the chunker's scale story IS the absence of a keyed shuffle — it
+    // must parallelize with the input splits. (A RoundRobin REPARTITION
+    // exchange is allowed: that's Parallelism.ensure restoring width on
+    // the tiny single-split test scan, not data movement the algorithm
+    // needs — on a many-split 100 TB input it doesn't fire.)
+    val p = plan("d16_chunking")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("d19 packing is ONE window exchange on the shard key") {
+    val p = plan("d19_pack_sequences")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("d18 decontamination broadcasts the benchmark gram table") {
+    // the corpus stream must never shuffle against the benchmark side:
+    // one broadcast join + the per-doc re-aggregation only
+    val p = plan("d18_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

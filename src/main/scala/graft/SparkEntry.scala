@@ -904,6 +904,14 @@ object SparkEntry {
       // with state expiry runs in StreamingSpec
       graft.streaming.EventStreams.attributionJoin(
         graft.sources.Tables.events(s, dir))),
+    "st7_enrich" -> ((s, dir) =>
+      // stream-static broadcast enrichment (the most common production
+      // streaming shape), exercised on its batch twin — SAME code path,
+      // the static side broadcasts in both forms; the streaming form
+      // (MemoryStream micro-batches against the broadcast snapshot)
+      // runs in OperatorsSpec
+      graft.streaming.EventStreams.enrichEvents(
+        graft.sources.Tables.events(s, dir), t(s, dir, "customer"))),
     "st6_eventtime_sessions" -> { (s, dir) =>
       // EVENT-TIME sessionization through the REAL streaming operator
       // (flatMapGroupsWithState + EventTimeTimeout), replayed OUT OF
@@ -1691,6 +1699,17 @@ object SparkEntry {
         |    AS frame_no
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "st1_sessions" -> gapSessionSql,
+    "st7_enrich" ->
+      // left-outer so unmatched events survive with NULL enrichment;
+      // tier thresholds identical to EventStreams.enrichEvents
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  c.c_nationkey,
+        |  CASE WHEN c.c_acctbal IS NULL THEN NULL
+        |       WHEN c.c_acctbal >= 5000 THEN 'high'
+        |       WHEN c.c_acctbal >= 0 THEN 'mid'
+        |       ELSE 'neg' END AS acct_tier
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // the streaming event-time form, fully flushed, must equal the same
     // batch gap sessions — one oracle, two independent engine paths
     "st6_eventtime_sessions" -> gapSessionSql,

@@ -115,6 +115,37 @@ object EventStreams {
         count("*").as("n_events"),
         count_distinct(col("m.user_id")).as("n_users"))
 
+  /** Stream-static enrichment: the most common production streaming
+    * shape — every event picks up dimension attributes (here: the
+    * customer's nation and an account tier) from a static table. The
+    * static side BROADCASTS (dimension tables are small by nature) and
+    * the join is stateless: no watermark, no state store, each
+    * micro-batch joins against the broadcast snapshot — so throughput
+    * is the map-stage rate, identical at 100 TB/day. Unmatched events
+    * pass through with NULL enrichment (left-outer: an enricher must
+    * never drop events). Works unchanged on a batch frame, which is
+    * how the oracle checks it (st7).
+    */
+  def enrichEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(
+        broadcast(customers.select(
+          col("c_custkey").as("user_id"),
+          col("c_nationkey"),
+          col("c_acctbal"))),
+        Seq("user_id"),
+        "left_outer")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        col("c_nationkey"),
+        when(col("c_acctbal").isNull, lit(null).cast("string"))
+          .when(col("c_acctbal") >= 5000, lit("high"))
+          .when(col("c_acctbal") >= 0, lit("mid"))
+          .otherwise(lit("neg")).as("acct_tier"))
+
   // ---- stream-stream interval join (attribution) ----
 
   /** Click→purchase attribution as a STREAM-STREAM interval join: for

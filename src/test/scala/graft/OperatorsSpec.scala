@@ -341,6 +341,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("stream-static enrichment matches batch twin and keeps unmatched events") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(id: Long, u: Long, tpe: String) = EventStreams.Event(
+      id, new java.sql.Timestamp(base + id * 1000L), u, tpe, id * 1.5)
+    val dim = Seq(
+      (1L, 0, 9000.0), (2L, 3, 100.0), (3L, 7, -50.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val rows = Seq(ev(1, 1, "click"), ev(2, 2, "view"),
+      ev(3, 3, "click"), ev(4, 99, "view")) // 99: no dim row
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(rows.take(2): _*)
+    ms.addData(rows.drop(2): _*)
+    val q = EventStreams.enrichEvents(ms.toDS().toDF(), dim).writeStream
+      .format("memory").queryName("enrich").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Integer]("c_nationkey")).map(_.toInt),
+        Option(r.getAs[String]("acct_tier")))).toSet
+    val got = snap(spark.table("enrich"))
+    val batch = snap(EventStreams.enrichEvents(rows.toDF(), dim))
+    assert(batch == Set(
+      (1L, Some(0), Some("high")), (2L, Some(3), Some("mid")),
+      (3L, Some(7), Some("neg")), (4L, None, None)))
+    assert(got == batch)
+    spark.sql("DROP TABLE IF EXISTS enrich")
+  }
+
   test("stateful streaming sessionization emits closed sessions") {
     val sp = spark
     import sp.implicits._

@@ -222,16 +222,35 @@ object TextOps {
     * it is made of such shared n-grams, and `keep = 0` culls documents
     * past `maxRatio`. Two map-side-combined hash-aggregates over ONE
     * exploded distinct-n-gram stream (df keyed by a 128-bit digest, not
-    * the raw text, so group keys stay bounded) + a broadcast-sized
-    * boilerplate join back — at 100 TB the df table above any useful
-    * `minDf` is vocabulary-shaped, orders of magnitude smaller than the
-    * corpus. Output: `doc_id, n_grams, n_boiler, boiler_ratio, keep`.
+    * the raw text, so group keys stay bounded) + a join back on the
+    * digest key. The boiler side is deliberately NOT hinted broadcast:
+    * unlike a unigram vocabulary, the distinct-3-gram set above `minDf`
+    * grows roughly linearly with corpus size, so at 100 TB it is nowhere
+    * near driver-sized — size statistics / AQE pick the join strategy
+    * (broadcast at small scale, a digest-keyed shuffle join at large,
+    * where the agg output is already hash-partitioned by `g` so only the
+    * pairs side exchanges). Contrast [[graft.operators.Dedup.decontaminate]],
+    * whose broadcast side IS bounded by the nature of an eval set.
+    * Output: `doc_id, n_grams, n_boiler, boiler_ratio, keep`.
     */
   def boilerplateStats(
       docs: DataFrame,
       n: Int = 3,
       minDf: Int = 5,
       maxRatio: Double = 0.5): DataFrame = {
+    val (perDoc, pairs) = boilerplateStages(docs, n, minDf, maxRatio)
+    CacheScope.sealAfter(perDoc, pairs)
+  }
+
+  /** The unsealed plan behind [[boilerplateStats]], exposed so the plan
+    * audit can assert join strategy is statistics-driven (no hint).
+    * Returns (result, the persisted pair stream to unpersist).
+    */
+  private[graft] def boilerplateStages(
+      docs: DataFrame,
+      n: Int,
+      minDf: Int,
+      maxRatio: Double): (DataFrame, DataFrame) = {
     val toks = tokens(col("text"))
     val nGrams = greatest(size(toks) - lit(n - 1), lit(1))
     val grams = array_distinct(
@@ -247,7 +266,7 @@ object TextOps {
       .filter(col("df") >= minDf)
       .select(col("g"), lit(1).as("is_boiler"))
     val perDoc = pairs
-      .join(broadcast(boiler), Seq("g"), "left_outer")
+      .join(boiler, Seq("g"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(
         count("*").as("n_grams"),
@@ -258,7 +277,7 @@ object TextOps {
           .as("boiler_ratio"),
         when(col("n_boiler").cast("double") / col("n_grams") <= maxRatio,
           lit(1)).otherwise(lit(0)).as("keep"))
-    CacheScope.sealAfter(perDoc, pairs)
+    (perDoc, pairs)
   }
 
   /** Document fingerprint over word 3-shingles: the minimum shingle

@@ -170,6 +170,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("d17 boilerplate join is statistics-driven, never hinted broadcast") {
+    // the boiler side (distinct 3-grams with df >= minDf) grows ~linearly
+    // with corpus size — a hardcoded broadcast hint would OOM the driver
+    // at 100 TB. The optimized logical plan must carry NO join hint; AQE
+    // and size stats are free to broadcast at small scale.
+    val (perDoc, pairs) = graft.operators.TextOps.boilerplateStages(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      n = 3, minDf = 5, maxRatio = 0.5)
+    try {
+      val p = perDoc.queryExecution.optimizedPlan.toString
+      assert(!p.contains("strategy=broadcast"),
+        "boiler join must not be hint-broadcast: " + p)
+    } finally pairs.unpersist()
+  }
+
   test("d18 decontamination broadcasts the benchmark gram table") {
     // the corpus stream must never shuffle against the benchmark side:
     // one broadcast join + the per-doc re-aggregation only

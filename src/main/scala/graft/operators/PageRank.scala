@@ -41,6 +41,15 @@ final case class PageRankConfig(
       * the differential test pins salted ≡ unsalted to ≤1e-12.
       */
     saltBuckets: Int = 0,
+    /** Explicit partition count for the one-time edge repartition (and
+      * thus the cached edge frame the per-iteration scatter join probes).
+      * `None` (default) sizes it from Catalyst row-count statistics
+      * targeting ~1M edges/partition — see [[PageRank.estimateEdgeParts]].
+      * Set it when the estimate is unavailable (exotic sources) or when a
+      * measured sweep on the actual cluster says otherwise; the README
+      * records such a sweep on the S3 bench shape.
+      */
+    edgePartitions: Option[Int] = None,
     /** Attach a per-run stage listener and record per-iteration executor
       * run/CPU time and shuffle bytes into the [[IterationStat]] trace.
       * Off by default: the listener quiesce adds ~100 ms per iteration,
@@ -113,7 +122,14 @@ object PageRank {
   val stateRowBytes: Long = 64L
 
   /** Shuffle-partition count for the one-time edge repartition+dedup,
-    * sized so each task's dedup hash table stays ~50 MB (~1M edge rows).
+    * sized so each task's working set (dedup hash table, then the
+    * per-iteration shuffle-hash probe over the cached partition) stays
+    * ~40 MB (~750k edge rows). The target is MEASURED, not guessed: a
+    * partition sweep on the 69M-edge S3 bench shape (README
+    * "Edge-partition sizing") put the 1M-row target (70 partitions) at
+    * 134–296 cpu-s/iteration versus a steady ~100 at 750k rows (93
+    * partitions) and ~flat beyond — identical shuffle bytes, so the
+    * cliff is per-task memory pressure (spill + GC), not data movement.
     * Row count is ESTIMATED from Catalyst statistics of the pruned
     * (src, dst) projection — a plan inspection, no job runs. `rowCount`
     * is preferred when the optimizer carries it (cached relations and
@@ -130,8 +146,8 @@ object PageRank {
     * USER-NUMBERED repartition that AQE does NOT coalesce (that
     * stability is exactly what Parallelism.spreadBy relies on), so the
     * CAP is the only backstop: 2048 partitions bounds a runaway estimate
-    * at ~2048 (cheap, empty-ish) tasks while still covering ~2B edges
-    * per loop at the 1M-row target — beyond that, callers at genuine
+    * at ~2048 (cheap, empty-ish) tasks while still covering ~1.5B edges
+    * per loop at the 750k-row target — beyond that, callers at genuine
     * 100 TB scale set `spark.sql.shuffle.partitions` for their cluster
     * and the max() below honors it.
     */
@@ -145,7 +161,7 @@ object PageRank {
       .min(BigInt(Long.MaxValue)).toLong
     math.max(
       spark.sessionState.conf.numShufflePartitions,
-      math.min((estRows / 1000000L) + 1L, 2048L).toInt)
+      math.min((estRows / 750000L) + 1L, 2048L).toInt)
   }
 
   // Refcounted AQE suppression, keyed PER SESSION: the conf being guarded
@@ -218,11 +234,11 @@ object PageRank {
     // per TASK (~56 B per distinct edge), so at 69M edges on 32
     // partitions each task holds a ~120 MB table — past the execution
     // pool that means sort-based fallback, i.e. the whole edge set spills
-    // (measured ~15 GB at the S3 bench shape). ~1M rows per partition
-    // keeps every table ~50 MB. The estimate comes from Catalyst stats
+    // (measured ~15 GB at the S3 bench shape). ~750k rows per partition
+    // keeps every table ~40 MB. The estimate comes from Catalyst stats
     // (free — no action, no extra input scan; a full count() here used to
     // cost a complete pass over the raw edges before any work).
-    val edgeParts = estimateEdgeParts(edgesRaw)
+    val edgeParts = cfg.edgePartitions.getOrElse(estimateEdgeParts(edgesRaw))
     val repartitioned = edgesRaw
       .select(col("src"), col("dst"))
       .repartition(edgeParts, col("src"))

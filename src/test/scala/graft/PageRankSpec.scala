@@ -180,8 +180,8 @@ class PageRankSpec extends AnyFunSuite {
       Thread.sleep(300)
       assert(jobs.get() == 0, s"stats estimation ran ${jobs.get()} job(s)")
       assert(p1 >= spark.sessionState.conf.numShufflePartitions)
-      // ~69M synthetic edges → ~1M-row partitions, as the count-based
-      // sizing produced before (70); stats land in the same decade
+      // ~69M synthetic edges → ~750k-row partitions (93): the measured
+      // sweet spot from the README's edge-partition sweep
       assert(p2 >= 40 && p2 <= 200, s"p2=$p2")
     } finally sc.removeSparkListener(l)
   }

@@ -163,46 +163,70 @@ object Similarity {
     def release(): Unit = { assigned.unpersist(false); () }
   }
 
-  /** Build an [[IvfIndex]]: a deterministic coarse quantizer (every
-    * `stride`-th vector by id serves as a centroid — seeded sampling
-    * without randomness), then each vector assigned to its nearest
-    * centroid in ONE broadcast-join scan (max cosine via max_by — the
-    * argmax folds inside the hash aggregate, no window sort). The
-    * assignment is materialized eagerly: "build" is the one pass a user
-    * pays up front so probes don't.
+  /** Build an [[IvfIndex]]: a deterministic coarse quantizer — stride
+    * sampling seeds the centroids (every `stride`-th vector by id: seeded
+    * sampling without randomness), then `kmeansIter` Lloyd iterations of
+    * spherical k-means refine them. Each Lloyd pass is one assignment
+    * scan of the persisted base (broadcast centroids, max cosine via
+    * max_by — the argmax folds inside the hash aggregate, no window
+    * sort) plus one per-(list, dimension) mean (explode → map-side
+    * combined hash-agg). Everything about the refinement is pinned
+    * deterministic: fixed init, FIXED iteration count, lowest-c_id
+    * tie-breaks, and per-dimension means rounded to 9 dp so float
+    * summation order cannot leak into the stored centroids. Empty
+    * clusters keep their previous centroid, so the c_id set is stable —
+    * those ids label the inverted lists and the disk layout's partition
+    * directories. Centroid tables are collected between passes: nList
+    * rows by construction, driver-bounded at any corpus size (the same
+    * bound [[writeIvfIndex]]'s layout relies on). `kmeansIter = 0`
+    * degrades to the raw stride sample. The final assignment is
+    * materialized eagerly: "build" is the one pass a user pays up front
+    * so probes don't.
     */
-  def buildIvfIndex(embeddings: DataFrame, nList: Int = 16): IvfIndex = {
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      nList: Int = 16,
+      kmeansIter: Int = 3): IvfIndex = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val emb = asDouble(col("embedding"))
     val n = embeddings.count()
     val stride = math.max(n / nList, 1L)
-    val centroids = broadcast(
-      embeddings
-        .filter(pmod(col("vec_id"), lit(stride)) === 0)
-        // ordered before limit: an unordered limit picks whichever rows
-        // the scan reaches first, breaking the determinism contract
-        .orderBy(col("vec_id"))
-        .limit(nList)
-        .select(col("vec_id").as("c_id"), emb.as("c_emb"))
-        .withColumn("c_nrm", norm(col("c_emb"))))
     // base projection persisted so each vector's norm folds ONCE, not
-    // once per (vector, centroid) pair in the assignment cross join
+    // once per (vector, centroid) pair — and every Lloyd pass rescans
+    // the SAME cached frame instead of re-reading the source
     val base = embeddings
       .select(col("vec_id"), emb.as("e"))
       .withColumn("nrm", norm(col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = base
-      .crossJoin(centroids)
-      .withColumn(
-        "sim",
-        cosinePre(col("e"), col("c_emb"), col("nrm"), col("c_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("c_id"), col("e"), col("nrm")),
-        // deterministic argmax: highest sim, lowest c_id on ties
-        struct(col("sim"), -col("c_id"))).as("best"))
-      .select(
-        col("vec_id"), col("best.e").as("e"),
-        col("best.nrm").as("nrm"), col("best.c_id").as("c_id"))
+    var cents: Seq[(Long, Seq[Double])] = base
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      // ordered before limit: an unordered limit picks whichever rows
+      // the scan reaches first, breaking the determinism contract
+      .orderBy(col("vec_id"))
+      .limit(nList)
+      .select(col("vec_id"), col("e"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    def centroidFrame(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      broadcast(
+        cs.toDF("c_id", "c_emb").withColumn("c_nrm", norm(col("c_emb"))))
+    for (_ <- 1 to kmeansIter) {
+      val updated = assignNearest(base, centroidFrame(cents))
+        .select(col("c_id"), posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy(col("c_id"), col("d"))
+        .agg(round(avg(col("x")), 9).as("m"))
+        .groupBy(col("c_id"))
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(
+          col("c_id"),
+          transform(col("dm"), s => s.getField("m")).as("c_emb"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (id, e) => id -> updated.getOrElse(id, e) }
+    }
+    val centroids = centroidFrame(cents)
+    val assigned = assignNearest(base, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the build NOW (count touches every cached column's
     // batch via the InMemoryRelation), then the norm-carrying scratch
@@ -211,6 +235,24 @@ object Similarity {
     base.unpersist(false)
     new IvfIndex(assigned, centroids, nList)
   }
+
+  /** Nearest-centroid assignment of every base vector in ONE
+    * broadcast-join scan; deterministic argmax (highest sim, lowest c_id
+    * on ties). Shared by the Lloyd passes and the final index build.
+    */
+  private def assignNearest(base: DataFrame, centroids: DataFrame): DataFrame =
+    base
+      .crossJoin(centroids)
+      .withColumn(
+        "sim",
+        cosinePre(col("e"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("c_id"), col("e"), col("nrm")),
+        struct(col("sim"), -col("c_id"))).as("best"))
+      .select(
+        col("vec_id"), col("best.e").as("e"),
+        col("best.nrm").as("nrm"), col("best.c_id").as("c_id"))
 
   /** Probe a prebuilt [[IvfIndex]] for one query vector: rank the
     * centroids against the query (broadcast-small), keep the `nProbe`

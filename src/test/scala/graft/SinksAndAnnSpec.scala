@@ -10,7 +10,12 @@ class AnnRecallSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("IVF kNN reaches ≥50% recall@10 of exact kNN and stays ordered") {
+  test("IVF kNN reaches ≥80% recall@10 of exact kNN and stays ordered") {
+    // the build is fully deterministic (stride init + 3 fixed Lloyd
+    // iterations, rounded means), so recall on this fixture is a fixed
+    // number: 0.9 for probe 0 at nList=8/nProbe=4 (it was 0.5-0.7 under
+    // the raw stride quantizer — the k-means upgrade is what bought the
+    // tighter bound here)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val exact = Similarity.knnToProbe(emb, 0L, 10)
       .collect().map(_.getLong(0)).toSet
@@ -20,7 +25,33 @@ class AnnRecallSpec extends AnyFunSuite {
     val sims = ivf.map(_.getDouble(1))
     assert(sims.sorted.reverse.toSeq == sims.toSeq, "descending order")
     val recall = ids.toSet.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall=$recall")
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("k-means quantizer: 10-probe mean recall ≥0.65 and ≥ the stride sample") {
+    // Both builds are deterministic, so both means are fixed numbers on
+    // this fixture (kmeans3 ≈ 0.73; the raw stride sample sat lower) —
+    // the comparative assert pins that the Lloyd refinement can never
+    // silently fall below the quantizer it replaced
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = (0L until 10L).toSeq
+    val exact = Similarity.knnBatch(emb, probes, k = 10).collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    def meanRecall(kmIter: Int): Double = {
+      val index = Similarity.buildIvfIndex(emb, nList = 8, kmeansIter = kmIter)
+      try {
+        val got = Similarity.probeIvfBatch(index, probes, k = 10, nProbe = 4)
+          .collect()
+          .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+        probes
+          .map(p => got(p).intersect(exact(p)).size.toDouble / exact(p).size)
+          .sum / probes.size
+      } finally index.release()
+    }
+    val km = meanRecall(3)
+    val stride = meanRecall(0)
+    assert(km >= 0.65, s"kmeans mean recall=$km")
+    assert(km >= stride, s"kmeans=$km below stride=$stride")
   }
 
   test("IVF with nProbe = nList equals exact kNN") {
@@ -142,7 +173,8 @@ class AnnRecallSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       val got0 = batch.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
       val recall = got0.intersect(exact0).size.toDouble / exact0.size
-      assert(recall >= 0.5, s"recall=$recall")
+      // deterministic 0.9 on this fixture since the k-means quantizer
+      assert(recall >= 0.8, s"recall=$recall")
     } finally index.release()
   }
 }

@@ -858,6 +858,35 @@ object SparkEntry {
       // hash-checked; floor bucketing for cross-engine portability
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
 
+    "e9_knn_topk_agg" -> ((s, dir) =>
+      // e5's batched kNN through the native BOUNDED top-k aggregate
+      // instead of the window: partial state is a k-capped heap, so the
+      // ranking exchange carries k rows per (probe, partition) instead
+      // of every scored candidate. Same probes, same k, same oracle SQL
+      // as e5 — the hash-match IS the window≡aggregate differential at
+      // the gate, on top of the unit differential.
+      Similarity.knnBatchAgg(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
+    "e9_batch1k_win" -> ((s, dir) =>
+      // the ≥1000-probe shape, window form: every scored (probe,
+      // candidate) pair ships through the ranking exchange. Bench-scale
+      // experiment row (timings are the result — rows-only check); the
+      // twin below runs the identical computation through the bounded
+      // aggregate, so the bench carries the measured crossover every
+      // round like g18/g20 do for salt/orientation.
+      Similarity.knnBatch(
+        t(s, dir, "embeddings"),
+        probeIds = (0L until 1000L).toSeq, k = 10)
+        .groupBy(col("probe_id")).agg(count("*").as("n"))
+        .groupBy().agg(count("*").as("n_probes"), sum(col("n")).as("n_rows"))),
+    "e9_batch1k_agg" -> ((s, dir) =>
+      Similarity.knnBatchAgg(
+        t(s, dir, "embeddings"),
+        probeIds = (0L until 1000L).toSeq, k = 10)
+        .groupBy(col("probe_id")).agg(count("*").as("n"))
+        .groupBy().agg(count("*").as("n_probes"), sum(col("n")).as("n_rows"))),
+
     // ---- multimodal plumbing ----
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.metadataStats(Multimodal.syntheticMedia(s, dir))),
@@ -1398,6 +1427,9 @@ object SparkEntry {
         |  CAST(start_offset % 512 AS BIGINT) AS seq_offset
         |FROM o""".stripMargin,
     "e5_knn_batch" -> knnBatchExactSql,
+    // e9 is e5's computation through the bounded top-k aggregate — same
+    // oracle; a hash-match certifies window ≡ aggregate at the gate
+    "e9_knn_topk_agg" -> knnBatchExactSql,
     "e8_quantize" ->
       // identical affine mapping and floor bucketing; (val-mn)/(mx-mn)*255
       // associates the same way in both engines, so codes match exactly

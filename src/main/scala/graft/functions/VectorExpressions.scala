@@ -242,6 +242,16 @@ object VectorFunctions {
     GraftSqlBridge.column(
       HyperplaneSigExpr(GraftSqlBridge.expression(vec), bits, seed))
 
+  /** Bounded top-k aggregate (k-capped partial state); see
+    * [[TopKAggExpr]].
+    */
+  def topK(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKAggExpr(
+        GraftSqlBridge.expression(score),
+        GraftSqlBridge.expression(id),
+        k).toAggregateExpression())
+
   /** Make the native expressions callable from SQL on a live session
     * (`SELECT graft_dot(a, b)`, `graft_proj(vec, 12, 42)`). New sessions
     * can instead inject [[GraftExtensions]] at build time.

@@ -114,21 +114,61 @@ object Similarity {
     * emits (probe, candidate, sim) tuples; one exchange on probe_id
     * ranks each probe's list. Ranking keys use the ROUNDED similarity
     * (then vec_id) so cross-engine float noise cannot reorder the
-    * boundary of the top-k. At larger probe counts the broadcast probe
-    * side becomes a bucketed join and the window becomes a partial
-    * top-k aggregation; at this surface the window is the idiomatic
-    * plan.
+    * boundary of the top-k. This window form ships every scored pair
+    * through the ranking exchange — fine at moderate probe counts; at
+    * thousands of probes use [[knnBatchAgg]], whose k-bounded partial
+    * aggregate reduces each (probe, partition) to k rows before the
+    * shuffle.
     */
   def knnBatch(
       embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    scoreAgainstProbes(embeddings, probeIds)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** BATCHED exact kNN through the native bounded top-k AGGREGATE
+    * ([[graft.functions.TopKAggExpr]]) instead of [[knnBatch]]'s window:
+    * identical output (a differential spec pins set equality), different
+    * exchange volume. The window must ship and sort EVERY scored
+    * (probe, candidate) pair — |probes|·|corpus| rows through one
+    * exchange; here the k-bounded heap is the aggregate's PARTIAL state,
+    * so each (probe, input-partition) reduces to ≤ k pairs map-side and
+    * the exchange carries k·|partitions| rows per probe no matter how
+    * large the corpus. At ≥1000 probes this is the form that holds up
+    * (benched every round as e9_batch1k_agg vs e9_batch1k_win); below
+    * ~hundreds of probes the window's simpler plan is equally good.
+    */
+  def knnBatchAgg(
+      embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame =
+    scoreAgainstProbes(embeddings, probeIds)
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.VectorFunctions
+        .topK(col("cos_sim"), col("vec_id"), k).as("topk"))
+      .select(col("probe_id"), explode(col("topk")).as("t"))
+      .select(
+        col("probe_id"),
+        col("t.vec_id").as("vec_id"),
+        col("t.cos_sim").as("cos_sim"))
+
+  /** Shared scoring stage of the batched-kNN forms: broadcast the probe
+    * set, stream the corpus once, emit rounded (probe_id, vec_id,
+    * cos_sim) tuples — norms materialized once per side, never per pair.
+    */
+  private def scoreAgainstProbes(
+      embeddings: DataFrame, probeIds: Seq[Long]): DataFrame = {
     require(probeIds.nonEmpty, "need at least one probe id")
     val probes = broadcast(
       embeddings
         .filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
         .withColumn("p_nrm", norm(col("p"))))
-    val scored = embeddings
+    embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
       .crossJoin(probes)
@@ -138,13 +178,6 @@ object Similarity {
         col("vec_id"),
         round(cosinePre(col("e"), col("p"), col("nrm"), col("p_nrm")), 6)
           .as("cos_sim"))
-    val w = Window
-      .partitionBy(col("probe_id"))
-      .orderBy(desc("cos_sim"), asc("vec_id"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
   }
 
   /** A prebuilt IVF (inverted-file) index: the expensive one-time pass —

@@ -170,6 +170,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("e9 top-k agg: bounded partial aggregate, no window, no sort of all pairs") {
+    // the whole point of the aggregate form: the k-capped heap is the
+    // PARTIAL state (ObjectHashAggregate partial_graft_topk before the
+    // exchange), and no Window/row_number ranks the full scored stream
+    val p = plan("e9_knn_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_topk"), "map-side bounded partial missing: " + p)
+    assert(!p.contains("Window"), "window crept back into the agg form: " + p)
+  }
+
   test("d17 boilerplate join is statistics-driven, never hinted broadcast") {
     // the boiler side (distinct 3-grams with df >= minDf) grows ~linearly
     // with corpus size — a hardcoded broadcast hint would OOM the driver

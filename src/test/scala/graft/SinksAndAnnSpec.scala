@@ -117,6 +117,28 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded top-k aggregate form equals the window form exactly") {
+    // same rounded-sim ranking keys, so the two plans must agree on the
+    // full (probe_id, vec_id, cos_sim) set — including tie boundaries
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L, 17L, 99L)
+    val win = Similarity.knnBatch(emb, probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val agg = Similarity.knnBatchAgg(emb, probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg == win)
+    assert(win.size == probes.size * 10)
+  }
+
+  test("top-k aggregate handles k larger than the group") {
+    // fewer candidates than k: emit all of them, still fully sorted
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
+    val agg = Similarity.knnBatchAgg(emb, Seq(0L), k = 10).collect()
+    assert(agg.length == 4) // 5 vectors minus the probe itself
+    val sims = agg.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse, "descending order")
+  }
+
   test("int8 quantization: codes in range, dequantized kNN keeps high recall") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

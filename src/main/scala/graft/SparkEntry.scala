@@ -766,6 +766,15 @@ object SparkEntry {
         t(s, dir, "documents"),
         Dedup.blockCandidatePairs(t(s, dir, "documents"), "source"),
         threshold = 0.01)),
+    "d5c_lsh_portable" -> ((s, dir) =>
+      // the LSH BANDING itself, oracle-checked: portable md5 minhash
+      // signatures (d15's construction) banded with literal '|'-joined
+      // band-slice keys — no engine-local hash anywhere, so DuckDB
+      // regenerates the exact candidate set. Closes the last
+      // unchecked stage of the dedup pipeline; d5 keeps the cheaper
+      // xxhash64 form for engine-local runs.
+      Dedup.lshCandidatePairsPortable(
+        t(s, dir, "documents"), k = 16, bands = 4)),
     "d6_blocked_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(
         t(s, dir, "documents"), blockCol = "source", threshold = 0.8)),
@@ -1341,6 +1350,35 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS exact_jaccard
         |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+    "d5c_lsh_portable" ->
+      // same shingle/digest/minhash construction as d15; band b of 4
+      // covers sig[b*4+1 .. b*4+4] (1-based inclusive in both dialects);
+      // the bucket key is the literal '|'-joined slice, so the banding
+      // decision — not a proxy — is what hash-matches
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(tk) - 2, 1)),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 15))
+        |        AS BIGINT))) AS sh
+        |  FROM tk),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), i ->
+        |      list_min(list_transform(sh, s ->
+        |        md5(concat(CAST(i AS VARCHAR), ':', CAST(s AS VARCHAR)))))) AS sig
+        |  FROM sh),
+        |band AS (
+        |  SELECT doc_id, CAST(t.b AS INTEGER) AS band_no,
+        |    array_to_string(sig[t.b*4+1 : t.b*4+4], '|') AS band_key
+        |  FROM sig, unnest(range(4)) AS t(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM band a JOIN band b
+        |  ON a.band_no = b.band_no AND a.band_key = b.band_key
+        | AND a.doc_id < b.doc_id""".stripMargin,
     "d16_chunking" ->
       // chunk c covers tokens [c·16+1, c·16+32] (1-based inclusive in
       // both dialects: Spark slice(tk, c*16+1, 32) ≡ DuckDB

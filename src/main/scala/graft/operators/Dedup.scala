@@ -90,15 +90,32 @@ object Dedup {
 
   /** LSH banding over a precomputed `(doc_id, sig)` signature matrix —
     * lets pipelines that also need the shingle arrays (verification)
-    * compute shingles exactly once.
+    * compute shingles exactly once. Band buckets are keyed by an
+    * engine-local xxhash64 of the band slice (cheapest key; see
+    * [[lshCandidatePairsPortable]] for the oracle-checkable twin).
     */
   def lshCandidatePairsFromSigs(
       sigsRaw: DataFrame,
       k: Int,
       bands: Int): DataFrame = {
     val rows = k / bands
+    lshPairsCore(
+      sigsRaw, bands,
+      b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string")))
+  }
+
+  /** The shared banding core: explode each signature into `bands`
+    * (band_no, band_key) rows, bucket-join within (band_no, band_key),
+    * emit distinct candidate pairs. `bandKeyOf` builds the bucket key
+    * from the band index — the only thing the engine-local and portable
+    * forms differ in.
+    */
+  private def lshPairsCore(
+      sigsRaw: DataFrame,
+      bands: Int,
+      bandKeyOf: Column => Column): DataFrame = {
     // persist the signature matrix: it is THE materialization point of an
-    // LSH pipeline (|D|·k longs). Without the barrier, Catalyst inlines
+    // LSH pipeline (|D|·k entries). Without the barrier, Catalyst inlines
     // the whole minhash computation into the band-explode generator AND
     // into both sides of the bucket self-join — measured 100× slower.
     val sigs = sigsRaw
@@ -108,25 +125,70 @@ object Dedup {
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band_no"),
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))
-              .as("band_hash")))).as("band"))
-      .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+          b => struct(b.as("band_no"), bandKeyOf(b).as("band_key"))))
+        .as("band"))
+      .select(col("doc_id"), col("band.band_no"), col("band.band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explicit-width clustering: the Σ|bucket|² pair expansion happens
     // INSIDE the self-join's tasks, and the banded frame's few MB would
     // otherwise AQE-coalesce the join to one partition (see
     // Parallelism.spreadBy)
     val bandedW = graft.core.Parallelism
-      .spreadBy(banded, col("band_no"), col("band_hash"))
+      .spreadBy(banded, col("band_no"), col("band_key"))
     val pairs = bandedW
       .as("a")
-      .join(bandedW.as("b"), Seq("band_no", "band_hash"))
+      .join(bandedW.as("b"), Seq("band_no", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     CacheScope.sealAfter(pairs, sigs, banded)
+  }
+
+  /** k-permutation PORTABLE MinHash signatures from a `(doc_id, sh
+    * ARRAY<LONG>)` portable-digest shingle frame: `h_i(S) = min_{s∈S}
+    * md5(i || ':' || s)`, minima compared as hex strings (identical
+    * lexicographic order in any engine). Same explode → ONE
+    * k-min-aggregate plan as [[minhashSigsFromShingleFrame]]; the string
+    * form costs more per hash than xxhash64, which is why the
+    * engine-local family keeps the cheaper hash for pure-Spark
+    * pipelines.
+    */
+  def minhashSigsPortable(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k)
+      .map(i => min(md5(concat_ws(":", lit(i), col("s")))).as(s"h_$i"))
+    sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id"),
+        array((0 until k).map(i => col(s"h_$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate generation with EVERY stage portable — the
+    * oracle-checkable twin of [[lshCandidatePairs]]: md5-derived shingle
+    * digests, md5 minhash minima, and band keys that are the literal
+    * '|'-joined band slice (no engine-local hash anywhere), so an oracle
+    * engine regenerates the exact candidate set ([[SparkEntry]] d5c).
+    * The banding plan is identical to the engine-local form (shared
+    * core); only the key expressions differ — string band keys cost a
+    * wider shuffle key, the price of cross-engine reproducibility. With
+    * both twins green, the entire dedup pipeline (shingle → minhash →
+    * band → bucket-join → verify) is hash-locked end to end.
+    */
+  def lshCandidatePairsPortable(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      shingle: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sh = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), shingleSetPortable(col("text"), shingle).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = lshPairsCore(
+      minhashSigsPortable(sh, k), bands,
+      b => concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))
+    sh.unpersist(false)
+    out
   }
 
   /** VERIFY stage of the dedup pipeline, factored out so it can be
@@ -208,20 +270,11 @@ object Dedup {
       .select(
         col("doc_id"), shingleSetPortable(col("text"), shingle).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aggs = (0 until k)
-      .map(i => min(md5(concat_ws(":", lit(i), col("s")))).as(s"h_$i"))
     // ONE combined (doc_id, sig, sh) side: the signature agg re-joins its
     // own shingle source (the persisted `sh` barrier makes that a cache
     // scan, not a text re-scan), so the candidate list is joined exactly
     // twice — once per pair side — instead of twice per carried column
-    val sigs = sh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("doc_id"),
-        array((0 until k).map(i => col(s"h_$i")): _*).as("sig"))
-      .join(sh, "doc_id")
+    val sigs = minhashSigsPortable(sh, k).join(sh, "doc_id")
     val out = graft.core.Parallelism
       .spread(candidates.select(col("id_a"), col("id_b")))
       .join(

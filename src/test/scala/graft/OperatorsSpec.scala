@@ -56,6 +56,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("portable LSH banding finds the same near-dup as the engine-local form") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      (1L, base, "s"),
+      (2L, base + " extra", "s"),
+      (3L, "completely different words about spark catalyst optimizer rules", "s"))
+    val portable = Dedup.lshCandidatePairsPortable(d, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical docs must bucket together; the unrelated doc may or
+    // may not collide into SOME band (hash family dependent), but the
+    // (1,2) pair is the recall contract both forms share
+    assert(portable.contains((1L, 2L)), s"got $portable")
+  }
+
   test("simhash: identical docs equal, near docs close, far docs far") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
@@ -142,6 +156,9 @@ class DedupSpec extends AnyFunSuite {
     }
     check("minhashDedupPairs") {
       Dedup.minhashDedupPairs(d, threshold = 0.1, k = 16, bands = 4).count()
+    }
+    check("lshCandidatePairsPortable") {
+      Dedup.lshCandidatePairsPortable(d, k = 16, bands = 4).count()
     }
     check("blockedJaccardPairs") {
       Dedup.blockedJaccardPairs(d, "source", 0.5).count()

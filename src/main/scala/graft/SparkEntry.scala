@@ -1125,6 +1125,12 @@ object SparkEntry {
       // 512-token training sequences; window partitioned by source so
       // shards pack in parallel (a global order would serialize)
       Sampling.packSequences(t(s, dir, "documents"), budget = 512)),
+    "d20_pack_pieces" -> ((s, dir) =>
+      // the MATERIALIZED packing: every doc exploded into per-sequence
+      // pieces (budget 64 so plenty of docs straddle a boundary at this
+      // sf); DuckDB regenerates every cut point and piece string, so
+      // the piece boundaries — not just the bookkeeping — hash-match
+      Sampling.packSequencePieces(t(s, dir, "documents"), budget = 64)),
 
     "q19_cube" -> { (s, dir) =>
       // CUBE: all 4 grouping combinations in one pass (completes the
@@ -1464,6 +1470,49 @@ object SparkEntry {
         |  CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
         |  CAST(start_offset % 512 AS BIGINT) AS seq_offset
         |FROM o""".stripMargin,
+    "d20_pack_pieces" ->
+      // same cumulative-offset window at budget 64, then every covered
+      // sequence generates a piece: token range [piece_start+1,
+      // piece_start+piece_len] of the doc (1-based inclusive in both
+      // dialects), piece_text regenerated verbatim
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, tk,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(len(tk) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - len(tk) AS BIGINT) AS start_offset
+        |  FROM tk),
+        |x AS (
+        |  SELECT doc_id, source, tk, n_tokens, start_offset,
+        |    CAST(floor(start_offset / 64.0) AS BIGINT) AS first_seq,
+        |    CAST(floor((start_offset + n_tokens - 1) / 64.0) AS BIGINT)
+        |      AS last_seq
+        |  FROM o),
+        |e AS (
+        |  SELECT doc_id, source, tk, n_tokens, start_offset, first_seq,
+        |    CAST(t.s AS BIGINT) AS seq_id
+        |  FROM x, unnest(range(x.first_seq, x.last_seq + 1)) AS t(s)),
+        |p AS (
+        |  SELECT doc_id, source, seq_id,
+        |    seq_id - first_seq AS piece_no,
+        |    greatest(seq_id * 64 - start_offset, 0) AS piece_start,
+        |    least((seq_id + 1) * 64 - start_offset, n_tokens)
+        |      - greatest(seq_id * 64 - start_offset, 0) AS piece_len,
+        |    greatest(start_offset - seq_id * 64, 0) AS seq_offset,
+        |    tk
+        |  FROM e)
+        |SELECT doc_id, source, seq_id, piece_no, piece_start, piece_len,
+        |  seq_offset,
+        |  array_to_string(
+        |    tk[CAST(piece_start + 1 AS INTEGER)
+        |       : CAST(piece_start + piece_len AS INTEGER)], ' ')
+        |    AS piece_text
+        |FROM p""".stripMargin,
     "e5_knn_batch" -> knnBatchExactSql,
     // e9 is e5's computation through the bounded top-k aggregate — same
     // oracle; a hash-match certifies window ≡ aggregate at the gate

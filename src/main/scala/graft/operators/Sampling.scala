@@ -107,4 +107,59 @@ object Sampling {
         (col("start_offset") / budget).cast("long").as("seq_id"),
         pmod(col("start_offset"), lit(budget.toLong)).as("seq_offset"))
   }
+
+  /** The MATERIALIZED form of [[packSequences]]: each document exploded
+    * into its per-sequence pieces — a document whose token stream
+    * straddles one or more `budget` boundaries is cut at each, so
+    * grouping the output by (shard, seq_id) and concatenating pieces in
+    * `seq_offset` order reconstructs every training sequence exactly.
+    * This is what a loader consumes directly, vs the bookkeeping row it
+    * would otherwise have to derive it from.
+    *
+    * Same single window exchange as [[packSequences]] (cumulative
+    * offsets per shard); the piece cutting itself is
+    * [[TextOps.chunkTokens]]'s slice machinery applied per covered
+    * sequence — a stateless generator inside the projection, no second
+    * shuffle. Output: `doc_id, <shardCol>, seq_id, piece_no (0-based
+    * within the doc), piece_start (token index within the doc),
+    * piece_len, seq_offset (token index within the sequence),
+    * piece_text`.
+    */
+  def packSequencePieces(
+      docs: DataFrame,
+      budget: Int,
+      shardCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val b = budget.toLong
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pieceStart = greatest(col("seq_id") * b - col("start_offset"), lit(0L))
+    val pieceEnd =
+      least((col("seq_id") + 1) * b - col("start_offset"), col("n_tokens"))
+    docs
+      .select(col(idCol), col(shardCol), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("first_seq", (col("start_offset") / b).cast("long"))
+      .withColumn(
+        "last_seq",
+        ((col("start_offset") + col("n_tokens") - 1) / b).cast("long"))
+      .select(
+        col(idCol), col(shardCol), col("tk"), col("n_tokens"),
+        col("start_offset"), col("first_seq"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .select(
+        col(idCol), col(shardCol), col("seq_id"),
+        (col("seq_id") - col("first_seq")).as("piece_no"),
+        pieceStart.as("piece_start"),
+        (pieceEnd - pieceStart).as("piece_len"),
+        greatest(col("start_offset") - col("seq_id") * b, lit(0L))
+          .as("seq_offset"),
+        concat_ws(" ",
+          slice(
+            col("tk"),
+            (pieceStart + 1L).cast("int"),
+            (pieceEnd - pieceStart).cast("int"))).as("piece_text"))
+  }
 }

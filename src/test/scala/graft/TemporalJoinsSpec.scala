@@ -293,6 +293,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(10L) == ((5L, 0L, 0L, 0L)))
   }
 
+  test("packSequencePieces: boundary cuts reconstruct the shard stream") {
+    val sp = spark
+    import sp.implicits._
+    // s1 stream: doc1 tokens 0-2, doc2 3-6, doc3 7-8; budget 5 ⇒ doc2
+    // straddles the seq0/seq1 boundary and must split into two pieces
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e f g", "s1"), (3L, "h i", "s1"),
+      (10L, "x y z w v", "s2")).toDF("doc_id", "text", "source")
+    val rows = graft.operators.Sampling
+      .packSequencePieces(docs, budget = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7)))
+    // (doc, seq, piece_no, piece_start, piece_len, seq_offset, text)
+    assert(rows.toSet == Set(
+      (1L, 0L, 0L, 0L, 3L, 0L, "a b c"),
+      (2L, 0L, 0L, 0L, 2L, 3L, "d e"),
+      (2L, 1L, 1L, 2L, 2L, 0L, "f g"),
+      (3L, 1L, 0L, 0L, 2L, 2L, "h i"),
+      (10L, 0L, 0L, 0L, 5L, 0L, "x y z w v")))
+    // every sequence reassembles exactly: pieces in seq_offset order,
+    // budget-bounded, contiguous
+    val seq0 = rows.filter(t => t._2 == 0L && Set(1L, 2L).contains(t._1))
+      .sortBy(_._6).map(_._7).mkString(" ")
+    assert(seq0 == "a b c d e")
+  }
+
   test("minhashEstimatePairs: est=1 on identical docs, est=0 on disjoint docs") {
     val sp = spark
     import sp.implicits._

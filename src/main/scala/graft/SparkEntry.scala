@@ -74,6 +74,38 @@ object SparkEntry {
     sb.append(s"\n$select").toString
   }
 
+  /** Unrolled fixed-k WEIGHTED PageRank (g21 oracle): identical chain to
+    * [[pageRankSql]] with the weighted graph (lineitem co-occurrence
+    * count), out-WEIGHT sums for outdeg, and contributions
+    * `rank·w/outdeg` — the NetworkX weighted semantics the engine
+    * implements.
+    */
+  private def weightedPageRankSql(k: Int, select: String): String = {
+    val ctes =
+      s"""edges AS MATERIALIZED (${EdgeListReader.fromOrdersWeightedSql}),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |deg AS MATERIALIZED (SELECT v.id, coalesce(d.outdeg, 0.0) AS outdeg FROM verts v LEFT JOIN (SELECT src AS id, sum(w) AS outdeg FROM edges GROUP BY 1) d USING (id))""".stripMargin
+    val sb = new StringBuilder
+    sb.append("WITH ").append(ctes).append(",\n")
+    sb.append(
+      "r0 AS MATERIALIZED (SELECT id, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM deg)")
+    for (i <- 0 until k) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS ds FROM r$i WHERE outdeg = 0),
+        |r${i + 1} AS MATERIALIZED (
+        |  SELECT s.id, s.outdeg,
+        |         (1 - $D)/(SELECT n FROM nn)
+        |       + $D*(SELECT ds FROM d$i)/(SELECT n FROM nn)
+        |       + $D*coalesce(c.contrib, 0.0) AS rank
+        |  FROM r$i s
+        |  LEFT JOIN (SELECT e.dst AS id, sum(r.rank*e.w/r.outdeg) AS contrib
+        |             FROM edges e JOIN r$i r ON e.src = r.id GROUP BY 1) c
+        |  USING (id))""".stripMargin)
+    }
+    sb.append(s"\n$select").toString
+  }
+
   /** Oracle for the run-to-convergence mode (Q6 / O16): unrolls maxIter
     * iterations, computes the per-iteration avgDiff trace in SQL, and
     * selects the ranks of the FIRST iteration satisfying the reference's
@@ -551,6 +583,19 @@ object SparkEntry {
       // regardless of skew. Same summary schema as the id twin.
       triangleSummary(GraphBuilder.triangleCounts(
         graft.sources.SyntheticGraph.triSkewShaped(s, dir)))),
+    "g21_weighted_k4" -> { (s, dir) =>
+      // WEIGHTED PageRank (NetworkX weight semantics: rank flows in
+      // proportion w(u,v)/Σw(u,·)) on the relational graph with the
+      // lineitem co-occurrence count as the edge weight — deterministic
+      // and recomputable by the oracle, so every weighted rank
+      // hash-matches the unrolled SQL. Same loop, same formula; only
+      // the share expression and out-degree aggregation differ.
+      val res = PageRank.run(
+        s, EdgeListReader.fromOrdersWeighted(s, dir),
+        PageRankConfig(maxIter = 4, tol = -1.0, minIter = 4),
+        weightCol = Some("w"))
+      res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
     "g18_hub_salt32" -> { (s, dir) =>
       // same fixture with saltBuckets=32: the hot dst fans out over 32
       // reducer keys, then a second exchange re-aggregates the ≤32
@@ -1267,6 +1312,9 @@ object SparkEntry {
          |       round(count(*) / (SELECT n FROM nn), 9) AS init_dangling_mass
          |FROM deg WHERE outdeg = 0""".stripMargin,
     "g5_pagerank_k4" -> pageRankSql(
+      4,
+      "SELECT id, round(rank, 9) AS rank_r FROM r4"),
+    "g21_weighted_k4" -> weightedPageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
     "g12_degree_skew" ->

@@ -211,15 +211,29 @@ object PageRank {
     *   normalized over the in-graph ids only, so Σp = 1 and total rank
     *   mass stays 1). `None` (default) is the reference's uniform mode,
     *   bit-identical to before (the literal expression tree is untouched).
+    * @param weightCol optional edge-weight column (positive DOUBLE) for
+    *   NetworkX-aligned WEIGHTED PageRank: u's rank flows to v in
+    *   proportion w(u,v)/Σ_x w(u,x) instead of 1/outdeg. "outdeg" in the
+    *   state becomes the out-weight sum (dangling test `= 0` is
+    *   unchanged — positive weights sum to 0 iff no out-edges), the
+    *   dedup shuffle aggregates duplicate (src, dst) weights by SUM (the
+    *   multigraph → weighted-graph reduction), and everything else —
+    *   formula, dangling lag, convergence, salting, broadcast/shuffle
+    *   mode — is the identical code path. `None` (default) leaves the
+    *   unweighted expression tree untouched: uniform weights are
+    *   bit-identical to unweighted (differential-tested), because
+    *   `sum(1.0) ≡ count(*)` exactly for any realistic edge count.
     */
   def run(
       spark: SparkSession,
       edgesRaw: DataFrame,
       cfg: PageRankConfig = PageRankConfig(),
       explicitVertices: Option[DataFrame] = None,
-      teleport: Option[DataFrame] = None): PageRankResult = {
+      teleport: Option[DataFrame] = None,
+      weightCol: Option[String] = None): PageRankResult = {
 
     val d = cfg.damping
+    val weighted = weightCol.isDefined
 
     // One-time structure build; edges partitioned by src so every
     // iteration's contribution join reuses this exchange. Dedup is FUSED
@@ -240,10 +254,19 @@ object PageRank {
     // cost a complete pass over the raw edges before any work).
     val edgeParts = cfg.edgePartitions.getOrElse(estimateEdgeParts(edgesRaw))
     val repartitioned = edgesRaw
-      .select(col("src"), col("dst"))
+      .select(
+        col("src") +: col("dst") +:
+          weightCol.toSeq.map(w => col(w).cast("double").as("w")): _*)
       .repartition(edgeParts, col("src"))
-    val edges = (if (cfg.dedupEdges) repartitioned.dropDuplicates()
-                 else repartitioned)
+    // weighted dedup SUMS duplicate (src, dst) weights — same fused
+    // shuffle property as dropDuplicates: HashPartitioning(src) satisfies
+    // the group's ClusteredDistribution(src, dst), partial+final hash-agg,
+    // no second exchange
+    val edges = (if (!cfg.dedupEdges) repartitioned
+                 else if (weighted)
+                   repartitioned.groupBy(col("src"), col("dst"))
+                     .agg(sum(col("w")).as("w"))
+                 else repartitioned.dropDuplicates())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Vertex universe: src ∪ dst, plus any caller-supplied isolated
@@ -256,8 +279,12 @@ object PageRank {
     }
 
     // state: id, outdeg[, p] — partitioned by id (same hash space as src).
+    // Weighted mode: "outdeg" is the out-WEIGHT sum (double) — the
+    // dangling test and every downstream expression are unchanged.
     val deg =
-      edges.groupBy(col("src").as("id")).agg(count("*").as("outdeg"))
+      if (weighted)
+        edges.groupBy(col("src").as("id")).agg(sum(col("w")).as("outdeg"))
+      else edges.groupBy(col("src").as("id")).agg(count("*").as("outdeg"))
     // personalization: normalized teleport weights joined into the state
     // once (vertices not in the teleport set get p = 0); `carry` threads
     // the column through every per-iteration projection below
@@ -290,7 +317,10 @@ object PageRank {
     val state0 = pJoin(
       verts
         .join(deg, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+        .select(
+          col("id"),
+          coalesce(col("outdeg"), if (weighted) lit(0.0) else lit(0L))
+            .as("outdeg")))
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -361,7 +391,8 @@ object PageRank {
           edges("src") === state("id"))
         .select(
           (col("dst").as("cid") +:
-            (col("rank") / col("outdeg")).as("share") +:
+            (if (weighted) (col("rank") * col("w") / col("outdeg"))
+             else col("rank") / col("outdeg")).as("share") +:
             // salt derives from src (spreads WITHIN a hot dst key) and is
             // computed here so the fallback shuffle never carries src
             // itself; unsalted plans don't pay the extra column at all

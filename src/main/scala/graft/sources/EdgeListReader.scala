@@ -107,6 +107,28 @@ object EdgeListReader {
     "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
 
+  /** WEIGHTED twin of [[fromOrders]]: the edge weight is the number of
+    * lineitems the (customer, supplier) pair co-occur on — a natural
+    * interaction-strength weight, deterministic and recomputable by any
+    * engine (which is what makes weighted PageRank hash-checkable).
+    */
+  def fromOrdersWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    orders
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .groupBy(
+        orders("o_custkey").as("src"),
+        (lineitem("l_suppkey") + lit(1000000L)).as("dst"))
+      .agg(count("*").cast("double").as("w"))
+  }
+
+  /** The SQL twin of [[fromOrdersWeighted]] for DuckDB oracles. */
+  val fromOrdersWeightedSql: String =
+    "SELECT o_custkey AS src, l_suppkey + 1000000 AS dst, " +
+      "CAST(count(*) AS DOUBLE) AS w " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2"
+
   // WEAK keys AND weak values: a discarded or stopped session's entry
   // becomes collectable as soon as the caller drops the session — the
   // previous applicationId-keyed process-global map pinned dead

@@ -51,6 +51,53 @@ class PageRankSpec extends AnyFunSuite {
     res.trace.foreach(st => assert(math.abs(st.totalPR - 1.0) < 1e-9))
   }
 
+  test("weighted: uniform weights are bit-identical to unweighted") {
+    val sp = spark
+    import sp.implicits._
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val ew = e.withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+    val a = ranksMap(PageRank.runFixed(spark, e, k = 4))
+    val b = ranksMap(PageRank.run(
+      spark, ew, PageRankConfig(maxIter = 4, tol = -1.0, minIter = 4),
+      weightCol = Some("w")))
+    // sum(1.0) ≡ count(*) exactly and rank*1.0 ≡ rank, so the weighted
+    // path at w=1 must reproduce the unweighted doubles bit for bit
+    a.foreach { case (id, r) => assert(r == b(id), s"id=$id: $r != ${b(id)}") }
+  }
+
+  test("weighted: rank flows proportionally to edge weight") {
+    val sp = spark
+    import sp.implicits._
+    // 1 splits 3:1 between 2 and 3; 2 and 3 both return to 1.
+    // After ONE iteration from uniform 1/3 (no dangling):
+    //   PR(2) = (1-d)/3 + d·(1/3)·(3/4); PR(3) = (1-d)/3 + d·(1/3)·(1/4)
+    val ew = Seq(
+      (1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val m = ranksMap(PageRank.run(
+      spark, ew, PageRankConfig(maxIter = 1, tol = -1.0, minIter = 1),
+      weightCol = Some("w")))
+    val d = 0.85
+    assert(math.abs(m(2L) - ((1 - d) / 3 + d / 3 * 0.75)) < 1e-12)
+    assert(math.abs(m(3L) - ((1 - d) / 3 + d / 3 * 0.25)) < 1e-12)
+    assert(math.abs(m.values.sum - 1.0) < 1e-12)
+  }
+
+  test("weighted: duplicate (src,dst) edges aggregate weights by sum") {
+    val sp = spark
+    import sp.implicits._
+    val dup = Seq(
+      (1L, 2L, 1.5), (1L, 2L, 1.5), (1L, 3L, 1.0),
+      (2L, 1L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val merged = Seq(
+      (1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val cfg = PageRankConfig(maxIter = 2, tol = -1.0, minIter = 2)
+    val a = ranksMap(PageRank.run(spark, dup, cfg, weightCol = Some("w")))
+    val b = ranksMap(PageRank.run(spark, merged, cfg, weightCol = Some("w")))
+    a.foreach { case (id, r) => assert(math.abs(r - b(id)) < 1e-12) }
+  }
+
   // F2 single vertex, no edges: PR stays exactly 1.0; converges at minIter.
   test("F2 single: PR stays 1.0, stops at minIter") {
     val sp = spark

@@ -1176,6 +1176,22 @@ object SparkEntry {
       // sf); DuckDB regenerates every cut point and piece string, so
       // the piece boundaries — not just the bookkeeping — hash-match
       Sampling.packSequencePieces(t(s, dir, "documents"), budget = 64)),
+    "d21_mixture" -> ((s, dir) =>
+      // domain-mixture sampling (pretraining data-mixture weights):
+      // per-source keep probabilities applied via a deterministic
+      // 20-bit md5 draw — stateless projection, no shuffle, no RNG;
+      // DuckDB recomputes every draw and keep decision
+      Sampling.mixtureSample(
+        t(s, dir, "documents"),
+        ratios = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.75))
+        .select(col("doc_id"), col("source"), col("mix_bucket"),
+          col("kept"))),
+    "d22_training_order" -> ((s, dir) =>
+      // deterministic corpus shuffle into loader shards: md5 shard draw
+      // + md5-ordered position via ONE window partitioned by shard —
+      // shards order in parallel, no global sort; the full permutation
+      // is hash-checked
+      Sampling.trainingOrder(t(s, dir, "documents"), numShards = 8)),
 
     "q19_cube" -> { (s, dir) =>
       // CUBE: all 4 grouping combinations in one pass (completes the
@@ -1561,6 +1577,34 @@ object SparkEntry {
         |       : CAST(piece_start + piece_len AS INTEGER)], ' ')
         |    AS piece_text
         |FROM p""".stripMargin,
+    "d21_mixture" ->
+      // identical 20-bit md5 draw and CASE thresholds; kept compares the
+      // draw against ratio·2^20 exactly as the Spark column does
+      """SELECT doc_id, source,
+        |  CAST(concat('0x',
+        |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':', 'mix-v1')), 1, 5))
+        |    AS BIGINT) AS mix_bucket,
+        |  CASE WHEN CAST(concat('0x',
+        |      substr(md5(concat(CAST(doc_id AS VARCHAR), ':', 'mix-v1')), 1, 5))
+        |      AS BIGINT)
+        |    < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+        |        WHEN 'src2' THEN 0.75 ELSE 1.0 END) * 1048576
+        |    THEN 1 ELSE 0 END AS kept
+        |FROM documents""".stripMargin,
+    "d22_training_order" ->
+      // same md5 shard draw and (hash, id) in-shard order
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(concat('order-v1', ':', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "e5_knn_batch" -> knnBatchExactSql,
     // e9 is e5's computation through the bounded top-k aggregate — same
     // oracle; a hash-match certifies window ≡ aggregate at the gate

@@ -108,6 +108,69 @@ object Sampling {
         pmod(col("start_offset"), lit(budget.toLong)).as("seq_offset"))
   }
 
+  /** Domain-mixture sampling (the pretraining "data mixture" step):
+    * keep each document with its source's target probability,
+    * deterministically — doc d from source s survives iff the 20-bit
+    * value of md5(d || ':' || salt) falls below ratio(s)·2²⁰. A pure
+    * stateless projection (no shuffle, no RNG): the mixture is
+    * reproducible under any partitioning and any engine, and changing
+    * `salt` redraws it. Sources absent from `ratios` keep
+    * `defaultRatio`. 20-bit granularity bounds the ratio quantization
+    * error at 2⁻²⁰ — the hash is uniform, so realized rates concentrate
+    * tightly around the targets at corpus scale. Output: input columns +
+    * `mix_bucket` (the 20-bit draw) + `kept` (0/1).
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      ratios: Map[String, Double],
+      defaultRatio: Double = 1.0,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = "mix-v1"): DataFrame = {
+    require(
+      (ratios.values ++ Seq(defaultRatio)).forall(r => r >= 0 && r <= 1),
+      "ratios must be in [0, 1]")
+    val bucket = conv(
+      substring(md5(concat_ws(":", col(idCol).cast("string"), lit(salt))),
+        1, 5),
+      16, 10).cast("long")
+    val threshold = ratios.foldLeft(lit(defaultRatio)) {
+      case (acc, (src, r)) =>
+        when(col(shardCol) === src, lit(r)).otherwise(acc)
+    } * (1L << 20)
+    docs
+      .withColumn("mix_bucket", bucket)
+      .withColumn(
+        "kept",
+        when(col("mix_bucket") < threshold, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Deterministic training order (the corpus "global shuffle" a
+    * dataloader needs, without a global sort): each doc draws a shard
+    * `md5-hash mod numShards` and a position by hash order within the
+    * shard. ONE window exchange partitioned by shard — shards order in
+    * parallel (the classic global-orderBy would serialize into a single
+    * range sort at 100 TB, and loaders consume shards independently
+    * anyway). Changing `seed` redraws the whole permutation; both the
+    * shard draw and the in-shard order are md5 column algebra, so any
+    * engine reproduces the exact order. Output: `doc_id, shard, pos`.
+    */
+  def trainingOrder(
+      docs: DataFrame,
+      numShards: Int,
+      idCol: String = "doc_id",
+      seed: String = "order-v1"): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val shard = pmod(
+      conv(substring(h, 1, 8), 16, 10).cast("long"), lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col(idCol).asc)
+    docs
+      .select(col(idCol), shard.as("shard"), h.as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** The MATERIALIZED form of [[packSequences]]: each document exploded
     * into its per-sequence pieces — a document whose token stream
     * straddles one or more `budget` boundaries is cut at each, so

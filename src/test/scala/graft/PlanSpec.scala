@@ -170,6 +170,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("d21 mixture sampling is a stateless projection: zero exchanges") {
+    val p = plan("d21_mixture")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("d22 training order is ONE window exchange on the shard draw") {
+    val p = plan("d22_training_order")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("e9 top-k agg: bounded partial aggregate, no window, no sort of all pairs") {
     // the whole point of the aggregate form: the k-capped heap is the
     // PARTIAL state (ObjectHashAggregate partial_graft_topk before the

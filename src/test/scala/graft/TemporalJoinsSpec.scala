@@ -293,6 +293,52 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(10L) == ((5L, 0L, 0L, 0L)))
   }
 
+  test("mixtureSample: realized rates track targets, default covers the rest") {
+    val sp = spark
+    import sp.implicits._
+    // big synthetic id range so the uniform-hash concentration is visible
+    val docs = sp.range(30000).select(
+      col("id").as("doc_id"),
+      concat(lit("w"), col("id")).as("text"),
+      when(col("id") % 3 === 0, "a")
+        .when(col("id") % 3 === 1, "b").otherwise("c").as("source"))
+    val got = graft.operators.Sampling
+      .mixtureSample(docs, Map("a" -> 0.2, "b" -> 0.7))
+      .groupBy(col("source")).agg(avg(col("kept")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 0.2) < 0.02, s"a=${got("a")}")
+    assert(math.abs(got("b") - 0.7) < 0.02, s"b=${got("b")}")
+    assert(got("c") == 1.0, s"default ratio must keep everything: ${got("c")}")
+    // determinism: same salt → identical keep set
+    val k1 = graft.operators.Sampling.mixtureSample(docs, Map("a" -> 0.2))
+      .filter(col("kept") === 1).agg(sum(col("doc_id"))).head.getLong(0)
+    val k2 = graft.operators.Sampling.mixtureSample(docs, Map("a" -> 0.2))
+      .filter(col("kept") === 1).agg(sum(col("doc_id"))).head.getLong(0)
+    assert(k1 == k2)
+  }
+
+  test("trainingOrder: a permutation — every doc placed once, positions dense") {
+    val sp = spark
+    import sp.implicits._
+    val docs = sp.range(1000).select(col("id").as("doc_id"))
+    val got = graft.operators.Sampling.trainingOrder(docs, numShards = 4)
+    assert(got.count() == 1000)
+    assert(got.select(col("doc_id")).distinct().count() == 1000)
+    // positions within each shard are 1..|shard| with no gaps
+    val dense = got.groupBy(col("shard"))
+      .agg(count("*").as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .collect()
+    dense.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 1L,
+        s"shard ${r.getLong(0)} positions not dense")
+    }
+    // different seed ⇒ different permutation (overwhelmingly)
+    val a = got.filter(col("shard") === 0).agg(sum(col("doc_id"))).head.getLong(0)
+    val b = graft.operators.Sampling.trainingOrder(docs, 4, seed = "order-v2")
+      .filter(col("shard") === 0).agg(sum(col("doc_id"))).head.getLong(0)
+    assert(a != b)
+  }
+
   test("packSequencePieces: boundary cuts reconstruct the shard stream") {
     val sp = spark
     import sp.implicits._

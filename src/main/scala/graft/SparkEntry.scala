@@ -106,6 +106,37 @@ object SparkEntry {
     sb.append(s"\n$select").toString
   }
 
+  /** Unrolled synchronous label propagation (g22 oracle): k fixed
+    * iterations of most-frequent-neighbor-label with smallest-label
+    * tie-break (row_number ORDER BY cnt DESC, lbl ASC ≡ the engine's
+    * max_by((cnt, -lbl)) argmax), isolated vertices keep their label.
+    */
+  private def lpaSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${portableGraphSql(400, 1200, "g22")},
+         |edges AS MATERIALIZED (SELECT src, dst FROM pe),
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |c$i AS MATERIALIZED (
+        |  SELECT d.vtx, l.lbl, count(*) AS cnt
+        |  FROM und d JOIN l${i - 1} l ON d.nbr = l.id GROUP BY 1, 2),
+        |a$i AS MATERIALIZED (
+        |  SELECT vtx, lbl FROM (
+        |    SELECT vtx, lbl, row_number() OVER (PARTITION BY vtx
+        |      ORDER BY cnt DESC, lbl ASC) AS rn FROM c$i)
+        |  WHERE rn = 1),
+        |l$i AS MATERIALIZED (
+        |  SELECT v.id, coalesce(a.lbl, v.id) AS lbl
+        |  FROM verts v LEFT JOIN a$i a ON a.vtx = v.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, lbl FROM l$k").toString
+  }
+
   /** Oracle for the run-to-convergence mode (Q6 / O16): unrolls maxIter
     * iterations, computes the per-iteration avgDiff trace in SQL, and
     * selects the ranks of the FIRST iteration satisfying the reference's
@@ -583,6 +614,16 @@ object SparkEntry {
       // regardless of skew. Same summary schema as the id twin.
       triangleSummary(GraphBuilder.triangleCounts(
         graft.sources.SyntheticGraph.triSkewShaped(s, dir)))),
+    "g22_lpa_k3" -> ((s, dir) =>
+      // synchronous deterministic label propagation (community
+      // detection): 3 fixed iterations, most-frequent neighbor label,
+      // smallest-label ties — the formulation an oracle can re-derive
+      // (async LPA is schedule-dependent). On a PORTABLE random graph
+      // (avg degree 6, non-bipartite) so the label competition is
+      // real; every final label hash-matches the unrolled SQL.
+      GraphBuilder.labelPropagation(
+        graft.sources.SyntheticGraph.portable(s, 400, 1200, "g22"),
+        k = 3)),
     "g21_weighted_k4" -> { (s, dir) =>
       // WEIGHTED PageRank (NetworkX weight semantics: rank flows in
       // proportion w(u,v)/Σw(u,·)) on the relational graph with the
@@ -1333,6 +1374,7 @@ object SparkEntry {
     "g21_weighted_k4" -> weightedPageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
+    "g22_lpa_k3" -> lpaSql(3),
     "g12_degree_skew" ->
       s"""WITH $graphCtes,
          |indeg AS (SELECT dst AS id, count(*) AS indeg FROM edges GROUP BY 1),

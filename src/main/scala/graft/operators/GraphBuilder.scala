@@ -189,6 +189,60 @@ object GraphBuilder {
     CacheScope.sealAfter(out, ue)
   }
 
+  /** Synchronous label propagation (community detection) over the
+    * UNDIRECTED simple graph, fully DETERMINISTIC: labels start as the
+    * vertex id; in each of `k` fixed iterations every vertex adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * SMALLEST label, isolated vertices keep theirs. Synchronous update
+    * + fixed iteration count + total-order tie-break is the
+    * oracle-checkable formulation — asynchronous LPA (the textbook
+    * variant) is schedule-dependent and cannot be certified against
+    * another engine.
+    *
+    * Plan per iteration: one shuffle join of the (cached,
+    * nbr-partitioned) adjacency stream against the |V|-sized label
+    * frame, a (vtx, lbl) count aggregate, and an argmax that folds
+    * inside the hash aggregate via max_by — no window sort anywhere.
+    * Labels are checkpointed per iteration (same lineage-rotation
+    * pattern as the PageRank loop). At 100 TB the per-iteration cost is
+    * the same class as one PageRank iteration: shuffle bytes ∝ |E| for
+    * the label fan-out, map-side-combined aggregation down to |V|.
+    */
+  def labelPropagation(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(edges)
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+    var prevCp: DataFrame = null
+    for (_ <- 1 to k) {
+      val adopted = und
+        .join(labels.select(col("id").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("vtx"), col("lbl"))
+        .agg(count("*").as("cnt"))
+        .groupBy(col("vtx"))
+        // argmax (cnt, -lbl): highest count, then smallest label
+        .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl")))
+          .as("new_lbl"))
+      val next = verts
+        .join(
+          adopted.select(col("vtx").as("id"), col("new_lbl")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
+        .localCheckpoint() // eager: truncates the per-iteration lineage
+      if (prevCp != null) prevCp.unpersist(false)
+      prevCp = next
+      labels = next
+    }
+    ue.unpersist(false)
+    und.unpersist(false)
+    labels
+  }
+
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.
     */

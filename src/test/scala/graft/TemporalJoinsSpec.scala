@@ -225,6 +225,34 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: cliques converge to min-id labels, bridge resists") {
+    val sp = spark
+    import sp.implicits._
+    // two 4-cliques {1..4} and {10..13} joined by one bridge 4-10:
+    // within a clique every vertex sees the clique's labels, so after
+    // iteration 2 the min id dominates; the single bridge edge cannot
+    // outvote 3 intra-clique neighbors
+    val clique1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val clique2 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val e = (clique1 ++ clique2 :+ (4L, 10L)).toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.labelPropagation(e, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(v => got(v) == 1L), s"clique1: $got")
+    assert((10L to 13L).forall(v => got(v) == 10L), s"clique2: $got")
+  }
+
+  test("labelPropagation: isolated vertex keeps its id; ties pick min label") {
+    val sp = spark
+    import sp.implicits._
+    // 5 is isolated (self-loop only); vertex 3 sees exactly one
+    // neighbor of each label {1, 2} → tie, must adopt the SMALLER
+    val e = Seq(1L -> 3L, 2L -> 3L, 5L -> 5L).toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.labelPropagation(e, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 1L, s"tie must break to min: $got")
+    assert(got(5L) == 5L, s"isolated keeps id: $got")
+  }
+
   test("chunkTokens: overlapping windows cover every token, blank docs drop") {
     val sp = spark
     import sp.implicits._

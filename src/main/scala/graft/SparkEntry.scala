@@ -982,6 +982,49 @@ object SparkEntry {
         .groupBy(col("probe_id")).agg(count("*").as("n"))
         .groupBy().agg(count("*").as("n_probes"), sum(col("n")).as("n_rows"))),
 
+    // ---- source/sink formats beyond parquet ----
+    "io1_jsonl_roundtrip" -> { (s, dir) =>
+      // JSON-lines sink → source round-trip of the documents table with
+      // an EXPLICIT schema on re-read (inference would widen int32 and
+      // reorder columns). The oracle is the identity query on the
+      // original parquet — any serialization loss (escaping, nulls,
+      // numeric width) breaks the hash. Sealed eagerly so the temp
+      // layout can be deleted before returning.
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString
+      try {
+        docs.write.mode("overwrite").json(tmp)
+        graft.operators.CacheScope.sealAfter(
+          s.read.schema(docs.schema).json(tmp)
+            .select(docs.columns.map(col): _*))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "io2_csv_roundtrip" -> { (s, dir) =>
+      // CSV sink → source round-trip (header + explicit schema +
+      // explicit quoting knobs left at Spark defaults, which quote on
+      // demand); same identity oracle as io1
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      try {
+        docs.write.mode("overwrite").option("header", "true").csv(tmp)
+        graft.operators.CacheScope.sealAfter(
+          s.read.schema(docs.schema).option("header", "true").csv(tmp)
+            .select(docs.columns.map(col): _*))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+
     // ---- multimodal plumbing ----
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.metadataStats(Multimodal.syntheticMedia(s, dir))),
@@ -1619,6 +1662,11 @@ object SparkEntry {
         |       : CAST(piece_start + piece_len AS INTEGER)], ' ')
         |    AS piece_text
         |FROM p""".stripMargin,
+    // identity oracles: the round-trip must reproduce the table exactly
+    "io1_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "io2_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "d21_mixture" ->
       // identical 20-bit md5 draw and CASE thresholds; kept compares the
       // draw against ratio·2^20 exactly as the Spark column does

@@ -28,6 +28,21 @@ object GraftFunctionDefs {
         s"graft_dot expects 2 arguments, got ${children.size}")
   }
 
+  def topkBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(score, id, k) =>
+      val kv = k match {
+        case Literal(i: Int, IntegerType) => i
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_topk k must be an INT literal, got $other")
+      }
+      // an AggregateFunction enters SQL wrapped in its AggregateExpression
+      TopKAggExpr(score, id, kv).toAggregateExpression()
+    case _ =>
+      throw new IllegalArgumentException(
+        s"graft_topk expects (score, id, k), got ${children.size} arguments")
+  }
+
   def projBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(v, bits, seed) =>
       val b = bits match {
@@ -64,5 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_proj"),
       new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "graft_proj"),
       GraftFunctionDefs.projBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAggExpr].getName, "graft_topk"),
+      GraftFunctionDefs.topkBuilder _))
   }
 }

@@ -261,5 +261,7 @@ object VectorFunctions {
       spark, "graft_dot", GraftFunctionDefs.dotBuilder)
     GraftSqlBridge.registerFunction(
       spark, "graft_proj", GraftFunctionDefs.projBuilder)
+    GraftSqlBridge.registerFunction(
+      spark, "graft_topk", GraftFunctionDefs.topkBuilder)
   }
 }

@@ -639,6 +639,20 @@ class HyperplaneSigSpec extends AnyFunSuite {
       spark.sql("SELECT graft_proj(array(1.0d), cast(id AS int), 42) FROM range(1)")
         .collect()
     }
+    // the bounded top-k AGGREGATE is SQL-callable too: per-group k best
+    // (score DESC, id ASC) as an array of structs
+    val tk = spark.sql(
+      """SELECT g, graft_topk(s, i, 2) AS t FROM VALUES
+        |  (0, 1.0d, 10L), (0, 3.0d, 11L), (0, 2.0d, 12L),
+        |  (1, 5.0d, 20L), (1, 5.0d, 21L), (1, 7.0d, 22L)
+        |  AS v(g, s, i)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val t0 = tk(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val t1 = tk(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(t0 == Seq((11L, 3.0), (12L, 2.0)))
+    assert(t1 == Seq((22L, 7.0), (20L, 5.0))) // tie at 5.0 → smaller id
   }
 
   test("GraftExtensions injects both functions at session-build time") {

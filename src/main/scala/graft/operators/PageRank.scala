@@ -153,11 +153,29 @@ object PageRank {
     */
   private[graft] def estimateEdgeParts(edgesRaw: DataFrame): Int = {
     val spark = edgesRaw.sparkSession
-    val stats = edgesRaw
+    val plan = edgesRaw
       .select(col("src"), col("dst"))
-      .queryExecution.optimizedPlan.stats
+      .queryExecution.optimizedPlan
+    val stats = plan.stats
     val estRows = stats.rowCount
-      .getOrElse((stats.sizeInBytes / 12).min(BigInt(Long.MaxValue)))
+      .getOrElse {
+        // A join-derived edge source (e.g. the orders ⋈ lineitem
+        // co-occurrence graph) carries a MULTIPLICATIVE size estimate —
+        // measured 1.1 TB for a 587k-edge graph — which slams into the
+        // 2048 cap and sizes every iteration at thousands of near-empty
+        // tasks. The sum of the plan's LEAF estimates is the honest
+        // scale bound for the working sets this sizing protects: a row
+        // must be scanned before it can be joined, and the per-task
+        // dedup/probe tables are keyed by (near-)distinct edges, which
+        // track leaf scale, not join-output scale. min(top, Σ leaves)
+        // repairs the join case and is the identity on file-scan plans
+        // (such a plan IS its leaf).
+        val top = stats.sizeInBytes / 12
+        val leaves = plan.collectLeaves()
+          .map(l => l.stats.rowCount.getOrElse(l.stats.sizeInBytes / 12))
+          .sum
+        top.min(leaves)
+      }
       .min(BigInt(Long.MaxValue)).toLong
     math.max(
       spark.sessionState.conf.numShufflePartitions,

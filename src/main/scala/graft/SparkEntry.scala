@@ -137,6 +137,32 @@ object SparkEntry {
     sb.append(s"\nSELECT id, lbl FROM l$k").toString
   }
 
+  /** Oracle for g23: unrolled k-round Bellman–Ford over the SYMMETRIZED
+    * weighted co-occurrence graph, seeded at the smallest vertex id.
+    * Each round is the engine's exact recurrence (state ∪ relaxed edges,
+    * min per id); `min` over doubles is order-insensitive, so every
+    * distance hash-matches bit-for-bit after the shared 1e-9 rounding.
+    */
+  private def ssspSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e0 AS MATERIALIZED (${EdgeListReader.fromOrdersWeightedSql}),
+         |e AS MATERIALIZED (SELECT src, dst, w FROM e0
+         |     UNION ALL SELECT dst, src, w FROM e0),
+         |d0 AS MATERIALIZED (SELECT min(src) AS id, 0.0 AS dist FROM e)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (
+        |  SELECT id, min(dist) AS dist FROM (
+        |    SELECT id, dist FROM d${i - 1}
+        |    UNION ALL
+        |    SELECT e.dst AS id, d.dist + e.w AS dist
+        |    FROM d${i - 1} d JOIN e ON d.id = e.src)
+        |  GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, round(dist, 9) AS dist_r FROM d$k").toString
+  }
+
   /** Oracle for the run-to-convergence mode (Q6 / O16): unrolls maxIter
     * iterations, computes the per-iteration avgDiff trace in SQL, and
     * selects the ranks of the FIRST iteration satisfying the reference's
@@ -636,6 +662,20 @@ object SparkEntry {
         PageRankConfig(maxIter = 4, tol = -1.0, minIter = 4),
         weightCol = Some("w"))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g23_sssp_k4" -> { (s, dir) =>
+      // weighted single-source shortest paths: 4 Bellman–Ford rounds on
+      // the SYMMETRIZED co-occurrence graph (the raw cust→supp graph is
+      // bipartite one-directional — every path would be one hop), seeded
+      // at the smallest vertex id. The seed is a 1-row FRAME from a
+      // scalar agg, not a collected literal, so the whole query stays
+      // one lazy plan; every distance hash-matches the unrolled SQL.
+      val w = EdgeListReader.fromOrdersWeighted(s, dir)
+      val sym = w.union(
+        w.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seed = sym.agg(min(col("src")).as("id"))
+      ShortestPaths.run(sym, seed, rounds = 4)
+        .select(col("id"), round(col("dist"), 9).as("dist_r"))
     },
     "g18_hub_salt32" -> { (s, dir) =>
       // same fixture with saltBuckets=32: the hot dst fans out over 32
@@ -1418,6 +1458,7 @@ object SparkEntry {
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
     "g22_lpa_k3" -> lpaSql(3),
+    "g23_sssp_k4" -> ssspSql(4),
     "g12_degree_skew" ->
       s"""WITH $graphCtes,
          |indeg AS (SELECT dst AS id, count(*) AS indeg FROM edges GROUP BY 1),

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** k-round weighted single-source shortest paths (Bellman–Ford
+  * relaxation) over an `edges(src, dst, w)` frame.
+  *
+  * The reference engine has no weighted-path operator; this extends the
+  * graph surface the same way weighted PageRank does (g21): identical
+  * iterative loop discipline (per-round lineage cut, persisted
+  * src-partitioned edge side), different per-round algebra. Round
+  * semantics are the textbook recurrence
+  * `dist_{i+1}(v) = min(dist_i(v), min_{(u,v)∈E} dist_i(u) + w(u,v))`,
+  * so after k rounds every vertex holds the cheapest path cost over
+  * paths of ≤ k edges — exactly reproducible by an unrolled SQL chain,
+  * which is what the g23 oracle does. `min` over doubles is exact (no
+  * accumulation-order sensitivity), so results hash-match across any
+  * partitioning.
+  *
+  * Scale shape (100 TB): the edge frame shuffles ONCE to
+  * hash-partition by `src` and is persisted; each round ships only the
+  * (id, dist) state — |reached| rows, not |E| — to the edges, and the
+  * min-recombine gets map-side partial aggregation for free. The state
+  * is sparse: unreached vertices are simply absent, so early rounds
+  * move frontier-sized data only. Lineage is truncated per round with
+  * the same eager localCheckpoint rotation as the PageRank/LPA loops.
+  */
+object ShortestPaths {
+
+  /** @param edges `src LONG, dst LONG, w DOUBLE` (positive weights;
+    *   duplicate (src, dst) rows are fine — min relaxation absorbs them)
+    * @param sources `id LONG` seed vertices, all starting at distance 0
+    * @param rounds fixed relaxation-round count (path length bound)
+    * @return `id LONG, dist DOUBLE` for every vertex reachable within
+    *   `rounds` edges of a seed
+    */
+  def run(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges
+      .select(col("src").as("id"), col("dst"), col("w").cast("double").as("w"))
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("id"), lit(0.0).as("dist"))
+    var prevCp: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .join(e, Seq("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist
+        .union(relaxed)
+        .groupBy(col("id"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint() // eager: truncates the per-round lineage
+      if (prevCp != null) prevCp.unpersist(false)
+      prevCp = next
+      dist = next
+    }
+    e.unpersist(false)
+    dist
+  }
+}

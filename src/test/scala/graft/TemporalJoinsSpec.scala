@@ -253,6 +253,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(5L) == 5L, s"isolated keeps id: $got")
   }
 
+  test("shortestPaths: relaxation finds the cheap detour, bounds by rounds") {
+    val sp = spark
+    import sp.implicits._
+    // 1→2 direct costs 10; 1→3→4→2 costs 1+1+1=3 but needs 3 rounds.
+    // 9 is unreachable from 1 (edge points the wrong way: 9→1 only);
+    // 5 hangs off 2 so its best cost tracks 2's.
+    val e = Seq(
+      (1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 4L, 1.0), (4L, 2L, 1.0),
+      (2L, 5L, 2.0), (9L, 1L, 1.0)).toDF("src", "dst", "w")
+    val seed = Seq(Tuple1(1L)).toDF("id")
+    def distMap(k: Int): Map[Long, Double] =
+      graft.operators.ShortestPaths.run(e, seed, rounds = k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val k1 = distMap(1)
+    assert(k1 == Map(1L -> 0.0, 2L -> 10.0, 3L -> 1.0), s"k1: $k1")
+    val k3 = distMap(3)
+    assert(k3(2L) == 3.0, s"detour must win at k=3: $k3")
+    assert(k3(5L) == 12.0 && !k3.contains(9L), s"k3: $k3")
+    val k4 = distMap(4)
+    assert(k4(5L) == 5.0, s"5 rides the detour at k=4: $k4")
+    assert(k4(1L) == 0.0 && !k4.contains(9L))
+  }
+
   test("chunkTokens: overlapping windows cover every token, blank docs drop") {
     val sp = spark
     import sp.implicits._

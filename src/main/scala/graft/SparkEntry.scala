@@ -1316,6 +1316,11 @@ object SparkEntry {
       // shards order in parallel, no global sort; the full permutation
       // is hash-checked
       Sampling.trainingOrder(t(s, dir, "documents"), numShards = 8)),
+    "d23_lm_score" -> ((s, dir) =>
+      // model-based quality scoring: corpus-trained add-one-smoothed
+      // bigram LM, each doc scored by mean conditional log-probability
+      // (the KenLM-perplexity-filter shape, fully oracle-recomputable)
+      TextOps.lmScore(t(s, dir, "documents"))),
 
     "q19_cube" -> { (s, dir) =>
       // CUBE: all 4 grouping combinations in one pass (completes the
@@ -1736,6 +1741,30 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
         |FROM s""".stripMargin,
+    "d23_lm_score" ->
+      // same corpus-trained add-one bigram LM: unigram/bigram counts and
+      // V from the full token stream, pairs (tk[i], tk[i+1]), score =
+      // mean ln((cb+1)/(cu+V)); docs with < 2 tokens have no bigrams
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |tok AS (SELECT unnest(tk) AS t FROM tk),
+        |uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM tok),
+        |ix AS (
+        |  SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i
+        |  FROM tk WHERE len(tk) >= 2),
+        |pr AS (
+        |  SELECT doc_id,
+        |    tk[CAST(i AS INTEGER) + 1] AS t1,
+        |    tk[CAST(i AS INTEGER) + 2] AS t2
+        |  FROM ix),
+        |bi AS (SELECT t1, t2, count(*) AS cb FROM pr GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((cb + 1) / (cu + (SELECT v FROM vv)))), 6)
+        |    AS lm_score
+        |FROM pr JOIN bi USING (t1, t2) JOIN uni ON pr.t1 = uni.t
+        |GROUP BY 1""".stripMargin,
     "e5_knn_batch" -> knnBatchExactSql,
     // e9 is e5's computation through the bounded top-k aggregate — same
     // oracle; a hash-match certifies window ≡ aggregate at the gate

@@ -280,6 +280,64 @@ object TextOps {
     (perDoc, pairs)
   }
 
+  /** Model-based quality scoring via a corpus-trained bigram language
+    * model (the statistical stand-in for the perplexity filters LLM
+    * pipelines run with a small LM): every document is scored by the
+    * mean add-one-smoothed conditional log-probability of its adjacent
+    * token pairs, `ln((c(t1,t2)+1) / (c(t1)+V))`, with counts and the
+    * vocabulary size V trained on the full corpus token stream itself.
+    * Low scores mark gibberish/rare-junk text, high scores natural
+    * prose — the same ranking a KenLM-style filter produces, but fully
+    * recomputable by the SQL oracle.
+    *
+    * Scale shape (100 TB): two map-side-combined hash-aggregates (the
+    * unigram and bigram count tables) plus two joins KEYED ON GRAMS —
+    * the bigram-count join output is already hash-partitioned by
+    * (t1, t2) from its aggregation, so only the pair stream exchanges;
+    * neither count table is hinted broadcast (the bigram table grows
+    * with the corpus — same statistics-driven discipline as
+    * [[boilerplateStats]]). V rides along as a 1-row frame through a
+    * broadcast nested-loop join, never a collected literal. Documents
+    * with fewer than two tokens have no bigrams and are absent from the
+    * output. Output: `doc_id, n_bigrams, lm_score`.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val d = graft.core.Parallelism.ensure(docs)
+    // the corpus token stream: unigram counts + vocabulary size
+    val tok = d.select(explode(toks).as("t"))
+    val uni = tok.groupBy(col("t")).agg(count("*").as("cu"))
+    val vv = tok.agg(count_distinct(col("t")).cast("double").as("v"))
+    // adjacent-pair stream, built inside the scan projection
+    val pairArr = transform(
+      sequence(lit(0), size(toks) - lit(2)),
+      i => slice(toks, i + 1, lit(2)))
+    // one persisted pair stream feeds BOTH the bigram counts and the
+    // scoring join — the text column is exploded exactly once
+    val pairs = d
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(pairArr).as("pr"))
+      .select(
+        col("doc_id"),
+        element_at(col("pr"), 1).as("t1"),
+        element_at(col("pr"), 2).as("t2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = pairs.groupBy(col("t1"), col("t2")).agg(count("*").as("cb"))
+    val scored = pairs
+      .join(bi, Seq("t1", "t2"))
+      .join(uni.withColumnRenamed("t", "t1"), Seq("t1"))
+      .crossJoin(vv)
+      .select(
+        col("doc_id"),
+        log((col("cb") + lit(1)).cast("double") /
+          (col("cu").cast("double") + col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count("*").as("n_bigrams"),
+        round(avg(col("lp")), 6).as("lm_score"))
+    CacheScope.sealAfter(scored, pairs)
+  }
+
   /** Document fingerprint over word 3-shingles: the minimum shingle
     * digest is a 1-permutation MinHash, `doc_hash` identifies the exact
     * normalized content. Digests are md5 (hex strings) rather than

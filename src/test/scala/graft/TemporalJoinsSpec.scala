@@ -313,6 +313,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0L, 1)))
   }
 
+  test("lmScore: add-one bigram log-probs, short docs absent") {
+    val sp = spark
+    import sp.implicits._
+    // token stream a,b,a,b,a,b,z → cu(a)=3, cu(b)=3, cu(z)=1, V=3;
+    // bigrams: ab ×3 (two in doc 1, one in doc 2), ba ×1
+    // lp(ab) = ln(4/6), lp(ba) = ln(2/6)
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.lmScore(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val ab = math.log(4.0 / 6.0)
+    val ba = math.log(2.0 / 6.0)
+    assert(got.keySet == Set(1L, 2L), s"short doc must be absent: $got")
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - (2 * ab + ba) / 3.0) < 1e-6, s"$got")
+    assert(math.abs(got(2L)._2 - ab) < 1e-6, s"$got")
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark") {
     val sp = spark
     import sp.implicits._

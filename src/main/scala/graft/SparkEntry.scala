@@ -992,6 +992,12 @@ object SparkEntry {
       // compression step), exploded to scalar rows so every code is
       // hash-checked; floor bucketing for cross-engine portability
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
+    "e10_knn_truncated" -> ((s, dir) =>
+      // Matryoshka truncation retrieval: first-16-dim prefix,
+      // L2-renormalized, top-k by dot (= cosine on the unit sphere) —
+      // the MRL cost/quality dial, scored on 16 of 64 dims
+      Similarity.knnTruncated(
+        t(s, dir, "embeddings"), probeId = 0L, k = 10, m = 16)),
 
     "e9_knn_topk_agg" -> ((s, dir) =>
       // e5's batched kNN through the native BOUNDED top-k aggregate
@@ -2108,6 +2114,22 @@ object SparkEntry {
         |SELECT m.event_type AS event_type, count(*) AS n_events,
         |  count(DISTINCT m.user_id) AS n_users
         |FROM d GROUP BY 1""".stripMargin,
+    "e10_knn_truncated" ->
+      // same truncate → renormalize → dot chain; on unit vectors the
+      // rounded dot matches e1-style cosine rounding semantics
+      """WITH tr AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS tvec
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:16] AS v
+        |          FROM embeddings))
+        |  WHERE nrm > 0),
+        |probe AS (SELECT tvec AS p FROM tr WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(tvec, (SELECT p FROM probe)), 6) AS dot_sim
+        |FROM tr WHERE vec_id <> 0
+        |ORDER BY dot_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "e1_knn_probe" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)

@@ -74,6 +74,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-style truncation: keep the first `m` dimensions and
+    * L2-renormalize onto the unit sphere — the retrieval-cost/quality
+    * dial MRL-trained embedding models expose (use a prefix of the
+    * vector at a fraction of the index and scoring cost). A pure
+    * projection inside the scan — no shuffle, no action: at 100 TB the
+    * truncation parallelizes with the input splits and cuts every
+    * downstream byte count by m/dim. Vectors whose first `m` dims are
+    * all zero cannot be placed on the unit sphere and are dropped
+    * (documented contract; dot-product retrieval over the output
+    * assumes unit vectors). Output: `vec_id, label, tvec ARRAY<DOUBLE>`.
+    */
+  def truncateRenorm(embeddings: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val tv = slice(asDouble(col("embedding")), 1, m)
+    val nrm = norm(tv)
+    embeddings
+      .select(col("vec_id"), col("label"), tv.as("tv"), nrm.as("nrm"))
+      .filter(col("nrm") > 0.0)
+      .select(
+        col("vec_id"), col("label"),
+        transform(col("tv"), x => x / col("nrm")).as("tvec"))
+  }
+
+  /** Top-k retrieval in the truncated space: dot product against a
+    * one-row broadcast probe over [[truncateRenorm]] output — on unit
+    * vectors the dot IS the cosine, paid on m dims instead of the full
+    * dimension. Same exact-scan shape as [[knnToProbe]]
+    * (broadcast probe, one streaming pass, TakeOrderedAndProject).
+    */
+  def knnTruncated(
+      embeddings: DataFrame, probeId: Long, k: Int, m: Int): DataFrame = {
+    val tr = truncateRenorm(embeddings, m)
+    val probe = broadcast(
+      tr.filter(col("vec_id") === probeId)
+        .select(col("tvec").as("probe_vec")))
+    tr.filter(col("vec_id") =!= probeId)
+      .crossJoin(probe)
+      .select(
+        col("vec_id"),
+        round(dot(col("tvec"), col("probe_vec")), 6).as("dot_sim"))
+      .orderBy(desc("dot_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs near-dup within a blocking key (e.g. `label`):
     * oracle-checkable baseline for the LSH scale path. Norms are
     * materialized once per vector (persisted) so each pair pays a single

@@ -139,6 +139,29 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(sims == sims.sorted.reverse, "descending order")
   }
 
+  test("truncateRenorm: unit vectors, zero-prefix rows dropped, dot ranks") {
+    val sp = spark
+    import sp.implicits._
+    // m=2 prefixes: 1→[1,0], 2→[1,1]/√2, 3→[0,1], 4→[0,0] (dropped)
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(2f, 0f, 0f, 9f), 0),
+      (2L, Seq(1f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 0),
+      (4L, Seq(0f, 0f, 5f, 5f), 0)).toDF("vec_id", "embedding", "label")
+    val tr = Similarity.truncateRenorm(emb, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(tr.keySet == Set(0L, 1L, 2L, 3L), s"zero prefix must drop: $tr")
+    tr.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12, s"unit: $v")
+    }
+    val got = Similarity.knnTruncated(emb, probeId = 0L, k = 10, m = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), s"rank order: ${got.toSeq}")
+    assert(got(0)._2 == 1.0 && math.abs(got(1)._2 - 0.707107) < 1e-6 &&
+      got(2)._2 == 0.0, s"${got.toSeq}")
+  }
+
   test("int8 quantization: codes in range, dequantized kNN keeps high recall") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -163,6 +163,37 @@ object SparkEntry {
     sb.append(s"\nSELECT id, round(dist, 9) AS dist_r FROM d$k").toString
   }
 
+  /** Oracle for g24: the same deferred-normalization HITS recurrence,
+    * unrolled. Every a{i}/h{i} value is an integer sum of integer
+    * products (all-ones init), so the engines agree exactly until the
+    * one final L1 division.
+    */
+  private def hitsSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH edges AS MATERIALIZED (${EdgeListReader.fromOrdersSql}),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |a$i AS MATERIALIZED (
+        |  SELECT e.dst AS id, sum(h.h) AS a
+        |  FROM edges e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+        |h$i AS MATERIALIZED (
+        |  SELECT e.src AS id, sum(a.a) AS h
+        |  FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s""",
+      |sa AS (SELECT sum(a) AS s FROM a$k),
+      |sh AS (SELECT sum(h) AS s FROM h$k)
+      |SELECT v.id,
+      |  round(coalesce(a.a, 0) / (SELECT s FROM sa), 9) AS auth_r,
+      |  round(coalesce(h.h, 0) / (SELECT s FROM sh), 9) AS hub_r
+      |FROM verts v LEFT JOIN a$k a USING (id)
+      |LEFT JOIN h$k h USING (id)""".stripMargin)
+    sb.toString
+  }
+
   /** Oracle for the run-to-convergence mode (Q6 / O16): unrolls maxIter
     * iterations, computes the per-iteration avgDiff trace in SQL, and
     * selects the ranks of the FIRST iteration satisfying the reference's
@@ -663,6 +694,17 @@ object SparkEntry {
         weightCol = Some("w"))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
     },
+    "g24_hits_k4" -> ((s, dir) =>
+      // HITS hubs/authorities, 4 power-iteration rounds, normalization
+      // deferred to one final L1 division (linear recurrence — scaling
+      // cancels); on the bipartite cust→supp graph supplier authority
+      // is demand-weighted popularity. All-integer intermediate sums ⇒
+      // both engines agree exactly until the final division.
+      Hits.run(EdgeListReader.fromOrdersCached(s, dir), k = 4)
+        .select(
+          col("id"),
+          round(col("auth"), 9).as("auth_r"),
+          round(col("hub"), 9).as("hub_r"))),
     "g23_sssp_k4" -> { (s, dir) =>
       // weighted single-source shortest paths: 4 Bellman–Ford rounds on
       // the SYMMETRIZED co-occurrence graph (the raw cust→supp graph is
@@ -1470,6 +1512,7 @@ object SparkEntry {
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
     "g22_lpa_k3" -> lpaSql(3),
     "g23_sssp_k4" -> ssspSql(4),
+    "g24_hits_k4" -> hitsSql(4),
     "g12_degree_skew" ->
       s"""WITH $graphCtes,
          |indeg AS (SELECT dst AS id, count(*) AS indeg FROM edges GROUP BY 1),

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** HITS hubs-and-authorities (Kleinberg), k synchronous power-iteration
+  * rounds with normalization DEFERRED to the end: the recurrence
+  * `araw_i(v) = Σ_{(u,v)} h_{i-1}(u)`, `hraw_i(u) = Σ_{(u,v)} araw_i(v)`
+  * is linear in the state, so intermediate L1 scaling only rescales —
+  * dividing once by the final sums yields exactly the per-step-normalized
+  * fixpoint trajectory, with two fewer global scalar barriers PER
+  * ITERATION (the loop runs with no driver action at all; the two
+  * normalizing sums are 1-row frames crossed into the final projection).
+  * With the all-ones init every intermediate value is an INTEGER sum of
+  * integer products, so both engines agree bit-for-bit until the single
+  * final division — which is why the oracle can hash-match the scores.
+  * Overflow headroom: values grow ~(avg_deg)^{2k}; doubles hold exact
+  * integers to 2^53 and stay well inside range far beyond that, and the
+  * final ratios are scale-free.
+  *
+  * Scale shape (100 TB): the edge set shuffles TWICE at setup (one copy
+  * hash-partitioned by src for the authority gather, one by dst for the
+  * hub gather — same one-time-exchange discipline as the PageRank loop)
+  * and never again; each round ships only the |V|-sized state to the
+  * persisted edge sides and both gathers are map-side-combined sums.
+  * State is sparse (zero-score vertices drop out of the joins and are
+  * rematerialized as 0 only in the final projection). Per-round lineage
+  * is cut with the same eager localCheckpoint rotation as PageRank/LPA.
+  *
+  * On the bipartite customer→supplier graph this is directly meaningful:
+  * supplier authority = demand-weighted popularity, customer hub =
+  * breadth of high-authority sourcing.
+  */
+object Hits {
+
+  /** @param edgesRaw `src LONG, dst LONG` (deduped internally)
+    * @param k fixed iteration count
+    * @return `id, auth DOUBLE, hub DOUBLE` over the full vertex
+    *   universe, each column L1-normalized (sums to 1)
+    */
+  def run(edgesRaw: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = edgesRaw.select(col("src"), col("dst")).dropDuplicates()
+    val eSrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphBuilder.vertices(e)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var h = verts.select(col("id"), lit(1.0).as("h"))
+    var araw: DataFrame = null
+    var prevCp: DataFrame = null
+    for (i <- 1 to k) {
+      val ar = eSrc
+        .join(h.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("h")).as("a"))
+      // the last round's authority frame feeds BOTH the hub gather and
+      // the final projection — checkpoint it so the plan is shared, not
+      // recomputed
+      val arShared = if (i == k) ar.localCheckpoint() else ar
+      val next = eDst
+        .join(arShared.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("a")).as("h"))
+        .localCheckpoint() // eager: truncates the per-round lineage
+      if (prevCp != null) prevCp.unpersist(false)
+      prevCp = next
+      h = next
+      araw = arShared
+    }
+    val sa = araw.agg(sum(col("a")).as("sa"))
+    val sh = h.agg(sum(col("h")).as("sh"))
+    val out = verts
+      .join(araw.withColumnRenamed("a", "araw"), Seq("id"), "left_outer")
+      .join(h.withColumnRenamed("h", "hraw"), Seq("id"), "left_outer")
+      .crossJoin(sa)
+      .crossJoin(sh)
+      .select(
+        col("id"),
+        (coalesce(col("araw"), lit(0.0)) / col("sa")).as("auth"),
+        (coalesce(col("hraw"), lit(0.0)) / col("sh")).as("hub"))
+    CacheScope.sealAfter(out, eSrc, eDst, verts, araw, h)
+  }
+}

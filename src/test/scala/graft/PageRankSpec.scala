@@ -252,6 +252,27 @@ class PageRankSpec extends AnyFunSuite {
     assert(p == spark.sessionState.conf.numShufflePartitions, s"p=$p")
   }
 
+  test("hits: deferred-normalization scores match the hand-computed fixpoint") {
+    // 1→10, 2→10, 2→11 with all-ones init, k=2:
+    // a1 = {10:2, 11:1}; h1 = {1:2, 2:3}
+    // a2 = {10:5, 11:3}; h2 = {1:5, 2:8}; sa=8, sh=13
+    val e = edges(1L -> 10L, 2L -> 10L, 2L -> 11L)
+    val got = Hits.run(e, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val want = Map(
+      1L -> ((0.0, 5.0 / 13)), 2L -> ((0.0, 8.0 / 13)),
+      10L -> ((5.0 / 8, 0.0)), 11L -> ((3.0 / 8, 0.0)))
+    assert(got.keySet == want.keySet, s"$got")
+    want.foreach { case (id, (a, h)) =>
+      assert(math.abs(got(id)._1 - a) < 1e-12, s"auth($id): $got")
+      assert(math.abs(got(id)._2 - h) < 1e-12, s"hub($id): $got")
+    }
+    // both score columns are L1-normalized
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("salted aggregation on a single-hub graph matches unsalted to 1e-12") {
     // the dedicated skew fixture: half of all edges into vertex 0
     val hub = graft.sources.SyntheticGraph.singleHub(spark, 500L, 3000L)

@@ -163,6 +163,38 @@ object SparkEntry {
     sb.append(s"\nSELECT id, round(dist, 9) AS dist_r FROM d$k").toString
   }
 
+  /** Oracle for g25: the same fixed-round peel, unrolled — each round
+    * recomputes internal degrees over the surviving set and keeps
+    * deg ≥ k; the final select reports survivors with their internal
+    * degree. Integer arithmetic throughout ⇒ exact hash match.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${portableGraphSql(400, 1200, "g25")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue),
+         |s0 AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe))""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |s$i AS MATERIALIZED (
+        |  SELECT vtx AS id FROM (
+        |    SELECT d.vtx, count(*) AS deg
+        |    FROM und d
+        |    JOIN s${i - 1} a ON d.vtx = a.id
+        |    JOIN s${i - 1} b ON d.nbr = b.id
+        |    GROUP BY 1)
+        |  WHERE deg >= $k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT d.vtx AS id, count(*) AS core_deg
+      |FROM und d
+      |JOIN s$rounds a ON d.vtx = a.id
+      |JOIN s$rounds b ON d.nbr = b.id
+      |GROUP BY 1""".stripMargin)
+    sb.toString
+  }
+
   /** Oracle for g24: the same deferred-normalization HITS recurrence,
     * unrolled. Every a{i}/h{i} value is an integer sum of integer
     * products (all-ones init), so the engines agree exactly until the
@@ -694,6 +726,14 @@ object SparkEntry {
         weightCol = Some("w"))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
     },
+    "g25_kcore" -> ((s, dir) =>
+      // 4-core by fixed-round peeling (6 rounds; the fixture's peel
+      // depth is 5, so the result IS the converged core — peeling is
+      // monotone and extra rounds are no-ops). All-integer degrees:
+      // every survivor and its core degree hash-match the unrolled SQL.
+      GraphBuilder.kCore(
+        graft.sources.SyntheticGraph.portable(s, 400, 1200, "g25"),
+        k = 4, rounds = 6)),
     "g24_hits_k4" -> ((s, dir) =>
       // HITS hubs/authorities, 4 power-iteration rounds, normalization
       // deferred to one final L1 division (linear recurrence — scaling
@@ -1513,6 +1553,7 @@ object SparkEntry {
     "g22_lpa_k3" -> lpaSql(3),
     "g23_sssp_k4" -> ssspSql(4),
     "g24_hits_k4" -> hitsSql(4),
+    "g25_kcore" -> kCoreSql(k = 4, rounds = 6),
     "g12_degree_skew" ->
       s"""WITH $graphCtes,
          |indeg AS (SELECT dst AS id, count(*) AS indeg FROM edges GROUP BY 1),

@@ -243,6 +243,51 @@ object GraphBuilder {
     labels
   }
 
+  /** k-core decomposition by fixed-round peeling: each round recomputes
+    * every surviving vertex's degree WITHIN the surviving set and drops
+    * vertices below `k`; after `rounds` peels the survivors are reported
+    * with their final internal degree. Fixed rounds (not
+    * run-to-fixpoint) keep the operator oracle-unrollable — pick
+    * `rounds` ≥ the peel depth of the graph and the result IS the k-core
+    * (peeling is monotone, so extra rounds are no-ops). All-integer
+    * degree arithmetic ⇒ hash-exact across engines and partitionings.
+    *
+    * Scale shape (100 TB): the undirected adjacency is built and
+    * persisted ONCE; each round is two semi-join-shaped exchanges of the
+    * shrinking survivor set against it (the edge side never reshuffles)
+    * plus one map-side-combined count — and the survivor frame only
+    * shrinks. Per-round lineage is cut with the same eager
+    * localCheckpoint rotation as the other iterative loops.
+    * Output: `id LONG, core_deg LONG` (survivors only).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+      .repartition(col("vtx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def internalDeg(s: DataFrame): DataFrame = und
+      .join(s.withColumnRenamed("id", "vtx"), Seq("vtx"))
+      .join(s.withColumnRenamed("id", "nbr"), Seq("nbr"))
+      .groupBy(col("vtx").as("id"))
+      .agg(count("*").as("deg"))
+    var s = vertices(edges)
+    var prevCp: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val next = internalDeg(s)
+        .filter(col("deg") >= k)
+        .select(col("id"))
+        .localCheckpoint() // eager: truncates the per-round lineage
+      if (prevCp != null) prevCp.unpersist(false)
+      prevCp = next
+      s = next
+    }
+    val out = internalDeg(s).select(col("id"), col("deg").as("core_deg"))
+    CacheScope.sealAfter(out, ue, und, s)
+  }
+
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.
     */

@@ -253,6 +253,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(5L) == 5L, s"isolated keeps id: $got")
   }
 
+  test("kCore: pendant chain cascades out, clique survives with degrees") {
+    val sp = spark
+    import sp.implicits._
+    // 4-clique {1..4} + chain 1-5-6: 6 peels in round 1 (deg 1), which
+    // drops 5 to deg 1 → peels in round 2 (the cascade); the clique
+    // keeps internal degree 3 throughout
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = (clique ++ Seq((1L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.kCore(e, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$got")
+    // k above the max core empties the graph
+    assert(graft.operators.GraphBuilder.kCore(e, k = 4, rounds = 3).count() == 0)
+  }
+
   test("shortestPaths: relaxation finds the cheap detour, bounds by rounds") {
     val sp = spark
     import sp.implicits._

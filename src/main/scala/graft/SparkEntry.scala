@@ -1268,9 +1268,9 @@ object SparkEntry {
     "q15_asof_join" -> { (s, dir) =>
       // "latest click at or before each purchase, per user" — the as-of
       // join every feature/label pipeline needs. Timestamps compared as
-      // epoch MICROsecond longs in both engines (events is TIMESTAMP_NS
-      // parquet: Spark floors ns→us via Tables.events, DuckDB's epoch_us
-      // floors identically). The quote side is pre-deduplicated to one
+      // epoch MICROsecond longs in both engines (Tables.events normalizes
+      // ts to microsecond TIMESTAMP whatever the parquet encoding, and
+      // DuckDB's epoch_us agrees). The quote side is pre-deduplicated to one
       // row per (user, instant) so the as-of pick is deterministic.
       val ev = graft.sources.Tables.events(s, dir)
       val probes = ev

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Testdata table readers. */
 object Tables {
@@ -10,25 +10,35 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects outright. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at session build by
-    * [[graft.core.GraftSession]] — this reader is side-effect-free and
-    * does NOT mutate session conf) the column arrives as LONG
-    * nanos-since-epoch; convert to a proper microsecond timestamp here so
-    * downstream operators (and the DuckDB oracle, which reads TIMESTAMP_NS
-    * natively) see the same instants. On a session missing the flag the
-    * read fails fast with Spark's "Illegal Parquet type" error.
+  /** Normalize an `events`-shaped frame so `ts` is always a session-zoned
+    * TIMESTAMP carrying the file's literal instant, whatever physical
+    * encoding the parquet used. The testdata generator has shipped two:
+    *
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set at session build
+    *    by [[graft.core.GraftSession]]) surfaces it as LONG nanos — floor
+    *    to micros with integral `div`, NOT `/`: epoch-nanos (~1.7e18)
+    *    exceed double's 2^53 exact range, so float division + cast floors
+    *    ~2% of timestamps to the previous microsecond;
+    *  - TIMESTAMP_NTZ (micros) — cast to TIMESTAMP. The session time zone
+    *    is pinned to UTC ([[graft.core.GraftSession]]), so the cast is
+    *    value-preserving and matches DuckDB, which reads the naive
+    *    timestamp as-is.
+    *
+    * Both engines therefore see identical microsecond instants, which is
+    * what the epoch_us/unix_micros oracle comparisons rely on. This
+    * reader is side-effect-free — it never mutates session conf.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = apply(spark, dir, "events")
-    raw.schema("ts").dataType match {
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
       case LongType =>
-        // integral `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
-        // 2^53 exact range, so float division + cast floors ~2% of
-        // timestamps to the previous microsecond
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
-  }
+
+  /** `events.parquet` with `ts` normalized per [[normalizeEventTs]]. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(apply(spark, dir, "events"))
 }

@@ -18,29 +18,38 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Logical events schema; `ts`'s physical parquet encoding varies by
+    * testdata generation (LONG nanos under `nanosAsLong`, or
+    * TIMESTAMP_NTZ micros) and is resolved per-directory in
+    * [[readEvents]].
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos in the testdata parquet
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the testdata events parquet. The nanosecond
-    * timestamp arrives as LONG (`nanosAsLong`, set at session build by
-    * [[graft.core.GraftSession]] — readers don't mutate session conf) and
-    * is converted to a proper timestamp, mirroring
-    * graft.sources.Tables.events.
+  /** File-source stream over the testdata events parquet. A streaming
+    * source needs a declared schema, so resolve `ts`'s physical type from
+    * the parquet footer with one driver-side metadata read, declare THAT
+    * type, then normalize through the same type-adaptive conversion the
+    * batch reader uses (graft.sources.Tables.normalizeEventTs) so both
+    * paths emit identical session-zoned TIMESTAMP instants.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.readStream
-      .schema(eventSchema)
-      // the file stream source requires a directory; glob down to the
-      // events table inside the sf dir
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      // integral div — see graft.sources.Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physicalTs =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val physicalSchema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physicalTs) else f))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(physicalSchema)
+        // the file stream source requires a directory; glob down to the
+        // events table inside the sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Sliding-window aggregation with a watermark: counts + value sums per

@@ -111,10 +111,22 @@ object SparkEntry {
     * tie-break (row_number ORDER BY cnt DESC, lbl ASC ≡ the engine's
     * max_by((cnt, -lbl)) argmax), isolated vertices keep their label.
     */
-  private def lpaSql(k: Int): String = {
+  private def lpaSql(k: Int): String =
+    lpaSqlOver(portableGraphSql(400, 1200, "g22"), k)
+
+  /** Unrolled LPA over the PLANTED 2-block fixture (g22b oracle): the
+    * converged run's result is a fixpoint of the deterministic
+    * synchronous update, so unrolling any `k` ≥ the convergence depth
+    * (10 on this fixture) reproduces it exactly — the oracle does not
+    * need to know where the engine stopped.
+    */
+  private def lpaBlocksSql(k: Int): String =
+    lpaSqlOver(portableBlocksSql(200, 600, "g22b"), k)
+
+  private def lpaSqlOver(peCte: String, k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH ${portableGraphSql(400, 1200, "g22")},
+      s"""WITH $peCte,
          |edges AS MATERIALIZED (SELECT src, dst FROM pe),
          |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges WHERE src <> dst),
          |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue),
@@ -168,10 +180,10 @@ object SparkEntry {
     * deg ≥ k; the final select reports survivors with their internal
     * degree. Integer arithmetic throughout ⇒ exact hash match.
     */
-  private def kCoreSql(k: Int, rounds: Int): String = {
+  private def kCoreSql(k: Int, rounds: Int, salt: String = "g25"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH ${portableGraphSql(400, 1200, "g25")},
+      s"""WITH ${portableGraphSql(400, 1200, salt)},
          |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pe WHERE src <> dst),
          |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue),
          |s0 AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe))""".stripMargin)
@@ -287,6 +299,22 @@ object SparkEntry {
     s"""pe AS MATERIALIZED (
        |  SELECT ${ep("s")} AS src, ${ep("d")} AS dst
        |  FROM range($nE) t(i))""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.sources.SyntheticGraph.portableBlocks]]:
+    * two disjoint md5-range blocks, the second shifted by nVBlock.
+    */
+  private def portableBlocksSql(
+      nVBlock: Long, nEBlock: Long, salt: String): String = {
+    def ep(tag: String, blockSalt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':$tag:', '$blockSalt')), 1, 8)) AS BIGINT) % $nVBlock"
+    s"""pe AS MATERIALIZED (
+       |  SELECT ${ep("s", salt + "A")} AS src, ${ep("d", salt + "A")} AS dst
+       |  FROM range($nEBlock) t(i)
+       |  UNION ALL
+       |  SELECT ${ep("s", salt + "B")} + $nVBlock AS src,
+       |         ${ep("d", salt + "B")} + $nVBlock AS dst
+       |  FROM range($nEBlock) t(i))""".stripMargin
   }
 
   /** Unrolled PERSONALIZED PageRank oracle (g14): teleport distribution
@@ -734,6 +762,30 @@ object SparkEntry {
       GraphBuilder.kCore(
         graft.sources.SyntheticGraph.portable(s, 400, 1200, "g25"),
         k = 4, rounds = 6)),
+    "g25b_kcore_converged" -> ((s, dir) =>
+      // k-core run TO FIXPOINT (the reference's early-stop discipline,
+      // O14/O16): peel until the survivor count is stable — no
+      // caller-guessed round count. Peeling is monotone, so the
+      // converged set equals the fixed-round set for ANY rounds ≥ the
+      // peel depth (4 on this fixture, detected by the engine itself);
+      // the oracle unrolls 6 rounds and hash-matches without being told
+      // where the engine stopped.
+      GraphBuilder.kCoreConverged(
+        graft.sources.SyntheticGraph.portable(s, 400, 1200, "g25b"),
+        k = 3)._1),
+    "g22b_lpa_converged" -> ((s, dir) =>
+      // synchronous LPA run to LABEL STABILITY (early-stop twin of g22)
+      // on a PLANTED 2-community graph — two disjoint 200-vertex random
+      // blocks: the engine stops when no label changes (10 rounds here)
+      // and recovers exactly the two planted communities. A stable
+      // labelling is a fixpoint of the deterministic update, so the
+      // 12-round unrolled oracle reproduces it without knowing the
+      // engine's stopping depth. (A single connected random graph is
+      // the wrong fixture for this: min-label floods it to ONE
+      // community, which certifies nothing about community recovery.)
+      GraphBuilder.labelPropagationConverged(
+        graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b"))
+        ._1),
     "g24_hits_k4" -> ((s, dir) =>
       // HITS hubs/authorities, 4 power-iteration rounds, normalization
       // deferred to one final L1 division (linear recurrence — scaling
@@ -1554,6 +1606,13 @@ object SparkEntry {
     "g23_sssp_k4" -> ssspSql(4),
     "g24_hits_k4" -> hitsSql(4),
     "g25_kcore" -> kCoreSql(k = 4, rounds = 6),
+    // converged run: fixed-round unroll at ≥ the fixture's peel depth
+    // (monotone peeling ⇒ identical result) — the oracle never learns
+    // where the engine's early stop landed
+    "g25b_kcore_converged" -> kCoreSql(k = 3, rounds = 6, salt = "g25b"),
+    // converged LPA: stable labelling is a fixpoint, so a 12-round
+    // unroll (fixture converges in 10) reproduces the early-stopped run
+    "g22b_lpa_converged" -> lpaBlocksSql(12),
     "g12_degree_skew" ->
       s"""WITH $graphCtes,
          |indeg AS (SELECT dst AS id, count(*) AS indeg FROM edges GROUP BY 1),

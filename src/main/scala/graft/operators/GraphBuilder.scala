@@ -243,40 +243,94 @@ object GraphBuilder {
     labels
   }
 
+  /** [[labelPropagation]] run TO LABEL STABILITY — the early-stop twin
+    * (O14/O16 discipline, PageRankDriver.java:207-216): iterate the
+    * identical synchronous update until NO vertex changes its label,
+    * bounded by `maxIter`. A stable labelling is a fixpoint of the
+    * deterministic synchronous update (every later round recomputes the
+    * same argmax from the same neighbor labels), so the converged result
+    * equals the fixed-k result for any k ≥ the convergence depth — which
+    * keeps the unrolled oracle valid without the caller hand-picking k.
+    * (Synchronous LPA can 2-cycle on near-bipartite structures; `maxIter`
+    * bounds that case and the caller sees the depth it stopped at.)
+    * Costs one |V|-sized join + count per round — the same one driver
+    * action per iteration as the PageRank convergence loop. Returns the
+    * labels plus the number of update rounds run, the last of which is
+    * the no-op round that proved stability.
+    */
+  def labelPropagationConverged(
+      edges: DataFrame, maxIter: Int = 100): (DataFrame, Int) = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var iters = 0
+    var stable = false
+    while (!stable && iters < maxIter) {
+      val adopted = und
+        .join(labels.select(col("id").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("vtx"), col("lbl"))
+        .agg(count("*").as("cnt"))
+        .groupBy(col("vtx"))
+        .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl")))
+          .as("new_lbl"))
+      val next = verts
+        .join(
+          adopted.select(col("vtx").as("id"), col("new_lbl")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
+        .localCheckpoint() // eager: truncates lineage, feeds the change count
+      iters += 1
+      // one |V|-sized co-keyed join: zero changed labels == fixpoint
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
+        .filter(col("lbl") =!= col("prev_lbl"))
+        .count()
+      labels.unpersist(false)
+      labels = next
+      if (changed == 0L) stable = true
+    }
+    ue.unpersist(false)
+    und.unpersist(false)
+    verts.unpersist(false)
+    (labels, iters)
+  }
+
   /** k-core decomposition by fixed-round peeling: each round recomputes
     * every surviving vertex's degree WITHIN the surviving set and drops
     * vertices below `k`; after `rounds` peels the survivors are reported
     * with their final internal degree. Fixed rounds (not
     * run-to-fixpoint) keep the operator oracle-unrollable — pick
     * `rounds` ≥ the peel depth of the graph and the result IS the k-core
-    * (peeling is monotone, so extra rounds are no-ops). All-integer
+    * (peeling is monotone, so extra rounds are no-ops); or use
+    * [[kCoreConverged]], which detects the fixpoint itself. All-integer
     * degree arithmetic ⇒ hash-exact across engines and partitionings.
     *
-    * Scale shape (100 TB): the undirected adjacency is built and
-    * persisted ONCE; each round is two semi-join-shaped exchanges of the
-    * shrinking survivor set against it (the edge side never reshuffles)
-    * plus one map-side-combined count — and the survivor frame only
-    * shrinks. Per-round lineage is cut with the same eager
-    * localCheckpoint rotation as the other iterative loops.
-    * Output: `id LONG, core_deg LONG` (survivors only).
+    * Scale shape (100 TB): the undirected adjacency is built,
+    * hash-partitioned by `nbr`, and persisted ONCE; each round
+    * ([[kCoreInternalDeg]]) the cached edge frame never moves — the only
+    * exchanges are the survivor set shipped to the adjacency's
+    * partitioning (survivor-sized), the per-vtx MAP-SIDE-COMBINED degree
+    * partials (≤ |V| rows after combine, never edge-sized), and the
+    * survivor set again for the final semi-join — and the survivor frame
+    * only shrinks. Plan-asserted in PlanSpec: no exchange in the peel
+    * round re-shuffles edge-sized rows. Per-round lineage is cut with
+    * the same eager localCheckpoint rotation as the other iterative
+    * loops. Output: `id LONG, core_deg LONG` (survivors only).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
-    val ue = undirectedSimple(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
-      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
-      .repartition(col("vtx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def internalDeg(s: DataFrame): DataFrame = und
-      .join(s.withColumnRenamed("id", "vtx"), Seq("vtx"))
-      .join(s.withColumnRenamed("id", "nbr"), Seq("nbr"))
-      .groupBy(col("vtx").as("id"))
-      .agg(count("*").as("deg"))
+    val (ue, und) = kCoreAdjacency(edges)
     var s = vertices(edges)
     var prevCp: DataFrame = null
     for (_ <- 1 to rounds) {
-      val next = internalDeg(s)
+      val next = kCoreInternalDeg(und, s)
         .filter(col("deg") >= k)
         .select(col("id"))
         .localCheckpoint() // eager: truncates the per-round lineage
@@ -284,9 +338,82 @@ object GraphBuilder {
       prevCp = next
       s = next
     }
-    val out = internalDeg(s).select(col("id"), col("deg").as("core_deg"))
+    val out = kCoreInternalDeg(und, s)
+      .select(col("id"), col("deg").as("core_deg"))
     CacheScope.sealAfter(out, ue, und, s)
   }
+
+  /** k-core run TO FIXPOINT — [[kCore]]'s peel with the reference's
+    * early-stop discipline (convergence loop O14/O16,
+    * PageRankDriver.java:207-216) instead of a caller-guessed round
+    * count: peel until the survivor count stops shrinking. Peeling is
+    * monotone (survivor sets only shrink), so a stable COUNT is a
+    * stable SET is the fixpoint — no vertex can drop in a later round.
+    * Costs one driver-side count per round (the same single action per
+    * iteration the PageRank convergence loop pays); `maxRounds` bounds
+    * the loop defensively (the fixpoint is reached in ≤ |V| rounds on
+    * any graph). Returns the converged core plus the number of peel
+    * rounds run (reported like the PageRank result's iteration count),
+    * the last of which is the no-op round that proved stability.
+    */
+  def kCoreConverged(
+      edges: DataFrame, k: Int, maxRounds: Int = 1000): (DataFrame, Int) = {
+    require(k >= 1 && maxRounds >= 1, "need k >= 1 and maxRounds >= 1")
+    val (ue, und) = kCoreAdjacency(edges)
+    var s = vertices(edges)
+    var prevCount = -1L
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = kCoreInternalDeg(und, s)
+        .filter(col("deg") >= k)
+        .select(col("id"))
+        .localCheckpoint() // eager: truncates lineage AND feeds the count
+      val c = next.count()
+      rounds += 1
+      if (c == prevCount) converged = true
+      prevCount = c
+      s.unpersist(false)
+      s = next
+    }
+    val out = kCoreInternalDeg(und, s)
+      .select(col("id"), col("deg").as("core_deg"))
+    (CacheScope.sealAfter(out, ue, und, s), rounds)
+  }
+
+  /** The peel loops' shared adjacency: canonical undirected simple edges
+    * (persisted — feeds both directions) and the directed fan-out copy
+    * hash-partitioned by `nbr`, the side every round's survivor
+    * semi-join keys on.
+    */
+  private[graft] def kCoreAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (ue, und)
+  }
+
+  /** One peel round's degree stage: the internal degree of every
+    * SURVIVING vertex within the surviving set. Ordered so the cached
+    * edge frame is never re-shuffled: (1) semi-join the survivors onto
+    * the `nbr`-partitioned adjacency (co-partitioned — only the
+    * survivor frame exchanges; shuffle_hash pinned so the cached side
+    * streams instead of re-sorting, the PageRank loop's discipline),
+    * (2) count per `vtx` with a map-side-combined hash aggregate (the
+    * exchange carries ≤ |V| partial counts, not edge rows), (3)
+    * semi-join the survivors again on `vtx` (the aggregate output is
+    * already vtx-partitioned). Output: `id, deg`.
+    */
+  private[graft] def kCoreInternalDeg(und: DataFrame, s: DataFrame): DataFrame =
+    und
+      .join(s.withColumnRenamed("id", "nbr").hint("shuffle_hash"), Seq("nbr"))
+      .groupBy(col("vtx"))
+      .agg(count("*").as("deg"))
+      .join(s.withColumnRenamed("id", "vtx").hint("shuffle_hash"), Seq("vtx"))
+      .select(col("vtx").as("id"), col("deg"))
 
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.

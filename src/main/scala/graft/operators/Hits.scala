@@ -50,18 +50,12 @@ object Hits {
     var araw: DataFrame = null
     var prevCp: DataFrame = null
     for (i <- 1 to k) {
-      val ar = eSrc
-        .join(h.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("h")).as("a"))
+      val ar = authGather(eSrc, h)
       // the last round's authority frame feeds BOTH the hub gather and
       // the final projection — checkpoint it so the plan is shared, not
       // recomputed
       val arShared = if (i == k) ar.localCheckpoint() else ar
-      val next = eDst
-        .join(arShared.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(sum(col("a")).as("h"))
+      val next = hubGather(eDst, arShared)
         .localCheckpoint() // eager: truncates the per-round lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
@@ -81,4 +75,34 @@ object Hits {
         (coalesce(col("hraw"), lit(0.0)) / col("sh")).as("hub"))
     CacheScope.sealAfter(out, eSrc, eDst, verts, araw, h)
   }
+
+  /** The two pre-partitioned persisted edge copies the loop gathers
+    * over — exposed for the PlanSpec exchange audit.
+    */
+  private[graft] def edgeCopies(edgesRaw: DataFrame): (DataFrame, DataFrame) = {
+    val e = edgesRaw.select(col("src"), col("dst")).dropDuplicates()
+    (e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK),
+      e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Authority gather: sum incoming hub scores per destination over the
+    * src-partitioned cached edge copy — the state frame exchanges to
+    * the edge side's partitioning, never the reverse, and the sum is
+    * map-side-combined (plan-asserted in PlanSpec).
+    */
+  private[graft] def authGather(eSrc: DataFrame, h: DataFrame): DataFrame =
+    eSrc
+      .join(h.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("h")).as("a"))
+
+  /** Hub gather: sum gathered authority per source over the
+    * dst-partitioned cached edge copy (same exchange discipline as
+    * [[authGather]]).
+    */
+  private[graft] def hubGather(eDst: DataFrame, a: DataFrame): DataFrame =
+    eDst
+      .join(a.withColumnRenamed("id", "dst"), Seq("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(sum(col("a")).as("h"))
 }

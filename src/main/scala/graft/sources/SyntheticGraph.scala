@@ -157,4 +157,24 @@ object SyntheticGraph {
       .range(nEdges)
       .select(endpoint("s").as("src"), endpoint("d").as("dst"))
   }
+
+  /** PORTABLE planted 2-community graph: two disjoint [[portable]]
+    * blocks (ids [0, nVBlock) salted `saltA`, ids [nVBlock, 2·nVBlock)
+    * salted `saltB`) with no cross-block edges — the ground-truth
+    * structure a converged community detector must find (a single
+    * connected random graph has NO community structure: min-label floods
+    * it to one community). Regenerable in an oracle engine by two
+    * md5-range scans, the second shifted by nVBlock.
+    */
+  def portableBlocks(
+      spark: SparkSession,
+      nVBlock: Long,
+      nEBlock: Long,
+      salt: String): DataFrame =
+    portable(spark, nVBlock, nEBlock, salt + "A")
+      .union(
+        portable(spark, nVBlock, nEBlock, salt + "B")
+          .select(
+            (col("src") + nVBlock).as("src"),
+            (col("dst") + nVBlock).as("dst")))
 }

@@ -189,6 +189,62 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+/** Convergence (early-stop) variants of the iterative graph ops: the
+  * fixpoint result must equal the fixed-round result at any depth ≥ the
+  * convergence depth, and the detected depth must be the true one.
+  */
+class GraphConvergenceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  def edges(pairs: (Long, Long)*) = {
+    val sp = spark
+    import sp.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("kCoreConverged finds the exact 2-core without a round count") {
+    // triangle 0-1-2 with a pendant path 2-3-4: the 2-core is the
+    // triangle, reached after peeling 4 then 3 (depth 2; round 3 proves
+    // stability)
+    val e = edges((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+    val (core, rounds) = GraphBuilder.kCoreConverged(e, k = 2)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    assert(rounds == 3, s"expected depth 2 + proof round, got $rounds")
+  }
+
+  test("kCoreConverged empties when no k-core exists") {
+    val e = edges((0L, 1L), (1L, 2L), (2L, 3L)) // a path: max core is 1
+    val (core, rounds) = GraphBuilder.kCoreConverged(e, k = 2)
+    assert(core.count() == 0)
+    assert(rounds >= 2)
+  }
+
+  test("kCoreConverged ≡ kCore at any rounds ≥ its detected depth") {
+    val g = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g25b")
+    val (conv, rounds) = GraphBuilder.kCoreConverged(g, k = 3)
+    val fixed = GraphBuilder.kCore(g, k = 3, rounds = rounds + 2)
+    assert(
+      conv.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+        fixed.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("labelPropagationConverged recovers planted communities and stops") {
+    val g = graft.sources.SyntheticGraph.portableBlocks(spark, 200, 600, "lpaT")
+    val (lbl, iters) = GraphBuilder.labelPropagationConverged(g, maxIter = 50)
+    assert(iters < 50, "fixture must converge before the cap")
+    // no cross-block label: every block-A vertex (< 200) labeled < 200,
+    // every block-B vertex (≥ 200) labeled ≥ 200
+    val rows = lbl.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (id, l) => (id < 200) == (l < 200) })
+    // converged ⇒ one more synchronous round changes nothing
+    val once = GraphBuilder.labelPropagation(g, k = iters)
+    assert(
+      rows.sorted.toSeq ==
+        once.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -214,4 +214,78 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  /** True iff some exchange in `p` re-shuffles cached (edge-sized) rows:
+    * walking down from the exchange reaches an InMemoryTableScan without
+    * passing a partial aggregate. An exchange above a partial aggregate
+    * carries map-side-combined partials (bounded by the group-key
+    * cardinality); an exchange straight over the cached scan would ship
+    * the full edge set every iteration — the scale bug these audits
+    * exist to catch.
+    */
+  private def reshufflesCachedRows(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def reachesCacheUnaggregated(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false
+      case _: InMemoryTableScanExec => true
+      case other => other.children.exists(reachesCacheUnaggregated)
+    }
+    p.collect {
+      case e: ShuffleExchangeExec if reachesCacheUnaggregated(e.child) => e
+    }.nonEmpty
+  }
+
+  /** Capture a concrete (non-adaptive) executed plan so the exchange
+    * audit can walk the real operator tree.
+    */
+  private def concretePlan(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("g25 kCore peel round: cached adjacency never re-exchanges, count is map-side combined") {
+    // the r7 shape joined the vtx-partitioned adjacency on vtx THEN on
+    // nbr — the second join re-exchanged the edge-sized intermediate
+    // every peel round. The fixed stage filters on the nbr-partitioned
+    // cached copy first, aggregates per vtx (partial counts bound the
+    // exchange at |V|), then semi-joins survivors — nothing edge-sized
+    // ever moves.
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g25")
+    val (ue, und) = graft.operators.GraphBuilder.kCoreAdjacency(edges)
+    try {
+      und.count() // populate the cache the audit walks
+      val s = graft.operators.GraphBuilder.vertices(edges)
+      val p = concretePlan(graft.operators.GraphBuilder.kCoreInternalDeg(und, s))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("partial_count"), p.toString)
+      // both survivor joins are shuffled-hash (cached side streams, no
+      // per-round re-sort of the adjacency)
+      assert(!p.toString.contains("SortMergeJoin"), p.toString)
+    } finally { ue.unpersist(); und.unpersist() }
+  }
+
+  test("g24 HITS gathers: cached edge copies never re-exchange, sums map-side combined") {
+    val edges = SparkEntry.queries("g1_edges")(spark, dir)
+    val (eSrc, eDst) = graft.operators.Hits.edgeCopies(edges)
+    try {
+      eSrc.count(); eDst.count()
+      val verts = graft.operators.GraphBuilder.vertices(edges)
+      val h0 = verts.select(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(1.0).as("h"))
+      val pAuth = concretePlan(graft.operators.Hits.authGather(eSrc, h0))
+      assert(!reshufflesCachedRows(pAuth), pAuth.toString)
+      assert(pAuth.toString.contains("partial_sum"), pAuth.toString)
+      val a1 = graft.operators.Hits.authGather(eSrc, h0)
+      val pHub = concretePlan(graft.operators.Hits.hubGather(eDst, a1))
+      assert(!reshufflesCachedRows(pHub), pHub.toString)
+      assert(pHub.toString.contains("partial_sum"), pHub.toString)
+    } finally { eSrc.unpersist(); eDst.unpersist() }
+  }
 }

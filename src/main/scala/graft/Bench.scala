@@ -220,6 +220,19 @@ object Bench {
     val ok = results.collect { case (_, Right((v, _)), _) => v }
     val nErr = results.count(_._2.isLeft)
     val total = ok.sum
+    // self-labeling host contention (r7 advice): a query whose wall-clock
+    // exceeds 2× its executor-cpu seconds did not get the host to itself
+    // — task cpu does not inflate under CPU oversubscription while wall
+    // does. Driver-heavy queries (index builds, iterative loops with
+    // per-round actions) can trip this legitimately, so it is a WARNING
+    // list for the reader to cross-check against an idle run, not an
+    // error; an idle run on this suite flags none of the heavy queries.
+    val contended = results.collect {
+      case (k, Right((v, _)), u)
+          if v > 2.0 && v > 2.0 * (u.executorCpuMs / 1000.0) => k
+    }
+    val contendedJson =
+      contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     // whole-run executor totals: task wall-time inflates ~linearly with
     // host CPU oversubscription while cpu-time doesn't, so the pair makes
     // a wall-inflated bench (r4's 575 s artifact) self-diagnosing from
@@ -234,7 +247,7 @@ object Bench {
     // sidecar file + an EARLY stdout line; only the compact contract
     // line is printed last
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"resources":$rs$extraJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"contention_suspects":$contendedJson,"resources":$rs$extraJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -247,7 +260,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r2d(total)},"unit":"sec",""" +
         s""""queries":$qsCompact,"queries_omitted":$nOmitted,""" +
-        s""""errors":$nErr$extraJson,"sf":"$sfDir"}""")
+        s""""errors":$nErr,"contention_suspects":$contendedJson$extraJson,"sf":"$sfDir"}""")
     if (nErr > 0) System.err.println(s"[bench] $nErr queries FAILED")
     spark.stop()
   }

@@ -122,12 +122,28 @@ object TextOps {
     * token stream — (doc, token) term frequencies, then a join back to
     * the corpus document-frequency table — followed by a per-doc ranked
     * window. At 100 TB both aggregates are map-side-combined hash-aggs
-    * keyed by token, the DF table is tiny (vocabulary-sized → broadcast
-    * join), and the window partitions by doc_id, which is exactly how
-    * the exploded stream is already grouped. Scores rounded for
-    * cross-engine determinism; ties break lexicographically.
+    * keyed by token, and the window partitions by doc_id, which is
+    * exactly how the exploded stream is already grouped. The
+    * document-frequency side is deliberately NOT hinted broadcast (d17's
+    * discipline, plan-asserted): a unigram vocabulary grows sublinearly
+    * (Heaps' law) but a web-scale corpus still reaches tens of GB of
+    * misspellings/numbers/URLs — statistics and AQE pick broadcast at
+    * small scale and a token-keyed shuffle join at large. The corpus
+    * doc count rides as an unhinted 1-row frame (provably bounded, the
+    * lmScore pattern). Scores rounded for cross-engine determinism;
+    * ties break lexicographically.
     */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val (keywords, tf) = tfidfStages(docs, k)
+    CacheScope.sealAfter(keywords, tf)
+  }
+
+  /** The pre-seal stages of [[tfidfKeywords]] — exposed so the PlanSpec
+    * hint audit can see the join plan before the checkpoint hides it
+    * (the d17 pattern). Callers must unpersist the returned `tf`.
+    */
+  private[graft] def tfidfStages(
+      docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // one cheap single-column pass for N; the token stream is scanned
     // and exploded exactly ONCE — tf is persisted and df derives from it
@@ -142,8 +158,8 @@ object TextOps {
     val df = tf.groupBy(col("token")).agg(count("*").as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), asc("token"))
-    val keywords = tf.join(broadcast(df), Seq("token"))
-      .crossJoin(broadcast(nDocs))
+    val keywords = tf.join(df, Seq("token"))
+      .crossJoin(nDocs)
       .select(
         col("doc_id"), col("token"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
@@ -151,7 +167,7 @@ object TextOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
-    CacheScope.sealAfter(keywords, tf)
+    (keywords, tf)
   }
 
   /** Repetition quality signal: fraction of duplicate word n-grams per

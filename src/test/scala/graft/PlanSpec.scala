@@ -207,6 +207,20 @@ class PlanSpec extends AnyFunSuite {
     } finally pairs.unpersist()
   }
 
+  test("d11 tf-idf document-frequency join is statistics-driven, never hinted") {
+    // the DF table is vocabulary-sized — sublinear (Heaps' law) but tens
+    // of GB at web scale; a hardcoded broadcast hint would OOM the
+    // driver there. No join in the optimized plan may carry a hint; AQE
+    // and size stats are free to broadcast at gate scale.
+    val (keywords, tf) = graft.operators.TextOps.tfidfStages(
+      spark.read.parquet(s"$dir/documents.parquet"), k = 3)
+    try {
+      val p = keywords.queryExecution.optimizedPlan.toString
+      assert(!p.contains("strategy=broadcast"),
+        "tf-idf joins must not be hint-broadcast: " + p)
+    } finally tf.unpersist()
+  }
+
   test("d18 decontamination broadcasts the benchmark gram table") {
     // the corpus stream must never shuffle against the benchmark side:
     // one broadcast join + the per-doc re-aggregation only

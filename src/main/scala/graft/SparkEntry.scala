@@ -1132,6 +1132,16 @@ object SparkEntry {
       // the MRL cost/quality dial, scored on 16 of 64 dims
       Similarity.knnTruncated(
         t(s, dir, "embeddings"), probeId = 0L, k = 10, m = 16)),
+    "e11_knn_funnel" -> ((s, dir) =>
+      // the MRL retrieval FUNNEL: truncated-space (16-dim) candidate
+      // generation through the bounded top-k aggregate (top-50 per
+      // probe), then exact full-dimension rerank of only the shortlist
+      // — recall recovered at candidate cost. Both stage boundaries
+      // rank on (rounded sim, vec_id), so DuckDB recomputes the whole
+      // funnel and every final score hash-matches.
+      Similarity.knnFunnel(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, m = 16, rerankR = 50)),
 
     "e9_knn_topk_agg" -> ((s, dir) =>
       // e5's batched kNN through the native BOUNDED top-k aggregate
@@ -2273,6 +2283,46 @@ object SparkEntry {
         |  round(list_dot_product(tvec, (SELECT p FROM probe)), 6) AS dot_sim
         |FROM tr WHERE vec_id <> 0
         |ORDER BY dot_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "e11_knn_funnel" ->
+      // the full funnel recomputed: truncate+renorm (e10's chain), top-50
+      // shortlist per probe in the truncated space, exact full-dim
+      // cosine rerank of the shortlist, top-10 — every boundary ranked
+      // on (rounded sim, vec_id) exactly like the engine
+      """WITH tr AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS tvec
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:16] AS v
+        |          FROM embeddings))
+        |  WHERE nrm > 0),
+        |pt AS (SELECT vec_id AS probe_id, tvec AS p FROM tr
+        |       WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |cand AS (
+        |  SELECT pt.probe_id, t.vec_id,
+        |    round(list_dot_product(t.tvec, pt.p), 6) AS t_sim
+        |  FROM tr t, pt WHERE t.vec_id <> pt.probe_id),
+        |short AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |                         ORDER BY t_sim DESC, vec_id) AS rn
+        |    FROM cand) WHERE rn <= 50),
+        |pf AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |       FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |r AS (
+        |  SELECT s.probe_id, s.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), pf.pv), 6) AS cos_sim
+        |  FROM short s
+        |  JOIN embeddings e USING (vec_id)
+        |  JOIN pf ON s.probe_id = pf.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
     "e1_knn_probe" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)

@@ -118,6 +118,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage Matryoshka retrieval FUNNEL — the shape an MRL-trained
+    * index actually runs: candidate generation in the TRUNCATED space
+    * ([[truncateRenorm]], m dims — a fraction of the scan/score bytes),
+    * then an exact FULL-dimension rerank of only the top-`rerankR`
+    * shortlist per probe. Recovers most of the recall the truncation
+    * loses (the true neighbour rarely falls out of a generous truncated
+    * shortlist) at candidate-generation cost, not full-scan cost.
+    *
+    * Scale shape (100 TB): stage 1 is one streaming pass over the
+    * truncated vectors with the k-capped heap as the aggregate's
+    * PARTIAL state ([[knnBatchAgg]]'s machinery) — the exchange carries
+    * ≤ rerankR rows per (probe, partition) regardless of corpus size.
+    * Stage 2 broadcasts the (|probes|·rerankR)-row shortlist against
+    * the full-vector scan — a column-pruned second pass that scores
+    * only shortlist members, never a second all-pairs stage; the final
+    * per-probe rank runs over |probes|·rerankR rows. Both stages rank
+    * on (rounded sim, vec_id) so float noise cannot reorder either
+    * boundary — which is also what lets a SQL oracle recompute the
+    * funnel end-to-end.
+    */
+  def knnFunnel(
+      embeddings: DataFrame,
+      probeIds: Seq[Long],
+      k: Int,
+      m: Int,
+      rerankR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    require(rerankR >= k, "rerankR must be >= k")
+    // persisted: feeds both the probe extraction and the corpus pass —
+    // without the barrier the truncation projection runs once per side
+    val tr = truncateRenorm(embeddings, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probesT = broadcast(
+      tr.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), col("tvec").as("pt")))
+    val shortlist = tr
+      .crossJoin(probesT)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(dot(col("tvec"), col("pt")), 6).as("t_sim"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.VectorFunctions
+        .topK(col("t_sim"), col("vec_id"), rerankR).as("topk"))
+      .select(col("probe_id"), explode(col("topk")).as("t"))
+      .select(col("probe_id"), col("t.vec_id").as("vec_id"))
+    val probesF = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
+        .withColumn("p_nrm", norm(col("p"))))
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    val reranked = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(probesF, Seq("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(
+          cosinePre(col("e"), col("p"), norm(col("e")), col("p_nrm")),
+          6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
+    CacheScope.sealAfter(reranked, tr)
+  }
+
   /** Exact all-pairs near-dup within a blocking key (e.g. `label`):
     * oracle-checkable baseline for the LSH scale path. Norms are
     * materialized once per vector (persisted) so each pair pays a single

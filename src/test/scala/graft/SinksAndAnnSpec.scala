@@ -162,6 +162,42 @@ class AnnRecallSpec extends AnyFunSuite {
       got(2)._2 == 0.0, s"${got.toSeq}")
   }
 
+  test("funnel rerank recovers recall the truncated space loses") {
+    // per-probe top-10 recall vs exact full-dim kNN. These synthetic
+    // embeddings are RANDOM — no MRL training concentrates information
+    // in the prefix, so absolute truncated-space recall is inherently
+    // modest; what the funnel must guarantee is structural: (1) rerank
+    // never loses to stopping in the truncated space, (2) widening the
+    // shortlist monotonically buys recall, (3) a shortlist covering the
+    // corpus IS the exact result (the funnel degrades gracefully to
+    // exact kNN as rerankR → N). Deterministic fixture ⇒ fixed recalls.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count().toInt
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val exact = topSets(Similarity.knnBatch(emb, probes, k = 10))
+    val funnel50 = topSets(
+      Similarity.knnFunnel(emb, probes, k = 10, m = 16, rerankR = 50))
+    val funnel200 = topSets(
+      Similarity.knnFunnel(emb, probes, k = 10, m = 16, rerankR = 200))
+    val funnelAll = topSets(
+      Similarity.knnFunnel(emb, probes, k = 10, m = 16, rerankR = n))
+    val truncOnly = probes.map { p =>
+      p -> Similarity.knnTruncated(emb, p, k = 10, m = 16)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    def recall(got: Map[Long, Set[Long]]): Double =
+      probes.map(p => got(p).intersect(exact(p)).size.toDouble / 10).sum /
+        probes.size
+    val (rF50, rF200, rT) = (recall(funnel50), recall(funnel200), recall(truncOnly))
+    assert(rF50 >= rT, s"funnel@50=$rF50 < truncated-only=$rT")
+    assert(rF200 >= rF50, s"funnel@200=$rF200 < funnel@50=$rF50")
+    assert(rF50 >= 0.4, s"funnel@50 recall=$rF50")
+    assert(funnelAll == exact, "corpus-wide shortlist must BE exact kNN")
+  }
+
   test("int8 quantization: codes in range, dequantized kNN keeps high recall") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -1126,6 +1126,35 @@ object SparkEntry {
       // compression step), exploded to scalar rows so every code is
       // hash-checked; floor bucketing for cross-engine portability
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
+    "e12_knn_ivfsq" -> { (s, dir) =>
+      // IVF-SQ: the e7 disk layout with e8's int8 codes in the
+      // inverted lists (floats never stored), probed with asymmetric
+      // distance — full-precision queries against mid-bucket
+      // dequantized codes. Run at nProbe = nList so the result is the
+      // exact ADC ranking over the whole corpus: DuckDB recomputes
+      // stats, every code, every dequantized value and every cosine —
+      // the full quantize→write→read→prune→dequantize→score round-trip
+      // is hash-locked. The pruned (nProbe < nList) path and the
+      // rerank tail are locked by unit tests + the PartitionFilters
+      // plan assert.
+      val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfsq_e12").toString
+      try {
+        Similarity.writeIvfSqIndex(idx, tmp)
+        idx.release()
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfSqPruned(
+            t(s, dir, "embeddings"), tmp,
+            Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 16))
+      } finally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(tmp)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    },
     "e10_knn_truncated" -> ((s, dir) =>
       // Matryoshka truncation retrieval: first-16-dim prefix,
       // L2-renormalized, top-k by dot (= cosine on the unit sphere) —
@@ -2283,6 +2312,42 @@ object SparkEntry {
         |  round(list_dot_product(tvec, (SELECT p FROM probe)), 6) AS dot_sim
         |FROM tr WHERE vec_id <> 0
         |ORDER BY dot_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "e12_knn_ivfsq" ->
+      // the full ADC chain recomputed: e8's stats + codes, mid-bucket
+      // dequantization, full-precision-probe cosine, top-10 on (rounded
+      // sim, vec_id) — independent of the coarse quantizer because
+      // nProbe = nList probes every list
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, CAST(t.i AS BIGINT) AS d,
+        |         v[CAST(t.i AS INTEGER) + 1] AS val
+        |  FROM e, unnest(range(len(v))) AS t(i)),
+        |st AS (SELECT d, min(val) AS mn, max(val) AS mx FROM x GROUP BY d),
+        |c AS (
+        |  SELECT x.vec_id, x.d,
+        |    CASE WHEN st.mx = st.mn THEN 0
+        |         ELSE least(255.0, greatest(0.0,
+        |                floor((x.val - st.mn) / (st.mx - st.mn) * 255)))
+        |         END AS code
+        |  FROM x JOIN st USING (d)),
+        |dv AS (
+        |  SELECT c.vec_id, c.d,
+        |    st.mn + (c.code + 0.5) * (st.mx - st.mn) / 255 AS dx
+        |  FROM c JOIN st USING (d)),
+        |dva AS (SELECT vec_id, list(dx ORDER BY d) AS dvec FROM dv GROUP BY vec_id),
+        |p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |r AS (
+        |  SELECT p.probe_id, a.vec_id,
+        |    round(list_cosine_similarity(a.dvec, p.pv), 6) AS cos_sim
+        |  FROM dva a, p WHERE a.vec_id <> p.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
     "e11_knn_funnel" ->
       // the full funnel recomputed: truncate+renorm (e10's chain), top-50
       // shortlist per probe in the truncated space, exact full-dim

@@ -600,6 +600,158 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Persist an [[IvfIndex]] as an INT8-QUANTIZED disk layout (IVF-SQ —
+    * the standard composition at 100 TB: inverted lists store codes, not
+    * floats): each list row is `(vec_id, codes ARRAY<INT>, dnrm, c_id)`
+    * partitioned by c_id, where `codes` is [[quantizeEmbeddings]]'s
+    * affine per-dimension int8 coding and `dnrm` the L2 norm of the
+    * mid-bucket dequantized vector (write-once, so probes never re-fold
+    * it). The per-dimension stats table (`d, mn, rng` — dimensionality-
+    * bounded) and the centroid table land beside the lists. Cuts the
+    * index bytes a probe reads ~2× vs the float layout (int32-encoded
+    * codes vs doubles; asserted on-disk in the spec) while keeping the
+    * same file-level pruning.
+    */
+  def writeIvfSqIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val st = collectDimStats(index.assigned, col("e"))
+    val stats = st.map { case (d, mn, mx) => (d.toLong, mn, mx - mn) }
+      .toDF("d", "mn", "rng")
+    val mnArr = array(st.map(s => lit(s._2)): _*)
+    val rngArr = array(st.map(s => lit(s._3 - s._2)): _*)
+    val codes = codesExpr(col("e"), st)
+    index.assigned
+      .select(col("vec_id"), codes.as("codes"), col("c_id"))
+      .withColumn("dnrm", norm(dequantize(col("codes"), mnArr, rngArr)))
+      .select(col("vec_id"), col("codes"), col("dnrm"), col("c_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Batched, statically-pruned probe of an IVF-SQ disk index with
+    * ASYMMETRIC distance (ADC): full-precision query vectors against
+    * mid-bucket dequantized codes — the standard SQ scoring that loses
+    * no query-side information. Same driver-bounded list ranking and
+    * literal `c_id IN (...)` partition pruning as [[probeIvfPruned]];
+    * the dequantization is a codegen'd projection (stats as literal
+    * arrays) applied only to the probed lists' rows, and the stored
+    * `dnrm` means no per-row norm re-fold. Probe vectors come from
+    * `embeddings` (the SQ index deliberately does not store floats).
+    * Fully deterministic: at nProbe = nList the result is the exact
+    * ADC ranking over the whole corpus, which a SQL oracle recomputes
+    * code-for-code.
+    */
+  def probeIvfSqPruned(
+      embeddings: DataFrame,
+      path: String,
+      probeIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val st = spark.read.parquet(s"$path/stats")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnArr = array(st.map(s => lit(s._2)).toSeq: _*)
+    val rngArr = array(st.map(s => lit(s._3)).toSeq: _*)
+    val probes = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
+        .withColumn("p_nrm", norm(col("p"))))
+    val wLists = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("c_sim"), asc("c_id"))
+    // bounded collect: |probeIds| × nProbe pairs from a broadcast ×
+    // broadcast product (same discipline as probeIvfPruned)
+    val pairs = probes
+      .crossJoin(centroids)
+      .select(
+        col("probe_id"), col("c_id"),
+        cosinePre(col("p"), col("c_emb"), col("p_nrm"), col("c_nrm"))
+          .as("c_sim"))
+      .withColumn("rn", row_number().over(wLists))
+      .filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("c_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val listIds = pairs.map(_._2).distinct.toSeq
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType)),
+      StructField("dnrm", DoubleType),
+      StructField("c_id", LongType)))
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    spark.read.schema(schema).parquet(s"$path/lists")
+      .filter(col("c_id").isin(listIds: _*)) // literal IN → partition pruning
+      // dequantize ONCE per stored row, before the probe fan-out
+      .withColumn("dv", dequantize(col("codes"), mnArr, rngArr))
+      .join(broadcast(pairs.toSeq.toDF("probe_id", "c_id")), Seq("c_id"))
+      .join(probes, Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(
+          cosinePre(col("dv"), col("p"), col("dnrm"), col("p_nrm")),
+          6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** IVF-SQ probe with a full-precision RERANK tail — the production
+    * retrieval shape: ADC over the pruned quantized lists proposes the
+    * top-`rerankR` per probe, then only that shortlist is scored with
+    * exact float cosine against `embeddings` (broadcast-small join, one
+    * column-pruned pass that touches |probes|·rerankR rows). For
+    * rerankR ≥ k, every true neighbour the ADC stage surfaces is kept —
+    * recall can only improve over ADC top-k (asserted in the spec).
+    */
+  def probeIvfSqReranked(
+      embeddings: DataFrame,
+      path: String,
+      probeIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 4,
+      rerankR: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankR >= k, "rerankR must be >= k")
+    val shortlist =
+      probeIvfSqPruned(embeddings, path, probeIds, k = rerankR, nProbe)
+        .select(col("probe_id"), col("vec_id"))
+    val probesF = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
+        .withColumn("p_nrm", norm(col("p"))))
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(probesF, Seq("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(
+          cosinePre(col("e"), col("p"), norm(col("e")), col("p_nrm")),
+          6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** One-shot batched IVF kNN: build, batch-probe, seal — the assignment
     * pass is paid ONCE for the whole probe set (vs once per probe for
     * repeated [[knnIvf]] calls). Long-lived consumers should hold the
@@ -637,16 +789,38 @@ object Similarity {
     */
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
     val emb = asDouble(col("embedding"))
-    val st = embeddings
-      .select(posexplode(emb).as(Seq("d", "x")))
+    val st = collectDimStats(embeddings, emb)
+    val codes = codesExpr(emb, st)
+    graft.core.Parallelism.ensure(embeddings)
+      .select(
+        col("vec_id"),
+        posexplode(codes).as(Seq("d", "code")))
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("code"))
+  }
+
+  /** Per-dimension (min, max) of a vector column — ONE narrow
+    * distributed aggregate collected to the driver, bounded by the
+    * DIMENSIONALITY, never the row count. Shared by the standalone
+    * quantizer and the IVF-SQ index build.
+    */
+  private def collectDimStats(
+      df: DataFrame, vec: Column): Seq[(Int, Double, Double)] =
+    df.select(posexplode(vec).as(Seq("d", "x")))
       .groupBy(col("d"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
       .sortBy(_._1)
-    val mnArr = array(st.map(s => lit(s._2)).toSeq: _*)
-    val rngArr = array(st.map(s => lit(s._3 - s._2)).toSeq: _*)
-    val codes = transform(emb, (x, i) => {
+
+  /** The affine int8 coding projection for a given stats table — the
+    * stats re-enter the plan as literal arrays, so coding is a single
+    * codegen'd projection with no join (see [[quantizeEmbeddings]]).
+    */
+  private def codesExpr(vec: Column, st: Seq[(Int, Double, Double)]): Column = {
+    val mnArr = array(st.map(s => lit(s._2)): _*)
+    val rngArr = array(st.map(s => lit(s._3 - s._2)): _*)
+    transform(vec, (x, i) => {
       val mn = element_at(mnArr, i + 1)
       val rng = element_at(rngArr, i + 1)
       when(rng === 0, lit(0))
@@ -654,11 +828,6 @@ object Similarity {
           least(lit(255.0), greatest(lit(0.0), floor((x - mn) / rng * 255))))
         .cast("int")
     })
-    graft.core.Parallelism.ensure(embeddings)
-      .select(
-        col("vec_id"),
-        posexplode(codes).as(Seq("d", "code")))
-      .select(col("vec_id"), col("d").cast("long").as("d"), col("code"))
   }
 
   /** Dequantize a codes array back to doubles given the same stats —

@@ -117,6 +117,65 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-SQ disk index: pruned ADC probe, rerank tail, smaller lists") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val index = Similarity.buildIvfIndex(emb, nList = 8)
+    val tmpF = java.nio.file.Files.createTempDirectory("ivf_f").toString
+    val tmpQ = java.nio.file.Files.createTempDirectory("ivf_sq").toString
+    try {
+      Similarity.writeIvfIndex(index, tmpF)
+      Similarity.writeIvfSqIndex(index, tmpQ)
+      def dirBytes(p: String): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      }
+      // the point of storing codes: the inverted lists a probe reads
+      // must be materially smaller than the float layout's
+      val (fb, qb) = (dirBytes(s"$tmpF/lists"), dirBytes(s"$tmpQ/lists"))
+      assert(qb < fb * 0.6, s"sq lists $qb bytes vs float $fb")
+      // exact recall bound at nProbe = nList: ADC loses only what
+      // int8 dequantization loses (the e8 bound)
+      val exact = Similarity.knnBatch(emb, probes, k = 10)
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+      val adcFull = Similarity
+        .probeIvfSqPruned(emb, tmpQ, probes, k = 10, nProbe = 8)
+      def recall(m: Map[Long, Set[Long]]): Double =
+        probes.map(p => m(p).intersect(exact(p)).size.toDouble / 10).sum /
+          probes.size
+      def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.collect().groupBy(_.getLong(0))
+          .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+      val rAdc = recall(sets(adcFull))
+      assert(rAdc >= 0.7, s"ADC@nList recall=$rAdc")
+      // pruning must reach the scan's PartitionFilters at nProbe < nList
+      val pruned = Similarity
+        .probeIvfSqPruned(emb, tmpQ, probes, k = 10, nProbe = 2)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), plan)
+      assert(
+        "PartitionFilters: \\[[^\\]]*c_id".r.findFirstIn(plan).isDefined,
+        "c_id pruning missing from scan: " + plan)
+      // the rerank tail can only help: every exact neighbour the ADC
+      // stage surfaces in its top-R survives an exact re-scoring
+      val rRerank = recall(sets(Similarity.probeIvfSqReranked(
+        emb, tmpQ, probes, k = 10, nProbe = 8, rerankR = 50)))
+      assert(rRerank >= rAdc, s"rerank=$rRerank < adc=$rAdc")
+    } finally {
+      index.release()
+      import scala.jdk.CollectionConverters._
+      for (tmp <- Seq(tmpF, tmpQ)) {
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("bounded top-k aggregate form equals the window form exactly") {
     // same rounded-sim ranking keys, so the two plans must agree on the
     // full (probe_id, vec_id, cos_sim) set — including tie boundaries

@@ -1004,8 +1004,20 @@ object SparkEntry {
     },
     "d3_quality" -> ((s, dir) =>
       TextOps.qualityMetrics(t(s, dir, "documents"))),
+    "d24_filter_gate" -> ((s, dir) =>
+      // the composed C4/Gopher-style keep/drop gate with the first
+      // failing rule as the reason — one zero-shuffle pass (d21-style
+      // plan assert); every rule metric is an integer-ratio double so
+      // both engines threshold identical values
+      TextOps.filterPipeline(t(s, dir, "documents"))),
     "d4_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents"))),
+    "d25_heavy_hitters" -> ((s, dir) =>
+      // exact heavy hitters through a two-pass Misra-Gries sketch: the
+      // capacity-bounded candidate pass can depend on partitioning, the
+      // exact re-count + threshold cut cannot — the result provably
+      // equals the full GROUP BY ... HAVING the oracle runs
+      TextOps.heavyHitters(t(s, dir, "documents"), frac = 0.01)),
 
     "d5_minhash_neardup" -> ((s, dir) =>
       // full MinHash+LSH pipeline (shingle→sign→band→bucket-join→verify);
@@ -2125,6 +2137,48 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
         |    AS n_punct
         |FROM toks""".stripMargin,
+    "d24_filter_gate" ->
+      // identical rule chain and thresholds; every metric is the same
+      // integer-ratio double in both engines, so the CASE boundaries
+      // cannot disagree
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(tk) AS n_tokens,
+        |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |      / len(tk) AS avg_len,
+        |    CAST(len(list_filter(tk,
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(tk) AS stop_r,
+        |    CAST(length(text)
+        |         - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS DOUBLE) / length(text) AS punct_r,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_r
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 5 THEN 'too_short'
+        |         WHEN avg_len > 12.0 THEN 'long_tokens'
+        |         WHEN stop_r < 0.01 THEN 'low_stopword'
+        |         WHEN punct_r > 0.2 THEN 'high_punct'
+        |         WHEN dup_r > 0.6 THEN 'repetitive'
+        |         ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT doc_id, reason = 'ok' AS keep, reason FROM r""".stripMargin,
+    "d25_heavy_hitters" ->
+      // the sketch-free ground truth: full token aggregate + HAVING at
+      // the same ceil(frac·N) threshold — the two-pass MG result must
+      // equal it exactly
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt
+        |FROM tok GROUP BY 1
+        |HAVING count(*) >= CAST(ceil(0.01 * (SELECT n FROM n)) AS BIGINT)""".stripMargin,
     "d4_fingerprint" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk

@@ -252,6 +252,14 @@ object VectorFunctions {
         GraftSqlBridge.expression(id),
         k).toAggregateExpression())
 
+  /** Misra-Gries frequent-items candidates: `graft_mg(item, capacity)` —
+    * a capacity-bounded partial-state aggregate (see [[MgAggExpr]]).
+    */
+  def mgCandidates(item: Column, capacity: Int): Column =
+    GraftSqlBridge.column(
+      MgAggExpr(GraftSqlBridge.expression(item), capacity)
+        .toAggregateExpression())
+
   /** Make the native expressions callable from SQL on a live session
     * (`SELECT graft_dot(a, b)`, `graft_proj(vec, 12, 42)`). New sessions
     * can instead inject [[GraftExtensions]] at build time.

@@ -170,6 +170,94 @@ object TextOps {
     (keywords, tf)
   }
 
+  /** Composed C4/Gopher-style quality GATE: the keep/drop decision a
+    * training-data pipeline actually ships, with the FIRST failing rule
+    * as the drop reason (fixed rule order ⇒ deterministic and
+    * SQL-recomputable). Rules, in order: minimum token count, mean
+    * token length bound (machine-generated/URL soup), minimum stopword
+    * ratio (non-prose), punctuation-density bound, duplicate-token
+    * ratio bound (boilerplate/repetition). One pure column-algebra pass
+    * inside the scan projection — no shuffle, no join, no action
+    * (plan-asserted zero-exchange like d21): at 100 TB the gate
+    * parallelizes with the input splits and costs one read. Every
+    * metric is an integer-ratio double, so both engines compare
+    * IDENTICAL values against the thresholds — no float-boundary risk.
+    * Output: `doc_id, keep BOOLEAN, reason STRING` ('ok' when kept).
+    */
+  def filterPipeline(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      maxAvgTokenLen: Double = 12.0,
+      minStopwordRatio: Double = 0.01,
+      maxPunctRatio: Double = 0.2,
+      maxDupTokenRatio: Double = 0.6): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val avgLen =
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nTok
+    val stopR =
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    val punctR =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+        length(col("text")).cast("double")
+    val dupR = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    val reason = when(size(toks) < minTokens, "too_short")
+      .when(avgLen > maxAvgTokenLen, "long_tokens")
+      .when(stopR < minStopwordRatio, "low_stopword")
+      .when(punctR > maxPunctRatio, "high_punct")
+      .when(dupR > maxDupTokenRatio, "repetitive")
+      .otherwise("ok")
+    graft.core.Parallelism.ensure(docs)
+      .select(
+        col("doc_id"),
+        (reason === "ok").as("keep"),
+        reason.as("reason"))
+  }
+
+  /** EXACT heavy hitters by two-pass Misra-Gries: every token whose
+    * count is ≥ `ceil(frac · N)` (N = total token occurrences), with its
+    * exact count — the answer is IDENTICAL to a full `GROUP BY token
+    * HAVING count ≥ threshold` (which is what the DuckDB oracle runs),
+    * but the engine never materializes a vocabulary-sized aggregation
+    * state:
+    *
+    *   Pass 1 — one scan: a capacity-bounded Misra-Gries summary
+    *   ([[graft.functions.MgAggExpr]]) + the exact N in the same
+    *   aggregate. With capacity ≥ 2/frac the summary provably contains
+    *   EVERY token of frequency ≥ frac·N (undercount ≤ N/(capacity+1) ≤
+    *   frac·N/2), under ANY partitioning or merge order — the candidate
+    *   set may vary, the no-false-negative guarantee does not.
+    *   Pass 2 — one scan: exact counts of the ≤ capacity candidates
+    *   (a literal IN filter, pushable to the scan) and the threshold
+    *   cut, which removes every false positive.
+    *
+    * So a partitioning-dependent sketch still yields a deterministic,
+    * hash-checkable result. The driver holds only the candidate array
+    * (≤ capacity strings) and N — bounded regardless of corpus size.
+    * At 100 TB the exchange in pass 1 carries ≤ capacity counters per
+    * map task where the exact groupBy ships every distinct token.
+    */
+  def heavyHitters(docs: DataFrame, frac: Double = 0.01): DataFrame = {
+    require(frac > 0 && frac < 1, "frac must be in (0, 1)")
+    val capacity = math.max(math.ceil(2.0 / frac).toInt, 8)
+    def tok = graft.core.Parallelism.ensure(docs)
+      .select(explode(tokens(col("text"))).as("token"))
+    val row = tok.agg(
+      graft.functions.VectorFunctions
+        .mgCandidates(col("token"), capacity).as("cand"),
+      count("*").as("n")).collect()(0)
+    val cand = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val thresh = math.ceil(frac * n).toLong
+    tok
+      .filter(col("token").isin(cand: _*))
+      .groupBy(col("token"))
+      .agg(count("*").as("cnt"))
+      .filter(col("cnt") >= thresh)
+  }
+
   /** Repetition quality signal: fraction of duplicate word n-grams per
     * document (Gopher-style "repeated n-gram" filter — heavily repetitive
     * boilerplate scores high and gets culled before training). Pure

@@ -193,6 +193,108 @@ class DedupSpec extends AnyFunSuite {
   * fixpoint result must equal the fixed-round result at any depth ≥ the
   * convergence depth, and the detected depth must be the true one.
   */
+class HeavyHitterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("MgState: classic decrement keeps every item above N/(capacity+1)") {
+    // stream: 'a'×50, 'b'×30, 60 distinct one-off fillers; N=140,
+    // capacity=4 → undercount ≤ 140/5 = 28 < 30, so a and b MUST survive
+    val st = new graft.functions.MgState(4)
+    val stream = new scala.util.Random(7).shuffle(
+      Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+        (0 until 60).map(i => s"f$i"))
+    stream.foreach(st.add)
+    assert(st.items.contains("a") && st.items.contains("b"), st.items.toSeq)
+    assert(st.counts.size <= 4)
+  }
+
+  test("MgState: merge preserves the guarantee across adversarial splits") {
+    // worst case for a merge tree: the heavy item is spread thin across
+    // many partial states, each dominated by local noise
+    val rng = new scala.util.Random(13)
+    val parts = (0 until 8).map { p =>
+      val st = new graft.functions.MgState(6)
+      val local = rng.shuffle(
+        Seq.fill(10)("hot") ++ (0 until 30).map(i => s"p${p}_$i"))
+      local.foreach(st.add)
+      st
+    }
+    // N = 8·40 = 320, capacity 6 → undercount ≤ 320/7 ≈ 45.7 < 80
+    val acc = parts.head
+    parts.tail.foreach(acc.mergeFrom)
+    assert(acc.items.contains("hot"), acc.items.toSeq)
+    assert(acc.counts.size <= 6)
+  }
+
+  test("heavyHitters equals the exact groupBy+threshold answer") {
+    val sp = spark
+    import sp.implicits._
+    // 'the' 40×, 'cat' 25×, tail of uniques; frac 0.1 of N
+    val words =
+      Seq.fill(40)("the") ++ Seq.fill(25)("cat") ++
+        (0 until 100).map(i => s"w$i")
+    val docs = words.grouped(11).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" "), 0L) }.toSeq
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextOps.heavyHitters(docs, frac = 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = 165, thresh = ceil(16.5) = 17 → exactly {the:40, cat:25}
+    assert(got == Map("the" -> 40L, "cat" -> 25L), got)
+  }
+
+  test("heavyHitters is partitioning-independent") {
+    val sp = spark
+    import sp.implicits._
+    val words = Seq.fill(60)("hot") ++ (0 until 300).map(i => s"u$i")
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" "), 0L) }.toSeq
+      .toDF("doc_id", "text", "n_chars")
+    val a = TextOps.heavyHitters(docs.repartition(1), frac = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = TextOps.heavyHitters(docs.repartition(13), frac = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.contains(("hot", 60L)))
+  }
+}
+
+class FilterGateSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("each rule fires in order; first failure is the reason") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat today and it is fine.", 44L),
+      (1L, "too short", 9L), // 2 tokens < 5
+      (2L, "the a of pneumonoultramicroscopicsilicovolcanoconiosis" +
+        " pneumonoultramicroscopicsilicovolcanoconiosis" +
+        " pneumonoultramicroscopicsilicovolcanoconiosis xx", 1L), // avg len
+      (3L, "purple monkey dishwasher quantum banana firetruck", 49L), // no stopwords
+      (4L, "the cat... is;;; very,,, loud!!! okay???", 40L), // punct heavy
+      (5L, "the spam spam spam spam spam spam spam spam spam is", 52L) // dup
+    ).toDF("doc_id", "text", "n_chars")
+    val got = TextOps.filterPipeline(docs)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2)))
+      .toMap
+    assert(got(0L) == ((true, "ok")))
+    assert(got(1L) == ((false, "too_short")))
+    assert(got(2L) == ((false, "long_tokens")))
+    assert(got(3L) == ((false, "low_stopword")))
+    assert(got(4L) == ((false, "high_punct")))
+    assert(got(5L) == ((false, "repetitive")))
+  }
+
+  test("rule order: a doc failing several rules reports the FIRST") {
+    val sp = spark
+    import sp.implicits._
+    // fails too_short AND low_stopword AND high_punct → too_short wins
+    val docs = Seq((0L, "x!!!;;;", 7L)).toDF("doc_id", "text", "n_chars")
+    val got = TextOps.filterPipeline(docs).collect()(0)
+    assert(got.getString(2) == "too_short")
+  }
+}
+
 class GraphConvergenceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

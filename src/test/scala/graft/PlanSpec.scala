@@ -176,6 +176,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d24 filter gate is a stateless projection: zero key exchanges, no join") {
+    // the gate's scale story: one pass inside the scan projection (a
+    // RoundRobin width-restoring repartition on the tiny test scan is
+    // allowed, as in d16)
+    val p = plan("d24_filter_gate")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("d22 training order is ONE window exchange on the shard draw") {
     val p = plan("d22_training_order")
     assert("Exchange".r.findAllIn(p).length == 1, p)

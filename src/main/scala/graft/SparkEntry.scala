@@ -1310,6 +1310,39 @@ object SparkEntry {
       // runs in OperatorsSpec
       graft.streaming.EventStreams.enrichEvents(
         graft.sources.Tables.events(s, dir), t(s, dir, "customer"))),
+    "st8_stream_dedup" -> { (s, dir) =>
+      // streaming ingest dedup through the REAL streaming-aggregation
+      // path: documents replayed OUT OF ORDER in 5 micro-batches via
+      // MemoryStream, digest-keyed stateful aggregation in Complete
+      // mode — the converged registry must hash-match d1's batch oracle
+      // (min/count are order-insensitive), certifying the streaming
+      // state path itself, not just a batch twin.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .collect()
+      val scrambled = all.sortBy { case (id, _) =>
+        java.lang.Long.rotateLeft(id * 0x9E3779B97F4A7C15L, 23)
+      }
+      val ms = MemoryStream[(Long, String)]
+      val qname =
+        "st8_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .dedupDocsStream(ms.toDS().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try {
+        scrambled.grouped(math.max(scrambled.length / 5, 1)).foreach { b =>
+          ms.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qname)
+    },
     "st6_eventtime_sessions" -> { (s, dir) =>
       // EVENT-TIME sessionization through the REAL streaming operator
       // (flatMapGroupsWithState + EventTimeTimeout), replayed OUT OF
@@ -2342,6 +2375,12 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    // st8 converges to the batch dedup registry regardless of chunking
+    // or replay order — same ground truth as d1
+    "st8_stream_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "st3_event_dedup" ->
       """WITH d AS (
         |  SELECT event_id, ts,

@@ -106,6 +106,23 @@ object EventStreams {
           .as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming INGEST DEDUP registry: the exact-dedup aggregation
+    * (digest → representative id + multiplicity, `TextOps
+    * .exactDedupGroups`'s plan) over a STREAMING document frame. This is
+    * the state a streaming training-data ingest pipeline maintains: one
+    * state-store row per distinct content digest, updated as micro-
+    * batches arrive, order-insensitive (min/count are commutative) — so
+    * the converged registry equals the batch aggregation over the same
+    * documents no matter how the stream was chunked or shuffled, which
+    * is exactly what the d1 oracle certifies through st8. Keys are
+    * 128-bit digests, never full texts: state size is content-count
+    * bounded, not byte-count bounded.
+    */
+  def dedupDocsStream(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count("*").as("n_copies"))
+
   /** Batch twin of [[dedupEvents]]: one survivor per (event_id, ts) key,
     * then a per-type summary. The streaming form keeps the FIRST arrival
     * per key (arrival order is meaningful on a stream); a batch input has

@@ -397,6 +397,35 @@ class StreamingSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  test("streaming dedup registry accumulates across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupDocsStream(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("st8_unit")
+      .outputMode("complete").start()
+    def registry(): Map[String, (Long, Long)] =
+      spark.table("st8_unit").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    try {
+      // batch 1: two distinct texts, one duplicated
+      ms.addData((5L, "alpha"), (3L, "alpha"), (7L, "beta"))
+      q.processAllAvailable()
+      val r1 = registry()
+      assert(r1.size == 2)
+      assert(r1.values.toSet == Set((3L, 2L), (7L, 1L)))
+      // batch 2: a LOWER id duplicate of alpha arrives late + a new text
+      ms.addData((1L, "alpha"), (9L, "gamma"))
+      q.processAllAvailable()
+      val r2 = registry()
+      assert(r2.size == 3)
+      // representative flips to the new minimum; multiplicity grows
+      assert(r2.values.toSet == Set((1L, 3L), (7L, 1L), (9L, 1L)))
+    } finally q.stop()
+  }
+
   /** Assert the streaming output agrees with the batch frame on every
     * emitted (key, value) row — and that the comparison actually matched
     * rows, so a key-format drift can't pass vacuously.

@@ -1018,6 +1018,15 @@ object SparkEntry {
       // exact re-count + threshold cut cannot — the result provably
       // equals the full GROUP BY ... HAVING the oracle runs
       TextOps.heavyHitters(t(s, dir, "documents"), frac = 0.01)),
+    "d26_char_entropy" -> ((s, dir) =>
+      // per-document character-entropy quality signal (CCNet-class):
+      // zero-shuffle per-row fold over the SORTED alphabet so both
+      // engines sum in identical order
+      TextOps.charEntropy(t(s, dir, "documents"))),
+    "d27_vocab_coverage" -> ((s, dir) =>
+      // top-100 vocabulary coverage curve (share + cumulative share of
+      // the token stream) — the vocab-size/OOV decision statistic
+      TextOps.vocabCoverage(t(s, dir, "documents"), topK = 100)),
 
     "d5_minhash_neardup" -> ((s, dir) =>
       // full MinHash+LSH pipeline (shingle→sign→band→bucket-join→verify);
@@ -2212,6 +2221,43 @@ object SparkEntry {
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY 1
         |HAVING count(*) >= CAST(ceil(0.01 * (SELECT n FROM n)) AS BIGINT)""".stripMargin,
+    "d26_char_entropy" ->
+      // same sorted-alphabet fold; p is an integer-ratio double in both
+      // engines and -p·ln(p) terms sum in the identical order, so the
+      // 6 dp rounding fully absorbs libm ulp differences
+      """WITH ch AS (
+        |  SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        |m AS (
+        |  SELECT doc_id, cs, CAST(len(cs) AS DOUBLE) AS n,
+        |    list_sort(list_distinct(cs)) AS u
+        |  FROM ch)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_chars_total,
+        |  CAST(len(u) AS BIGINT) AS alphabet_size,
+        |  round(list_sum(list_transform(u, d ->
+        |    -(CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE) / n
+        |      * ln(CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE) / n)))),
+        |    6) AS char_entropy
+        |FROM m""".stripMargin,
+    "d27_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1),
+        |tt AS (SELECT sum(n_occurrences) AS total FROM c),
+        |top AS (SELECT token, n_occurrences FROM c
+        |        ORDER BY n_occurrences DESC, token LIMIT 100),
+        |r AS (
+        |  SELECT token, n_occurrences,
+        |    row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank,
+        |    sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences,
+        |  round(CAST(n_occurrences AS DOUBLE) / (SELECT total FROM tt), 9)
+        |    AS share,
+        |  round(CAST(cum AS DOUBLE) / (SELECT total FROM tt), 9) AS cum_share
+        |FROM r""".stripMargin,
     "d4_fingerprint" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk

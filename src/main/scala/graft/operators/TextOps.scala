@@ -258,6 +258,76 @@ object TextOps {
       .filter(col("cnt") >= thresh)
   }
 
+  /** Character-entropy quality signal: Shannon entropy (nats) of the
+    * per-document character distribution — near-zero for repetitive
+    * filler, anomalously high for random gibberish; the CCNet-family
+    * pipelines threshold on exactly this class of signal. Computed
+    * per-row with NO shuffle: the character list, its distinct set, and
+    * the Σ -p·ln(p) fold all live inside the scan projection (distinct
+    * alphabet ≈ dozens, so the O(len·|alphabet|) per-row cost is trivial
+    * and the 100 TB cost is one read). Probabilities are integer-ratio
+    * doubles (identical in both engines); the entropy is rounded to 6 dp
+    * so last-ulp `ln` differences between libm implementations cannot
+    * leak into the hash. Output: `doc_id, n_chars_total, alphabet_size,
+    * char_entropy`.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = split(col("text"), "")
+    val n = size(chars).cast("double")
+    val uniq = array_distinct(chars)
+    // fold over the SORTED alphabet: both engines then sum the -p·ln(p)
+    // terms in the identical order, so the pre-rounding doubles agree to
+    // the last bit modulo libm ulps (absorbed by the 6 dp rounding)
+    val ent = aggregate(
+      array_sort(uniq),
+      lit(0.0),
+      (acc, ch) => {
+        val p = size(filter(chars, c => c === ch)).cast("double") / n
+        acc - p * log(p)
+      })
+    graft.core.Parallelism.ensure(docs)
+      .select(
+        col("doc_id"),
+        size(chars).cast("long").as("n_chars_total"),
+        size(uniq).cast("long").as("alphabet_size"),
+        round(ent, 6).as("char_entropy"))
+  }
+
+  /** Vocabulary coverage curve: the top-`topK` tokens by corpus count
+    * with each token's share and the CUMULATIVE share of all token
+    * occurrences — the statistic a tokenizer/vocab-size decision reads
+    * ("the top 1k tokens cover X% of the stream; everything else is
+    * OOV"). One explode → token-keyed map-side-combined hash-agg (the
+    * d10 shape), a bounded top-K, and a window cumsum over only topK
+    * rows — the full-corpus total rides as an unhinted 1-row frame.
+    * Shares are rounded; ranks tie-break lexicographically.
+    * Output: `rank, token, n_occurrences, share, cum_share`.
+    */
+  def vocabCoverage(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.core.Parallelism.ensure(docs)
+      .select(explode(tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count("*").as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences")).as("total"))
+    val w = Window.orderBy(desc("n_occurrences"), asc("token"))
+    counts
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(topK)
+      .crossJoin(total)
+      .withColumn("rank", row_number().over(w))
+      .withColumn(
+        "cum",
+        sum(col("n_occurrences")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("rank").cast("long").as("rank"),
+        col("token"),
+        col("n_occurrences"),
+        round(col("n_occurrences").cast("double") / col("total"), 9)
+          .as("share"),
+        round(col("cum").cast("double") / col("total"), 9).as("cum_share"))
+  }
+
   /** Repetition quality signal: fraction of duplicate word n-grams per
     * document (Gopher-style "repeated n-gram" filter — heavily repetitive
     * boilerplate scores high and gets culled before training). Pure

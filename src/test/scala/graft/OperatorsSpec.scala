@@ -293,6 +293,43 @@ class FilterGateSpec extends AnyFunSuite {
     val got = TextOps.filterPipeline(docs).collect()(0)
     assert(got.getString(2) == "too_short")
   }
+
+  test("charEntropy: hand-computed values, repetition scores low") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "aaaa", 4L), // single symbol: entropy 0
+      (1L, "abab", 4L), // two symbols 50/50: ln 2
+      (2L, "abcd", 4L) // uniform over 4: ln 4
+    ).toDF("doc_id", "text", "n_chars")
+    val got = TextOps.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(0L) == ((1L, 0.0)))
+    assert(got(1L)._1 == 2L &&
+      math.abs(got(1L)._2 - math.log(2)) < 1e-6, got(1L))
+    assert(got(2L)._1 == 4L &&
+      math.abs(got(2L)._2 - math.log(4)) < 1e-6, got(2L))
+  }
+
+  test("vocabCoverage: shares sum to cumulative, last covers everything") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "a a a b b c", 11L),
+      (1L, "a b", 3L)).toDF("doc_id", "text", "n_chars")
+    // counts: a=4, b=3, c=1; N=8
+    val rows = TextOps.vocabCoverage(docs, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(t => (t._2, t._3)).toSeq ==
+      Seq(("a", 4L), ("b", 3L), ("c", 1L)))
+    assert(rows.last._5 == 1.0, "full vocab must cover the whole stream")
+    // cumulative is the running sum of shares (both rounded from the
+    // same integer ratios)
+    assert(math.abs(rows.map(_._4).sum - rows.last._5) < 1e-9)
+  }
 }
 
 class GraphConvergenceSpec extends AnyFunSuite {

@@ -176,6 +176,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d26 char entropy is a stateless projection: zero key exchanges, no join") {
+    val p = plan("d26_char_entropy")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("d24 filter gate is a stateless projection: zero key exchanges, no join") {
     // the gate's scale story: one pass inside the scan projection (a
     // RoundRobin width-restoring repartition on the tiny test scan is

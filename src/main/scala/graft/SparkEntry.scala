@@ -1027,6 +1027,33 @@ object SparkEntry {
       // top-100 vocabulary coverage curve (share + cumulative share of
       // the token stream) — the vocab-size/OOV decision statistic
       TextOps.vocabCoverage(t(s, dir, "documents"), topK = 100)),
+    "p1_e2e_prep" -> { (s, dir) =>
+      // the COMPLETE prep journey a pipeline user runs, as one composed
+      // lazy plan: quality gate (d24) → exact dedup among survivors
+      // (d1's min-id rule) → overlapping token chunking (d16) →
+      // shard-packed sequence bookkeeping of the chunks (d19 at budget
+      // 512, ordered by a per-chunk uid). Every stage is an
+      // already-oracle-locked operator; this row locks their
+      // COMPOSITION end-to-end (the oracle chains the same CTEs).
+      // chunk_uid = doc_id·100000 + chunk_id is collision-free while
+      // docs stay under 100000·stride = 1.6M tokens — far beyond the
+      // corpus; the uid exists because packing orders by ONE key.
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        TextOps.filterPipeline(docs)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val deduped = TextOps.dedupExact(kept)
+      val chunks = TextOps.chunkTokens(deduped)
+      val packIn = chunks
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(
+          (col("doc_id") * 100000 + col("chunk_id")).as("chunk_uid"),
+          col("source"),
+          col("chunk_text").as("text"))
+      Sampling.packSequences(
+        packIn, budget = 512, shardCol = "source", idCol = "chunk_uid")
+    },
 
     "d5_minhash_neardup" -> ((s, dir) =>
       // full MinHash+LSH pipeline (shingle→sign→band→bucket-join→verify);
@@ -2221,6 +2248,61 @@ object SparkEntry {
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY 1
         |HAVING count(*) >= CAST(ceil(0.01 * (SELECT n FROM n)) AS BIGINT)""".stripMargin,
+    "p1_e2e_prep" ->
+      // the same four stages chained as CTEs: d24's gate → d1's min-id
+      // dedup among survivors → d16's chunker → d19's per-shard
+      // cumulative-offset packing ordered by the chunk uid
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(tk) AS n_tokens,
+        |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |      / len(tk) AS avg_len,
+        |    CAST(len(list_filter(tk,
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(tk) AS stop_r,
+        |    CAST(length(text)
+        |         - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |         AS DOUBLE) / length(text) AS punct_r,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_r
+        |  FROM toks),
+        |keep_ids AS (
+        |  SELECT doc_id FROM m
+        |  WHERE NOT (n_tokens < 5) AND NOT (avg_len > 12.0)
+        |    AND NOT (stop_r < 0.01) AND NOT (punct_r > 0.2)
+        |    AND NOT (dup_r > 0.6)),
+        |k AS (SELECT d.* FROM documents d JOIN keep_ids USING (doc_id)),
+        |dd AS (
+        |  SELECT k.* FROM k
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text))
+        |  USING (doc_id)),
+        |ctk AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM dd WHERE length(trim(text)) > 0),
+        |ch AS (
+        |  SELECT doc_id, source, tk,
+        |    unnest(range(CAST(floor((len(tk) - 1) / 16.0) AS BIGINT) + 1))
+        |      AS c
+        |  FROM ctk),
+        |ci AS (
+        |  SELECT doc_id * 100000 + c AS chunk_uid, source,
+        |    CAST(len(tk[c*16+1 : c*16+32]) AS BIGINT) AS n_tokens
+        |  FROM ch),
+        |o AS (
+        |  SELECT chunk_uid, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY chunk_uid ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS start_offset
+        |  FROM ci)
+        |SELECT chunk_uid, source, n_tokens,
+        |  CAST(start_offset AS BIGINT) AS start_offset,
+        |  CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(start_offset % 512 AS BIGINT) AS seq_offset
+        |FROM o""".stripMargin,
     "d26_char_entropy" ->
       // same sorted-alphabet fold; p is an integer-ratio double in both
       // engines and -p·ln(p) terms sum in the identical order, so the

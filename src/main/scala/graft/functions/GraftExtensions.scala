@@ -43,6 +43,20 @@ object GraftFunctionDefs {
         s"graft_topk expects (score, id, k), got ${children.size} arguments")
   }
 
+  def mgBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(item, cap) =>
+      val c = cap match {
+        case Literal(i: Int, IntegerType) => i
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_mg capacity must be an INT literal, got $other")
+      }
+      MgAggExpr(item, c).toAggregateExpression()
+    case _ =>
+      throw new IllegalArgumentException(
+        s"graft_mg expects (item, capacity), got ${children.size} arguments")
+  }
+
   def projBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(v, bits, seed) =>
       val b = bits match {
@@ -83,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggExpr].getName, "graft_topk"),
       GraftFunctionDefs.topkBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg"),
+      new ExpressionInfo(classOf[MgAggExpr].getName, "graft_mg"),
+      GraftFunctionDefs.mgBuilder _))
   }
 }

@@ -271,5 +271,7 @@ object VectorFunctions {
       spark, "graft_proj", GraftFunctionDefs.projBuilder)
     GraftSqlBridge.registerFunction(
       spark, "graft_topk", GraftFunctionDefs.topkBuilder)
+    GraftSqlBridge.registerFunction(
+      spark, "graft_mg", GraftFunctionDefs.mgBuilder)
   }
 }

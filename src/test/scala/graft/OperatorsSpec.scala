@@ -877,6 +877,17 @@ class HyperplaneSigSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(t0 == Seq((11L, 3.0), (12L, 2.0)))
     assert(t1 == Seq((22L, 7.0), (20L, 5.0))) // tie at 5.0 → smaller id
+    // the Misra-Gries candidate aggregate is SQL-callable: with enough
+    // capacity it degenerates to the sorted distinct item set
+    val mg = spark.sql(
+      """SELECT graft_mg(w, 8) FROM VALUES
+        |  ('b'), ('a'), ('b'), ('c') AS v(w)""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(mg == Seq("a", "b", "c"))
+    intercept[Exception] {
+      spark.sql("SELECT graft_mg(cast(id AS string), cast(id AS int)) FROM range(3)")
+        .collect()
+    }
   }
 
   test("GraftExtensions injects both functions at session-build time") {

@@ -1346,6 +1346,13 @@ object SparkEntry {
       // runs in OperatorsSpec
       graft.streaming.EventStreams.enrichEvents(
         graft.sources.Tables.events(s, dir), t(s, dir, "customer"))),
+    "st9_native_session" -> ((s, dir) =>
+      // gap sessionization through Spark's NATIVE session_window
+      // aggregate (the built-in twin of st1's lag/cumsum form); its
+      // half-open-window merge rule (new session at diff ≥ gap, not
+      // > gap) is deliberately preserved and locked by its own oracle
+      graft.streaming.EventStreams.sessionizeNative(
+        graft.sources.Tables.events(s, dir))),
     "st8_stream_dedup" -> { (s, dir) =>
       // streaming ingest dedup through the REAL streaming-aggregation
       // path: documents replayed OUT OF ORDER in 5 micro-batches via
@@ -2503,6 +2510,11 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    // st9: Spark's session_window merges TOUCHING windows (verified by
+    // an exact-boundary unit test: an event exactly `gap` after its
+    // predecessor stays in the same session), so the gap rule is
+    // identical to st1's lag form — same oracle
+    "st9_native_session" -> gapSessionSql,
     // st8 converges to the batch dedup registry regardless of chunking
     // or replay order — same ground truth as d1
     "st8_stream_dedup" ->

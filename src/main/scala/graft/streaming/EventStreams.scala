@@ -370,4 +370,33 @@ object EventStreams {
         count("*").as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
   }
+
+  /** Gap sessionization through Spark's NATIVE `session_window`
+    * aggregation — the built-in the hand-rolled lag/cumsum form
+    * ([[sessionizeBatch]]) and the stateful form ([[sessionizeEventTime]])
+    * should be compared against (same code runs streaming with a
+    * watermark, where the native operator also gets state-store session
+    * merging for free). Boundary semantics verified by unit test:
+    * Spark merges TOUCHING `[ts, ts+gap)` windows, so an event exactly
+    * `gap` after its predecessor stays in the SAME session — the
+    * identical diff > gap rule as the lag form, hence the identical
+    * oracle. Sessions are numbered per user by window start for a
+    * deterministic, window-free output schema. Plan: one session-window
+    * hash aggregate (map-side combined) + a per-user rank over
+    * session-count-sized rows.
+    */
+  def sessionizeNative(
+      events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sw.start"))
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count("*").as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .withColumn("session_no", row_number().over(w).cast("long"))
+      .select(
+        col("user_id"), col("session_no"),
+        col("n_events"), col("sum_value"))
+  }
 }

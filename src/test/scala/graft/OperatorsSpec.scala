@@ -434,6 +434,29 @@ class StreamingSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  test("native session_window agrees with the lag form at the exact gap boundary") {
+    val sp = spark
+    import sp.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // events 0 and 30min: EXACTLY the gap apart — Spark merges touching
+    // windows, so this stays ONE session in both forms (diff > gap rule);
+    // the 61min event is > gap from 35min and starts session 2
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 1.0, "{}"),
+      (2L, ts(30), 7L, "click", 2.0, "{}"),
+      (3L, ts(35), 7L, "click", 4.0, "{}"),
+      (4L, ts(66), 7L, "click", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val native = EventStreams.sessionizeNative(ev)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val lagForm = EventStreams.sessionizeBatch(ev)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(native.toSeq == Seq((1L, 3L, 7.0), (2L, 1L, 8.0)), native.toSeq)
+    assert(lagForm.toSeq == native.toSeq)
+  }
+
   test("streaming dedup registry accumulates across micro-batches") {
     val sp = spark
     import sp.implicits._

@@ -238,6 +238,42 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Oracle for g26: unrolled batched multi-seed PPR — the seed rides
+    * as a COLUMN through the whole chain, exactly like the engine's
+    * (seed, id, rank) state. Per iteration: per-edge contributions
+    * (rank·d/outdeg) plus the per-seed restart row carrying
+    * (1-d) + d·danglingMass, summed per (seed, id).
+    */
+  private def multiPprSql(k: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH edges AS MATERIALIZED (${EdgeListReader.fromOrdersSql}),
+         |od AS MATERIALIZED (
+         |  SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg
+         |  FROM edges GROUP BY 1),
+         |seeds AS MATERIALIZED (
+         |  SELECT DISTINCT src AS seed FROM edges ORDER BY 1 LIMIT $nSeeds),
+         |r0 AS MATERIALIZED (SELECT seed, seed AS id, 1.0 AS rank FROM seeds)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |r$i AS MATERIALIZED (
+        |  SELECT seed, id, sum(c) AS rank FROM (
+        |    SELECT r.seed, e.dst AS id, r.rank * 0.85 / o.outdeg AS c
+        |    FROM r${i - 1} r JOIN od o ON r.id = o.id
+        |    JOIN edges e ON e.src = r.id
+        |    UNION ALL
+        |    SELECT s.seed, s.seed AS id,
+        |      0.15 + 0.85 * coalesce(dg.dmass, 0) AS c
+        |    FROM seeds s LEFT JOIN (
+        |      SELECT r.seed, sum(r.rank) AS dmass FROM r${i - 1} r
+        |      LEFT JOIN od o ON r.id = o.id
+        |      WHERE o.outdeg IS NULL GROUP BY 1) dg ON s.seed = dg.seed)
+        |  GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.append(s"\nSELECT seed, id, round(rank, 9) AS rank_r FROM r$k")
+    sb.toString
+  }
+
   /** Oracle for the run-to-convergence mode (Q6 / O16): unrolls maxIter
     * iterations, computes the per-iteration avgDiff trace in SQL, and
     * selects the ranks of the FIRST iteration satisfying the reference's
@@ -762,6 +798,19 @@ object SparkEntry {
       GraphBuilder.kCore(
         graft.sources.SyntheticGraph.portable(s, 400, 1200, "g25"),
         k = 4, rounds = 6)),
+    "g26_multi_ppr" -> { (s, dir) =>
+      // BATCHED multi-seed personalized PageRank (the graph
+      // feature-backfill shape): 3 seeds, one loop, sparse
+      // (seed, id, rank) state — restart AND dangling mass return to
+      // each row's own seed; every rank hash-matches the unrolled
+      // seed-as-a-column oracle
+      val e = EdgeListReader.fromOrdersCached(s, dir)
+      val seeds = e.select(col("src")).distinct()
+        .orderBy(col("src")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      MultiPpr.run(e, seeds, k = 4)
+        .select(col("seed"), col("id"), round(col("rank"), 9).as("rank_r"))
+    },
     "g25b_kcore_converged" -> ((s, dir) =>
       // k-core run TO FIXPOINT (the reference's early-stop discipline,
       // O14/O16): peel until the survivor count is stable — no
@@ -1737,6 +1786,7 @@ object SparkEntry {
     // (monotone peeling ⇒ identical result) — the oracle never learns
     // where the engine's early stop landed
     "g25b_kcore_converged" -> kCoreSql(k = 3, rounds = 6, salt = "g25b"),
+    "g26_multi_ppr" -> multiPprSql(k = 4, nSeeds = 3),
     // converged LPA: stable labelling is a fixpoint, so a 12-round
     // unroll (fixture converges in 10) reproduces the early-stopped run
     "g22b_lpa_converged" -> lpaBlocksSql(12),

@@ -368,6 +368,31 @@ class GraphConvergenceSpec extends AnyFunSuite {
         fixed.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("MultiPpr: mass conserved per seed, dangling returns to seed, sparse state") {
+    // seed 0 → 1 → 2 (2 dangling): after k=1, r = 0.15·e0 + 0.85·(P^T e0
+    // + 0·e0) = {0: 0.15, 1: 0.85}; vertex 9→0 is upstream and must
+    // stay UNREACHED (sparse state, no |V|-dense rows)
+    val e = edges((0L, 1L), (1L, 2L), (9L, 0L))
+    val r1 = MultiPpr.run(e, Seq(0L), k = 1)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(r1.keySet == Set(0L, 1L))
+    assert(math.abs(r1(0L) - 0.15) < 1e-12 && math.abs(r1(1L) - 0.85) < 1e-12, r1)
+    // k=2: 0.85 parked on 1 flows to dangling 2; mass still exactly 1
+    val r2 = MultiPpr.run(e, Seq(0L), k = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(r2.values.sum - 1.0) < 1e-12, r2)
+    assert(r2.keySet == Set(0L, 1L, 2L))
+    assert(math.abs(r2(2L) - 0.85 * 0.85) < 1e-12) // via 0→1→2
+    // k=3: 2's dangling mass returns to the seed; per-seed isolation
+    val multi = MultiPpr.run(e, Seq(0L, 9L), k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val bySeed = multi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(bySeed.values.forall(v => math.abs(v - 1.0) < 1e-12), bySeed)
+    // seed 9 reaches 0 (9→0) but seed 0 never reaches 9
+    assert(multi.contains((9L, 0L)) && !multi.contains((0L, 9L)))
+  }
+
   test("labelPropagationConverged recovers planted communities and stops") {
     val g = graft.sources.SyntheticGraph.portableBlocks(spark, 200, 600, "lpaT")
     val (lbl, iters) = GraphBuilder.labelPropagationConverged(g, maxIter = 50)

@@ -274,6 +274,69 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Oracle for g27: unrolled weighted s-core peel — [[kCoreSql]] with
+    * weighted strength sums over the symmetrized co-occurrence graph.
+    * Integer-valued weights make every strength an exact double sum.
+    */
+  private def wCoreSql(minStrength: Double, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e0 AS MATERIALIZED (${EdgeListReader.fromOrdersWeightedSql}),
+         |und AS MATERIALIZED (
+         |  SELECT src AS vtx, dst AS nbr, w FROM e0
+         |  UNION ALL SELECT dst, src, w FROM e0),
+         |s0 AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0))""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |s$i AS MATERIALIZED (
+        |  SELECT vtx AS id FROM (
+        |    SELECT d.vtx, sum(d.w) AS st
+        |    FROM und d
+        |    JOIN s${i - 1} a ON d.vtx = a.id
+        |    JOIN s${i - 1} b ON d.nbr = b.id
+        |    GROUP BY 1)
+        |  WHERE st >= $minStrength)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT d.vtx AS id, sum(d.w) AS core_strength
+      |FROM und d
+      |JOIN s$rounds a ON d.vtx = a.id
+      |JOIN s$rounds b ON d.nbr = b.id
+      |GROUP BY 1""".stripMargin)
+    sb.toString
+  }
+
+  /** Oracle for g28: unrolled batched multi-source BFS — the seed rides
+    * as a column through the min-hop recurrence, over the symmetrized
+    * edge set, mirroring [[graft.operators.ShortestPaths.multiSourceHops]].
+    */
+  private def multiBfsSql(rounds: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH edges AS MATERIALIZED (${EdgeListReader.fromOrdersSql}),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+         |seeds AS MATERIALIZED (
+         |  SELECT DISTINCT src AS seed FROM edges ORDER BY 1 LIMIT $nSeeds),
+         |d0 AS MATERIALIZED (SELECT seed, seed AS id, 0 AS hops FROM seeds)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (
+        |  SELECT seed, id, min(hops) AS hops FROM (
+        |    SELECT seed, id, hops FROM d${i - 1}
+        |    UNION ALL
+        |    SELECT d.seed, e.dst AS id, d.hops + 1 AS hops
+        |    FROM d${i - 1} d JOIN e ON d.id = e.src)
+        |  GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.append(
+      s"\nSELECT seed, id, CAST(hops AS BIGINT) AS hops FROM d$rounds")
+    sb.toString
+  }
+
   /** Oracle for the run-to-convergence mode (Q6 / O16): unrolls maxIter
     * iterations, computes the per-iteration avgDiff trace in SQL, and
     * selects the ranks of the FIRST iteration satisfying the reference's
@@ -798,6 +861,28 @@ object SparkEntry {
       GraphBuilder.kCore(
         graft.sources.SyntheticGraph.portable(s, 400, 1200, "g25"),
         k = 4, rounds = 6)),
+    "g27_wcore" -> ((s, dir) =>
+      // WEIGHTED s-core (strength peeling) on the co-occurrence graph:
+      // threshold 61 drives a real 3-round cascade at the gate sf
+      // (226 → 225 → 214 survivors); 5 rounds ≥ depth, so the result IS
+      // the converged s-core. Integer-valued weights ⇒ exact double
+      // sums ⇒ hash-exact without rounding.
+      GraphBuilder.kCoreWeighted(
+        EdgeListReader.fromOrdersWeighted(s, dir),
+        minStrength = 61.0, rounds = 5)),
+    "g28_multi_bfs" -> { (s, dir) =>
+      // BATCHED multi-source BFS (landmark distances): 3 seeds, one
+      // loop, sparse (seed, id, hops) state over the SYMMETRIZED graph
+      // (the raw cust→supp digraph is depth-1); all-integer hops
+      // hash-match the unrolled seed-as-a-column oracle
+      val w = EdgeListReader.fromOrders(s, dir)
+      val sym = w.union(
+        w.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = w.select(col("src")).distinct()
+        .orderBy(col("src")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      ShortestPaths.multiSourceHops(sym, seeds, rounds = 4)
+    },
     "g26_multi_ppr" -> { (s, dir) =>
       // BATCHED multi-seed personalized PageRank (the graph
       // feature-backfill shape): 3 seeds, one loop, sparse
@@ -1787,6 +1872,8 @@ object SparkEntry {
     // where the engine's early stop landed
     "g25b_kcore_converged" -> kCoreSql(k = 3, rounds = 6, salt = "g25b"),
     "g26_multi_ppr" -> multiPprSql(k = 4, nSeeds = 3),
+    "g27_wcore" -> wCoreSql(minStrength = 61.0, rounds = 5),
+    "g28_multi_bfs" -> multiBfsSql(rounds = 4, nSeeds = 3),
     // converged LPA: stable labelling is a fixpoint, so a 12-round
     // unroll (fixture converges in 10) reproduces the early-stopped run
     "g22b_lpa_converged" -> lpaBlocksSql(12),

@@ -415,6 +415,52 @@ object GraphBuilder {
       .join(s.withColumnRenamed("id", "vtx").hint("shuffle_hash"), Seq("vtx"))
       .select(col("vtx").as("id"), col("deg"))
 
+  /** WEIGHTED s-core by fixed-round peeling — [[kCore]]'s generalization
+    * to weighted degrees (strength): each round drops survivors whose
+    * total edge weight WITHIN the surviving set falls below
+    * `minStrength`. On integer-valued weights (e.g. co-occurrence
+    * counts) every strength is an exact double sum, so the result is
+    * hash-exact across engines and partitionings like the unweighted
+    * core. Same plan discipline as [[kCoreInternalDeg]] — the
+    * symmetrized weighted adjacency is nbr-partitioned and persisted
+    * ONCE, each round exchanges only the survivor set and the
+    * map-side-combined strength partials (≤ |V|), never edge-sized
+    * rows. Input `src, dst, w` is treated as directed and symmetrized
+    * (both (u,v) and (v,u) contribute their weights). Output:
+    * `id LONG, core_strength DOUBLE` (survivors only).
+    */
+  def kCoreWeighted(
+      edges: DataFrame, minStrength: Double, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges
+      .select(col("src").as("vtx"), col("dst").as("nbr"), col("w"))
+      .union(
+        edges.select(col("dst").as("vtx"), col("src").as("nbr"), col("w")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def strength(s: DataFrame): DataFrame = und
+      .join(s.withColumnRenamed("id", "nbr").hint("shuffle_hash"), Seq("nbr"))
+      .groupBy(col("vtx"))
+      .agg(sum(col("w")).as("st"))
+      .join(s.withColumnRenamed("id", "vtx").hint("shuffle_hash"), Seq("vtx"))
+      .select(col("vtx").as("id"), col("st"))
+    var s = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    var prevCp: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val next = strength(s)
+        .filter(col("st") >= minStrength)
+        .select(col("id"))
+        .localCheckpoint() // eager: truncates the per-round lineage
+      if (prevCp != null) prevCp.unpersist(false)
+      prevCp = next
+      s = next
+    }
+    val out = strength(s).select(col("id"), col("st").as("core_strength"))
+    CacheScope.sealAfter(out, und, s)
+  }
+
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.
     */

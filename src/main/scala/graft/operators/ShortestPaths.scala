@@ -60,4 +60,48 @@ object ShortestPaths {
     e.unpersist(false)
     dist
   }
+
+  /** BATCHED multi-source min-hop BFS: hop distances from EVERY seed in
+    * ONE loop over the edge set — the sparse `(seed, id, dist)` state
+    * pattern ([[MultiPpr]]'s batching) applied to reachability. The
+    * landmark-distance shape: |S| BFS layers computed without rescanning
+    * the edges per source (the inputs to eccentricity/diameter estimates
+    * and distance features). All-integer hop counts ⇒ hash-exact across
+    * engines and partitionings. Per round: the state joins the
+    * src-partitioned persisted edges on the co-partitioned key, relaxed
+    * frontiers are min-recombined per (seed, id) with map-side combine —
+    * exchange volume is state-sized, the edge side never moves.
+    * Output: `seed LONG, id LONG, hops LONG` for every (seed, vertex)
+    * pair within `rounds` hops.
+    */
+  def multiSourceHops(
+      edges: DataFrame, seeds: Seq[Long], rounds: Int): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("src").as("id"), col("dst"))
+      .dropDuplicates()
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("hops"))
+    var prevCp: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .join(e, Seq("id"))
+        .select(col("seed"), col("dst").as("id"), (col("hops") + 1L).as("hops"))
+      val next = dist
+        .union(relaxed)
+        .groupBy(col("seed"), col("id"))
+        .agg(min(col("hops")).as("hops"))
+        .localCheckpoint() // eager: truncates the per-round lineage
+      if (prevCp != null) prevCp.unpersist(false)
+      prevCp = next
+      dist = next
+    }
+    e.unpersist(false)
+    dist
+  }
 }

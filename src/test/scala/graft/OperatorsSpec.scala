@@ -393,6 +393,31 @@ class GraphConvergenceSpec extends AnyFunSuite {
     assert(multi.contains((9L, 0L)) && !multi.contains((0L, 9L)))
   }
 
+  test("kCoreWeighted peels by strength and cascades") {
+    // triangle with heavy edges + a light pendant: strengths at W=3
+    // peel the pendant (strength 1 each side), then the triangle holds
+    val sp = spark
+    import sp.implicits._
+    val we = Seq(
+      (0L, 1L, 2.0), (1L, 2L, 2.0), (2L, 0L, 2.0), // triangle, strength 4
+      (2L, 3L, 1.0) // pendant: 3 has strength 1; 2 has 5 until 3 drops
+    ).toDF("src", "dst", "w")
+    val got = GraphBuilder.kCoreWeighted(we, minStrength = 3.0, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 4.0, 1L -> 4.0, 2L -> 4.0), got)
+  }
+
+  test("multiSourceHops: per-seed BFS layers, sparse, directional") {
+    // path 0→1→2 and isolated-from-0 edge 9→0
+    val e = edges((0L, 1L), (1L, 2L), (9L, 0L))
+    val got = ShortestPaths.multiSourceHops(e, Seq(0L, 9L), rounds = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 0L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (9L, 9L) -> 0L, (9L, 0L) -> 1L, (9L, 1L) -> 2L, (9L, 2L) -> 3L), got)
+  }
+
   test("labelPropagationConverged recovers planted communities and stops") {
     val g = graft.sources.SyntheticGraph.portableBlocks(spark, 200, 600, "lpaT")
     val (lbl, iters) = GraphBuilder.labelPropagationConverged(g, maxIter = 50)

@@ -1308,6 +1308,34 @@ object SparkEntry {
       // compression step), exploded to scalar rows so every code is
       // hash-checked; floor bucketing for cross-engine portability
       Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))),
+    "e13_knn_ivf_append" -> { (s, dir) =>
+      // index MAINTENANCE path: build on the even-id half, write, then
+      // APPEND the odd-id half (assigned to the existing centroids, no
+      // re-cluster), reopen, probe every list — at nProbe = nList the
+      // result must be the exact kNN over the FULL corpus, so e5's
+      // oracle hash-locks the append round-trip itself.
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_e13").toString
+      try {
+        Similarity.writeIvfIndex(idx, tmp)
+        idx.release()
+        Similarity.appendToIvfIndex(
+          s, tmp, emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+        val disk = Similarity.readIvfIndex(s, tmp)
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPruned(
+            disk, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 16))
+      } finally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(tmp)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    },
     "e12_knn_ivfsq" -> { (s, dir) =>
       // IVF-SQ: the e7 disk layout with e8's int8 codes in the
       // inverted lists (floats never stored), probed with asymmetric
@@ -1815,6 +1843,23 @@ object SparkEntry {
         col("hour_str") +:
           types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
     },
+    "q24_scd2" -> { (s, dir) =>
+      // SCD2 history build (the CDC merge shape): each user's event
+      // stream becomes validity intervals [valid_from, valid_to) via a
+      // lead window — the newest row per user is current (valid_to
+      // sentinel -1). One exchange + one sort per user partition;
+      // microsecond epochs as exact integer carriers.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      graft.sources.Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from"))
+        .withColumn(
+          "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
+        .withColumn("is_current", col("valid_to") === -1L)
+    },
     "q18_window_funcs" -> { (s, dir) =>
       // the ranked-window family over one partition spec: rank /
       // dense_rank, lag / lead (exact int carriers), and a running sum —
@@ -2202,6 +2247,9 @@ object SparkEntry {
     // the e5 computation routed through write→read→pruned-probe — same
     // oracle, so the round-trip itself is hash-checked
     "e7_knn_ivf_disk" -> knnBatchExactSql,
+    // e13 probes every list of the build-then-append layout — exact at
+    // nProbe = nList, so the append path reproduces e5's ground truth
+    "e13_knn_ivf_append" -> knnBatchExactSql,
     "q22_array_funcs" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
@@ -2887,6 +2935,17 @@ object SparkEntry {
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
         |FROM events GROUP BY 1""".stripMargin,
+    "q24_scd2" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS valid_from
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, valid_from,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id), -1) AS valid_to,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id), -1) = -1 AS is_current
+        |FROM b""".stripMargin,
     "q18_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,

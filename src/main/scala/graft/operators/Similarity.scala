@@ -518,6 +518,27 @@ object Similarity {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally APPEND vectors to an existing disk IVF index: assign
+    * the new batch to the EXISTING centroid table (no re-clustering —
+    * the standard index-maintenance path; centroid drift is handled by
+    * periodic rebuilds, not by every ingest batch) and append the
+    * assigned rows into the c_id-partitioned lists layout. One
+    * broadcast-join scan of the new batch; existing list files are
+    * never rewritten, and file-level pruning keeps working because the
+    * partition directories are stable. The assignment argmax is the
+    * same deterministic rule as the build, so append(A)+append(B) ≡
+    * append(A∪B) under any batch split.
+    */
+  def appendToIvfIndex(
+      spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val base = newVectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    assignNearest(base, centroids)
+      .write.partitionBy("c_id").mode("append").parquet(s"$path/lists")
+  }
+
   /** Reopen a disk [[IvfIndex]]. The explicit schema keeps the c_id
     * partition column LongType (partition-value inference would narrow
     * small ids to INT and break join/pruning key types). The lists frame

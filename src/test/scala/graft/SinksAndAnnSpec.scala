@@ -176,6 +176,42 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF append: batch-split invariant, pruning preserved") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val index = Similarity.buildIvfIndex(evens, nList = 8)
+    val tmpA = java.nio.file.Files.createTempDirectory("ivf_app_a").toString
+    val tmpB = java.nio.file.Files.createTempDirectory("ivf_app_b").toString
+    try {
+      Similarity.writeIvfIndex(index, tmpA)
+      Similarity.writeIvfIndex(index, tmpB)
+      // A: one append; B: the same rows in two batches
+      Similarity.appendToIvfIndex(spark, tmpA, odds)
+      Similarity.appendToIvfIndex(spark, tmpB, odds.filter(col("vec_id") < 500))
+      Similarity.appendToIvfIndex(spark, tmpB, odds.filter(col("vec_id") >= 500))
+      val probes = Seq(0L, 1L, 2L)
+      def probe(path: String) = Similarity.probeIvfPruned(
+        Similarity.readIvfIndex(spark, path), probes, k = 10, nProbe = 3)
+      val a = probe(tmpA)
+      val b = probe(tmpB)
+      assert(
+        a.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+          b.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+      // pruning still reaches the scan over the appended layout
+      val plan = a.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*c_id".r.findFirstIn(plan).isDefined, plan)
+    } finally {
+      index.release()
+      import scala.jdk.CollectionConverters._
+      for (tmp <- Seq(tmpA, tmpB)) {
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("bounded top-k aggregate form equals the window form exactly") {
     // same rounded-sim ranking keys, so the two plans must agree on the
     // full (probe_id, vec_id, cos_sim) set — including tie boundaries

@@ -1161,6 +1161,21 @@ object SparkEntry {
       // top-100 vocabulary coverage curve (share + cumulative share of
       // the token stream) — the vocab-size/OOV decision statistic
       TextOps.vocabCoverage(t(s, dir, "documents"), topK = 100)),
+    "p2_entity_resolution" -> { (s, dir) =>
+      // entity resolution end-to-end as one pipeline: portable LSH
+      // banding proposes candidates (d5c), exact shingle-Jaccard
+      // verifies at 0.8 (d5b), connected components merge verified
+      // pairs into entities (d9/g15's HashMin Pregel) with the min id
+      // as each entity's label. Every stage oracle-locked on its own;
+      // this row locks the composed journey — candidate generation
+      // never materializes an all-pairs stage, verification touches
+      // only candidates, and the component step sees only verified
+      // pairs.
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairsPortable(docs, k = 16, bands = 4)
+      Dedup.componentsFromPairs(
+        Dedup.verifiedJaccardPairs(docs, cands, threshold = 0.8))
+    },
     "p1_e2e_prep" -> { (s, dir) =>
       // the COMPLETE prep journey a pipeline user runs, as one composed
       // lazy plan: quality gate (d24) → exact dedup among survivors
@@ -2440,6 +2455,48 @@ object SparkEntry {
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY 1
         |HAVING count(*) >= CAST(ceil(0.01 * (SELECT n FROM n)) AS BIGINT)""".stripMargin,
+    "p2_entity_resolution" ->
+      // d5c's banding chain → d5b's shingle-Jaccard verify → d9's
+      // recursive-CTE components, end to end
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(tk) - 2, 1)),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 15))
+        |        AS BIGINT))) AS sh
+        |  FROM tk),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), i ->
+        |      list_min(list_transform(sh, s ->
+        |        md5(concat(CAST(i AS VARCHAR), ':', CAST(s AS VARCHAR)))))) AS sig
+        |  FROM sh),
+        |band AS (
+        |  SELECT doc_id, CAST(t.b AS INTEGER) AS band_no,
+        |    array_to_string(sig[t.b*4+1 : t.b*4+4], '|') AS band_key
+        |  FROM sig, unnest(range(4)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b
+        |    ON a.band_no = b.band_no AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM ver
+        |       UNION SELECT id_b, id_a FROM ver),
+        |nodes AS (SELECT DISTINCT u AS id FROM ed),
+        |r(id, m) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+        |SELECT id AS doc_id, min(m) AS group_id FROM r GROUP BY 1""".stripMargin,
     "p1_e2e_prep" ->
       // the same four stages chained as CTEs: d24's gate → d1's min-id
       // dedup among survivors → d16's chunker → d19's per-shard

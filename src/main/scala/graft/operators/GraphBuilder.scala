@@ -432,24 +432,13 @@ object GraphBuilder {
   def kCoreWeighted(
       edges: DataFrame, minStrength: Double, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val und = edges
-      .select(col("src").as("vtx"), col("dst").as("nbr"), col("w"))
-      .union(
-        edges.select(col("dst").as("vtx"), col("src").as("nbr"), col("w")))
-      .repartition(col("nbr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def strength(s: DataFrame): DataFrame = und
-      .join(s.withColumnRenamed("id", "nbr").hint("shuffle_hash"), Seq("nbr"))
-      .groupBy(col("vtx"))
-      .agg(sum(col("w")).as("st"))
-      .join(s.withColumnRenamed("id", "vtx").hint("shuffle_hash"), Seq("vtx"))
-      .select(col("vtx").as("id"), col("st"))
+    val und = kCoreWeightedAdjacency(edges)
     var s = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
     var prevCp: DataFrame = null
     for (_ <- 1 to rounds) {
-      val next = strength(s)
+      val next = kCoreStrength(und, s)
         .filter(col("st") >= minStrength)
         .select(col("id"))
         .localCheckpoint() // eager: truncates the per-round lineage
@@ -457,9 +446,32 @@ object GraphBuilder {
       prevCp = next
       s = next
     }
-    val out = strength(s).select(col("id"), col("st").as("core_strength"))
+    val out = kCoreStrength(und, s).select(col("id"), col("st").as("core_strength"))
     CacheScope.sealAfter(out, und, s)
   }
+
+  /** The weighted peel's symmetrized, nbr-partitioned persisted
+    * adjacency (the [[kCoreAdjacency]] discipline with weights).
+    */
+  private[graft] def kCoreWeightedAdjacency(edges: DataFrame): DataFrame =
+    edges
+      .select(col("src").as("vtx"), col("dst").as("nbr"), col("w"))
+      .union(
+        edges.select(col("dst").as("vtx"), col("src").as("nbr"), col("w")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** One weighted peel round's strength stage — [[kCoreInternalDeg]]'s
+    * exchange discipline with `sum(w)` in place of the count
+    * (plan-asserted in PlanSpec alongside g25's).
+    */
+  private[graft] def kCoreStrength(und: DataFrame, s: DataFrame): DataFrame =
+    und
+      .join(s.withColumnRenamed("id", "nbr").hint("shuffle_hash"), Seq("nbr"))
+      .groupBy(col("vtx"))
+      .agg(sum(col("w")).as("st"))
+      .join(s.withColumnRenamed("id", "vtx").hint("shuffle_hash"), Seq("vtx"))
+      .select(col("vtx").as("id"), col("st"))
 
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.

@@ -63,32 +63,7 @@ object MultiPpr {
       .localCheckpoint()
     var prevCp: DataFrame = state
     for (_ <- 1 to k) {
-      val withDeg = state.join(outdeg, Seq("id"), "left_outer")
-      // contributions along out-edges: rank·d/outdeg to each successor;
-      // the state side exchanges to the cached edge partitioning, the
-      // edge side never moves
-      val contribs = withDeg
-        .filter(col("outdeg").isNotNull)
-        .join(e.withColumnRenamed("src", "id"), Seq("id"))
-        .select(
-          col("seed"), col("dst").as("id"),
-          (col("rank") * d / col("outdeg")).as("c"))
-      // per-seed dangling mass (rank parked on out-degree-0 vertices)
-      // returns to the seed together with the restart mass
-      val dangling = withDeg
-        .filter(col("outdeg").isNull)
-        .groupBy(col("seed"))
-        .agg(sum(col("rank")).as("dmass"))
-      val restart = seedDf
-        .join(dangling, Seq("seed"), "left_outer")
-        .select(
-          col("seed"), col("seed").as("id"),
-          (lit(1.0 - d) + lit(d) * coalesce(col("dmass"), lit(0.0)))
-            .as("c"))
-      val next = contribs
-        .unionByName(restart)
-        .groupBy(col("seed"), col("id"))
-        .agg(sum(col("c")).as("rank"))
+      val next = iterate(e, outdeg, seedDf, state, d)
         .localCheckpoint() // eager: truncates the per-iteration lineage
       prevCp.unpersist(false)
       prevCp = next
@@ -98,5 +73,42 @@ object MultiPpr {
     e.unpersist(false)
     outdeg.unpersist(false)
     out
+  }
+
+  /** One PPR iteration over the sparse (seed, id, rank) state — exposed
+    * for the PlanSpec exchange audit: the state side exchanges to the
+    * cached edge partitioning, the edge side never moves, and the
+    * recombine is map-side combined.
+    */
+  private[graft] def iterate(
+      e: DataFrame,
+      outdeg: DataFrame,
+      seedDf: DataFrame,
+      state: DataFrame,
+      d: Double): DataFrame = {
+    val withDeg = state.join(outdeg, Seq("id"), "left_outer")
+    // contributions along out-edges: rank·d/outdeg to each successor
+    val contribs = withDeg
+      .filter(col("outdeg").isNotNull)
+      .join(e.withColumnRenamed("src", "id"), Seq("id"))
+      .select(
+        col("seed"), col("dst").as("id"),
+        (col("rank") * d / col("outdeg")).as("c"))
+    // per-seed dangling mass (rank parked on out-degree-0 vertices)
+    // returns to the seed together with the restart mass
+    val dangling = withDeg
+      .filter(col("outdeg").isNull)
+      .groupBy(col("seed"))
+      .agg(sum(col("rank")).as("dmass"))
+    val restart = seedDf
+      .join(dangling, Seq("seed"), "left_outer")
+      .select(
+        col("seed"), col("seed").as("id"),
+        (lit(1.0 - d) + lit(d) * coalesce(col("dmass"), lit(0.0)))
+          .as("c"))
+    contribs
+      .unionByName(restart)
+      .groupBy(col("seed"), col("id"))
+      .agg(sum(col("c")).as("rank"))
   }
 }

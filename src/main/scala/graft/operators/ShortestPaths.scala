@@ -89,13 +89,7 @@ object ShortestPaths {
       .select(col("seed"), col("seed").as("id"), lit(0L).as("hops"))
     var prevCp: DataFrame = null
     for (_ <- 1 to rounds) {
-      val relaxed = dist
-        .join(e, Seq("id"))
-        .select(col("seed"), col("dst").as("id"), (col("hops") + 1L).as("hops"))
-      val next = dist
-        .union(relaxed)
-        .groupBy(col("seed"), col("id"))
-        .agg(min(col("hops")).as("hops"))
+      val next = multiRelaxOnce(e, dist)
         .localCheckpoint() // eager: truncates the per-round lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
@@ -103,5 +97,20 @@ object ShortestPaths {
     }
     e.unpersist(false)
     dist
+  }
+
+  /** One multi-source BFS relaxation round — exposed for the PlanSpec
+    * exchange audit: the state joins the cached src-partitioned edges
+    * on the co-partitioned key (edge side never moves) and the min
+    * recombine is map-side combined.
+    */
+  private[graft] def multiRelaxOnce(e: DataFrame, dist: DataFrame): DataFrame = {
+    val relaxed = dist
+      .join(e, Seq("id"))
+      .select(col("seed"), col("dst").as("id"), (col("hops") + 1L).as("hops"))
+    dist
+      .union(relaxed)
+      .groupBy(col("seed"), col("id"))
+      .agg(min(col("hops")).as("hops"))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan audits: the optimizations the engine's scale story rests
@@ -298,6 +299,62 @@ class PlanSpec extends AnyFunSuite {
       // per-round re-sort of the adjacency)
       assert(!p.toString.contains("SortMergeJoin"), p.toString)
     } finally { ue.unpersist(); und.unpersist() }
+  }
+
+  test("g27 weighted peel round: cached adjacency never re-exchanges") {
+    val sp = spark
+    import sp.implicits._
+    val we = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g27t")
+      .groupBy("src", "dst")
+      .agg(org.apache.spark.sql.functions.count("*").cast("double").as("w"))
+    val und = graft.operators.GraphBuilder.kCoreWeightedAdjacency(we)
+    try {
+      und.count()
+      val s = graft.operators.GraphBuilder.vertices(we)
+      val p = concretePlan(graft.operators.GraphBuilder.kCoreStrength(und, s))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("partial_sum"), p.toString)
+      assert(!p.toString.contains("SortMergeJoin"), p.toString)
+    } finally und.unpersist()
+  }
+
+  test("g26 PPR iteration: cached edges never re-exchange, recombine map-side combined") {
+    val sp = spark
+    import sp.implicits._
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g26t")
+    val e = edges.select(col("src"), col("dst")).dropDuplicates()
+      .repartition(col("src")).persist()
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(org.apache.spark.sql.functions.count("*").as("outdeg")).persist()
+    try {
+      e.count(); outdeg.count()
+      val seedDf = Seq(0L, 1L).toDF("seed")
+      val state = seedDf.select(
+        col("seed"), col("seed").as("id"),
+        org.apache.spark.sql.functions.lit(1.0).as("rank"))
+      val p = concretePlan(
+        graft.operators.MultiPpr.iterate(e, outdeg, seedDf, state, 0.85))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("partial_sum"), p.toString)
+    } finally { e.unpersist(); outdeg.unpersist() }
+  }
+
+  test("g28 BFS relax round: cached edges never re-exchange, min map-side combined") {
+    val sp = spark
+    import sp.implicits._
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g28t")
+    val e = edges.select(col("src").as("id"), col("dst")).dropDuplicates()
+      .repartition(col("id")).persist()
+    try {
+      e.count()
+      val dist = Seq(0L, 1L).toDF("seed").select(
+        col("seed"), col("seed").as("id"),
+        org.apache.spark.sql.functions.lit(0L).as("hops"))
+      val p = concretePlan(
+        graft.operators.ShortestPaths.multiRelaxOnce(e, dist))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("partial_min"), p.toString)
+    } finally e.unpersist()
   }
 
   test("g24 HITS gathers: cached edge copies never re-exchange, sums map-side combined") {

@@ -128,6 +128,14 @@ object Bench {
         extras += "\"" + (if (n.endsWith("_id")) "tri_id_sec"
                           else "tri_deg_sec") + "\":" + r1d(v)
     }
+    // e11 funnel-vs-exact pair at 500 probes: the measured MRL
+    // cost-dial crossover, carried in the contract line like the
+    // e9/g18/g20 pairs
+    results.collect {
+      case (n @ ("e11_funnel500" | "e11_exact500"), Right((v, _)), _) =>
+        extras += "\"" + (if (n.endsWith("funnel500")) "funnel500_sec"
+                          else "exact500_sec") + "\":" + r1d(v)
+    }
     // q14: sketch accuracy vs exact distinct — worst |estimate/exact - 1|
     // across event_types and both sketched columns. Exact distinct on the
     // bench fixture is cheap; at 100 TB it wouldn't be, which is the

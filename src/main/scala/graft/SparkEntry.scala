@@ -1425,6 +1425,23 @@ object SparkEntry {
         probeIds = (0L until 1000L).toSeq, k = 10)
         .groupBy(col("probe_id")).agg(count("*").as("n"))
         .groupBy().agg(count("*").as("n_probes"), sum(col("n")).as("n_rows"))),
+    "e11_funnel500" -> ((s, dir) =>
+      // the funnel's bench-scale half of the measured MRL pair: 500
+      // probes, truncated 16-of-64-dim candidate stage + top-50 rerank —
+      // vs e11_exact500's full-dim scan of the same probes. Rows-only
+      // fixture (timings are the result), same summary schema as its
+      // twin; the funnel SEMANTICS are hash-locked by e11.
+      Similarity.knnFunnel(
+        t(s, dir, "embeddings"),
+        probeIds = (0L until 500L).toSeq, k = 10, m = 16, rerankR = 50)
+        .groupBy(col("probe_id")).agg(count("*").as("n"))
+        .groupBy().agg(count("*").as("n_probes"), sum(col("n")).as("n_rows"))),
+    "e11_exact500" -> ((s, dir) =>
+      Similarity.knnBatchAgg(
+        t(s, dir, "embeddings"),
+        probeIds = (0L until 500L).toSeq, k = 10)
+        .groupBy(col("probe_id")).agg(count("*").as("n"))
+        .groupBy().agg(count("*").as("n_probes"), sum(col("n")).as("n_rows"))),
 
     // ---- source/sink formats beyond parquet ----
     "io1_jsonl_roundtrip" -> { (s, dir) =>

@@ -147,14 +147,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(probeIds.nonEmpty, "need at least one probe id")
     require(rerankR >= k, "rerankR must be >= k")
-    // persisted: feeds both the probe extraction and the corpus pass —
-    // without the barrier the truncation projection runs once per side
-    val tr = truncateRenorm(embeddings, m)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the probe side re-derives its truncation from a PUSHED-DOWN id
+    // filter scan (|probes| rows) instead of sharing a persisted
+    // truncated-corpus frame: no cache, no eager materialization — the
+    // whole funnel stays ONE lazy plan, and the corpus-side truncation
+    // is computed exactly once inside the candidate scan
     val probesT = broadcast(
-      tr.filter(col("vec_id").isin(probeIds: _*))
+      truncateRenorm(embeddings.filter(col("vec_id").isin(probeIds: _*)), m)
         .select(col("vec_id").as("probe_id"), col("tvec").as("pt")))
-    val shortlist = tr
+    val shortlist = truncateRenorm(embeddings, m)
       .crossJoin(probesT)
       .filter(col("vec_id") =!= col("probe_id"))
       .select(
@@ -174,7 +175,7 @@ object Similarity {
     val wTop = Window
       .partitionBy(col("probe_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
-    val reranked = embeddings
+    embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .join(broadcast(shortlist), Seq("vec_id"))
       .join(probesF, Seq("probe_id"))
@@ -186,7 +187,6 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .drop("rn")
-    CacheScope.sealAfter(reranked, tr)
   }
 
   /** Exact all-pairs near-dup within a blocking key (e.g. `label`):

@@ -10,6 +10,32 @@ class CliSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark // shared session; the CLI
   // builder getOrCreate()s into it rather than spawning a second one
 
+  test("PipelineMain writes gate report, packed chunks, summary") {
+    val out = java.nio.file.Files.createTempDirectory("pipeout").toString
+    graft.cli.PipelineMain.main(
+      Array("/root/testdata/sf0.001/documents.parquet", out))
+    val gate = spark.read.parquet(s"$out/gate_report")
+    assert(gate.count() == 500)
+    assert(gate.columns.toSeq == Seq("doc_id", "keep", "reason"))
+    val packed = spark.read.parquet(s"$out/packed")
+    assert(packed.count() > 0)
+    assert(packed.columns.contains("seq_id"))
+    val summary = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "summary.txt"))
+    assert(summary.startsWith("docs=500 "), summary)
+    // the packed output is the p1 plan's result: spot-check one invariant
+    // (offsets within a shard are strictly increasing by n_tokens)
+    import org.apache.spark.sql.functions._
+    val bad = packed.withColumn(
+      "nxt", lead(col("start_offset"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("chunk_uid"))))
+      .filter(col("nxt").isNotNull &&
+        col("nxt") =!= col("start_offset") + col("n_tokens"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("PageRankMain writes final scores, top-50, reports, trace") {
     val in = java.nio.file.Files.createTempFile("graph", ".txt")
     java.nio.file.Files.writeString(

@@ -32,7 +32,24 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // a LongType ts is the nanosAsLong surfacing of TIMESTAMP(NANOS)
+        // parquet — epoch NANOseconds by contract. Guard the unit
+        // in-plan rather than assume it: a generator switch to epoch
+        // micros/millis would otherwise be silently divided into the
+        // 1970s. Nanosecond epochs for plausible data (1973..2200+) are
+        // ≥ 1e17; micros for the same era are ≤ ~7.3e15, millis smaller
+        // still — so the magnitude check separates the encodings with
+        // centuries of margin, and raise_error names the fix instead of
+        // letting downstream hashes drift.
+        df.withColumn(
+          "ts",
+          when(
+            col("ts").isNull || abs(col("ts")) >= lit(100000000000000000L),
+            timestamp_micros(expr("ts div 1000")))
+            .otherwise(raise_error(concat(
+              lit("events.ts LongType expected epoch NANOS, got magnitude "),
+              col("ts").cast("string"),
+              lit(" — update Tables.normalizeEventTs for the new unit")))))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

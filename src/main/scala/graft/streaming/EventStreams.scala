@@ -37,6 +37,15 @@ object EventStreams {
     * type, then normalize through the same type-adaptive conversion the
     * batch reader uses (graft.sources.Tables.normalizeEventTs) so both
     * paths emit identical session-zoned TIMESTAMP instants.
+    *
+    * ASSUMPTION (single encoding per directory): the one-footer probe
+    * speaks for every file the glob matches. True for the
+    * driver-generated testdata (one file) and for any sanely-written
+    * table; a directory mixing LONG-nanos and TIMESTAMP_NTZ files would
+    * mismatch the declared type on some files. If mixed encodings ever
+    * appear, normalize per-file at write time — a stream cannot
+    * re-declare its schema mid-run. The LongType branch's nano-unit
+    * guard in normalizeEventTs also fires here (same expression).
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val physicalTs =

@@ -117,6 +117,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kCore family: monotone in k/strength; converged ⊆ every fixed-round run") {
+    val sp = spark
+    import sp.implicits._
+    seeds.foreach { seed =>
+      val g = randomGraph(seed).toDF("src", "dst")
+      def core(k: Int): Set[Long] =
+        GraphBuilder.kCoreConverged(g, k)._1
+          .collect().map(_.getLong(0)).toSet
+      // higher k can only shrink the core
+      val (c1, c2, c3) = (core(1), core(2), core(3))
+      assert(c2.subsetOf(c1) && c3.subsetOf(c2), s"seed=$seed")
+      // the converged 2-core is contained in ANY fixed-round peel of the
+      // same k (fewer rounds can only leave extra vertices in)
+      val fixed1 = GraphBuilder.kCore(g, k = 2, rounds = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(c2.subsetOf(fixed1), s"seed=$seed")
+      // weighted peel at w=1 per edge-direction pair degenerates to a
+      // strength = degree-count peel
+      val gw = g.withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+      val wcore = GraphBuilder.kCoreWeighted(gw, minStrength = 2.0, rounds = 8)
+        .collect().map(_.getLong(0)).toSet
+      // strength counts BOTH directions of each undirected edge pair and
+      // multi-edges separately, so it upper-bounds the simple 2-core
+      assert(c2.subsetOf(wcore), s"seed=$seed c2=$c2 wcore=$wcore")
+    }
+  }
+
+  test("heavyHitters: every returned count ≥ threshold and exact; none missed") {
+    val sp = spark
+    import sp.implicits._
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = List.fill(300)("w" + rnd.nextInt(30))
+      val docs = words.grouped(9).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" "), 0L) }.toSeq
+        .toDF("doc_id", "text", "n_chars")
+      val frac = 0.05
+      val got = TextOps.heavyHitters(docs, frac)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val thresh = math.ceil(frac * words.size).toLong
+      val expected = exact.filter(_._2 >= thresh)
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("components: every pair's endpoints share a label; label is a member min") {
     val sp = spark
     import sp.implicits._

@@ -1161,6 +1161,56 @@ object SparkEntry {
       // top-100 vocabulary coverage curve (share + cumulative share of
       // the token stream) — the vocab-size/OOV decision statistic
       TextOps.vocabCoverage(t(s, dir, "documents"), topK = 100)),
+    "d28_source_overlap" -> { (s, dir) =>
+      // corpus-governance view: which source pairs share NEAR-duplicate
+      // content — keyed on d4's min-shingle fingerprint (a 1-permutation
+      // MinHash; exact doc hashes never collide across sources on this
+      // corpus, near-dup fingerprints do) — and how many distinct
+      // fingerprints overlap: the cross-source contamination matrix an
+      // ingest review reads. One fingerprint aggregate + a source-list
+      // self-pairing per fingerprint; no text leaves the scan.
+      val docs = t(s, dir, "documents")
+      TextOps.fingerprint(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("min_shingle_hash"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .select(explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("src_a"), explode(col("srcs")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count("*").as("n_shared_fingerprints"))
+    },
+    "g29_assortativity" -> { (s, dir) =>
+      // degree assortativity (Pearson r of endpoint degrees over
+      // directed edges, out-degree of src vs in-degree of dst — the
+      // Newman mixing statistic). Computed from SUFFICIENT SUMS of
+      // integer degrees (Σx, Σy, Σxy, Σx², Σy² are exact integer sums
+      // in doubles), then ONE closed-form division — so the only float
+      // sensitivity is the final expression, rounded. No corr() builtin:
+      // implementations differ (Welford vs naive) across engines; the
+      // sufficient-sum algebra is portable.
+      val e = EdgeListReader.fromOrders(s, dir)
+      val out = GraphBuilder.outDegrees(e)
+      val inn = e.groupBy(col("dst").as("id")).agg(count("*").as("indeg"))
+      e.join(out.withColumnRenamed("id", "src"), Seq("src"))
+        .join(inn.withColumnRenamed("id", "dst"), Seq("dst"))
+        .agg(
+          count("*").as("m"),
+          sum(col("outdeg")).as("sx"),
+          sum(col("indeg")).as("sy"),
+          sum(col("outdeg") * col("indeg")).as("sxy"),
+          sum(col("outdeg") * col("outdeg")).as("sxx"),
+          sum(col("indeg") * col("indeg")).as("syy"))
+        .select(
+          col("m"),
+          round(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))),
+            9).as("assortativity"))
+    },
     "p2_entity_resolution" -> { (s, dir) =>
       // entity resolution end-to-end as one pipeline: portable LSH
       // banding proposes candidates (d5c), exact shingle-Jaccard
@@ -2472,6 +2522,43 @@ object SparkEntry {
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY 1
         |HAVING count(*) >= CAST(ceil(0.01 * (SELECT n FROM n)) AS BIGINT)""".stripMargin,
+    "d28_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    list_min(list_transform(range(greatest(len(tk) - 2, 1)),
+        |      i -> md5(array_to_string(tk[i+1:i+3], ' ')))) AS fp
+        |  FROM tk),
+        |h AS (
+        |  SELECT fp, list_sort(list_distinct(list(source))) AS srcs
+        |  FROM f GROUP BY 1),
+        |p AS (
+        |  SELECT a.sa AS src_a, b.sb AS src_b FROM
+        |    (SELECT fp, unnest(srcs) AS sa FROM h) a
+        |  JOIN (SELECT fp, unnest(srcs) AS sb FROM h) b USING (fp)
+        |  WHERE a.sa < b.sb)
+        |SELECT src_a, src_b, count(*) AS n_shared_fingerprints
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    "g29_assortativity" ->
+      s"""WITH edges AS MATERIALIZED (${EdgeListReader.fromOrdersSql}),
+         |od AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+         |id_ AS (SELECT dst AS id, count(*) AS indeg FROM edges GROUP BY 1),
+         |j AS (
+         |  SELECT o.outdeg AS x, i.indeg AS y
+         |  FROM edges e JOIN od o ON e.src = o.id
+         |  JOIN id_ i ON e.dst = i.id),
+         |ss AS (
+         |  SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+         |  FROM j)
+         |SELECT m,
+         |  round(CAST(m*sxy - sx*sy AS DOUBLE) /
+         |        (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) *
+         |         sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 9) AS assortativity
+         |FROM ss""".stripMargin,
     "p2_entity_resolution" ->
       // d5c's banding chain → d5b's shingle-Jaccard verify → d9's
       // recursive-CTE components, end to end

@@ -1516,6 +1516,41 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io3_bucketed_join" -> { (s, dir) =>
+      // BUCKETED co-located join — the layout answer to a repeated big
+      // join: both fact tables written bucketBy(8) + sortBy on the join
+      // key (the shuffle paid ONCE, at write time), then the join runs
+      // with ZERO exchanges on either side — the bucketed scans already
+      // satisfy the join's distribution (plan-asserted in PlanSpec; the
+      // in-join sort also disappears when each bucket lands in a single
+      // file). At 100 TB this is the difference between paying the
+      // fact-fact shuffle once per ingest and once per query. Unique
+      // table names + drop in finally: the warehouse is left clean; the
+      // result is sealed eagerly first.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val to = s"g_ord_$tag"
+      val tl = s"g_li_$tag"
+      try {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(to)
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(tl)
+        graft.operators.CacheScope.sealAfter(
+          s.table(to)
+            .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(
+              count("*").as("n_items"),
+              sum(col("l_quantity")).cast("long").as("sum_qty")))
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $to")
+        s.sql(s"DROP TABLE IF EXISTS $tl")
+      }
+    },
     "io2_csv_roundtrip" -> { (s, dir) =>
       // CSV sink → source round-trip (header + explicit schema +
       // explicit quoting knobs left at Spark defaults, which quote on
@@ -2253,6 +2288,13 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "io2_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the bucketed layout must reproduce the plain join-agg exactly —
+    // the layout changes the PLAN (zero exchanges), never the answer
+    "io3_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     "d21_mixture" ->
       // identical 20-bit md5 draw and CASE thresholds; kept compares the
       // draw against ratio·2^20 exactly as the Spark column does

@@ -301,6 +301,41 @@ class PlanSpec extends AnyFunSuite {
     } finally { ue.unpersist(); und.unpersist() }
   }
 
+  test("io3 bucketed join: neither fact side exchanges") {
+    // the write-time bucketBy(8) shuffle must be the ONLY shuffle these
+    // tables ever pay for this join key: the read-side join plans with
+    // zero Exchange operators on either input
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (to, tl) = (s"t_ord_$tag", s"t_li_$tag")
+    try {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(to)
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tl)
+      // disable auto-broadcast for the audit: at 100 TB neither fact
+      // side fits a broadcast — the bucketed SMJ path is the one the
+      // layout exists for (at gate scale the planner would broadcast
+      // and skip bucketing entirely)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p =
+        try {
+          val j = spark.table(to)
+            .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+          concretePlan(j).toString
+        } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+    }
+  }
+
   test("g27 weighted peel round: cached adjacency never re-exchanges") {
     val sp = spark
     import sp.implicits._

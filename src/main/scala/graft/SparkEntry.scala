@@ -1632,6 +1632,49 @@ object SparkEntry {
       // > gap) is deliberately preserved and locked by its own oracle
       graft.streaming.EventStreams.sessionizeNative(
         graft.sources.Tables.events(s, dir))),
+    "st10_watermark_dedup" -> { (s, dir) =>
+      // the NATIVE bounded-state streaming dedup
+      // (dropDuplicatesWithinWatermark): events replayed OUT OF ORDER
+      // in micro-batches; keys projected before dedup so the emitted
+      // set is survivor-independent — the summary hash-matches the
+      // batch distinct ground truth no matter the arrival order. The
+      // final count certifies no key was watermark-dropped on the
+      // bounded stream.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .select(col("event_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .collect()
+      val scrambled = all.sortBy { case (id, _) =>
+        java.lang.Long.rotateLeft(id * 0x9E3779B97F4A7C15L, 29)
+      }
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val qname =
+        "st10_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // delay must exceed the fixture's 30-day event span: the scramble
+      // sends old keys in late batches, and a tighter watermark would
+      // drop them as late data before dedup ever saw them
+      val q = graft.streaming.EventStreams
+        .dedupWithinWatermark(
+          ms.toDS().toDF("event_id", "ts"), delay = "45 days")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        scrambled.grouped(math.max(scrambled.length / 4, 1)).foreach { b =>
+          ms.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qname)
+        .agg(
+          count("*").as("n_distinct"),
+          count_distinct(col("event_id")).as("n_ids"),
+          unix_micros(min(col("ts"))).as("min_ts_us"),
+          unix_micros(max(col("ts"))).as("max_ts_us"))
+    },
     "st8_stream_dedup" -> { (s, dir) =>
       // streaming ingest dedup through the REAL streaming-aggregation
       // path: documents replayed OUT OF ORDER in 5 micro-batches via
@@ -2903,6 +2946,15 @@ object SparkEntry {
     // predecessor stays in the same session), so the gap rule is
     // identical to st1's lag form — same oracle
     "st9_native_session" -> gapSessionSql,
+    // st10: the watermark-expiring dedup's emitted key set equals the
+    // batch distinct, order-independent by construction
+    "st10_watermark_dedup" ->
+      """WITH d AS (SELECT DISTINCT event_id, ts FROM events)
+        |SELECT count(*) AS n_distinct,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  epoch_us(min(ts)) AS min_ts_us,
+        |  epoch_us(max(ts)) AS max_ts_us
+        |FROM d""".stripMargin,
     // st8 converges to the batch dedup registry regardless of chunking
     // or replay order — same ground truth as d1
     "st8_stream_dedup" ->

@@ -132,6 +132,24 @@ object EventStreams {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count("*").as("n_copies"))
 
+  /** Watermark-expiring streaming dedup through Spark's NATIVE
+    * `dropDuplicatesWithinWatermark` — the modern bounded-state dedup
+    * primitive (state for a key is dropped once the watermark passes
+    * it, so an endless stream cannot accumulate endless state; the
+    * older `dropDuplicates` keeps keys forever). The input is projected
+    * to the KEY COLUMNS ONLY before dedup, so the output is
+    * survivor-independent: whichever duplicate arrives first, the
+    * emitted (event_id, ts) set equals the distinct key set — which is
+    * what lets a batch oracle hash-check a stream whose arrival order
+    * is scrambled. Watermark generous enough that no late replayed key
+    * is dropped on the bounded test stream.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "24 hours"): DataFrame =
+    events
+      .select(col("event_id"), col("ts"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id", "ts")
+
   /** Batch twin of [[dedupEvents]]: one survivor per (event_id, ts) key,
     * then a per-type summary. The streaming form keeps the FIRST arrival
     * per key (arrival order is meaningful on a stream); a batch input has

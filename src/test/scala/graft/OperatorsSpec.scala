@@ -507,6 +507,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(lagForm.toSeq == native.toSeq)
   }
 
+  test("native session_window ≡ lag-form sessionization on the full events table") {
+    // beyond the hand-built boundary fixture: the two formulations must
+    // agree session-for-session on real data (same counts and sums per
+    // (user, session_no))
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val native = canon(EventStreams.sessionizeNative(ev)
+      .select("user_id", "session_no", "n_events", "sum_value"))
+    val lagForm = canon(EventStreams.sessionizeBatch(ev)
+      .select("user_id", "session_no", "n_events", "sum_value"))
+    assert(native == lagForm)
+    assert(native.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses within and across batches") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStreams
+      .dedupWithinWatermark(ms.toDS().toDF("event_id", "ts"), delay = "1 hour")
+      .writeStream.format("memory").queryName("st10_unit")
+      .outputMode("append").start()
+    try {
+      // in-batch duplicate suppressed
+      ms.addData((1L, ts(0)), (1L, ts(0)), (2L, ts(5)))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark window suppressed;
+      // the new key passes
+      ms.addData((1L, ts(0)), (3L, ts(10)))
+      q.processAllAvailable()
+      val got = spark.table("st10_unit").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+      assert(got == Set(
+        (1L, ts(0).getTime), (2L, ts(5).getTime), (3L, ts(10).getTime)), got)
+    } finally q.stop()
+  }
+
   test("streaming dedup registry accumulates across micro-batches") {
     val sp = spark
     import sp.implicits._

@@ -138,7 +138,7 @@ class PlanSpec extends AnyFunSuite {
     // precisely to keep inequality predicates OUT of the join operator;
     // if one ever degenerates, it shows up here before it ships
     for (q <- Seq("q16_range_join", "st5_attribution_join",
-        "d14_simhash_neardup")) {
+        "d14_simhash_neardup", "p1_e2e_prep")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to nested-loop: " + p)

@@ -1446,6 +1446,43 @@ object SparkEntry {
       Similarity.knnFunnel(
         t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, m = 16, rerankR = 50)),
+    "e14_pq_codes" -> ((s, dir) =>
+      // product quantization: 8 subspaces × 16-entry codebooks = 4
+      // bytes/vector (64× vs float, 16× vs e8's int8). Codebook =
+      // md5-ranked sample vectors (engine-reproducible), distances
+      // rounded to 9 dp before the argmin, ties to the smallest code —
+      // every code is recomputed by the oracle. Encoding is ONE
+      // codegen'd scan projection (codebook rides as literals).
+      Similarity.pqCodes(t(s, dir, "embeddings"), m = 8, k = 16)),
+    "e14_pq_adc" -> ((s, dir) =>
+      // ADC retrieval over the PQ codes: full-precision probes vs the
+      // codebook-reconstructed corpus — the codes are the only
+      // per-vector state read (4 bytes), reconstruction is a literal
+      // lookup inside the scan. Top-10 per probe on (rounded sim,
+      // vec_id); DuckDB recomputes codebook → codes → reconstruction →
+      // every cosine, hash-locking the whole PQ chain.
+      Similarity.pqAdcKnn(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        topK = 10, m = 8, k = 16)),
+    "e14b_pq_trained" -> ((s, dir) =>
+      // the QUALITY path: deterministic Lloyd-trained codebooks (the
+      // IVF-quantizer discipline — engine-defined, so rows-only here;
+      // recall tests pin trained ≥ sampled and the rerank floor) with
+      // the exact-rerank tail over the ADC top-50 shortlist — the
+      // funnel a PQ index actually serves
+      Similarity.pqAdcReranked(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        topK = 10, candR = 50, m = 8, k = 16, trainIters = 3)),
+    "e15_sign_knn" -> ((s, dir) =>
+      // binary-quantization funnel: 1-bit sign codes packed into two
+      // 32-bit words (8 bytes/vector), Hamming top-50 candidates by
+      // integer xor+popcount (no floats in the scan), exact cosine
+      // rerank of the shortlist only. Both boundaries deterministic
+      // ((hamming, vec_id) then (rounded cos, vec_id)) — the full
+      // pack → Hamming → rerank chain is oracle-recomputed.
+      Similarity.knnBinaryFunnel(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        topK = 10, candR = 50)),
 
     "e9_knn_topk_agg" -> ((s, dir) =>
       // e5's batched kNN through the native BOUNDED top-k aggregate
@@ -3061,6 +3098,114 @@ object SparkEntry {
         |                       ORDER BY cos_sim DESC, vec_id) AS rn
         |  FROM r)
         |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "e14_pq_codes" ->
+      // the same deterministic codebook (md5-ranked sample, ties by id)
+      // and the same argmin discipline: per-subspace L2 distance rounded
+      // to 9 dp, ties to the smallest code index
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |anch AS (
+        |  SELECT v AS a,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      - 1 AS j
+        |  FROM (SELECT vec_id, v FROM e
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+        |dists AS (
+        |  SELECT e.vec_id, CAST(t.m AS BIGINT) AS m, anch.j,
+        |    round(list_distance(
+        |      e.v[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)],
+        |      anch.a[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)]),
+        |      9) AS d
+        |  FROM e, unnest(range(8)) AS t(m), anch)
+        |SELECT vec_id, m, CAST(j AS INT) AS code FROM (
+        |  SELECT vec_id, m, j,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        |  FROM dists) WHERE rn = 1""".stripMargin,
+    "e14_pq_adc" ->
+      // codebook → codes → per-subspace reconstruction (ordered
+      // concatenation) → full-precision-probe cosine → top-10 on
+      // (rounded sim, vec_id): the whole ADC chain independently rebuilt
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |anch AS (
+        |  SELECT v AS a,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      - 1 AS j
+        |  FROM (SELECT vec_id, v FROM e
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+        |dists AS (
+        |  SELECT e.vec_id, t.m, anch.j,
+        |    round(list_distance(
+        |      e.v[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)],
+        |      anch.a[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)]),
+        |      9) AS d
+        |  FROM e, unnest(range(8)) AS t(m), anch),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id,
+        |    flatten(list(
+        |      anch.a[CAST(c.m * 8 + 1 AS INT):CAST(c.m * 8 + 8 AS INT)]
+        |      ORDER BY c.m)) AS r
+        |  FROM codes c JOIN anch ON anch.j = c.code
+        |  GROUP BY c.vec_id),
+        |p AS (SELECT vec_id AS probe_id, v AS q FROM e
+        |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |sc AS (
+        |  SELECT p.probe_id, recon.vec_id,
+        |    round(list_cosine_similarity(recon.r, p.q), 6) AS adc_sim
+        |  FROM recon, p WHERE recon.vec_id <> p.probe_id)
+        |SELECT probe_id, vec_id, adc_sim FROM (
+        |  SELECT probe_id, vec_id, adc_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY adc_sim DESC, vec_id) AS rn
+        |  FROM sc) WHERE rn <= 10""".stripMargin,
+    "e15_sign_knn" ->
+      // sign-bit packing into two 32-bit words (exact integer sums —
+      // order-free), integer Hamming candidates, exact cosine rerank of
+      // the top-50 shortlist: the engine's funnel replayed end to end
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, CAST(t.i AS INT) AS i,
+        |         v[CAST(t.i AS INT) + 1] AS val
+        |  FROM e, unnest(range(64)) AS t(i)),
+        |packed AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN i < 32 AND val > 0
+        |        THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN i >= 32 AND val > 0
+        |        THEN CAST(power(2, i - 32) AS BIGINT) ELSE 0 END) AS hi
+        |  FROM x GROUP BY vec_id),
+        |pp AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+        |       FROM packed WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |ham AS (
+        |  SELECT pp.probe_id, k.vec_id,
+        |    CAST(bit_count(xor(k.lo, pp.plo))
+        |         + bit_count(xor(k.hi, pp.phi)) AS BIGINT) AS hamming
+        |  FROM packed k, pp WHERE k.vec_id <> pp.probe_id),
+        |cand AS (
+        |  SELECT probe_id, vec_id, hamming FROM (
+        |    SELECT probe_id, vec_id, hamming,
+        |      row_number() OVER (PARTITION BY probe_id
+        |                         ORDER BY hamming, vec_id) AS rn
+        |    FROM ham) WHERE rn <= 50),
+        |pf AS (SELECT vec_id AS probe_id, v AS q FROM e
+        |       WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |r AS (
+        |  SELECT c.probe_id, c.vec_id, c.hamming,
+        |    round(list_cosine_similarity(e.v, pf.q), 6) AS cos_sim
+        |  FROM cand c
+        |  JOIN e USING (vec_id)
+        |  JOIN pf ON c.probe_id = pf.probe_id)
+        |SELECT probe_id, vec_id, hamming, cos_sim FROM (
+        |  SELECT probe_id, vec_id, hamming, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r) WHERE rn <= 10""".stripMargin,
     "e1_knn_probe" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)

@@ -864,6 +864,361 @@ object Similarity {
         element_at(mnArr, i + 1) +
           (c.cast("double") + lit(0.5)) * element_at(rngArr, i + 1) / 255)
 
+  // ──────────────────── product quantization (PQ) ────────────────────
+
+  /** Deterministic PQ anchor vectors: the `k` corpus vectors ranked
+    * first by the portable md5 draw on `vec_id` (ties by id) — an
+    * effectively-random but ENGINE-REPRODUCIBLE sample, the same
+    * discipline as the d12/d21/d22 sampling draws. Collected to the
+    * driver: k·dim doubles, bounded by the codebook size, never the
+    * corpus. (The IVF family carries the trained-k-means quantizer; PQ
+    * deliberately uses the sampled codebook so every code AND the ADC
+    * ranking stay recomputable by a SQL oracle end to end.)
+    */
+  private[graft] def pqAnchors(
+      embeddings: DataFrame, k: Int): Seq[Seq[Double]] =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toSeq)
+      .toSeq
+
+  /** Product-quantize every vector: split the dimension into `m`
+    * subspaces and code each subvector as the index of its nearest
+    * (squared-L2) codebook entry, ties to the smallest index. Codes are
+    * m·log2(k) bits per vector — at m=8, k=16 that is 4 BYTES for a
+    * 64-dim float vector, a 64× compression (vs int8 SQ's 4×): the
+    * memory-resident index layer a 100 TB ANN corpus keeps when even
+    * int8 codes don't fit.
+    *
+    * Plan shape: the codebook re-enters the plan as LITERAL arrays (the
+    * e8 stats discipline), so encoding is ONE codegen'd scan projection
+    * — no join, no shuffle; distances fold left-to-right and are
+    * rounded to 9 dp before the argmin so the code choice is portable
+    * across engines. Output: `vec_id, codes ARRAY<INT>` (length m).
+    */
+  def pqEncode(embeddings: DataFrame, m: Int, k: Int): DataFrame =
+    pqEncodeWith(embeddings, pqAnchors(embeddings, k), m)
+
+  private def pqEncodeWith(
+      embeddings: DataFrame,
+      anchors: Seq[Seq[Double]],
+      m: Int): DataFrame = {
+    val dim = anchors.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    pqEncodeCb(
+      embeddings,
+      (0 until m).map(mi => anchors.map(_.slice(mi * sub, mi * sub + sub))))
+  }
+
+  /** The shared encoding core over explicit per-subspace codebooks
+    * `cbs(m)(j)`: one codegen'd scan projection, codebook as literals.
+    */
+  private def pqEncodeCb(
+      embeddings: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = cbs.head.head.length
+    val v = asDouble(col("embedding"))
+    def subDist(mi: Int, j: Int): Column = {
+      val a = array(cbs(mi)(j).map(lit): _*)
+      aggregate(
+        zip_with(slice(v, mi * sub + 1, sub), a, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    // L2 (not squared) distance, rounded to 9 dp before the argmin —
+    // the exact comparison key the oracle recomputes (sqrt is monotone,
+    // so the code choice is the same either way; rounding first makes
+    // the tie-break engine-portable)
+    def codeAt(mi: Int): Column =
+      array_min(array(cbs(mi).indices.map(j =>
+        struct(round(sqrt(subDist(mi, j)), 9).as("d"), lit(j).as("j"))): _*))
+        .getField("j")
+    graft.core.Parallelism.ensure(embeddings)
+      .select(
+        col("vec_id"), array(cbs.indices.map(codeAt): _*).as("codes"))
+  }
+
+  /** [[pqEncode]] exploded to scalar `(vec_id, m, code)` rows — the form
+    * the hash-match oracle certifies code by code (the e8 shape).
+    */
+  def pqCodes(embeddings: DataFrame, m: Int, k: Int): DataFrame =
+    pqEncode(embeddings, m, k)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
+
+  /** Top-k retrieval by ADC (asymmetric distance): full-precision probes
+    * scored against the PQ-RECONSTRUCTED corpus — cosine(q, recon(v))
+    * where recon concatenates each subspace's chosen codebook entry.
+    * The codebook lookup is an `element_at` into literal arrays, so
+    * scoring is one codegen'd projection over the (vec_id, codes) frame;
+    * at scale the scan reads m small ints per vector instead of the
+    * dim floats — the bandwidth cut is the point of PQ. Ranking keys are
+    * (rounded sim, vec_id), the engine-portable boundary discipline.
+    * Output: `probe_id, vec_id, adc_sim` (top `topK` per probe, self
+    * excluded).
+    */
+  def pqAdcKnn(
+      embeddings: DataFrame,
+      probeIds: Seq[Long],
+      topK: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    val anchors = pqAnchors(embeddings, k)
+    val sub = anchors.head.length / m
+    pqAdcWith(
+      embeddings,
+      (0 until m).map(mi => anchors.map(_.slice(mi * sub, mi * sub + sub))),
+      probeIds, topK)
+  }
+
+  /** The shared ADC scoring core over explicit codebooks: encode (one
+    * scan projection), reconstruct by literal `element_at` lookup,
+    * cosine against the broadcast full-precision probes, top-k per
+    * probe on (rounded sim, vec_id).
+    */
+  private def pqAdcWith(
+      embeddings: DataFrame,
+      cbs: Seq[Seq[Seq[Double]]],
+      probeIds: Seq[Long],
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val cbLit: Seq[Column] = cbs.map { cb =>
+      array(cb.map(c => array(c.map(lit): _*)): _*)
+    }
+    val recon = flatten(array(cbs.indices.map(mi =>
+      element_at(cbLit(mi), element_at(col("codes"), mi + 1) + 1)): _*))
+    val probes = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("q"))
+        .withColumn("q_nrm", norm(col("q"))))
+    val w = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("adc_sim"), asc("vec_id"))
+    pqEncodeCb(embeddings, cbs)
+      .select(col("vec_id"), recon.as("r"))
+      .withColumn("r_nrm", norm(col("r")))
+      .crossJoin(probes)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(
+          cosinePre(col("r"), col("q"), col("r_nrm"), col("q_nrm")),
+          6).as("adc_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .drop("rn")
+  }
+
+  /** Deterministic Lloyd-TRAINED PQ codebooks — the quality path the
+    * sampled codebook ([[pqAnchors]]) trades away for oracle
+    * recomputability (the same split the IVF family makes: e4's k-means
+    * coarse quantizer is engine-defined + recall-tested, its exact
+    * configurations oracle-locked). Same portability discipline as the
+    * IVF quantizer: md5-sample init, `iters` fixed Lloyd rounds per
+    * subspace, assignment argmin on the 9-dp-rounded distance with ties
+    * to the smallest code, means rounded to 9 dp, empty clusters keep
+    * their previous centroid — bit-reproducible under any partitioning.
+    *
+    * Scale shape: each round is one broadcast join of the (corpus × m)
+    * subvector stream against the K·m-row codebook, a min_by hash
+    * aggregate, and a dimension-bounded mean aggregate — the centroid
+    * state collected per round is K·dim doubles, never corpus-sized.
+    */
+  private[graft] def pqTrainCodebooks(
+      embeddings: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val init = pqAnchors(embeddings, k)
+    val dim = init.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    var cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => init.map(_.slice(mi * sub, mi * sub + sub)))
+    val v = asDouble(col("embedding"))
+    val subv = graft.core.Parallelism.ensure(embeddings)
+      .select(
+        col("vec_id"),
+        posexplode(array((0 until m).map(mi =>
+          slice(v, mi * sub + 1, sub)): _*)).as(Seq("m", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val cbDf = broadcast(
+          cbs.zipWithIndex.flatMap { case (cb, mi) =>
+            cb.zipWithIndex.map { case (c, j) => (mi, j, c) }
+          }.toDF("m", "j", "c"))
+        val d2 = aggregate(
+          zip_with(col("sv"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)
+        // new centroid = 9-dp-rounded mean of the assigned subvectors;
+        // the (m, j, i) mean aggregate is bounded by K·dim cells
+        val means = subv
+          .join(cbDf, Seq("m"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(
+            struct(col("j"), col("sv")),
+            struct(round(sqrt(d2), 9).as("d"), col("j"))).as("best"))
+          .select(
+            col("m"), col("best.j").as("j"),
+            posexplode(col("best.sv")).as(Seq("i", "x")))
+          .groupBy(col("m"), col("j"), col("i"))
+          .agg(round(avg(col("x")), 9).as("mu"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+          .groupBy(_._1)
+          .map { case (key, rs) =>
+            key -> rs.map(_._2).sortBy(_._1).map(_._2).toSeq
+          }
+        cbs = (0 until m).map(mi =>
+          (0 until k).map(j => means.getOrElse((mi, j), cbs(mi)(j))))
+      }
+      cbs
+    } finally { subv.unpersist(false); () }
+  }
+
+  /** PQ retrieval with an exact rerank tail — the shape a PQ index
+    * actually serves: ADC candidate generation over the (optionally
+    * Lloyd-trained) codes produces a top-`candR` shortlist per probe,
+    * then only the shortlist is rescored with full-precision cosine
+    * (the [[knnFunnel]]/[[probeIvfSqReranked]] discipline — recall can
+    * only improve over the pure ADC cut). `trainIters = 0` uses the
+    * oracle-checkable sampled codebook; > 0 the trained one.
+    * Output: `probe_id, vec_id, cos_sim` (top `topK`, self excluded).
+    */
+  def pqAdcReranked(
+      embeddings: DataFrame,
+      probeIds: Seq[Long],
+      topK: Int,
+      candR: Int,
+      m: Int,
+      k: Int,
+      trainIters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candR >= topK, "candR must be >= topK")
+    val cbs =
+      if (trainIters > 0) pqTrainCodebooks(embeddings, m, k, trainIters)
+      else {
+        val a = pqAnchors(embeddings, k)
+        val sub = a.head.length / m
+        (0 until m).map(mi => a.map(_.slice(mi * sub, mi * sub + sub)))
+      }
+    val cands = pqAdcWith(embeddings, cbs, probeIds, candR)
+      .select(col("probe_id"), col("vec_id"))
+    val probesF = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("q"))
+        .withColumn("q_nrm", norm(col("q"))))
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(probesF, Seq("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(
+          cosinePre(col("e"), col("q"), norm(col("e")), col("q_nrm")),
+          6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .drop("rn")
+  }
+
+  // ──────────────── binary (sign) quantization + Hamming ────────────────
+
+  /** 1-bit sign quantization of a 64-dim vector, packed into two 32-bit
+    * words carried as longs (`lo` = dims 0–31, `hi` = dims 32–63; bit d
+    * set iff x_d > 0). 8 bytes per vector — the coarsest, cheapest
+    * quantization layer (the "binary embedding" shape): candidate
+    * generation is pure integer xor+popcount, no floats touched until
+    * the rerank. A stateless scan projection with exact integer sums —
+    * engine-portable with no rounding anywhere.
+    */
+  def signPack(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    def word(off: Int): Column = {
+      val weights = array((0 until 32).map(i => lit(1L << i)): _*)
+      aggregate(
+        zip_with(
+          slice(v, off + 1, 32), weights,
+          (x, wt) => when(x > 0.0, wt).otherwise(lit(0L))),
+        lit(0L), (acc, t) => acc + t)
+    }
+    graft.core.Parallelism.ensure(embeddings)
+      .select(col("vec_id"), word(0).as("lo"), word(32).as("hi"))
+  }
+
+  /** Binary-quantized retrieval funnel: Hamming-distance candidate
+    * generation over the sign-packed corpus (integer xor + popcount per
+    * pair — the cheapest possible scan at 100 TB, 8 bytes/vector), then
+    * an exact full-precision cosine rerank of only the top-`candR`
+    * shortlist per probe (the [[knnFunnel]] discipline: the second pass
+    * scores shortlist members only, never the corpus). Both boundaries
+    * are deterministic: the candidate cut ranks on (hamming, vec_id) —
+    * all-integer, no float anywhere — and the final cut on (rounded
+    * cosine, vec_id). Output: `probe_id, vec_id, hamming, cos_sim`
+    * (top `topK` per probe, self excluded).
+    */
+  def knnBinaryFunnel(
+      embeddings: DataFrame,
+      probeIds: Seq[Long],
+      topK: Int,
+      candR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    require(candR >= topK, "candR must be >= topK")
+    val packed = signPack(embeddings)
+    val probesP = broadcast(
+      packed
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"),
+          col("lo").as("plo"), col("hi").as("phi")))
+    val wH = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(asc("hamming"), asc("vec_id"))
+    val cands = packed
+      .crossJoin(probesP)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("plo"))) +
+          bit_count(col("hi").bitwiseXOR(col("phi")))).cast("long")
+          .as("hamming"))
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= candR)
+      .drop("rn")
+    val probesF = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("q"))
+        .withColumn("q_nrm", norm(col("q"))))
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(probesF, Seq("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"), col("hamming"),
+        round(
+          cosinePre(col("e"), col("q"), norm(col("e")), col("q_nrm")),
+          6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .drop("rn")
+  }
+
   /** All-pairs near-duplicate candidates above a cosine threshold via
     * random-hyperplane LSH (SimHash for vectors): vectors agreeing on all
     * `bits` signs of seeded pseudo-random hyperplanes land in one bucket;

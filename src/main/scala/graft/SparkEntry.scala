@@ -1654,6 +1654,45 @@ object SparkEntry {
       // with state expiry runs in StreamingSpec
       graft.streaming.EventStreams.attributionJoin(
         graft.sources.Tables.events(s, dir))),
+    "st11_attribution_outer" -> ((s, dir) =>
+      // the LEFT OUTER stream-stream interval join: unattributed
+      // purchases surface with NULL c_id instead of vanishing. In
+      // streaming mode the null rows are emitted by watermark expiry
+      // (bounded state, runnable forever — StreamingSpec replays it out
+      // of order with a sentinel flush); here the batch twin (the SAME
+      // code path) is hash-checked against DuckDB's left interval join.
+      graft.streaming.EventStreams.attributionJoinOuter(
+        graft.sources.Tables.events(s, dir))),
+    "io4_partitioned_prune" -> { (s, dir) =>
+      // HIVE-PARTITIONED layout round-trip: events written
+      // partitionBy(event_type), re-read with a partition filter — the
+      // scan must touch only the 2 selected directories of 5
+      // (PartitionFilters, plan-asserted in PlanSpec). At 100 TB
+      // partition-dir pruning is the first and cheapest filter a query
+      // gets: bytes never read beat bytes filtered. The aggregate over
+      // the pruned scan is hash-checked against the unpartitioned
+      // ground truth, certifying pruning lost no rows.
+      val ev = graft.sources.Tables.events(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_part_io4").toString
+      try {
+        ev.select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(tmp)
+            .filter(col("event_type").isin("click", "purchase"))
+            .groupBy(col("event_type"))
+            .agg(
+              count("*").as("n_events"),
+              round(sum(col("value")), 2).as("sum_value")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "st7_enrich" -> ((s, dir) =>
       // stream-static broadcast enrichment (the most common production
       // streaming shape), exercised on its batch twin — SAME code path,
@@ -3315,6 +3354,27 @@ object SparkEntry {
         |  AND p.user_id = c.user_id
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin,
+    "st11_attribution_outer" ->
+      // the left interval join on pre-filtered sides — NULL c_id rows
+      // are the unattributed purchases the outer form must keep
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, p.user_id, c.c_id
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.c_ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.c_ts) < epoch_us(p.ts)""".stripMargin,
+    "io4_partitioned_prune" ->
+      // the unpartitioned ground truth: a pruned scan that lost (or
+      // duplicated) rows cannot reproduce these aggregates
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1""".stripMargin,
     "q19_cube" ->
       // DuckDB GROUPING() returns one flag per column; combine to match
       // Spark's packed grouping_id bitmask (status bit 1, priority bit 0)

@@ -236,6 +236,46 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("c_id"))
   }
 
+  /** [[attributionJoin]]'s LEFT OUTER twin: every purchase emits, with
+    * NULL `c_id` when no click by the same user preceded it inside the
+    * window — the "unattributed conversion" row an attribution pipeline
+    * must surface, not drop. In streaming mode the unmatched purchases
+    * are emitted by WATERMARK EXPIRY: a purchase leaves the state store
+    * (and emits its null row) only once the watermark proves no
+    * qualifying click can still arrive — the join stays runnable
+    * forever with the same bounded state as the inner form. Inner
+    * matches emit immediately; only the null rows wait for the
+    * watermark. Works unchanged on a batch frame (plain left-outer
+    * interval join), which is how the oracle checks it; the streaming
+    * path (out-of-order replay + sentinel watermark flush) runs in
+    * StreamingSpec.
+    */
+  def attributionJoinOuter(
+      events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("c_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases
+      .join(
+        clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("user_id"), col("c_id"))
+  }
+
   // ---- sessionization via explicit state (mapGroupsWithState) ----
 
   final case class Event(

@@ -735,6 +735,18 @@ object SparkEntry {
       val src = e.agg(min(col("src"))).first().getLong(0)
       GraphBuilder.bfsHops(e, src, maxHops = 12)
     },
+    "g30_anf" -> ((s, dir) =>
+      // HyperBall/ANF: the neighborhood function N(h) by iterated
+      // per-vertex HLL sketches — |V|·O(2^lgK) state instead of the
+      // Θ(|V|²)-bit exact reachability sets, the only tractable shape
+      // for neighborhood growth / effective diameter at 100 TB. On this
+      // fixture every reachable set stays in the sketch's exact
+      // (coupon) regime, so the estimates are exact counts and the
+      // recursive-CTE oracle hash-matches a SKETCH algorithm end to
+      // end; accuracy beyond the exact regime is pinned by AnfSpec.
+      graft.operators.Anf.neighborhoodFunction(
+        graft.sources.SyntheticGraph.portable(s, 300, 1500, "g30"),
+        maxH = 4)),
     "g14_personalized_k4" -> { (s, dir) =>
       // personalized PageRank: teleport restricted to the 3 smallest
       // vertex ids (uniform over the seed set) — "rank relative to this
@@ -2208,6 +2220,22 @@ object SparkEntry {
          |  FROM r JOIN pe e ON e.src = r.id
          |  WHERE r.d < 12)
          |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY 1""".stripMargin,
+    "g30_anf" ->
+      // exact neighborhood function by depth-bounded all-sources
+      // reachability — equals the engine's sketch-based N(h) because the
+      // fixture keeps every per-vertex set in the sketch's exact regime
+      s"""WITH RECURSIVE ${portableGraphSql(300, 1500, "g30")},
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |reach(u, w, d) AS (
+         |  SELECT id, id, 0 FROM verts
+         |  UNION
+         |  SELECT r.u, e.dst, r.d + 1
+         |  FROM reach r JOIN pe e ON e.src = r.w WHERE r.d < 4),
+         |md AS (SELECT u, w, min(d) AS d FROM reach GROUP BY u, w)
+         |SELECT CAST(t.h AS BIGINT) AS h,
+         |  CAST(sum(CASE WHEN md.d <= t.h THEN 1 ELSE 0 END) AS BIGINT) AS nf
+         |FROM md, unnest(range(5)) t(h) GROUP BY 1""".stripMargin,
     "q21_geomean" ->
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_extendedprice))), 2) AS geo_price

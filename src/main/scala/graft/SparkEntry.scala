@@ -735,6 +735,16 @@ object SparkEntry {
       val src = e.agg(min(col("src"))).first().getLong(0)
       GraphBuilder.bfsHops(e, src, maxHops = 12)
     },
+    "g31_scc" -> ((s, dir) =>
+      // STRONGLY connected components (g15 is the weak/undirected
+      // form): iterated forward/backward min-label settling on a sparse
+      // portable fixture whose SCC structure is rich — a 234-vertex
+      // giant, small cycles, and singletons over 386 vertices, settled
+      // in 9 outer rounds. Label = component's min vertex id (the
+      // g15/d9 rule), so the exact reachability-closure oracle
+      // recomputes every label.
+      graft.operators.Scc.run(
+        graft.sources.SyntheticGraph.portable(s, 400, 750, "g31"))._1),
     "g30_anf" -> ((s, dir) =>
       // HyperBall/ANF: the neighborhood function N(h) by iterated
       // per-vertex HLL sketches — |V|·O(2^lgK) state instead of the
@@ -2012,6 +2022,63 @@ object SparkEntry {
           // the Cube/Rollup grouping it annotates
           grouping_id().cast("long").as("gid"))
     },
+    "q25_grouping_sets" -> { (s, dir) =>
+      // explicit GROUPING SETS — the general form q6's ROLLUP and q19's
+      // CUBE are sugar for: an ASYMMETRIC set list ((status, priority),
+      // (status), ()) that neither rollup nor cube expresses (cube would
+      // add the (priority) set, paying an extra grouping no one asked
+      // for). One pass, grouping_id disambiguates subtotal rows from
+      // real NULL keys, same discipline as q19.
+      t(s, dir, "orders").createOrReplaceTempView("orders_q25")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS n_orders,
+          |  round(sum(o_totalprice), 2) AS sum_price,
+          |  CAST(grouping_id() AS BIGINT) AS gid
+          |FROM orders_q25
+          |GROUP BY GROUPING SETS (
+          |  (o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    },
+    "q26_range_frame" -> { (s, dir) =>
+      // RANGE-frame window: per-user rolling 1-hour event count + value
+      // sum — the frame is defined by an EVENT-TIME distance, not a row
+      // count (rows frames answer "last N events", range frames answer
+      // "last hour"; only the latter is meaningful on irregular event
+      // streams). Micros-epoch ordering key; identical-timestamp peers
+      // are in-frame by definition, so the result is deterministic
+      // under any partitioning. One exchange + one sort per user.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      graft.sources.Tables.events(s, dir)
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(
+          col("event_id"), col("user_id"),
+          count("*").over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 2).as("sum_1h"))
+    },
+    "io5_orc_roundtrip" -> { (s, dir) =>
+      // ORC sink → source round-trip (the second columnar format next
+      // to parquet — same identity oracle as io1/io2: any type-mapping
+      // or null-handling loss in the ORC writer/reader breaks the hash)
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString
+      try {
+        docs.write.mode("overwrite").orc(tmp)
+        graft.operators.CacheScope.sealAfter(
+          s.read.schema(docs.schema).orc(tmp)
+            .select(docs.columns.map(col): _*))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "q20_approx_percentiles" -> { (s, dir) =>
       // sketch twin of q13: approx_percentile (KLL-style) — the
       // constant-memory path at 100 TB where exact percentile's
@@ -2220,6 +2287,21 @@ object SparkEntry {
          |  FROM r JOIN pe e ON e.src = r.id
          |  WHERE r.d < 12)
          |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY 1""".stripMargin,
+    "g31_scc" ->
+      // exact SCC labels from the full reachability closure: w is in
+      // v's SCC iff v →* w and w →* v (self included via the closure's
+      // base case); label = min such w. The unbounded recursion
+      // terminates because UNION deduplicates the finite closure.
+      s"""WITH RECURSIVE ${portableGraphSql(400, 750, "g31")},
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |reach(u, w) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r.u, e.dst FROM reach r JOIN pe e ON e.src = r.w)
+         |SELECT r1.u AS id, CAST(min(r1.w) AS BIGINT) AS scc
+         |FROM reach r1 JOIN reach r2 ON r1.w = r2.u AND r2.w = r1.u
+         |GROUP BY r1.u""".stripMargin,
     "g30_anf" ->
       // exact neighborhood function by depth-bounded all-sources
       // reachability — equals the engine's sketch-based N(h) because the
@@ -2435,6 +2517,27 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "io2_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "io5_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q25_grouping_sets" ->
+      // same asymmetric set list; gid packed exactly like q19's cube
+      // bitmask (status bit 1, priority bit 0)
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+        |       AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS (
+        |  (o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q26_range_frame" ->
+      // identical micros-epoch RANGE frame; identical-ts peers in-frame
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     // the bucketed layout must reproduce the plain join-agg exactly —
     // the layout changes the PLAN (zero exchanges), never the answer
     "io3_bucketed_join" ->

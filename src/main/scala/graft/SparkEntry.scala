@@ -569,6 +569,53 @@ object SparkEntry {
       |  FROM r)
       |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin
 
+  /** Shared e14/e16 oracle — codebook → codes → per-subspace
+    * reconstruction (ordered concatenation) → full-precision-probe
+    * cosine → top-10 on (rounded sim, vec_id): the whole ADC chain
+    * independently rebuilt. e16 routes the identical computation
+    * through the IVF-PQ disk layout at nProbe = nList, so the same SQL
+    * hash-locks the round-trip.
+    */
+  private val pqAdcExactSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |anch AS (
+      |  SELECT v AS a,
+      |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |      - 1 AS j
+      |  FROM (SELECT vec_id, v FROM e
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      |dists AS (
+      |  SELECT e.vec_id, t.m, anch.j,
+      |    round(list_distance(
+      |      e.v[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)],
+      |      anch.a[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)]),
+      |      9) AS d
+      |  FROM e, unnest(range(8)) AS t(m), anch),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT vec_id, m, j,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |recon AS (
+      |  SELECT c.vec_id,
+      |    flatten(list(
+      |      anch.a[CAST(c.m * 8 + 1 AS INT):CAST(c.m * 8 + 8 AS INT)]
+      |      ORDER BY c.m)) AS r
+      |  FROM codes c JOIN anch ON anch.j = c.code
+      |  GROUP BY c.vec_id),
+      |p AS (SELECT vec_id AS probe_id, v AS q FROM e
+      |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |sc AS (
+      |  SELECT p.probe_id, recon.vec_id,
+      |    round(list_cosine_similarity(recon.r, p.q), 6) AS adc_sim
+      |  FROM recon, p WHERE recon.vec_id <> p.probe_id)
+      |SELECT probe_id, vec_id, adc_sim FROM (
+      |  SELECT probe_id, vec_id, adc_sim,
+      |    row_number() OVER (PARTITION BY probe_id
+      |                       ORDER BY adc_sim DESC, vec_id) AS rn
+      |  FROM sc) WHERE rn <= 10""".stripMargin
+
   private val sql3BigSpenderExists: String =
     """SELECT c_custkey, c_name FROM customer c
       |WHERE EXISTS (
@@ -1495,6 +1542,31 @@ object SparkEntry {
       Similarity.pqAdcReranked(
         t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
         topK = 10, candR = 50, m = 8, k = 16, trainIters = 3)),
+    "e16_knn_ivfpq" -> { (s, dir) =>
+      // IVF-PQ: the coarsest index composition (e7's file-pruned lists
+      // + e14's 4-byte PQ codes — where even IVF-SQ's int8 lists are
+      // too big). Probed at nProbe = nList the result is the exact ADC
+      // ranking over the whole corpus with the same sampled codebook as
+      // e14, so e14_pq_adc's oracle hash-locks the entire
+      // write → read → prune → reconstruct → score round-trip; the
+      // pruned path and the disk-size economics are spec-locked.
+      val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_e16").toString
+      try {
+        Similarity.writeIvfPqIndex(idx, tmp, m = 8, k = 16)
+        idx.release()
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPqPruned(
+            t(s, dir, "embeddings"), tmp, Seq(0L, 1L, 2L, 3L, 4L),
+            k = 10, nProbe = 16))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "e15_sign_knn" -> ((s, dir) =>
       // binary-quantization funnel: 1-bit sign codes packed into two
       // 32-bit words (8 bytes/vector), Hamming top-50 candidates by
@@ -3291,48 +3363,11 @@ object SparkEntry {
         |  SELECT vec_id, m, j,
         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
         |  FROM dists) WHERE rn = 1""".stripMargin,
-    "e14_pq_adc" ->
-      // codebook → codes → per-subspace reconstruction (ordered
-      // concatenation) → full-precision-probe cosine → top-10 on
-      // (rounded sim, vec_id): the whole ADC chain independently rebuilt
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |anch AS (
-        |  SELECT v AS a,
-        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-        |      - 1 AS j
-        |  FROM (SELECT vec_id, v FROM e
-        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
-        |dists AS (
-        |  SELECT e.vec_id, t.m, anch.j,
-        |    round(list_distance(
-        |      e.v[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)],
-        |      anch.a[CAST(t.m * 8 + 1 AS INT):CAST(t.m * 8 + 8 AS INT)]),
-        |      9) AS d
-        |  FROM e, unnest(range(8)) AS t(m), anch),
-        |codes AS (
-        |  SELECT vec_id, m, j AS code FROM (
-        |    SELECT vec_id, m, j,
-        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-        |    FROM dists) WHERE rn = 1),
-        |recon AS (
-        |  SELECT c.vec_id,
-        |    flatten(list(
-        |      anch.a[CAST(c.m * 8 + 1 AS INT):CAST(c.m * 8 + 8 AS INT)]
-        |      ORDER BY c.m)) AS r
-        |  FROM codes c JOIN anch ON anch.j = c.code
-        |  GROUP BY c.vec_id),
-        |p AS (SELECT vec_id AS probe_id, v AS q FROM e
-        |      WHERE vec_id IN (0, 1, 2, 3, 4)),
-        |sc AS (
-        |  SELECT p.probe_id, recon.vec_id,
-        |    round(list_cosine_similarity(recon.r, p.q), 6) AS adc_sim
-        |  FROM recon, p WHERE recon.vec_id <> p.probe_id)
-        |SELECT probe_id, vec_id, adc_sim FROM (
-        |  SELECT probe_id, vec_id, adc_sim,
-        |    row_number() OVER (PARTITION BY probe_id
-        |                       ORDER BY adc_sim DESC, vec_id) AS rn
-        |  FROM sc) WHERE rn <= 10""".stripMargin,
+    "e14_pq_adc" -> pqAdcExactSql,
+    // e16 probes the IVF-PQ disk layout at nProbe = nList with the SAME
+    // sampled codebook — exactly the pure ADC ranking, so e14's oracle
+    // hash-locks the disk round-trip itself (the e7/e12/e13 discipline)
+    "e16_knn_ivfpq" -> pqAdcExactSql,
     "e15_sign_knn" ->
       // sign-bit packing into two 32-bit words (exact integer sums —
       // order-free), integer Hamming candidates, exact cosine rerank of

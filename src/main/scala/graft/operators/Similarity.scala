@@ -773,6 +773,121 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Persist an [[IvfIndex]] as a PQ-CODED disk layout (IVF-PQ — the
+    * coarsest index composition: where IVF-SQ's int8 codes are still
+    * too big, the inverted lists store the m PQ codes, 4 bits each at
+    * k = 16). Each list row is `(vec_id, codes ARRAY<INT> length m,
+    * rnrm, c_id)` partitioned by c_id, with `rnrm` the reconstruction's
+    * L2 norm (write-once, probes never re-fold it); the codebook table
+    * `(m, j, c ARRAY<DOUBLE>)` — k·m rows, driver-bounded — lands
+    * beside the lists. The codebook is the SAMPLED md5-ranked one
+    * ([[pqAnchors]] over the index's own vectors), so at nProbe = nList
+    * a probe reproduces [[pqAdcKnn]]'s exact ADC ranking and e14's
+    * oracle hash-locks the whole write → read → prune → reconstruct →
+    * score round-trip.
+    */
+  def writeIvfPqIndex(
+      index: IvfIndex, path: String, m: Int, k: Int): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val emb = index.assigned.select(col("vec_id"), col("e").as("embedding"))
+    val anchors = pqAnchors(emb, k)
+    val sub = anchors.head.length / m
+    val cbs = (0 until m).map(mi =>
+      anchors.map(_.slice(mi * sub, mi * sub + sub)))
+    val codes = pqCodesColumn(cbs, col("e"))
+    index.assigned
+      .select(col("vec_id"), codes.as("codes"), col("c_id"))
+      .withColumn("rnrm", norm(pqReconColumn(cbs, col("codes"))))
+      .select(col("vec_id"), col("codes"), col("rnrm"), col("c_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+    cbs.zipWithIndex
+      .flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (c, j) => (mi.toLong, j.toLong, c) }
+      }
+      .toDF("m", "j", "c")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Batched, statically-pruned probe of an IVF-PQ disk index with ADC
+    * scoring: full-precision queries against the PQ reconstruction — a
+    * literal codebook lookup (the codebook is collected once, k·m·sub
+    * doubles) applied only to the probed lists' rows. Same driver-
+    * bounded list ranking and literal `c_id IN` partition pruning as
+    * the flat/SQ probes; the stored `rnrm` means no per-row norm
+    * re-fold. Probe vectors come from `embeddings` (the PQ index stores
+    * only codes).
+    */
+  def probeIvfPqPruned(
+      embeddings: DataFrame,
+      path: String,
+      probeIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cbs: Seq[Seq[Seq[Double]]] = {
+      val rows = spark.read.parquet(s"$path/codebook")
+        .collect()
+        .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+          r.getSeq[Double](2).toSeq))
+        .toMap
+      val mMax = rows.keys.map(_._1).max + 1
+      val kMax = rows.keys.map(_._2).max + 1
+      (0 until mMax).map(mi => (0 until kMax).map(j => rows((mi, j))))
+    }
+    val probes = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
+        .withColumn("p_nrm", norm(col("p"))))
+    val wLists = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("c_sim"), asc("c_id"))
+    // bounded collect: |probeIds| × nProbe pairs (probeIvfPruned rule)
+    val pairs = probes
+      .crossJoin(centroids)
+      .select(
+        col("probe_id"), col("c_id"),
+        cosinePre(col("p"), col("c_emb"), col("p_nrm"), col("c_nrm"))
+          .as("c_sim"))
+      .withColumn("rn", row_number().over(wLists))
+      .filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("c_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val listIds = pairs.map(_._2).distinct.toSeq
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType)),
+      StructField("rnrm", DoubleType),
+      StructField("c_id", LongType)))
+    val wTop = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("adc_sim"), asc("vec_id"))
+    spark.read.schema(schema).parquet(s"$path/lists")
+      .filter(col("c_id").isin(listIds: _*)) // literal IN → partition pruning
+      // reconstruct ONCE per stored row, before the probe fan-out
+      .withColumn("r", pqReconColumn(cbs, col("codes")))
+      .join(broadcast(pairs.toSeq.toDF("probe_id", "c_id")), Seq("c_id"))
+      .join(probes, Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(
+          cosinePre(col("r"), col("p"), col("rnrm"), col("p_nrm")),
+          6).as("adc_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** One-shot batched IVF kNN: build, batch-probe, seal — the assignment
     * pass is paid ONCE for the whole probe set (vs once per probe for
     * repeated [[knnIvf]] calls). Long-lived consumers should hold the
@@ -914,31 +1029,52 @@ object Similarity {
       (0 until m).map(mi => anchors.map(_.slice(mi * sub, mi * sub + sub))))
   }
 
-  /** The shared encoding core over explicit per-subspace codebooks
-    * `cbs(m)(j)`: one codegen'd scan projection, codebook as literals.
+  /** The PQ coding expression over explicit per-subspace codebooks
+    * `cbs(m)(j)` for an arbitrary double-array vector column — the
+    * codebook rides as literals, so coding is pure projection. L2 (not
+    * squared) distance, rounded to 9 dp before the argmin — the exact
+    * comparison key the oracle recomputes (sqrt is monotone, so the
+    * code choice is the same either way; rounding first makes the
+    * tie-break engine-portable).
     */
-  private def pqEncodeCb(
-      embeddings: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+  private def pqCodesColumn(
+      cbs: Seq[Seq[Seq[Double]]], v: Column): Column = {
     val sub = cbs.head.head.length
-    val v = asDouble(col("embedding"))
     def subDist(mi: Int, j: Int): Column = {
       val a = array(cbs(mi)(j).map(lit): _*)
       aggregate(
         zip_with(slice(v, mi * sub + 1, sub), a, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, t) => acc + t)
     }
-    // L2 (not squared) distance, rounded to 9 dp before the argmin —
-    // the exact comparison key the oracle recomputes (sqrt is monotone,
-    // so the code choice is the same either way; rounding first makes
-    // the tie-break engine-portable)
     def codeAt(mi: Int): Column =
       array_min(array(cbs(mi).indices.map(j =>
         struct(round(sqrt(subDist(mi, j)), 9).as("d"), lit(j).as("j"))): _*))
         .getField("j")
+    array(cbs.indices.map(codeAt): _*)
+  }
+
+  /** The PQ reconstruction expression: concatenate each subspace's
+    * chosen codebook entry — a literal `element_at` lookup per
+    * subspace, no arithmetic.
+    */
+  private def pqReconColumn(
+      cbs: Seq[Seq[Seq[Double]]], codes: Column): Column = {
+    val cbLit: Seq[Column] = cbs.map { cb =>
+      array(cb.map(c => array(c.map(lit): _*)): _*)
+    }
+    flatten(array(cbs.indices.map(mi =>
+      element_at(cbLit(mi), element_at(codes, mi + 1) + 1)): _*))
+  }
+
+  /** The shared encoding core over explicit per-subspace codebooks:
+    * one codegen'd scan projection ([[pqCodesColumn]]).
+    */
+  private def pqEncodeCb(
+      embeddings: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
     graft.core.Parallelism.ensure(embeddings)
       .select(
-        col("vec_id"), array(cbs.indices.map(codeAt): _*).as("codes"))
-  }
+        col("vec_id"),
+        pqCodesColumn(cbs, asDouble(col("embedding"))).as("codes"))
 
   /** [[pqEncode]] exploded to scalar `(vec_id, m, code)` rows — the form
     * the hash-match oracle certifies code by code (the e8 shape).
@@ -985,11 +1121,7 @@ object Similarity {
       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(probeIds.nonEmpty, "need at least one probe id")
-    val cbLit: Seq[Column] = cbs.map { cb =>
-      array(cb.map(c => array(c.map(lit): _*)): _*)
-    }
-    val recon = flatten(array(cbs.indices.map(mi =>
-      element_at(cbLit(mi), element_at(col("codes"), mi + 1) + 1)): _*))
+    val recon = pqReconColumn(cbs, col("codes"))
     val probes = broadcast(
       embeddings
         .filter(col("vec_id").isin(probeIds: _*))

@@ -93,6 +93,55 @@ class QuantizationSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("IVF-PQ: pruning reaches PartitionFilters, lists beat SQ on disk") {
+    val e = emb
+    val idx = Similarity.buildIvfIndex(e, nList = 16)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec").toString
+    val tmpSq = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq_spec2").toString
+    try {
+      Similarity.writeIvfPqIndex(idx, tmp, m = 8, k = 16)
+      Similarity.writeIvfSqIndex(idx, tmpSq)
+      idx.release()
+      // nProbe = nList reproduces the pure ADC ranking exactly
+      val full = Similarity.probeIvfPqPruned(e, tmp, probes, k = 10, nProbe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val adc = Similarity.pqAdcKnn(e, probes, topK = 10, m = 8, k = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(full == adc, "nProbe=nList must equal the pure ADC ranking")
+      // pruned probe: the c_id IN literal must reach PartitionFilters
+      val pruned = Similarity.probeIvfPqPruned(e, tmp, probes, k = 10, nProbe = 4)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), plan)
+      assert(
+        "PartitionFilters: \\[[^\\]]*c_id".r.findFirstIn(plan).isDefined, plan)
+      // pruning to 4/16 lists keeps most of the full-ADC top-10
+      val prunedSets = gotSets(pruned)
+      val adcSets = adc.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2) }
+      val keep = probes
+        .map(p => prunedSets(p).intersect(adcSets(p)).size.toDouble / 10)
+        .sum / probes.size
+      assert(keep >= 0.5, s"pruned keeps only $keep of full ADC")
+      // the economics: PQ lists (8 small ints/vector) must be smaller on
+      // disk than SQ lists (64 ints/vector) for the same index
+      import scala.jdk.CollectionConverters._
+      def bytes(p: String): Long = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+      val pq = bytes(s"$tmp/lists"); val sq = bytes(s"$tmpSq/lists")
+      assert(pq < sq, s"PQ lists $pq bytes not smaller than SQ $sq")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(tmp, tmpSq).foreach { p =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+  }
+
   test("signPack: hand-computed packing on literal vectors") {
     import spark.implicits._
     // dims 0 and 33 positive → lo = 1, hi = 2; all-negative → (0, 0);

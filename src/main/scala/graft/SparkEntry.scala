@@ -400,6 +400,51 @@ object SparkEntry {
        |  FROM range($nE) t(i))""".stripMargin
   }
 
+  /** Unrolled k-truss oracle: `rounds` chained peel rounds, each
+    * recomputing every surviving edge's triangle support as its
+    * common-neighbour count (equal to the engine's triangle-explode
+    * count on a simple graph), then the final survivors with their
+    * in-truss support. Peeling is monotone, so the unroll equals the
+    * converged truss for any rounds ≥ the cascade depth.
+    */
+  private def kTrussOracleSql(
+      nV: Long, nE: Long, salt: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
+    // every round CTE is MATERIALIZED: inlining would re-expand each
+    // round's chain into the next and blow up exponentially in `rounds`
+    sb ++= "ue0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, " +
+      "greatest(src, dst) AS v FROM pe WHERE src <> dst)"
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+         |adj$r AS MATERIALIZED (SELECT u AS a, v AS b FROM ue$r
+         |          UNION ALL SELECT v, u FROM ue$r),
+         |sup$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, count(*) AS sup
+         |  FROM ue$r e
+         |  JOIN adj$r x ON x.a = e.u
+         |  JOIN adj$r y ON y.a = e.v AND y.b = x.b
+         |  GROUP BY e.u, e.v),
+         |ue${r + 1} AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM ue$r e
+         |  LEFT JOIN sup$r s ON s.u = e.u AND s.v = e.v
+         |  WHERE coalesce(s.sup, 0) >= ${k - 2})""".stripMargin
+    }
+    sb ++= s""",
+       |adjF AS MATERIALIZED (SELECT u AS a, v AS b FROM ue$rounds
+       |         UNION ALL SELECT v, u FROM ue$rounds),
+       |supF AS MATERIALIZED (
+       |  SELECT e.u, e.v, count(*) AS sup
+       |  FROM ue$rounds e
+       |  JOIN adjF x ON x.a = e.u
+       |  JOIN adjF y ON y.a = e.v AND y.b = x.b
+       |  GROUP BY e.u, e.v)
+       |SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+       |FROM ue$rounds e
+       |LEFT JOIN supF s ON s.u = e.u AND s.v = e.v""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.sources.SyntheticGraph.portableBlocks]]:
     * two disjoint md5-range blocks, the second shifted by nVBlock.
     */
@@ -782,6 +827,46 @@ object SparkEntry {
       val src = e.agg(min(col("src"))).first().getLong(0)
       GraphBuilder.bfsHops(e, src, maxHops = 12)
     },
+    "g32_ktruss" -> ((s, dir) =>
+      // k-truss (k=4, 6 fixed peel rounds — the fixture's cascade
+      // converges in 6): edge-level cohesion one level above g25's
+      // vertex core; per round a degree-ordered triangle listing on
+      // the shrinking edge set recomputes every edge's support. 60
+      // truss edges survive from 1520; every support recomputed by the
+      // unrolled oracle.
+      GraphBuilder.kTruss(
+        graft.sources.SyntheticGraph.portable(s, 200, 1600, "g32"),
+        k = 4, rounds = 6)),
+    "d29_collocations" -> ((s, dir) =>
+      // Church–Hanks PMI collocations: top-20 adjacent token pairs by
+      // pointwise mutual information with a min-count floor — the
+      // vocabulary-analysis twin of d23's bigram LM on the same
+      // one-explode pair stream; count tables join hint-free (d17
+      // discipline), N and B ride as 1-row frames
+      graft.operators.TextOps.collocations(
+        t(s, dir, "documents"), minCount = 5, topN = 20)),
+    "q27_window_stats" -> { (s, dir) =>
+      // the distribution-window family completing q18's ranked family:
+      // ntile (equal-height buckets), percent_rank, cume_dist — all
+      // deterministic rationals once the ordering is total (price desc,
+      // then key), rounded at 6 dp on both sides
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    },
+    "st12_windowed_approx" -> ((s, dir) =>
+      // watermarked windowed APPROX distinct users (HLL++ sketch state
+      // per group instead of user-cardinality-sized exact state — the
+      // streaming-dashboard cardinality shape); batch twin IS the same
+      // code path. Sketch estimates are engine-defined ⇒ rows-only;
+      // the streaming≡batch and rsd contracts are unit-tested.
+      graft.streaming.EventStreams.windowedApproxDistinct(
+        graft.sources.Tables.events(s, dir))),
     "g31_scc" -> ((s, dir) =>
       // STRONGLY connected components (g15 is the weak/undirected
       // form): iterated forward/backward min-label settling on a sparse
@@ -2374,6 +2459,42 @@ object SparkEntry {
          |SELECT r1.u AS id, CAST(min(r1.w) AS BIGINT) AS scc
          |FROM reach r1 JOIN reach r2 ON r1.w = r2.u AND r2.w = r1.u
          |GROUP BY r1.u""".stripMargin,
+    "g32_ktruss" -> kTrussOracleSql(200, 1600, "g32", k = 4, rounds = 6),
+    "d29_collocations" ->
+      // same count tables, same PMI expression tree (cb/B)/((c1/N)(c2/N)),
+      // same (rounded pmi, t1, t2) top-20 boundary
+      """WITH tk AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |tok AS (SELECT unnest(tk) AS t FROM tk),
+        |uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        |ix AS (
+        |  SELECT tk, unnest(range(len(tk) - 1)) AS i
+        |  FROM tk WHERE len(tk) >= 2),
+        |pr AS (
+        |  SELECT tk[CAST(i AS INTEGER) + 1] AS t1,
+        |         tk[CAST(i AS INTEGER) + 2] AS t2
+        |  FROM ix),
+        |bb AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM pr),
+        |bi AS (SELECT t1, t2, count(*) AS cb FROM pr GROUP BY 1, 2)
+        |SELECT bi.t1, bi.t2, cb AS n_pair,
+        |  round(ln((CAST(cb AS DOUBLE) / (SELECT b FROM bb)) /
+        |        ((CAST(u1.cu AS DOUBLE) / (SELECT n FROM nn)) *
+        |         (CAST(u2.cu AS DOUBLE) / (SELECT n FROM nn)))), 6) AS pmi
+        |FROM bi
+        |JOIN uni u1 ON u1.t = bi.t1
+        |JOIN uni u2 ON u2.t = bi.t2
+        |WHERE cb >= 5
+        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
+    "q27_window_stats" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "g30_anf" ->
       // exact neighborhood function by depth-bounded all-sources
       // reachability — equals the engine's sketch-based N(h) because the

@@ -473,6 +473,116 @@ object GraphBuilder {
       .join(s.withColumnRenamed("id", "vtx").hint("shuffle_hash"), Seq("vtx"))
       .select(col("vtx").as("id"), col("st"))
 
+  /** k-truss by fixed-round edge peeling: each round recomputes every
+    * surviving EDGE's support (the number of triangles containing it
+    * within the surviving edge set) and drops edges below `k − 2`;
+    * after `rounds` peels the survivors are reported with their final
+    * support. The edge analogue of [[kCore]]'s vertex peel, one level
+    * up the cohesion ladder (every k-truss lives inside the (k−1)-core)
+    * — the community-core primitive at 100 TB where vertex cores are
+    * too loose. Fixed rounds keep it oracle-unrollable (peeling is
+    * monotone: rounds ≥ the cascade depth ⇒ THE k-truss; extra rounds
+    * are no-ops); [[kTrussConverged]] detects the fixpoint itself.
+    * All-integer supports ⇒ hash-exact across engines/partitionings.
+    *
+    * Per-round cost is a triangle listing on the SHRINKING edge set,
+    * using the same degree-ordered orientation as [[triangleCounts]]
+    * (Σ C(outdeg⁺, 2) wedges — the m^1.5 bound that survives skew),
+    * plus one exploded per-edge count; this is what an exact k-truss
+    * costs anywhere. Output: `u LONG, v LONG, support LONG`
+    * (survivors, u < v, support within the truss).
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "need k >= 3 and rounds >= 1")
+    var ue = undirectedSimple(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      ue = edgeSupport(ue)
+        .filter(col("support") >= k - 2)
+        .select(col("u"), col("v")) // eager: edgeSupport seals each round
+    }
+    edgeSupport(ue)
+  }
+
+  /** [[kTruss]] run TO FIXPOINT — peel until the surviving edge count
+    * is stable (monotone peeling ⇒ stable count = stable set = the
+    * k-truss), bounded by `maxRounds`; the O14/O16 early-stop
+    * discipline, like [[kCoreConverged]]. Returns the truss plus the
+    * number of peel rounds run, the last being the no-op round that
+    * proved stability.
+    */
+  def kTrussConverged(
+      edges: DataFrame, k: Int, maxRounds: Int = 1000): (DataFrame, Int) = {
+    require(k >= 3 && maxRounds >= 1, "need k >= 3 and maxRounds >= 1")
+    var ue = undirectedSimple(edges).localCheckpoint()
+    var prev = -1L
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val next = edgeSupport(ue)
+        .filter(col("support") >= k - 2)
+        .select(col("u"), col("v"))
+      val c = next.count()
+      rounds += 1
+      if (c == prev) stable = true
+      prev = c
+      ue = next
+    }
+    (edgeSupport(ue), rounds)
+  }
+
+  /** Per-edge triangle support over a canonical (u < v) simple edge
+    * set: degree-ordered triangle listing (the [[triangleCounts]]
+    * orientation — every triangle listed exactly once at its
+    * lowest-ranked corner), exploded into its 3 canonical edges and
+    * counted; edges in no triangle report 0. Eagerly sealed
+    * ([[CacheScope.sealAfter]]) so per-round intermediates never
+    * outlive the round. Output: `u, v, support`.
+    */
+  private[graft] def edgeSupport(ue0: DataFrame): DataFrame = {
+    val ue = ue0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = ue.select(col("u").as("id"))
+      .union(ue.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count("*").as("d"))
+    val du = col("du")
+    val dv = col("dv")
+    val uLower = du < dv || (du === dv && col("u") < col("v"))
+    val oriented = ue
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(uLower, col("u")).otherwise(col("v")).as("x"),
+        when(uLower, col("v")).otherwise(col("u")).as("y"),
+        when(uLower, dv).otherwise(du).as("yd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tris = oriented.as("e1")
+      .join(
+        oriented.as("e2"),
+        col("e1.x") === col("e2.x") &&
+          (col("e1.yd") < col("e2.yd") ||
+            (col("e1.yd") === col("e2.yd") && col("e1.y") < col("e2.y"))))
+      .join(
+        oriented.as("e3"),
+        col("e3.x") === col("e1.y") && col("e3.y") === col("e2.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+    val sup = tris
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count("*").as("support"))
+    val out = ue
+      .join(sup, Seq("u", "v"), "left_outer")
+      .select(
+        col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+    CacheScope.sealAfter(out, ue, oriented)
+  }
+
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.
     */

@@ -512,6 +512,51 @@ object TextOps {
     CacheScope.sealAfter(scored, pairs)
   }
 
+  /** Corpus COLLOCATIONS by pointwise mutual information: the top-`topN`
+    * adjacent token pairs by PMI = ln((c_xy/B) / ((c_x/N)·(c_y/N)))
+    * with a `minCount` support floor (raw PMI without a floor surfaces
+    * hapax noise — the standard Church–Hanks discipline). The
+    * vocabulary-analysis twin of d23's bigram LM: same one-explode pair
+    * stream, two hash-aggregated count tables joined on their gram keys
+    * with NO broadcast hints (both grow with the corpus — the d17
+    * discipline), N and B riding as 1-row frames. The top-N boundary
+    * ranks on (rounded PMI desc, t1, t2) so float noise cannot reorder
+    * it. Output: `t1, t2, n_pair, pmi`.
+    */
+  def collocations(
+      docs: DataFrame, minCount: Long = 5, topN: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    val d = graft.core.Parallelism.ensure(docs)
+    val tok = d.select(explode(toks).as("t"))
+    val uni = tok.groupBy(col("t")).agg(count("*").as("cu"))
+    val nn = tok.agg(count("*").cast("double").as("n"))
+    val pairArr = transform(
+      sequence(lit(0), size(toks) - lit(2)),
+      i => slice(toks, i + 1, lit(2)))
+    val pairs = d
+      .filter(size(toks) >= 2)
+      .select(explode(pairArr).as("pr"))
+      .select(
+        element_at(col("pr"), 1).as("t1"),
+        element_at(col("pr"), 2).as("t2"))
+    val bi = pairs.groupBy(col("t1"), col("t2")).agg(count("*").as("cb"))
+    val bb = pairs.agg(count("*").cast("double").as("b"))
+    bi.filter(col("cb") >= minCount)
+      .join(uni.select(col("t").as("t1"), col("cu").as("c1")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("cu").as("c2")), Seq("t2"))
+      .crossJoin(nn)
+      .crossJoin(bb)
+      .select(
+        col("t1"), col("t2"), col("cb").as("n_pair"),
+        round(
+          log((col("cb").cast("double") / col("b")) /
+            ((col("c1").cast("double") / col("n")) *
+              (col("c2").cast("double") / col("n")))),
+          6).as("pmi"))
+      .orderBy(desc("pmi"), asc("t1"), asc("t2"))
+      .limit(topN)
+  }
+
   /** Document fingerprint over word 3-shingles: the minimum shingle
     * digest is a 1-permutation MinHash, `doc_hash` identifies the exact
     * normalized content. Digests are md5 (hex strings) rather than

@@ -84,6 +84,32 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Watermarked windowed APPROXIMATE distinct-user count per
+    * (window, event_type) — the cardinality question a streaming
+    * dashboard actually asks at 100 TB/day rates, where exact distinct
+    * state is user-cardinality-sized per window and the HLL++ sketch
+    * (`approx_count_distinct`, rsd 0.01) is CONSTANT per group. Runs
+    * unchanged on a batch frame (the oracle/differential path: the
+    * sketch is deterministic for a given input set, so a fully-flushed
+    * stream equals the batch twin exactly — unit-tested); exact count
+    * rides beside it in the batch form's test to pin the rsd contract.
+    * Output: `win_start STRING, event_type, approx_users LONG`.
+    */
+  def windowedApproxDistinct(
+      events: DataFrame,
+      window: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("approx_users"))
+
   /** Batch twin of [[windowedAgg]] for oracle checking: identical tumbling
     * `window()` aggregation minus the watermark (batch input is complete —
     * no late data to bound). Window starts align to the epoch in both

@@ -867,6 +867,24 @@ object SparkEntry {
       // the streaming≡batch and rsd contracts are unit-tested.
       graft.streaming.EventStreams.windowedApproxDistinct(
         graft.sources.Tables.events(s, dir))),
+    "g33_harmonic" -> ((s, dir) =>
+      // HyperBall's second output: depth-bounded harmonic centrality
+      // from the same sketch recurrence as g30 — each newly-reached
+      // vertex contributes 1/distance; top-20 by (rounded score, id).
+      // Exact in the sketch's coupon regime, so the oracle recomputes
+      // every score from exact distance counts.
+      graft.operators.Anf.harmonicCentrality(
+        graft.sources.SyntheticGraph.portable(s, 300, 1500, "g33"),
+        maxH = 4, topN = 20)),
+    "q28_gapfill" -> ((s, dir) =>
+      // time-series GAP FILL / resample: an explicit hourly grid per
+      // user (the observations a model trains on are regular; events
+      // are not), last event value per (user, hour), forward-filled
+      // with an ignore-nulls running last() — hours before a user's
+      // first event stay NULL. Grid generated, never scanned; one
+      // window per user serves the fill.
+      graft.operators.TemporalJoins.gapFillHourly(
+        graft.sources.Tables.events(s, dir))),
     "g31_scc" -> ((s, dir) =>
       // STRONGLY connected components (g15 is the weak/undirected
       // form): iterated forward/backward min-label settling on a sparse
@@ -2460,6 +2478,61 @@ object SparkEntry {
          |FROM reach r1 JOIN reach r2 ON r1.w = r2.u AND r2.w = r1.u
          |GROUP BY r1.u""".stripMargin,
     "g32_ktruss" -> kTrussOracleSql(200, 1600, "g32", k = 4, rounds = 6),
+    "g33_harmonic" ->
+      // exact depth-bounded harmonic centrality: per-source counts of
+      // vertices at each exact distance (integers — order-free), then
+      // the same left-associated chain c1/1 + c2/2 + c3/3 + c4/4 the
+      // engine folds, rounded at 6 dp; top-20 on (score desc, id)
+      s"""WITH RECURSIVE ${portableGraphSql(300, 1500, "g33")},
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |reach(u, w, d) AS (
+         |  SELECT id, id, 0 FROM verts
+         |  UNION
+         |  SELECT r.u, e.dst, r.d + 1
+         |  FROM reach r JOIN pe e ON e.src = r.w WHERE r.d < 4),
+         |md AS (SELECT u, w, min(d) AS d FROM reach GROUP BY u, w),
+         |cnts AS (
+         |  SELECT u,
+         |    SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS c1,
+         |    SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS c2,
+         |    SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS c3,
+         |    SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS c4
+         |  FROM md GROUP BY u)
+         |SELECT u AS id,
+         |  round(CAST(c1 AS DOUBLE) / 1 + CAST(c2 AS DOUBLE) / 2
+         |        + CAST(c3 AS DOUBLE) / 3 + CAST(c4 AS DOUBLE) / 4, 6)
+         |    AS harmonic
+         |FROM cnts ORDER BY harmonic DESC, id LIMIT 20""".stripMargin,
+    "q28_gapfill" ->
+      // identical grid, per-hour survivor rule (latest ts, then id) and
+      // ignore-nulls running fill
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS mn,
+        |         date_trunc('hour', max(ts)) AS mx FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series((SELECT mn FROM b), (SELECT mx FROM b),
+        |                           INTERVAL 1 HOUR)) AS h
+        |  FROM u),
+        |ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, value
+        |  FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |f AS (
+        |  SELECT g.user_id, g.h,
+        |    last_value(ev.value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM grid g
+        |  LEFT JOIN ev ON ev.user_id = g.user_id AND ev.h = g.h)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_str,
+        |  round(v, 2) AS filled_value
+        |FROM f""".stripMargin,
     "d29_collocations" ->
       // same count tables, same PMI expression tree (cb/B)/((c1/N)(c2/N)),
       // same (rounded pmi, t1, t2) top-20 boundary

@@ -94,4 +94,67 @@ object Anf {
     import spark.implicits._
     trace.toSeq.toDF("h", "nf")
   }
+
+  /** Per-vertex HARMONIC CENTRALITY, depth-bounded — HyperBall's other
+    * output (Boldi–Vigna: centrality from the same sketch recurrence
+    * that yields N(h)): H(v) = Σ_{h=1..maxH} |ball(v,h) \ ball(v,h−1)|/h
+    * — each newly-reached vertex contributes 1/its-distance. The ONLY
+    * tractable centrality of this family at 100 TB: per-vertex exact
+    * distance sets are Θ(|V|²); here each round's ball SIZE per vertex
+    * is read off the sketch state the [[neighborhoodFunction]] loop
+    * already maintains.
+    *
+    * The per-round ball sizes accumulate as columns of a |V|-row wide
+    * frame (maxH joins of |V|-row frames, checkpoint-rotated); the
+    * final score is the explicit left-associated chain
+    * `(e1−e0)/1 + (e2−e1)/2 + …` so the float result is engine-portable
+    * — in the sketches' exact regime the oracle recomputes every score
+    * from exact distance counts and the top-N hash-matches. Output: the
+    * top `topN` by (rounded centrality desc, id).
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      maxH: Int,
+      topN: Int,
+      lgK: Int = 12): DataFrame = {
+    require(maxH >= 1 && topN >= 1, "need maxH >= 1 and topN >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphBuilder.vertices(edges)
+    var state = verts
+      .groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
+      .localCheckpoint()
+    def est(st: DataFrame, name: String): DataFrame =
+      st.select(col("id"), hll_sketch_estimate(col("sk")).as(name))
+    var wide = est(state, "e0").localCheckpoint()
+    for (h <- 1 to maxH) {
+      val contrib = e
+        .join(state.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(hll_union_agg(col("sk")).as("nsk"))
+      val next = state
+        .join(contrib, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+        .localCheckpoint()
+      state.unpersist(false)
+      state = next
+      val w2 = wide.join(est(state, s"e$h"), Seq("id")).localCheckpoint()
+      wide.unpersist(false)
+      wide = w2
+    }
+    state.unpersist(false)
+    e.unpersist(false)
+    val hExpr = (1 to maxH)
+      .map(h => (col(s"e$h") - col(s"e${h - 1}")).cast("double") / h)
+      .reduce(_ + _)
+    wide
+      .select(col("id"), round(hExpr, 6).as("harmonic"))
+      .orderBy(desc("harmonic"), asc("id"))
+      .limit(topN)
+  }
 }

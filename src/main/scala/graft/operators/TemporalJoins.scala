@@ -127,4 +127,42 @@ object TemporalJoins {
       .filter(col(rightTs) >= col(loCol) && col(rightTs) < col(hiCol))
       .drop("_bucket")
   }
+
+  /** Time-series GAP FILL onto an explicit hourly grid: one row per
+    * (user, hour) across the table's global hour span, carrying the
+    * last event value at or before that hour (latest ts wins within an
+    * hour, event_id breaks exact-ts ties), forward-filled with an
+    * ignore-nulls running `last()`; hours before a user's first event
+    * stay NULL. The resample/interpolate step between an irregular
+    * event stream and the regular observations a model consumes.
+    *
+    * Scale shape: the grid is GENERATED (|users| × |hours| rows from a
+    * 1-row broadcast bounds frame), never scanned; the per-hour
+    * survivor is one map-side-combined max_by aggregate; the fill is
+    * ONE window per user. Output: `user_id, hour_str, filled_value`.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val b = events.agg(
+      date_trunc("hour", min(col("ts"))).as("mn"),
+      date_trunc("hour", max(col("ts"))).as("mx"))
+    val grid = events.select(col("user_id")).distinct()
+      .crossJoin(broadcast(b))
+      .select(
+        col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    val lastPerHour = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max_by(
+        col("value"),
+        struct(unix_micros(col("ts")), col("event_id"))).as("v0"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerHour, Seq("user_id", "h"), "left_outer")
+      .withColumn("fv", last(col("v0"), ignoreNulls = true).over(w))
+      .select(
+        col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+        round(col("fv"), 2).as("filled_value"))
+  }
 }

@@ -44,6 +44,19 @@ class AnfSpec extends AnyFunSuite {
     assert(nf(0) == 300L) // |V| on this fixture (every id 0..299 hit)
   }
 
+  test("harmonic centrality: hand-computed on a path graph") {
+    val sp = spark
+    import sp.implicits._
+    // 0→1→2→3: H(0)=1+1/2+1/3, H(1)=1+1/2, H(2)=1, H(3)=0
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Anf.harmonicCentrality(e, maxH = 4, topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      0L -> r6(1.0 + 0.5 + 1.0 / 3.0), 1L -> 1.5, 2L -> 1.0, 3L -> 0.0))
+  }
+
   test("beyond the exact regime the estimate stays within HLL rsd bounds") {
     val sp = spark
     import sp.implicits._

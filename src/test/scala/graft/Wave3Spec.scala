@@ -97,6 +97,45 @@ class CollocationsSpec extends AnyFunSuite {
   }
 }
 
+class GapFillSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("hourly grid forward-fills gaps and leaves leading hours NULL") {
+    val sp = spark
+    import sp.implicits._
+    def ts(hour: Long, min: Long) =
+      new java.sql.Timestamp((hour * 60 + min) * 60000L)
+    // user 7: events in hours 0 (two — later one wins) and 2; user 9:
+    // first event in hour 2 → hours 0-1 stay NULL on the shared grid
+    val ev = Seq(
+      (1L, ts(0, 10), 7L, "click", 5.0, "{}"),
+      (2L, ts(0, 50), 7L, "click", 6.0, "{}"),
+      (3L, ts(2, 0), 7L, "click", 9.0, "{}"),
+      (4L, ts(2, 30), 9L, "click", 4.0, "{}"),
+      (5L, ts(3, 0), 9L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.TemporalJoins.gapFillHourly(ev)
+      .collect()
+      .map { r =>
+        val hour = java.time.LocalDateTime
+          .parse(r.getString(1), java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+          .getHour.toLong
+        ((r.getLong(0), hour),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+      }
+      .toMap
+    assert(got((7L, 0L)) == 6.0) // later event in the hour wins
+    assert(got((7L, 1L)) == 6.0) // gap forward-filled
+    assert(got((7L, 2L)) == 9.0)
+    assert(got((7L, 3L)) == 9.0) // fill extends to the global grid end
+    assert(got((9L, 0L)).isNaN) // before user 9's first event
+    assert(got((9L, 1L)).isNaN)
+    assert(got((9L, 2L)) == 4.0)
+    assert(got((9L, 3L)) == 2.0)
+  }
+}
+
 class StreamingApproxSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

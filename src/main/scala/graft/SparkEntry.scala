@@ -1948,6 +1948,56 @@ object SparkEntry {
           unix_micros(min(col("ts"))).as("min_ts_us"),
           unix_micros(max(col("ts"))).as("max_ts_us"))
     },
+    "st13_exactly_once_sink" -> { (s, dir) =>
+      // EXACTLY-ONCE foreachBatch parquet sink: events replayed in 4
+      // micro-batches, each landing idempotently under its batch_id
+      // partition (dynamic overwrite); then batch 0 is deliberately
+      // REPLAYED — the restart/retry path — and must overwrite, not
+      // duplicate. The read-back aggregate hash-matches the plain batch
+      // ground truth, certifying zero loss AND zero duplication through
+      // the sink, retry included.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .select(
+          col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[graft.streaming.EventStreams.Event]
+        .collect()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_st13").toString
+      try {
+        val ms = MemoryStream[graft.streaming.EventStreams.Event]
+        val q = graft.streaming.EventStreams
+          .sinkExactlyOnce(ms.toDS().toDF(), tmp)
+        var firstBatch: Seq[graft.streaming.EventStreams.Event] = Seq.empty
+        try {
+          all.grouped(math.max(all.length / 4, 1)).zipWithIndex.foreach {
+            case (b, i) =>
+              if (i == 0) firstBatch = b.toIndexedSeq
+              ms.addData(b.toIndexedSeq)
+              q.processAllAvailable()
+          }
+        } finally q.stop()
+        // the retry: re-run batch 0's idempotent write (what a restarted
+        // query does when the sink committed but the checkpoint didn't)
+        graft.streaming.EventStreams.writeBatchIdempotent(
+          firstBatch.toDF(), batchId = 0L, tmp)
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(tmp)
+            .groupBy(col("event_type"))
+            .agg(
+              count("*").as("n_events"),
+              round(sum(col("value")), 2).as("sum_value")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "st8_stream_dedup" -> { (s, dir) =>
       // streaming ingest dedup through the REAL streaming-aggregation
       // path: documents replayed OUT OF ORDER in 5 micro-batches via
@@ -3735,6 +3785,12 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1""".stripMargin,
+    "st13_exactly_once_sink" ->
+      // plain batch ground truth over ALL events: the sink (retry
+      // included) must lose nothing and duplicate nothing to match
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q19_cube" ->
       // DuckDB GROUPING() returns one flag per column; combine to match
       // Spark's packed grouping_id bitmask (status bit 1, priority bit 0)

@@ -193,6 +193,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("e14 PQ encoding is a stateless projection: no key exchange, no join") {
+    // the codebook rides as literals — encoding must never join or
+    // shuffle (a RoundRobin width-restoring repartition on the tiny
+    // test scan is allowed, as in d16/d24)
+    val p = plan("e14_pq_codes")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("d22 training order is ONE window exchange on the shard draw") {
     val p = plan("d22_training_order")
     assert("Exchange".r.findAllIn(p).length == 1, p)

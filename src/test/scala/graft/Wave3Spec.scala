@@ -136,6 +136,49 @@ class GapFillSpec extends AnyFunSuite {
   }
 }
 
+class ExactlyOnceSinkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("replaying a batch overwrites its partition instead of duplicating") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_st13_spec").toString
+    try {
+      val b0 = Seq((1L, "click", 1.0), (2L, "view", 2.0))
+        .toDF("event_id", "event_type", "value")
+      val b1 = Seq((3L, "click", 3.0)).toDF("event_id", "event_type", "value")
+      EventStreams.writeBatchIdempotent(b0, 0L, tmp)
+      // the retry: same batch id again — MUST overwrite, not append
+      EventStreams.writeBatchIdempotent(b0, 0L, tmp)
+      EventStreams.writeBatchIdempotent(b1, 1L, tmp)
+      // and a retry AFTER later batches must not disturb them
+      EventStreams.writeBatchIdempotent(b0, 0L, tmp)
+      val got = spark.read.parquet(tmp)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), got)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
+
+class PqPropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("PQ codes are invariant under repartitioning") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCodes(df, m = 8, k = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(codes(emb) == codes(emb.repartition(7)))
+  }
+}
+
 class StreamingApproxSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -123,7 +123,8 @@ object SparkEntry {
   private def lpaBlocksSql(k: Int): String =
     lpaSqlOver(portableBlocksSql(200, 600, "g22b"), k)
 
-  private def lpaSqlOver(peCte: String, k: Int): String = {
+  private def lpaSqlOver(
+      peCte: String, k: Int, finalSql: String = null): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH $peCte,
@@ -146,7 +147,71 @@ object SparkEntry {
         |  SELECT v.id, coalesce(a.lbl, v.id) AS lbl
         |  FROM verts v LEFT JOIN a$i a ON a.vtx = v.id)""".stripMargin)
     }
-    sb.append(s"\nSELECT id, lbl FROM l$k").toString
+    sb.append(
+      if (finalSql == null) s"\nSELECT id, lbl FROM l$k" else finalSql)
+      .toString
+  }
+
+  /** Oracle for g35: the g22 LPA chain run to the same k, then Newman
+    * modularity from EXACT integer sufficient sums (intra-edge count and
+    * Σ_c D_c² — the g29 closed-form discipline; the one double division
+    * happens once, rounded at 9).
+    */
+  private def modularitySql(k: Int): String =
+    lpaSqlOver(
+      portableGraphSql(400, 1200, "g22"), k,
+      s""",
+         |me AS MATERIALIZED (
+         |  SELECT count(*) AS m_edges,
+         |    CAST(sum(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS intra_edges
+         |  FROM ue e JOIN l$k a ON a.id = e.u JOIN l$k b ON b.id = e.v),
+         |dc AS MATERIALIZED (
+         |  SELECT l.lbl, count(*) AS dc
+         |  FROM (SELECT u AS id FROM ue UNION ALL SELECT v FROM ue) x
+         |  JOIN l$k l ON l.id = x.id GROUP BY 1),
+         |ds AS (SELECT count(*) AS n_comms,
+         |       CAST(sum(dc*dc) AS BIGINT) AS sum_deg_sq FROM dc)
+         |SELECT ds.n_comms, me.m_edges, me.intra_edges, ds.sum_deg_sq,
+         |  round(CAST(me.intra_edges AS DOUBLE)/me.m_edges
+         |      - CAST(ds.sum_deg_sq AS DOUBLE)/(4.0*me.m_edges*me.m_edges), 9)
+         |    AS q_r
+         |FROM me, ds""".stripMargin)
+
+  /** Oracle for g36: the walk recurrence unrolled — a row_numbered
+    * deduped adjacency (neighbors ranked by dst ascending, exactly the
+    * engine's array_sort order) and, per step, the SAME md5 draw
+    * `H(walk_id:step:salt) mod outdeg` selecting rank H+1. Walks at
+    * sinks simply drop out of later step CTEs (inner join), matching
+    * the engine's early stop.
+    */
+  private def walksSql(
+      nV: Long, nE: Long, salt: String, len: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
+    sb ++=
+      s"""e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM e),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |w0 AS MATERIALIZED (SELECT id AS walk_id, id AS vtx FROM verts)""".stripMargin
+    for (i <- 1 to len) {
+      sb ++= s""",
+         |w$i AS MATERIALIZED (
+         |  SELECT w.walk_id, a.dst AS vtx
+         |  FROM w${i - 1} w JOIN adj a ON a.src = w.vtx
+         |    AND a.rn = CAST(concat('0x', substr(md5(concat(
+         |          CAST(w.walk_id AS VARCHAR), ':', '$i', ':', '$salt')),
+         |        1, 8)) AS BIGINT) % a.deg + 1)""".stripMargin
+    }
+    sb ++= (0 to len).map(i =>
+      s"SELECT walk_id, $i AS step, vtx FROM w$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
   }
 
   /** Oracle for g23: unrolled k-round Bellman–Ford over the SYMMETRIZED
@@ -837,6 +902,42 @@ object SparkEntry {
       GraphBuilder.kTruss(
         graft.sources.SyntheticGraph.portable(s, 200, 1600, "g32"),
         k = 4, rounds = 6)),
+    "g34_linkpred" -> ((s, dir) =>
+      // link prediction: top-50 non-adjacent distance-2 pairs by
+      // Adamic–Adar, with common-neighbor count and neighborhood
+      // Jaccard riding the same wedge aggregate. cn/jac are exact
+      // integers/rationals; aa is a float sum rounded at 6 (the d23
+      // discipline) — the oracle recomputes every score.
+      GraphBuilder.linkPrediction(
+        graft.sources.SyntheticGraph.portable(s, 400, 1200, "g34"),
+        topN = 50)),
+    "g35_modularity" -> { (s, dir) =>
+      // Newman modularity of the g22 LPA partition on the SAME fixture —
+      // the quality score that closes the community-detection loop
+      // (detect with g22, judge with g35). Integer sufficient sums
+      // (intra edges, Σ D_c²) + ONE closed-form division ⇒ hash-exact
+      // (the g29 discipline); the oracle re-runs the LPA chain and the
+      // same sums.
+      val e = graft.sources.SyntheticGraph.portable(s, 400, 1200, "g22")
+      GraphBuilder.modularity(e, GraphBuilder.labelPropagation(e, 3))
+    },
+    "g36_walks" -> ((s, dir) =>
+      // deterministic random-walk corpus (DeepWalk/node2vec data prep):
+      // one walk per vertex, 8 steps, every step drawn by the portable
+      // md5 hash over the sorted neighbor list — the d12/d21 sampling
+      // discipline applied to traversal, so the oracle regenerates
+      // every step with a row_numbered adjacency join. Walks stop at
+      // sinks; per-step cost is one |walks|-row exchange against the
+      // once-partitioned adjacency.
+      graft.operators.Walks.randomWalks(
+        graft.sources.SyntheticGraph.portable(s, 300, 900, "g36"),
+        len = 8, salt = "g36")),
+    "g37_clustering" -> ((s, dir) =>
+      // per-vertex local clustering coefficient: g16's degree-ordered
+      // triangle census + one |V|-sized degree join; lcc = 2·tri/(d(d−1))
+      // is a single exact integer division (round 9, no float sums)
+      GraphBuilder.clusteringCoefficients(
+        graft.sources.SyntheticGraph.portable(s, 300, 1500, "g37"))),
     "d29_collocations" -> ((s, dir) =>
       // Church–Hanks PMI collocations: top-20 adjacent token pairs by
       // pointwise mutual information with a min-count floor — the
@@ -885,6 +986,30 @@ object SparkEntry {
       // window per user serves the fill.
       graft.operators.TemporalJoins.gapFillHourly(
         graft.sources.Tables.events(s, dir))),
+    "q29_funnel" -> { (s, dir) =>
+      // ordered event funnel (view → click → purchase, strictly later
+      // at each stage — the product-analytics sequential pattern):
+      // each stage is one map-side-combined min(ts) aggregate keyed on
+      // user, joined to the previous stage's |users|-sized frame; no
+      // windows, no per-user sort, all-integer output
+      val ev = graft.sources.Tables.events(s, dir)
+      val v1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val v2 = ev.filter(col("event_type") === "click")
+        .join(v1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val v3 = ev.filter(col("event_type") === "purchase")
+        .join(v2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.agg(countDistinct(col("user_id")).as("users"))
+        .select(lit("0_all").as("stage"), col("users"))
+        .union(v1.agg(count("*").as("users"))
+          .select(lit("1_view").as("stage"), col("users")))
+        .union(v2.agg(count("*").as("users"))
+          .select(lit("2_click").as("stage"), col("users")))
+        .union(v3.agg(count("*").as("users"))
+          .select(lit("3_purchase").as("stage"), col("users")))
+    },
     "g31_scc" -> ((s, dir) =>
       // STRONGLY connected components (g15 is the weak/undirected
       // form): iterated forward/backward min-label settling on a sparse
@@ -1540,6 +1665,22 @@ object SparkEntry {
       }
     },
 
+    "e17_range_search" -> { (s, dir) =>
+      // EXACT radius search with triangle-inequality list pruning: every
+      // vector with rounded cos ≥ 0.25 to probe 0 — lists whose centroid
+      // angle minus their max member angle exceeds acos(τ) provably hold
+      // no match and are never scanned. The oracle brute-forces the
+      // identical predicate, so the result is hash-locked, not
+      // recall-tested. On THIS corpus (diffuse, list radii ≈ 1.4 rad)
+      // the bound keeps every list — the query certifies exactness; the
+      // prune's bite is asserted on a clustered fixture in the spec,
+      // the regime a near-dup embedding index actually lives in.
+      val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), nList = 16)
+      val out = graft.operators.CacheScope.sealAfter(
+        Similarity.probeIvfRange(idx, probeId = 0L, minCos = 0.25))
+      idx.release()
+      out
+    },
     "e8_quantize" -> ((s, dir) =>
       // per-dimension scalar int8 quantization (the ANN-corpus
       // compression step), exploded to scalar rows so every code is
@@ -2228,6 +2369,12 @@ object SparkEntry {
       // shards order in parallel, no global sort; the full permutation
       // is hash-checked
       Sampling.trainingOrder(t(s, dir, "documents"), numShards = 8)),
+    "d30_token_budget" -> ((s, dir) =>
+      // TOKEN-budget subsampling (mixtures are specified in tokens, not
+      // docs): per source, docs taken in md5-hash order until the
+      // source's cumulative token count crosses the budget — ONE window
+      // per source, every cum/keep decision recomputed by DuckDB
+      Sampling.tokenBudgetSample(t(s, dir, "documents"), budget = 500)),
     "d23_lm_score" -> ((s, dir) =>
       // model-based quality scoring: corpus-trained add-one-smoothed
       // bigram LM, each doc scored by mean conditional log-probability
@@ -2528,6 +2675,58 @@ object SparkEntry {
          |FROM reach r1 JOIN reach r2 ON r1.w = r2.u AND r2.w = r1.u
          |GROUP BY r1.u""".stripMargin,
     "g32_ktruss" -> kTrussOracleSql(200, 1600, "g32", k = 4, rounds = 6),
+    "g34_linkpred" ->
+      s"""WITH ${portableGraphSql(400, 1200, "g34")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue
+         |  UNION ALL SELECT v, u FROM ue),
+         |deg AS MATERIALIZED (SELECT vtx, count(*) AS d FROM und GROUP BY 1),
+         |wd AS MATERIALIZED (
+         |  SELECT und.vtx, und.nbr, deg.d FROM und JOIN deg USING (vtx)),
+         |pairs AS MATERIALIZED (
+         |  SELECT l.nbr AS a, r.nbr AS b, count(*) AS cn,
+         |    sum(1.0/ln(l.d)) AS aa
+         |  FROM wd l JOIN wd r ON l.vtx = r.vtx AND l.nbr < r.nbr
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT p.* FROM pairs p
+         |  LEFT JOIN ue ON ue.u = p.a AND ue.v = p.b
+         |  WHERE ue.u IS NULL)
+         |SELECT a AS u, b AS v, cn,
+         |  round(CAST(cn AS DOUBLE)/(da.d + db.d - cn), 9) AS jac_r,
+         |  round(aa, 6) AS aa_r
+         |FROM cand
+         |JOIN deg da ON da.vtx = cand.a
+         |JOIN deg db ON db.vtx = cand.b
+         |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
+    "g35_modularity" -> modularitySql(3),
+    "g36_walks" -> walksSql(300, 900, "g36", len = 8),
+    "g37_clustering" ->
+      s"""WITH ${portableGraphSql(300, 1500, "g37")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue
+         |  UNION ALL SELECT v, u FROM ue),
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |deg AS MATERIALIZED (SELECT vtx AS id, count(*) AS deg
+         |  FROM und GROUP BY 1),
+         |tri AS MATERIALIZED (
+         |  SELECT w.vtx AS id, count(*) AS t
+         |  FROM und w
+         |  JOIN und x ON x.vtx = w.vtx AND w.nbr < x.nbr
+         |  JOIN ue e ON e.u = w.nbr AND e.v = x.nbr
+         |  GROUP BY 1)
+         |SELECT v.id,
+         |  CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+         |  CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+         |  CASE WHEN coalesce(d.deg, 0) >= 2
+         |    THEN round(2.0*coalesce(t.t, 0)/(d.deg*(d.deg - 1)), 9)
+         |    ELSE 0.0 END AS lcc_r
+         |FROM verts v
+         |LEFT JOIN tri t ON t.id = v.id
+         |LEFT JOIN deg d ON d.id = v.id""".stripMargin,
     "g33_harmonic" ->
       // exact depth-bounded harmonic centrality: per-source counts of
       // vertices at each exact distance (integers — order-free), then
@@ -2583,6 +2782,24 @@ object SparkEntry {
         |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_str,
         |  round(v, 2) AS filled_value
         |FROM f""".stripMargin,
+    "q29_funnel" ->
+      // same staged minima: each stage's min(ts) must be STRICTLY later
+      // than the previous stage's
+      """WITH v1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |v2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v1 ON v1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v1.t1 GROUP BY 1),
+        |v3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN v2 ON v2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v2.t2 GROUP BY 1)
+        |SELECT '0_all' AS stage, count(DISTINCT user_id) AS users FROM events
+        |UNION ALL SELECT '1_view', count(*) FROM v1
+        |UNION ALL SELECT '2_click', count(*) FROM v2
+        |UNION ALL SELECT '3_purchase', count(*) FROM v3""".stripMargin,
     "d29_collocations" ->
       // same count tables, same PMI expression tree (cb/B)/((c1/N)(c2/N)),
       // same (rounded pmi, t1, t2) top-20 boundary
@@ -2889,6 +3106,25 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
         |FROM s""".stripMargin,
+    "d30_token_budget" ->
+      // same md5 within-source order, same inclusive cumulative token
+      // sum and boundary-crossing keep rule (prev cum < budget)
+      """WITH tb AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5(concat('tokbudget-v1', ':', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tb)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens,
+        |  CASE WHEN cum - n_tokens < 500 THEN 1 ELSE 0 END AS kept
+        |FROM c""".stripMargin,
     "d23_lm_score" ->
       // same corpus-trained add-one bigram LM: unigram/bigram counts and
       // V from the full token stream, pairs (tk[i], tk[i+1]), score =
@@ -3655,6 +3891,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id
         |                       ORDER BY cos_sim DESC, vec_id) AS rn
         |  FROM r) WHERE rn <= 10""".stripMargin,
+    "e17_range_search" ->
+      // brute force over the SAME predicate the pruned engine path
+      // answers exactly: rounded cosine ≥ τ, probe excluded — the
+      // triangle-inequality prune is provably lossless, so the hash gate
+      // locks it (vs the recall-tested approximate probes)
+      """WITH probe AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, cos_sim FROM (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                 (SELECT p FROM probe)), 6) AS cos_sim
+        |  FROM embeddings WHERE vec_id <> 0)
+        |WHERE cos_sim >= 0.25""".stripMargin,
     "e1_knn_probe" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)

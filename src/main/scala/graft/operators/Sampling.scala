@@ -171,6 +171,45 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** TOKEN-BUDGET subsampling (how pretraining mixtures are actually
+    * specified — "N tokens of source s", not "N documents"): within each
+    * source, documents are taken in deterministic md5-hash order until
+    * the source's cumulative TOKEN count reaches `budget`; the first doc
+    * that would cross the budget is the last kept (budgets cut between
+    * docs, so each source lands in [budget, budget + maxDocTokens)).
+    * Hash order (not id order) makes the kept set an unbiased sample of
+    * the source and redrawable via `salt` — the d12/d22 discipline with
+    * a token-denominated quota.
+    *
+    * ONE window exchange partitioned by source — sources budget in
+    * parallel, no global sort; the token count is a stateless projection
+    * on the same pass. Output: `doc_id, <shardCol>, n_tokens,
+    * cum_tokens (inclusive), kept (0/1)` — kept AND dropped rows ship so
+    * the caller can audit the realized budget.
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budget: Long,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = "tokbudget-v1"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val h = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col(idCol), col(shardCol),
+        TextOps.tokenCount(col("text")).as("n_tokens"), h.as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col(idCol), col(shardCol), col("n_tokens"), col("cum_tokens"),
+        // kept iff the PREVIOUS cumulative total was still under budget:
+        // the boundary-crossing doc is kept, everything after is not
+        when(col("cum_tokens") - col("n_tokens") < budget, lit(1))
+          .otherwise(lit(0)).as("kept"))
+  }
+
   /** The MATERIALIZED form of [[packSequences]]: each document exploded
     * into its per-sequence pieces — a document whose token stream
     * straddles one or more `budget` boundaries is cut at each, so

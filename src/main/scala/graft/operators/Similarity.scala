@@ -309,6 +309,27 @@ object Similarity {
       private[operators] val centroids: DataFrame,
       val nList: Int) {
     def release(): Unit = { assigned.unpersist(false); () }
+
+    /** Per-list bounding radius: the max ANGLE from a list's centroid to
+      * any of its members. One scan of the assigned frame, collected to
+      * ≤ nList doubles (driver-bounded like every centroid collect) and
+      * memoized on the handle — the build-time statistic that makes
+      * EXACT radius search prunable ([[Similarity.probeIvfRange]]).
+      */
+    private[operators] lazy val listMaxAngle: Map[Long, Double] =
+      assigned
+        .join(centroids, Seq("c_id"))
+        .select(
+          col("c_id"),
+          acos(greatest(lit(-1.0), least(lit(1.0),
+            Similarity.cosinePre(
+              col("e"), col("c_emb"), col("nrm"), col("c_nrm")))))
+            .as("ang"))
+        .groupBy(col("c_id"))
+        .agg(max(col("ang")).as("max_ang"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .toMap
   }
 
   /** Build an [[IvfIndex]]: a deterministic coarse quantizer — stride
@@ -431,6 +452,92 @@ object Similarity {
           6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** EXACT radius (range) search against a prebuilt [[IvfIndex]]: every
+    * vector with `round(cos, 6) ≥ minCos` to the probe — with inverted
+    * lists PRUNED by the spherical triangle inequality, so exactness
+    * costs less than a full scan: a list whose centroid is at angle
+    * `θ(q,c)` from the probe and whose members all lie within `maxAng(c)`
+    * of the centroid can only contain matches if
+    * `θ(q,c) − maxAng(c) ≤ acos(minCos)`; any list failing that bound
+    * (with 1e-9 slack for the acos round-trip) provably holds no match
+    * and is never scanned. The bound uses the build-time per-list radius
+    * ([[IvfIndex.listMaxAngle]], nList doubles on the driver), the
+    * decision is a literal `c_id IN (...)` — on the partitioned disk
+    * layout that is partition-directory pruning, which is what makes
+    * exact radius search affordable on a 100 TB index (clustered data ⇒
+    * tight list radii ⇒ most lists skipped; worst case degrades to the
+    * full scan, never below exactness). Unlike the kNN probes this is
+    * NOT approximate: the oracle brute-forces the same predicate.
+    * Output: `vec_id, cos_sim` for every match (probe excluded).
+    */
+  def probeIvfRange(
+      index: IvfIndex, probeId: Long, minCos: Double): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val probeVec = index.assigned.filter(col("vec_id") === probeId)
+      .select(col("e").as("probe_e"), col("nrm").as("probe_nrm"))
+    // the output filter keeps ROUNDED cos >= minCos, so a true cosine as
+    // low as minCos - 5e-7 can round into the result — the prune bound
+    // covers that margin (plus acos round-trip slack) before it cuts
+    val thetaTau = math.acos(math.max(-1.0, math.min(1.0, minCos - 1e-6)))
+    // driver-side prune decision: nList rows ranked against the probe
+    val centAngles = probeVec
+      .crossJoin(index.centroids)
+      .select(
+        col("c_id"),
+        acos(greatest(lit(-1.0), least(lit(1.0),
+          cosinePre(
+            col("probe_e"), col("c_emb"), col("probe_nrm"), col("c_nrm")))))
+          .as("ang"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val keep = centAngles.collect {
+      case (cId, ang)
+          if ang - index.listMaxAngle.getOrElse(cId, math.Pi) <=
+            thetaTau + 1e-9 => cId
+    }.toSeq
+    if (keep.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Double)].toDF("vec_id", "cos_sim")
+    } else
+      index.assigned
+        .filter(col("c_id").isin(keep: _*)) // literal IN → partition pruning
+        .filter(col("vec_id") =!= probeId)
+        .crossJoin(broadcast(probeVec))
+        .select(
+          col("vec_id"),
+          round(
+            cosinePre(col("e"), col("probe_e"), col("nrm"), col("probe_nrm")),
+            6).as("cos_sim"))
+        .filter(col("cos_sim") >= minCos)
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+  }
+
+  /** The number of inverted lists [[probeIvfRange]] would scan for this
+    * probe/threshold — exposed so specs (and capacity planning) can
+    * assert the prune actually bites without reaching into internals.
+    */
+  def rangeListsScanned(
+      index: IvfIndex, probeId: Long, minCos: Double): Int = {
+    val probeVec = index.assigned.filter(col("vec_id") === probeId)
+      .select(col("e").as("probe_e"), col("nrm").as("probe_nrm"))
+    // the output filter keeps ROUNDED cos >= minCos, so a true cosine as
+    // low as minCos - 5e-7 can round into the result — the prune bound
+    // covers that margin (plus acos round-trip slack) before it cuts
+    val thetaTau = math.acos(math.max(-1.0, math.min(1.0, minCos - 1e-6)))
+    probeVec
+      .crossJoin(index.centroids)
+      .select(
+        col("c_id"),
+        acos(greatest(lit(-1.0), least(lit(1.0),
+          cosinePre(
+            col("probe_e"), col("c_emb"), col("probe_nrm"), col("c_nrm")))))
+          .as("ang"))
+      .collect()
+      .count(r =>
+        r.getDouble(1) - index.listMaxAngle.getOrElse(r.getLong(0), math.Pi)
+          <= thetaTau + 1e-9)
   }
 
   /** BATCHED probe of a prebuilt [[IvfIndex]]: top-k for a SET of query

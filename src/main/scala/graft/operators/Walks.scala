@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-walk corpus generation (the DeepWalk/node2vec
+  * data-prep stage: walks ARE the training sentences a graph-embedding
+  * model consumes, so this is the graph-side twin of the text-pipeline's
+  * corpus builders).
+  *
+  * Every walk step is drawn by a PORTABLE md5 hash instead of an RNG —
+  * `next = sortedNeighbors[ H(walk_id, step, salt) mod outdeg ]` — so the
+  * whole corpus is reproducible under any partitioning, any cluster size,
+  * and any other engine that can evaluate md5 (the d12/d21/d22 sampling
+  * discipline applied to graph traversal; an oracle regenerates every
+  * step with a row_numbered adjacency join). Walks stop early at dangling
+  * vertices (no out-edges), mirroring how walk generators handle sinks
+  * when teleport is off.
+  *
+  * Scale shape: the DEDUPED adjacency (src, sorted outlinks) is built and
+  * hash-partitioned ONCE (one edge-sized exchange total); each of the
+  * `len` steps is one join of the walk-state frame against it — the
+  * exchange per step carries |walks| rows (one per live walk), NEVER
+  * edge-sized rows, and the state only shrinks as walks hit sinks. The
+  * path rides in the state row as a growing array (len is small and
+  * bounded by contract), exploded once at the end; per-step lineage is
+  * cut with the same eager localCheckpoint rotation as the PageRank loop.
+  * At 100 TB the corpus cost is Σ_steps |walks| shuffled longs — the
+  * minimum any per-walk sequential process pays.
+  */
+object Walks {
+
+  /** One walk per vertex of `edges`' vertex universe, `len` steps (or
+    * fewer where a walk reaches a sink). Output, exploded:
+    * `walk_id LONG, step INT, vtx LONG` — step 0 is the start vertex.
+    */
+  def randomWalks(edges: DataFrame, len: Int, salt: String): DataFrame = {
+    require(len >= 1, "len must be >= 1")
+    // deduped directed adjacency, neighbors sorted ascending so the
+    // modular index is well-defined cross-engine; self-loops are legal
+    // walk steps and stay
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphBuilder.vertices(edges)
+    // state: (walk_id, cur, path); done walks (cur at a sink) leave the
+    // live frame but keep their path in `done`
+    var live = verts.select(
+      col("id").as("walk_id"), col("id").as("cur"),
+      array(col("id")).as("path"))
+    // every step's checkpoint stays alive until the final seal: the
+    // done-walk slices keep referencing it, and len is small by contract
+    // (a walk corpus is tens of steps, not thousands) — blocks are freed
+    // by the ContextCleaner once the sealed result drops the references
+    val doneParts = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (step <- 1 to len) {
+      val stepped = walkStep(adj, live, step, salt)
+        .localCheckpoint() // eager: truncates the per-step lineage
+      doneParts += stepped.filter(col("next").isNull)
+        .select(col("walk_id"), col("path"))
+      live = stepped.filter(col("next").isNotNull)
+        .select(
+          col("walk_id"), col("next").as("cur"),
+          concat(col("path"), array(col("next"))).as("path"))
+    }
+    val all = (doneParts :+ live.select(col("walk_id"), col("path")))
+      .reduce(_ union _)
+    val out = all
+      .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "vtx")))
+    CacheScope.sealAfter(out, adj)
+  }
+
+  /** One walk step: advance every live walk by its md5 draw —
+    * `H(walk_id:step:salt)` is the first 8 md5 hex chars as an unsigned
+    * 32-bit int (the portable-fixture hash, regenerable in any engine
+    * with md5 + substring + base conversion), selecting the
+    * `H mod outdeg`-th sorted neighbor. Walks at sinks surface
+    * `next = NULL`. Plan-audited in PlanSpec: the cached src-partitioned
+    * adjacency never re-exchanges — only the |walks|-sized state moves.
+    */
+  private[graft] def walkStep(
+      adj: DataFrame, live: DataFrame, step: Int, salt: String): DataFrame = {
+    val h = conv(
+      substring(
+        md5(concat_ws(":",
+          col("walk_id").cast("string"), lit(step.toString), lit(salt))),
+        1, 8),
+      16, 10).cast("long")
+    live
+      .join(adj, col("cur") === col("src"), "left_outer")
+      .select(
+        col("walk_id"),
+        when(col("nbrs").isNotNull,
+          element_at(col("nbrs"), (pmod(h, size(col("nbrs"))) + 1)
+            .cast("int")))
+          .as("next"),
+        col("path"))
+  }
+}

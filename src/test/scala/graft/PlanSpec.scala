@@ -420,4 +420,30 @@ class PlanSpec extends AnyFunSuite {
       assert(pHub.toString.contains("partial_sum"), pHub.toString)
     } finally { eSrc.unpersist(); eDst.unpersist() }
   }
+
+  test("g36 walk step: cached adjacency never re-exchanges, only the state moves") {
+    import org.apache.spark.sql.functions.{array, col}
+    val edges = graft.sources.SyntheticGraph.portable(spark, 300, 900, "g36")
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src"))
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src"))
+      .persist()
+    try {
+      adj.count() // populate the cache the audit walks
+      val live = graft.operators.GraphBuilder.vertices(edges).select(
+        col("id").as("walk_id"), col("id").as("cur"),
+        array(col("id")).as("path"))
+      val p = concretePlan(graft.operators.Walks.walkStep(adj, live, 1, "g36"))
+      assert(!reshufflesCachedRows(p), p.toString)
+    } finally adj.unpersist()
+  }
+
+  test("d30 token budget is ONE window exchange on the source key") {
+    val p = plan("d30_token_budget")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
 }

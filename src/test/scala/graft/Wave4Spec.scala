@@ -1,0 +1,275 @@
+package graft
+
+import graft.operators.{GraphBuilder, Sampling, Similarity, Walks}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 wave: link prediction (g34), modularity (g35), random walks
+  * (g36), clustering coefficients (g37), exact pruned radius search
+  * (e17), token-budget sampling (d30), event funnel (q29).
+  */
+class LinkPredictionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("4-cycle: both diagonals score cn=2, jac=1, aa=2/ln2") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val got = GraphBuilder.linkPrediction(e, topN = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val aa = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSet == Set((0L, 2L, 2L, 1.0, aa), (1L, 3L, 2L, 1.0, aa)))
+  }
+
+  test("adjacent pairs are excluded; hub middle contributes 1/ln(deg)") {
+    val sp = spark
+    import sp.implicits._
+    // star 0-{1,2,3} plus edge 1-2: (1,2) adjacent → excluded even
+    // though they share middle 0; (1,3) and (2,3) are candidates
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = GraphBuilder.linkPrediction(e, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (2L, 3L)))
+  }
+}
+
+class ModularitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("two triangles bridged by one edge, natural split: Q = 5/14") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L)).toDF("src", "dst")
+    val lbl = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 1L), (4L, 1L), (5L, 1L)).toDF("id", "lbl")
+    val r = GraphBuilder.modularity(e, lbl).collect().head
+    assert(r.getAs[Long]("n_comms") == 2L)
+    assert(r.getAs[Long]("m_edges") == 7L)
+    assert(r.getAs[Long]("intra_edges") == 6L)
+    assert(r.getAs[Long]("sum_deg_sq") == 98L)
+    // 6/7 − 98/(4·49) = 0.357142857
+    assert(r.getAs[Double]("q_r") == 0.357142857)
+  }
+
+  test("everything in one community scores Q = 0") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val lbl = Seq((0L, 7L), (1L, 7L), (2L, 7L)).toDF("id", "lbl")
+    val r = GraphBuilder.modularity(e, lbl).collect().head
+    // intra/m = 1, ΣD² = 36, 4m² = 36 ⇒ Q = 1 − 1 = 0
+    assert(r.getAs[Double]("q_r") == 0.0)
+  }
+}
+
+class WalksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("walks start at each vertex, follow edges, stop at sinks") {
+    val sp = spark
+    import sp.implicits._
+    // 0→1→2, 2 is a sink; 3→3 self-loop walks forever
+    val e = Seq((0L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst")
+    val got = Walks.randomWalks(e, len = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byWalk = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(byWalk(0L) == List(0L, 1L, 2L)) // deterministic chain, stops
+    assert(byWalk(1L) == List(1L, 2L))
+    assert(byWalk(2L) == List(2L)) // sink: step 0 only
+    assert(byWalk(3L) == List(3L, 3L, 3L, 3L, 3L)) // self-loop, full len
+  }
+
+  test("every step follows an existing edge; reruns are identical") {
+    val sp = spark
+    import sp.implicits._
+    val e = graft.sources.SyntheticGraph.portable(sp, 50, 200, "wtest")
+    val edgeSet = e.select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Walks.randomWalks(e, len = 5, salt = "w1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    assert(a.toSet == run().toSet) // deterministic
+    val byWalk = a.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    byWalk.values.foreach { path =>
+      path.sliding(2).foreach {
+        case List(u, v) => assert(edgeSet.contains((u, v)))
+        case _          => ()
+      }
+    }
+    // a different salt redraws at least one walk on this fixture
+    val b = Walks.randomWalks(e, len = 5, salt = "w2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSet != b.toSet)
+  }
+}
+
+class ClusteringCoeffSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("triangle with a pendant: lcc 1/3 at the junction, 1 in it, 0 leaf") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)).toDF("src", "dst")
+    val got = GraphBuilder.clusteringCoefficients(e)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((1L, 3L, 0.333333333)))
+    assert(got(1L) == ((1L, 2L, 1.0)))
+    assert(got(2L) == ((1L, 2L, 1.0)))
+    assert(got(3L) == ((0L, 1L, 0.0)))
+  }
+}
+
+class RangeSearchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("pruned radius search is EXACT vs brute force, and the prune bites") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = Similarity.buildIvfIndex(emb, nList = 8)
+    try {
+      val tau = 0.2
+      val got = Similarity.probeIvfRange(idx, probeId = 0L, minCos = tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // brute force over the same rounded predicate
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      val probe = e.filter(col("vec_id") === 0L)
+        .select(col("e").as("p")).crossJoin(e.filter(col("vec_id") =!= 0L))
+      val want = probe
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("e"), col("p")), 6).as("c"))
+        .filter(col("c") >= tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want)
+      assert(want.nonEmpty) // a vacuous equality would prove nothing
+      // this corpus is diffuse (list radii ≈ 1.4 rad), so the bound
+      // cannot prune here — exactness is the claim on this data; the
+      // prune's bite is proven on the clustered fixture below
+      assert(Similarity.rangeListsScanned(idx, 0L, tau) == idx.nList)
+    } finally idx.release()
+  }
+
+  test("on clustered data the triangle bound skips far lists, still exact") {
+    val sp = spark
+    import sp.implicits._
+    // 4 orthogonal blobs in 8-dim: unit axis centers + a small
+    // deterministic per-id perturbation — the tight-radius regime a
+    // real embedding index lives in (near-dup corpora cluster hard)
+    val dim = 8
+    val rows = (0 until 200).map { i =>
+      val blob = i % 4
+      val v = Array.tabulate(dim) { d =>
+        val h = ((i * 31 + d * 7) % 13 - 6) / 60.0f // in [-0.1, 0.1]
+        (if (d == blob) 1.0f else 0.0f) + h
+      }
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(emb, nList = 4)
+    try {
+      val tau = 0.8
+      val got = Similarity.probeIvfRange(idx, probeId = 0L, minCos = tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      val want = e.filter(col("vec_id") === 0L).select(col("e").as("p"))
+        .crossJoin(e.filter(col("vec_id") =!= 0L))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("e"), col("p")), 6).as("c"))
+        .filter(col("c") >= tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+      assert(Similarity.rangeListsScanned(idx, 0L, tau) < idx.nList)
+    } finally idx.release()
+  }
+}
+
+class TokenBudgetSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("budget cuts in hash order; crossing doc kept; audit columns exact") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "s", "a b c"),        // 3 tokens
+      (2L, "s", "d e f g"),      // 4
+      (3L, "s", "h i"),          // 2
+      (4L, "s", "j k l m n")     // 5
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.tokenBudgetSample(docs, budget = 6, shardCol = "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // reconstruct the expected hash order with the same draw
+    val order = Seq(1L, 2L, 3L, 4L).map { id =>
+      id -> java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tokbudget-v1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.sortBy(_._2).map(_._1)
+    val nTok = Map(1L -> 3L, 2L -> 4L, 3L -> 2L, 4L -> 5L)
+    var cum = 0L
+    val expect = order.map { id =>
+      val kept = if (cum < 6) 1 else 0
+      cum += nTok(id)
+      (id, nTok(id), cum, kept)
+    }.toSet
+    assert(out.toSet == expect)
+    // invariant: the kept set is a prefix of the hash order and its
+    // token total crosses the budget exactly once
+    val keptTok = out.filter(_._4 == 1).map(_._2).sum
+    assert(keptTok >= 6 || out.forall(_._4 == 1))
+  }
+}
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("funnel counts are monotone non-increasing down the stages") {
+    val got = SparkEntry.queries("q29_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet ==
+      Set("0_all", "1_view", "2_click", "3_purchase"))
+    assert(got("0_all") >= got("1_view"))
+    assert(got("1_view") >= got("2_click"))
+    assert(got("2_click") >= got("3_purchase"))
+    assert(got("1_view") > 0L)
+  }
+
+  test("strict ordering: a click before the first view does not count") {
+    val sp = spark
+    import sp.implicits._
+    // build a micro events frame through the same SQL shape by hand:
+    // user 1 clicks BEFORE viewing → reaches stage 1 only
+    val ev = Seq(
+      (1L, "click", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-01 01:00:00"),
+      (2L, "purchase", "2024-01-01 02:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val v1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val v2 = ev.filter(col("event_type") === "click")
+      .join(v1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val v3 = ev.filter(col("event_type") === "purchase")
+      .join(v2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    assert(v1.count() == 2 && v2.count() == 1 && v3.count() == 1)
+    assert(v2.collect().head.getLong(0) == 2L)
+  }
+}

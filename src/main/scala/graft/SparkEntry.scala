@@ -214,6 +214,49 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Oracle for g38: [[walksSql]] with the integer inverse-CDF pick —
+    * per-source cumulative weights by window, each step's neighbor is
+    * the row whose `[cumw − w, cumw)` interval contains
+    * `H(walk:step:salt) mod totw`. Weights are the same md5 draw the
+    * engine derives from the edge endpoints.
+    */
+  private def weightedWalksSql(
+      nV: Long, nE: Long, salt: String, wSalt: String, len: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
+    sb ++=
+      s"""ew AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    1 + CAST(concat('0x', substr(md5(concat(
+         |        CAST(src AS VARCHAR), ':', CAST(dst AS VARCHAR),
+         |        ':', '$wSalt')), 1, 8)) AS BIGINT) % 5 AS w
+         |  FROM (SELECT DISTINCT src, dst FROM pe)),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst, w,
+         |    sum(w) OVER (PARTITION BY src ORDER BY dst
+         |      ROWS UNBOUNDED PRECEDING) AS cumw,
+         |    sum(w) OVER (PARTITION BY src) AS totw
+         |  FROM ew),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |w0 AS MATERIALIZED (SELECT id AS walk_id, id AS vtx FROM verts)""".stripMargin
+    for (i <- 1 to len) {
+      val h = s"""CAST(concat('0x', substr(md5(concat(
+         |          CAST(w.walk_id AS VARCHAR), ':', '$i', ':', '$salt')),
+         |        1, 8)) AS BIGINT)""".stripMargin
+      sb ++= s""",
+         |w$i AS MATERIALIZED (
+         |  SELECT w.walk_id, a.dst AS vtx
+         |  FROM w${i - 1} w JOIN adj a ON a.src = w.vtx
+         |    AND $h % a.totw >= a.cumw - a.w
+         |    AND $h % a.totw < a.cumw)""".stripMargin
+    }
+    sb ++= (0 to len).map(i =>
+      s"SELECT walk_id, $i AS step, vtx FROM w$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   /** Oracle for g23: unrolled k-round Bellman–Ford over the SYMMETRIZED
     * weighted co-occurrence graph, seeded at the smallest vertex id.
     * Each round is the engine's exact recurrence (state ∪ relaxed edges,
@@ -938,6 +981,21 @@ object SparkEntry {
       // is a single exact integer division (round 9, no float sums)
       GraphBuilder.clusteringCoefficients(
         graft.sources.SyntheticGraph.portable(s, 300, 1500, "g37"))),
+    "g38_weighted_walks" -> { (s, dir) =>
+      // weighted random walks: transition ∝ integer md5-derived edge
+      // weight via an integer inverse-CDF (hmod lands in a
+      // cumulative-weight interval) — no float thresholds, every step
+      // regenerated by the oracle's window-cumsum join
+      val e = graft.sources.SyntheticGraph.portable(s, 300, 900, "g38")
+        .distinct()
+        .withColumn("w",
+          lit(1L) + pmod(
+            conv(substring(md5(concat_ws(":",
+              col("src").cast("string"), col("dst").cast("string"),
+              lit("g38w"))), 1, 8), 16, 10).cast("long"),
+            lit(5L)))
+      graft.operators.Walks.weightedRandomWalks(e, len = 8, salt = "g38")
+    },
     "d29_collocations" -> ((s, dir) =>
       // Church–Hanks PMI collocations: top-20 adjacent token pairs by
       // pointwise mutual information with a min-count floor — the
@@ -1009,6 +1067,28 @@ object SparkEntry {
           .select(lit("2_click").as("stage"), col("users")))
         .union(v3.agg(count("*").as("users"))
           .select(lit("3_purchase").as("stage"), col("users")))
+    },
+    "q30_retention" -> { (s, dir) =>
+      // cohort retention matrix (the activation dashboard): cohort =
+      // ISO week of a user's first event, cell = distinct users from
+      // that cohort active N weeks later. One first-event aggregate +
+      // one |users|-sized join + one distinct-count aggregate — day
+      // arithmetic on Monday-truncated dates is exactly divisible by 7,
+      // so the offset is integer-exact cross-engine
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(
+          col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(
+          col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("users"))
     },
     "g31_scc" -> ((s, dir) =>
       // STRONGLY connected components (g15 is the weak/undirected
@@ -1681,6 +1761,13 @@ object SparkEntry {
       idx.release()
       out
     },
+    "e18_knn_classify" -> ((s, dir) =>
+      // kNN label classification (weak labeling): majority label of the
+      // exact top-10 per probe, smallest label on vote ties — every
+      // decision deterministic and recomputed by the oracle; the top-k
+      // stage is the bounded aggregate (k rows per probe-partition)
+      Similarity.knnClassify(
+        t(s, dir, "embeddings"), probeIds = (0L until 10L).toSeq, k = 10)),
     "e8_quantize" -> ((s, dir) =>
       // per-dimension scalar int8 quantization (the ANN-corpus
       // compression step), exploded to scalar rows so every code is
@@ -2702,6 +2789,8 @@ object SparkEntry {
          |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "g35_modularity" -> modularitySql(3),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),
+    "g38_weighted_walks" ->
+      weightedWalksSql(300, 900, "g38", "g38w", len = 8),
     "g37_clustering" ->
       s"""WITH ${portableGraphSql(300, 1500, "g37")},
          |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
@@ -2800,6 +2889,18 @@ object SparkEntry {
         |UNION ALL SELECT '1_view', count(*) FROM v1
         |UNION ALL SELECT '2_click', count(*) FROM v2
         |UNION ALL SELECT '3_purchase', count(*) FROM v3""".stripMargin,
+    "q30_retention" ->
+      // same Monday week-truncation; the day delta of Monday-aligned
+      // dates is divisible by 7, so the integer offset is exact both sides
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "d29_collocations" ->
       // same count tables, same PMI expression tree (cb/B)/((c1/N)(c2/N)),
       // same (rounded pmi, t1, t2) top-20 boundary
@@ -3904,6 +4005,29 @@ object SparkEntry {
         |                                 (SELECT p FROM probe)), 6) AS cos_sim
         |  FROM embeddings WHERE vec_id <> 0)
         |WHERE cos_sim >= 0.25""".stripMargin,
+    "e18_knn_classify" ->
+      // same exact top-10 cut (rounded cos, vec_id) and the same
+      // majority/smallest-label argmax, recomputed end to end
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |pf AS (SELECT vec_id AS probe_id, v AS q FROM e
+        |       WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+        |sc AS (
+        |  SELECT pf.probe_id, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, pf.q), 6) AS c
+        |  FROM e, pf WHERE e.vec_id <> pf.probe_id),
+        |top AS (
+        |  SELECT probe_id, label FROM (
+        |    SELECT probe_id, label, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY c DESC, vec_id ASC) AS rn
+        |    FROM sc) WHERE rn <= 10),
+        |v AS (SELECT probe_id, label, count(*) AS votes
+        |      FROM top GROUP BY 1, 2)
+        |SELECT probe_id, CAST(label AS INTEGER) AS pred_label, votes FROM (
+        |  SELECT probe_id, label, votes, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY votes DESC, label ASC) AS rn
+        |  FROM v) WHERE rn = 1""".stripMargin,
     "e1_knn_probe" ->
       """WITH probe AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)

@@ -271,6 +271,31 @@ object Similarity {
         col("t.vec_id").as("vec_id"),
         col("t.cos_sim").as("cos_sim"))
 
+  /** kNN LABEL CLASSIFICATION (the label-propagation / weak-labeling
+    * step of a training-data pipeline: score unlabeled examples by their
+    * nearest labeled neighbors): for each probe, the majority label of
+    * its exact top-k by rounded cosine, ties broken by the SMALLEST
+    * label — every decision deterministic, so the whole prediction is
+    * oracle-checkable, not accuracy-tested. Built on [[knnBatchAgg]]
+    * (bounded top-k aggregate — the exchange carries k rows per
+    * (probe, partition) at any corpus size), one |k·probes|-sized label
+    * join, and an argmax that folds inside the hash aggregate via
+    * max_by (no window sort). Output: `probe_id, pred_label, votes`.
+    */
+  def knnClassify(
+      embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame =
+    knnBatchAgg(embeddings, probeIds, k)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count("*").as("votes"))
+      .groupBy(col("probe_id"))
+      .agg(max_by(
+        struct(col("label"), col("votes")),
+        struct(col("votes"), -col("label"))).as("b"))
+      .select(
+        col("probe_id"), col("b.label").as("pred_label"),
+        col("b.votes").as("votes"))
+
   /** Shared scoring stage of the batched-kNN forms: broadcast the probe
     * set, stream the corpus once, emit rounded (probe_id, vec_id,
     * cos_sim) tuples — norms materialized once per side, never per pair.

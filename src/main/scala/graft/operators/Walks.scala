@@ -72,6 +72,89 @@ object Walks {
     CacheScope.sealAfter(out, adj)
   }
 
+  /** WEIGHTED random walks — [[randomWalks]] with transition probability
+    * ∝ integer edge weight (the node2vec/weighted-DeepWalk sampling
+    * rule), still fully deterministic: the step draw is
+    * `hmod = H(walk:step:salt) mod totalWeight(cur)` and the chosen
+    * neighbor is the one whose cumulative-weight interval
+    * `[cumw − w, cumw)` contains hmod — inverse-CDF sampling with an
+    * integer CDF, so every engine lands on the same neighbor (no float
+    * thresholds anywhere). Duplicate (src, dst) rows merge by summing
+    * weights before the CDF is built.
+    *
+    * Same scale shape as the unweighted form: the adjacency (sorted
+    * neighbor + cumulative-weight arrays per vertex, one window + one
+    * aggregation) is built and partitioned ONCE; each step exchanges
+    * |walks| rows, and the in-row neighbor pick is two codegen'd array
+    * HOFs (filter-count + element_at). Output: `walk_id, step, vtx`.
+    */
+  def weightedRandomWalks(
+      edges: DataFrame, len: Int, salt: String): DataFrame = {
+    require(len >= 1, "len must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("src")).orderBy(col("dst"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer CDF per source: neighbors sorted by dst, cumw strictly
+    // increasing (weights ≥ 1 by contract)
+    val adj = edges
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .withColumn("cumw", sum(col("w")).over(wCum))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("cumw"))))
+        .as("dc"))
+      .select(
+        col("src"),
+        transform(col("dc"), s => s.getField("dst")).as("nbrs"),
+        transform(col("dc"), s => s.getField("cumw")).as("cums"))
+      .withColumn("totw", element_at(col("cums"), -1))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphBuilder.vertices(edges)
+    var live = verts.select(
+      col("id").as("walk_id"), col("id").as("cur"),
+      array(col("id")).as("path"))
+    val doneParts = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (step <- 1 to len) {
+      val stepped = weightedWalkStep(adj, live, step, salt)
+        .localCheckpoint() // eager: truncates the per-step lineage
+      doneParts += stepped.filter(col("next").isNull)
+        .select(col("walk_id"), col("path"))
+      live = stepped.filter(col("next").isNotNull)
+        .select(
+          col("walk_id"), col("next").as("cur"),
+          concat(col("path"), array(col("next"))).as("path"))
+    }
+    val all = (doneParts :+ live.select(col("walk_id"), col("path")))
+      .reduce(_ union _)
+    val out = all
+      .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "vtx")))
+    CacheScope.sealAfter(out, adj)
+  }
+
+  /** One WEIGHTED walk step: `hmod = H mod totw`, neighbor index =
+    * #(cums ≤ hmod) + 1 — the integer inverse-CDF pick, two codegen'd
+    * array HOFs per live walk. Same exchange audit as [[walkStep]].
+    */
+  private[graft] def weightedWalkStep(
+      adj: DataFrame, live: DataFrame, step: Int, salt: String): DataFrame = {
+    val h = conv(
+      substring(
+        md5(concat_ws(":",
+          col("walk_id").cast("string"), lit(step.toString), lit(salt))),
+        1, 8),
+      16, 10).cast("long")
+    val hmod = pmod(h, col("totw"))
+    live
+      .join(adj, col("cur") === col("src"), "left_outer")
+      .select(
+        col("walk_id"),
+        when(col("nbrs").isNotNull,
+          element_at(col("nbrs"),
+            (size(filter(col("cums"), c => c <= hmod)) + 1).cast("int")))
+          .as("next"),
+        col("path"))
+  }
+
   /** One walk step: advance every live walk by its md5 draw —
     * `H(walk_id:step:salt)` is the first 8 md5 hex chars as an unsigned
     * 32-bit int (the portable-fixture hash, regenerable in any engine

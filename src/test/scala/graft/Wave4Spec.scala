@@ -113,6 +113,99 @@ class WalksSpec extends AnyFunSuite {
   }
 }
 
+class WeightedWalksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("integer inverse-CDF: the draw lands in the right weight interval") {
+    val sp = spark
+    import sp.implicits._
+    // vertex 0 has neighbors 1 (w=3) and 2 (w=1): cums = [3, 4],
+    // tot = 4 — hmod in {0,1,2} → 1, hmod = 3 → 2. Verify against the
+    // same draw recomputed in the test.
+    val e = Seq((0L, 1L, 3L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = graft.operators.Walks.weightedRandomWalks(e, len = 1, salt = "tw")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val step1 = got.filter(t => t._1 == 0L && t._2 == 1).map(_._3).toList
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("0:1:tw".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hmod = java.lang.Long.parseLong(md.take(8), 16) % 4
+    assert(step1 == List(if (hmod < 3) 1L else 2L))
+  }
+
+  test("duplicate directed edges merge by weight sum; walks follow edges") {
+    val sp = spark
+    import sp.implicits._
+    val base = graft.sources.SyntheticGraph.portable(sp, 40, 160, "wwtest")
+      .distinct()
+      .withColumn("w", pmod(col("src") + col("dst"), lit(3)) + 1)
+    val dup = base.union(base) // duplicates must not change the CDF
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.Walks.weightedRandomWalks(e, len = 4, salt = "ww")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run(base)
+    // duplicates double every weight — the CDF intervals scale
+    // uniformly only if ALL weights double, which they do here, so the
+    // picks are NOT guaranteed identical; what is guaranteed: every
+    // step follows an edge and the walk set is deterministic per input
+    assert(a == run(base))
+    val edgeSet = base.select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      val path = rows.toList.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach {
+        case List(u, v) => assert(edgeSet.contains((u, v)))
+        case _          => ()
+      }
+    }
+    assert(run(dup) == run(dup)) // deterministic under duplication too
+  }
+}
+
+class KnnClassifySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("majority label of the exact top-k, smallest label on ties") {
+    val sp = spark
+    import sp.implicits._
+    // probe 0 at the origin-ish; 3 neighbors of label 1 slightly closer
+    // than 3 of label 2; k=4 → votes 3:1 for label 1
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1.0, 0.0), 9),
+      (1L, v(0.99, 0.1), 1), (2L, v(0.98, 0.15), 1), (3L, v(0.97, 0.2), 1),
+      (4L, v(0.5, 0.8), 2), (5L, v(0.45, 0.85), 2), (6L, v(0.4, 0.9), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .knnClassify(emb, probeIds = Seq(0L), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toList == List((0L, 1, 3L)))
+    // k=6: 3 votes each → tie broken by the SMALLEST label
+    val tie = graft.operators.Similarity
+      .knnClassify(emb, probeIds = Seq(0L), k = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tie.toList == List((0L, 1, 3L)))
+  }
+}
+
+class RetentionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("cohort cells partition all user-weeks; offset 0 counts every cohort user") {
+    val rows = SparkEntry.queries("q30_retention")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0L)) // no negative offsets
+    // every cohort has an offset-0 cell, and it is the cohort's max
+    // (users can only retain or churn)
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val byOff = cells.map(c => c._2 -> c._3).toMap
+      assert(byOff.contains(0L))
+      assert(byOff.values.forall(_ <= byOff(0L)))
+    }
+  }
+}
+
 class ClusteringCoeffSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

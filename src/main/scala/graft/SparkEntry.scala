@@ -1090,6 +1090,48 @@ object SparkEntry {
           date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
           col("week_offset"), col("users"))
     },
+    "q31_session_paths" -> { (s, dir) =>
+      // session path analysis (the "what do users do next" product
+      // question): top-20 consecutive event-type bigrams WITHIN a gap
+      // session — st1's lag/cumsum session assignment, a lead() on the
+      // same (ts, event_id)-total-ordered window, pairs crossing a
+      // session boundary dropped, one map-side-combined pair count,
+      // TakeOrdered cut on (count, pair)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapMs = 30 * 60 * 1000L
+      graft.sources.Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn(
+          "new_session",
+          when(
+            col("prev_ts").isNull ||
+              (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs,
+            1L).otherwise(0L))
+        .withColumn(
+          "session_no",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_session", lead(col("session_no"), 1).over(w))
+        .filter(
+          col("next_type").isNotNull &&
+            col("next_session") === col("session_no"))
+        .groupBy(
+          col("event_type").as("t1"), col("next_type").as("t2"))
+        .agg(count("*").as("n"))
+        .orderBy(desc("n"), asc("t1"), asc("t2"))
+        .limit(20)
+    },
+    "g39_coarsen" -> { (s, dir) =>
+      // community coarsening (Louvain's aggregation phase): contract
+      // the g22 LPA communities to supervertices, aggregate inter- and
+      // intra-community edge counts — the contraction the next
+      // multilevel round recurses on; all-integer, |communities|-sized
+      val e = graft.sources.SyntheticGraph.portable(s, 400, 1200, "g22")
+      GraphBuilder.coarsen(e, GraphBuilder.labelPropagation(e, 3))
+    },
     "g31_scc" -> ((s, dir) =>
       // STRONGLY connected components (g15 is the weak/undirected
       // form): iterated forward/backward min-label settling on a sparse
@@ -2788,6 +2830,15 @@ object SparkEntry {
          |JOIN deg db ON db.vtx = cand.b
          |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "g35_modularity" -> modularitySql(3),
+    "g39_coarsen" -> lpaSqlOver(
+      portableGraphSql(400, 1200, "g22"), 3,
+      """,
+        |lab AS MATERIALIZED (
+        |  SELECT e.u, e.v, a.lbl AS la, b.lbl AS lb
+        |  FROM ue e JOIN l3 a ON a.id = e.u JOIN l3 b ON b.id = e.v)
+        |SELECT least(la, lb) AS lu, greatest(la, lb) AS lv,
+        |  count(*) AS n_edges
+        |FROM lab GROUP BY 1, 2""".stripMargin),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),
     "g38_weighted_walks" ->
       weightedWalksSql(300, 900, "g38", "g38w", len = 8),
@@ -2889,6 +2940,31 @@ object SparkEntry {
         |UNION ALL SELECT '1_view', count(*) FROM v1
         |UNION ALL SELECT '2_click', count(*) FROM v2
         |UNION ALL SELECT '3_purchase', count(*) FROM v3""".stripMargin,
+    "q31_session_paths" ->
+      // same session assignment as st1's oracle, same (ts, event_id)
+      // total order for the lead, same boundary filter and top-20 cut
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM x),
+        |z AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type) OVER w AS t2,
+        |    session_no,
+        |    lead(session_no) OVER w AS next_session
+        |  FROM y WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, count(*) AS n
+        |FROM z
+        |WHERE t2 IS NOT NULL AND next_session = session_no
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, t1 ASC, t2 ASC LIMIT 20""".stripMargin,
     "q30_retention" ->
       // same Monday week-truncation; the day delta of Monday-aligned
       // dates is divisible by 7, so the integer offset is exact both sides

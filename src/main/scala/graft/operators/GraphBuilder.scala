@@ -652,11 +652,14 @@ object GraphBuilder {
     * happens once, so the score is hash-exact across engines and
     * partitionings — no float-summation-order exposure at all).
     *
-    * Plan: two label lookups on the canonical edge set (|V|-sized join
-    * sides, statistics pick the strategy), one edge-count aggregate, one
+    * Plan: two label lookups on the canonical edge set — broadcast
+    * joins while the |V|-sized label frame fits (statistics decide, no
+    * hint: the d17 discipline), degenerating to one edge re-key per
+    * endpoint when it doesn't (the same two-lookup cost
+    * [[triangleCounts]]' orientation pays — intrinsic to decorating
+    * edges with per-endpoint data); then one edge-count aggregate, one
     * per-community degree sum off the |V|-sized degree frame, and a
-    * 1-row cross join — nothing edge-sized shuffles beyond the one
-    * dedup `undirectedSimple` already pays. Output (one row):
+    * 1-row cross join. Output (one row):
     * `n_comms, m_edges, intra_edges, sum_deg_sq, q_r`.
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
@@ -718,6 +721,37 @@ object GraphBuilder {
             lit(2.0) * col("n_triangles") /
               (col("deg") * (col("deg") - 1)), 9))
           .otherwise(lit(0.0)).as("lcc_r"))
+    CacheScope.sealAfter(out, ue)
+  }
+
+  /** Community COARSENING (the contraction step of multilevel graph
+    * processing — Louvain's aggregation phase, METIS-style multilevel
+    * partitioning): contract every community of `labels(id, lbl)` to a
+    * supervertex and aggregate the undirected simple edges between
+    * them. Output: `lu, lv, n_edges` with `lu ≤ lv`; `lu = lv` rows
+    * carry each community's INTRA-edge count (the self-loop weight the
+    * next coarsening level needs). With [[labelPropagation]] +
+    * [[modularity]] this closes the multilevel loop: detect → score →
+    * contract → recurse on a graph |communities| wide.
+    *
+    * Plan: the same two label lookups as [[modularity]] (broadcast while
+    * the label frame fits, one edge re-key per endpoint when it
+    * doesn't — the intrinsic cost of decorating edges with endpoint
+    * data) and ONE map-side-combined count keyed (lu, lv) — the output
+    * is |communities|²-bounded and in practice near-linear in
+    * |communities|. All-integer ⇒ hash-exact.
+    */
+  def coarsen(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lbl = labels.select(col("id"), col("lbl"))
+    val out = ue
+      .join(lbl.select(col("id").as("u"), col("lbl").as("la")), Seq("u"))
+      .join(lbl.select(col("id").as("v"), col("lbl").as("lb")), Seq("v"))
+      .groupBy(
+        least(col("la"), col("lb")).as("lu"),
+        greatest(col("la"), col("lb")).as("lv"))
+      .agg(count("*").as("n_edges"))
     CacheScope.sealAfter(out, ue)
   }
 

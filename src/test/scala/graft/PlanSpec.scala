@@ -440,6 +440,46 @@ class PlanSpec extends AnyFunSuite {
     } finally adj.unpersist()
   }
 
+  test("g38 weighted walk step: cached CDF adjacency never re-exchanges") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val edges = graft.sources.SyntheticGraph.portable(spark, 300, 900, "g38")
+      .distinct()
+      .withColumn("w", lit(1L) + org.apache.spark.sql.functions.pmod(
+        col("src") + col("dst"), lit(5L)))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("src")).orderBy(col("dst"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val adj = edges
+      .groupBy(col("src"), col("dst"))
+      .agg(org.apache.spark.sql.functions.sum(col("w")).as("w"))
+      .withColumn("cumw",
+        org.apache.spark.sql.functions.sum(col("w")).over(wCum))
+      .groupBy(col("src"))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(col("dst"), col("cumw"))))
+        .as("dc"))
+      .select(
+        col("src"),
+        org.apache.spark.sql.functions.transform(
+          col("dc"), s => s.getField("dst")).as("nbrs"),
+        org.apache.spark.sql.functions.transform(
+          col("dc"), s => s.getField("cumw")).as("cums"))
+      .withColumn("totw",
+        org.apache.spark.sql.functions.element_at(col("cums"), -1))
+      .repartition(col("src"))
+      .persist()
+    try {
+      adj.count()
+      val live = graft.operators.GraphBuilder.vertices(edges).select(
+        col("id").as("walk_id"), col("id").as("cur"),
+        array(col("id")).as("path"))
+      val p = concretePlan(
+        graft.operators.Walks.weightedWalkStep(adj, live, 1, "g38"))
+      assert(!reshufflesCachedRows(p), p.toString)
+    } finally adj.unpersist()
+  }
+
   test("d30 token budget is ONE window exchange on the source key") {
     val p = plan("d30_token_budget")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

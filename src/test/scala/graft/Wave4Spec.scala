@@ -187,6 +187,55 @@ class KnnClassifySpec extends AnyFunSuite {
   }
 }
 
+class CoarsenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("two bridged triangles contract to a 2-vertex supergraph with self-loops") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L)).toDF("src", "dst")
+    val lbl = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 1L), (4L, 1L), (5L, 1L)).toDF("id", "lbl")
+    val got = graft.operators.GraphBuilder.coarsen(e, lbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 3L), (1L, 1L, 3L), (0L, 1L, 1L)))
+  }
+
+  test("multi-edges and direction collapse before contraction") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 1L)).toDF("src", "dst")
+    val lbl = Seq((0L, 5L), (1L, 9L)).toDF("id", "lbl")
+    val got = graft.operators.GraphBuilder.coarsen(e, lbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 9L, 1L))) // one undirected edge, no self-loop row
+  }
+}
+
+class SessionPathsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("bigrams never cross a session boundary; top-20 cut is total-ordered") {
+    val rows = SparkEntry.queries("q31_session_paths")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // counts are sorted descending with (t1, t2) tie-break
+    val ns = rows.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // total bigram count is bounded by (#events − #sessions)
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val nEvents = ev.count()
+    val nSessions = graft.streaming.EventStreams
+      .sessionizeBatch(ev).count()
+    assert(ns.sum <= nEvents - nSessions)
+  }
+}
+
 class RetentionSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -53,9 +53,16 @@ object SparkEntry {
     * r0 = 1/N init; each step applies the exact reference formula with
     * the lagged dangling sum (SURVEY.md §2.3).
     */
-  private def pageRankSql(k: Int, select: String): String = {
+  private def pageRankSql(k: Int, select: String): String =
+    pageRankSqlOver(graphCtes, k, select)
+
+  /** [[pageRankSql]] over an arbitrary graph-CTE block defining
+    * `edges/verts/nn/deg` — the same unrolled reference recurrence,
+    * reusable for the portable fixtures (p3).
+    */
+  private def pageRankSqlOver(ctes: String, k: Int, select: String): String = {
     val sb = new StringBuilder
-    sb.append("WITH ").append(graphCtes).append(",\n")
+    sb.append("WITH ").append(ctes).append(",\n")
     sb.append(
       "r0 AS MATERIALIZED (SELECT id, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM deg)")
     for (i <- 0 until k) {
@@ -1123,6 +1130,31 @@ object SparkEntry {
         .agg(count("*").as("n"))
         .orderBy(desc("n"), asc("t1"), asc("t2"))
         .limit(20)
+    },
+    "p3_graph_features" -> { (s, dir) =>
+      // graph FEATURE-ENGINEERING pipeline (the GraphML backfill shape:
+      // one vertex feature table feeding a downstream model): PageRank
+      // (4 reference iterations), in/out-degree, exact triangle count,
+      // and 3-core membership composed into ONE per-vertex frame —
+      // every feature column recomputed end to end by the oracle's
+      // combined CTE chain. Joins are |V|-sized; each operator keeps
+      // its own audited plan.
+      // deduped ONCE up front so every feature sees set semantics
+      // (PageRank dedups internally; degrees/triangles must agree)
+      val e = graft.sources.SyntheticGraph.portable(s, 400, 1200, "p3")
+        .distinct()
+      val ranks = PageRank.runFixed(s, e, k = 4).ranks
+        .select(col("id"), round(col("rank"), 9).as("rank_r"))
+      val core = GraphBuilder.kCore(e, k = 3, rounds = 6)
+        .select(col("id"), lit(1L).as("in_core"))
+      ranks
+        .join(GraphBuilder.degrees(e), Seq("id"))
+        .join(GraphBuilder.triangleCounts(e), Seq("id"))
+        .join(core, Seq("id"), "left_outer")
+        .select(
+          col("id"), col("rank_r"), col("outdeg"), col("indeg"),
+          col("n_triangles"),
+          coalesce(col("in_core"), lit(0L)).as("in_core"))
     },
     "g39_coarsen" -> { (s, dir) =>
       // community coarsening (Louvain's aggregation phase): contract
@@ -2830,6 +2862,55 @@ object SparkEntry {
          |JOIN deg db ON db.vtx = cand.b
          |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "g35_modularity" -> modularitySql(3),
+    "p3_graph_features" -> {
+      // PR recurrence over the deduped portable graph, then the degree,
+      // triangle and 3-core CTEs, all joined into the same one-row-per-
+      // vertex feature frame the engine builds
+      val ctes =
+        s"""${portableGraphSql(400, 1200, "p3")},
+           |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+           |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+           |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+           |deg AS MATERIALIZED (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM verts v LEFT JOIN (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1) d USING (id))""".stripMargin
+      val tail = new StringBuilder
+      tail ++=
+        s""",
+           |indeg AS MATERIALIZED (SELECT dst AS id, count(*) AS ind FROM edges GROUP BY 1),
+           |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges WHERE src <> dst),
+           |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue),
+           |tri AS MATERIALIZED (
+           |  SELECT w.vtx AS id, count(*) AS t
+           |  FROM und w
+           |  JOIN und x ON x.vtx = w.vtx AND w.nbr < x.nbr
+           |  JOIN ue e2 ON e2.u = w.nbr AND e2.v = x.nbr
+           |  GROUP BY 1),
+           |s0 AS MATERIALIZED (SELECT id FROM verts)""".stripMargin
+      for (i <- 1 to 6) {
+        tail ++= s""",
+           |s$i AS MATERIALIZED (
+           |  SELECT vtx AS id FROM (
+           |    SELECT d.vtx, count(*) AS dg
+           |    FROM und d
+           |    JOIN s${i - 1} a ON d.vtx = a.id
+           |    JOIN s${i - 1} b ON d.nbr = b.id
+           |    GROUP BY 1)
+           |  WHERE dg >= 3)""".stripMargin
+      }
+      tail ++=
+        """
+          |SELECT v.id, round(r.rank, 9) AS rank_r, d.outdeg,
+          |  coalesce(i.ind, 0) AS indeg,
+          |  CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+          |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+          |    AS in_core
+          |FROM verts v
+          |JOIN r4 r USING (id)
+          |JOIN deg d USING (id)
+          |LEFT JOIN indeg i ON i.id = v.id
+          |LEFT JOIN tri t ON t.id = v.id
+          |LEFT JOIN s6 c ON c.id = v.id""".stripMargin
+      pageRankSqlOver(ctes, 4, tail.toString)
+    },
     "g39_coarsen" -> lpaSqlOver(
       portableGraphSql(400, 1200, "g22"), 3,
       """,

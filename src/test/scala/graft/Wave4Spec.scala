@@ -236,6 +236,27 @@ class SessionPathsSpec extends AnyFunSuite {
   }
 }
 
+class GraphFeaturesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("p3 feature table: one row per vertex, internally consistent") {
+    val df = SparkEntry.queries("p3_graph_features")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).distinct.length == rows.length) // one per vertex
+    // PR mass ≈ 1 over the table (feature joins lost nobody)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-6)
+    // a triangle participant has undirected degree ≥ 2
+    rows.filter(_._5 > 0).foreach { r =>
+      assert(r._3 + r._4 >= 2, r.toString)
+    }
+    // core membership is 0/1 and someone is in the 3-core on this fixture
+    assert(rows.forall(r => r._6 == 0L || r._6 == 1L))
+    assert(rows.exists(_._6 == 1L))
+  }
+}
+
 class RetentionSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -1164,6 +1164,13 @@ object SparkEntry {
       val e = graft.sources.SyntheticGraph.portable(s, 400, 1200, "g22")
       GraphBuilder.coarsen(e, GraphBuilder.labelPropagation(e, 3))
     },
+    "g40_neighbor_agg" -> ((s, dir) =>
+      // two-layer GNN-style neighbor aggregation (GraphSAGE prep):
+      // per hop one |E|-row adjacency⋈features join + map-side-combined
+      // sum; all-integer sums, the one mean a rounded exact ratio
+      GraphBuilder.neighborAgg(
+        graft.sources.SyntheticGraph.portable(s, 400, 1200, "g40")
+          .distinct())),
     "g31_scc" -> ((s, dir) =>
       // STRONGLY connected components (g15 is the weak/undirected
       // form): iterated forward/backward min-label settling on a sparse
@@ -2503,6 +2510,14 @@ object SparkEntry {
       Dedup.decontaminate(
         t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0),
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0))),
+    "d31_contamination_report" -> ((s, dir) =>
+      // per-ITEM contamination fraction (d18's flip side, the eval-set
+      // audit metric): fraction of each benchmark item's distinct
+      // 4-grams found anywhere in the training corpus; corpus gram
+      // table join hint-free (it is the big side)
+      Dedup.contaminationReport(
+        t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0),
+        t(s, dir, "documents").filter(col("doc_id") % 50 === 0))),
     "d19_pack_sequences" -> ((s, dir) =>
       // per-shard sequence packing: cumulative token offsets cut into
       // 512-token training sequences; window partitioned by source so
@@ -2911,6 +2926,43 @@ object SparkEntry {
           |LEFT JOIN s6 c ON c.id = v.id""".stripMargin
       pageRankSqlOver(ctes, 4, tail.toString)
     },
+    "g40_neighbor_agg" ->
+      s"""WITH ${portableGraphSql(400, 1200, "g40")},
+         |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |od AS (SELECT src AS id, count(*) AS odeg FROM edges GROUP BY 1),
+         |idg AS (SELECT dst AS id, count(*) AS ideg FROM edges GROUP BY 1),
+         |feat AS MATERIALIZED (
+         |  SELECT v.id, coalesce(o.odeg, 0) AS outdeg,
+         |    coalesce(i.ideg, 0) AS indeg
+         |  FROM verts v LEFT JOIN od o USING (id) LEFT JOIN idg i USING (id)),
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM edges WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue
+         |  UNION ALL SELECT v, u FROM ue),
+         |h1 AS MATERIALIZED (
+         |  SELECT d.vtx AS id, count(*) AS deg,
+         |    CAST(sum(f.outdeg) AS BIGINT) AS s1_out,
+         |    CAST(sum(f.indeg) AS BIGINT) AS s1_in
+         |  FROM und d JOIN feat f ON f.id = d.nbr GROUP BY 1),
+         |h2 AS MATERIALIZED (
+         |  SELECT d.vtx AS id,
+         |    CAST(sum(h.s1_out) AS BIGINT) AS s2_out,
+         |    CAST(sum(h.s1_in) AS BIGINT) AS s2_in
+         |  FROM und d JOIN h1 h ON h.id = d.nbr GROUP BY 1)
+         |SELECT f.id, f.outdeg, f.indeg,
+         |  coalesce(h1.deg, 0) AS deg,
+         |  coalesce(h1.s1_out, 0) AS s1_out,
+         |  coalesce(h1.s1_in, 0) AS s1_in,
+         |  coalesce(h2.s2_out, 0) AS s2_out,
+         |  coalesce(h2.s2_in, 0) AS s2_in,
+         |  CASE WHEN coalesce(h1.deg, 0) > 0
+         |    THEN round(CAST(h1.s1_out AS DOUBLE) / h1.deg, 9)
+         |    ELSE 0.0 END AS avg1_out_r
+         |FROM feat f
+         |LEFT JOIN h1 ON h1.id = f.id
+         |LEFT JOIN h2 ON h2.id = f.id""".stripMargin,
     "g39_coarsen" -> lpaSqlOver(
       portableGraphSql(400, 1200, "g22"), 3,
       """,
@@ -3239,6 +3291,31 @@ object SparkEntry {
         |  FROM corpus GROUP BY doc_id)
         |SELECT doc_id, n_grams, n_overlap,
         |  CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM agg""".stripMargin,
+    "d31_contamination_report" ->
+      // d18's digest machinery with the roles flipped: per benchmark
+      // item, hits against the CORPUS-side distinct gram set
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(tk) - 3, 1)),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(tk[i+1:i+4], ' ')), 1, 15))
+        |        AS BIGINT))) AS sh
+        |  FROM tk),
+        |corp AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN g IN (SELECT g FROM corp) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hit
+        |  FROM bench GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / n_grams, 9) AS contam_frac_r
         |FROM agg""".stripMargin,
     "d19_pack_sequences" ->
       // per-source cumulative token offsets cut into 512-token

@@ -548,6 +548,42 @@ object Dedup {
     * per-doc re-aggregation; the corpus is scanned exactly once.
     * Output: `doc_id, n_grams, n_overlap, contaminated`.
     */
+  /** Per-ITEM contamination report — [[decontaminate]]'s flip side (the
+    * GPT-3/PaLM-appendix metric): for every benchmark item, the fraction
+    * of its distinct n-grams that appear ANYWHERE in the training
+    * corpus. [[decontaminate]] answers "which training docs must go";
+    * this answers "how compromised is each eval item" — both ride the
+    * same portable n-gram digests, so every count is oracle-checkable.
+    *
+    * Plan: the corpus-side distinct-gram table is CORPUS-sized and is
+    * deliberately NOT hinted broadcast (the d17/d23 discipline —
+    * statistics and AQE pick the strategy; at 100 TB this is a
+    * digest-keyed shuffle join); the benchmark side is the small one.
+    * The fraction is an exact integer ratio, rounded at 9.
+    * Output: `doc_id, n_grams, n_hit, contam_frac_r`.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 4): DataFrame = {
+    val corpusGrams = graft.core.Parallelism.ensure(corpus)
+      .select(explode(shingleSetPortable(col("text"), n)).as("g"))
+      .distinct()
+      .select(col("g"), lit(1).as("hit"))
+    graft.core.Parallelism.ensure(benchmark)
+      .select(
+        col("doc_id"), explode(shingleSetPortable(col("text"), n)).as("g"))
+      .join(corpusGrams, Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count("*").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 9)
+          .as("contam_frac_r"))
+  }
+
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,

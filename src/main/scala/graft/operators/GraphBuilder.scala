@@ -755,6 +755,54 @@ object GraphBuilder {
     CacheScope.sealAfter(out, ue)
   }
 
+  /** Two-layer NEIGHBOR FEATURE AGGREGATION (the GraphSAGE/GNN
+    * message-passing data-prep primitive: each layer replaces a vertex's
+    * features with an aggregate of its neighbors'): layer 1 aggregates
+    * every vertex's directed degrees over its undirected neighbors;
+    * layer 2 aggregates layer 1's sums the same way, giving the 2-hop
+    * receptive field. All sums are EXACT integers and the one mean is a
+    * rounded integer ratio — hash-exact, zero float-sum exposure.
+    *
+    * Scale shape = one GNN layer's: per hop ONE join of the |E|-row
+    * symmetrized adjacency against the |V|-row feature frame and one
+    * map-side-combined sum keyed on the vertex — features never
+    * materialize per-edge beyond the join, and hops chain without
+    * widening. Output: `id, outdeg, indeg, deg, s1_out, s1_in, s2_out,
+    * s2_in, avg1_out_r` (isolated vertices report 0 everywhere).
+    */
+  def neighborAgg(edges: DataFrame): DataFrame = {
+    val feat = degrees(edges)
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+    val h1 = und
+      .join(feat.withColumnRenamed("id", "nbr"), Seq("nbr"))
+      .groupBy(col("vtx"))
+      .agg(
+        count("*").as("deg"),
+        sum(col("outdeg")).as("s1_out"),
+        sum(col("indeg")).as("s1_in"))
+    val h2 = und
+      .join(h1.withColumnRenamed("vtx", "nbr"), Seq("nbr"))
+      .groupBy(col("vtx"))
+      .agg(sum(col("s1_out")).as("s2_out"), sum(col("s1_in")).as("s2_in"))
+    val out = feat
+      .join(h1.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
+      .join(h2.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
+      .select(
+        col("id"), col("outdeg"), col("indeg"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("s1_out"), lit(0L)).as("s1_out"),
+        coalesce(col("s1_in"), lit(0L)).as("s1_in"),
+        coalesce(col("s2_out"), lit(0L)).as("s2_out"),
+        coalesce(col("s2_in"), lit(0L)).as("s2_in"),
+        when(coalesce(col("deg"), lit(0L)) > 0,
+          round(col("s1_out").cast("double") / col("deg"), 9))
+          .otherwise(lit(0.0)).as("avg1_out_r"))
+    CacheScope.sealAfter(out, ue)
+  }
+
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.
     */

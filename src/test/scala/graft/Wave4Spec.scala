@@ -236,6 +236,57 @@ class SessionPathsSpec extends AnyFunSuite {
   }
 }
 
+class NeighborAggSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("path 0→1→2: hand-computed 1- and 2-hop sums and mean") {
+    val sp = spark
+    import sp.implicits._
+    // directed path: outdeg = (1,1,0), indeg = (0,1,1); undirected
+    // neighbors: 0↔1, 1↔2
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.neighborAgg(e)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toMap
+    // v0: nbr {1}: s1_out=1, s1_in=1; 2-hop over {1}: s2 = h1(1)
+    // h1(1): nbrs {0,2}: s1_out=1, s1_in=1; h1(2): nbrs {1}: (1,1)
+    assert(got(0L) == ((1L, 0L, 1L, 1L, 1L, 1L, 1L, 1.0)))
+    assert(got(1L) == ((1L, 1L, 2L, 1L, 1L, 2L, 2L, 0.5)))
+    assert(got(2L) == ((0L, 1L, 1L, 1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("isolated self-loop vertex reports zeros") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (5L, 5L)).toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.neighborAgg(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(5L) == 0L) // self-loop only: no undirected neighbors
+  }
+}
+
+class ContaminationReportSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("fraction counts exactly the grams shared with the corpus") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // item 10 shares its one 4-gram "b c d e" with the corpus; item 11
+    // shares none
+    val bench = Seq(
+      (10L, "b c d e"), (11L, "x y z w v")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.contaminationReport(corpus, bench)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(10L) == ((1L, 1L, 1.0)))
+    assert(got(11L) == ((2L, 0L, 0.0))) // 5 tokens → 2 distinct 4-grams
+  }
+}
+
 class GraphFeaturesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -2340,6 +2340,46 @@ object SparkEntry {
       } finally q.stop()
       s.table(qname)
     },
+    "st14_stream_funnel" -> { (s, dir) =>
+      // STREAMING funnel (q29's staged minima with 2h per-stage
+      // conversion windows) through the real stateful operator,
+      // replayed OUT OF ORDER with the st6 sentinel-flush discipline:
+      // stage-1 min folds incrementally (order-insensitive), later
+      // stages buffer candidates and resolve once at watermark flush —
+      // the fully-flushed result is a pure function of the event set,
+      // which is exactly what the oracle recomputes (millisecond
+      // precision both sides: the state fold works in epoch millis).
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+        .collect()
+      val scrambled = all.sortBy(e =>
+        java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 17))
+      val maxMs = all.iterator.map(_.ts.getTime).max
+      def sentinel(t: Long) = graft.streaming.EventStreams.Event(
+        -1L, new java.sql.Timestamp(t), -1L, "sentinel", 0.0)
+      val ms = MemoryStream[graft.streaming.EventStreams.Event]
+      val qname =
+        "st14_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.funnelEventTime(ms.toDS())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        ms.addData(scrambled.toIndexedSeq)
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 4L * 3600 * 1000))
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .filter(col("user_id") >= 0) // drop the sentinel user
+        .select(col("user_id"), col("stage"))
+    },
     "st6_eventtime_sessions" -> { (s, dir) =>
       // EVENT-TIME sessionization through the REAL streaming operator
       // (flatMapGroupsWithState + EventTimeTimeout), replayed OUT OF
@@ -4019,6 +4059,33 @@ object SparkEntry {
     // the streaming event-time form, fully flushed, must equal the same
     // batch gap sessions — one oracle, two independent engine paths
     "st6_eventtime_sessions" -> gapSessionSql,
+    "st14_stream_funnel" ->
+      // staged minima with 2h windows, ALL comparisons in epoch millis
+      // (the state fold's precision — micros truncate identically on
+      // both sides)
+      """WITH v1 AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c2 AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e
+        |  JOIN v1 ON v1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v1.t1
+        |    AND epoch_ms(e.ts) <= v1.t1 + 7200000 GROUP BY 1),
+        |pp AS (
+        |  SELECT DISTINCT e.user_id FROM events e
+        |  JOIN c2 ON c2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c2.t2
+        |    AND epoch_ms(e.ts) <= c2.t2 + 7200000),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN pp.user_id IS NOT NULL THEN 3
+        |            WHEN c2.user_id IS NOT NULL THEN 2
+        |            WHEN v1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM u
+        |LEFT JOIN v1 ON v1.user_id = u.user_id
+        |LEFT JOIN c2 ON c2.user_id = u.user_id
+        |LEFT JOIN pp ON pp.user_id = u.user_id""".stripMargin,
     "st2_windowed_agg" ->
       """SELECT strftime(make_timestamp((epoch_ms(ts) // 300000) * 300000000),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,

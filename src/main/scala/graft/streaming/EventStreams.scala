@@ -386,6 +386,87 @@ object EventStreams {
       userId, new java.sql.Timestamp(s.start),
       new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue)
 
+  // ---- streaming funnel (stateful staged minima) ----
+
+  final case class FunnelState(
+      minView: Long, clicks: List[Long], purchases: List[Long])
+
+  final case class FunnelResult(user_id: Long, stage: Long)
+
+  /** STREAMING ordered funnel with per-stage conversion windows (q29's
+    * strictly-later view → click → purchase, each stage within
+    * `windowMs` of the previous — the form real funnels run, because an
+    * unboundedly-late conversion is not a conversion): per user a
+    * flatMapGroupsWithState fold that is ARRIVAL-ORDER-SAFE — the first
+    * stage's min(ts) is order-insensitive, and later stages can't be
+    * folded incrementally (a late earlier view shifts every window), so
+    * their candidate timestamps buffer in state and the staged minima
+    * are resolved ONCE, at watermark-driven flush. Emits
+    * `(user_id, stage)` with stage ∈ 0..3 = deepest stage reached.
+    *
+    * State per user is the view-minimum plus the click/purchase
+    * timestamp lists still inside the watermark horizon — bounded by a
+    * user's conversion-event count within the horizon (the same
+    * boundedness class as [[sessionizeEventTime]]'s in-flight buffer);
+    * a production deployment would additionally compact candidates
+    * older than `minView + 2·windowMs`, which the flush-time resolution
+    * makes safe. Out-of-order replay + sentinel flush is hash-checked
+    * against the DuckDB oracle's staged-minima recomputation (st14).
+    */
+  def funnelEventTime(
+      events: Dataset[Event],
+      windowMs: Long = 2 * 3600 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelResult] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FunnelResult(userId, resolveFunnel(s, windowMs)))
+          } else {
+            val prior = state.getOption
+              .getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+            val next = it.foldLeft(prior) { (st, e) =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view" => st.copy(minView = math.min(st.minView, t))
+                case "click" => st.copy(clicks = t :: st.clicks)
+                case "purchase" => st.copy(purchases = t :: st.purchases)
+                case _ => st
+              }
+            }
+            state.update(next)
+            // resolve when the watermark passes the horizon; stays
+            // above the current watermark (Spark rejects expired
+            // timestamps), so a quiet user flushes one batch later
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Flush-time staged-minima resolution: t1 = min view; t2 = min click
+    * in (t1, t1+W]; t3 = min purchase in (t2, t2+W]. Pure function of
+    * the buffered state — arrival order can no longer matter.
+    */
+  private def resolveFunnel(s: FunnelState, windowMs: Long): Long = {
+    if (s.minView == Long.MaxValue) return 0L
+    val t2 = s.clicks
+      .filter(t => t > s.minView && t <= s.minView + windowMs)
+      .sorted.headOption
+    t2 match {
+      case None => 1L
+      case Some(c) =>
+        val t3 = s.purchases.exists(t => t > c && t <= c + windowMs)
+        if (t3) 3L else 2L
+    }
+  }
+
   /** Gap-based sessionization: a user's session closes after `gapMs` of
     * inactivity (processing-time timeout so sessions also close when the
     * stream goes quiet). State per user is O(1) — four numbers — so the

@@ -287,6 +287,74 @@ class ContaminationReportSpec extends AnyFunSuite {
   }
 }
 
+class StreamFunnelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def runFunnel(
+      events: Seq[graft.streaming.EventStreams.Event]): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[graft.streaming.EventStreams.Event]
+    val qname =
+      "sfspec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStreams.funnelEventTime(ms.toDS())
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      ms.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val maxMs = events.map(_.ts.getTime).max
+      ms.addData(graft.streaming.EventStreams.Event(
+        -1L, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), -1L,
+        "sentinel", 0.0))
+      q.processAllAvailable()
+      ms.addData(graft.streaming.EventStreams.Event(
+        -1L, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), -1L,
+        "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).filter(org.apache.spark.sql.functions.col("user_id") >= 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a LATE earlier view shifts the window and re-decides the click stage") {
+    import graft.streaming.EventStreams.Event
+    def ev(id: Long, t: Long, u: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(t), u, typ, 0.0)
+    val H = 3600 * 1000L
+    val B = 1_600_000_000_000L // realistic base: epoch-0 rows would sit
+                               // ON the initial watermark and be dropped
+    // delivery order: view@3h first, click@1h second, then a LATE
+    // view@0h. Final truth: t1 = 0h, click@1h ∈ (0h, 2h] → stage 2.
+    // An incremental fold that resolved t2 against t1 = 3h would have
+    // discarded the click (1h ≤ 3h fails the strictly-later rule).
+    val out = runFunnel(Seq(
+      ev(1, B + 3 * H, 7L, "view"),
+      ev(2, B + 1 * H, 7L, "click"),
+      ev(3, B, 7L, "view")))
+    assert(out == Map(7L -> 2L))
+  }
+
+  test("conversion windows bound each stage; stages 0/1/3 all reachable") {
+    import graft.streaming.EventStreams.Event
+    def ev(id: Long, t: Long, u: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(t), u, typ, 0.0)
+    val H = 3600 * 1000L
+    val B = 1_600_000_000_000L
+    val out = runFunnel(Seq(
+      // user 1: full funnel inside the windows → 3
+      ev(10, B, 1L, "view"), ev(11, B + H, 1L, "click"),
+      ev(12, B + 2 * H, 1L, "purchase"),
+      // user 2: click 3h after view — outside the 2h window → 1
+      ev(20, B, 2L, "view"), ev(21, B + 3 * H, 2L, "click"),
+      // user 3: clicks but never views → 0
+      ev(30, B, 3L, "click")))
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+}
+
 class GraphFeaturesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -216,7 +216,11 @@ object GraphBuilder {
       .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
       .repartition(col("nbr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the |V|-sized universe re-enters every iteration's
+    // left-outer recombine — unpersisted it would recompute the
+    // 2·|E|-scan distinct once per round
     val verts = vertices(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = verts.select(col("id"), col("id").as("lbl"))
     var prevCp: DataFrame = null
     for (_ <- 1 to k) {
@@ -240,6 +244,7 @@ object GraphBuilder {
     }
     ue.unpersist(false)
     und.unpersist(false)
+    verts.unpersist(false)
     labels
   }
 
@@ -616,7 +621,11 @@ object GraphBuilder {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
       .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+    // persisted: consumed three times (the wedge decoration and both
+    // endpoint-degree joins) — unpersisted, each use re-scans the edge
+    // set for the same |V|-sized aggregate
     val deg = und.groupBy(col("vtx")).agg(count("*").as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedge at middle w: (w, a) × (w, b), a < b; the middle's degree
     // rides along so aa needs no second join
     val withDeg = und.join(deg, Seq("vtx"))
@@ -640,7 +649,7 @@ object GraphBuilder {
         round(col("aa"), 6).as("aa_r"))
       .orderBy(desc("aa_r"), asc("u"), asc("v"))
       .limit(topN)
-    CacheScope.sealAfter(out, ue, withDeg)
+    CacheScope.sealAfter(out, ue, deg, withDeg)
   }
 
   /** Newman modularity of a community partition `labels(id, lbl)` over
@@ -771,7 +780,10 @@ object GraphBuilder {
     * s2_in, avg1_out_r` (isolated vertices report 0 everywhere).
     */
   def neighborAgg(edges: DataFrame): DataFrame = {
+    // feat and h1 each feed TWO consumers (the next hop and the final
+    // assembly) — persisted so neither layer's aggregation re-runs
     val feat = degrees(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ue = undirectedSimple(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
@@ -783,6 +795,7 @@ object GraphBuilder {
         count("*").as("deg"),
         sum(col("outdeg")).as("s1_out"),
         sum(col("indeg")).as("s1_in"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h2 = und
       .join(h1.withColumnRenamed("vtx", "nbr"), Seq("nbr"))
       .groupBy(col("vtx"))
@@ -800,7 +813,7 @@ object GraphBuilder {
         when(coalesce(col("deg"), lit(0L)) > 0,
           round(col("s1_out").cast("double") / col("deg"), 9))
           .otherwise(lit(0.0)).as("avg1_out_r"))
-    CacheScope.sealAfter(out, ue)
+    CacheScope.sealAfter(out, feat, ue, h1)
   }
 
   /** Canonical undirected simple edge set: u < v, self-loops dropped,

@@ -264,6 +264,67 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Oracle for g41: unrolled node2vec — step 1 is walksSql's uniform
+    * `H mod deg` pick; each later step enumerates cur's candidates with
+    * the second-order integer weight (CASE in the SAME order as the
+    * engine's when-chain: return, then distance-1 via an edge-existence
+    * join on (prev, cand), then distance-2), cumulates per walk by a
+    * window ordered by candidate, and keeps the row whose
+    * `[cumw − wt, cumw)` interval contains `H mod totw`.
+    */
+  private def node2vecSql(
+      nV: Long, nE: Long, salt: String, len: Int,
+      retW: Long, inW: Long, outW: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
+    sb ++=
+      s"""e AS MATERIALIZED (SELECT DISTINCT src, dst FROM pe),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM e),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |w0 AS MATERIALIZED (SELECT id AS walk_id, id AS vtx FROM verts),
+         |w1 AS MATERIALIZED (
+         |  SELECT w.walk_id, w.vtx AS prev, a.dst AS vtx
+         |  FROM w0 w JOIN adj a ON a.src = w.vtx
+         |    AND a.rn = CAST(concat('0x', substr(md5(concat(
+         |          CAST(w.walk_id AS VARCHAR), ':', '1', ':', '$salt')),
+         |        1, 8)) AS BIGINT) % a.deg + 1)""".stripMargin
+    for (i <- 2 to len) {
+      val h = s"""CAST(concat('0x', substr(md5(concat(
+         |          CAST(walk_id AS VARCHAR), ':', '$i', ':', '$salt')),
+         |        1, 8)) AS BIGINT)""".stripMargin
+      sb ++= s""",
+         |b$i AS MATERIALIZED (
+         |  SELECT w.walk_id, w.vtx AS cur, a.dst,
+         |    CASE WHEN a.dst = w.prev THEN $retW
+         |         WHEN m.src IS NOT NULL THEN $inW
+         |         ELSE $outW END AS wt
+         |  FROM w${i - 1} w
+         |  JOIN adj a ON a.src = w.vtx
+         |  LEFT JOIN e m ON m.src = w.prev AND m.dst = a.dst),
+         |c$i AS MATERIALIZED (
+         |  SELECT walk_id, cur, dst, wt,
+         |    sum(wt) OVER (PARTITION BY walk_id ORDER BY dst
+         |      ROWS UNBOUNDED PRECEDING) AS cumw,
+         |    sum(wt) OVER (PARTITION BY walk_id) AS totw
+         |  FROM b$i),
+         |w$i AS MATERIALIZED (
+         |  SELECT walk_id, cur AS prev, dst AS vtx
+         |  FROM c$i
+         |  WHERE $h % totw >= cumw - wt
+         |    AND $h % totw < cumw)""".stripMargin
+    }
+    sb ++= s"\nSELECT walk_id, 0 AS step, vtx FROM w0"
+    sb ++= (1 to len).map(i =>
+      s"SELECT walk_id, $i AS step, vtx FROM w$i")
+      .mkString("\nUNION ALL\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   /** Oracle for g23: unrolled k-round Bellman–Ford over the SYMMETRIZED
     * weighted co-occurrence graph, seeded at the smallest vertex id.
     * Each round is the engine's exact recurrence (state ∪ relaxed edges,
@@ -2781,6 +2842,94 @@ object SparkEntry {
           sum(col("o_totalprice"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
           4).as("run_spend"))
+    },
+    "g41_node2vec" -> ((s, dir) =>
+      // node2vec SECOND-ORDER biased walks: candidate weight depends on
+      // the previous vertex (return / distance-1 / distance-2 — integer
+      // 1/4/2, i.e. p=4, q=2 cleared to a common denominator), picked by
+      // the integer inverse-CDF over the md5 draw; step 1 is the uniform
+      // draw (no prev). The oracle replays every step as a candidate
+      // join + window cumsum — the entire biased corpus hash-matches.
+      graft.operators.Walks.node2vecWalks(
+        graft.sources.SyntheticGraph.portable(s, 300, 900, "g41"),
+        len = 4, salt = "g41", retW = 1L, inW = 4L, outW = 2L)),
+    "d32_temperature_mix" -> ((s, dir) =>
+      // temperature-scaled mixture sampling (the mBERT/XLM-R α-rule,
+      // α = 0.5 so the numerator is IEEE sqrt): per-source keep
+      // probability min(1, frac·N·√n_s/Σ√n_t/n_s) applied through the
+      // d21 integer-threshold md5 draw; the denominator is an ORDERED
+      // running sum, and the threshold floor sits after a ×2^20 exact
+      // power-of-two scaling — no float on any keep/drop boundary
+      Sampling.temperatureSample(t(s, dir, "documents"), targetFrac = 0.5)),
+    "e19_filtered_knn" -> ((s, dir) =>
+      // FILTERED vector search (metadata predicate + kNN): the corpus
+      // side is cut by `label IN (2, 7)` BEFORE any distance — the
+      // predicate pushes down to the parquet scan (PushedFilters,
+      // plan-asserted), and the ranking runs through the bounded top-k
+      // aggregate. Exact over the filtered candidate set: the
+      // pre-filter form, immune to the post-filter starvation an ANN
+      // shortlist suffers under selective predicates.
+      graft.operators.Similarity.knnFiltered(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, corpusPred = col("label").isin(2, 7))),
+    "q32_json_props" -> { (s, dir) =>
+      // schema-on-read over the semi-structured props column:
+      // from_json with an EXPLICIT schema (inference would cost a pass
+      // and drift with content) parses inside the scan projection —
+      // codegen'd JsonToStructs, no shuffle before the aggregate;
+      // malformed rows surface as NULL and are counted, not dropped
+      import org.apache.spark.sql.types._
+      graft.sources.Tables.events(s, dir)
+        .withColumn(
+          "k",
+          from_json(col("props"),
+            StructType(Seq(StructField("k", IntegerType))))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("k")).as("n_parsed"),
+          sum(col("k")).cast("long").as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+    },
+    "q33_dpp_join" -> { (s, dir) =>
+      // DYNAMIC partition pruning: the fact side lands hive-partitioned
+      // by event_type (io4's layout), the dim side is a tiny aggregate
+      // filtered on a NON-join column (share ≥ 0.2 — an exact-rational
+      // compare, deterministic cross-engine), so static pruning cannot
+      // apply and the fact scan's partition filter must come from the
+      // dim at RUNTIME (dynamicpruning subquery, plan-asserted in
+      // PlanSpec). At 100 TB this is the difference between scanning
+      // 2 partitions and scanning all of them — bytes never read.
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.sources.Tables.events(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dpp_q33").toString
+      try {
+        ev.select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        val fact = s.read.parquet(tmp)
+        val dim = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_type"))
+          .withColumn(
+            "frac",
+            col("n_type") / sum(col("n_type")).over(Window.partitionBy()))
+          .filter(col("frac") >= 0.2)
+          .select(col("event_type"), col("n_type"))
+        graft.operators.CacheScope.sealAfter(
+          fact.join(dim, Seq("event_type"))
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(sum(col("value")), 2).as("sum_value"),
+              max(col("n_type")).as("n_type")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   )
 
@@ -4507,6 +4656,81 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING), 4) AS run_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "g41_node2vec" ->
+      node2vecSql(300, 900, "g41", len = 4, retW = 1L, inW = 4L, outW = 2L),
+    "d32_temperature_mix" ->
+      // same √n temperature share, ORDERED running denominator (window
+      // by source), 9-dp round, exact ×2^20 floor, and the d21 20-bit
+      // md5 draw — every threshold and keep decision recomputed
+      """WITH cnt AS (
+        |  SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |run AS (
+        |  SELECT source, n_source,
+        |    sqrt(CAST(n_source AS DOUBLE)) AS sq,
+        |    sum(sqrt(CAST(n_source AS DOUBLE))) OVER (ORDER BY source
+        |      ROWS UNBOUNDED PRECEDING) AS cum_sq
+        |  FROM cnt),
+        |dn AS (SELECT max(cum_sq) AS denom FROM run),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |thr AS (
+        |  SELECT source, n_source,
+        |    CAST(floor(least(1.0,
+        |      round(0.5 * n_total * sq / denom / n_source, 9)) * 1048576)
+        |      AS BIGINT) AS keep_threshold
+        |  FROM run, dn, tot),
+        |drawn AS (
+        |  SELECT d.doc_id, d.source, t.n_source, t.keep_threshold,
+        |    CAST(concat('0x', substr(md5(concat(
+        |      CAST(d.doc_id AS VARCHAR), ':', 'temp-v1')), 1, 5))
+        |      AS BIGINT) AS mix_bucket
+        |  FROM documents d JOIN thr t USING (source))
+        |SELECT doc_id, source, n_source, keep_threshold, mix_bucket,
+        |  CASE WHEN mix_bucket < keep_threshold THEN 1 ELSE 0 END AS kept
+        |FROM drawn""".stripMargin,
+    "e19_filtered_knn" ->
+      // e5's exact-kNN chain with the corpus predicate applied before
+      // any distance — probes come from the unfiltered table
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |r AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv),
+        |      6) AS cos_sim
+        |  FROM embeddings e, p
+        |  WHERE e.vec_id <> p.probe_id AND e.label IN (2, 7)),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "q32_json_props" ->
+      """WITH j AS (
+        |  SELECT event_type,
+        |    CAST(props->>'k' AS INT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(k) AS n_parsed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(avg(k), 6) AS avg_k
+        |FROM j GROUP BY 1""".stripMargin,
+    "q33_dpp_join" ->
+      // same dim derivation (share ≥ 0.2, an exact-rational compare)
+      // over the unpartitioned table — pruning must lose nothing
+      """WITH cnt AS (
+        |  SELECT event_type, count(*) AS n_type FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n_type) AS n_all FROM cnt),
+        |dim AS (
+        |  SELECT event_type, n_type FROM cnt, tot
+        |  WHERE CAST(n_type AS DOUBLE) / n_all >= 0.2)
+        |SELECT e.event_type,
+        |  count(*) AS n_events,
+        |  round(sum(e.value), 2) AS sum_value,
+        |  max(d.n_type) AS n_type
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1""".stripMargin
   )
 }

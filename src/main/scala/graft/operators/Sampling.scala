@@ -171,6 +171,77 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** TEMPERATURE-scaled mixture sampling (the multilingual/multi-domain
+    * rebalancing rule from the mBERT/XLM-R/mT5 line of work): the target
+    * share of source s is `n_s^α / Σ_t n_t^α` — α < 1 flattens the
+    * mixture toward small sources, α = 1 keeps natural proportions. Each
+    * source's keep probability is `min(1, targetFrac · N · share / n_s)`
+    * and every document draws the d21 deterministic 20-bit md5 bucket
+    * against `floor(round(p_s, 9) · 2^20)` — an INTEGER threshold
+    * compare, so no float sits on the keep/drop boundary.
+    *
+    * α is fixed at 0.5 (the common temperature T = 2): `n^0.5` is IEEE
+    * sqrt, which every engine rounds identically — a general `pow` can
+    * differ by an ulp across libms and would un-anchor the oracle. The
+    * cross-source denominator Σ √n_t is an ordered left-assoc running
+    * sum (window ordered by source, last row), not a float `sum()` whose
+    * order the engine picks — the d26 sorted-fold discipline applied to
+    * an aggregate of ~|sources| rows.
+    *
+    * Scale shape: one |sources|-bounded count aggregate, a window over
+    * those few rows, one hint-free join of the per-source threshold back
+    * to the corpus (statistics will broadcast it — d17 discipline), and
+    * the stateless draw. Output: `<idCol>, <shardCol>, n_source,
+    * keep_threshold, mix_bucket, kept`.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      targetFrac: Double,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = "temp-v1"): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
+    val wRun = Window.orderBy(col(shardCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-source counts with the √n temperature numerator and the
+    // ordered running denominator; denom = the running sum's final row
+    // (counts are positive, so max(cum) IS the ordered total)
+    val counts = docs.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("sq", sqrt(col("n_source").cast("double")))
+      .withColumn("cum_sq", sum(col("sq")).over(wRun))
+    val denom = counts.agg(max(col("cum_sq")).as("denom"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val thresholds = counts
+      .crossJoin(denom).crossJoin(total)
+      .withColumn(
+        "p_keep",
+        least(
+          lit(1.0),
+          round(
+            lit(targetFrac) * col("n_total") * col("sq") / col("denom") /
+              col("n_source"),
+            9)))
+      .select(
+        col(shardCol), col("n_source"),
+        floor(col("p_keep") * (1L << 20)).cast("long").as("keep_threshold"))
+    val bucket = conv(
+      substring(md5(concat_ws(":", col(idCol).cast("string"), lit(salt))),
+        1, 5),
+      16, 10).cast("long")
+    docs
+      .select(col(idCol), col(shardCol))
+      .join(thresholds, Seq(shardCol))
+      .withColumn("mix_bucket", bucket)
+      .withColumn(
+        "kept",
+        when(col("mix_bucket") < col("keep_threshold"), lit(1))
+          .otherwise(lit(0)))
+      .select(
+        col(idCol), col(shardCol), col("n_source"), col("keep_threshold"),
+        col("mix_bucket"), col("kept"))
+  }
+
   /** TOKEN-BUDGET subsampling (how pretraining mixtures are actually
     * specified — "N tokens of source s", not "N documents"): within each
     * source, documents are taken in deterministic md5-hash order until

@@ -271,6 +271,52 @@ object Similarity {
         col("t.vec_id").as("vec_id"),
         col("t.cos_sim").as("cos_sim"))
 
+  /** FILTERED vector search (the "WHERE clause + kNN" every retrieval
+    * API exposes: restrict candidates by metadata, THEN take the top-k):
+    * exact batched kNN where the CORPUS side is cut by `corpusPred`
+    * before any distance is computed. The predicate is a plain Catalyst
+    * filter on the scan, so it PUSHES DOWN to the parquet reader
+    * (plan-asserted: `PushedFilters` carries it) — at 100 TB the
+    * selectivity is taken in bytes-never-decoded, not post-hoc. Probes
+    * are looked up in the UNFILTERED table (a probe need not satisfy its
+    * own filter), and the ranking runs through the bounded top-k
+    * aggregate, so the exchange stays k-bounded however large the
+    * filtered corpus remains. Output: `probe_id, vec_id, cos_sim` —
+    * exact over the filtered candidate set by construction (this is the
+    * pre-filter form; post-filtering an ANN shortlist can starve below
+    * k, which is why real systems pre-filter whenever the predicate is
+    * indexable).
+    */
+  def knnFiltered(
+      embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      corpusPred: Column): DataFrame = {
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val probes = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
+        .withColumn("p_nrm", norm(col("p"))))
+    embeddings
+      .filter(corpusPred)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .crossJoin(probes)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id"),
+        round(cosinePre(col("e"), col("p"), col("nrm"), col("p_nrm")), 6)
+          .as("cos_sim"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.VectorFunctions
+        .topK(col("cos_sim"), col("vec_id"), k).as("topk"))
+      .select(col("probe_id"), explode(col("topk")).as("t"))
+      .select(
+        col("probe_id"),
+        col("t.vec_id").as("vec_id"),
+        col("t.cos_sim").as("cos_sim"))
+  }
+
   /** kNN LABEL CLASSIFICATION (the label-propagation / weak-labeling
     * step of a training-data pipeline: score unlabeled examples by their
     * nearest labeled neighbors): for each probe, the majority label of

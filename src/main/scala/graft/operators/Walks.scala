@@ -131,6 +131,105 @@ object Walks {
     CacheScope.sealAfter(out, adj)
   }
 
+  /** NODE2VEC second-order biased walks (Grover & Leskovec 2016): the
+    * transition weight of candidate x from cur depends on the PREVIOUS
+    * vertex — `retW` if x == prev (the 1/p return bias), `inW` if
+    * x ∈ N(prev) (distance-1, the "stay local" BFS bias), `outW`
+    * otherwise (distance-2, the 1/q DFS bias). Weights are INTEGERS
+    * (rational p/q cleared to a common denominator by the caller), so
+    * the inverse-CDF pick is exact integer arithmetic — the same
+    * no-float-thresholds discipline as [[weightedRandomWalks]], and the
+    * whole corpus is regenerable by an oracle that replays each step as
+    * a candidate join + window cumsum.
+    *
+    * The first step has no prev and draws uniformly (all weights equal
+    * — the standard node2vec start, and with equal weights the integer
+    * CDF pick reduces EXACTLY to [[randomWalks]]' `H mod deg` draw).
+    *
+    * Scale shape: the sorted-neighbor adjacency is built and partitioned
+    * ONCE; each step joins the |walks|-sized state against it TWICE (on
+    * cur — co-partitioned — and on prev, a state-sized exchange) because
+    * second-order bias needs both neighbor lists. The per-row CDF is
+    * built by an array fold over cur's neighbors (O(deg²) element copies
+    * — fine under the degree caps a walk corpus runs with; an
+    * explode + window form trades it for a per-step exchange when
+    * degrees are unbounded). Output: `walk_id, step, vtx`.
+    */
+  def node2vecWalks(
+      edges: DataFrame, len: Int, salt: String,
+      retW: Long = 1L, inW: Long = 4L, outW: Long = 2L): DataFrame = {
+    require(len >= 1, "len must be >= 1")
+    require(retW >= 1 && inW >= 1 && outW >= 1, "weights must be >= 1")
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphBuilder.vertices(edges)
+    var live = verts.select(
+      col("id").as("walk_id"),
+      lit(null).cast("long").as("prev"),
+      col("id").as("cur"),
+      array(col("id")).as("path"))
+    val doneParts = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (step <- 1 to len) {
+      val stepped = node2vecStep(adj, live, step, salt, retW, inW, outW)
+        .localCheckpoint() // eager: truncates the per-step lineage
+      doneParts += stepped.filter(col("next").isNull)
+        .select(col("walk_id"), col("path"))
+      live = stepped.filter(col("next").isNotNull)
+        .select(
+          col("walk_id"),
+          col("cur").as("prev"),
+          col("next").as("cur"),
+          concat(col("path"), array(col("next"))).as("path"))
+    }
+    val all = (doneParts :+ live.select(col("walk_id"), col("path")))
+      .reduce(_ union _)
+    val out = all
+      .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "vtx")))
+    CacheScope.sealAfter(out, adj)
+  }
+
+  /** One node2vec step: per-candidate integer weights from the
+    * (prev, cur) pair, a leading-zero cumulative array built by ONE fold
+    * (`cums0 = [0, c1, …, cn]`), and the pick
+    * `idx = #(cums0 ≤ H mod totw)` — with the leading 0 always counted,
+    * that is exactly the 1-based first-interval-containing-hmod index.
+    * prev == NULL (step 1) makes every weight 1, reducing to the uniform
+    * draw. Sinks surface `next = NULL`.
+    */
+  private[graft] def node2vecStep(
+      adj: DataFrame, live: DataFrame, step: Int, salt: String,
+      retW: Long, inW: Long, outW: Long): DataFrame = {
+    val h = conv(
+      substring(
+        md5(concat_ws(":",
+          col("walk_id").cast("string"), lit(step.toString), lit(salt))),
+        1, 8),
+      16, 10).cast("long")
+    val padj = adj.select(col("src").as("psrc"), col("nbrs").as("pnbrs"))
+    val ws = transform(col("nbrs"), x =>
+      when(col("prev").isNull, lit(1L))
+        .when(x === col("prev"), lit(retW))
+        .when(array_contains(col("pnbrs"), x), lit(inW))
+        .otherwise(lit(outW)))
+    val cums0 = aggregate(ws, array(lit(0L)),
+      (acc, w) => concat(acc, array(element_at(acc, -1) + w)))
+    val totw = element_at(cums0, -1)
+    val hmod = pmod(h, totw)
+    val idx = size(filter(cums0, c => c <= hmod))
+    live
+      .join(adj, col("cur") === col("src"), "left_outer")
+      .join(padj, col("prev") === col("psrc"), "left_outer")
+      .select(
+        col("walk_id"),
+        col("cur"),
+        when(col("nbrs").isNotNull, element_at(col("nbrs"), idx))
+          .as("next"),
+        col("path"))
+  }
+
   /** One WEIGHTED walk step: `hmod = H mod totw`, neighbor index =
     * #(cums ≤ hmod) + 1 — the integer inverse-CDF pick, two codegen'd
     * array HOFs per live walk. Same exchange audit as [[walkStep]].

@@ -486,4 +486,60 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
+
+  test("e19 filtered knn: the label predicate reaches the parquet scan") {
+    // pre-filter semantics live or die on pushdown: the selectivity must
+    // be taken in bytes-never-decoded, not filtered after the scan
+    val p = plan("e19_filtered_knn")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("In(label"), "label predicate not pushed: " + p)
+  }
+
+  test("q33 fact scan is pruned by a DYNAMIC partition filter from the dim") {
+    // the dim's filter is on a non-join column (share >= 0.2), so static
+    // pruning cannot apply — the partition filter must be a runtime
+    // dynamicpruning subquery fed by the dim
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dpp_spec").toString
+    try {
+      ev.select(col("event_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val fact = spark.read.parquet(tmp)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_type"))
+        .withColumn(
+          "frac",
+          col("n_type") / org.apache.spark.sql.functions
+            .sum(col("n_type")).over(Window.partitionBy()))
+        .filter(col("frac") >= 0.2)
+        .select(col("event_type"), col("n_type"))
+      val p = fact.join(dim, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        "fact partition filter is not dynamic: " + p)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+    }
+  }
+
+  test("d32 temperature thresholds join hint-free; draw stays a projection") {
+    // the per-source threshold table is |sources|-bounded but the join
+    // back to the corpus must stay statistics-driven (d17 discipline);
+    // the md5 draw itself adds no exchange beyond that join
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Sampling
+      .temperatureSample(docs, targetFrac = 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("strategy=broadcast"),
+      "threshold join must not be hint-broadcast: " + p)
+  }
 }

@@ -1,0 +1,177 @@
+package graft
+
+import graft.operators.{Sampling, Similarity, Walks}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 second wave: node2vec second-order walks (g41),
+  * temperature-scaled mixture sampling (d32), filtered vector search
+  * (e19), JSON schema-on-read (q32), dynamic partition pruning (q33 —
+  * plan side in PlanSpec).
+  */
+class Node2vecSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("equal weights reduce exactly to the uniform first-order walk") {
+    // with retW = inW = outW the integer CDF intervals are all equal
+    // width and the pick degenerates to H mod deg — the whole corpus
+    // must be bit-identical to randomWalks under the same salt
+    val e = graft.sources.SyntheticGraph.portable(spark, 100, 300, "n2vdiff")
+    val uni = Walks.randomWalks(e, len = 6, salt = "n2vdiff")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val n2v = Walks.node2vecWalks(e, len = 6, salt = "n2vdiff",
+      retW = 1L, inW = 1L, outW = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(n2v == uni)
+  }
+
+  test("whole corpus matches an independent scalar reference walker") {
+    // a driver-side reimplementation of the node2vec rule (md5 draw,
+    // sorted candidates, second-order integer weights, inverse-CDF
+    // pick) replays every walk over the collected graph — the full
+    // exploded corpus must match exactly, exercising all three weight
+    // classes on a graph with real return/in/out choices
+    val e = graft.sources.SyntheticGraph.portable(spark, 50, 150, "n2vref")
+    val (retW, inW, outW) = (1L, 4L, 2L)
+    val got = Walks.node2vecWalks(e, len = 5, salt = "n2vref",
+      retW = retW, inW = inW, outW = outW)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val verts = edges.flatMap(t => Seq(t._1, t._2))
+    def h(walk: Long, step: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$walk:$step:n2vref".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val want = scala.collection.mutable.Set[(Long, Int, Long)]()
+    for (v <- verts) {
+      var path = Vector(v)
+      var (prev, cur) = (Option.empty[Long], v)
+      var alive = true
+      for (step <- 1 to 5 if alive) {
+        adj.get(cur) match {
+          case None => alive = false
+          case Some(nbrs) =>
+            val ws = nbrs.map { x =>
+              prev match {
+                case None => 1L
+                case Some(p) =>
+                  if (x == p) retW
+                  else if (adj.getOrElse(p, Seq()).contains(x)) inW
+                  else outW
+              }
+            }
+            val tot = ws.sum
+            val hmod = ((h(v, step) % tot) + tot) % tot
+            val cums = ws.scanLeft(0L)(_ + _).tail
+            val idx = cums.indexWhere(_ > hmod)
+            val next = nbrs(idx)
+            path :+= next
+            prev = Some(cur); cur = next
+        }
+      }
+      path.zipWithIndex.foreach { case (x, i) => want += ((v, i, x)) }
+    }
+    assert(got == want.toSet)
+  }
+
+  test("walks stop at sinks and keep their truncated path") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst") // 2 is a sink
+    val got = Walks.node2vecWalks(e, len = 8, salt = "sink")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, 0, 0L), (0L, 1, 1L), (0L, 2, 2L),
+      (1L, 0, 1L), (1L, 1, 2L),
+      (2L, 0, 2L)))
+  }
+}
+
+class TemperatureSampleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("α=0.5 flattens: the small source keeps a higher fraction") {
+    val sp = spark
+    import sp.implicits._
+    // A has 100 docs, B has 4: shares √100:√2² = 10:2, so B's keep
+    // probability 0.5·104·2/12/4 = 2.17 caps at 1 (threshold 2^20,
+    // every doc kept) while A's is 0.5·104·10/12/100 ≈ 0.433
+    val docs = ((0 until 100).map(i => (i.toLong, "A")) ++
+      (100 until 104).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(docs, targetFrac = 0.5).persist()
+    try {
+      val thrA = out.filter(col("source") === "A")
+        .select(col("keep_threshold")).head().getLong(0)
+      val thrB = out.filter(col("source") === "B")
+        .select(col("keep_threshold")).head().getLong(0)
+      assert(thrB == (1L << 20), s"capped source must keep all: $thrB")
+      assert(thrA < thrB, s"flattening must favor the small source")
+      val keptB = out.filter(col("source") === "B" && col("kept") === 1).count()
+      assert(keptB == 4L, "threshold 2^20 exceeds every 20-bit draw")
+    } finally { out.unpersist(); () }
+  }
+
+  test("uniform sources at targetFrac=1 keep everything exactly") {
+    val sp = spark
+    import sp.implicits._
+    // equal counts ⇒ share = 1/S ⇒ p = N/(S·n) = 1 exactly
+    val docs = ((0 until 6).map(i => (i.toLong, s"s${i % 3}")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(docs, targetFrac = 1.0)
+    assert(out.filter(col("kept") === 1).count() == 6L)
+  }
+}
+
+class FilteredKnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every returned neighbor satisfies the corpus predicate") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.knnFiltered(
+      emb, probeIds = Seq(0L, 1L, 2L), k = 5,
+      corpusPred = col("label").isin(2, 7))
+    val labels = got.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(labels.subsetOf(Set(2, 7)), labels.toString)
+  }
+
+  test("a tautological predicate reproduces the unfiltered batched kNN") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val filt = Similarity.knnFiltered(
+      emb, probeIds = Seq(0L, 1L, 2L), k = 5, corpusPred = lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Similarity.knnBatchAgg(emb, Seq(0L, 1L, 2L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filt == plain)
+  }
+}
+
+class JsonPropsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("malformed JSON surfaces as NULL, counted but not parsed") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq("""{"k": 3}""", """{"k": 7}""", """{nope""", null)
+      .toDF("props")
+    val parsed = df.withColumn(
+      "k",
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k"))
+    val agg = parsed.agg(
+      count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+      sum(col("k")).as("s")).head()
+    assert(agg.getLong(0) == 4L)
+    assert(agg.getLong(1) == 2L)
+    assert(agg.getLong(2) == 10L)
+  }
+}

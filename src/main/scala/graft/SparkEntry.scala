@@ -843,6 +843,144 @@ object SparkEntry {
       |  SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin
 
+  /** Oracle for e20: the full MMR trajectory unrolled — e5's exact
+    * top-`shortlist` chain, pairwise candidate sims, then k greedy CTEs
+    * each recomputing every penalty, every score, and the
+    * (score DESC, vec_id) pick. λ fixed at 0.5 matching the engine call.
+    */
+  private def mmrSql(shortlist: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |sc AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv),
+        |      6) AS rel
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+        |cand AS (
+        |  SELECT probe_id, vec_id, rel FROM (
+        |    SELECT probe_id, vec_id, rel,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY rel DESC, vec_id) AS rn
+        |    FROM sc) WHERE rn <= $shortlist),
+        |cv AS (
+        |  SELECT c.probe_id, c.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+        |pairs AS (
+        |  SELECT a.probe_id, a.vec_id AS cand_id, b.vec_id AS picked_id,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS psim
+        |  FROM cv a JOIN cv b
+        |    ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id),
+        |s1 AS (
+        |  SELECT probe_id, vec_id, rel, 1 AS mmr_rank, rel AS score FROM (
+        |    SELECT probe_id, vec_id, rel,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY rel DESC, vec_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT probe_id, vec_id FROM s1)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""",
+        |pen$i AS (
+        |  SELECT pr.probe_id, pr.cand_id, max(pr.psim) AS maxpen
+        |  FROM pairs pr JOIN sel${i - 1} s
+        |    ON s.probe_id = pr.probe_id AND s.vec_id = pr.picked_id
+        |  GROUP BY 1, 2),
+        |c$i AS (
+        |  SELECT c.probe_id, c.vec_id, c.rel,
+        |    round(0.5 * c.rel - 0.5 * n.maxpen, 6) AS score
+        |  FROM cand c
+        |  JOIN pen$i n ON n.probe_id = c.probe_id AND n.cand_id = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+        |    WHERE s.probe_id = c.probe_id AND s.vec_id = c.vec_id)),
+        |s$i AS (
+        |  SELECT probe_id, vec_id, rel, $i AS mmr_rank, score FROM (
+        |    SELECT probe_id, vec_id, rel, score,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY score DESC, vec_id) AS rn
+        |    FROM c$i) WHERE rn = 1),
+        |sel$i AS (SELECT probe_id, vec_id FROM sel${i - 1}
+        |  UNION ALL SELECT probe_id, vec_id FROM s$i)""".stripMargin
+    }
+    sb ++= (1 to k).map(i => s"SELECT * FROM s$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
+  /** Shared CTE block for the p2/d33 oracles: d5c's portable banding →
+    * d5b's shingle-Jaccard verify at 0.8 → the HashMin recursion `r`
+    * over verified pairs (consumers aggregate `min(m)` per id).
+    */
+  private val entityGroupCtes: String =
+    """tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(greatest(len(tk) - 2, 1)),
+      |      i -> CAST(concat('0x',
+      |        substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 15))
+      |        AS BIGINT))) AS sh
+      |  FROM tk),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(16), i ->
+      |      list_min(list_transform(sh, s ->
+      |        md5(concat(CAST(i AS VARCHAR), ':', CAST(s AS VARCHAR)))))) AS sig
+      |  FROM sh),
+      |band AS (
+      |  SELECT doc_id, CAST(t.b AS INTEGER) AS band_no,
+      |    array_to_string(sig[t.b*4+1 : t.b*4+4], '|') AS band_key
+      |  FROM sig, unnest(range(4)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band_no = b.band_no AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
+      |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+      |ed AS (SELECT id_a AS u, id_b AS v FROM ver
+      |       UNION SELECT id_b, id_a FROM ver),
+      |nodes AS (SELECT DISTINCT u AS id FROM ed),
+      |r(id, m) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)""".stripMargin
+
+  /** sql4: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — each customer's
+    * orders as a linked list (lead() builds the next pointer), traversed
+    * by the recursion with a per-hop depth and running spend. A
+    * linked-list walk is the UNION-ALL-safe recursion shape: one
+    * successor per row, so the working set never multiplies (Spark does
+    * not yet allow UNION-distinct recursion). ONE dialect-neutral string
+    * run verbatim by BOTH engines; the float accumulation is a single
+    * chain per row — no engine-ordered sum anywhere.
+    */
+  private val sql4RecursiveChain: String =
+    """WITH RECURSIVE nxt AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |      AS next_key,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |      AS rn
+      |  FROM orders),
+      |chain AS (
+      |  SELECT o_custkey, o_orderkey, next_key,
+      |    0 AS depth, o_totalprice AS cum
+      |  FROM nxt WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.o_custkey, n.o_orderkey, n.next_key,
+      |    c.depth + 1, c.cum + n.o_totalprice
+      |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key)
+      |SELECT o_custkey, o_orderkey, CAST(depth AS INT) AS depth,
+      |  round(cum, 4) AS cum_spend
+      |FROM chain""".stripMargin
+
   /** Small shared summary for the g20 triangle-orientation bench pair:
     * both sides must produce the identical frame (total triangles,
     * vertices in ≥1 triangle, the hub's own count) so even the
@@ -1744,6 +1882,24 @@ object SparkEntry {
       val cands = Dedup.lshCandidatePairsPortable(docs, k = 16, bands = 4)
       Dedup.componentsFromPairs(
         Dedup.verifiedJaccardPairs(docs, cands, threshold = 0.8))
+    },
+    "d33_leak_safe_split" -> { (s, dir) =>
+      // LEAKAGE-SAFE train/val/test split (the contamination rule a
+      // training pipeline must enforce: near-duplicate documents must
+      // never straddle a split — a test doc with a train-side near-dup
+      // is leaked): p2's entity chain labels each near-dup component,
+      // every doc keys its d12 md5 split draw on the GROUP label (its
+      // own id when un-grouped), so a whole component lands in one
+      // split. Cost over d12 is the dedup chain it composes; the split
+      // itself stays a stateless projection on the group key.
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairsPortable(docs, k = 16, bands = 4)
+      val groups = Dedup.componentsFromPairs(
+        Dedup.verifiedJaccardPairs(docs, cands, threshold = 0.8))
+      val keyed = docs.select(col("doc_id"))
+        .join(groups, Seq("doc_id"), "left_outer")
+        .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      Sampling.assignSplit(keyed, idCol = "group_id")
     },
     "p1_e2e_prep" -> { (s, dir) =>
       // the COMPLETE prep journey a pipeline user runs, as one composed
@@ -2789,6 +2945,12 @@ object SparkEntry {
       GraftSql.sql(s, dir, sql2TopOrdersPerCustomer)),
     "sql3_big_spender_exists" -> ((s, dir) =>
       GraftSql.sql(s, dir, sql3BigSpenderExists)),
+    "sql4_recursive_chain" -> ((s, dir) =>
+      // WITH RECURSIVE through the SQL entry point: per-customer order
+      // chains walked by the recursion (linked-list shape — the
+      // UNION-ALL-safe form), depth + running spend per hop; the same
+      // string runs verbatim in DuckDB
+      GraftSql.sql(s, dir, sql4RecursiveChain)),
 
     "q17_pivot" -> { (s, dir) =>
       // PIVOT: hourly event matrix, one column per event type. Explicit
@@ -2861,6 +3023,14 @@ object SparkEntry {
       // running sum, and the threshold floor sits after a ×2^20 exact
       // power-of-two scaling — no float on any keep/drop boundary
       Sampling.temperatureSample(t(s, dir, "documents"), targetFrac = 0.5)),
+    "e20_mmr_rerank" -> ((s, dir) =>
+      // MMR diversified rerank: exact top-20 shortlist per probe, then
+      // 5 greedy picks maximizing 0.5·rel − 0.5·max-sim-to-picked —
+      // every penalty, score, and tie-break deterministic, so the whole
+      // greedy trajectory (not a property of it) is the oracle check
+      graft.operators.Similarity.mmrRerank(
+        t(s, dir, "embeddings"), probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        shortlist = 20, k = 5)),
     "e19_filtered_knn" -> ((s, dir) =>
       // FILTERED vector search (metadata predicate + kNN): the corpus
       // side is cut by `label IN (2, 7)` BEFORE any distance — the
@@ -3930,45 +4100,26 @@ object SparkEntry {
     "p2_entity_resolution" ->
       // d5c's banding chain → d5b's shingle-Jaccard verify → d9's
       // recursive-CTE components, end to end
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(greatest(len(tk) - 2, 1)),
-        |      i -> CAST(concat('0x',
-        |        substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 15))
-        |        AS BIGINT))) AS sh
-        |  FROM tk),
-        |sig AS (
-        |  SELECT doc_id,
-        |    list_transform(range(16), i ->
-        |      list_min(list_transform(sh, s ->
-        |        md5(concat(CAST(i AS VARCHAR), ':', CAST(s AS VARCHAR)))))) AS sig
-        |  FROM sh),
-        |band AS (
-        |  SELECT doc_id, CAST(t.b AS INTEGER) AS band_no,
-        |    array_to_string(sig[t.b*4+1 : t.b*4+4], '|') AS band_key
-        |  FROM sig, unnest(range(4)) AS t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM band a JOIN band b
-        |    ON a.band_no = b.band_no AND a.band_key = b.band_key
-        |   AND a.doc_id < b.doc_id),
-        |ver AS (
-        |  SELECT c.id_a, c.id_b FROM cand c
-        |  JOIN sh a ON a.doc_id = c.id_a
-        |  JOIN sh b ON b.doc_id = c.id_b
-        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
-        |ed AS (SELECT id_a AS u, id_b AS v FROM ver
-        |       UNION SELECT id_b, id_a FROM ver),
-        |nodes AS (SELECT DISTINCT u AS id FROM ed),
-        |r(id, m) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+      s"""WITH RECURSIVE $entityGroupCtes
         |SELECT id AS doc_id, min(m) AS group_id FROM r GROUP BY 1""".stripMargin,
+    "d33_leak_safe_split" ->
+      // p2's group chain, then the d12 md5 bucket applied to the GROUP
+      // key — every member of a near-dup component draws the same split
+      s"""WITH RECURSIVE $entityGroupCtes,
+        |comp AS (SELECT id AS doc_id, min(m) AS group_id FROM r GROUP BY 1),
+        |keyed AS (
+        |  SELECT d.doc_id,
+        |    coalesce(c.group_id, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |b AS (
+        |  SELECT doc_id, group_id,
+        |    CAST(concat('0x', substr(md5(concat(CAST(group_id AS VARCHAR),
+        |      ':', 'split-v1')), 1, 8)) AS BIGINT) % 100 AS bk
+        |  FROM keyed)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "p1_e2e_prep" ->
       // the same four stages chained as CTEs: d24's gate → d1's min-id
       // dedup among survivors → d16's chunker → d19's per-shard
@@ -4556,6 +4707,7 @@ object SparkEntry {
     "sql1_revenue_by_nation" -> sql1RevenueByNation,
     "sql2_top_orders_per_customer" -> sql2TopOrdersPerCustomer,
     "sql3_big_spender_exists" -> sql3BigSpenderExists,
+    "sql4_recursive_chain" -> sql4RecursiveChain,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
     "m4_image_resize" ->
@@ -4688,6 +4840,7 @@ object SparkEntry {
         |SELECT doc_id, source, n_source, keep_threshold, mix_bucket,
         |  CASE WHEN mix_bucket < keep_threshold THEN 1 ELSE 0 END AS kept
         |FROM drawn""".stripMargin,
+    "e20_mmr_rerank" -> mmrSql(shortlist = 20, k = 5),
     "e19_filtered_knn" ->
       // e5's exact-kNN chain with the corpus predicate applied before
       // any distance — probes come from the unfiltered table

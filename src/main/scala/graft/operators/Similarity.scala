@@ -317,6 +317,96 @@ object Similarity {
         col("t.cos_sim").as("cos_sim"))
   }
 
+  /** MMR DIVERSIFIED rerank (Carbonell & Goldstein's maximal marginal
+    * relevance — the standard answer to "the top-k are all near-dups of
+    * each other"): exact top-`shortlist` candidates per probe, then `k`
+    * greedy picks maximizing `λ·rel − (1−λ)·max_sim_to_already_picked`.
+    * Every decision is deterministic — similarities rounded at 6 dp,
+    * score ties broken by the smaller vec_id — so the whole greedy
+    * trajectory is oracle-recomputable, not just spot-checked.
+    *
+    * Scale shape: the candidate stage is [[knnBatchAgg]] (k-bounded
+    * exchange at any corpus size); everything after operates on
+    * |probes|·shortlist rows — the pairwise-similarity frame is
+    * |probes|·shortlist² and every greedy round is a join + hash-agg
+    * over those bounded frames, never touching the corpus again. The
+    * greedy is sequential BY DEFINITION (pick i depends on picks
+    * 1..i−1), so k small is intrinsic to MMR, not a limitation of this
+    * form. Output: `probe_id, vec_id, rel, mmr_rank, score` (rank 1's
+    * score is its relevance — nothing is picked yet to penalize).
+    */
+  def mmrRerank(
+      embeddings: DataFrame, probeIds: Seq[Long], shortlist: Int, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    val cand = knnBatchAgg(embeddings, probeIds, shortlist)
+      .select(col("probe_id"), col("vec_id"), col("cos_sim").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate vectors ride in via one broadcast-sized join; pairwise
+    // sims among each probe's shortlist (a ≠ b, both directions — the
+    // penalty lookup is asymmetric: a = candidate, b = picked)
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val withVec = cand
+      .join(vecs, Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("v"), col("vn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = withVec.alias("a")
+      .join(withVec.alias("b"), Seq("probe_id"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("probe_id"),
+        col("a.vec_id").as("cand_id"),
+        col("b.vec_id").as("picked_id"),
+        round(
+          cosinePre(col("a.v"), col("b.v"), col("a.vn"), col("b.vn")), 6)
+          .as("psim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // greedy: rank 1 is pure relevance; each later rank penalizes by the
+    // max similarity to everything already picked
+    val first = cand
+      .groupBy(col("probe_id"))
+      .agg(max_by(
+        struct(col("vec_id"), col("rel")),
+        struct(col("rel"), -col("vec_id"))).as("b"))
+      .select(
+        col("probe_id"), col("b.vec_id").as("vec_id"),
+        col("b.rel").as("rel"), lit(1).as("mmr_rank"),
+        col("b.rel").as("score"))
+    var picked = first
+    var out = first
+    for (i <- 2 to k) {
+      val sel = picked.select(col("probe_id"), col("vec_id"))
+      val pen = pairs
+        .join(sel.withColumnRenamed("vec_id", "picked_id"),
+          Seq("probe_id", "picked_id"))
+        .groupBy(col("probe_id"), col("cand_id"))
+        .agg(max(col("psim")).as("maxpen"))
+      val scored = cand
+        .join(sel, Seq("probe_id", "vec_id"), "left_anti")
+        .join(pen.withColumnRenamed("cand_id", "vec_id"),
+          Seq("probe_id", "vec_id"))
+        .withColumn(
+          "score",
+          round(
+            lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxpen"),
+            6))
+      val next = scored
+        .groupBy(col("probe_id"))
+        .agg(max_by(
+          struct(col("vec_id"), col("rel"), col("score")),
+          struct(col("score"), -col("vec_id"))).as("b"))
+        .select(
+          col("probe_id"), col("b.vec_id").as("vec_id"),
+          col("b.rel").as("rel"), lit(i).as("mmr_rank"),
+          col("b.score").as("score"))
+      picked = picked.union(next)
+      out = out.union(next)
+    }
+    CacheScope.sealAfter(out, cand, withVec, pairs)
+  }
+
   /** kNN LABEL CLASSIFICATION (the label-propagation / weak-labeling
     * step of a training-data pipeline: score unlabeled examples by their
     * nearest labeled neighbors): for each probe, the majority label of

@@ -154,6 +154,95 @@ class FilteredKnnSpec extends AnyFunSuite {
   }
 }
 
+class MmrRerankSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("near-duplicate of the top hit is displaced by a diverse result") {
+    val sp = spark
+    import sp.implicits._
+    // probe 0 = (1,0,0,0); 1 and 2 are near-identical high-relevance
+    // twins; 3 is moderately relevant but orthogonal to them. Plain
+    // top-2 is {1, 2}; MMR's second pick must be 3 (the twin's penalty
+    // ≈ its relevance, the orthogonal result keeps its margin).
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.11f, 0f, 0f), 0),
+      (3L, Array(0.6f, 0f, 0.8f, 0f), 0),
+      (4L, Array(0f, 0f, 0f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(emb, Seq(0L), shortlist = 4, k = 2)
+      .orderBy(col("mmr_rank"))
+      .collect().map(r => (r.getInt(3), r.getLong(1)))
+    assert(got(0)._2 == 1L, got.mkString(","))
+    assert(got(1)._2 == 3L, "rank 2 must diversify away from the twin: " +
+      got.mkString(","))
+  }
+
+  test("λ=1 reduces to pure relevance: picks equal the exact top-k order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mmr = Similarity.mmrRerank(
+      emb, Seq(0L, 1L), shortlist = 10, k = 4, lambda = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .toSet
+    val topk = Similarity.knnBatch(emb, Seq(0L, 1L), k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .toSeq
+      .flatMap { case (p, rows) =>
+        rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy { case (id, sim) => (-sim, id) }
+          .take(4).zipWithIndex
+          .map { case ((id, _), i) => (p, i + 1, id) }
+      }.toSet
+    assert(mmr == topk)
+  }
+
+  test("each probe gets k distinct picks with ranks 1..k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.mmrRerank(emb, Seq(0L, 1L, 2L), shortlist = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+      assert(g.map(_._3).distinct.length == 3, "picks must be distinct")
+    }
+  }
+}
+
+class LeakSafeSplitSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("every near-dup group lands in exactly one split; all docs covered") {
+    val df = SparkEntry.queries("d33_leak_safe_split")(
+      spark, "/root/testdata/sf0.001")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(df.count() == docs.count(), "every document must be assigned")
+    val perGroup = df.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assert(perGroup.filter(col("n_splits") > 1).count() == 0,
+      "a group straddles splits — leakage")
+  }
+}
+
+class RecursiveChainSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("recursion walks each customer chain once, depth = position - 1") {
+    val df = SparkEntry.queries("sql4_recursive_chain")(
+      spark, "/root/testdata/sf0.001")
+    val bad = df.groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("depth")).as("maxd"),
+        countDistinct(col("o_orderkey")).as("nk"))
+      .filter(col("maxd") =!= col("n") - 1 || col("nk") =!= col("n"))
+    assert(bad.count() == 0,
+      "each chain must visit every order exactly once, depth 0..n-1")
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

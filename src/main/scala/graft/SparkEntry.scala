@@ -2377,6 +2377,15 @@ object SparkEntry {
       // with state expiry runs in StreamingSpec
       graft.streaming.EventStreams.attributionJoin(
         graft.sources.Tables.events(s, dir))),
+    "st15_stream_topk" -> ((s, dir) =>
+      // streaming per-type top-10 by value through the engine's own
+      // bounded aggregate: the k-capped graft_topk heap IS the
+      // streaming state (k pairs per key forever, vs a row_number form
+      // retaining every row). Batch twin IS the same code path; the
+      // out-of-order MemoryStream replay in Complete mode runs in
+      // OperatorsSpec and must converge to exactly this frame.
+      graft.streaming.EventStreams.topValuesStream(
+        graft.sources.Tables.events(s, dir), k = 10)),
     "st11_attribution_outer" -> ((s, dir) =>
       // the LEFT OUTER stream-stream interval join: unattributed
       // purchases surface with NULL c_id instead of vanishing. In
@@ -4841,6 +4850,14 @@ object SparkEntry {
         |  CASE WHEN mix_bucket < keep_threshold THEN 1 ELSE 0 END AS kept
         |FROM drawn""".stripMargin,
     "e20_mmr_rerank" -> mmrSql(shortlist = 20, k = 5),
+    "st15_stream_topk" ->
+      // the heap's (value DESC, event_id ASC) boundary re-ranked exactly
+      """WITH r AS (
+        |  SELECT event_type, event_id, round(value, 6) AS val_r,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round(value, 6) DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, event_id, val_r FROM r WHERE rn <= 10""".stripMargin,
     "e19_filtered_knn" ->
       // e5's exact-kNN chain with the corpus predicate applied before
       // any distance — probes come from the unfiltered table

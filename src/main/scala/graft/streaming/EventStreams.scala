@@ -126,6 +126,31 @@ object EventStreams {
     * rides beside it in the batch form's test to pin the rsd contract.
     * Output: `win_start STRING, event_type, approx_users LONG`.
     */
+  /** Streaming per-key TOP-K through the engine's own bounded aggregate
+    * (`graft_topk`, the `TypedImperativeAggregate` behind e9/e11): the
+    * k-capped heap IS the streaming state — each micro-batch folds its
+    * rows into the stored heap and the state per key stays k pairs
+    * FOREVER, where a window/row_number formulation would need every
+    * row retained. Complete output mode (the leaderboard shape: emit
+    * the current top-k each trigger); heap fold and merge are
+    * arrival-order-insensitive, so a fully-replayed stream equals the
+    * batch twin exactly — this is ALSO the batch code path (the gate
+    * query runs it on the full frame; the oracle re-ranks per type).
+    * Output: `event_type, event_id, val_r` (value rounded 6 — ranking
+    * key and emitted value are the same rounded number, the e5
+    * discipline).
+    */
+  def topValuesStream(events: DataFrame, k: Int = 10): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.VectorFunctions
+        .topK(round(col("value"), 6), col("event_id"), k).as("topk"))
+      .select(col("event_type"), explode(col("topk")).as("t"))
+      .select(
+        col("event_type"),
+        col("t.vec_id").as("event_id"),
+        col("t.cos_sim").as("val_r"))
+
   def windowedApproxDistinct(
       events: DataFrame,
       window: String = "5 minutes",

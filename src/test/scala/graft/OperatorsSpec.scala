@@ -550,6 +550,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k heap state converges to the batch twin out of order") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val rows = Seq(
+      (1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 7.0), (4L, "a", 9.0),
+      (5L, "b", 1.0), (6L, "b", 2.0), (7L, "a", 3.0), (8L, "b", 8.0))
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = EventStreams.topValuesStream(
+      ms.toDS().toDF("event_id", "event_type", "value"), k = 3)
+      .writeStream.format("memory").queryName("st15_unit")
+      .outputMode("complete").start()
+    try {
+      // replay shuffled across three micro-batches: the k-capped heap
+      // folds and merges order-insensitively
+      ms.addData(rows(7), rows(0), rows(3))
+      q.processAllAvailable()
+      // mid-stream state: only seen rows rank
+      val mid = spark.table("st15_unit").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(mid == Set(("a", 4L), ("a", 1L), ("b", 8L)), mid)
+      ms.addData(rows(2), rows(5), rows(1))
+      ms.addData(rows(4), rows(6))
+      q.processAllAvailable()
+      val got = spark.table("st15_unit").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = EventStreams.topValuesStream(
+        rows.toDF("event_id", "event_type", "value"), k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // ties at 9.0: smaller event_id (2) outranks 4; both stay in top-3
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set(
+        ("a", 2L, 9.0), ("a", 4L, 9.0), ("a", 3L, 7.0),
+        ("b", 8L, 8.0), ("b", 6L, 2.0), ("b", 5L, 1.0)), got)
+    } finally q.stop()
+  }
+
   test("streaming dedup registry accumulates across micro-batches") {
     val sp = spark
     import sp.implicits._

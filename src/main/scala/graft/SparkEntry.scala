@@ -3014,6 +3014,72 @@ object SparkEntry {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
           4).as("run_spend"))
     },
+    "q34_bloom_join" -> { (s, dir) =>
+      // the runtime-bloom-filter join shape (the third member of the
+      // bytes-never-shuffled family after io3 bucketing and q33 DPP):
+      // a selective dim filter lets Spark inject bloom_filter_agg /
+      // might_contain on the fact side BEFORE the shuffle, cutting the
+      // exchanged rows to ~matching keys. Size thresholds gate the
+      // injection (PlanSpec forces them low and asserts the filter
+      // appears); the RESULT is injection-independent — this oracle row
+      // pins that the optimization never changes the answer.
+      t(s, dir, "lineitem")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+    },
+    "q35_unpivot" -> { (s, dir) =>
+      // UNPIVOT (melt) — the inverse reshape of q17's pivot: the hourly
+      // event-type matrix back to long form, zero cells kept (an
+      // unpivot that silently drops empty cells loses the grid). The
+      // round-trip pins both reshape directions.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = graft.sources.Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_str"))
+        .pivot("event_type", types)
+        .count()
+      val filled = wide.select(
+        col("hour_str") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      filled.unpivot(
+        Array(col("hour_str")), types.map(col).toArray, "event_type", "n")
+    },
+    "q36_full_outer" -> { (s, dir) =>
+      // FULL OUTER join carrier: per-user click activity vs purchase
+      // activity — users present on only one side survive with the
+      // other side's counts at 0 (coalesced), the key coalesced by the
+      // USING-style join in both engines
+      val ev = graft.sources.Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_buys"))
+      clicks.join(buys, Seq("user_id"), "full_outer")
+        .select(
+          col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+    },
+    "q37_set_ops" -> { (s, dir) =>
+      // INTERSECT / EXCEPT carrier: distinct-user set algebra between
+      // event types — the set operators plan as aggregates + joins, and
+      // the summary keeps the row deterministic
+      val ev = graft.sources.Tables.events(s, dir)
+      def users(tp: String) = ev.filter(col("event_type") === tp)
+        .select(col("user_id"))
+      val both = users("click").intersect(users("purchase"))
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("click_and_buy"))
+      val only = users("click").distinct()
+        .except(users("purchase"))
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("click_no_buy"))
+      both.union(only).select(col("tag"), col("n"))
+    },
     "g41_node2vec" -> ((s, dir) =>
       // node2vec SECOND-ORDER biased walks: candidate weight depends on
       // the previous vertex (return / distance-1 / distance-2 — integer
@@ -4820,6 +4886,49 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "g41_node2vec" ->
       node2vecSql(300, 900, "g41", len = 4, retW = 1L, inW = 4L, outW = 2L),
+    "q34_bloom_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1""".stripMargin,
+    "q35_unpivot" ->
+      // the long-form grid with zero cells kept: distinct hours × the
+      // explicit type list, counts coalesced to 0
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_str, event_type
+        |  FROM events),
+        |g AS (SELECT DISTINCT hour_str FROM h),
+        |t(event_type) AS (VALUES ('click'), ('error'), ('purchase'),
+        |  ('signup'), ('view')),
+        |c AS (SELECT hour_str, event_type, count(*) AS n
+        |      FROM h GROUP BY 1, 2)
+        |SELECT g.hour_str, t.event_type, coalesce(c.n, 0) AS n
+        |FROM g CROSS JOIN t
+        |LEFT JOIN c ON c.hour_str = g.hour_str
+        |  AND c.event_type = t.event_type""".stripMargin,
+    "q36_full_outer" ->
+      """WITH cl AS (
+        |  SELECT user_id, count(*) AS n_clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |bu AS (
+        |  SELECT user_id, count(*) AS n_buys FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(cl.user_id, bu.user_id) AS user_id,
+        |  coalesce(cl.n_clicks, 0) AS n_clicks,
+        |  coalesce(bu.n_buys, 0) AS n_buys
+        |FROM cl FULL OUTER JOIN bu ON cl.user_id = bu.user_id""".stripMargin,
+    "q37_set_ops" ->
+      """SELECT 'click_and_buy' AS tag, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'click_no_buy', count(*) FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
     "d32_temperature_mix" ->
       // same √n temperature share, ORDERED running denominator (window
       // by source), 9-dp round, exact ×2^20 floor, and the d21 20-bit

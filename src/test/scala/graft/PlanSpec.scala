@@ -531,6 +531,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q34 shape: a size-tuned session injects a runtime bloom filter") {
+    // the mechanism behind q34's scale story: with the injection
+    // thresholds representing a big fact (forced low here) and the
+    // broadcast path off (a broadcast join needs no bloom), the
+    // selective dim filter must materialize as bloom_filter_agg on the
+    // dim and a might_contain pre-filter on the FACT side of the
+    // shuffle — rows dropped before they are exchanged. Confs restored
+    // in finally; the q34 gate row runs under defaults and pins that
+    // injection never changes the answer.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> "100000000",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(
+          spark.read.parquet(s"$dir/orders.parquet")
+            .filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"), "no bloom built on dim: " + p)
+      assert(p.contains("might_contain"), "no fact-side pre-filter: " + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("d32 temperature thresholds join hint-free; draw stays a projection") {
     // the per-source threshold table is |sources|-bounded but the join
     // back to the corpus must stay statistics-driven (d17 discipline);

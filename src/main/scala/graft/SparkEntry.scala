@@ -908,6 +908,70 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared d24-gate CTE block for the p1/p4 oracles: tokenization,
+    * the five quality metrics, the fixed-order keep rule, and the kept
+    * slice `k` (full document rows of the survivors).
+    */
+  private val gateCtes: String =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(tk) AS n_tokens,
+      |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+      |      / len(tk) AS avg_len,
+      |    CAST(len(list_filter(tk,
+      |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |      / len(tk) AS stop_r,
+      |    CAST(length(text)
+      |         - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      |         AS DOUBLE) / length(text) AS punct_r,
+      |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_r
+      |  FROM toks),
+      |keep_ids AS (
+      |  SELECT doc_id FROM m
+      |  WHERE NOT (n_tokens < 5) AND NOT (avg_len > 12.0)
+      |    AND NOT (stop_r < 0.01) AND NOT (punct_r > 0.2)
+      |    AND NOT (dup_r > 0.6)),
+      |k AS (SELECT d.* FROM documents d JOIN keep_ids USING (doc_id))""".stripMargin
+
+  /** Shared hash-embedding CTE chain for the d34/p4 oracles: token
+    * explode → md5 dimension + sign draws → integer component sums →
+    * dense grid (zero-filled) → L2-normalize + 6-dp round. `src` is the
+    * CTE the documents come from. Produces CTEs `he_tok … emb`
+    * (`emb(doc_id, e)`); integer-valued doubles keep Σv² exact, so the
+    * norm is order-independent cross-engine.
+    */
+  private def hashEmbedCtes(src: String, dim: Int): String =
+    s"""he_tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM $src WHERE length(trim(text)) > 0),
+       |he_h AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(concat('0x', substr(md5(concat('he-v1', ':', t)), 1, 8))
+       |      AS BIGINT) % $dim AS INT) AS d,
+       |    (CAST(concat('0x', substr(md5(concat('he-v1', ':', t)), 9, 8))
+       |      AS BIGINT) % 2) * 2 - 1 AS sgn
+       |  FROM he_tok),
+       |he_sums AS (SELECT doc_id, d, sum(sgn) AS v FROM he_h GROUP BY 1, 2),
+       |he_grid AS (
+       |  SELECT i.doc_id, CAST(gd.d AS INT) AS d
+       |  FROM (SELECT DISTINCT doc_id FROM he_sums) i,
+       |    unnest(range($dim)) AS gd(d)),
+       |he_dense AS (
+       |  SELECT g.doc_id, g.d, CAST(coalesce(s.v, 0) AS DOUBLE) AS v
+       |  FROM he_grid g LEFT JOIN he_sums s
+       |    ON s.doc_id = g.doc_id AND s.d = g.d),
+       |he_vecs AS (
+       |  SELECT doc_id, array_agg(v ORDER BY d) AS raw,
+       |    sqrt(sum(v * v)) AS nrm
+       |  FROM he_dense GROUP BY 1),
+       |emb AS (
+       |  SELECT doc_id, list_transform(raw, x -> round(x / nrm, 6)) AS e
+       |  FROM he_vecs WHERE nrm > 0)""".stripMargin
+
   /** Shared CTE block for the p2/d33 oracles: d5c's portable banding →
     * d5b's shingle-Jaccard verify at 0.8 → the HashMin recursion `r`
     * over verified pairs (consumers aggregate `min(m)` per id).
@@ -1882,6 +1946,36 @@ object SparkEntry {
       val cands = Dedup.lshCandidatePairsPortable(docs, k = 16, bands = 4)
       Dedup.componentsFromPairs(
         Dedup.verifiedJaccardPairs(docs, cands, threshold = 0.8))
+    },
+    "d34_hash_embed" -> ((s, dir) =>
+      // feature-hashing embedding (the hashing trick): signed token
+      // counts per md5-drawn dimension, L2-normalized, rounded 6 —
+      // emitted LONG-FORM (doc_id, d, v_r) so every component is
+      // hash-checked, not just the frame shape
+      TextOps.hashEmbed(t(s, dir, "documents"), dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding"))
+          .as(Seq("d", "v_r")))),
+    "p4_rag_index" -> { (s, dir) =>
+      // the RAG-INDEX journey (the fourth composed pipeline next to
+      // p1 text-prep / p2 entity-resolution / p3 graph-features):
+      // quality gate (d24) → deterministic feature-hash embedding
+      // (d34) → exact top-10 self-retrieval for the 3 smallest embedded
+      // docs. A model-free index a pipeline can build at ingest — every
+      // stage already oracle-locked alone; this row locks the composed
+      // gate→embed→retrieve trajectory.
+      val docs = t(s, dir, "documents")
+      val keep = TextOps.filterPipeline(docs)
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = docs.join(keep, Seq("doc_id"))
+      val emb = TextOps.hashEmbed(kept, dim = 16)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 3 smallest embedded ids as probes: a bounded driver action (3
+      // longs), the same rule the oracle's ORDER BY … LIMIT 3 applies
+      val probeIds = emb.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      graft.operators.CacheScope.sealAfter(
+        graft.operators.Similarity.knnBatch(emb, probeIds, k = 10), emb)
     },
     "d33_leak_safe_split" -> { (s, dir) =>
       // LEAKAGE-SAFE train/val/test split (the contamination rule a
@@ -4177,6 +4271,32 @@ object SparkEntry {
       // recursive-CTE components, end to end
       s"""WITH RECURSIVE $entityGroupCtes
         |SELECT id AS doc_id, min(m) AS group_id FROM r GROUP BY 1""".stripMargin,
+    "d34_hash_embed" ->
+      // every signed sum, zero fill, norm and rounded component
+      // regenerated; long form so the hash covers each number
+      s"""WITH ${hashEmbedCtes("documents", 16)}
+        |SELECT e.doc_id, CAST(t.d AS INT) AS d,
+        |  e.e[CAST(t.d AS INT) + 1] AS v_r
+        |FROM emb e, unnest(range(16)) AS t(d)""".stripMargin,
+    "p4_rag_index" ->
+      // gate → embed → retrieve, end to end: d24's keep rule, the full
+      // hashing-trick chain over the kept slice, then e5's exact-kNN
+      // ranking for the 3 smallest embedded ids
+      s"""WITH $gateCtes,
+        |${hashEmbedCtes("k", 16)},
+        |pr AS (SELECT doc_id FROM emb ORDER BY doc_id LIMIT 3),
+        |p AS (SELECT e.doc_id AS probe_id, e.e AS pv
+        |      FROM emb e JOIN pr ON pr.doc_id = e.doc_id),
+        |r AS (
+        |  SELECT p.probe_id, e.doc_id AS vec_id,
+        |    round(list_cosine_similarity(e.e, p.pv), 6) AS cos_sim
+        |  FROM emb e, p WHERE e.doc_id <> p.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
     "d33_leak_safe_split" ->
       // p2's group chain, then the d12 md5 bucket applied to the GROUP
       // key — every member of a near-dup component draws the same split
@@ -4199,36 +4319,14 @@ object SparkEntry {
       // the same four stages chained as CTEs: d24's gate → d1's min-id
       // dedup among survivors → d16's chunker → d19's per-shard
       // cumulative-offset packing ordered by the chunk uid
-      """WITH toks AS (
-        |  SELECT doc_id, text,
-        |    regexp_split_to_array(trim(text), '\s+') AS tk
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(tk) AS n_tokens,
-        |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
-        |      / len(tk) AS avg_len,
-        |    CAST(len(list_filter(tk,
-        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |      / len(tk) AS stop_r,
-        |    CAST(length(text)
-        |         - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-        |         AS DOUBLE) / length(text) AS punct_r,
-        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_r
-        |  FROM toks),
-        |keep_ids AS (
-        |  SELECT doc_id FROM m
-        |  WHERE NOT (n_tokens < 5) AND NOT (avg_len > 12.0)
-        |    AND NOT (stop_r < 0.01) AND NOT (punct_r > 0.2)
-        |    AND NOT (dup_r > 0.6)),
-        |k AS (SELECT d.* FROM documents d JOIN keep_ids USING (doc_id)),
+      s"""WITH $gateCtes,
         |dd AS (
         |  SELECT k.* FROM k
         |  JOIN (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text))
         |  USING (doc_id)),
         |ctk AS (
         |  SELECT doc_id, source,
-        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |    regexp_split_to_array(trim(text), '\\s+') AS tk
         |  FROM dd WHERE length(trim(text)) > 0),
         |ch AS (
         |  SELECT doc_id, source, tk,

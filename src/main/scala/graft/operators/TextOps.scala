@@ -21,6 +21,58 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** FEATURE-HASHING text embedding (Weinberger et al.'s hashing trick —
+    * the deterministic, model-free embedding a pipeline can compute at
+    * ingest): component d of a doc's vector is the signed count of its
+    * tokens hashing to d (`H1(t) mod dim` picks the dimension, the
+    * second md5 word picks ±1), L2-normalized and rounded at 6 dp. Every
+    * arithmetic step is engine-portable: the raw components are exact
+    * INTEGER sums (so the norm's Σv² is order-independent in doubles),
+    * md5 is the only hash, and the rounding happens after one IEEE
+    * division. All-zero vectors (empty text or full sign cancellation)
+    * are dropped by contract, mirroring [[Similarity.truncateRenorm]].
+    *
+    * Scale shape: one explode → one (doc, dim)-keyed map-side-combined
+    * hash aggregate → one per-doc gather; dim is a literal, so the dense
+    * array builds inside the projection (`try_element_at` over a
+    * dim-bounded map — no grid join). Output: `doc_id,
+    * embedding ARRAY<DOUBLE>` (unit-norm, rounded).
+    */
+  def hashEmbed(
+      docs: DataFrame, dim: Int = 16, salt: String = "he-v1"): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    val tok = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val md = md5(concat_ws(":", lit(salt), col("t")))
+    val h1 = conv(substring(md, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md, 9, 8), 16, 10).cast("long")
+    val sums = tok
+      .select(
+        col("doc_id"),
+        pmod(h1, lit(dim.toLong)).cast("int").as("d"),
+        (pmod(h2, lit(2L)) * 2 - 1).as("sgn"))
+      .groupBy(col("doc_id"), col("d"))
+      .agg(sum(col("sgn")).as("v"))
+    val dense = sums
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v"))))
+        .as("m"))
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => coalesce(try_element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("raw"))
+    dense
+      .withColumn(
+        "nrm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("nrm") > 0)
+      .select(
+        col("doc_id"),
+        transform(col("raw"), x => round(x / col("nrm"), 6)).as("embedding"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish subword proxy: alphanumeric runs and single punctuation

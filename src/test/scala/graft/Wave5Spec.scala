@@ -243,6 +243,42 @@ class RecursiveChainSpec extends AnyFunSuite {
   }
 }
 
+class HashEmbedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("embeddings are unit-norm (to rounding) and deterministic per text") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"), // identical text, different id
+      (3L, "delta"),
+      (4L, "   "), // blank: dropped
+      (5L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.hashEmbed(docs, dim = 8)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toVector).toMap
+    assert(!got.contains(4L), "blank text must be dropped")
+    assert(got(1L) == got(2L), "same text must embed identically")
+    got.values.foreach { v =>
+      assert(v.length == 8)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"not unit norm: $n")
+    }
+  }
+
+  test("single-token doc embeds as ±1 one-hot at its hashed dimension") {
+    val sp = spark
+    import sp.implicits._
+    val got = graft.operators.TextOps.hashEmbed(
+      Seq((7L, "solo")).toDF("doc_id", "text"), dim = 8)
+      .collect().head.getSeq[Double](1).toVector
+    assert(got.count(x => math.abs(x) == 1.0) == 1)
+    assert(got.count(_ == 0.0) == 7)
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -1947,6 +1947,15 @@ object SparkEntry {
       Dedup.componentsFromPairs(
         Dedup.verifiedJaccardPairs(docs, cands, threshold = 0.8))
     },
+    "m5_perceptual_neardup" -> ((s, dir) =>
+      // multimodal near-dup: block-mean perceptual signatures from the
+      // per-partition kernel (integer cross-multiply bits — exactly
+      // recomputable from the payload bytes), candidates by the 2×8-bit
+      // banded pigeonhole (Hamming ≤ 1 ⇒ a band matches, 100% recall,
+      // no |D|² stage), exact popcount verify on candidates only — the
+      // d14 discipline applied to the media lake
+      graft.operators.Multimodal.perceptualNearDupPairs(
+        graft.operators.Multimodal.syntheticMedia(s, dir))),
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -4271,6 +4280,40 @@ object SparkEntry {
       // recursive-CTE components, end to end
       s"""WITH RECURSIVE $entityGroupCtes
         |SELECT id AS doc_id, min(m) AS group_id FROM r GROUP BY 1""".stripMargin,
+    "m5_perceptual_neardup" ->
+      // every signature bit regenerated from the text bytes (ASCII
+      // fixture: codepoints ≡ payload bytes, the m2 caveat), then the
+      // same banded candidate set and popcount cut
+      """WITH cp AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(split(text, ''), x -> unicode(x)) AS cps
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT c.doc_id, CAST(t.i AS INT) AS i,
+        |    CAST(t.i * c.n // 16 AS INT) AS lo,
+        |    CAST((t.i + 1) * c.n // 16 AS INT) AS hi,
+        |    c.n, c.cps
+        |  FROM cp c, unnest(range(16)) AS t(i)
+        |  WHERE c.n > 0),
+        |bits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hi > lo AND
+        |        list_sum(cps[lo+1:hi]) * n > list_sum(cps) * (hi - lo)
+        |      THEN (1 << i) ELSE 0 END AS bit
+        |  FROM blocks),
+        |sg0 AS (SELECT doc_id, CAST(sum(bit) AS INT) AS sig
+        |        FROM bits GROUP BY 1),
+        |sg AS (
+        |  SELECT c.doc_id, coalesce(s.sig, 0) AS sig
+        |  FROM cp c LEFT JOIN sg0 s USING (doc_id)),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |    AND ((a.sig % 256) = (b.sig % 256)
+        |      OR (a.sig // 256) = (b.sig // 256)))
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
     "d34_hash_embed" ->
       // every signed sum, zero fill, norm and rounded component
       // regenerated; long form so the hash covers each number

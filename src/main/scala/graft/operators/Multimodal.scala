@@ -146,6 +146,89 @@ object Multimodal {
       .toDF()
   }
 
+  final case class MediaSig(media_id: Long, sig: Int)
+
+  /** STUB perceptual hash — the block-mean pHash structure computed on
+    * payload BYTES instead of decoded pixels (no codecs in this
+    * container; a real deployment decodes, downsamples, and runs the
+    * same block-vs-global comparison on luma). 16 bits, bit i set iff
+    * block i's mean byte value exceeds the global mean — compared by
+    * INTEGER cross-multiplication (`bsum·n > total·len_i`), so the
+    * signature is exactly recomputable by any engine from the bytes.
+    * Empty/null payloads hash to 0.
+    */
+  private def stubPerceptualHash(p: Array[Byte]): Int = {
+    if (p == null || p.isEmpty) 0
+    else {
+      val n = p.length
+      var total = 0L
+      var j = 0
+      while (j < n) { total += (p(j) & 0xff); j += 1 }
+      var sig = 0
+      var i = 0
+      while (i < 16) {
+        val lo = i * n / 16
+        val hi = (i + 1) * n / 16
+        if (hi > lo) {
+          var bsum = 0L
+          var b = lo
+          while (b < hi) { bsum += (p(b) & 0xff); b += 1 }
+          if (bsum * n > total * (hi - lo)) sig |= (1 << i)
+        }
+        i += 1
+      }
+      sig
+    }
+  }
+
+  /** Per-partition perceptual-signature kernel (the m2 batching shape:
+    * codec init once per partition, rows streamed through). Output:
+    * `media_id, sig INT`.
+    */
+  def perceptualSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: decoder init happens HERE, once per partition
+        rows.map { case (id, p) => MediaSig(id, stubPerceptualHash(p)) }
+      }
+      .toDF()
+  }
+
+  /** Perceptual NEAR-DUP pairs across the media lake — the multimodal
+    * twin of d14's SimHash join: signatures from the per-partition
+    * kernel, candidates by the banded pigeonhole (Hamming ≤ 1 on 16
+    * bits ⇒ one of the two 8-bit bands is EQUAL — 100% recall by
+    * construction, no |D|² stage), then the exact popcount verify on
+    * candidates only. Output: `id_a, id_b, ham` (a < b).
+    */
+  def perceptualNearDupPairs(media: DataFrame): DataFrame = {
+    val sigs = perceptualSignatures(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(bandExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val a = sigs.select(
+        col("media_id").as("id_a"), col("sig").as("sig_a"),
+        bandExpr(col("sig")).as("bk"))
+      val b = sigs.select(
+        col("media_id").as("id_b"), col("sig").as("sig_b"),
+        bandExpr(col("sig")).as("bk"))
+      a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    }
+    val cands = banded(s => s.bitwiseAND(lit(255)))
+      .union(banded(s => shiftright(s, 8)))
+      .distinct()
+    val out = cands
+      .withColumn(
+        "ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("ham") <= 1)
+      .select(col("id_a"), col("id_b"), col("ham"))
+    CacheScope.sealAfter(out, sigs)
+  }
+
   /** Metadata-only projection — must compile to a scan that never reads
     * the payload bytes (ReadSchema excludes `payload`); this is the
     * pruning contract that makes metadata queries cheap on a 100 TB

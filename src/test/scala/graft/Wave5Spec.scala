@@ -279,6 +279,38 @@ class HashEmbedSpec extends AnyFunSuite {
   }
 }
 
+class PerceptualNearDupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("banded pairs equal the brute-force Hamming-≤1 set (100% recall)") {
+    val media = graft.operators.Multimodal.syntheticMedia(
+      spark, "/root/testdata/sf0.001")
+    val sigs = graft.operators.Multimodal.perceptualSignatures(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && Integer.bitCount(sa ^ sb) <= 1
+    } yield (ia, ib, Integer.bitCount(sa ^ sb))).toSet
+    val got = graft.operators.Multimodal.perceptualNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture has exact-dup texts: distance-0 pairs exist")
+  }
+
+  test("identical payloads collide at distance 0") {
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(
+      (1L, "img", "same same payload bytes".getBytes("UTF-8")),
+      (2L, "img", "same same payload bytes".getBytes("UTF-8")),
+      (3L, "img", "completely different content here".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+    val got = graft.operators.Multimodal.perceptualNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((1L, 2L, 0)), got.mkString(","))
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

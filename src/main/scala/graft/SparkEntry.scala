@@ -3081,6 +3081,14 @@ object SparkEntry {
         col("hour_str") +:
           types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
     },
+    "p5_point_in_time" -> ((s, dir) =>
+      // POINT-IN-TIME feature join (the feature-store correctness
+      // query): q24's SCD2 validity intervals joined to probe events so
+      // each probe sees the state STRICTLY BEFORE its own timestamp —
+      // never its own row, never the future: no feature leakage into
+      // training labels
+      graft.operators.TemporalJoins.pointInTimeState(
+        graft.sources.Tables.events(s, dir), probeType = "purchase")),
     "q24_scd2" -> { (s, dir) =>
       // SCD2 history build (the CDC merge shape): each user's event
       // stream becomes validity intervals [valid_from, valid_to) via a
@@ -3182,6 +3190,57 @@ object SparkEntry {
         .except(users("purchase"))
         .agg(count(lit(1)).as("n")).withColumn("tag", lit("click_no_buy"))
       both.union(only).select(col("tag"), col("n"))
+    },
+    "g43_skipgram_pairs" -> { (s, dir) =>
+      // SKIP-GRAM pair generation from the g36 walk corpus (the
+      // word2vec/DeepWalk training-pair table — walks are sentences,
+      // this is the (center, context) extraction with window 2):
+      // self-join per walk on step distance, pair counts map-side
+      // combined; per-walk cost is len·window, never corpus-sized
+      val walks = graft.operators.Walks.randomWalks(
+        graft.sources.SyntheticGraph.portable(s, 300, 900, "g36"),
+        len = 8, salt = "g36")
+      val a = walks.select(
+        col("walk_id"), col("step").as("step_a"), col("vtx").as("center"))
+      val b = walks.select(
+        col("walk_id"), col("step").as("step_b"), col("vtx").as("context"))
+      a.join(b, Seq("walk_id"))
+        .filter(
+          col("step_a") =!= col("step_b") &&
+            abs(col("step_a") - col("step_b")) <= 2)
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    "io6_schema_evolution" -> { (s, dir) =>
+      // SCHEMA EVOLUTION round-trip: two parquet batches with different
+      // schemas (the late-added `value` column — how real lakes evolve)
+      // land side by side, mergeSchema read unifies them, the missing
+      // column surfaces as NULL (counted, not invented); the aggregate
+      // over the merged scan is hash-checked against the split rule
+      val ev = graft.sources.Tables.events(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evo_io6").toString
+      try {
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=a")
+        ev.filter(pmod(col("event_id"), lit(2)) =!= 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=b")
+        graft.operators.CacheScope.sealAfter(
+          s.read.option("mergeSchema", "true").parquet(tmp)
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              count(col("value")).as("n_with_value"),
+              round(sum(col("value")), 2).as("sum_value_odd")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     },
     "g41_node2vec" -> ((s, dir) =>
       // node2vec SECOND-ORDER biased walks: candidate weight depends on
@@ -5027,6 +5086,47 @@ object SparkEntry {
         |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "g41_node2vec" ->
       node2vecSql(300, 900, "g41", len = 4, retW = 1L, inW = 4L, outW = 2L),
+    "p5_point_in_time" ->
+      // same lead-window SCD2 and strict-predecessor predicate
+      """WITH scd AS (
+        |  SELECT user_id, event_id AS state_event_id,
+        |    event_type AS state_type, value AS state_value,
+        |    epoch_us(ts) AS valid_from,
+        |    coalesce(lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id), -1) AS valid_to
+        |  FROM events),
+        |pr AS (
+        |  SELECT event_id AS probe_id, user_id, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT pr.probe_id, pr.user_id, pr.pts,
+        |  coalesce(s.state_event_id, -1) AS state_event_id,
+        |  coalesce(s.state_type, 'none') AS state_type,
+        |  round(coalesce(s.state_value, 0.0), 2) AS state_value
+        |FROM pr LEFT JOIN scd s
+        |  ON s.user_id = pr.user_id
+        |  AND s.valid_from < pr.pts
+        |  AND (s.valid_to = -1 OR s.valid_to >= pr.pts)""".stripMargin,
+    "g43_skipgram_pairs" ->
+      // the g36 walk chain re-generated, then the same windowed
+      // self-join and (center, context) count
+      s"""WITH w AS (
+        |${walksSql(300, 900, "g36", len = 8)}
+        |)
+        |SELECT a.vtx AS center, b.vtx AS context, count(*) AS n_pairs
+        |FROM w a JOIN w b ON a.walk_id = b.walk_id
+        |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2""".stripMargin,
+    "io6_schema_evolution" ->
+      // the split rule replayed: even ids never had a value column ⇒
+      // NULL under the merged schema
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 2 = 1 THEN value ELSE NULL END AS v
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |  count(v) AS n_with_value,
+        |  round(sum(v), 2) AS sum_value_odd
+        |FROM m GROUP BY 1""".stripMargin,
     "q34_bloom_join" ->
       """SELECT o_custkey, count(*) AS n_items,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty

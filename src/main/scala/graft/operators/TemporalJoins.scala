@@ -141,6 +141,49 @@ object TemporalJoins {
     * survivor is one map-side-combined max_by aggregate; the fill is
     * ONE window per user. Output: `user_id, hour_str, filled_value`.
     */
+  /** POINT-IN-TIME state join (the feature-store correctness primitive):
+    * every event becomes an SCD2 validity interval `[ts, next_ts)` per
+    * user (q24's lead-window build), and each probe row joins the
+    * interval STRICTLY BEFORE its own timestamp —
+    * `valid_from < t AND (open OR valid_to ≥ t)` selects exactly the
+    * predecessor (same-ts ties produce zero-width intervals that
+    * self-exclude), never the probe's own row: no feature leakage into
+    * training labels. Probes with no prior state survive with
+    * sentinels. One user-keyed equi join carrying a residual range
+    * predicate; the interval build is one window per user partition.
+    * Output: `probe_id, user_id, pts, state_event_id, state_type,
+    * state_value`.
+    */
+  def pointInTimeState(events: DataFrame, probeType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    val scd = events.select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("valid_from"))
+      .withColumn(
+        "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
+      .select(
+        col("user_id"), col("event_id").as("state_event_id"),
+        col("event_type").as("state_type"),
+        col("value").as("state_value"),
+        col("valid_from"), col("valid_to"))
+    val probes = events.filter(col("event_type") === probeType)
+      .select(
+        col("event_id").as("probe_id"), col("user_id"),
+        unix_micros(col("ts")).as("pts"))
+    probes.join(
+        scd,
+        probes("user_id") === scd("user_id") &&
+          col("valid_from") < col("pts") &&
+          (col("valid_to") === -1L || col("valid_to") >= col("pts")),
+        "left_outer")
+      .select(
+        col("probe_id"), probes("user_id").as("user_id"), col("pts"),
+        coalesce(col("state_event_id"), lit(-1L)).as("state_event_id"),
+        coalesce(col("state_type"), lit("none")).as("state_type"),
+        round(coalesce(col("state_value"), lit(0.0)), 2).as("state_value"))
+  }
+
   def gapFillHourly(events: DataFrame): DataFrame = {
     val b = events.agg(
       date_trunc("hour", min(col("ts"))).as("mn"),

@@ -311,6 +311,66 @@ class PerceptualNearDupSpec extends AnyFunSuite {
   }
 }
 
+class PointInTimeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+  test("probe sees the strict predecessor — never itself, never the future") {
+    val sp = spark
+    import sp.implicits._
+    // user 1: view@1, purchase@2, click@3 — the probe (purchase@2) must
+    // bind to view@1; user 2's FIRST event is a purchase → sentinels
+    val ev = Seq(
+      (10L, ts(1), 1L, "view", 1.5),
+      (11L, ts(2), 1L, "purchase", 9.9),
+      (12L, ts(3), 1L, "click", 2.5),
+      (20L, ts(5), 2L, "purchase", 4.0),
+      (21L, ts(6), 2L, "view", 0.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TemporalJoins
+      .pointInTimeState(ev, probeType = "purchase")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4), r.getDouble(5)))
+      .toSet
+    assert(got == Set(
+      (11L, 10L, "view", 1.5),
+      (20L, -1L, "none", 0.0)), got)
+  }
+
+  test("same-timestamp tie: zero-width interval self-excludes") {
+    val sp = spark
+    import sp.implicits._
+    // two events share ts(2); the probe at ts(4) must bind to the LAST
+    // row of the tie (the one holding the open-ended interval)
+    val ev = Seq(
+      (30L, ts(2), 3L, "view", 1.0),
+      (31L, ts(2), 3L, "click", 2.0),
+      (32L, ts(4), 3L, "purchase", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TemporalJoins
+      .pointInTimeState(ev, probeType = "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((32L, 31L)), got)
+  }
+}
+
+class SkipgramPairsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("pair counts are symmetric: n(center=a, context=b) == n(b, a)") {
+    val df = SparkEntry.queries("g43_skipgram_pairs")(
+      spark, "/root/testdata/sf0.001")
+    val m = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(m.nonEmpty)
+    m.foreach { case ((a, b), n) =>
+      assert(m.getOrElse((b, a), 0L) == n,
+        s"asymmetric pair counts at ($a,$b)")
+    }
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

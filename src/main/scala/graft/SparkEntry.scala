@@ -908,6 +908,60 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Oracle for d35: the BPE merge loop unrolled — per round, every
+    * adjacent pair count (overlapping positions all count), the
+    * (count DESC, pair ASC) argmax, and the left-to-right
+    * NON-overlapping re-tokenization replayed as a recursive
+    * position-walk per word (state = (pos, acc); a match consumes two
+    * positions, anything else one).
+    */
+  private def bpeSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH RECURSIVE w0 AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |s0 AS (SELECT w, cnt, split(w, '') AS syms FROM w0)""".stripMargin
+    for (r <- 1 to k) {
+      sb ++= s""",
+        |p$r AS (
+        |  SELECT syms[CAST(t.i + 1 AS INT)] AS lft,
+        |    syms[CAST(t.i + 2 AS INT)] AS rgt, sum(cnt) AS pcnt
+        |  FROM s${r - 1}, unnest(range(len(syms) - 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |b$r AS MATERIALIZED (
+        |  SELECT lft, rgt, pcnt FROM p$r
+        |  ORDER BY pcnt DESC, lft, rgt LIMIT 1),
+        |rec$r AS (
+        |  SELECT s.w, s.cnt, s.syms, CAST(1 AS BIGINT) AS pos,
+        |    CAST([] AS VARCHAR[]) AS acc
+        |  FROM s${r - 1} s
+        |  UNION ALL
+        |  SELECT rec.w, rec.cnt, rec.syms,
+        |    CASE WHEN rec.pos < len(rec.syms)
+        |        AND rec.syms[CAST(rec.pos AS INT)] = b.lft
+        |        AND rec.syms[CAST(rec.pos + 1 AS INT)] = b.rgt
+        |      THEN rec.pos + 2 ELSE rec.pos + 1 END,
+        |    CASE WHEN rec.pos < len(rec.syms)
+        |        AND rec.syms[CAST(rec.pos AS INT)] = b.lft
+        |        AND rec.syms[CAST(rec.pos + 1 AS INT)] = b.rgt
+        |      THEN list_append(rec.acc, b.lft || b.rgt)
+        |      ELSE list_append(rec.acc, rec.syms[CAST(rec.pos AS INT)]) END
+        |  FROM rec$r rec, b$r b
+        |  WHERE rec.pos <= len(rec.syms)),
+        |s$r AS MATERIALIZED (
+        |  SELECT w, cnt, acc AS syms FROM rec$r
+        |  WHERE pos > len(syms))""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(r =>
+      s"SELECT $r AS m_rank, lft AS m_left, rgt AS m_right, " +
+        s"CAST(pcnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** Shared d24-gate CTE block for the p1/p4 oracles: tokenization,
     * the five quality metrics, the fixed-order keep rule, and the kept
     * slice `k` (full document rows of the survivors).
@@ -1956,6 +2010,13 @@ object SparkEntry {
       // d14 discipline applied to the media lake
       graft.operators.Multimodal.perceptualNearDupPairs(
         graft.operators.Multimodal.syntheticMedia(s, dir))),
+    "d35_bpe_merges" -> ((s, dir) =>
+      // BPE tokenizer training: 3 merge rounds over the corpus
+      // vocabulary — pair counts (overlapping), lexicographic-tie
+      // argmax, left-to-right non-overlapping re-tokenize; the oracle
+      // replays every round, so the merge table transitively
+      // hash-checks every intermediate re-tokenization too
+      TextOps.bpeMerges(t(s, dir, "documents"), k = 3)),
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -4373,6 +4434,7 @@ object SparkEntry {
         |      OR (a.sig // 256) = (b.sig // 256)))
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
+    "d35_bpe_merges" -> bpeSql(3),
     "d34_hash_embed" ->
       // every signed sum, zero fill, norm and rounded component
       // regenerated; long form so the hash covers each number

@@ -75,6 +75,94 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE TOKENIZER TRAINING (Sennrich et al.'s byte-pair-encoding merge
+    * learner — the op that produces a tokenizer's merge table from a
+    * corpus): words become character-symbol sequences; each round counts
+    * every adjacent symbol pair (weighted by word frequency), merges the
+    * most frequent pair (ties to the lexicographically smallest), and
+    * re-tokenizes every word by a LEFT-TO-RIGHT NON-OVERLAPPING replace
+    * — "aaa" under merge (a,a) becomes [aa, a], the standard rule.
+    * Everything is deterministic, so the whole merge table (and,
+    * transitively, every intermediate re-tokenization — round r's counts
+    * depend on round r−1's merge) is oracle-recomputable.
+    *
+    * Scale shape: state is the VOCABULARY (word, count, symbols), not
+    * the corpus — one explode + count builds it, each round is one
+    * pair-explode + map-side-combined count over vocab-sized rows, one
+    * 1-row argmax collect (driver-bounded like every centroid pick),
+    * and a stateless in-projection re-tokenize fold; per-round lineage
+    * cut by localCheckpoint. k is small by nature of the gate (real
+    * tokenizers run ~30k rounds of exactly this loop; the per-round
+    * plan is what must be right). Output: `m_rank, m_left, m_right,
+    * pair_count` — one row per learned merge.
+    */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var syms = words
+      .select(col("w"), col("cnt"),
+        filter(split(col("w"), ""), x => length(x) > 0).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (rank <- 1 to k if !exhausted) {
+      val best = syms
+        // single-symbol words have no pairs; without the guard
+        // sequence(0, -1) would walk backwards and index 0 under ANSI
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          explode(transform(
+            sequence(lit(0), size(col("syms")) - 2),
+            i => struct(
+              element_at(col("syms"), i + 1).as("lft"),
+              element_at(col("syms"), i + 2).as("rgt")))).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(desc("pcnt"), asc("lft"), asc("rgt"))
+        .limit(1)
+        .collect() // 1 row: the argmax, driver-bounded by construction
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, c))
+        // left-to-right non-overlapping replace as ONE fold inside the
+        // projection: state (acc, skip) walks the index sequence — skip
+        // marks "position consumed by the previous merge"
+        val zero = struct(
+          typedLit(Seq.empty[String]).as("acc"), lit(false).as("skip"))
+        val folded = aggregate(
+          sequence(lit(0), size(col("syms")) - 1),
+          zero,
+          (st, i) => {
+            val acc = st.getField("acc")
+            val cur = element_at(col("syms"), i + 1)
+            val nxt = try_element_at(col("syms"), i + 2)
+            when(st.getField("skip"),
+              struct(acc.as("acc"), lit(false).as("skip")))
+              .when(
+                i < size(col("syms")) - 1 && cur === lit(l) && nxt === lit(r),
+                struct(
+                  concat(acc, array(lit(l + r))).as("acc"),
+                  lit(true).as("skip")))
+              .otherwise(
+                struct(concat(acc, array(cur)).as("acc"),
+                  lit(false).as("skip")))
+          },
+          st => st.getField("acc"))
+        syms = syms
+          .select(col("w"), col("cnt"), folded.as("syms"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("m_rank", "m_left", "m_right", "pair_count")
+  }
+
   /** BPE-ish subword proxy: alphanumeric runs and single punctuation
     * marks each count as one token (the usual pre-tokenization split a
     * byte-pair encoder starts from). Pure regex — identical semantics in

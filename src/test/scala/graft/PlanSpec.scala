@@ -480,6 +480,29 @@ class PlanSpec extends AnyFunSuite {
     } finally adj.unpersist()
   }
 
+  test("g41 node2vec step: cached adjacency never re-exchanges on either join") {
+    // the biased step joins the partitioned adjacency TWICE (cur
+    // co-partitioned, prev state-sized) — neither join may re-shuffle
+    // the cached edge-sized rows; only the walk state moves
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val edges = graft.sources.SyntheticGraph.portable(spark, 300, 900, "g41")
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src"))
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src"))
+      .persist()
+    try {
+      adj.count()
+      val live = graft.operators.GraphBuilder.vertices(edges).select(
+        col("id").as("walk_id"), col("id").as("prev"), col("id").as("cur"),
+        array(col("id")).as("path"))
+      val p = concretePlan(
+        graft.operators.Walks.node2vecStep(adj, live, 2, "g41", 1L, 4L, 2L))
+      assert(!reshufflesCachedRows(p), p.toString)
+    } finally adj.unpersist()
+  }
+
   test("d30 token budget is ONE window exchange on the source key") {
     val p = plan("d30_token_budget")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -371,6 +371,52 @@ class SkipgramPairsSpec extends AnyFunSuite {
   }
 }
 
+class BpeMergesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("three hand-computed merge rounds on a tiny corpus") {
+    val sp = spark
+    import sp.implicits._
+    // vocab: aaa×3, bb×1. Round 1: (a,a) counts 2 per 'aaa' ⇒ 6 vs
+    // (b,b)=1 → merge (a,a); 'aaa' → [aa, a] (non-overlapping l2r).
+    // Round 2: (aa,a)=3 beats (b,b)=1. Round 3: only (b,b)=1 remains.
+    val docs = Seq((1L, "aaa bb aaa"), (2L, "aaa"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpeMerges(docs, k = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1, "a", "a", 6L),
+      (2, "aa", "a", 3L),
+      (3, "b", "b", 1L)), got)
+  }
+
+  test("counts overlap, merges do not: 'aaaa' gives (a,a)=3 then [aa,aa]") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpeMerges(docs, k = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1, "a", "a", 3L), // overlapping positions all counted
+      (2, "aa", "aa", 1L)), got) // l2r merge left exactly [aa, aa]
+  }
+
+  test("ties break to the lexicographically smallest pair") {
+    val sp = spark
+    import sp.implicits._
+    // 'cd' and 'ab' both have one pair with count 1 → (a,b) wins
+    val docs = Seq((1L, "cd ab")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpeMerges(docs, k = 1)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("a", "b")), got)
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -3252,6 +3252,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).withColumn("tag", lit("click_no_buy"))
       both.union(only).select(col("tag"), col("n"))
     },
+    "g44_components_df" -> ((s, dir) =>
+      // DataFrame-native connected components (HashMin diffusion, early
+      // stop) — the GraphX-free scale path for dedup grouping; the
+      // differential spec pins it equal to the GraphX Pregel twin, the
+      // oracle recomputes every label by reachability closure
+      graft.operators.GraphBuilder.connectedComponentsDF(
+        graft.sources.SyntheticGraph.portable(s, 600, 250, "g44"))._1),
     "g43_skipgram_pairs" -> { (s, dir) =>
       // SKIP-GRAM pair generation from the g36 walk corpus (the
       // word2vec/DeepWalk training-pair table — walks are sentences,
@@ -3472,6 +3479,16 @@ object SparkEntry {
       10,
       "SELECT id, round(rank, 9) AS rank_r FROM r10"),
     "g14_personalized_k4" -> personalizedPageRankSql(k = 4, nSeeds = 3),
+    "g44_components_df" ->
+      s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g44")},
+         |ed AS (SELECT src AS u, dst AS v FROM pe
+         |       UNION SELECT dst, src FROM pe),
+         |nodes AS (SELECT DISTINCT u AS id FROM ed),
+         |r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+         |SELECT id, min(m) AS component_id FROM r GROUP BY 1""".stripMargin,
     "g15_components" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g15")},
          |ed AS (SELECT src AS u, dst AS v FROM pe

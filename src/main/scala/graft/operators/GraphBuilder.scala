@@ -307,6 +307,65 @@ object GraphBuilder {
     (labels, iters)
   }
 
+  /** DataFrame-NATIVE connected components by HashMin label diffusion
+    * with early stop — the GraphX-free scale path for the dedup
+    * pipeline's grouping primitive ([[Dedup.componentsFromPairs]] is
+    * the row-object GraphX twin; a differential spec pins them equal):
+    * every vertex starts as its own label, each round adopts
+    * `min(own, min over neighbors)`, a zero-change round is the
+    * fixpoint. Converges in O(diameter) rounds; per round the cost
+    * class is one PageRank iteration — one |E|-row join against the
+    * once-partitioned symmetric adjacency + one map-side-combined min
+    * aggregate, per-round lineage cut by localCheckpoint, one driver
+    * count for the stop test (the O14/O16 discipline). Star-contraction
+    * (large-star/small-star) would cut rounds to O(log n) on
+    * pathological-diameter graphs by mutating the edge set; HashMin
+    * keeps the edge frame IMMUTABLE and cached, which wins on the
+    * short-diameter graphs dedup actually produces. Returns
+    * (`id, component_id` labels, rounds run).
+    */
+  def connectedComponentsDF(
+      edges: DataFrame, maxRounds: Int = 100): (DataFrame, Int) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = ue.select(col("u").as("vtx"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("vtx"))
+        .agg(min(col("lbl")).as("nmin"))
+      val next = verts
+        .join(nbrMin.select(col("vtx").as("id"), col("nmin")),
+          Seq("id"), "left_outer")
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .select(
+          col("id"),
+          least(col("prev"), coalesce(col("nmin"), col("prev"))).as("lbl"))
+        .localCheckpoint() // eager: truncates lineage, feeds the stop test
+      rounds += 1
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
+        .filter(col("lbl") =!= col("prev_lbl"))
+        .count()
+      labels.unpersist(false)
+      labels = next
+      if (changed == 0L) stable = true
+    }
+    ue.unpersist(false)
+    sym.unpersist(false)
+    verts.unpersist(false)
+    (labels.select(col("id"), col("lbl").as("component_id")), rounds)
+  }
+
   /** k-core decomposition by fixed-round peeling: each round recomputes
     * every surviving vertex's degree WITHIN the surviving set and drops
     * vertices below `k`; after `rounds` peels the survivors are reported

@@ -417,6 +417,41 @@ class BpeMergesSpec extends AnyFunSuite {
   }
 }
 
+class ComponentsDfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("HashMin DataFrame components equal the GraphX Pregel twin") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 600, 250, "g44")
+    val (dfLabels, rounds) =
+      graft.operators.GraphBuilder.connectedComponentsDF(e)
+    val df = dfLabels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gx = graft.operators.Dedup.componentsFromPairs(
+      e.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // GraphX covers only vertices with edges; every one must agree
+    assert(gx.nonEmpty && rounds >= 1)
+    gx.foreach { case (id, c) =>
+      assert(df(id) == c, s"vertex $id: df=${df(id)} graphx=$c")
+    }
+  }
+
+  test("two disjoint paths converge to two min-labeled components") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((5L, 4L), (4L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("src", "dst")
+    val (labels, rounds) =
+      graft.operators.GraphBuilder.connectedComponentsDF(e)
+    val got = labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (3L, 3L), (4L, 3L), (5L, 3L),
+      (10L, 10L), (11L, 10L), (12L, 10L)), got)
+    assert(rounds <= 4, s"path of length 2 must settle fast: $rounds")
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

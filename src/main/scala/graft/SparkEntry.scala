@@ -908,6 +908,66 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Oracle for g45: both Brandes passes unrolled — forward CTEs carry
+    * (seed, id, σ) per level (σ an exact integer sum, visited set
+    * materialized per level), backward CTEs replay the dependency
+    * recurrence level by level; final betweenness rounded at 6 dp after
+    * the undirected halving.
+    */
+  private def brandesSql(
+      nV: Long, nE: Long, salt: String, nSeeds: Int, depth: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
+    sb ++=
+      s"""ue AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM pe WHERE src <> dst),
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM ue
+        |  UNION ALL SELECT v, u FROM ue),
+        |verts AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe) t),
+        |sd AS (SELECT id AS seed FROM verts ORDER BY id LIMIT $nSeeds),
+        |f0 AS (SELECT seed, seed AS id, CAST(1 AS BIGINT) AS sig FROM sd),
+        |vis0 AS (SELECT seed, id FROM f0)""".stripMargin
+    for (l <- 1 to depth) {
+      sb ++= s""",
+        |f$l AS MATERIALIZED (
+        |  SELECT a.seed, a.id, CAST(sum(a.sig) AS BIGINT) AS sig FROM (
+        |    SELECT f.seed, s.dst AS id, f.sig
+        |    FROM f${l - 1} f JOIN sym s ON s.src = f.id) a
+        |  WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} v
+        |    WHERE v.seed = a.seed AND v.id = a.id)
+        |  GROUP BY 1, 2),
+        |vis$l AS MATERIALIZED (SELECT seed, id FROM vis${l - 1}
+        |  UNION ALL SELECT seed, id FROM f$l)""".stripMargin
+    }
+    sb ++= s""",
+      |b$depth AS (SELECT seed, id, CAST(0 AS DOUBLE) AS delta
+      |  FROM f$depth)""".stripMargin
+    for (l <- (depth - 1) to 0 by -1) {
+      sb ++= s""",
+        |b$l AS MATERIALIZED (
+        |  SELECT c.seed, c.id, coalesce(sc.delta, 0.0) AS delta
+        |  FROM f$l c LEFT JOIN (
+        |    SELECT x.seed, x.vid, sum(
+        |      CAST(x.vsig AS DOUBLE) / x.wsig * (1.0 + x.wdelta)) AS delta
+        |    FROM (
+        |      SELECT f.seed, f.id AS vid, f.sig AS vsig,
+        |        w.sig AS wsig, bw.delta AS wdelta
+        |      FROM f$l f
+        |      JOIN sym s ON s.src = f.id
+        |      JOIN f${l + 1} w ON w.seed = f.seed AND w.id = s.dst
+        |      JOIN b${l + 1} bw ON bw.seed = f.seed AND bw.id = s.dst
+        |    ) x GROUP BY 1, 2) sc
+        |  ON sc.seed = c.seed AND sc.vid = c.id)""".stripMargin
+    }
+    sb ++= "\nSELECT id, round(sum(delta) / 2.0, 6) AS bc_r FROM ("
+    sb ++= (0 to depth).map(l => s"SELECT seed, id, delta FROM b$l")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    sb ++= ") WHERE delta > 0 AND id <> seed GROUP BY 1"
+    sb.toString
+  }
+
   /** Oracle for d35: the BPE merge loop unrolled — per round, every
     * adjacent pair count (overlapping positions all count), the
     * (count DESC, pair ASC) argmax, and the left-to-right
@@ -3252,6 +3312,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).withColumn("tag", lit("click_no_buy"))
       both.union(only).select(col("tag"), col("n"))
     },
+    "g45_betweenness" -> { (s, dir) =>
+      // sampled-source Brandes betweenness, depth-bounded: 4 seeds (the
+      // 4 smallest vertices — a bounded driver collect, the oracle's
+      // ORDER BY … LIMIT rule), forward σ-counting BFS + backward
+      // dependency accumulation, both passes oracle-unrolled
+      val e = graft.sources.SyntheticGraph.portable(s, 300, 600, "g45")
+      val seeds = GraphBuilder.vertices(e)
+        .orderBy(col("id")).limit(4).collect().map(_.getLong(0)).toSeq
+      graft.operators.Brandes.sampledBetweenness(e, seeds, depth = 4)
+    },
     "g44_components_df" -> ((s, dir) =>
       // DataFrame-native connected components (HashMin diffusion, early
       // stop) — the GraphX-free scale path for dedup grouping; the
@@ -3479,6 +3549,8 @@ object SparkEntry {
       10,
       "SELECT id, round(rank, 9) AS rank_r FROM r10"),
     "g14_personalized_k4" -> personalizedPageRankSql(k = 4, nSeeds = 3),
+    "g45_betweenness" ->
+      brandesSql(300, 600, "g45", nSeeds = 4, depth = 4),
     "g44_components_df" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g44")},
          |ed AS (SELECT src AS u, dst AS v FROM pe

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampled-source BETWEENNESS centrality (Brandes 2001, the k-source
+  * approximation every real system runs — exact betweenness is
+  * all-pairs): for each sampled seed, a forward BFS counts shortest
+  * paths (`σ`), then the backward pass accumulates dependencies
+  * `δ(v) = Σ_{w ∈ succ(v)} (σv/σw)·(1 + δw)` level by level;
+  * betweenness is the seed-summed dependency, halved for the undirected
+  * double-count. Depth-bounded (the κ-path/ego-betweenness variant) so
+  * the whole computation — both passes — unrolls into a relational
+  * oracle.
+  *
+  * Everything is deterministic: σ is an exact integer sum; the only
+  * floats are the backward ratios, summed per (seed, vertex) and
+  * rounded at 6 dp on the final output (the d23 float-sum discipline —
+  * sub-ulp association noise sits 10 orders below the rounding grid).
+  *
+  * Scale shape: the symmetric edge frame is built, hash-partitioned by
+  * `src`, and persisted ONCE; all `seeds` run BATCHED in one loop
+  * (sparse (seed, id) state — the g26/g28 batching pattern), so each of
+  * the ≤ 2·depth rounds is one state-sized join against the cached
+  * edges + one map-side-combined aggregate, with per-round lineage cut.
+  * Output: `id, bc_r` for every vertex with positive dependency.
+  */
+object Brandes {
+
+  def sampledBetweenness(
+      edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(depth >= 1, "depth must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ue = edges
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = ue.select(col("u").as("src"), col("v").as("dst"))
+      .union(ue.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // forward: visited (seed, id, d, sig); one frontier join per level
+    val lvl0 = seeds.map(s => (s, s, 0, 1L))
+      .toDF("seed", "id", "d", "sig").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var visitedKeys = lvl0.select(col("seed"), col("id")).localCheckpoint()
+    var frontier = lvl0
+    for (l <- 1 to depth) {
+      val newLevel = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .select(col("seed"), col("dst").as("id"), col("sig"))
+        .join(visitedKeys, Seq("seed", "id"), "left_anti")
+        .groupBy(col("seed"), col("id"))
+        .agg(sum(col("sig")).as("sig"))
+        .select(col("seed"), col("id"), lit(l).as("d"), col("sig"))
+        .localCheckpoint() // eager: per-level lineage cut
+      levels += newLevel
+      visitedKeys = visitedKeys
+        .union(newLevel.select(col("seed"), col("id")))
+        .localCheckpoint()
+      frontier = newLevel
+    }
+    // backward: δ at the deepest level is 0; each shallower level sums
+    // (σv/σw)(1+δw) over its successors at the next level
+    var deltaNext = levels(depth)
+      .select(col("seed"), col("id"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer(deltaNext)
+    for (l <- (depth - 1) to 0 by -1) {
+      val cur = levels(l)
+      val succ = cur
+        .join(sym, cur("id") === sym("src"))
+        .select(
+          col("seed"), cur("id").as("vid"), col("sig").as("vsig"),
+          col("dst").as("wid"))
+        .join(
+          levels(l + 1).select(
+            col("seed"), col("id").as("wid"), col("sig").as("wsig")),
+          Seq("seed", "wid"))
+        .join(
+          deltaNext.select(
+            col("seed"), col("id").as("wid"), col("delta").as("wdelta")),
+          Seq("seed", "wid"))
+        .groupBy(col("seed"), col("vid"))
+        .agg(sum(
+          col("vsig").cast("double") / col("wsig") *
+            (lit(1.0) + col("wdelta"))).as("delta"))
+      val deltaCur = cur
+        .join(
+          succ.select(col("seed"), col("vid").as("id"), col("delta")),
+          Seq("seed", "id"), "left_outer")
+        .select(
+          col("seed"), col("id"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      deltas += deltaCur
+      deltaNext = deltaCur
+    }
+    val out = deltas.reduce(_ union _)
+      .filter(col("delta") > 0)
+      // a seed's own dependency never counts toward ITS walk — but the
+      // same vertex accumulates normally from every other seed
+      .filter(col("id") =!= col("seed"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("delta")) / 2.0, 6).as("bc_r"))
+    CacheScope.sealAfter(out, sym)
+  }
+}

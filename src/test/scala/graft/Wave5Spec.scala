@@ -452,6 +452,42 @@ class ComponentsDfSpec extends AnyFunSuite {
   }
 }
 
+class BrandesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("all-source path graph recovers exact betweenness i·(n−1−i)") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.Brandes
+      .sampledBetweenness(e, seeds = Seq(0L, 1L, 2L, 3L, 4L), depth = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 3.0, 2L -> 4.0, 3L -> 3.0), got)
+  }
+
+  test("star center carries exactly one unit per leaf pair") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = graft.operators.Brandes
+      .sampledBetweenness(e, seeds = Seq(0L, 1L, 2L, 3L), depth = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(0L -> 3.0), got) // C(3,2) leaf pairs
+  }
+
+  test("equal-weight diamond splits path counts: σ ratios are honored") {
+    val sp = spark
+    import sp.implicits._
+    // the 4-cycle 0-1-3-2-0 is vertex-transitive: every vertex mediates
+    // exactly half of its antipodal pair's two equal shortest paths
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.operators.Brandes
+      .sampledBetweenness(e, seeds = Seq(0L, 1L, 2L, 3L), depth = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(0L -> 0.5, 1L -> 0.5, 2L -> 0.5, 3L -> 0.5), got)
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

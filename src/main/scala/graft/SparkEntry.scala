@@ -908,6 +908,26 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared CTE chain for the g30/g46 oracles: depth-bounded all-source
+    * reachability on the g30 fixture, folded to the neighborhood
+    * function `nf(h LONG, nf LONG)` for h ∈ [0, 4].
+    */
+  private val anfNfCtes: String =
+    s"""${portableGraphSql(300, 1500, "g30")},
+       |verts AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+       |reach(u, w, d) AS (
+       |  SELECT id, id, 0 FROM verts
+       |  UNION
+       |  SELECT r.u, e.dst, r.d + 1
+       |  FROM reach r JOIN pe e ON e.src = r.w WHERE r.d < 4),
+       |md AS (SELECT u, w, min(d) AS d FROM reach GROUP BY u, w),
+       |nf AS (
+       |  SELECT CAST(t.h AS BIGINT) AS h,
+       |    CAST(sum(CASE WHEN md.d <= t.h THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nf
+       |  FROM md, unnest(range(5)) t(h) GROUP BY 1)""".stripMargin
+
   /** Oracle for g45: both Brandes passes unrolled — forward CTEs carry
     * (seed, id, σ) per level (σ an exact integer sum, visited set
     * materialized per level), backward CTEs replay the dependency
@@ -2610,6 +2630,14 @@ object SparkEntry {
       // OperatorsSpec and must converge to exactly this frame.
       graft.streaming.EventStreams.topValuesStream(
         graft.sources.Tables.events(s, dir), k = 10)),
+    "st16_attribution_full" -> ((s, dir) =>
+      // FULL OUTER stream-stream interval join (completing the family:
+      // st5 inner, st11 left): both sides' unmatched rows surface with
+      // NULLs, each flushed by its own watermark expiry in streaming
+      // mode (replayed out of order in IoAndOuterJoinSpec); here the
+      // batch twin — the SAME code path — is hash-checked
+      graft.streaming.EventStreams.attributionJoinFull(
+        graft.sources.Tables.events(s, dir))),
     "st11_attribution_outer" -> ((s, dir) =>
       // the LEFT OUTER stream-stream interval join: unattributed
       // purchases surface with NULL c_id instead of vanishing. In
@@ -3312,6 +3340,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n")).withColumn("tag", lit("click_no_buy"))
       both.union(only).select(col("tag"), col("n"))
     },
+    "g46_effective_diameter" -> { (s, dir) =>
+      // EFFECTIVE DIAMETER (the ANF/HyperBall headline statistic):
+      // smallest h with N(h) ≥ 0.9·N(max) — read off g30's sketch-built
+      // neighborhood function; the quantile cut is an integer
+      // cross-multiply, so no float touches the boundary
+      val nf = graft.operators.Anf.neighborhoodFunction(
+        graft.sources.SyntheticGraph.portable(s, 300, 1500, "g30"),
+        maxH = 4)
+      nf.crossJoin(nf.agg(max(col("nf")).as("nf_max")))
+        .filter(col("nf") * 10 >= col("nf_max") * 9)
+        .agg(min(col("h")).as("eff_h"), max(col("nf_max")).as("nf_max"))
+    },
     "g45_betweenness" -> { (s, dir) =>
       // sampled-source Brandes betweenness, depth-bounded: 4 seeds (the
       // 4 smallest vertices — a bounded driver collect, the oracle's
@@ -3895,18 +3935,15 @@ object SparkEntry {
       // exact neighborhood function by depth-bounded all-sources
       // reachability — equals the engine's sketch-based N(h) because the
       // fixture keeps every per-vertex set in the sketch's exact regime
-      s"""WITH RECURSIVE ${portableGraphSql(300, 1500, "g30")},
-         |verts AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
-         |reach(u, w, d) AS (
-         |  SELECT id, id, 0 FROM verts
-         |  UNION
-         |  SELECT r.u, e.dst, r.d + 1
-         |  FROM reach r JOIN pe e ON e.src = r.w WHERE r.d < 4),
-         |md AS (SELECT u, w, min(d) AS d FROM reach GROUP BY u, w)
-         |SELECT CAST(t.h AS BIGINT) AS h,
-         |  CAST(sum(CASE WHEN md.d <= t.h THEN 1 ELSE 0 END) AS BIGINT) AS nf
-         |FROM md, unnest(range(5)) t(h) GROUP BY 1""".stripMargin,
+      s"""WITH RECURSIVE $anfNfCtes
+         |SELECT h, nf FROM nf""".stripMargin,
+    "g46_effective_diameter" ->
+      // same exact N(h) chain; the 0.9-quantile cut is an INTEGER
+      // cross-multiply (nf·10 ≥ nf_max·9) — no float on the boundary
+      s"""WITH RECURSIVE $anfNfCtes,
+         |mx AS (SELECT max(nf) AS nf_max FROM nf)
+         |SELECT min(h) AS eff_h, max(mx.nf_max) AS nf_max
+         |FROM nf, mx WHERE nf * 10 >= mx.nf_max * 9""".stripMargin,
     "q21_geomean" ->
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
@@ -5165,6 +5202,20 @@ object SparkEntry {
         |  AND p.user_id = c.user_id
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin,
+    "st16_attribution_full" ->
+      // the FULL interval join: unattributed purchases AND orphan
+      // clicks both survive with the missing side NULL
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, coalesce(p.user_id, c.user_id) AS user_id, c.c_id
+        |FROM p FULL OUTER JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.c_ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.c_ts) < epoch_us(p.ts)""".stripMargin,
     "st11_attribution_outer" ->
       // the left interval join on pre-filtered sides — NULL c_id rows
       // are the unattributed purchases the outer form must keep

@@ -358,6 +358,44 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("c_id"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the streaming
+    * join family (st5 inner, st11 left): unattributed purchases AND
+    * orphan clicks both surface with NULLs on the missing side, each
+    * emitted by its own side's watermark expiry (state leaves the store
+    * only when no qualifying partner can still arrive — bounded state
+    * on both sides, runnable forever; matches emit immediately). Batch
+    * twin IS the same code path. Output: `p_id, user_id, c_id` (either
+    * id NULL for the unmatched side; user_id coalesced across sides).
+    */
+  def attributionJoinFull(
+      events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("c_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases
+      .join(
+        clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("c_ts") < col("p_ts"),
+        "full_outer")
+      .select(
+        col("p_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("c_id"))
+  }
+
   // ---- sessionization via explicit state (mapGroupsWithState) ----
 
   final case class Event(

@@ -2097,6 +2097,44 @@ object SparkEntry {
       // replays every round, so the merge table transitively
       // hash-checks every intermediate re-tokenization too
       TextOps.bpeMerges(t(s, dir, "documents"), k = 3)),
+    "d36_profile" -> ((s, dir) =>
+      // dataset profiling (the deequ-shape quality pass a pipeline runs
+      // at ingest): per column non-null / exact-distinct / min / max in
+      // ONE scan (multi-distinct via Expand), melted to the long
+      // governance form without recomputation
+      graft.operators.Profiler.profile(
+        t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    "io7_compaction" -> { (s, dir) =>
+      // SMALL-FILE COMPACTION (the lake-maintenance job the 100 TB
+      // small-file problem demands): a 32-file fragmented copy of
+      // events is rewritten through coalesce into 2 files — layout
+      // changes, content must not: the aggregate over the compacted
+      // copy hash-matches the plain table (the spec asserts the file
+      // count actually shrank)
+      val ev = graft.sources.Tables.events(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact_io7").toString
+      try {
+        ev.select(col("event_id"), col("event_type"), col("value"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$tmp/small")
+        s.read.parquet(s"$tmp/small")
+          .coalesce(2)
+          .write.mode("overwrite").parquet(s"$tmp/compact")
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(s"$tmp/compact")
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(sum(col("value")), 2).as("sum_value")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -4561,6 +4599,23 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
     "d35_bpe_merges" -> bpeSql(3),
+    "d36_profile" ->
+      // same per-column metric family; string casts of integers render
+      // identically cross-engine
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  (SELECT count(*) FROM documents) AS n_rows,
+           |  count($c) AS n_nonnull,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin)
+        .mkString("\nUNION ALL\n"),
+    "io7_compaction" ->
+      // compaction changes the LAYOUT, never the content
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "d34_hash_embed" ->
       // every signed sum, zero fill, norm and rounded component
       // regenerated; long form so the hash covers each number

@@ -488,6 +488,37 @@ class BrandesSpec extends AnyFunSuite {
   }
 }
 
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("compaction shrinks the file count and preserves every row") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("value"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    try {
+      ev.repartition(32).write.mode("overwrite").parquet(s"$tmp/small")
+      spark.read.parquet(s"$tmp/small").coalesce(2)
+        .write.mode("overwrite").parquet(s"$tmp/compact")
+      def nFiles(p: String) = new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(nFiles(s"$tmp/small") > 10, "fragmented copy not fragmented")
+      assert(nFiles(s"$tmp/compact") <= 2, "compaction did not compact")
+      val a = spark.read.parquet(s"$tmp/small")
+        .agg(count(lit(1)), sum(col("value"))).head()
+      val b = spark.read.parquet(s"$tmp/compact")
+        .agg(count(lit(1)), sum(col("value"))).head()
+      assert(a.getLong(0) == b.getLong(0))
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -589,6 +589,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k state survives on the RocksDB backend") {
+    // production streaming runs RocksDB state stores (bounded JVM heap,
+    // spill to local disk) — the custom TypedImperativeAggregate's
+    // serialized heap must round-trip through it identically to the
+    // default HDFS-backed store
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = Seq(
+      (1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 7.0),
+      (4L, "b", 1.0), (5L, "b", 8.0))
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = EventStreams.topValuesStream(
+      ms.toDS().toDF("event_id", "event_type", "value"), k = 2)
+      .writeStream.format("memory").queryName("st15_rocks")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows(0), rows(3))
+      q.processAllAvailable()
+      ms.addData(rows(1), rows(4), rows(2))
+      q.processAllAvailable()
+      val got = spark.table("st15_rocks").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(
+        ("a", 2L, 9.0), ("a", 3L, 7.0),
+        ("b", 5L, 8.0), ("b", 4L, 1.0)), got)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup registry accumulates across micro-batches") {
     val sp = spark
     import sp.implicits._

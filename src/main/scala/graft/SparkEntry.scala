@@ -1071,6 +1071,28 @@ object SparkEntry {
       |    AND NOT (dup_r > 0.6)),
       |k AS (SELECT d.* FROM documents d JOIN keep_ids USING (doc_id))""".stripMargin
 
+  /** Shared e19/e21 oracle: e5's exact-kNN chain with the corpus
+    * predicate applied before any distance — probes come from the
+    * unfiltered table. e21 routes the identical computation through the
+    * disk IVF layout at nProbe = nList.
+    */
+  private val filteredKnnSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |r AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv),
+      |      6) AS cos_sim
+      |  FROM embeddings e, p
+      |  WHERE e.vec_id <> p.probe_id AND e.label IN (2, 7)),
+      |rk AS (
+      |  SELECT probe_id, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY probe_id
+      |                       ORDER BY cos_sim DESC, vec_id) AS rn
+      |  FROM r)
+      |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin
+
   /** Shared hash-embedding CTE chain for the d34/p4 oracles: token
     * explode → md5 dimension + sign draws → integer component sums →
     * dense grid (zero-filled) → L2-normalize + 6-dp round. `src` is the
@@ -2316,6 +2338,37 @@ object SparkEntry {
         graft.operators.CacheScope.sealAfter(
           Similarity.probeIvfPruned(
             disk, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 16))
+      } finally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(tmp)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    },
+
+    "e21_filtered_ivf" -> { (s, dir) =>
+      // FILTERED search against the DISK index — the two prunings
+      // compose: the probe reads nProbe/nList of the index FILES
+      // (PartitionFilters) and only rows passing the metadata predicate
+      // rank (the allowlist scan carries the pushed-down label filter —
+      // both asserted in PlanSpec). Run at nProbe = nList so the result
+      // is the EXACT filtered kNN and e19's oracle hash-checks the
+      // whole filtered round-trip.
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfIndex(emb, nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_e21").toString
+      try {
+        Similarity.writeIvfIndex(idx, tmp)
+        idx.release()
+        val disk = Similarity.readIvfIndex(s, tmp)
+        val allowed = emb.filter(col("label").isin(2, 7))
+          .select(col("vec_id"))
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPruned(
+            disk, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 16,
+            allowed = Some(allowed)))
       } finally {
         import java.nio.file.{Files, Paths}
         import scala.jdk.CollectionConverters._
@@ -5465,24 +5518,12 @@ object SparkEntry {
         |      ORDER BY round(value, 6) DESC, event_id) AS rn
         |  FROM events)
         |SELECT event_type, event_id, val_r FROM r WHERE rn <= 10""".stripMargin,
-    "e19_filtered_knn" ->
-      // e5's exact-kNN chain with the corpus predicate applied before
-      // any distance — probes come from the unfiltered table
-      """WITH p AS (
-        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
-        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
-        |r AS (
-        |  SELECT p.probe_id, e.vec_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv),
-        |      6) AS cos_sim
-        |  FROM embeddings e, p
-        |  WHERE e.vec_id <> p.probe_id AND e.label IN (2, 7)),
-        |rk AS (
-        |  SELECT probe_id, vec_id, cos_sim,
-        |    row_number() OVER (PARTITION BY probe_id
-        |                       ORDER BY cos_sim DESC, vec_id) AS rn
-        |  FROM r)
-        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "e19_filtered_knn" -> filteredKnnSql,
+    "e21_filtered_ivf" ->
+      // at nProbe = nList the filtered disk probe IS the exact filtered
+      // kNN — e19's SQL hash-locks build → write → read → prune →
+      // semi-filter → rank end to end
+      filteredKnnSql,
     "q32_json_props" ->
       """WITH j AS (
         |  SELECT event_type,

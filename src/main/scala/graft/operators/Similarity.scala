@@ -852,7 +852,13 @@ object Similarity {
       index: IvfIndex,
       probeIds: Seq[Long],
       k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      // optional FILTERED-search allowlist: a (vec_id) frame (typically
+      // a metadata scan with its predicate pushed down) semi-joined
+      // BEFORE ranking, so the top-k come from filtered candidates —
+      // the pre-filter form, composing with the file-level pruning: the
+      // scan reads nProbe/nList of the index AND only allowed rows rank
+      allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(probeIds.nonEmpty, "need at least one probe id")
     val spark = index.assigned.sparkSession
@@ -884,8 +890,14 @@ object Similarity {
     val wTop = Window
       .partitionBy(col("probe_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
-    index.assigned
+    val pruned = index.assigned
       .filter(col("c_id").isin(listIds: _*)) // literal IN → partition pruning
+    val candidates = allowed match {
+      case Some(ok) => pruned.join(ok.select(col("vec_id")), Seq("vec_id"),
+        "left_semi")
+      case None => pruned
+    }
+    candidates
       .join(broadcast(pairs.toSeq.toDF("probe_id", "c_id")), Seq("c_id"))
       .join(probes, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))

@@ -519,6 +519,52 @@ class CompactionSpec extends AnyFunSuite {
   }
 }
 
+class FilteredIvfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filtered disk probe: both prunings in the plan, exact at full probe") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val index = graft.operators.Similarity.buildIvfIndex(emb, nList = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_filt").toString
+    try {
+      graft.operators.Similarity.writeIvfIndex(index, tmp)
+      val disk = graft.operators.Similarity.readIvfIndex(spark, tmp)
+      val allowed = emb.filter(col("label").isin(2, 7)).select(col("vec_id"))
+      val probed = graft.operators.Similarity.probeIvfPruned(
+        disk, Seq(0L, 1L, 2L), k = 5, nProbe = 8, allowed = Some(allowed))
+      val p = probed.queryExecution.executedPlan.toString
+      // file-level list pruning AND the pushed-down metadata predicate
+      // must BOTH be visible — the two prunings compose
+      assert("PartitionFilters: \\[[^\\]]*c_id".r.findFirstIn(p).isDefined, p)
+      assert(p.contains("In(label"), "label predicate not pushed: " + p)
+      // nProbe = nList ⇒ exact filtered kNN
+      val got = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = graft.operators.Similarity.knnFiltered(
+        emb, Seq(0L, 1L, 2L), k = 5, corpusPred = col("label").isin(2, 7))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exact)
+      // at nProbe < nList the filtered probe stays a SUBSET of exact
+      val part = graft.operators.Similarity.probeIvfPruned(
+        disk, Seq(0L, 1L, 2L), k = 5, nProbe = 3, allowed = Some(allowed))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      part.foreach { case (pid, vid) =>
+        val lbl = emb.filter(col("vec_id") === vid)
+          .select(col("label")).head().getInt(0)
+        assert(Set(2, 7).contains(lbl), s"unfiltered candidate $vid")
+        assert(pid != vid)
+      }
+    } finally {
+      index.release()
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+    }
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -1128,11 +1128,12 @@ object SparkEntry {
        |  SELECT doc_id, list_transform(raw, x -> round(x / nrm, 6)) AS e
        |  FROM he_vecs WHERE nrm > 0)""".stripMargin
 
-  /** Shared CTE block for the p2/d33 oracles: d5c's portable banding →
-    * d5b's shingle-Jaccard verify at 0.8 → the HashMin recursion `r`
-    * over verified pairs (consumers aggregate `min(m)` per id).
+  /** Shared banding CTE block (d5c's chain through the candidate set):
+    * portable shingle digests `sh`, 16 md5 minhashes, 4 bands, distinct
+    * candidate pairs `cand`. Consumed by [[entityGroupCtes]] and the
+    * d37 containment oracle.
     */
-  private val entityGroupCtes: String =
+  private val bandingCtes: String =
     """tk AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
       |  FROM documents),
@@ -1157,7 +1158,14 @@ object SparkEntry {
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM band a JOIN band b
       |    ON a.band_no = b.band_no AND a.band_key = b.band_key
-      |   AND a.doc_id < b.doc_id),
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared CTE block for the p2/d33 oracles: d5c's portable banding →
+    * d5b's shingle-Jaccard verify at 0.8 → the HashMin recursion `r`
+    * over verified pairs (consumers aggregate `min(m)` per id).
+    */
+  private val entityGroupCtes: String =
+    s"""$bandingCtes,
       |ver AS (
       |  SELECT c.id_a, c.id_b FROM cand c
       |  JOIN sh a ON a.doc_id = c.id_a
@@ -2119,6 +2127,17 @@ object SparkEntry {
       // replays every round, so the merge table transitively
       // hash-checks every intermediate re-tokenization too
       TextOps.bpeMerges(t(s, dir, "documents"), k = 3)),
+    "d37_containment" -> { (s, dir) =>
+      // CONTAINMENT scoring over the d5c candidates — the
+      // superset-duplicate detector Jaccard misses (verbatim-embedded
+      // content has high |A∩B|/|A|, low Jaccard); both directed
+      // containments + Jaccard off ONE per-pair intersection, keep
+      // pairs whose larger containment ≥ 0.5
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairs(
+        docs, Dedup.lshCandidatePairsPortable(docs, k = 16, bands = 4),
+        threshold = 0.5)
+    },
     "d36_profile" -> ((s, dir) =>
       // dataset profiling (the deequ-shape quality pass a pipeline runs
       // at ingest): per column non-null / exact-distinct / min / max in
@@ -4652,6 +4671,25 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
     "d35_bpe_merges" -> bpeSql(3),
+    "d37_containment" ->
+      // the banding chain regenerates the candidates, then every
+      // containment/Jaccard score recomputed off the same intersection
+      s"""WITH $bandingCtes
+        |SELECT c.id_a, c.id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(a.sh), 6) AS cont_a,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(b.sh), 6) AS cont_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM cand c
+        |JOIN sh a ON a.doc_id = c.id_a
+        |JOIN sh b ON b.doc_id = c.id_b
+        |WHERE greatest(
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(a.sh), 6),
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(b.sh), 6)) >= 0.5""".stripMargin,
     "d36_profile" ->
       // same per-column metric family; string casts of integers render
       // identically cross-engine

@@ -218,6 +218,41 @@ object Dedup {
       verifiedJaccardFromShingles(sh, candidates, threshold), sh)
   }
 
+  /** CONTAINMENT scoring over candidate pairs (the superset-duplicate
+    * detector Jaccard misses: a page embedded verbatim in a larger page
+    * has high containment `|A∩B|/|A|` but low Jaccard — the common web
+    * shape of boilerplate-wrapped or quoted content). Emits BOTH
+    * directed containments and the Jaccard on the same intersection,
+    * keeping pairs whose LARGER containment clears `threshold`. Same
+    * portable shingle digests and candidate-only cost shape as
+    * [[verifiedJaccardPairs]] — no all-pairs stage, the per-pair set
+    * ops run once and feed all three scores.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      candidates: DataFrame,
+      threshold: Double,
+      shingle: Int = 3): DataFrame = {
+    val sh = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), shingleSetPortable(col("text"), shingle).as("shm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val scored = graft.core.Parallelism.spread(candidates
+        .select(col("id_a"), col("id_b")))
+      .join(sh.select(col("doc_id").as("id_a"), col("shm").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shm").as("sh_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(inter / size(col("sh_a")), 6).as("cont_a"),
+        round(inter / size(col("sh_b")), 6).as("cont_b"),
+        round(
+          inter / size(array_union(col("sh_a"), col("sh_b"))),
+          6).as("jaccard"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+    CacheScope.sealAfter(scored, sh)
+  }
+
   /** Verify stage over an already-materialized `(doc_id, shm ARRAY<LONG>)`
     * shingle frame — lets a pipeline that computed (and persisted) the
     * shingle sets for candidate generation reuse them here instead of

@@ -565,6 +565,40 @@ class FilteredIvfSpec extends AnyFunSuite {
   }
 }
 
+class ContainmentSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("verbatim-embedded doc scores containment 1.0 with low Jaccard") {
+    val sp = spark
+    import sp.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron"
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup
+      .containmentPairs(docs, cands, threshold = 0.5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))
+    assert(got.length == 1)
+    val (_, _, contA, contB, jac) = got.head
+    assert(contA == 1.0, s"small doc fully contained: $contA")
+    assert(contB < 0.5, s"big doc not contained in small: $contB")
+    assert(jac < 0.5, s"Jaccard misses the superset dup: $jac")
+  }
+
+  test("below-threshold pairs are dropped") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assert(graft.operators.Dedup
+      .containmentPairs(docs, cands, threshold = 0.5).count() == 0L)
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

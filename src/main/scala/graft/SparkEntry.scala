@@ -1180,6 +1180,22 @@ object SparkEntry {
       |  UNION
       |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)""".stripMargin
 
+  /** sql5: LATERAL correlated subquery in FROM — the top-N-per-group
+    * idiom in its SQL-standard form (each customer row drives a
+    * correlated ordered-limit scan of its orders; Catalyst decorrelates
+    * to a ranked window). ONE dialect-neutral string, run verbatim by
+    * both engines; deterministic via the (price DESC, key) tie-break.
+    */
+  private val sql5LateralTopOrders: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t""".stripMargin
+
   /** sql4: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — each customer's
     * orders as a linked list (lead() builds the next pointer), traversed
     * by the recursion with a per-hop depth and running spend. A
@@ -2731,6 +2747,55 @@ object SparkEntry {
       // with state expiry runs in StreamingSpec
       graft.streaming.EventStreams.attributionJoin(
         graft.sources.Tables.events(s, dir))),
+    "st17_tws_ledger" -> { (s, dir) =>
+      // per-user running ledger through Spark 4's transformWithState —
+      // the NEW arbitrary-state API (typed ValueState, RocksDB-only),
+      // driven here through the REAL streaming path: events replayed
+      // out of order in micro-batches, Update-mode emissions collected,
+      // each user's highest-count row IS the converged ledger (the
+      // count is monotone) — hash-checked against the batch GROUP BY
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val savedConf = s.conf.getOption(confKey)
+      s.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val all = graft.sources.Tables.events(s, dir)
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventStreams.Event]
+          .collect()
+        val scrambled = all.sortBy(e =>
+          java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 17))
+        val ms = MemoryStream[graft.streaming.EventStreams.Event]
+        val qname =
+          "st17_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.EventStreams.spendLedger(ms.toDS())
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update").start()
+        try {
+          val (h1, h2) = scrambled.splitAt(scrambled.length / 2)
+          ms.addData(h1.toIndexedSeq)
+          q.processAllAvailable()
+          ms.addData(h2.toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qname)
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("n_events"), col("total_spend")),
+            col("n_events")).as("b"))
+          .select(
+            col("user_id"), col("b.n_events").as("n_events"),
+            round(col("b.total_spend"), 2).as("total_spend"))
+          .localCheckpoint()
+      } finally savedConf match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+    },
     "st15_stream_topk" -> ((s, dir) =>
       // streaming per-type top-10 by value through the engine's own
       // bounded aggregate: the k-capped graft_topk heap IS the
@@ -3316,6 +3381,11 @@ object SparkEntry {
       GraftSql.sql(s, dir, sql2TopOrdersPerCustomer)),
     "sql3_big_spender_exists" -> ((s, dir) =>
       GraftSql.sql(s, dir, sql3BigSpenderExists)),
+    "sql5_lateral_topn" -> ((s, dir) =>
+      // LATERAL correlated subquery (standard-SQL top-N-per-group):
+      // Catalyst decorrelates the ordered-limit into a ranked window;
+      // the same string runs verbatim in DuckDB
+      GraftSql.sql(s, dir, sql5LateralTopOrders)),
     "sql4_recursive_chain" -> ((s, dir) =>
       // WITH RECURSIVE through the SQL entry point: per-customer order
       // chains walked by the recursion (linked-list shape — the
@@ -5317,6 +5387,7 @@ object SparkEntry {
     "sql2_top_orders_per_customer" -> sql2TopOrdersPerCustomer,
     "sql3_big_spender_exists" -> sql3BigSpenderExists,
     "sql4_recursive_chain" -> sql4RecursiveChain,
+    "sql5_lateral_topn" -> sql5LateralTopOrders,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
     "m4_image_resize" ->
@@ -5348,6 +5419,11 @@ object SparkEntry {
         |  AND p.user_id = c.user_id
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin,
+    "st17_tws_ledger" ->
+      // the converged ledger equals the batch totals
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_spend
+        |FROM events GROUP BY 1""".stripMargin,
     "st16_attribution_full" ->
       // the FULL interval join: unattributed purchases AND orphan
       // clicks both survive with the missing side NULL

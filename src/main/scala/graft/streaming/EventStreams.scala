@@ -396,6 +396,58 @@ object EventStreams {
         col("c_id"))
   }
 
+  final case class UserTotals(
+      user_id: Long, n_events: Long, total_spend: Double)
+  final case class LedgerState(n: Long, spend: Double)
+
+  /** Per-user running LEDGER through Spark 4's `transformWithState` —
+    * the NEW arbitrary-state API (successor to flatMapGroupsWithState:
+    * typed per-key state primitives, TTL, timers, RocksDB-only
+    * execution): a `ValueState[LedgerState]` accumulates each user's
+    * event count and spend, every micro-batch emitting the user's
+    * updated totals (Update mode — the live-dashboard ledger shape).
+    * Count/sum folds are arrival-order-insensitive up to float
+    * association, so a fully-replayed stream converges to the batch
+    * GROUP BY (the per-user row with the highest n_events IS the
+    * converged ledger — the count is monotone).
+    */
+  private class SpendLedgerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[LedgerState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LedgerState](
+        "totals", org.apache.spark.sql.Encoders.product[LedgerState],
+        TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var acc = if (st.exists()) st.get() else LedgerState(0L, 0.0)
+      rows.foreach(e => acc = LedgerState(acc.n + 1, acc.spend + e.value))
+      st.update(acc)
+      Iterator.single(UserTotals(key, acc.n, acc.spend))
+    }
+  }
+
+  /** Stream entry for the ledger: `transformWithState` in Update mode,
+    * TimeMode.None (pure accumulation — no event-time timers needed).
+    * Requires the RocksDB state-store provider (the only backend the
+    * new API runs on).
+    */
+  def spendLedger(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val enc: org.apache.spark.sql.Encoder[UserTotals] =
+      org.apache.spark.sql.Encoders.product[UserTotals]
+    events
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(
+        new SpendLedgerProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   // ---- sessionization via explicit state (mapGroupsWithState) ----
 
   final case class Event(

@@ -629,6 +629,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ledger accumulates ValueState across batches") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ev(id: Long, u: Long, v: Double) = EventStreams.Event(
+      id, new java.sql.Timestamp(1700000000000L + id), u, "view", v)
+    val ms = MemoryStream[EventStreams.Event]
+    val q = EventStreams.spendLedger(ms.toDS())
+      .writeStream.format("memory").queryName("st17_unit")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, 1, 2.0), ev(2, 1, 3.0), ev(3, 2, 7.0))
+      q.processAllAvailable()
+      val mid = spark.table("st17_unit").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(mid == Set((1L, 2L, 5.0), (2L, 1L, 7.0)), mid)
+      // batch 2 continues FROM the stored state, not from zero
+      ms.addData(ev(4, 1, 10.0))
+      q.processAllAvailable()
+      val last = spark.table("st17_unit").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => rows.maxBy(_._2) }.toSet
+      assert(last == Set((1L, 3L, 15.0), (2L, 1L, 7.0)), last)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("streaming dedup registry accumulates across micro-batches") {
     val sp = spark
     import sp.implicits._

@@ -2782,7 +2782,7 @@ object SparkEntry {
           ms.addData(h2.toIndexedSeq)
           q.processAllAvailable()
         } finally q.stop()
-        s.table(qname)
+        val out = s.table(qname)
           .groupBy(col("user_id"))
           .agg(max_by(
             struct(col("n_events"), col("total_spend")),
@@ -2790,7 +2790,9 @@ object SparkEntry {
           .select(
             col("user_id"), col("b.n_events").as("n_events"),
             round(col("b.total_spend"), 2).as("total_spend"))
-          .localCheckpoint()
+          .localCheckpoint() // detaches from the sink view before the drop
+        s.catalog.dropTempView(qname)
+        out
       } finally savedConf match {
         case Some(v) => s.conf.set(confKey, v)
         case None => s.conf.unset(confKey)

@@ -33,12 +33,15 @@ object Brandes {
     require(depth >= 1, "depth must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
+    // persisted: sym consumes ue in BOTH union branches — unpersisted,
+    // the edge-dedup shuffle would run twice when sym materializes
     val ue = edges
       .select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = ue.select(col("u").as("src"), col("v").as("dst"))
       .union(ue.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src"))
@@ -107,6 +110,6 @@ object Brandes {
       .filter(col("id") =!= col("seed"))
       .groupBy(col("id"))
       .agg(round(sum(col("delta")) / 2.0, 6).as("bc_r"))
-    CacheScope.sealAfter(out, sym)
+    CacheScope.sealAfter(out, sym, ue)
   }
 }

@@ -210,8 +210,11 @@ object Sampling {
       .agg(count(lit(1)).as("n_source"))
       .withColumn("sq", sqrt(col("n_source").cast("double")))
       .withColumn("cum_sq", sum(col("sq")).over(wRun))
+      .localCheckpoint() // |sources| rows; consumed three times below
     val denom = counts.agg(max(col("cum_sq")).as("denom"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
+    // the corpus total is the sum of the per-source counts — derived
+    // from the tiny frame, not a second full scan
+    val total = counts.agg(sum(col("n_source")).as("n_total"))
     val thresholds = counts
       .crossJoin(denom).crossJoin(total)
       .withColumn(

@@ -261,15 +261,7 @@ object Similarity {
     */
   def knnBatchAgg(
       embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame =
-    scoreAgainstProbes(embeddings, probeIds)
-      .groupBy(col("probe_id"))
-      .agg(graft.functions.VectorFunctions
-        .topK(col("cos_sim"), col("vec_id"), k).as("topk"))
-      .select(col("probe_id"), explode(col("topk")).as("t"))
-      .select(
-        col("probe_id"),
-        col("t.vec_id").as("vec_id"),
-        col("t.cos_sim").as("cos_sim"))
+    rankTopK(scoreAgainstProbes(embeddings, probeIds), k)
 
   /** FILTERED vector search (the "WHERE clause + kNN" every retrieval
     * API exposes: restrict candidates by metadata, THEN take the top-k):
@@ -289,33 +281,9 @@ object Similarity {
     */
   def knnFiltered(
       embeddings: DataFrame, probeIds: Seq[Long], k: Int,
-      corpusPred: Column): DataFrame = {
-    require(probeIds.nonEmpty, "need at least one probe id")
-    val probes = broadcast(
-      embeddings
-        .filter(col("vec_id").isin(probeIds: _*))
-        .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
-        .withColumn("p_nrm", norm(col("p"))))
-    embeddings
-      .filter(corpusPred)
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .crossJoin(probes)
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(
-        col("probe_id"),
-        col("vec_id"),
-        round(cosinePre(col("e"), col("p"), col("nrm"), col("p_nrm")), 6)
-          .as("cos_sim"))
-      .groupBy(col("probe_id"))
-      .agg(graft.functions.VectorFunctions
-        .topK(col("cos_sim"), col("vec_id"), k).as("topk"))
-      .select(col("probe_id"), explode(col("topk")).as("t"))
-      .select(
-        col("probe_id"),
-        col("t.vec_id").as("vec_id"),
-        col("t.cos_sim").as("cos_sim"))
-  }
+      corpusPred: Column): DataFrame =
+    rankTopK(
+      scoreAgainstProbes(embeddings, probeIds, Some(corpusPred)), k)
 
   /** MMR DIVERSIFIED rerank (Carbonell & Goldstein's maximal marginal
     * relevance — the standard answer to "the top-k are all near-dups of
@@ -371,8 +339,12 @@ object Similarity {
       .groupByKey(_._1)
       .flatMapGroups { (probe: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
         // ascending-id order makes the strict `>` replacement keep the
-        // SMALLEST id on score ties — the (score DESC, vec_id ASC) rule
+        // SMALLEST id on score ties — the (score DESC, vec_id ASC) rule.
+        // NaN relevance (a zero-norm vector on either side of the
+        // cosine) is dropped: rnd6's BigDecimal would throw on NaN, and
+        // a no-signal candidate has no business in a diversity rerank
         val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
+          .filter(!_._2.isNaN)
           .toArray.sortBy(_._1)
         def dot(a: Array[Double], b: Array[Double]): Double = {
           var s = 0.0; var i = 0
@@ -448,14 +420,15 @@ object Similarity {
     * cos_sim) tuples — norms materialized once per side, never per pair.
     */
   private def scoreAgainstProbes(
-      embeddings: DataFrame, probeIds: Seq[Long]): DataFrame = {
+      embeddings: DataFrame, probeIds: Seq[Long],
+      corpusPred: Option[Column] = None): DataFrame = {
     require(probeIds.nonEmpty, "need at least one probe id")
     val probes = broadcast(
       embeddings
         .filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p"))
         .withColumn("p_nrm", norm(col("p"))))
-    embeddings
+    corpusPred.fold(embeddings)(embeddings.filter)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
       .crossJoin(probes)
@@ -466,6 +439,21 @@ object Similarity {
         round(cosinePre(col("e"), col("p"), col("nrm"), col("p_nrm")), 6)
           .as("cos_sim"))
   }
+
+  /** Bounded top-k ranking tail shared by [[knnBatchAgg]] and
+    * [[knnFiltered]]: the k-capped heap aggregate + explode back to
+    * rows — the single home of the (cos_sim DESC, vec_id) boundary.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.VectorFunctions
+        .topK(col("cos_sim"), col("vec_id"), k).as("topk"))
+      .select(col("probe_id"), explode(col("topk")).as("t"))
+      .select(
+        col("probe_id"),
+        col("t.vec_id").as("vec_id"),
+        col("t.cos_sim").as("cos_sim"))
 
   /** A prebuilt IVF (inverted-file) index: the expensive one-time pass —
     * deterministic centroid selection + nearest-centroid assignment of

@@ -599,6 +599,73 @@ class ContainmentSpec extends AnyFunSuite {
   }
 }
 
+class Wave5InvariantSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("BPE merge counts are non-increasing across ranks") {
+    // merging pair P cannot create a pair more frequent than P was:
+    // any new pair contains the merged symbol, whose occurrence count
+    // is bounded by P's pre-merge count — so the learned merge table
+    // is always count-sorted
+    val got = SparkEntry.queries("d35_bpe_merges")(spark, dir)
+      .orderBy(col("m_rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(got.length == 3)
+    got.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a >= b, s"merge counts must not increase: $a -> $b")
+    }
+  }
+
+  test("temperature thresholds are monotone: bigger sources keep less") {
+    val out = graft.operators.Sampling.temperatureSample(
+      spark.read.parquet(s"$dir/documents.parquet"), targetFrac = 0.5)
+      .select(col("n_source"), col("keep_threshold")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((na, ta) <- out; (nb, tb) <- out if na < nb)
+      assert(ta >= tb,
+        s"flattening violated: n=$na thr=$ta vs n=$nb thr=$tb")
+  }
+
+  test("every node2vec transition follows an existing edge") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 200, 600, "n2vinv")
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walks = graft.operators.Walks
+      .node2vecWalks(e, len = 4, salt = "n2vinv")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    walks.values.foreach { steps =>
+      steps.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(edges.contains((a, b)), s"phantom step $a -> $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("MMR rank 1 is the pure-relevance argmax for every probe") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val mmr = graft.operators.Similarity
+      .mmrRerank(emb, Seq(0L, 1L, 2L), shortlist = 10, k = 3)
+      .filter(col("mmr_rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val top1 = graft.operators.Similarity.knnBatch(emb, Seq(0L, 1L, 2L), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mmr == top1)
+  }
+
+  test("point-in-time state is never at or after the probe timestamp") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val out = graft.operators.TemporalJoins
+      .pointInTimeState(ev, probeType = "purchase")
+    val evTs = ev.select(col("event_id"), unix_micros(col("ts")).as("ets"))
+    val bad = out.filter(col("state_event_id") >= 0)
+      .join(evTs, out("state_event_id") === evTs("event_id"))
+      .filter(col("ets") >= col("pts"))
+    assert(bad.count() == 0, "future or same-instant state leaked")
+  }
+}
+
 class JsonPropsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -128,6 +128,13 @@ object Bench {
         extras += "\"" + (if (n.endsWith("_id")) "tri_id_sec"
                           else "tri_deg_sec") + "\":" + r1d(v)
     }
+    // q38: AQE skew-split on vs off on the hub-skewed fact-fact join —
+    // the relational twin of the g18 salting pair
+    results.collect {
+      case (n @ ("q38_skew_aqe" | "q38_skew_noaqe"), Right((v, _)), _) =>
+        extras += "\"" + (if (n.endsWith("_aqe")) "skew_aqe_sec"
+                          else "skew_noaqe_sec") + "\":" + r1d(v)
+    }
     // e11 funnel-vs-exact pair at 500 probes: the measured MRL
     // cost-dial crossover, carried in the contract line like the
     // e9/g18/g20 pairs
@@ -244,8 +251,30 @@ object Bench {
           if v > 2.0 && u.executorCpuMs >= 1000 &&
             v > 2.0 * (u.executorCpuMs / 1000.0) => k
     }
-    val contendedJson =
-      contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // second contention signal (r8 advice): wall > 3× the COMMITTED idle
+    // wall for the same query. The cpu-ratio heuristic above misses
+    // queries whose idle wall is itself cpu-light (d33's 12× inflation
+    // in r8 went unflagged); the committed BENCH_DETAIL.json is the
+    // idle reference every run can compare itself against. Sub-second
+    // idle walls are exempt (3× of noise is noise).
+    val idleWalls: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val vsIdle = results.collect {
+      case (k, Right((v, _)), _)
+          if idleWalls.get(k).exists(iw => iw >= 0.5 && v > 3.0 * iw) => k
+    }
+    val contendedJson = (contended ++ vsIdle).distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // whole-run executor totals: task wall-time inflates ~linearly with
     // host CPU oversubscription while cpu-time doesn't, so the pair makes
     // a wall-inflated bench (r4's 575 s artifact) self-diagnosing from
@@ -261,8 +290,14 @@ object Bench {
     // line is printed last
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"contention_suspects":$contendedJson,"resources":$rs$extraJson,"sf":"$sfDir"}"""
+    // BENCH_EOD.json by default: the committed BENCH_DETAIL.json is the
+    // IDLE reference artifact and the (contended) end-of-round driver
+    // run must never overwrite it (it did in r7 AND r8). An explicitly
+    // idle run opts in with SPARK_GRAFT_DETAIL_OUT=BENCH_DETAIL.json.
+    val detailOut =
+      sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_EOD.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailOut),
       (detail + "\n").getBytes("UTF-8"))
     catch {
       case e: Throwable =>

@@ -37,6 +37,104 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The ONE oracle both q38 variants hash-lock to: skew handling is a
+    * runtime re-plan and must never change the answer.
+    */
+  private val skewJoinOracleSql: String =
+    """WITH l AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN 0
+      |           ELSE event_id % 997 END AS jk, value + i AS value
+      |  FROM events, unnest(range(16)) AS rep(i)),
+      |r AS (
+      |  SELECT event_id % 997 AS jk, count(*) AS r_n
+      |  FROM events GROUP BY 1)
+      |SELECT jk % 16 AS bucket, count(*) AS n_rows,
+      |  CAST(sum(r_n) AS BIGINT) AS sum_rn,
+      |  round(sum(value), 2) AS sum_value
+      |FROM l JOIN r USING (jk)
+      |GROUP BY 1""".stripMargin
+
+  /** q38: a deliberately hub-skewed fact-fact equi-join, run with AQE
+    * skew handling ON vs OFF — the g18 salting experiment applied to
+    * relational joins (the reference's own skew analysis,
+    * README.md:410-416, is the anchor: a power-law key distribution
+    * concentrates one reducer's work). Half the probe side's rows share
+    * join key 0 (a 16× row-multiplied events copy, so the hub partition
+    * dwarfs the median); the other side is one pre-aggregated row per
+    * key, forced OFF the broadcast path (threshold −1) the way real
+    * fact-fact sides are too big to broadcast. With skew handling ON,
+    * AQE splits the oversized partition at runtime (thresholds tuned to
+    * gate scale, the q34 size-tuning discipline; the spec asserts
+    * `skew=true` in the final adaptive plan); OFF, one task drags the
+    * stage — the bench carries the measured pair. Result is
+    * OPTIMIZATION-INDEPENDENT and both rows hash-lock to the same
+    * oracle: count + exact integer sum + one rounded float sum per
+    * bucket.
+    */
+  private def skewJoin(
+      s: SparkSession, dir: String, skewOn: Boolean): DataFrame = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin",
+        skewOn.toString)
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val ev = t(s, dir, "events")
+      // probe side: ×16 row multiplier, half of all rows remapped to hub
+      // key 0 — the deterministic power-law stand-in. Each replica gets
+      // a DISTINCT value (value + rep): byte-identical replicas would
+      // LZ4-compress ~256× in the shuffle and the "skewed" partition
+      // would be tiny on disk — real skewed facts are not copies of one
+      // row, and AQE's skew detection reads compressed bytes
+      // repartition BEFORE the explode: the gate fixture is one small
+      // parquet file = ONE map task, and AQE splits a skewed reducer
+      // partition by MAP RANGES — with a single mapper there is nothing
+      // to split. A 100 TB fact scan has thousands of mappers; 32 here
+      // models that topology (and costs one exchange of the tiny
+      // pre-explode frame).
+      val left = ev.repartition(32).select(
+          when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(col("event_id"), lit(997))).as("jk"),
+          col("value"),
+          explode(sequence(lit(0), lit(15))).as("rep"))
+        .select(col("jk"), (col("value") + col("rep")).as("value"))
+      // materialized: OptimizeSkewedJoin pattern-matches
+      // SMJ(Sort(stage), Sort(stage)) — an aggregate living between the
+      // join and its shuffle stage hides the stage from the rule; the
+      // checkpoint (997 rows) makes the right child a clean scan →
+      // exchange → sort
+      val right = ev
+        .groupBy(pmod(col("event_id"), lit(997)).as("jk"))
+        .agg(count(lit(1)).as("r_n"))
+        .localCheckpoint()
+      // sealAfter materializes INSIDE the conf scope — a lazy return
+      // would execute after the finally block restored the session
+      graft.operators.CacheScope.sealAfter(
+        left.join(right, Seq("jk"))
+          .groupBy(pmod(col("jk"), lit(16)).as("bucket"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("r_n")).as("sum_rn"),
+            round(sum(col("value")), 2).as("sum_value")))
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Shared SQL prefix for the graph oracles (DuckDB CTEs mirroring
     * EdgeListReader.fromOrders + GraphBuilder).
     */
@@ -1404,6 +1502,17 @@ object SparkEntry {
       GraphBuilder.linkPrediction(
         graft.sources.SyntheticGraph.portable(s, 400, 1200, "g34"),
         topN = 50)),
+    "g34b_linkpred_capped" -> ((s, dir) =>
+      // the degree-CAPPED link-prediction twin (approximate Adamic–Adar):
+      // wedge middles of degree > 6 are filtered BEFORE the self-join, so
+      // the wedge stream is bounded |V|·C(maxDeg,2) regardless of hub
+      // size — the scale knob for power-law graphs where the exact g34
+      // wedge sum Σ C(deg w, 2) is the operator's real cost. Endpoint
+      // degrees in the Jaccard denominator stay exact; the oracle applies
+      // the SAME middle filter and recomputes every score.
+      GraphBuilder.linkPrediction(
+        graft.sources.SyntheticGraph.portable(s, 400, 1200, "g34"),
+        topN = 50, maxDeg = Some(6))),
     "g35_modularity" -> { (s, dir) =>
       // Newman modularity of the g22 LPA partition on the SAME fixture —
       // the quality score that closes the community-detection loop
@@ -2185,6 +2294,48 @@ object SparkEntry {
             .agg(
               count(lit(1)).as("n_events"),
               round(sum(col("value")), 2).as("sum_value")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "io8_minmax_skip" -> { (s, dir) =>
+      // MIN/MAX DATA SKIPPING on a SORT-ORDERED layout — the cheapest
+      // and most common bytes-never-read trick at 100 TB (the fourth
+      // member of the family after io3 bucketing, io4 partition dirs,
+      // q33 DPP, q34 bloom): events rewritten range-partitioned + sorted
+      // by event time, so every parquet file/row-group covers a disjoint
+      // time slice and its footer min/max stats answer a selective
+      // time-range predicate WITHOUT reading the pages — the scan prunes
+      // row groups below the file listing (the spec asserts the sorted
+      // scan emits a fraction of the unsorted scan's rows for the same
+      // pushed predicate). Time is carried as exact epoch-micros LONGs
+      // (the q24 integer-carrier discipline). The aggregate over the
+      // pruned scan hash-matches the unsorted ground truth: skipping
+      // must lose nothing.
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_skip_io8").toString
+      try {
+        ev.repartitionByRange(8, col("ts_us"))
+          .sortWithinPartitions(col("ts_us"))
+          .write.mode("overwrite").parquet(tmp)
+        // [2024-01-04, 2024-01-07): ~10% of the uniform 30-day span
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(tmp)
+            .filter(col("ts_us") >= 1704326400000000L &&
+              col("ts_us") < 1704585600000000L)
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(sum(col("value")), 2).as("sum_value"),
+              min(col("ts_us")).as("min_ts_us"),
+              max(col("ts_us")).as("max_ts_us")))
       } finally {
         import scala.jdk.CollectionConverters._
         val root = java.nio.file.Paths.get(tmp)
@@ -3437,6 +3588,31 @@ object SparkEntry {
           "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
         .withColumn("is_current", col("valid_to") === -1L)
     },
+    "q39_scd2_merge" -> { (s, dir) =>
+      // CDC MERGE/upsert — q24's WRITE-side maintenance twin: the change
+      // log is split 3 ways by pmod(event_id, 3); the SCD2 history is
+      // built from split 0 alone, then batch 1 and batch 2 are MERGED in
+      // (close touched intervals, append new versions, re-split
+      // out-of-order arrivals), and batch 1 is merged AGAIN — a full
+      // replay that must be a no-op. The oracle is the from-scratch q24
+      // build over ALL events: hash-match proves
+      // build(all) ≡ merge(build(⅓), batch, batch, replayed-batch) —
+      // the e13 append ≡ union invariance on the write path.
+      import org.apache.spark.sql.expressions.Window
+      val changes = graft.sources.Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from"))
+      def part(i: Int) = changes.filter(pmod(col("event_id"), lit(3)) === i)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      val initial = part(0)
+        .withColumn(
+          "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
+        .withColumn("is_current", col("valid_to") === -1L)
+      Seq(part(1), part(2), part(1) /* replay */)
+        .foldLeft(initial)(graft.operators.Cdc.scd2Merge(_, _))
+    },
     "q18_window_funcs" -> { (s, dir) =>
       // the ranked-window family over one partition spec: rank /
       // dense_rank, lag / lead (exact int carriers), and a running sum —
@@ -3456,6 +3632,8 @@ object SparkEntry {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
           4).as("run_spend"))
     },
+    "q38_skew_aqe" -> ((s, dir) => skewJoin(s, dir, skewOn = true)),
+    "q38_skew_noaqe" -> ((s, dir) => skewJoin(s, dir, skewOn = false)),
     "q34_bloom_join" -> { (s, dir) =>
       // the runtime-bloom-filter join shape (the third member of the
       // bytes-never-shuffled family after io3 bucketing and q33 DPP):
@@ -3828,6 +4006,35 @@ object SparkEntry {
          |deg AS MATERIALIZED (SELECT vtx, count(*) AS d FROM und GROUP BY 1),
          |wd AS MATERIALIZED (
          |  SELECT und.vtx, und.nbr, deg.d FROM und JOIN deg USING (vtx)),
+         |pairs AS MATERIALIZED (
+         |  SELECT l.nbr AS a, r.nbr AS b, count(*) AS cn,
+         |    sum(1.0/ln(l.d)) AS aa
+         |  FROM wd l JOIN wd r ON l.vtx = r.vtx AND l.nbr < r.nbr
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT p.* FROM pairs p
+         |  LEFT JOIN ue ON ue.u = p.a AND ue.v = p.b
+         |  WHERE ue.u IS NULL)
+         |SELECT a AS u, b AS v, cn,
+         |  round(CAST(cn AS DOUBLE)/(da.d + db.d - cn), 9) AS jac_r,
+         |  round(aa, 6) AS aa_r
+         |FROM cand
+         |JOIN deg da ON da.vtx = cand.a
+         |JOIN deg db ON db.vtx = cand.b
+         |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
+    "g34b_linkpred_capped" ->
+      // the SAME pipeline with wedge middles capped at degree 6 (the
+      // wd CTE filter is the only delta vs g34); endpoint degrees stay
+      // exact — they come from the uncapped deg CTE
+      s"""WITH ${portableGraphSql(400, 1200, "g34")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue
+         |  UNION ALL SELECT v, u FROM ue),
+         |deg AS MATERIALIZED (SELECT vtx, count(*) AS d FROM und GROUP BY 1),
+         |wd AS MATERIALIZED (
+         |  SELECT und.vtx, und.nbr, deg.d FROM und JOIN deg USING (vtx)
+         |  WHERE deg.d <= 6),
          |pairs AS MATERIALIZED (
          |  SELECT l.nbr AS a, r.nbr AS b, count(*) AS cn,
          |    sum(1.0/ln(l.d)) AS aa
@@ -4779,6 +4986,18 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "io8_minmax_skip" ->
+      // the unsorted ground truth over the SAME time window: a scan
+      // whose stats-skipping dropped (or double-read) a row group
+      // cannot reproduce these aggregates; min/max of the carried
+      // epoch-micros pin the window edges exactly
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704326400000000
+        |  AND epoch_us(ts) < 1704585600000000
+        |GROUP BY 1""".stripMargin,
     "d34_hash_embed" ->
       // every signed sum, zero fill, norm and rounded component
       // regenerated; long form so the hash covers each number
@@ -5498,6 +5717,20 @@ object SparkEntry {
         |  coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
         |    ORDER BY valid_from, event_id), -1) = -1 AS is_current
         |FROM b""".stripMargin,
+    "q39_scd2_merge" ->
+      // the from-scratch build over ALL events IS the oracle: any lost
+      // interval close, duplicated replay row, or unsplit out-of-order
+      // arrival in the merge path breaks the hash
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS valid_from
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, valid_from,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id), -1) AS valid_to,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id), -1) = -1 AS is_current
+        |FROM b""".stripMargin,
     "q18_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
@@ -5559,6 +5792,8 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
         |GROUP BY 1""".stripMargin,
+    "q38_skew_aqe" -> skewJoinOracleSql,
+    "q38_skew_noaqe" -> skewJoinOracleSql,
     "q35_unpivot" ->
       // the long-form grid with zero cells kept: distinct hours × the
       // explicit type list, counts coalesced to 0

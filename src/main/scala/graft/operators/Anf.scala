@@ -70,16 +70,7 @@ object Anf {
     for (h <- 1 to maxH) {
       if (plateau) trace += ((h.toLong, prev))
       else {
-        val contrib = e
-          .join(state.withColumnRenamed("id", "dst"), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(hll_union_agg(col("sk")).as("nsk"))
-        val next = state
-          .join(contrib, Seq("id"), "left_outer")
-          .select(
-            col("id"),
-            when(col("nsk").isNull, col("sk"))
-              .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+        val next = sketchRound(e, state)
           .localCheckpoint() // eager: truncates lineage, feeds the estimate
         state.unpersist(false)
         state = next
@@ -112,6 +103,30 @@ object Anf {
     * from exact distance counts and the top-N hash-matches. Output: the
     * top `topN` by (rounded centrality desc, id).
     */
+  /** ONE sketch-diffusion round of the HyperBall recurrence, shared by
+    * [[neighborhoodFunction]] and [[harmonicCentrality]] and exposed
+    * (pre-checkpoint) for the PlanSpec exchange audit: the
+    * dst-partitioned cached edge frame never re-exchanges — the |V|-row
+    * sketch state ships TO it (shuffle_hash: the cached side streams,
+    * no per-round re-sort), the neighbor-sketch merge folds map-side in
+    * ONE hll_union_agg, and the left-outer recombine touches |V|-sized
+    * frames only (sink vertices keep their sketch).
+    */
+  private[graft] def sketchRound(e: DataFrame, state: DataFrame): DataFrame = {
+    val contrib = e
+      .join(
+        state.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+        Seq("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(hll_union_agg(col("sk")).as("nsk"))
+    state
+      .join(contrib, Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        when(col("nsk").isNull, col("sk"))
+          .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+  }
+
   def harmonicCentrality(
       edges: DataFrame,
       maxH: Int,
@@ -130,16 +145,7 @@ object Anf {
       st.select(col("id"), hll_sketch_estimate(col("sk")).as(name))
     var wide = est(state, "e0").localCheckpoint()
     for (h <- 1 to maxH) {
-      val contrib = e
-        .join(state.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(hll_union_agg(col("sk")).as("nsk"))
-      val next = state
-        .join(contrib, Seq("id"), "left_outer")
-        .select(
-          col("id"),
-          when(col("nsk").isNull, col("sk"))
-            .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+      val next = sketchRound(e, state)
         .localCheckpoint()
       state.unpersist(false)
       state = next

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE into an SCD2 history table — the WRITE-side twin of the
+  * q24 history build and the p5 point-in-time read: a feature store
+  * builds its SCD2 table once (q24) and then maintains it by merging
+  * daily change batches — close the open intervals of touched keys,
+  * append the new versions, and stay a no-op on replay. The reference's
+  * analogue is its snapshot-supersede rotation (each iteration's output
+  * directory replaces the previous one wholesale,
+  * PageRankDriver.java:177-185); SCD2 merge is that rotation made
+  * INCREMENTAL — only keys the batch touches are rewritten.
+  *
+  * Merge rule (the Kimball type-2 contract, with the q24 interval
+  * convention `[valid_from, valid_to)`, sentinel −1 = open):
+  *
+  *   1. REPLAY GUARD: batch versions already present in the history
+  *      (same key + version id) are dropped first — re-delivering a
+  *      batch, in whole or in part, is a no-op (at-least-once CDC
+  *      delivery is the norm; the sink must be idempotent, the st13
+  *      discipline).
+  *   2. Keys with no surviving batch row pass through UNTOUCHED —
+  *      their rows are never rewritten, never re-windowed.
+  *   3. For touched keys only, the key's existing versions (intervals
+  *      stripped) union the fresh batch rows and re-intervalize with
+  *      the same lead window q24 builds with. Full re-intervalization
+  *      (not just closing the current row) makes LATE/out-of-order
+  *      change rows correct for free: a version landing in the middle
+  *      of a key's history splits the interval it falls into, exactly
+  *      as a from-scratch rebuild would.
+  *
+  * The INVARIANT this buys (and the oracle locks, the e13 append ≡
+  * union discipline): build-from-scratch(all changes) ≡
+  * merge(build(initial), batch₁, batch₂, …) for ANY split of the
+  * change log into batches, including replayed ones.
+  *
+  * Scale shape (100 TB history, GB-sized daily batch): the touched-key
+  * frame is |batch|-bounded and joins against the history twice
+  * (anti + semi) — statistics drive both to broadcast at real scales,
+  * so the UNTOUCHED bulk of the history is read and passed through
+  * with NO shuffle and NO sort; only touched keys' rows (|batch|-scale,
+  * not |history|-scale) pay the window exchange+sort. The replay guard
+  * is one |batch|-sized anti join on (key, version). Nothing in the
+  * plan is proportional to |history| beyond the one pass-through scan
+  * a rewrite necessarily pays.
+  */
+object Cdc {
+
+  /** Merge `batch` (flat change rows: key, version id, payload,
+    * `seqCol` ordering value — NO interval columns) into `existing`
+    * (an SCD2 frame carrying `valid_to` + `is_current` built by the
+    * same convention). Returns the merged SCD2 frame in `existing`'s
+    * column order.
+    *
+    * @param keyCol     entity key partitioning the history (q24: user_id)
+    * @param versionCol version identity within a key — the replay-guard
+    *                   key (q24: event_id)
+    * @param seqCol     ordering column intervals derive from; ties break
+    *                   on `versionCol` (q24: valid_from epoch-micros)
+    */
+  def scd2Merge(
+      existing: DataFrame,
+      batch: DataFrame,
+      keyCol: String = "user_id",
+      versionCol: String = "event_id",
+      seqCol: String = "valid_from"): DataFrame = {
+    val payloadCols = existing.columns.toSeq
+      .filterNot(c => c == "valid_to" || c == "is_current")
+    // 1. replay guard: (key, version) pairs already in the history are
+    //    re-deliveries, not new versions
+    val fresh = batch
+      .select(payloadCols.map(col): _*)
+      .join(
+        existing.select(col(keyCol), col(versionCol)),
+        Seq(keyCol, versionCol), "left_anti")
+    // 2. the |batch|-bounded touched-key frame; statistics broadcast it
+    //    into both history joins (hint-free, the d17 discipline)
+    val touched = fresh.select(col(keyCol)).distinct()
+    val untouched = existing.join(touched, Seq(keyCol), "left_anti")
+    // 3. touched keys: strip intervals, union fresh versions,
+    //    re-intervalize with q24's lead window (ties on the version id,
+    //    so the rebuild is deterministic under any partitioning)
+    val strippedOld = existing
+      .join(touched, Seq(keyCol), "left_semi")
+      .select(payloadCols.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol), col(versionCol))
+    val rebuilt = strippedOld.unionByName(fresh)
+      .withColumn(
+        "valid_to", coalesce(lead(col(seqCol), 1).over(w), lit(-1L)))
+      .withColumn("is_current", col("valid_to") === -1L)
+    untouched.unionByName(rebuilt).select(existing.columns.map(col): _*)
+  }
+}

@@ -327,29 +327,14 @@ object GraphBuilder {
   def connectedComponentsDF(
       edges: DataFrame, maxRounds: Int = 100): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    val ue = undirectedSimple(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sym = ue.select(col("u").as("vtx"), col("v").as("nbr"))
-      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
-      .repartition(col("nbr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ue, sym) = ccAdjacency(edges)
     val verts = vertices(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("nbr"), col("lbl")), Seq("nbr"))
-        .groupBy(col("vtx"))
-        .agg(min(col("lbl")).as("nmin"))
-      val next = verts
-        .join(nbrMin.select(col("vtx").as("id"), col("nmin")),
-          Seq("id"), "left_outer")
-        .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .select(
-          col("id"),
-          least(col("prev"), coalesce(col("nmin"), col("prev"))).as("lbl"))
+      val next = ccRound(sym, verts, labels)
         .localCheckpoint() // eager: truncates lineage, feeds the stop test
       rounds += 1
       val changed = next
@@ -364,6 +349,52 @@ object GraphBuilder {
     sym.unpersist(false)
     verts.unpersist(false)
     (labels.select(col("id"), col("lbl").as("component_id")), rounds)
+  }
+
+  /** The once-built frames [[connectedComponentsDF]] loops over: the
+    * canonical undirected edge set and its symmetrized adjacency,
+    * hash-partitioned by `nbr` and persisted — the label frame ships TO
+    * this partitioning every round. Exposed (like [[kCoreAdjacency]])
+    * so PlanSpec can populate the cache the round audit walks.
+    */
+  private[graft] def ccAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+    val ue = undirectedSimple(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = ue.select(col("u").as("vtx"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("vtx"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (ue, sym)
+  }
+
+  /** ONE HashMin diffusion round of [[connectedComponentsDF]], exposed
+    * (pre-checkpoint) so PlanSpec can audit the exchange discipline the
+    * loop claims: the nbr-partitioned cached `sym` never re-exchanges —
+    * the |V|-row label frame ships TO it (shuffle_hash keeps the cached
+    * side streaming, no per-round re-sort), the min folds map-side
+    * before the per-vtx exchange, and the recombine joins |V|-sized
+    * frames only.
+    */
+  private[graft] def ccRound(
+      sym: DataFrame, verts: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = sym
+      .join(
+        labels.select(col("id").as("nbr"), col("lbl")).hint("shuffle_hash"),
+        Seq("nbr"))
+      .groupBy(col("vtx"))
+      .agg(min(col("lbl")).as("nmin"))
+    // recombine joins are |V|-sized on both sides: shuffle_hash skips
+    // the per-round sort a SortMergeJoin fallback would pay
+    verts
+      .join(
+        nbrMin.select(col("vtx").as("id"), col("nmin")).hint("shuffle_hash"),
+        Seq("id"), "left_outer")
+      .join(
+        labels.withColumnRenamed("lbl", "prev").hint("shuffle_hash"),
+        Seq("id"))
+      .select(
+        col("id"),
+        least(col("prev"), coalesce(col("nmin"), col("prev"))).as("lbl"))
   }
 
   /** k-core decomposition by fixed-round peeling: each round recomputes
@@ -665,17 +696,31 @@ object GraphBuilder {
     * Σ_w C(deg w, 2) rows — intrinsic to EXACT common-neighbor scores
     * (every common neighbor must be witnessed; orientation tricks that
     * bound triangle listing don't apply because the wedge itself is the
-    * signal). At 100 TB that sum is the operator's real cost and is
-    * managed upstream: cap or sample the hub neighborhoods (the
-    * SNAP-standard degree cutoff) before calling — the plan itself adds
-    * nothing beyond the unavoidable wedge shuffle.
+    * signal). At 100 TB that sum is the operator's real cost, and the
+    * operator OWNS the standard mitigation: `maxDeg` caps the wedge
+    * MIDDLES — a vertex whose degree exceeds the cap contributes no
+    * wedges (the SNAP-standard degree cutoff; on a power-law graph the
+    * 10⁶-degree hub would otherwise emit ~C(10⁶,2) ≈ 5·10¹¹ wedge rows
+    * and kill the stage). Capping makes the scores APPROXIMATE —
+    * cn/aa/jac count only common neighbors of degree ≤ maxDeg (the
+    * approximate-Adamic–Adar variant; a hub is the least informative
+    * common neighbor, which is exactly why aa down-weights it by
+    * 1/ln(deg)) — while endpoint degrees in the Jaccard denominator stay
+    * EXACT (the |V|-sized degree frame is cheap; only the wedge stream
+    * is the hazard). `None` (default) is the exact operator. The cap is
+    * a ONE-line filter on the degree-decorated adjacency BEFORE the
+    * self-join, so the bound is Σ_{deg w ≤ maxDeg} C(deg w, 2) ≤
+    * |V|·C(maxDeg, 2) — independent of hub size.
     *
     * Why aa survives a hash gate: the per-wedge terms `1/ln(deg w)` sum
     * in engine-dependent order, so the reported `aa_r` is rounded to
     * 6 dp (the d23 float-sum discipline); `jac_r` is a single division
     * of exact integers, rounded at 9.
     */
-  def linkPrediction(edges: DataFrame, topN: Int): DataFrame = {
+  def linkPrediction(
+      edges: DataFrame, topN: Int, maxDeg: Option[Int] = None): DataFrame = {
+    require(maxDeg.forall(_ >= 2),
+      "maxDeg < 2 leaves no wedge middles (a wedge needs degree >= 2)")
     val ue = undirectedSimple(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
@@ -686,8 +731,13 @@ object GraphBuilder {
     val deg = und.groupBy(col("vtx")).agg(count("*").as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedge at middle w: (w, a) × (w, b), a < b; the middle's degree
-    // rides along so aa needs no second join
-    val withDeg = und.join(deg, Seq("vtx"))
+    // rides along so aa needs no second join. maxDeg filters MIDDLES
+    // here — before the self-join — so a capped hub never reaches the
+    // quadratic stage at all (endpoint degrees da/db stay exact: they
+    // come from the uncapped `deg` frame below)
+    val withDeg = maxDeg
+      .foldLeft(und.join(deg, Seq("vtx")))((d, cap) =>
+        d.filter(col("d") <= cap))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = withDeg.as("l")
       .join(withDeg.as("r"), col("l.vtx") === col("r.vtx") &&

@@ -19,26 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
+  /** Backtick-quote a column name for exact-match resolution: dots in a
+    * raw name would otherwise resolve as nested-field access (a legal
+    * parquet column named `a.b` would miss or grab the wrong field),
+    * and embedded backticks escape by doubling (the Spark identifier
+    * rule).
+    */
+  private def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val aggs = cols.flatMap { c =>
+    // intermediate aliases are POSITIONAL (nn_0, nd_0, …): splicing the
+    // raw name into an alias breaks on dots/backticks even when the
+    // input side resolves — the user-visible name appears only as the
+    // col_name literal in the melted output
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val in = col(quoted(c))
       Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+        count(in).as(s"nn_$i"),
+        countDistinct(in).as(s"nd_$i"),
+        min(in).cast("string").as(s"mn_$i"),
+        max(in).cast("string").as(s"mx_$i"))
     }
     val wide = df
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
       .localCheckpoint() // 1 row; melting must not re-run the scan
-    cols.map { c =>
+    cols.zipWithIndex.map { case (c, i) =>
       wide.select(
         lit(c).as("col_name"),
         col("n_rows"),
-        col(s"nn_$c").as("n_nonnull"),
-        col(s"nd_$c").as("n_distinct"),
-        col(s"mn_$c").as("min_s"),
-        col(s"mx_$c").as("max_s"))
+        col(s"nn_$i").as("n_nonnull"),
+        col(s"nd_$i").as("n_distinct"),
+        col(s"mn_$i").as("min_s"),
+        col(s"mx_$i").as("max_s"))
     }.reduce(_ union _)
   }
 }

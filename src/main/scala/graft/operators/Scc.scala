@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * SCC, small cycles, singleton fringe) settles in 2 settle rounds.
   *
   * Scale shape: each inner HashMin round is the g15 components plan — the
-  * to-partitioned persisted edge copy never re-exchanges, the |active|-row
+  * from-partitioned persisted edge copy never re-exchanges, the |active|-row
   * label frame ships to it, the min-merge folds map-side, lineage is cut
   * per round (eager localCheckpoint), one driver count detects the
   * fixpoint (the O14/O16 early-stop discipline). The active subgraph is
@@ -137,26 +137,12 @@ object Scc {
       verts: DataFrame,
       reverse: Boolean,
       maxIter: Int): DataFrame = {
-    val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-    val e = edges
-      .select(col(from).as("from"), col(to).as("to"))
-      .repartition(col("to"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = minLabelEdges(edges, reverse)
     var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var stable = false
     var it = 0
     while (!stable && it < maxIter) {
-      val prop = e
-        .join(
-          labels.select(col("id").as("from"), col("lbl")).hint("shuffle_hash"),
-          Seq("from"))
-        .groupBy(col("to").as("id"))
-        .agg(min(col("lbl")).as("in_lbl"))
-      val next = labels
-        .join(prop, Seq("id"), "left_outer")
-        .select(
-          col("id"),
-          least(col("lbl"), coalesce(col("in_lbl"), col("lbl"))).as("lbl"))
+      val next = minLabelRound(e, labels)
         .localCheckpoint() // eager: cuts lineage, feeds the change count
       it += 1
       val changed = next
@@ -169,5 +155,48 @@ object Scc {
     e.unpersist(false)
     require(stable, s"HashMin did not converge within $maxIter rounds")
     labels
+  }
+
+  /** The (possibly reversed) propagation-oriented edge copy one SCC
+    * inner fixpoint runs against: partitioned by the SENDING endpoint —
+    * the label-join key — and persisted ONCE per fixpoint. (Round 8
+    * shipped this partitioned by `to`, which satisfied the groupBy but
+    * not the join: the cached edge frame re-exchanged on `from` every
+    * round — exactly the failure mode the round audit exists to catch;
+    * the audit caught it the round it landed.) Exposed so PlanSpec can
+    * build the cached frame the audit walks.
+    */
+  private[graft] def minLabelEdges(
+      edges: DataFrame, reverse: Boolean): DataFrame = {
+    val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    edges
+      .select(col(from).as("from"), col(to).as("to"))
+      .repartition(col("from"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** ONE HashMin round of [[minLabelFixpoint]], exposed (pre-checkpoint)
+    * for the PlanSpec exchange audit: the from-partitioned cached edge
+    * copy never re-exchanges — only the |active|-row label frame ships
+    * to it (shuffle_hash: the cached side streams, no per-round
+    * re-sort), and the min-merge folds map-side, so the per-`to`
+    * exchange carries partial minima (≤ |V| rows per map partition),
+    * never the edge-sized join output.
+    */
+  private[graft] def minLabelRound(
+      e: DataFrame, labels: DataFrame): DataFrame = {
+    val prop = e
+      .join(
+        labels.select(col("id").as("from"), col("lbl")).hint("shuffle_hash"),
+        Seq("from"))
+      .groupBy(col("to").as("id"))
+      .agg(min(col("lbl")).as("in_lbl"))
+    // |V|-sized recombine: shuffle_hash skips the per-round sort a
+    // SortMergeJoin fallback would pay
+    labels
+      .join(prop.hint("shuffle_hash"), Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        least(col("lbl"), coalesce(col("in_lbl"), col("lbl"))).as("lbl"))
   }
 }

@@ -652,6 +652,14 @@ object Similarity {
           .as("ang"))
       .collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
+    // fail fast on an unknown probe: an absent probeId would otherwise
+    // return an EMPTY frame, indistinguishable from "no vectors within
+    // radius". The check is free — the crossJoin against a missing
+    // probe row already collected zero angle rows, and a non-empty
+    // index always has centroids (listMaxAngle is empty only when the
+    // index itself is).
+    require(centAngles.nonEmpty || index.listMaxAngle.isEmpty,
+      s"probeIvfRange: probe vec_id=$probeId is not in the index")
     val keep = centAngles.collect {
       case (cId, ang)
           if ang - index.listMaxAngle.getOrElse(cId, math.Pi) <=
@@ -686,7 +694,7 @@ object Similarity {
     // low as minCos - 5e-7 can round into the result — the prune bound
     // covers that margin (plus acos round-trip slack) before it cuts
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, minCos - 1e-6)))
-    probeVec
+    val centAngles = probeVec
       .crossJoin(index.centroids)
       .select(
         col("c_id"),
@@ -695,6 +703,11 @@ object Similarity {
             col("probe_e"), col("c_emb"), col("probe_nrm"), col("c_nrm")))))
           .as("ang"))
       .collect()
+    // same unknown-probe guard as probeIvfRange: 0 lists scanned must
+    // mean "the prune proved them all empty", never "no such probe"
+    require(centAngles.nonEmpty || index.listMaxAngle.isEmpty,
+      s"rangeListsScanned: probe vec_id=$probeId is not in the index")
+    centAngles
       .count(r =>
         r.getDouble(1) - index.listMaxAngle.getOrElse(r.getLong(0), math.Pi)
           <= thetaTau + 1e-9)

@@ -91,6 +91,16 @@ object Walks {
   def weightedRandomWalks(
       edges: DataFrame, len: Int, salt: String): DataFrame = {
     require(len >= 1, "len must be >= 1")
+    // the CDF below is only a CDF if every edge weight is a positive
+    // integer — a zero/negative weight yields non-monotonic cums (or a
+    // non-positive totw feeding pmod) and silently corrupts the draw,
+    // so the contract is ENFORCED, not assumed: one bounded
+    // filter+limit probe of the edge frame (the node2vecWalks require,
+    // lifted to data the driver can't see at call time)
+    require(
+      edges.filter(col("w") < 1).limit(1).isEmpty,
+      "weightedRandomWalks requires integer edge weights >= 1 " +
+        "(a w < 1 row was found)")
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(col("src")).orderBy(col("dst"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -527,6 +527,20 @@ object EventStreams {
     * older than `minView + 2·windowMs`, which the flush-time resolution
     * makes safe. Out-of-order replay + sentinel flush is hash-checked
     * against the DuckDB oracle's staged-minima recomputation (st14).
+    *
+    * OUTPUT CONTRACT (Append-mode re-emission): state is REMOVED at
+    * watermark flush, so a user whose events straddle a flush —
+    * late-but-valid rows arriving after the timeout already fired —
+    * starts a fresh state and yields a SECOND `(user_id, stage)` row at
+    * the next flush. Append mode cannot retract the first row (that is
+    * the mode's definition, not a defect), so a consumer keying on
+    * `user_id` over a stream with multiple flush horizons must reduce
+    * by `max(stage)` per user; within one horizon (the st14 replay
+    * shape, where every event precedes the sentinel flush) the output
+    * is one row per user and no reduction is needed. A tombstone kept
+    * in state would suppress the re-emission but never expire —
+    * unbounded state for a correctness property the downstream
+    * `max(stage)` reduction provides for free.
     */
   def funnelEventTime(
       events: Dataset[Event],

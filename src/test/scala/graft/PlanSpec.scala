@@ -600,4 +600,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("strategy=broadcast"),
       "threshold join must not be hint-broadcast: " + p)
   }
+
+  test("g31 SCC HashMin round: cached edge copy never re-exchanges, min map-side combined") {
+    // the inner fixpoint both FW and BW passes run — same discipline as
+    // g28: the to-partitioned persisted edge copy streams, only the
+    // |active|-row label frame ships to it
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 750, "g31")
+    val e = graft.operators.Scc.minLabelEdges(edges, reverse = false)
+    val eRev = graft.operators.Scc.minLabelEdges(edges, reverse = true)
+    try {
+      e.count(); eRev.count()
+      val verts = graft.operators.GraphBuilder.vertices(edges)
+      val labels = verts.select(col("id"), col("id").as("lbl"))
+      for (cached <- Seq(e, eRev)) {
+        val p = concretePlan(
+          graft.operators.Scc.minLabelRound(cached, labels))
+        assert(!reshufflesCachedRows(p), p.toString)
+        assert(p.toString.contains("partial_min"), p.toString)
+        assert(!p.toString.contains("SortMergeJoin"), p.toString)
+      }
+    } finally { e.unpersist(); eRev.unpersist() }
+  }
+
+  test("g44 CC diffusion round: cached symmetric adjacency never re-exchanges") {
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g44")
+    val (ue, sym) = graft.operators.GraphBuilder.ccAdjacency(edges)
+    try {
+      sym.count()
+      val verts = graft.operators.GraphBuilder.vertices(edges)
+      val labels = verts.select(col("id"), col("id").as("lbl"))
+      val p = concretePlan(
+        graft.operators.GraphBuilder.ccRound(sym, verts, labels))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("partial_min"), p.toString)
+      assert(!p.toString.contains("SortMergeJoin"), p.toString)
+    } finally { ue.unpersist(); sym.unpersist() }
+  }
+
+  test("g30 ANF sketch round: cached edges never re-exchange, union folds map-side") {
+    val edges = graft.sources.SyntheticGraph.portable(spark, 300, 600, "g30")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("dst")).persist()
+    try {
+      e.count()
+      val state = graft.operators.GraphBuilder.vertices(edges)
+        .groupBy(col("id"))
+        .agg(org.apache.spark.sql.functions
+          .hll_sketch_agg(col("id"), org.apache.spark.sql.functions.lit(12))
+          .as("sk"))
+      val p = concretePlan(graft.operators.Anf.sketchRound(e, state))
+      assert(!reshufflesCachedRows(p), p.toString)
+      // the neighbor-sketch merge must fold map-side (partial union
+      // aggregate), and the cached side must not pay a per-round sort
+      assert(p.toString.toLowerCase.contains("partial_hll"), p.toString)
+      assert(!p.toString.contains("SortMergeJoin"), p.toString)
+    } finally e.unpersist()
+  }
 }

@@ -35,6 +35,43 @@ class LinkPredictionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 3L), (2L, 3L)))
   }
+
+  test("maxDeg: a hub above the cap contributes no wedges") {
+    val sp = spark
+    import sp.implicits._
+    // hub 0 has degree 5 (wedge middles 1..5 would mint C(5,2) = 10
+    // pairs through it); the side path 1-6-2 has middle 6 of degree 2.
+    // Capped at 4, hub 0 is excluded as a MIDDLE: the surviving wedges
+    // are (1,2) via middle 6 and (0,6) via middles 1 and 2 — no pair
+    // witnessed only by the hub appears. Endpoint degrees in the
+    // Jaccard denominator stay the EXACT uncapped values (the hub's
+    // degree 5 still appears in (0,6)'s denominator).
+    val e = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (1L, 6L), (2L, 6L)).toDF("src", "dst")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val capped = GraphBuilder.linkPrediction(e, topN = 100, maxDeg = Some(4))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(capped.toSet == Set(
+      // (1,2): cn=1 (middle 6, deg 2); jac = 1/(2+2−1) — exact degrees
+      (1L, 2L, 1L, r9(1.0 / 3.0), r6(1.0 / math.log(2.0))),
+      // (0,6): cn=2 (middles 1,2 of deg 2); jac = 2/(5+2−2)
+      (0L, 6L, 2L, r9(2.0 / 5.0), r6(2.0 / math.log(2.0)))))
+    // uncapped control: the hub mints all C(5,2) = 10 pairs among
+    // {1..5}, plus (0,6) — and (1,2) now counts hub 0 as a second
+    // common neighbor
+    val exact = GraphBuilder.linkPrediction(e, topN = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 11)
+    assert(GraphBuilder.linkPrediction(e, topN = 100)
+      .filter(col("u") === 1L && col("v") === 2L)
+      .collect().head.getLong(2) == 2L)
+  }
 }
 
 class ModularitySpec extends AnyFunSuite {

@@ -1,0 +1,242 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 wave: CDC SCD2 merge (q39), min/max data skipping (io8),
+  * AQE skew join (q38).
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def scd2(rows: Seq[(Long, Long, String, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    rows.toDF("user_id", "event_id", "event_type", "valid_from")
+      .withColumn(
+        "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", col("valid_to") === -1L)
+  }
+
+  private def batch(rows: Seq[(Long, Long, String, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("user_id", "event_id", "event_type", "valid_from")
+  }
+
+  private def collectSet(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+
+  test("merge closes the open interval and appends the new current row") {
+    val t = scd2(Seq((1L, 10L, "signup", 100L)))
+    val got = collectSet(Cdc.scd2Merge(t, batch(Seq((1L, 11L, "click", 200L)))))
+    assert(got == Set(
+      (1L, 10L, "signup", 100L, 200L, false),
+      (1L, 11L, "click", 200L, -1L, true)))
+  }
+
+  test("replay is a no-op: merge(merge(t,b),b) == merge(t,b)") {
+    val t = scd2(Seq(
+      (1L, 10L, "signup", 100L), (1L, 11L, "view", 300L),
+      (2L, 20L, "signup", 50L)))
+    val b = batch(Seq((1L, 12L, "click", 400L), (3L, 30L, "signup", 10L)))
+    val once = Cdc.scd2Merge(t, b)
+    val twice = Cdc.scd2Merge(once, b)
+    assert(collectSet(once) == collectSet(twice))
+    // and a PARTIAL replay (one old version + one new) inserts only the
+    // new version
+    val partial = batch(Seq((1L, 12L, "click", 400L), (1L, 13L, "buy", 500L)))
+    val got = collectSet(Cdc.scd2Merge(once, partial))
+    assert(got == collectSet(Cdc.scd2Merge(t,
+      batch(Seq((1L, 12L, "click", 400L), (1L, 13L, "buy", 500L),
+        (3L, 30L, "signup", 10L))))))
+    assert(got.count(r => r._1 == 1L && r._6) == 1)
+    assert(got.exists(r => r._2 == 13L && r._5 == -1L && r._6))
+  }
+
+  test("untouched keys pass through unchanged") {
+    val t = scd2(Seq(
+      (1L, 10L, "signup", 100L), (1L, 11L, "view", 300L),
+      (2L, 20L, "signup", 50L), (2L, 21L, "click", 60L)))
+    val got = Cdc.scd2Merge(t, batch(Seq((1L, 12L, "buy", 400L))))
+    assert(collectSet(got.filter(col("user_id") === 2L)) ==
+      collectSet(t.filter(col("user_id") === 2L)))
+  }
+
+  test("out-of-order change splits the interval it lands in") {
+    // existing: [100, 300) then [300, open); late row at 200 must yield
+    // [100, 200), [200, 300), [300, open) — a from-scratch rebuild shape
+    val t = scd2(Seq((1L, 10L, "signup", 100L), (1L, 12L, "buy", 300L)))
+    val got = collectSet(Cdc.scd2Merge(t, batch(Seq((1L, 11L, "view", 200L)))))
+    assert(got == Set(
+      (1L, 10L, "signup", 100L, 200L, false),
+      (1L, 11L, "view", 200L, 300L, false),
+      (1L, 12L, "buy", 300L, -1L, true)))
+  }
+
+  test("profile handles dotted and backticked column names") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "x"), (2L, "y"), (2L, null))
+      .toDF("a.b", "we`ird")
+    val got = graft.operators.Profiler.profile(df, Seq("a.b", "we`ird"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got("a.b") == ((3L, 3L, 2L, "1")))
+    assert(got("we`ird") == ((3L, 2L, 2L, "x")))
+  }
+
+  test("merge of any batch split equals the from-scratch build") {
+    val all = Seq(
+      (1L, 10L, "a", 100L), (1L, 11L, "b", 200L), (1L, 12L, "c", 300L),
+      (2L, 20L, "a", 50L), (2L, 21L, "b", 150L),
+      (3L, 30L, "a", 10L))
+    val fromScratch = collectSet(scd2(all))
+    // split by event_id mod 3, batches applied in an arbitrary order
+    // with a replay of the middle batch
+    val parts = all.groupBy(t => t._2 % 3)
+    val merged = Seq(parts(1L % 3), parts(2L % 3), parts(1L % 3))
+      .map(p => batch(p))
+      .foldLeft(scd2(parts(0L)))(Cdc.scd2Merge(_, _))
+    assert(collectSet(merged) == fromScratch)
+  }
+}
+
+/** io8: parquet min/max stats on a sort-ordered layout actually skip
+  * row groups — the scan's own metrics prove bytes were never read.
+  */
+class MinMaxSkipSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sorted layout: the pushed range predicate prunes row groups; round-robin layout reads everything") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    val total = ev.count()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_io8_spec").toString
+    try {
+      ev.repartitionByRange(8, col("ts_us"))
+        .sortWithinPartitions(col("ts_us"))
+        .write.mode("overwrite").parquet(s"$tmp/sorted")
+      ev.repartition(8)
+        .write.mode("overwrite").parquet(s"$tmp/rr")
+      def scanRows(path: String): (Long, Long) = {
+        val q = spark.read.parquet(path)
+          .filter(col("ts_us") >= 1704326400000000L &&
+            col("ts_us") < 1704585600000000L)
+        val plan = q.queryExecution.executedPlan
+        assert(plan.toString.contains("PushedFilters: [IsNotNull(ts_us)"),
+          "range predicate must reach the parquet scan: " + plan)
+        // execute THIS plan object — its metrics are what we read (a
+        // separate q.count() would run a different physical plan)
+        val n = plan.executeCollect().length.toLong
+        val scan = plan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+        (scan.metrics("numOutputRows").value, n)
+      }
+      val (sortedScan, nSorted) = scanRows(s"$tmp/sorted")
+      val (rrScan, nRr) = scanRows(s"$tmp/rr")
+      // correctness: both layouts agree on the selected rows
+      assert(nSorted == nRr && nSorted > 0)
+      // the round-robin layout's row groups all straddle the predicate
+      // range -> footer stats skip nothing, every row is decoded
+      assert(rrScan == total, s"expected full read, got $rrScan of $total")
+      // the sorted layout decodes only the row groups whose min/max
+      // overlap the 3-of-30-day window: a fraction of the table
+      assert(sortedScan * 2 <= total,
+        s"min/max skipping did not bite: scan emitted $sortedScan of $total")
+      assert(sortedScan >= nSorted)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
+
+/** q38: AQE actually splits the hub partition when skew handling is on,
+  * and both variants return identical results.
+  */
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("skew-on final plan carries skew=true; on/off results identical") {
+    val on = SparkEntry.queries("q38_skew_aqe")(spark, dir)
+    // sealAfter already executed the join inside the tuned-conf scope;
+    // the checkpointed frame carries the result, but the plan assert
+    // needs a fresh execution we can inspect — rebuild under the same
+    // confs by calling the entry again and walking the adaptive plan
+    // of the pre-checkpoint join. Instead: assert on results here and
+    // plan-shape below via a direct tuned-session run.
+    val off = SparkEntry.queries("q38_skew_noaqe")(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(key(on) == key(off))
+    assert(key(on).nonEmpty)
+    // plan shape: rebuild the same skewed join with the tuned confs and
+    // check the FINAL adaptive plan did split the hub partition
+    val s = spark
+    val keys = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.keys.map(k => k -> s.conf.getOption(k)).toSeq
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      // ×256 multiplier (vs the entry's ×16): at sf0.001 the hub
+      // partition must clear the same 256k skew threshold the entry's
+      // confs use at verify/bench scale — the plan SHAPE is what this
+      // test pins, the thresholds are scale knobs. Same construction as
+      // the entry otherwise: distinct per-replica values (compressible
+      // copies would hide the skew from the byte-based detector),
+      // multi-mapper map side (split specs are map ranges), and a
+      // materialized right side (the rule matches SMJ(Sort(stage),
+      // Sort(stage)) only).
+      val left = ev.repartition(32).select(
+          when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(col("event_id"), lit(997))).as("jk"),
+          col("value"),
+          explode(sequence(lit(0), lit(255))).as("rep"))
+        .select(col("jk"), (col("value") + col("rep")).as("value"))
+      val right = ev.groupBy(pmod(col("event_id"), lit(997)).as("jk"))
+        .agg(count(lit(1)).as("r_n"))
+        .localCheckpoint()
+      // the aggregate must KEEP value (as the entry's does): a
+      // count-only agg lets Catalyst prune value out of the join
+      // shuffle, and the hub partition of bare near-constant keys
+      // compresses below the skew threshold
+      val joined = left.join(right, Seq("jk"))
+        .groupBy(pmod(col("jk"), lit(16)).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("r_n")).as("sum_rn"),
+          round(sum(col("value")), 2).as("sum_value"))
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not split the skewed partition: " + finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+}

@@ -2620,6 +2620,30 @@ object SparkEntry {
           .foreach(p => Files.deleteIfExists(p))
       }
     },
+    "e22_knn_graph" -> ((s, dir) =>
+      // the GRAPH-ANN family's build half (single-layer NSW adjacency):
+      // per-vector top-8 neighbors with candidates from the IVF coarse
+      // quantizer — bucket-join-shaped, never an all-pairs self-join.
+      // Gate config nProbe = nList makes the graph EXACT, so an
+      // all-pairs oracle recomputes every edge; nProbe < nList is the
+      // 100 TB path (recall unit test, e6 discipline).
+      graft.operators.Similarity.knnGraphIvf(
+        t(s, dir, "embeddings"), m = 8, nList = 16, nProbe = 16)),
+    "e23_nsw_search" -> { (s, dir) =>
+      // the GRAPH-ANN family's search half: deterministic greedy beam
+      // search over the e22 adjacency — all probes enter at the
+      // graph's min vertex, 3 hops × beam 8, every boundary ranked on
+      // (rounded cos, vec_id) so the oracle unrolls the exact
+      // trajectory hop by hop. After the build, nothing corpus-sized
+      // moves: each hop ships |probes|·beam frontier rows against the
+      // m-bounded adjacency.
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.nswSearch(
+        graft.operators.Similarity.knnGraphIvf(
+          emb, m = 8, nList = 16, nProbe = 16),
+        emb, probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, beamWidth = 8, hops = 3)
+    },
     "e12_knn_ivfsq" -> { (s, dir) =>
       // IVF-SQ: the e7 disk layout with e8's int8 codes in the
       // inverted lists (floats never stored), probed with asymmetric
@@ -5346,6 +5370,75 @@ object SparkEntry {
         |  round(list_dot_product(tvec, (SELECT p FROM probe)), 6) AS dot_sim
         |FROM tr WHERE vec_id <> 0
         |ORDER BY dot_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "e22_knn_graph" ->
+      // at nProbe = nList the IVF-bucketed candidate set is the full
+      // corpus, so the all-pairs ranking recomputes every edge exactly
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |r AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |rk AS (
+        |  SELECT src, nbr, cos_sim,
+        |    row_number() OVER (PARTITION BY src
+        |                       ORDER BY cos_sim DESC, nbr) AS rn
+        |  FROM r)
+        |SELECT src, nbr, cos_sim FROM rk WHERE rn <= 8""".stripMargin,
+    "e23_nsw_search" -> {
+      // the exact trajectory unrolled: graph CTE (e22's all-pairs
+      // equivalent at the gate config), entry at min(src), then per hop
+      // top-beam → expand through the adjacency → rescore → dedup-max
+      // fold; the self row rides the walk and leaves at the final cut
+      val hop = (h: Int) =>
+        s"""t$h AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |                         ORDER BY cos_sim DESC, vec_id) AS rn
+           |    FROM v${h - 1}) WHERE rn <= 8),
+           |x$h AS (
+           |  SELECT t.probe_id, g.nbr AS vec_id
+           |  FROM t$h t JOIN g ON g.src = t.vec_id),
+           |s$h AS (
+           |  SELECT DISTINCT x.probe_id, x.vec_id,
+           |    round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
+           |  FROM x$h x
+           |  JOIN e ON e.vec_id = x.vec_id
+           |  JOIN p ON p.probe_id = x.probe_id),
+           |v$h AS (
+           |  SELECT probe_id, vec_id, max(cos_sim) AS cos_sim FROM (
+           |    SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ar AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |g AS (
+         |  SELECT src, nbr FROM (
+         |    SELECT src, nbr,
+         |      row_number() OVER (PARTITION BY src
+         |                         ORDER BY cos_sim DESC, nbr) AS rn
+         |    FROM ar) WHERE rn <= 8),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+         |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |ent AS (SELECT min(src) AS eid FROM g),
+         |v0 AS (
+         |  SELECT p.probe_id, ent.eid AS vec_id,
+         |    round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
+         |  FROM p, ent
+         |  JOIN e ON e.vec_id = ent.eid),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT probe_id, vec_id, cos_sim FROM (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM v3 WHERE vec_id <> probe_id) WHERE rn <= 10""".stripMargin
+    },
     "e12_knn_ivfsq" ->
       // the full ADC chain recomputed: e8's stats + codes, mid-bucket
       // dequantization, full-precision-probe cosine, top-10 on (rounded

@@ -1704,4 +1704,167 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
     CacheScope.sealAfter(pairs, bucketed)
   }
+  /** Approximate kNN GRAPH over the corpus — the adjacency a
+    * graph-based ANN search (the NSW/HNSW family, Malkov & Yashunin,
+    * "Efficient and robust approximate nearest neighbor search using
+    * Hierarchical Navigable Small World graphs") walks at query time:
+    * for every vector, its top-`m` neighbors by (rounded cosine desc,
+    * vec_id). Candidates come from the IVF coarse quantizer — each
+    * vector ranks the (broadcast) centroids, keeps its `nProbe` nearest
+    * lists, and scores ONLY their members — so the build is
+    * bucket-join-shaped, never an all-pairs self-join: the candidate
+    * stream is |V| · nProbe/nList of the corpus in expectation, the
+    * per-src cut is one window over candidates. At `nProbe = nList`
+    * the candidate set is the full corpus and the graph is the EXACT
+    * kNN graph — the oracle-gate configuration (an all-pairs oracle
+    * recomputes every edge); `nProbe < nList` is the 100 TB path,
+    * recall-tested like the other IVF probes (e6 discipline).
+    *
+    * Output: `src LONG, nbr LONG, cos_sim DOUBLE` — ≤ m rows per src,
+    * deterministic under any partitioning (rounded sims + id
+    * tie-breaks at every boundary).
+    */
+  def knnGraphIvf(
+      embeddings: DataFrame,
+      m: Int,
+      nList: Int = 16,
+      nProbe: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && nList >= 1 && nProbe >= 1 && nProbe <= nList,
+      "need m >= 1 and 1 <= nProbe <= nList")
+    val idx = buildIvfIndex(embeddings, nList)
+    // each vector picks its nProbe nearest lists (the probeIvfBatch
+    // ranking, applied to EVERY vector as a join, not a driver list)
+    val wl = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("c_sim"), asc("c_id"))
+    val probeLists = idx.assigned
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .crossJoin(idx.centroids) // broadcast: nList rows
+      .withColumn(
+        "c_sim",
+        cosinePre(col("e"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id"))
+    // score only the probed lists' members; a pair met through several
+    // lists dedups in the same aggregate that carries its (identical)
+    // rounded score
+    val cand = probeLists
+      .join(
+        idx.assigned.select(
+          col("c_id"), col("vec_id").as("nbr"),
+          col("e").as("ne"), col("nrm").as("nnrm")),
+        Seq("c_id"))
+      .filter(col("nbr") =!= col("vec_id"))
+      .groupBy(col("vec_id").as("src"), col("nbr"))
+      .agg(max(
+        round(cosinePre(col("e"), col("ne"), col("nrm"), col("nnrm")), 6))
+        .as("cos_sim"))
+    val wm = Window.partitionBy(col("src"))
+      .orderBy(desc("cos_sim"), asc("nbr"))
+    val out = cand
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("nbr"), col("cos_sim"))
+    val sealed0 = CacheScope.sealAfter(out)
+    idx.release()
+    sealed0
+  }
+
+  /** Graph-ANN SEARCH over a [[knnGraphIvf]] adjacency — single-layer
+    * navigable-small-world greedy beam search (the query-time half of
+    * the NSW/HNSW family, flattened to one layer: the hierarchy is a
+    * sequential-machine device for picking a good entry point, and a
+    * DISTRIBUTED search batches probes instead of descending layers):
+    * all probes enter at the graph's minimum vec_id; each hop expands
+    * the current top-`beamWidth` visited vertices through the
+    * adjacency, scores the new candidates against the probe, and folds
+    * them into the visited set (dedup by max — the rounded score is a
+    * function of the pair, so duplicates agree). After `hops` rounds
+    * the result is the top-`k` visited per probe.
+    *
+    * Determinism: every boundary (beam cut, final top-k) ranks on
+    * (rounded cos desc, vec_id), and the hop count is FIXED — so the
+    * whole trajectory is engine-portable and an oracle can unroll it
+    * hop by hop (the g5/e12 unrolling discipline). Scale shape: state
+    * per probe is ≤ beam·m new rows per hop; each hop is one
+    * |frontier|-row join against the m-bounded adjacency + one
+    * broadcast-probe rescore + one dedup aggregate — nothing
+    * corpus-sized moves after the graph is built, which is the entire
+    * point of graph-based ANN at 100 TB. Recall vs exact kNN is
+    * unit-tested; the oracle gate locks the trajectory itself.
+    *
+    * Output: `probe_id LONG, vec_id LONG, cos_sim DOUBLE` (≤ k rows per
+    * probe; the probe's own vertex is excluded).
+    */
+  def nswSearch(
+      graph: DataFrame,
+      embeddings: DataFrame,
+      probeIds: Seq[Long],
+      k: Int,
+      beamWidth: Int = 8,
+      hops: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeIds.nonEmpty && k >= 1 && beamWidth >= 1 && hops >= 0,
+      "need probes, k >= 1, beamWidth >= 1, hops >= 0")
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = broadcast(
+      base.filter(col("vec_id").isin(probeIds: _*))
+        .select(
+          col("vec_id").as("probe_id"),
+          col("e").as("pe"), col("nrm").as("pnrm")))
+    val adj = graph.select(col("src"), col("nbr"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fixed entry point: the graph's minimum vertex (1-row action) —
+    // the NSW convention of a designated enter-point, made deterministic
+    val entryId = adj.agg(min(col("src"))).first().getLong(0)
+    // the walk MAY pass through the probe's own vertex (it scores 1.0
+    // and anchors the beam — the standard ANN convention); the self row
+    // is excluded only from the FINAL top-k. Excluding it mid-walk
+    // would empty the trajectory of a probe that IS the entry point.
+    def score(cands: DataFrame): DataFrame = cands
+      .join(base, Seq("vec_id"))
+      .join(probes, Seq("probe_id"))
+      .select(
+        col("probe_id"), col("vec_id"),
+        round(cosinePre(col("e"), col("pe"), col("nrm"), col("pnrm")), 6)
+          .as("cos_sim"))
+    var visited = score(
+      probes.select(col("probe_id")).withColumn("vec_id", lit(entryId)))
+      .localCheckpoint()
+    val wb = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    for (_ <- 1 to hops) {
+      val frontier = visited
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beamWidth)
+        .select(col("probe_id"), col("vec_id").as("src"))
+      val expanded = score(nswExpand(adj, frontier))
+      visited = visited.unionByName(expanded)
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(max(col("cos_sim")).as("cos_sim"))
+        .localCheckpoint() // eager: cuts the per-hop lineage
+    }
+    val out = visited
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"))
+    CacheScope.sealAfter(out, base, adj)
+  }
+
+  /** ONE frontier expansion of [[nswSearch]], exposed for the PlanSpec
+    * exchange audit: the src-partitioned cached adjacency never
+    * re-exchanges — only the |probes|·beam frontier ships to it
+    * (shuffle_hash: the cached side streams, no per-hop re-sort).
+    */
+  private[graft] def nswExpand(
+      adj: DataFrame, frontier: DataFrame): DataFrame =
+    frontier
+      .join(adj.hint("shuffle_hash"), Seq("src"))
+      .select(col("probe_id"), col("nbr").as("vec_id"))
 }

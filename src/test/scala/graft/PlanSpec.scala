@@ -637,6 +637,24 @@ class PlanSpec extends AnyFunSuite {
     } finally { ue.unpersist(); sym.unpersist() }
   }
 
+  test("e23 NSW hop: cached adjacency never re-exchanges, only the frontier moves") {
+    val g = graft.operators.Similarity.knnGraphIvf(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      m = 4, nList = 8, nProbe = 8)
+    val adj = g.select(col("src"), col("nbr"))
+      .repartition(col("src")).persist()
+    try {
+      adj.count()
+      val sp = spark
+      import sp.implicits._
+      val frontier = Seq((0L, 1L), (1L, 2L)).toDF("probe_id", "src")
+      val p = concretePlan(
+        graft.operators.Similarity.nswExpand(adj, frontier))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(!p.toString.contains("SortMergeJoin"), p.toString)
+    } finally adj.unpersist()
+  }
+
   test("g30 ANF sketch round: cached edges never re-exchange, union folds map-side") {
     val edges = graft.sources.SyntheticGraph.portable(spark, 300, 600, "g30")
     val e = edges.select(col("src"), col("dst"))

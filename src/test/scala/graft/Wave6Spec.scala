@@ -240,3 +240,83 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 }
+
+/** e22/e23: the graph-ANN family — IVF-bucketed kNN-graph build +
+  * deterministic NSW beam search.
+  */
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("gate config nProbe=nList: graph equals the exact kNN graph") {
+    import graft.operators.Similarity
+    val g = Similarity.knnGraphIvf(emb, m = 4, nList = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: brute-force per-src top-4 on (rounded cos, nbr)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val exact = e.as("a").join(e.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+        round(graft.operators.Similarity.cosine(col("a.v"), col("b.v")), 6)
+          .as("cs"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src")).orderBy(desc("cs"), asc("nbr"))
+    val exactSet = exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == exactSet)
+  }
+
+  test("approximate graph (nProbe < nList) keeps recall >= 0.5 vs exact") {
+    import graft.operators.Similarity
+    val approx = Similarity.knnGraphIvf(emb, m = 4, nList = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnGraphIvf(emb, m = 4, nList = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"graph recall $recall")
+    // and the approximate candidate set can only shrink coverage, not
+    // invent edges that beat the exact ranking's members
+    assert(approx.size <= exact.size)
+  }
+
+  test("nsw search: recall >= 0.6 vs exact top-10; probe == entry point still answers") {
+    import graft.operators.Similarity
+    val g = Similarity.knnGraphIvf(emb, m = 8, nList = 8, nProbe = 8)
+    val probeIds = Seq(0L, 1L, 2L)
+    val got = Similarity.nswSearch(g, emb, probeIds, k = 10,
+      beamWidth = 8, hops = 3)
+    val rows = got.collect()
+    // entry point is min(src) = 0, which is ALSO probe 0: it must still
+    // return k rows and never report itself
+    for (p <- probeIds) {
+      val mine = rows.filter(_.getLong(0) == p)
+      assert(mine.length == 10, s"probe $p returned ${mine.length} rows")
+      assert(!mine.exists(_.getLong(1) == p), s"probe $p reported itself")
+    }
+    val exact = Similarity.knnBatch(emb, probeIds, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gotSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"nsw recall $recall")
+  }
+
+  test("beam-1 single hop on a hand graph walks greedily") {
+    val sp = spark
+    import sp.implicits._
+    // vectors on a line: 0=(1,0), 1=(0.9,0.1), 2=(0,1) — probe (1,0)
+    // enters at 0; its only graph neighbor is 1; one hop adds 1.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val g = Seq((0L, 1L), (1L, 0L), (2L, 1L)).toDF("src", "nbr")
+      .withColumn("cos_sim", lit(0.0))
+    val got = graft.operators.Similarity
+      .nswSearch(g, vecs, Seq(0L), k = 2, beamWidth = 1, hops = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // probe 0: visited {0 (self), 1}; self excluded → exactly vec 1
+    assert(got.map(_._1).toSeq == Seq(1L))
+  }
+}

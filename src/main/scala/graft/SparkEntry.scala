@@ -2457,6 +2457,50 @@ object SparkEntry {
       // xxhash64 64-bit variant remains as Dedup.simhashSignatures with
       // its own unit/property tests
       Dedup.simhashSignaturesPortable(t(s, dir, "documents"))),
+    "d39_nfc_normalize" -> { (s, dir) =>
+      // Unicode NFC normalization through the native codegen'd
+      // graft_nfc expression (the 4th custom Catalyst Expression):
+      // the ASCII corpus is augmented with DECOMPOSED sequences
+      // (e+U+0301, u+U+0308, A+U+030A) both engines build identically,
+      // then canonically composed — DuckDB's nfc_normalize implements
+      // the same Unicode standard as java.text.Normalizer, so the gate
+      // is byte-exact across engines. `changed` certifies the fixture
+      // actually exercised composition on every row.
+      val nfc = graft.functions.StringFunctions.nfc _
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" caf"), lit("e\u0301"),
+            lit(" u"), lit("\u0308"), lit("ber"),
+            lit(" A"), lit("\u030A"), lit(" fin")).as("t"))
+        .select(
+          col("doc_id"),
+          nfc(col("t")).as("normalized"),
+          (nfc(col("t")) =!= col("t")).as("changed"))
+    },
+    "d38_pii_redact" -> { (s, dir) =>
+      // PII scrubbing gate: the synthetic corpus carries no PII, so the
+      // fixture plants a deterministic contact line per doc (email from
+      // doc_id, dotted-quad from doc_id mod 256, phone from doc_id mod
+      // 100 — both engines build the IDENTICAL string), then redacts
+      // and counts. Every redacted byte and every count is hash-checked
+      // — a regex-dialect divergence between Java and RE2 would break
+      // the hash, which is exactly what pins the portable-subset
+      // contract.
+      val aug = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or admin@test.org,"),
+          lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1,"),
+          lit(" call +1 555 01"), pmod(col("doc_id"), lit(100)).cast("string"),
+          lit(" now")).as("text"))
+      TextOps.redactPii(aug)
+    },
     "d8_langid" -> { (s, dir) =>
       graft.core.Parallelism.ensure(t(s, dir, "documents")).select(
         col("doc_id"),
@@ -5207,6 +5251,43 @@ object SparkEntry {
         |WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.8""".stripMargin,
     "d8_langid" -> langIdSql,
+    "d39_nfc_normalize" ->
+      // chr(769/776/778) = U+0301/U+0308/U+030A — the same decomposed
+      // fixture; nfc_normalize implements the same Unicode composition
+      // tables as java.text.Normalizer, so equality is byte-exact
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' caf' || 'e' || chr(769) || ' u' || chr(776)
+        |      || 'ber' || ' A' || chr(778) || ' fin' AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS normalized,
+        |  nfc_normalize(t) <> t AS changed
+        |FROM aug""".stripMargin,
+    "d38_pii_redact" ->
+      // same augmented fixture, same patterns, same fixed replacement
+      // order; counts on the ORIGINAL text — byte-for-byte redaction
+      // equality across regex engines is the contract under test
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or admin@test.org,'
+        |      || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1,'
+        |      || ' call +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+[0-9][0-9 ]{5,14}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9][0-9 ]{5,14}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM aug""".stripMargin,
     "d9_neardup_groups" ->
       """WITH RECURSIVE ts AS (
         |  SELECT doc_id, source,

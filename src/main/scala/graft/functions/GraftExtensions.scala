@@ -57,6 +57,13 @@ object GraftFunctionDefs {
         s"graft_mg expects (item, capacity), got ${children.size} arguments")
   }
 
+  def nfcBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(s) => NfcNormalizeExpr(s)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"graft_nfc expects 1 argument, got ${children.size}")
+  }
+
   def projBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(v, bits, seed) =>
       val b = bits match {
@@ -101,5 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_mg"),
       new ExpressionInfo(classOf[MgAggExpr].getName, "graft_mg"),
       GraftFunctionDefs.mgBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      GraftFunctionDefs.nfcBuilder _))
   }
 }

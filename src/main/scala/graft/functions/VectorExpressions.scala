@@ -273,5 +273,7 @@ object VectorFunctions {
       spark, "graft_topk", GraftFunctionDefs.topkBuilder)
     GraftSqlBridge.registerFunction(
       spark, "graft_mg", GraftFunctionDefs.mgBuilder)
+    GraftSqlBridge.registerFunction(
+      spark, "graft_nfc", GraftFunctionDefs.nfcBuilder)
   }
 }

@@ -718,4 +718,36 @@ object TextOps {
       array_min(shingles).as("min_shingle_hash"),
       md5(concat_ws(" ", toks)).as("doc_hash"))
   }
+  /** PII REDACTION (the scrubbing pass every training-data pipeline
+    * runs before text leaves the lake): emails, dotted-quad IPs, and
+    * international-format phone numbers replaced by placeholder tokens,
+    * with per-document match counts so governance can audit what was
+    * removed. Patterns are restricted to the regex subset whose
+    * semantics agree between Java's engine and RE2 (character classes,
+    * bounded quantifiers, no alternation ambiguity, no backreferences)
+    * — which is what lets a DuckDB oracle recompute every redacted
+    * string byte for byte. Replacement order is FIXED (email → ip →
+    * phone) and counts are taken on the ORIGINAL text, so the output
+    * is well-defined regardless of pattern overlap.
+    *
+    * Scale shape: a stateless scan projection — three codegen'd
+    * regexp_count + three chained regexp_replace, zero exchanges, zero
+    * joins (the d24/d26 plan discipline, asserted in PlanSpec).
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PiiPhoneRe = "\\+[0-9][0-9 ]{5,14}[0-9]"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col(textCol), lit(PiiEmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PiiIpRe)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PiiPhoneRe)).cast("long")
+        .as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(PiiEmailRe), lit("<EMAIL>")),
+          lit(PiiIpRe), lit("<IP>")),
+        lit(PiiPhoneRe), lit("<PHONE>")).as("redacted"))
 }

@@ -637,6 +637,14 @@ class PlanSpec extends AnyFunSuite {
     } finally { ue.unpersist(); sym.unpersist() }
   }
 
+  test("d38 pii redaction is a stateless projection: zero key exchanges, no join") {
+    val p = graft.operators.TextOps
+      .redactPii(spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("e23 NSW hop: cached adjacency never re-exchanges, only the frontier moves") {
     val g = graft.operators.Similarity.knnGraphIvf(
       spark.read.parquet(s"$dir/embeddings.parquet"),

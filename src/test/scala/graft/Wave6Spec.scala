@@ -320,3 +320,75 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(1L))
   }
 }
+
+/** d38: PII redaction — portable-regex scrubbing with audit counts. */
+class PiiRedactSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def redact(texts: (Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    graft.operators.TextOps.redactPii(texts.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+  }
+
+  test("emails, ips, phones are replaced and counted; clean text untouched") {
+    val got = redact(
+      (1L, "mail a.b%c@sub.example.org and x@y.io now"),
+      (2L, "server 192.168.0.1 and 10.0.255.7 up"),
+      (3L, "call +1 555 0100 or +44 20 7946 0958"),
+      (4L, "no pii here, just words and 42"))
+    assert(got(1L) == ((2L, 0L, 0L, "mail <EMAIL> and <EMAIL> now")))
+    assert(got(2L) == ((0L, 2L, 0L, "server <IP> and <IP> up")))
+    assert(got(3L) == ((0L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    assert(got(4L) == ((0L, 0L, 0L, "no pii here, just words and 42")))
+  }
+
+  test("mixed pii redacts in the fixed order without cross-matching") {
+    val got = redact(
+      (1L, "u@v.com at 8.8.8.8 call +1 555 0100 end"))
+    assert(got(1L) == ((1L, 1L, 1L,
+      "<EMAIL> at <IP> call <PHONE> end")))
+  }
+}
+
+/** d39: native graft_nfc expression — Unicode NFC normalization. */
+class NfcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import graft.functions.StringFunctions.nfc
+
+  test("decomposed sequences compose; NFC text passes through; null stays null") {
+    val sp = spark
+    import sp.implicits._
+    // explicit escapes: cafe\u0301 (decomposed) must compose to caf\u00E9
+    val df = Seq(
+      (1L, "cafe\u0301"), (2L, "caf\u00E9"), (3L, "A\u030Angstro\u0308m"),
+      (4L, "plain ascii"), (5L, null)).toDF("id", "s")
+    val got = df.select(col("id"), nfc(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "caf\u00E9")
+    assert(got(2L) == "caf\u00E9")
+    assert(got(3L) == "\u00C5ngstr\u00F6m")
+    assert(got(4L) == "plain ascii")
+    assert(got(5L) == null)
+  }
+
+  test("graft_nfc runs inside whole-stage codegen and is SQL-callable") {
+    // parquet-backed input: a local relation would be constant-folded
+    // by ConvertToLocalRelation before any codegen happens
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = docs.select(nfc(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_nfc"), p)
+    assert(p.contains("*(1) Project [graft_nfc"),
+      "graft_nfc fell out of codegen: " + p)
+    graft.functions.VectorFunctions.registerSqlFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_nfc('cafe\u0301') AS n").collect().head.getString(0)
+    assert(viaSql == "caf\u00E9")
+  }
+}

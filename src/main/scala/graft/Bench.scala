@@ -22,6 +22,13 @@ object Bench {
       // session-build home of the TIMESTAMP(NANOS) flag (see GraftSession)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // localCheckpoint blocks (sealAfter, loop rotations) are freed by
+      // the ContextCleaner only when their RDDs are GC'd; the default
+      // periodic-GC interval (30 min) is longer than the whole bench,
+      // so a 200-query marathon accretes dead blocks in the 8g heap
+      // until late queries feel the pressure (observed: a tail-end OOM
+      // and inflated g13 late iterations). 30 s keeps the floor flat.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM once so timings measure the engine, not first-touch
@@ -63,6 +70,10 @@ object Bench {
     res.quiesce()
     val benchStart = res.snapshot // for whole-run cpu/exec totals
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // stderr breadcrumb: when a run dies mid-bench (OOM, kill), the
+      // log names the query that was executing — stdout stays reserved
+      // for the contract lines
+      System.err.println(s"[bench] running $name")
       res.quiesce(); res.resetPeak()
       val snap0 = res.snapshot
       val first = once(fn)

@@ -2343,6 +2343,48 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io9_zorder_skip" -> { (s, dir) =>
+      // Z-ORDER clustering — io8's multi-column generalization (Delta
+      // OPTIMIZE ZORDER / Iceberg rewrite): events rewritten sorted by
+      // the Morton interleave of (user_id, day-of-month), so every file
+      // covers a small RECTANGLE of that space and a predicate on
+      // EITHER column prunes files via footer min/max — a plain
+      // (user, day) lexicographic sort skips nothing for a day-only
+      // predicate (the spec asserts both directions with scan metrics).
+      // The z value orders the WRITE and is dropped before it; the
+      // aggregate over the doubly-filtered scan hash-matches the
+      // unclustered ground truth, certifying clustering lost nothing.
+      val ev = graft.sources.Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        dayofmonth(col("ts")).as("d"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_zorder_io9").toString
+      try {
+        ev.withColumn(
+            "z",
+            graft.operators.Layout.zValue16(col("user_id"), col("d")))
+          .repartitionByRange(16, col("z"))
+          .sortWithinPartitions(col("z"))
+          .drop("z")
+          .write.mode("overwrite").parquet(tmp)
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(tmp)
+            .filter(col("user_id").between(3, 7) && col("d").between(4, 9))
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(sum(col("value")), 2).as("sum_value"),
+              min(col("user_id")).as("min_u"),
+              max(col("user_id")).as("max_u"),
+              min(col("d")).as("min_d"),
+              max(col("d")).as("max_d")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -3181,6 +3223,59 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "st18_cdc_apply" -> { (s, dir) =>
+      // STREAMING CDC APPLY — st13's idempotent-sink discipline and
+      // q39's SCD2 merge composed in Structured Streaming (the
+      // feature-store maintenance loop, run as a stream): the change
+      // log arrives OUT OF ORDER in 4 micro-batches; each foreachBatch
+      // merges its batch into the current table state (a checkpointed
+      // frame standing in for the table read-back a production sink
+      // does between micro-batches), and batch 0's rows are then
+      // RE-DELIVERED as a 5th batch — the at-least-once path — which
+      // the merge's replay guard must turn into a no-op. The final
+      // table hash-matches the from-scratch q24 build: arrival order,
+      // batching, and re-delivery all invisible in the result.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from"))
+        .as[(Long, Long, String, Long)]
+        .collect()
+      val scrambled = all.sortBy { case (_, id, _, _) =>
+        java.lang.Long.rotateLeft(id * 0x9E3779B97F4A7C15L, 31)
+      }
+      var table = Seq.empty[(Long, Long, String, Long)]
+        .toDF("user_id", "event_id", "event_type", "valid_from")
+        .withColumn("valid_to", lit(-1L))
+        .withColumn("is_current", lit(true))
+        .localCheckpoint()
+      val ms = MemoryStream[(Long, Long, String, Long)]
+      val q = ms.toDS()
+        .toDF("user_id", "event_id", "event_type", "valid_from")
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val next = graft.operators.Cdc.scd2Merge(table, df)
+            .localCheckpoint() // the "table write" between micro-batches
+          table = next
+        }
+        .start()
+      try {
+        val batches = scrambled.grouped(
+          math.max(scrambled.length / 4, 1)).toSeq
+        batches.foreach { b =>
+          ms.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        // at-least-once re-delivery of the first batch's rows
+        ms.addData(batches.head.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      table
+    },
     "st8_stream_dedup" -> { (s, dir) =>
       // streaming ingest dedup through the REAL streaming-aggregation
       // path: documents replayed OUT OF ORDER in 5 micro-batches via
@@ -3679,7 +3774,15 @@ object SparkEntry {
           "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
         .withColumn("is_current", col("valid_to") === -1L)
       Seq(part(1), part(2), part(1) /* replay */)
-        .foldLeft(initial)(graft.operators.Cdc.scd2Merge(_, _))
+        .foldLeft(initial) { (table, b) =>
+          // materialize between merges, as the nightly table write
+          // would: scd2Merge reads its `existing` side four times
+          // (replay guard, touched keys, both pass-through joins), so a
+          // LAZY 3-merge chain re-evaluates the base 4³ times — in
+          // production each merge lands in a table before the next
+          // batch arrives, and the checkpoint stands in for that write
+          graft.operators.Cdc.scd2Merge(table, b).localCheckpoint()
+        }
     },
     "q18_window_funcs" -> { (s, dir) =>
       // the ranked-window family over one partition spec: rank /
@@ -5054,6 +5157,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "io9_zorder_skip" ->
+      // unclustered ground truth with the same two predicates; min/max
+      // of both filter columns pin the rectangle's edges exactly
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(user_id) AS min_u, max(user_id) AS max_u,
+        |  CAST(min(day(ts)) AS INT) AS min_d,
+        |  CAST(max(day(ts)) AS INT) AS max_d
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7 AND day(ts) BETWEEN 4 AND 9
+        |GROUP BY 1""".stripMargin,
     "io8_minmax_skip" ->
       // the unsorted ground truth over the SAME time window: a scan
       // whose stats-skipping dropped (or double-read) a row group
@@ -5881,6 +5995,19 @@ object SparkEntry {
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
         |FROM events GROUP BY 1""".stripMargin,
     "q24_scd2" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS valid_from
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, valid_from,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id), -1) AS valid_to,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id), -1) = -1 AS is_current
+        |FROM b""".stripMargin,
+    "st18_cdc_apply" ->
+      // the same from-scratch ground truth as q39: the STREAMED apply
+      // (out-of-order batches + re-delivery) must converge to it
       """WITH b AS (
         |  SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS valid_from

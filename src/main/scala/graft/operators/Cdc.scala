@@ -61,6 +61,14 @@ object Cdc {
     * @param seqCol     ordering column intervals derive from; ties break
     *                   on `versionCol` (q24: valid_from epoch-micros)
     */
+  /** NOTE for chained use: the returned frame reads `existing` FOUR
+    * times (replay guard, touched keys, both pass-through joins). In
+    * production each merge lands in a table before the next batch
+    * arrives, so the re-reads hit storage once; a caller chaining
+    * merges LAZILY instead must materialize between them
+    * (checkpoint/write), or the k-th merge re-evaluates the base 4^k
+    * times.
+    */
   def scd2Merge(
       existing: DataFrame,
       batch: DataFrame,

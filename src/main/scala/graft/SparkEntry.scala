@@ -3841,6 +3841,45 @@ object SparkEntry {
       filled.unpivot(
         Array(col("hour_str")), types.map(col).toArray, "event_type", "n")
     },
+    "q40_correlations" -> ((s, dir) =>
+      // one-pass CORRELATION matrix over the lineitem numerics (the
+      // feature-selection statistic): all three pairwise Pearson
+      // correlations + the column means ride ONE map-side-combined
+      // aggregate scan — at 100 TB the co-moment accumulators are a
+      // constant per task, never a second pass. Rounded 6 (the
+      // co-moment fold is float-order-exposed in the last ulps; a
+      // correlation is in [-1,1], so 6 dp leaves ~9 orders of margin).
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6)
+          .as("corr_qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6)
+          .as("corr_price_disc"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"))),
+    "d40_feature_binning" -> { (s, dir) =>
+      // EQUAL-FREQUENCY feature binning per group (the quantile
+      // bucketizer every tabular-feature pipeline runs): ntile(4) over
+      // (value, event_id) within each event_type — RANK-based, so there
+      // are no float bin-edge boundaries to disagree on cross-engine
+      // (the d12 integer-threshold discipline applied to binning); the
+      // per-bin count/min/max summary is the fit artifact a trainer
+      // consumes. Partitioned window: each group sorts independently —
+      // the realistic per-feature-group shape (a GLOBAL rank at 100 TB
+      // would be approx_percentile's job instead, q20's scale path).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      graft.sources.Tables.events(s, dir)
+        .withColumn("bin", ntile(4).over(w).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+    },
     "q36_full_outer" -> { (s, dir) =>
       // FULL OUTER join carrier: per-user click activity vs purchase
       // activity — users present on only one side survive with the
@@ -6111,6 +6150,26 @@ object SparkEntry {
         |FROM g CROSS JOIN t
         |LEFT JOIN c ON c.hour_str = g.hour_str
         |  AND c.event_type = t.event_type""".stripMargin,
+    "q40_correlations" ->
+      // DuckDB's corr is the same sample Pearson correlation; 6 dp
+      // absorbs the co-moment fold's engine-order ulps
+      """SELECT count(*) AS n_rows,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        |  round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price
+        |FROM lineitem""".stripMargin,
+    "d40_feature_binning" ->
+      // the same rank-based ntile: no float bin edges anywhere
+      """SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+        |FROM (
+        |  SELECT event_type, value,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |                   ORDER BY value, event_id) AS bin
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     "q36_full_outer" ->
       """WITH cl AS (
         |  SELECT user_id, count(*) AS n_clicks FROM events

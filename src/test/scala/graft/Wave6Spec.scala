@@ -459,3 +459,32 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 }
+
+/** q40/d40: correlation matrix + rank-based feature binning. */
+class FeatureStatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("corr: exact +1/-1 on linear columns") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3, -0.5 * i + 9))
+      .toDF("a", "b", "c")
+    val r = df.agg(
+      round(corr(col("a"), col("b")), 6).as("ab"),
+      round(corr(col("a"), col("c")), 6).as("ac")).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == -1.0)
+  }
+
+  test("ntile(4) splits 10 rows 3/3/2/2 with rank ties broken by id") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val df = (1 to 10).map(i => ("x", i.toLong, (i % 3).toDouble))
+      .toDF("g", "id", "v")
+    val sizes = df.withColumn("bin", ntile(4).over(w))
+      .groupBy(col("bin")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1 -> 3L, 2 -> 3L, 3 -> 2L, 4 -> 2L))
+  }
+}

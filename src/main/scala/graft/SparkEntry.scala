@@ -3258,8 +3258,8 @@ object SparkEntry {
         .toDF("user_id", "event_id", "event_type", "valid_from")
         .writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
-          val next = graft.operators.Cdc.scd2Merge(table, df)
-            .localCheckpoint() // the "table write" between micro-batches
+          val next = graft.operators.CacheScope.rotate(
+            graft.operators.Cdc.scd2Merge(table, df)) // the "table write"
           table = next
         }
         .start()
@@ -3781,7 +3781,8 @@ object SparkEntry {
           // LAZY 3-merge chain re-evaluates the base 4³ times — in
           // production each merge lands in a table before the next
           // batch arrives, and the checkpoint stands in for that write
-          graft.operators.Cdc.scd2Merge(table, b).localCheckpoint()
+          graft.operators.CacheScope.rotate(
+            graft.operators.Cdc.scd2Merge(table, b))
         }
     },
     "q18_window_funcs" -> { (s, dir) =>
@@ -3939,6 +3940,14 @@ object SparkEntry {
       // oracle recomputes every label by reachability closure
       graft.operators.GraphBuilder.connectedComponentsDF(
         graft.sources.SyntheticGraph.portable(s, 600, 250, "g44"))._1),
+    "g47_components_star" -> ((s, dir) =>
+      // STAR-CONTRACTION components (large-star/small-star, the
+      // O(log n)-round twin of g44's O(diameter) HashMin): same
+      // labeling contract on its own fixture — the trade (mutated
+      // re-shuffled edge set vs exponentially fewer rounds on
+      // high-diameter graphs) is unit-locked on a 200-vertex path
+      graft.operators.GraphBuilder.connectedComponentsStar(
+        graft.sources.SyntheticGraph.portable(s, 600, 250, "g47"))._1),
     "g43_skipgram_pairs" -> { (s, dir) =>
       // SKIP-GRAM pair generation from the g36 walk corpus (the
       // word2vec/DeepWalk training-pair table — walks are sentences,
@@ -4163,6 +4172,16 @@ object SparkEntry {
       brandesSql(300, 600, "g45", nSeeds = 4, depth = 4),
     "g44_components_df" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g44")},
+         |ed AS (SELECT src AS u, dst AS v FROM pe
+         |       UNION SELECT dst, src FROM pe),
+         |nodes AS (SELECT DISTINCT u AS id FROM ed),
+         |r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+         |SELECT id, min(m) AS component_id FROM r GROUP BY 1""".stripMargin,
+    "g47_components_star" ->
+      s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g47")},
          |ed AS (SELECT src AS u, dst AS v FROM pe
          |       UNION SELECT dst, src FROM pe),
          |nodes AS (SELECT DISTINCT u AS id FROM ed),

@@ -60,7 +60,7 @@ object Anf {
     var state = verts
       .groupBy(col("id"))
       .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
-      .localCheckpoint()
+      .transform(CacheScope.rotate)
     def sumEstimate(st: DataFrame): Long =
       st.agg(sum(hll_sketch_estimate(col("sk")))).first().getLong(0)
     val nf0 = sumEstimate(state)
@@ -71,7 +71,7 @@ object Anf {
       if (plateau) trace += ((h.toLong, prev))
       else {
         val next = sketchRound(e, state)
-          .localCheckpoint() // eager: truncates lineage, feeds the estimate
+          .transform(CacheScope.rotate) // eager: truncates lineage, feeds the estimate
         state.unpersist(false)
         state = next
         val nf = sumEstimate(state)
@@ -140,16 +140,16 @@ object Anf {
     var state = verts
       .groupBy(col("id"))
       .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
-      .localCheckpoint()
+      .transform(CacheScope.rotate)
     def est(st: DataFrame, name: String): DataFrame =
       st.select(col("id"), hll_sketch_estimate(col("sk")).as(name))
-    var wide = est(state, "e0").localCheckpoint()
+    var wide = est(state, "e0").transform(CacheScope.rotate)
     for (h <- 1 to maxH) {
       val next = sketchRound(e, state)
-        .localCheckpoint()
+        .transform(CacheScope.rotate)
       state.unpersist(false)
       state = next
-      val w2 = wide.join(est(state, s"e$h"), Seq("id")).localCheckpoint()
+      val w2 = wide.join(est(state, s"e$h"), Seq("id")).transform(CacheScope.rotate)
       wide.unpersist(false)
       wide = w2
     }

@@ -48,9 +48,9 @@ object Brandes {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // forward: visited (seed, id, d, sig); one frontier join per level
     val lvl0 = seeds.map(s => (s, s, 0, 1L))
-      .toDF("seed", "id", "d", "sig").localCheckpoint()
+      .toDF("seed", "id", "d", "sig").transform(CacheScope.rotate)
     val levels = scala.collection.mutable.ArrayBuffer(lvl0)
-    var visitedKeys = lvl0.select(col("seed"), col("id")).localCheckpoint()
+    var visitedKeys = lvl0.select(col("seed"), col("id")).transform(CacheScope.rotate)
     var frontier = lvl0
     for (l <- 1 to depth) {
       val newLevel = frontier
@@ -60,18 +60,18 @@ object Brandes {
         .groupBy(col("seed"), col("id"))
         .agg(sum(col("sig")).as("sig"))
         .select(col("seed"), col("id"), lit(l).as("d"), col("sig"))
-        .localCheckpoint() // eager: per-level lineage cut
+        .transform(CacheScope.rotate) // eager: per-level lineage cut
       levels += newLevel
       visitedKeys = visitedKeys
         .union(newLevel.select(col("seed"), col("id")))
-        .localCheckpoint()
+        .transform(CacheScope.rotate)
       frontier = newLevel
     }
     // backward: δ at the deepest level is 0; each shallower level sums
     // (σv/σw)(1+δw) over its successors at the next level
     var deltaNext = levels(depth)
       .select(col("seed"), col("id"), lit(0.0).as("delta"))
-      .localCheckpoint()
+      .transform(CacheScope.rotate)
     val deltas = scala.collection.mutable.ArrayBuffer(deltaNext)
     for (l <- (depth - 1) to 0 by -1) {
       val cur = levels(l)
@@ -99,7 +99,7 @@ object Brandes {
         .select(
           col("seed"), col("id"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
-        .localCheckpoint()
+        .transform(CacheScope.rotate)
       deltas += deltaCur
       deltaNext = deltaCur
     }

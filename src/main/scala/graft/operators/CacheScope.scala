@@ -35,4 +35,18 @@ private[graft] object CacheScope {
     intermediates.foreach(_.unpersist(false))
     out
   }
+
+  /** The LOOP-STATE rotation: eager localCheckpoint (cuts lineage,
+    * materializes for the round's driver action) PLUS a statistics
+    * reset. `localCheckpoint` alone preserves the origin plan's size
+    * estimate, and a join-shaped round MULTIPLIES child estimates — so
+    * across rounds the carried estimate's bit length DOUBLES and a
+    * long fixpoint (a 39-round HashMin on a path graph) first slows
+    * planning exponentially, then overflows Catalyst's BigInteger
+    * range outright. Every iterative loop's carried state must rotate
+    * through this instead of bare localCheckpoint.
+    */
+  def rotate(state: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.GraftSqlBridge
+      .resetStats(state.localCheckpoint())
 }

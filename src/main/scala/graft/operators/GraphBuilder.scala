@@ -237,7 +237,7 @@ object GraphBuilder {
           adopted.select(col("vtx").as("id"), col("new_lbl")),
           Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
-        .localCheckpoint() // eager: truncates the per-iteration lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-iteration lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
       labels = next
@@ -274,7 +274,7 @@ object GraphBuilder {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = vertices(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var labels = verts.select(col("id"), col("id").as("lbl")).transform(CacheScope.rotate)
     var iters = 0
     var stable = false
     while (!stable && iters < maxIter) {
@@ -290,7 +290,7 @@ object GraphBuilder {
           adopted.select(col("vtx").as("id"), col("new_lbl")),
           Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
-        .localCheckpoint() // eager: truncates lineage, feeds the change count
+        .transform(CacheScope.rotate) // eager: truncates lineage, feeds the change count
       iters += 1
       // one |V|-sized co-keyed join: zero changed labels == fixpoint
       val changed = next
@@ -330,12 +330,12 @@ object GraphBuilder {
     val (ue, sym) = ccAdjacency(edges)
     val verts = vertices(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var labels = verts.select(col("id"), col("id").as("lbl")).transform(CacheScope.rotate)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
       val next = ccRound(sym, verts, labels)
-        .localCheckpoint() // eager: truncates lineage, feeds the stop test
+        .transform(CacheScope.rotate) // eager: truncates lineage, feeds the stop test
       rounds += 1
       val changed = next
         .join(labels.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
@@ -349,6 +349,90 @@ object GraphBuilder {
     sym.unpersist(false)
     verts.unpersist(false)
     (labels.select(col("id"), col("lbl").as("component_id")), rounds)
+  }
+
+  /** Connected components by STAR CONTRACTION — the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): the O(log n)-round
+    * alternative to [[connectedComponentsDF]]'s O(diameter) HashMin
+    * diffusion, the right choice when the graph's diameter is the
+    * hazard (long paths, chain-shaped similarity graphs) rather than
+    * its size. Each round REWRITES the edge set —
+    *
+    *   large-star at u: every neighbor v > u re-attaches to
+    *     m(u) = min(N(u) ∪ {u}) (each undirected edge processed at its
+    *     smaller endpoint);
+    *   small-star at u: every neighbor v < u re-attaches to m(u), and
+    *     u itself links to m(u) (each edge processed at its larger
+    *     endpoint)
+    *
+    * — until the set is stable, at which point every component is a
+    * star centered at its minimum vertex and the labeling reads off
+    * the edges. The trade vs HashMin is explicit: contraction mutates
+    * and re-shuffles the edge frame every round (no immutable cached
+    * adjacency to stream against) but needs exponentially fewer
+    * rounds on high-diameter graphs — a 200-vertex path converges in
+    * ~7 rounds where HashMin needs 199 (unit-locked). Stability is
+    * detected by an exact set comparison (two except-counts), never a
+    * hash heuristic; the operator fails loudly if `maxRounds` is hit.
+    * All-integer labels ⇒ hash-exact across engines (the oracle is the
+    * same reachability closure g44 uses).
+    */
+  def connectedComponentsStar(
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val verts = vertices(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def canon(df: DataFrame): DataFrame = df
+      .select(
+        least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    def starPass(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val m = nbrs.groupBy(col("x"))
+        .agg(min(col("y")).as("my"))
+        .select(col("x"), least(col("x"), col("my")).as("m"))
+      val rewired = nbrs
+        .join(m.hint("shuffle_hash"), Seq("x"))
+        .filter(if (large) col("y") > col("x") else col("y") < col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+      val self =
+        if (large) rewired
+        else rewired.unionByName(
+          m.select(col("x").as("u"), col("m").as("v")))
+      canon(self)
+    }
+    var e = canon(edges.select(
+        col("src").as("u"), col("dst").as("v")))
+      .transform(CacheScope.rotate)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val next = starPass(starPass(e, large = true), large = false)
+        .transform(CacheScope.rotate) // eager: cuts the per-round lineage
+      rounds += 1
+      // exact set equality, not a hash heuristic: a silent false
+      // "stable" would ship a partial contraction as final labels
+      val gone = e.exceptAll(next).count()
+      val born = next.exceptAll(e).count()
+      e = next
+      if (gone == 0L && born == 0L) stable = true
+    }
+    require(stable,
+      s"star contraction did not converge within $maxRounds rounds")
+    // stars: every surviving edge (c, v) has c = the component min
+    val labels = verts
+      .join(
+        e.select(col("v").as("id"), col("u").as("component_id")),
+        Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        coalesce(col("component_id"), col("id")).as("component_id"))
+    val out = CacheScope.sealAfter(labels, verts)
+    (out, rounds)
   }
 
   /** The once-built frames [[connectedComponentsDF]] loops over: the
@@ -428,7 +512,7 @@ object GraphBuilder {
       val next = kCoreInternalDeg(und, s)
         .filter(col("deg") >= k)
         .select(col("id"))
-        .localCheckpoint() // eager: truncates the per-round lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-round lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
       s = next
@@ -463,7 +547,7 @@ object GraphBuilder {
       val next = kCoreInternalDeg(und, s)
         .filter(col("deg") >= k)
         .select(col("id"))
-        .localCheckpoint() // eager: truncates lineage AND feeds the count
+        .transform(CacheScope.rotate) // eager: truncates lineage AND feeds the count
       val c = next.count()
       rounds += 1
       if (c == prevCount) converged = true
@@ -536,7 +620,7 @@ object GraphBuilder {
       val next = kCoreStrength(und, s)
         .filter(col("st") >= minStrength)
         .select(col("id"))
-        .localCheckpoint() // eager: truncates the per-round lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-round lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
       s = next
@@ -589,7 +673,7 @@ object GraphBuilder {
     */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3 && rounds >= 1, "need k >= 3 and rounds >= 1")
-    var ue = undirectedSimple(edges).localCheckpoint()
+    var ue = undirectedSimple(edges).transform(CacheScope.rotate)
     for (_ <- 1 to rounds) {
       ue = edgeSupport(ue)
         .filter(col("support") >= k - 2)
@@ -608,7 +692,7 @@ object GraphBuilder {
   def kTrussConverged(
       edges: DataFrame, k: Int, maxRounds: Int = 1000): (DataFrame, Int) = {
     require(k >= 3 && maxRounds >= 1, "need k >= 3 and maxRounds >= 1")
-    var ue = undirectedSimple(edges).localCheckpoint()
+    var ue = undirectedSimple(edges).transform(CacheScope.rotate)
     var prev = -1L
     var rounds = 0
     var stable = false

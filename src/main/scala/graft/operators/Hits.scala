@@ -54,9 +54,9 @@ object Hits {
       // the last round's authority frame feeds BOTH the hub gather and
       // the final projection — checkpoint it so the plan is shared, not
       // recomputed
-      val arShared = if (i == k) ar.localCheckpoint() else ar
+      val arShared = if (i == k) ar.transform(CacheScope.rotate) else ar
       val next = hubGather(eDst, arShared)
-        .localCheckpoint() // eager: truncates the per-round lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-round lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
       h = next

@@ -60,11 +60,11 @@ object MultiPpr {
     val seedDf = seeds.toDF("seed")
     var state = seedDf
       .select(col("seed"), col("seed").as("id"), lit(1.0).as("rank"))
-      .localCheckpoint()
+      .transform(CacheScope.rotate)
     var prevCp: DataFrame = state
     for (_ <- 1 to k) {
       val next = iterate(e, outdeg, seedDf, state, d)
-        .localCheckpoint() // eager: truncates the per-iteration lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-iteration lineage
       prevCp.unpersist(false)
       prevCp = next
       state = next

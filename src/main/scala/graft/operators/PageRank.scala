@@ -497,9 +497,15 @@ object PageRank {
       val avgDiff = l1 / n
 
       val old = state
-      // projection over the checkpointed RDD — plan stays O(1) size
-      state = newState.select(
-        col("id") +: col("outdeg") +: carry :+ col("rank"): _*)
+      // projection over the checkpointed RDD — plan stays O(1) size;
+      // resetStats drops the carried size ESTIMATE too (localCheckpoint
+      // preserves it, and the join-shaped iteration would double its
+      // bit length every round — the long-fixpoint overflow CacheScope
+      // .rotate documents; the metrics .first() above has already
+      // materialized the lazy checkpoint, so the rebuild is zero-copy)
+      state = org.apache.spark.sql.classic.GraftSqlBridge.resetStats(
+        newState.select(
+          col("id") +: col("outdeg") +: carry :+ col("rank"): _*))
       old.unpersist(false)
       if (prevCheckpoint != null) prevCheckpoint.unpersist(false)
       prevCheckpoint = newState

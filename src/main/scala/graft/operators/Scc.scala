@@ -55,7 +55,7 @@ object Scc {
     require(maxOuter >= 1 && maxInner >= 1, "need positive round caps")
     val e0 = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var active = GraphBuilder.vertices(e0).localCheckpoint()
+    var active = GraphBuilder.vertices(e0).transform(CacheScope.rotate)
     var nActive = active.count()
     // seeded with an empty frame so a vertexless input returns an empty
     // (id, scc) frame instead of failing the final union
@@ -86,13 +86,13 @@ object Scc {
         val keep = active
           .join(haveIn, Seq("id"), "left_semi")
           .join(haveOut, Seq("id"), "left_semi")
-          .localCheckpoint()
+          .transform(CacheScope.rotate)
         val nKeep = keep.count()
         if (nKeep == nActive) trimming = false
         else {
           settled += active.join(keep, Seq("id"), "left_anti")
             .select(col("id"), col("id").as("scc"))
-            .localCheckpoint()
+            .transform(CacheScope.rotate)
           ae.unpersist(false)
           aeFresh = false
           active = keep
@@ -109,10 +109,10 @@ object Scc {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         settled += joined.filter(col("f") === col("b"))
           .select(col("id"), col("f").as("scc"))
-          .localCheckpoint()
+          .transform(CacheScope.rotate)
         val nextActive = joined.filter(col("f") =!= col("b"))
           .select(col("id"))
-          .localCheckpoint()
+          .transform(CacheScope.rotate)
         nActive = nextActive.count()
         joined.unpersist(false)
         ae.unpersist(false)
@@ -138,12 +138,12 @@ object Scc {
       reverse: Boolean,
       maxIter: Int): DataFrame = {
     val e = minLabelEdges(edges, reverse)
-    var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var labels = verts.select(col("id"), col("id").as("lbl")).transform(CacheScope.rotate)
     var stable = false
     var it = 0
     while (!stable && it < maxIter) {
       val next = minLabelRound(e, labels)
-        .localCheckpoint() // eager: cuts lineage, feeds the change count
+        .transform(CacheScope.rotate) // eager: cuts lineage, feeds the change count
       it += 1
       val changed = next
         .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))

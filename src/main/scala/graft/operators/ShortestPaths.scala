@@ -52,7 +52,7 @@ object ShortestPaths {
         .union(relaxed)
         .groupBy(col("id"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint() // eager: truncates the per-round lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-round lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
       dist = next
@@ -90,7 +90,7 @@ object ShortestPaths {
     var prevCp: DataFrame = null
     for (_ <- 1 to rounds) {
       val next = multiRelaxOnce(e, dist)
-        .localCheckpoint() // eager: truncates the per-round lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-round lineage
       if (prevCp != null) prevCp.unpersist(false)
       prevCp = next
       dist = next

@@ -1835,7 +1835,7 @@ object Similarity {
           .as("cos_sim"))
     var visited = score(
       probes.select(col("probe_id")).withColumn("vec_id", lit(entryId)))
-      .localCheckpoint()
+      .transform(CacheScope.rotate)
     val wb = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
     for (_ <- 1 to hops) {
@@ -1847,7 +1847,7 @@ object Similarity {
       visited = visited.unionByName(expanded)
         .groupBy(col("probe_id"), col("vec_id"))
         .agg(max(col("cos_sim")).as("cos_sim"))
-        .localCheckpoint() // eager: cuts the per-hop lineage
+        .transform(CacheScope.rotate) // eager: cuts the per-hop lineage
     }
     val out = visited
       .filter(col("vec_id") =!= col("probe_id"))

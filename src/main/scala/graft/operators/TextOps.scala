@@ -106,7 +106,7 @@ object TextOps {
     var syms = words
       .select(col("w"), col("cnt"),
         filter(split(col("w"), ""), x => length(x) > 0).as("syms"))
-      .localCheckpoint()
+      .transform(CacheScope.rotate)
     val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
     var exhausted = false
     for (rank <- 1 to k if !exhausted) {
@@ -156,7 +156,7 @@ object TextOps {
           st => st.getField("acc"))
         syms = syms
           .select(col("w"), col("cnt"), folded.as("syms"))
-          .localCheckpoint()
+          .transform(CacheScope.rotate)
       }
     }
     import spark.implicits._

@@ -57,7 +57,7 @@ object Walks {
     val doneParts = scala.collection.mutable.ListBuffer[DataFrame]()
     for (step <- 1 to len) {
       val stepped = walkStep(adj, live, step, salt)
-        .localCheckpoint() // eager: truncates the per-step lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-step lineage
       doneParts += stepped.filter(col("next").isNull)
         .select(col("walk_id"), col("path"))
       live = stepped.filter(col("next").isNotNull)
@@ -126,7 +126,7 @@ object Walks {
     val doneParts = scala.collection.mutable.ListBuffer[DataFrame]()
     for (step <- 1 to len) {
       val stepped = weightedWalkStep(adj, live, step, salt)
-        .localCheckpoint() // eager: truncates the per-step lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-step lineage
       doneParts += stepped.filter(col("next").isNull)
         .select(col("walk_id"), col("path"))
       live = stepped.filter(col("next").isNotNull)
@@ -184,7 +184,7 @@ object Walks {
     val doneParts = scala.collection.mutable.ListBuffer[DataFrame]()
     for (step <- 1 to len) {
       val stepped = node2vecStep(adj, live, step, salt, retW, inW, outW)
-        .localCheckpoint() // eager: truncates the per-step lineage
+        .transform(CacheScope.rotate) // eager: truncates the per-step lineage
       doneParts += stepped.filter(col("next").isNull)
         .select(col("walk_id"), col("path"))
       live = stepped.filter(col("next").isNotNull)

@@ -30,4 +30,28 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Rebuild a (materialized) frame over its own InternalRow RDD,
+    * DROPPING the origin plan's statistics — zero-copy (`toRdd` of a
+    * checkpointed frame is the checkpoint blocks themselves).
+    *
+    * Why this exists: `localCheckpoint` PRESERVES the origin plan's
+    * size estimate, and a loop whose round is join-shaped multiplies
+    * child estimates — so the carried stat's BIT LENGTH doubles every
+    * round (measured: 17 → 2026 bits in 8 rounds of a self-join loop).
+    * Past ~20 rounds the BigInt arithmetic inside Catalyst's size
+    * visitor dominates planning time, and at ~31 doublings
+    * `BigInteger` overflows its supported range and the loop dies —
+    * exactly what a 39-round HashMin on a path graph hit. The rebuilt
+    * frame reports the session default size instead (conservative:
+    * never broadcast), and AQE's runtime sizes take over at exchange
+    * boundaries as usual. `internalCreateDataFrame` is `private[sql]`,
+    * hence the bridge.
+    */
+  def resetStats(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[_]]
+    ds.sparkSession
+      .internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+  }
 }

@@ -488,3 +488,85 @@ class FeatureStatsSpec extends AnyFunSuite {
     assert(sizes == Map(1 -> 3L, 2 -> 3L, 3 -> 2L, 4 -> 2L))
   }
 }
+
+/** g47: star-contraction connected components — O(log n) rounds. */
+class StarContractionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("path-200: star contraction converges in O(log n) rounds, all labels 0") {
+    val sp = spark
+    import sp.implicits._
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (starLabels, starRounds) =
+      graft.operators.GraphBuilder.connectedComponentsStar(path)
+    val labels = starLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 0L))
+    assert(starRounds <= 12, s"star contraction took $starRounds rounds")
+  }
+
+  test("path-40: HashMin pays ~diameter rounds, star contraction a handful — same labels") {
+    // the documented trade, kept test-sized: HashMin's 39 rounds are
+    // each a full Spark job, so the O(n) leg runs on a short path
+    val sp = spark
+    import sp.implicits._
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (starLabels, starRounds) =
+      graft.operators.GraphBuilder.connectedComponentsStar(path)
+    val (hmLabels, hmRounds) =
+      graft.operators.GraphBuilder.connectedComponentsDF(path, maxRounds = 60)
+    assert(hmRounds >= 35, s"expected ~diameter HashMin rounds, got $hmRounds")
+    assert(starRounds <= 10, s"star took $starRounds rounds")
+    assert(hmLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("differential vs HashMin on the portable fixture; isolated vertices self-label") {
+    val sp = spark
+    import sp.implicits._
+    val g = graft.sources.SyntheticGraph.portable(spark, 300, 150, "g47t")
+    val star = graft.operators.GraphBuilder.connectedComponentsStar(g)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hm = graft.operators.GraphBuilder.connectedComponentsDF(g)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == hm)
+    // self-loop-only vertex labels itself
+    val lonely = Seq((5L, 5L)).toDF("src", "dst")
+    val got = graft.operators.GraphBuilder.connectedComponentsStar(lonely)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((5L, 5L)))
+  }
+}
+
+/** CacheScope.rotate: the loop-state rotation must DROP carried size
+  * estimates — localCheckpoint alone preserves them and a join-shaped
+  * round doubles their bit length every iteration (the long-fixpoint
+  * BigInteger overflow g47's path test originally hit).
+  */
+class LoopRotationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("12 self-join rounds keep a constant-size stat; bare localCheckpoint grows exponentially") {
+    val sp = spark
+    import sp.implicits._
+    def bits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    def round(df: org.apache.spark.sql.DataFrame) =
+      df.as("a").join(df.as("b"), "id")
+        .select(col("id"), col("a.lbl").as("lbl"))
+    var rotated = spark.range(0, 20).selectExpr("id", "id as lbl")
+      .transform(graft.operators.CacheScope.rotate)
+    var bare = spark.range(0, 20).selectExpr("id", "id as lbl")
+      .localCheckpoint()
+    for (_ <- 1 to 12) {
+      rotated = graft.operators.CacheScope.rotate(round(rotated))
+      bare = round(bare).localCheckpoint()
+    }
+    assert(bits(rotated) < 128,
+      s"rotated state stat grew to ${bits(rotated)} bits")
+    assert(bits(bare) > 1000,
+      s"expected exponential growth in the bare control, got ${bits(bare)}")
+    // and the rotated frame still carries the right DATA
+    assert(rotated.count() == 20)
+  }
+}

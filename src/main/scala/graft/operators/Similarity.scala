@@ -1760,12 +1760,20 @@ object Similarity {
       .agg(max(
         round(cosinePre(col("e"), col("ne"), col("nrm"), col("nnrm")), 6))
         .as("cos_sim"))
-    val wm = Window.partitionBy(col("src"))
-      .orderBy(desc("cos_sim"), asc("nbr"))
+    // per-src cut through the BOUNDED top-k aggregate (the e9/rankTopK
+    // discipline), not a window: the window form sorts the ENTIRE
+    // candidate stream per partition, while the m-capped heap keeps
+    // partial state at m pairs per (src, partition) and the exchange
+    // m-bounded — on the graph build the candidate stream is the
+    // dominant intermediate, exactly where the bound matters
     val out = cand
-      .withColumn("rn", row_number().over(wm))
-      .filter(col("rn") <= m)
-      .select(col("src"), col("nbr"), col("cos_sim"))
+      .groupBy(col("src"))
+      .agg(graft.functions.VectorFunctions
+        .topK(col("cos_sim"), col("nbr"), m).as("topm"))
+      .select(col("src"), explode(col("topm")).as("t"))
+      .select(
+        col("src"), col("t.vec_id").as("nbr"),
+        col("t.cos_sim").as("cos_sim"))
     val sealed0 = CacheScope.sealAfter(out)
     idx.release()
     sealed0

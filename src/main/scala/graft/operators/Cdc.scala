@@ -78,9 +78,14 @@ object Cdc {
     val payloadCols = existing.columns.toSeq
       .filterNot(c => c == "valid_to" || c == "is_current")
     // 1. replay guard: (key, version) pairs already in the history are
-    //    re-deliveries, not new versions
+    //    re-deliveries, not new versions. The distinct also collapses
+    //    IN-BATCH duplicate deliveries (at-least-once transport can
+    //    re-send a row inside one batch, not just across batches —
+    //    without it two identical versions would survive the guard and
+    //    mint a zero-length interval pair).
     val fresh = batch
       .select(payloadCols.map(col): _*)
+      .distinct()
       .join(
         existing.select(col(keyCol), col(versionCol)),
         Seq(keyCol, versionCol), "left_anti")

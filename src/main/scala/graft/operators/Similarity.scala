@@ -1824,6 +1824,13 @@ object Similarity {
         .select(
           col("vec_id").as("probe_id"),
           col("e").as("pe"), col("nrm").as("pnrm")))
+    // fail fast on unknown probe ids: a missing probe would otherwise
+    // walk nothing and silently emit zero rows for it — the
+    // probeIvfRange discipline (the count is a bounded driver action on
+    // the broadcast-small probe frame)
+    require(probes.count() == probeIds.distinct.size,
+      s"nswSearch: some probe ids are not in the corpus " +
+        s"(${probeIds.distinct.size} requested)")
     val adj = graph.select(col("src"), col("nbr"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

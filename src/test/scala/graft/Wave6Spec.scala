@@ -570,3 +570,39 @@ class LoopRotationSpec extends AnyFunSuite {
     assert(rotated.count() == 20)
   }
 }
+
+/** Hardening regressions: in-batch CDC duplicates; unknown NSW probes. */
+class HardeningSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("a batch carrying the same change twice merges it once") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    val t = Seq((1L, 10L, "signup", 100L))
+      .toDF("user_id", "event_id", "event_type", "valid_from")
+      .withColumn(
+        "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", col("valid_to") === -1L)
+    val dupBatch = Seq(
+      (1L, 11L, "click", 200L), (1L, 11L, "click", 200L))
+      .toDF("user_id", "event_id", "event_type", "valid_from")
+    val got = graft.operators.Cdc.scd2Merge(t, dupBatch).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((10L, 100L, 200L), (11L, 200L, -1L)),
+      s"in-batch duplicate minted extra rows: $got")
+  }
+
+  test("nswSearch fails fast on an unknown probe id") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = graft.operators.Similarity.knnGraphIvf(emb, m = 4, nList = 4, nProbe = 4)
+    val thrown = try {
+      graft.operators.Similarity
+        .nswSearch(g, emb, Seq(0L, -12345L), k = 5)
+      false
+    } catch { case _: IllegalArgumentException => true }
+    assert(thrown)
+  }
+}

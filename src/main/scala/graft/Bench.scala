@@ -146,6 +146,14 @@ object Bench {
         extras += "\"" + (if (n.endsWith("_aqe")) "skew_aqe_sec"
                           else "skew_noaqe_sec") + "\":" + r1d(v)
     }
+    // e23 vs e5: the graph-ANN beam search against the exact batched
+    // kNN at the same 5 probes / k=10 — the family's cost dial next to
+    // the IVF and MRL pairs
+    results.collect {
+      case (n @ ("e23_nsw_search" | "e5_knn_batch"), Right((v, _)), _) =>
+        extras += "\"" + (if (n.startsWith("e23")) "nsw_sec"
+                          else "exact_knn_sec") + "\":" + r1d(v)
+    }
     // e11 funnel-vs-exact pair at 500 probes: the measured MRL
     // cost-dial crossover, carried in the contract line like the
     // e9/g18/g20 pairs

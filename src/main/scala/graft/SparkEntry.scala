@@ -37,6 +37,65 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared e23/e24 oracle — the exact NSW trajectory unrolled: graph
+    * CTE (e22's all-pairs equivalent at the gate config), entry at
+    * min(src), then per hop top-beam → expand through the adjacency →
+    * rescore → dedup-max fold; the self row rides the walk and leaves
+    * at the final cut. e24 runs the identical search against the disk
+    * round-trip of the graph.
+    */
+  private val nswSearchOracleSql: String = {
+      val hop = (h: Int) =>
+        s"""t$h AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |                         ORDER BY cos_sim DESC, vec_id) AS rn
+           |    FROM v${h - 1}) WHERE rn <= 8),
+           |x$h AS (
+           |  SELECT t.probe_id, g.nbr AS vec_id
+           |  FROM t$h t JOIN g ON g.src = t.vec_id),
+           |s$h AS (
+           |  SELECT DISTINCT x.probe_id, x.vec_id,
+           |    round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
+           |  FROM x$h x
+           |  JOIN e ON e.vec_id = x.vec_id
+           |  JOIN p ON p.probe_id = x.probe_id),
+           |v$h AS (
+           |  SELECT probe_id, vec_id, max(cos_sim) AS cos_sim FROM (
+           |    SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ar AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |g AS (
+         |  SELECT src, nbr FROM (
+         |    SELECT src, nbr,
+         |      row_number() OVER (PARTITION BY src
+         |                         ORDER BY cos_sim DESC, nbr) AS rn
+         |    FROM ar) WHERE rn <= 8),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+         |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |ent AS (SELECT min(src) AS eid FROM g),
+         |v0 AS (
+         |  SELECT p.probe_id, ent.eid AS vec_id,
+         |    round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
+         |  FROM p, ent
+         |  JOIN e ON e.vec_id = ent.eid),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT probe_id, vec_id, cos_sim FROM (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM v3 WHERE vec_id <> probe_id) WHERE rn <= 10""".stripMargin
+
+  }
+
   /** The ONE oracle both q38 variants hash-lock to: skew handling is a
     * runtime re-plan and must never change the answer.
     */
@@ -2730,6 +2789,35 @@ object SparkEntry {
         emb, probeIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, beamWidth = 8, hops = 3)
     },
+    "e24_nsw_disk" -> { (s, dir) =>
+      // the e7 discipline applied to the GRAPH index: build the e22
+      // adjacency once, WRITE it as the src-bucketed parquet layout a
+      // 100 TB deployment would keep, REOPEN, and run the e23 search
+      // against the disk copy — schema fidelity, bucket typing, and the
+      // search's determinism all ride the same oracle as e23 (the
+      // trajectory is a function of the graph, and the round-trip must
+      // not change the graph).
+      val emb = t(s, dir, "embeddings")
+      val g = graft.operators.Similarity.knnGraphIvf(
+        emb, m = 8, nList = 16, nProbe = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_nsw_e24").toString
+      try {
+        g.withColumn("bucket", pmod(col("src"), lit(8)))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        val disk = s.read.parquet(tmp)
+          .select(col("src"), col("nbr"), col("cos_sim"))
+        graft.operators.CacheScope.sealAfter(
+          graft.operators.Similarity.nswSearch(
+            disk, emb, probeIds = Seq(0L, 1L, 2L, 3L, 4L),
+            k = 10, beamWidth = 8, hops = 3))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "e12_knn_ivfsq" -> { (s, dir) =>
       // IVF-SQ: the e7 disk layout with e8's int8 codes in the
       // inverted lists (floats never stored), probed with asymmetric
@@ -3841,6 +3929,23 @@ object SparkEntry {
           types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
       filled.unpivot(
         Array(col("hour_str")), types.map(col).toArray, "event_type", "n")
+    },
+    "q41_window_dist" -> { (s, dir) =>
+      // the DISTRIBUTION window family (completing q18's ranked set):
+      // percent_rank / cume_dist — exact rational positions over the
+      // same one-exchange-one-sort window — plus first_value and
+      // nth_value frame accessors; rounded 9 (single divisions of
+      // exact integers, the jac_r discipline)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        first_value(col("o_orderkey")).over(w).as("top_key"),
+        coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L))
+          .as("second_key"))
     },
     "q40_correlations" -> ((s, dir) =>
       // one-pass CORRELATION matrix over the lineitem numerics (the
@@ -5638,61 +5743,12 @@ object SparkEntry {
         |                       ORDER BY cos_sim DESC, nbr) AS rn
         |  FROM r)
         |SELECT src, nbr, cos_sim FROM rk WHERE rn <= 8""".stripMargin,
-    "e23_nsw_search" -> {
-      // the exact trajectory unrolled: graph CTE (e22's all-pairs
-      // equivalent at the gate config), entry at min(src), then per hop
-      // top-beam → expand through the adjacency → rescore → dedup-max
-      // fold; the self row rides the walk and leaves at the final cut
-      val hop = (h: Int) =>
-        s"""t$h AS (
-           |  SELECT probe_id, vec_id FROM (
-           |    SELECT probe_id, vec_id,
-           |      row_number() OVER (PARTITION BY probe_id
-           |                         ORDER BY cos_sim DESC, vec_id) AS rn
-           |    FROM v${h - 1}) WHERE rn <= 8),
-           |x$h AS (
-           |  SELECT t.probe_id, g.nbr AS vec_id
-           |  FROM t$h t JOIN g ON g.src = t.vec_id),
-           |s$h AS (
-           |  SELECT DISTINCT x.probe_id, x.vec_id,
-           |    round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
-           |  FROM x$h x
-           |  JOIN e ON e.vec_id = x.vec_id
-           |  JOIN p ON p.probe_id = x.probe_id),
-           |v$h AS (
-           |  SELECT probe_id, vec_id, max(cos_sim) AS cos_sim FROM (
-           |    SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)
-           |  GROUP BY 1, 2)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |ar AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS nbr,
-         |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-         |g AS (
-         |  SELECT src, nbr FROM (
-         |    SELECT src, nbr,
-         |      row_number() OVER (PARTITION BY src
-         |                         ORDER BY cos_sim DESC, nbr) AS rn
-         |    FROM ar) WHERE rn <= 8),
-         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
-         |      WHERE vec_id IN (0, 1, 2, 3, 4)),
-         |ent AS (SELECT min(src) AS eid FROM g),
-         |v0 AS (
-         |  SELECT p.probe_id, ent.eid AS vec_id,
-         |    round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
-         |  FROM p, ent
-         |  JOIN e ON e.vec_id = ent.eid),
-         |${hop(1)},
-         |${hop(2)},
-         |${hop(3)}
-         |SELECT probe_id, vec_id, cos_sim FROM (
-         |  SELECT probe_id, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY probe_id
-         |                       ORDER BY cos_sim DESC, vec_id) AS rn
-         |  FROM v3 WHERE vec_id <> probe_id) WHERE rn <= 10""".stripMargin
-    },
-    "e12_knn_ivfsq" ->
+    "e23_nsw_search" -> nswSearchOracleSql,
+    // e24 routes the identical search through the src-bucketed disk
+    // layout — the round-trip must not change the graph, so the same
+    // trajectory oracle hash-locks it (the e7/e16 discipline)
+    "e24_nsw_disk" -> nswSearchOracleSql,
+        "e12_knn_ivfsq" ->
       // the full ADC chain recomputed: e8's stats + codes, mid-bucket
       // dequantization, full-precision-probe cosine, top-10 on (rounded
       // sim, vec_id) — independent of the coarse quantizer because
@@ -6169,6 +6225,21 @@ object SparkEntry {
         |FROM g CROSS JOIN t
         |LEFT JOIN c ON c.hour_str = g.hour_str
         |  AND c.event_type = t.event_type""".stripMargin,
+    "q41_window_dist" ->
+      // same window spec; nth_value needs the explicit full-partition
+      // frame in DuckDB to match Spark's default for that function
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 9) AS pr,
+        |  round(cume_dist() OVER w, 9) AS cd,
+        |  first_value(o_orderkey) OVER w AS top_key,
+        |  coalesce(nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+        |    AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "q40_correlations" ->
       // DuckDB's corr is the same sample Pearson correlation; 6 dp
       // absorbs the co-moment fold's engine-order ulps

@@ -83,9 +83,22 @@ object Cdc {
     //    re-send a row inside one batch, not just across batches —
     //    without it two identical versions would survive the guard and
     //    mint a zero-length interval pair).
+    //    The distinct only collapses byte-identical re-sends; a batch
+    //    can also carry CONFLICTING rows for one (key, version) —
+    //    same version id, different payload or seqCol — and those must
+    //    not both survive (tied on (seqCol, versionCol) the lead window
+    //    between them would be partitioning-dependent). One version id
+    //    = one version: pick a deterministic winner with a row_number
+    //    totally ordered over every payload column.
+    val conflictW = Window
+      .partitionBy(col(keyCol), col(versionCol))
+      .orderBy(payloadCols.map(col): _*)
     val fresh = batch
       .select(payloadCols.map(col): _*)
       .distinct()
+      .withColumn("gr_conflict_rn", row_number().over(conflictW))
+      .filter(col("gr_conflict_rn") === 1)
+      .drop("gr_conflict_rn")
       .join(
         existing.select(col(keyCol), col(versionCol)),
         Seq(keyCol, versionCol), "left_anti")

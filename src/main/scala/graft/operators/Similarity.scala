@@ -1835,8 +1835,15 @@ object Similarity {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fixed entry point: the graph's minimum vertex (1-row action) —
-    // the NSW convention of a designated enter-point, made deterministic
-    val entryId = adj.agg(min(col("src"))).first().getLong(0)
+    // the NSW convention of a designated enter-point, made deterministic.
+    // min over an empty adjacency is NULL (a 1-vector corpus builds a
+    // zero-edge graph) — fail as loudly as the unknown-probe require
+    // instead of an opaque NPE.
+    val entryRow = adj.agg(min(col("src"))).first()
+    require(!entryRow.isNullAt(0),
+      "nswSearch: graph has no edges — cannot derive an entry point " +
+        "(a corpus of fewer than 2 vectors builds an empty kNN graph)")
+    val entryId = entryRow.getLong(0)
     // the walk MAY pass through the probe's own vertex (it scores 1.0
     // and anchors the beam — the standard ANN convention); the self row
     // is excluded only from the FINAL top-k. Excluding it mid-walk

@@ -605,4 +605,54 @@ class HardeningSpec extends AnyFunSuite {
     } catch { case _: IllegalArgumentException => true }
     assert(thrown)
   }
+
+  test("nswSearch fails loudly on an edgeless graph, not with an NPE") {
+    val sp = spark
+    import sp.implicits._
+    val oneVec = Seq((0L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val emptyGraph = Seq.empty[(Long, Long)].toDF("src", "nbr")
+    val thrown = try {
+      graft.operators.Similarity
+        .nswSearch(emptyGraph, oneVec, Seq(0L), k = 1)
+      false
+    } catch {
+      case e: IllegalArgumentException =>
+        assert(e.getMessage.contains("no edges"), e.getMessage)
+        true
+    }
+    assert(thrown)
+  }
+
+  test("conflicting in-batch rows for one (key, version) resolve " +
+    "deterministically to a single winner") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    val t = Seq((1L, 10L, "signup", 100L))
+      .toDF("user_id", "event_id", "event_type", "valid_from")
+      .withColumn(
+        "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", col("valid_to") === -1L)
+    // same (key=1, version=11), three CONFLICTING payloads — distinct
+    // alone keeps all three; the merge must keep exactly one, and the
+    // winner must not depend on partitioning (min over the payload
+    // column order: "buy" < "click" < "view")
+    val conflict = Seq(
+      (1L, 11L, "view", 200L), (1L, 11L, "click", 200L),
+      (1L, 11L, "buy", 250L))
+      .toDF("user_id", "event_id", "event_type", "valid_from")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Cdc.scd2Merge(t, df).collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+    val got = run(conflict)
+    assert(got == Set(
+      (10L, "signup", 100L, 250L, false),
+      (11L, "buy", 250L, -1L, true)),
+      s"conflicting versions survived or winner nondeterministic: $got")
+    assert(got == run(conflict.repartition(7)))
+  }
 }

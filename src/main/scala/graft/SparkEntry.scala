@@ -37,6 +37,51 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared e25/e26 oracle prefix — the Euclidean Lloyd loop unrolled:
+    * stride seeds (c0), two assignment+mean passes (a0/m1/c1, a1/m2/c2;
+    * empty clusters keep the previous centroid via the CASE), final
+    * 9-dp assignment with lowest-c_id ties (a2). Every arithmetic
+    * boundary matches the engine: `list_distance` = the left-to-right
+    * squared-diff fold, means rounded to 9 dp before reuse.
+    */
+  private val kmeansCteSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |st AS (SELECT greatest(count(*) // 8, 1) AS s FROM e),
+      |c0 AS (SELECT vec_id AS c_id, v AS c FROM e
+      |       WHERE vec_id % (SELECT s FROM st) = 0
+      |       ORDER BY vec_id LIMIT 8),
+      |a0 AS (SELECT vec_id, c_id, v FROM (
+      |  SELECT e.vec_id, c0.c_id, e.v,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_distance(e.v, c0.c), 9), c0.c_id) AS rn
+      |  FROM e, c0) WHERE rn = 1),
+      |m1 AS (SELECT c_id, CAST(t.i AS INT) AS dim,
+      |              round(avg(v[CAST(t.i AS INT) + 1]), 9) AS mx
+      |       FROM a0, unnest(range(64)) AS t(i) GROUP BY c_id, dim),
+      |c1 AS (SELECT c0.c_id,
+      |              CASE WHEN count(m1.mx) = 0 THEN any_value(c0.c)
+      |                   ELSE list(m1.mx ORDER BY m1.dim) END AS c
+      |       FROM c0 LEFT JOIN m1 USING (c_id) GROUP BY c0.c_id),
+      |a1 AS (SELECT vec_id, c_id, v FROM (
+      |  SELECT e.vec_id, c1.c_id, e.v,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_distance(e.v, c1.c), 9), c1.c_id) AS rn
+      |  FROM e, c1) WHERE rn = 1),
+      |m2 AS (SELECT c_id, CAST(t.i AS INT) AS dim,
+      |              round(avg(v[CAST(t.i AS INT) + 1]), 9) AS mx
+      |       FROM a1, unnest(range(64)) AS t(i) GROUP BY c_id, dim),
+      |c2 AS (SELECT c1.c_id,
+      |              CASE WHEN count(m2.mx) = 0 THEN any_value(c1.c)
+      |                   ELSE list(m2.mx ORDER BY m2.dim) END AS c
+      |       FROM c1 LEFT JOIN m2 USING (c_id) GROUP BY c1.c_id),
+      |a2 AS (SELECT vec_id, c_id, v, d FROM (
+      |  SELECT e.vec_id, c2.c_id, e.v,
+      |    round(list_distance(e.v, c2.c), 9) AS d,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_distance(e.v, c2.c), 9), c2.c_id) AS rn
+      |  FROM e, c2) WHERE rn = 1)""".stripMargin
+
   /** Shared e23/e24 oracle — the exact NSW trajectory unrolled: graph
     * CTE (e22's all-pairs equivalent at the gate config), entry at
     * min(src), then per hop top-beam → expand through the adjacency →
@@ -2818,6 +2863,24 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "e25_kmeans" -> ((s, dir) =>
+      // Euclidean Lloyd's k-means with the WHOLE training loop
+      // deterministic and oracle-replayable: stride-sampled seeds,
+      // fixed 2 iterations, 9-dp distances with lowest-c_id ties,
+      // 9-dp per-dimension means, empty clusters keeping their seed.
+      // Each pass is one broadcast-centroid scan + one k·dim mean agg —
+      // nothing corpus-sized shuffles at any scale.
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 2)),
+    "e26_semdedup" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): embedding-space near-dup pruning —
+      // cluster with e25's k-means, then mark every vector with a
+      // lower-id cluster-mate at cosine ≥ τ. Pairs form only inside a
+      // cluster (Σ|cluster|², never |corpus|²; k is the scale knob) on
+      // one c_id-partitioned cached frame. The oracle recomputes the
+      // entire chain: seeds → 2 Lloyd passes → assignment → every
+      // intra-cluster cosine → the greedy lowest-id-kept verdict.
+      Similarity.semDedup(
+        t(s, dir, "embeddings"), k = 8, iters = 2, tau = 0.4)),
     "e12_knn_ivfsq" -> { (s, dir) =>
       // IVF-SQ: the e7 disk layout with e8's int8 codes in the
       // inverted lists (floats never stored), probed with asymmetric
@@ -5748,6 +5811,22 @@ object SparkEntry {
     // layout — the round-trip must not change the graph, so the same
     // trajectory oracle hash-locks it (the e7/e16 discipline)
     "e24_nsw_disk" -> nswSearchOracleSql,
+    "e25_kmeans" ->
+      // the full Lloyd loop replayed (seeds → 2 passes → assignment);
+      // the 6-dp output round sits ON TOP of the 9-dp training round,
+      // exactly as the engine emits it
+      (kmeansCteSql +
+        "\nSELECT vec_id, c_id, round(d, 6) AS dist FROM a2"),
+    "e26_semdedup" ->
+      // same chain, then every intra-cluster pair's cosine and the
+      // greedy lowest-id-kept verdict
+      (kmeansCteSql + """,
+        |p AS (SELECT b.vec_id AS v FROM a2 a JOIN a2 b
+        |      ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+        |SELECT a.vec_id, a.c_id,
+        |       (a.vec_id IN (SELECT v FROM p)) AS removed
+        |FROM a2 a""".stripMargin),
         "e12_knn_ivfsq" ->
       // the full ADC chain recomputed: e8's stats + codes, mid-bucket
       // dequantization, full-precision-probe cosine, top-10 on (rounded

@@ -1889,4 +1889,158 @@ object Similarity {
     frontier
       .join(adj.hint("shuffle_hash"), Seq("src"))
       .select(col("probe_id"), col("nbr").as("vec_id"))
+
+  /** Euclidean distance with the engine-portable float discipline:
+    * left-to-right fold of the squared diffs (a [[dot]]-style
+    * `aggregate`, codegen'd), then sqrt — the exact arithmetic DuckDB's
+    * `list_distance` performs, so a 9-dp round on either side of the
+    * boundary agrees (the e14 PQ discipline).
+    */
+  private def euclid(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t))
+
+  /** Euclidean Lloyd's k-means assignment — the clustering primitive
+    * [[semDedup]] partitions the corpus with (and the Euclidean twin of
+    * [[buildIvfIndex]]'s spherical trainer, which stays private to the
+    * IVF layout). Everything is pinned deterministic so the WHOLE
+    * training loop is oracle-replayable, not just the final scoring:
+    * stride-sampled seeds (every ⌊n/k⌋-th vector by id — seeded
+    * sampling without randomness; the seed's vec_id labels its
+    * cluster), a FIXED iteration count, per-assignment distance rounded
+    * to 9 dp with ties to the lowest c_id, per-dimension means rounded
+    * to 9 dp so float summation order cannot leak into the centroids,
+    * and empty clusters keeping their previous centroid.
+    *
+    * Plan shape per Lloyd pass: ONE broadcast-nested-loop scan of the
+    * persisted base (k centroid rows ride as a broadcast frame; the
+    * argmin folds inside a `min_by` hash aggregate — no window sort)
+    * plus one per-(cluster, dimension) mean (posexplode → map-side
+    * combined hash agg, k·dim rows out). Centroids collect between
+    * passes: k rows by construction, driver-bounded at any corpus size.
+    * Nothing corpus-sized ever moves except the per-pass hash
+    * aggregates — the shape survives a 1000-executor 100 TB corpus
+    * because the only cross-partition traffic is (vec_id-keyed argmin
+    * partials, k·dim mean partials).
+    *
+    * Output: `vec_id LONG, c_id LONG, dist DOUBLE` — the assigned
+    * cluster and the 6-dp distance to its trained centroid.
+    */
+  def kmeansAssign(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    val stride = math.max(n / k, 1L)
+    var cents: Seq[(Long, Seq[Double])] = base
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      // ordered before limit: an unordered limit picks whichever rows
+      // the scan reaches first, breaking the determinism contract
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    def centroidFrame(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      broadcast(cs.toDF("c_id", "c_emb"))
+    def assign(centroids: DataFrame): DataFrame =
+      assignEuclid(base, centroids)
+    for (_ <- 1 to iters) {
+      val updated = assign(centroidFrame(cents))
+        .select(col("c_id"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("c_id"), col("dim"))
+        .agg(round(avg(col("x")), 9).as("m"))
+        .groupBy(col("c_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(
+          col("c_id"),
+          transform(col("dm"), s => s.getField("m")).as("c_emb"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (id, e) => id -> updated.getOrElse(id, e) }
+    }
+    val out = assign(centroidFrame(cents))
+      .select(col("vec_id"), col("c_id"), round(col("d"), 6).as("dist"))
+    CacheScope.sealAfter(out, base)
+  }
+
+  /** ONE Lloyd assignment pass, exposed for the PlanSpec audit: the k
+    * centroid rows ride as a broadcast frame over the cached base (a
+    * broadcast nested-loop scan — never a shuffle of the corpus), and
+    * the per-vector argmin folds inside a `min_by` hash aggregate whose
+    * partials collapse the k candidate rows map-side.
+    */
+  private[graft] def assignEuclid(
+      base: DataFrame, centroids: DataFrame): DataFrame = base
+    .crossJoin(centroids)
+    .withColumn("d", round(euclid(col("e"), col("c_emb")), 9))
+    .groupBy(col("vec_id"))
+    .agg(min_by(
+      struct(col("c_id"), col("e"), col("d")),
+      struct(col("d"), col("c_id"))).as("best"))
+    .select(
+      col("vec_id"), col("best.e").as("e"),
+      col("best.c_id").as("c_id"), col("best.d").as("d"))
+
+  /** SemDeDup (Abbas et al. 2023): SEMANTIC near-duplicate pruning by
+    * clustering the corpus with k-means ([[kmeansAssign]]) and marking,
+    * WITHIN each cluster only, every vector that has a lower-id
+    * cluster-mate at cosine ≥ `tau`. The greedy lowest-id-kept rule is
+    * deterministic and engine-replayable (no dependence on visit
+    * order); under a non-transitive similarity chain a–b–c it removes
+    * both b and c, the standard greedy behavior.
+    *
+    * This is the embedding-space member of the near-dup family (exact
+    * d1 / MinHash d5 / SimHash d7 / perceptual m5): pairs are only ever
+    * formed inside a cluster, so the quadratic term is Σ|cluster|²,
+    * not |corpus|² — `k` IS the scale knob (the paper runs k ≈ √n;
+    * clusters of ~n/k keep every per-cluster frame executor-sized).
+    * The self-join runs on ONE c_id-partitioned persisted frame, so
+    * both sides scan the same cache co-partitioned — no re-exchange.
+    *
+    * Output: `vec_id LONG, c_id LONG, removed BOOLEAN`.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      tau: Double = 0.7): DataFrame = {
+    val assigned = kmeansAssign(embeddings, k, iters) // sealed: self-contained
+    val withE = assigned
+      .join(
+        embeddings.select(
+          col("vec_id"), asDouble(col("embedding")).as("e")),
+        Seq("vec_id"))
+      .withColumn("nrm", norm(col("e")))
+      .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
+      .repartition(col("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = withE.select(
+      col("c_id"), col("vec_id").as("u"),
+      col("e").as("ue"), col("nrm").as("un"))
+    val r = withE.select(
+      col("c_id"), col("vec_id").as("v"),
+      col("e").as("ve"), col("nrm").as("vn"))
+    val removedIds = l.join(r, Seq("c_id"))
+      .filter(col("u") < col("v"))
+      .filter(
+        round(cosinePre(col("ue"), col("ve"), col("un"), col("vn")), 6)
+          >= tau)
+      .select(col("v").as("vec_id"))
+      .distinct()
+      .withColumn("removed", lit(true))
+    val out = withE
+      .select(col("vec_id"), col("c_id"))
+      .join(removedIds, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("c_id"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+    CacheScope.sealAfter(out, withE)
+  }
 }

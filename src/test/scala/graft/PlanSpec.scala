@@ -682,4 +682,30 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.toString.contains("SortMergeJoin"), p.toString)
     } finally e.unpersist()
   }
+
+  test("e25 Lloyd pass: centroids broadcast over the cached base, argmin folds map-side") {
+    // the corpus side must NEVER shuffle raw: the only exchange carries
+    // the min_by partials (k candidate rows already collapsed to 1 per
+    // vector map-side), and the k-row centroid frame rides as a
+    // broadcast — a shuffle-shaped centroid join would re-exchange the
+    // corpus once per Lloyd iteration
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .persist()
+    try {
+      base.count()
+      val cents = org.apache.spark.sql.functions.broadcast(
+        base.orderBy(col("vec_id")).limit(4)
+          .select(col("vec_id").as("c_id"), col("e").as("c_emb")))
+      val p = concretePlan(
+        graft.operators.Similarity.assignEuclid(base, cents))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("BroadcastNestedLoopJoin"), p.toString)
+      assert(p.toString.contains("partial_min_by"), p.toString)
+      assert(!p.toString.contains("SortMergeJoin"), p.toString)
+    } finally base.unpersist()
+  }
 }

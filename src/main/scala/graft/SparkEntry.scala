@@ -4049,6 +4049,56 @@ object SparkEntry {
           round(min(col("value")), 6).as("min_v"),
           round(max(col("value")), 6).as("max_v"))
     },
+    "d41_bm25" -> ((s, dir) =>
+      // BM25 ranked retrieval for a fixed query — the lexical twin of
+      // the embedding index (p4). The isin filter bounds the exploded
+      // stream inside the scan projection; df/avgdl ride tiny
+      // statistics-broadcast frames; per-term contributions round
+      // BEFORE the per-doc sum (fold-order-proof); top-20 plans as
+      // TakeOrderedAndProject.
+      graft.operators.TextOps.bm25TopK(
+        t(s, dir, "documents"),
+        queryTerms = Seq("hash", "join", "scan"), k = 20)),
+    "d42_auc" -> ((s, dir) =>
+      // ROC-AUC by the Mann–Whitney rank statistic with average ranks
+      // over ties — the classifier-evaluation gate a quality-scoring
+      // pipeline ships against. NO global single-partition window: the
+      // cumulative runs as a two-level prefix sum (range-repartitioned
+      // per-partition cumsum + driver-collected offsets) over the
+      // score-GROUPED frame.
+      graft.operators.Metrics.rocAuc(
+        graft.sources.Tables.events(s, dir),
+        score = col("value"), label = col("event_type") === "error")),
+    "d43_chi2" -> ((s, dir) =>
+      // χ² feature selection: token presence vs the lang='en' label.
+      // One distinct-(doc, token) aggregate + a 1-row totals frame;
+      // pure integer contingency cells until the final division, so
+      // both engines compute identical doubles.
+      graft.operators.TextOps.chi2Terms(
+        t(s, dir, "documents"), label = col("lang") === "en", k = 20)),
+    "d44_winsorize" -> ((s, dir) =>
+      // percentile-clipped (5%/95%) per-group feature summary — exact
+      // linear-interpolated percentiles (DuckDB's quantile_cont
+      // semantics), group-keyed join back, one clipped re-aggregation.
+      graft.operators.Metrics.winsorize(
+        graft.sources.Tables.events(s, dir),
+        group = col("event_type"), value = col("value"))),
+    "q42_regr" -> ((s, dir) =>
+      // per-group ordinary least squares: the trend statistic
+      // (slope/intercept/R²) as ONE map-side-combined co-moment
+      // aggregate per group — never a second pass, never a collect;
+      // rounded 6 (the q40 co-moment discipline).
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("slope"),
+          round(
+            regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"))),
     "q36_full_outer" -> { (s, dir) =>
       // FULL OUTER join carrier: per-user click activity vs purchase
       // activity — users present on only one side survive with the
@@ -6339,6 +6389,99 @@ object SparkEntry {
         |                   ORDER BY value, event_id) AS bin
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "d41_bm25" ->
+      // identical tf/df/avgdl stats (exact integers as doubles), the
+      // same Okapi formula with the +1-inside-ln idf, per-term
+      // contributions rounded before the per-doc sum
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      AS dl,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 avg(dl) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+        |         any_value(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM base)
+        |  WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |       FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)),
+        |      6) AS c
+        |  FROM tf JOIN df USING (term), stats s)
+        |SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "d42_auc" ->
+      // the same rank statistic: per-score groups, cumulative count
+      // below, average ranks over ties — every intermediate is an
+      // exact .5-granular double
+      """WITH s AS (SELECT value AS sc, (event_type = 'error') AS y
+        |           FROM events),
+        |g AS (SELECT sc, count(*) AS n, sum(CAST(y AS BIGINT)) AS np
+        |      FROM s GROUP BY sc),
+        |c AS (SELECT np, n, sum(n) OVER (ORDER BY sc) - n AS cb FROM g),
+        |agg AS (SELECT sum(np * (cb + (n + 1) / 2.0)) AS sr,
+        |               sum(np) AS p, sum(n - np) AS q FROM c)
+        |SELECT round(
+        |    (sr - CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE) / 2.0)
+        |    / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 6) AS auc,
+        |  p AS n_pos, q AS n_neg FROM agg""".stripMargin,
+    "d43_chi2" ->
+      // same contingency cells from one distinct-(doc, token) pass;
+      // doubles only at the final statistic
+      """WITH pres AS (
+        |  SELECT doc_id, (lang = 'en') AS y,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      AS token
+        |  FROM documents),
+        |cells AS (SELECT token, sum(CAST(y AS BIGINT)) AS a,
+        |                 sum(CAST(NOT y AS BIGINT)) AS b
+        |          FROM pres GROUP BY token),
+        |tot AS (SELECT sum(CAST(lang = 'en' AS BIGINT)) AS tp,
+        |               sum(CAST(lang <> 'en' AS BIGINT)) AS tq
+        |        FROM documents),
+        |x AS (SELECT token, a, b, tp - a AS c, tq - b AS d,
+        |             tp + tq AS n FROM cells, tot)
+        |SELECT token,
+        |  round(CAST(n AS DOUBLE)
+        |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) ** 2
+        |    / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+        |    6) AS chi2,
+        |  a + b AS df
+        |FROM x
+        |WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+        |ORDER BY chi2 DESC, token LIMIT 20""".stripMargin,
+    "d44_winsorize" ->
+      // quantile_cont is the same (n-1)·p linear interpolation the
+      // engine's exact percentile computes
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    quantile_cont(value, 0.05) AS p_lo,
+        |    quantile_cont(value, 0.95) AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type AS g, count(*) AS n,
+        |  sum(CAST(e.value < b.p_lo AS BIGINT)) AS n_clip_lo,
+        |  sum(CAST(e.value > b.p_hi AS BIGINT)) AS n_clip_hi,
+        |  round(avg(greatest(least(e.value, b.p_hi), b.p_lo)), 6)
+        |    AS mean_winsorized,
+        |  round(min(b.p_lo), 6) AS p_lo, round(min(b.p_hi), 6) AS p_hi
+        |FROM events e JOIN b ON e.event_type = b.g
+        |GROUP BY e.event_type""".stripMargin,
+    "q42_regr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6)
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q36_full_outer" ->
       """WITH cl AS (
         |  SELECT user_id, count(*) AS n_clicks FROM events

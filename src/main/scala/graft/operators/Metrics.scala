@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics for the data-pipeline's model-facing artifacts —
+  * the statistics a team computes to decide whether a quality
+  * classifier, dedup threshold, or sampling policy is good enough to
+  * ship. Everything here follows the repo's determinism discipline:
+  * integer or integer-ratio arithmetic wherever possible, explicit
+  * rounding at every float boundary, no randomness.
+  */
+object Metrics {
+
+  /** ROC-AUC of `score` against boolean `label`, by the Mann–Whitney
+    * rank statistic: AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N), with
+    * average ranks over score ties (the exact trapezoidal ROC area).
+    *
+    * Scale shape: one hash aggregate groups the corpus by score (the
+    * only corpus-sized pass), then the cumulative count runs over the
+    * GROUPED frame with a two-level prefix sum — range-repartition by
+    * score, per-partition window cumsum, plus driver-collected
+    * per-partition offsets (a |partitions|-row action) broadcast back.
+    * No global single-partition window anywhere: the classic
+    * `ORDER BY score` cumsum bottleneck is what this operator exists
+    * to avoid at 100 TB. The result does not depend on where the range
+    * partitioner draws its boundaries — offsets are computed from the
+    * actual partition totals, and rows of one score never straddle a
+    * boundary's correctness (sum is associative across the split).
+    *
+    * Output: ONE row `auc DOUBLE (6 dp), n_pos LONG, n_neg LONG`.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val grouped = df
+      .select(score.as("s"), label.cast("boolean").as("y"))
+      .groupBy(col("s"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("np"))
+      .repartitionByRange(parts, col("s"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition totals: |partitions| rows, driver-bounded
+    val offsets = grouped.groupBy(col("pid"))
+      .agg(sum(col("n")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cumBefore = offsets.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), p) =>
+        (p, acc + offsets(p))
+      }
+      .sliding(2).collect { case Seq((_, acc), (p, _)) => (p, acc) }
+      .toMap
+    val offCol = coalesce(
+      element_at(
+        map(cumBefore.toSeq.flatMap { case (p, o) =>
+          Seq(lit(p), lit(o))
+        }: _*),
+        col("pid")),
+      lit(0L))
+    val w = Window.partitionBy(col("pid")).orderBy(col("s"))
+    val ranked = grouped.withColumn(
+      "cb", sum(col("n")).over(w) - col("n") + offCol)
+    // Σ_pos avgrank folds in one aggregate over the grouped frame;
+    // P and N ride the same pass
+    val out = ranked.agg(
+      sum(col("np") * (col("cb") + (col("n") + 1) / lit(2.0))).as("sr"),
+      sum(col("np")).as("p"),
+      sum(col("n") - col("np")).as("q"))
+      .select(
+        // P and N cast to double BEFORE the products — P·N and P·(P+1)
+        // overflow long at web-scale corpus sizes, and doubles keep
+        // them exact to 2^53 (identical in both engines)
+        round(
+          (col("sr")
+            - col("p").cast("double") * (col("p") + 1).cast("double")
+              / lit(2.0))
+            / (col("p").cast("double") * col("q").cast("double")),
+          6).as("auc"),
+        col("p").as("n_pos"),
+        col("q").as("n_neg"))
+    CacheScope.sealAfter(out, grouped)
+  }
+
+  /** Winsorized (percentile-clipped) per-group summary of a numeric
+    * feature — the outlier-control preprocessing a tabular trainer
+    * runs. Exact linear-interpolated percentiles (`percentile`, the
+    * same type-7 interpolation DuckDB's `quantile_cont` uses) computed
+    * per group in one aggregate pass, joined back (group-keyed: the
+    * percentile frame is |groups|-bounded, statistics pick broadcast),
+    * then ONE clipped re-aggregation. Two corpus passes total — the
+    * percentile itself is the irreducible first pass; at 100 TB swap
+    * `percentile` for `approx_percentile` (the q20 sketch path) to
+    * fold it into one.
+    *
+    * Output per group: the clip bounds, how many rows each side
+    * clipped, and the winsorized mean.
+    */
+  def winsorize(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val bounds = df
+      .groupBy(group.as("g"))
+      .agg(
+        percentile(value, lit(lo)).as("p_lo"),
+        percentile(value, lit(hi)).as("p_hi"))
+    df.select(group.as("g"), value.as("v"))
+      .join(bounds, Seq("g"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("v") < col("p_lo")).cast("long")).as("n_clip_lo"),
+        sum((col("v") > col("p_hi")).cast("long")).as("n_clip_hi"),
+        round(
+          avg(greatest(least(col("v"), col("p_hi")), col("p_lo"))), 6)
+          .as("mean_winsorized"),
+        round(min(col("p_lo")), 6).as("p_lo"),
+        round(min(col("p_hi")), 6).as("p_hi"))
+  }
+}

@@ -750,4 +750,115 @@ object TextOps {
           regexp_replace(col(textCol), lit(PiiEmailRe), lit("<EMAIL>")),
           lit(PiiIpRe), lit("<IP>")),
         lit(PiiPhoneRe), lit("<PHONE>")).as("redacted"))
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, the Okapi
+    * formulation with the +1-inside-ln idf that keeps scores
+    * non-negative) for a FIXED bag of query terms — the retrieval
+    * scorer a RAG/decontamination pipeline runs next to its embedding
+    * index (p4's lexical twin). One exploded-token pass builds the
+    * (doc, term) tf for the query terms only (the isin filter runs
+    * INSIDE the scan projection, so the exploded stream is
+    * |terms|-bounded before it ever shuffles); doc length comes from
+    * the same projection pre-filter; df and avgdl ride group-keyed
+    * aggregates of those. The |terms|-row df frame and the 1-row avgdl
+    * frame join back statistics-broadcast (hint-free, the d17
+    * discipline). Per-term contributions round to 6 dp BEFORE the
+    * per-doc sum so the cross-engine fold order cannot move a 6-dp
+    * boundary, then the top-k cut ranks on (rounded score, doc_id).
+    *
+    * Output: `doc_id, score DOUBLE` — top `k` docs for the query.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
+    val toks = tokens(col("text"))
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).cast("double").as("dl"),
+      filter(toks, t => t.isin(queryTerms: _*)).as("qtoks"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(df, Seq("term")).crossJoin(stats)
+      .select(
+        col("doc_id"),
+        round(
+          log(lit(1.0)
+            + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * col("tf") * (lit(k1) + 1.0)
+            / (col("tf")
+              + lit(k1) * (lit(1.0 - b)
+                + lit(b) * col("dl") / col("avgdl"))),
+          6).as("c"))
+    // global top-k plans as TakeOrderedAndProject: a bounded heap per
+    // partition + one k-row merge on the driver, never a full sort
+    contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** χ² feature selection: the chi-squared association of each token's
+    * document-level PRESENCE with a boolean document label — the
+    * classic supervised vocabulary filter (select the k tokens most
+    * predictive of quality/language/domain). All four contingency
+    * cells derive from ONE distinct-(doc, token) aggregate plus the
+    * label totals (a 1-row frame); the statistic is pure integer
+    * arithmetic until the final division, so both engines compute
+    * IDENTICAL doubles. Tokens present in every document (a zero
+    * margin) drop out — χ² is undefined there and carries no signal.
+    * Output: top `k` by (χ² desc, token asc): `token, chi2, df`.
+    */
+  def chi2Terms(
+      docs: DataFrame, label: Column, k: Int = 20): DataFrame = {
+    val present = docs
+      .select(
+        col("doc_id"), label.cast("boolean").as("y"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+    val cells = present
+      .groupBy(col("token"))
+      .agg(
+        sum(col("y").cast("long")).as("a"),       // token & label
+        sum((!col("y")).cast("long")).as("b"))    // token & !label
+    val totals = docs.agg(
+      sum(label.cast("long")).as("tp"),
+      sum((!label).cast("long")).as("tq"))
+    cells.crossJoin(totals)
+      .select(
+        col("token"), col("a"), col("b"),
+        (col("tp") - col("a")).as("c"),
+        (col("tq") - col("b")).as("d"),
+        (col("tp") + col("tq")).as("n"))
+      .filter(
+        (col("a") + col("b")) > 0 && (col("c") + col("d")) > 0
+          && (col("a") + col("c")) > 0 && (col("b") + col("d")) > 0)
+      .select(
+        col("token"),
+        // every cell cast to double BEFORE the products: long·long
+        // would overflow at web-scale counts, and doubles keep the
+        // cells exact to 2^53 — identical in both engines
+        round(
+          col("n").cast("double")
+            * pow(
+              col("a").cast("double") * col("d").cast("double")
+                - col("b").cast("double") * col("c").cast("double"), 2)
+            / ((col("a") + col("b")).cast("double")
+              * (col("c") + col("d")).cast("double")
+              * (col("a") + col("c")).cast("double")
+              * (col("b") + col("d")).cast("double")),
+          6).as("chi2"),
+        (col("a") + col("b")).as("df"))
+      .orderBy(desc("chi2"), asc("token"))
+      .limit(k)
+  }
 }

@@ -118,3 +118,87 @@ class SemDedupSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 }
+
+class RetrievalMetricsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("bm25 hand value: single term, two docs") {
+    val sp = spark
+    import sp.implicits._
+    // doc 0: "a a b" (tf=2, dl=3); doc 1: "a c d e" (tf=1, dl=4);
+    // doc 2: "x y" (no term). N=3, df(a)=2, avgdl=3.
+    val docs = Seq(
+      (0L, "a a b"), (1L, "a c d e"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .bm25TopK(docs, Seq("a"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def c(tf: Double, dl: Double) = BigDecimal(
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(0L, 1L))
+    assert(math.abs(got(0L) - c(2, 3)) < 1e-9, got)
+    assert(math.abs(got(1L) - c(1, 4)) < 1e-9, got)
+    assert(got(0L) > got(1L), "higher tf, shorter doc must win")
+  }
+
+  test("rocAuc: perfect separation 1.0, reversed 0.0, all-tied 0.5") {
+    val sp = spark
+    import sp.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      graft.operators.Metrics.rocAuc(
+        rows.toDF("s", "y"), col("s"), col("y"))
+        .collect()(0).getDouble(0)
+    assert(auc(Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))) == 1.0)
+    assert(auc(Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))) == 0.0)
+    assert(auc(Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false))) == 0.5)
+    // mixed with ties: pos at {2, 3}, neg at {1, 3} →
+    // ranks: 1→1, 2→2, 3→avg(3,4)=3.5; Σpos = 2+3.5 = 5.5;
+    // auc = (5.5 − 2·3/2) / (2·2) = 0.625
+    assert(auc(Seq((1.0, false), (2.0, true), (3.0, true), (3.0, false))) == 0.625)
+  }
+
+  test("rocAuc is invariant under input partitioning and more partitions than scores") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 200).map(i =>
+      ((i % 7).toDouble, i % 3 == 0)).toDF("s", "y")
+    val a = graft.operators.Metrics.rocAuc(rows, col("s"), col("y"))
+      .collect()(0)
+    val b = graft.operators.Metrics
+      .rocAuc(rows.repartition(31), col("s"), col("y")).collect()(0)
+    assert(a == b)
+  }
+
+  test("chi2: perfectly-label-aligned token scores N, independent token drops to 0") {
+    val sp = spark
+    import sp.implicits._
+    // 4 docs: 'pos' appears in exactly the en docs, 'all' in every doc
+    // (zero margin → filtered), 'half' is independent of the label
+    val docs = Seq(
+      (0L, "pos half all", "en"), (1L, "pos all", "en"),
+      (2L, "half all", "fr"), (3L, "all x", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextOps
+      .chi2Terms(docs, col("lang") === "en", k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("pos") == 4.0, got)      // χ² = N for perfect alignment
+    assert(got("half") == 0.0, got)     // a=b=1, c=d=1 → numerator 0
+    assert(!got.contains("all"), got)   // c+d margin is 0 → undefined
+  }
+
+  test("winsorize hand value: clip counts and winsorized mean") {
+    val sp = spark
+    import sp.implicits._
+    // one group, values 1..10: p05 = 1.45, p95 = 9.55 ((n−1)·p interp);
+    // 1 clips low, 10 clips high; mean = (1.45+2+..+9+9.55)/10 = 5.5
+    val df = (1 to 10).map(v => ("g", v.toDouble)).toDF("grp", "value")
+    val r = graft.operators.Metrics
+      .winsorize(df, col("grp"), col("value")).collect()(0)
+    assert(r.getLong(1) == 10)
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1, r)
+    assert(r.getDouble(5) == 1.45 && r.getDouble(6) == 9.55, r)
+    assert(r.getDouble(4) == 5.5, r)
+  }
+}

@@ -4049,6 +4049,28 @@ object SparkEntry {
           round(min(col("value")), 6).as("min_v"),
           round(max(col("value")), 6).as("max_v"))
     },
+    "d45_weighted_sample" -> ((s, dir) =>
+      // Efraimidis–Spirakis weighted sampling without replacement:
+      // md5-deterministic exponential clocks, k smallest win —
+      // inclusion probability ∝ n_chars, no corpus sort (the k-row
+      // TakeOrderedAndProject heap), decision-for-decision replayable.
+      Sampling.weightedSample(
+        t(s, dir, "documents"),
+        idCol = "doc_id", weightCol = "n_chars", k = 25)),
+    "d46_editdist_neardup" -> ((s, dir) =>
+      // character-level near-dup pairs: source-blocked equi-join with
+      // the lossless |len(a)−len(b)| ≤ maxDist prune INSIDE the join
+      // condition — the O(len²) Levenshtein only ever runs on
+      // length-compatible same-block pairs.
+      graft.operators.Dedup.editDistanceNearDup(
+        t(s, dir, "documents"), blockCol = "source", maxDist = 60)),
+    "d47_inverted_index" -> ((s, dir) =>
+      // the lexical index artifact BM25 serves from: token → sorted
+      // posting list + df, one exploded distinct-(doc, token) pass,
+      // df-gated (stop-word-grade tokens carry no selectivity and ARE
+      // the posting-list skew risk at scale).
+      TextOps.invertedIndex(
+        t(s, dir, "documents"), minDf = 2, maxDfRatio = 0.9)),
     "d41_bm25" -> ((s, dir) =>
       // BM25 ranked retrieval for a fixed query — the lexical twin of
       // the embedding index (p4). The isin filter bounds the exploded
@@ -6389,6 +6411,43 @@ object SparkEntry {
         |                   ORDER BY value, event_id) AS bin
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "d45_weighted_sample" ->
+      // the same md5 draw (15 hex chars + 1 over 2^60), the same
+      // exponential clock, the same (clock, id) race
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    round(-ln((CAST(concat('0x',
+        |        substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |          ':', 'wsample-v1')), 1, 15)) AS BIGINT) + 1.0)
+        |        / power(2, 60))
+        |      / CAST(n_chars AS DOUBLE), 9) AS clock
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, clock FROM h
+        |ORDER BY clock, doc_id LIMIT 25""".stripMargin,
+    "d46_editdist_neardup" ->
+      // the same blocked join, the same lossless length prune, the
+      // same classical Levenshtein
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |  AND abs(len(a.text) - len(b.text)) <= 60
+        |WHERE levenshtein(a.text, b.text) <= 60""".stripMargin,
+    "d47_inverted_index" ->
+      // numeric-sorted postings joined with ',' — byte-identical to
+      // the engine's sort_array + array_join encoding
+      """WITH pres AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      AS token
+        |  FROM documents),
+        |g AS (SELECT token, count(*) AS df,
+        |        array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |      FROM pres GROUP BY token),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+        |      FROM documents)
+        |SELECT token, df, postings FROM g, n
+        |WHERE df >= 2 AND CAST(df AS DOUBLE) <= n_docs * 0.9""".stripMargin,
     "d41_bm25" ->
       // identical tf/df/avgdl stats (exact integers as doubles), the
       // same Okapi formula with the +1-inside-ln idf, per-term

@@ -640,4 +640,39 @@ object Dedup {
       when(col("n_overlap") > maxOverlap, lit(1)).otherwise(lit(0))
         .as("contaminated"))
   }
+
+  /** EDIT-DISTANCE near-dup pairs — the character-level member of the
+    * near-dup family (exact d1 / MinHash d5 / SimHash d7 / semantic
+    * e26): same-block pairs whose Levenshtein distance is ≤ `maxDist`.
+    * Two lossless prunes run BEFORE any O(len²) distance: the blocking
+    * key (equi-join, shuffle-partitioned — never a global cross
+    * product) and the length bound (lev(a,b) ≥ |len(a)−len(b)|, so
+    * pairs beyond `maxDist` in length alone are dropped inside the
+    * join condition, before the quadratic compare). At 100 TB the
+    * blocking column is the scale knob, exactly as in d5/d6 —
+    * per-block pair counts bound the work, and a skewed block is a
+    * salting candidate like any other hot join key.
+    *
+    * Output: `id_a, id_b, dist LONG` (id_a < id_b).
+    */
+  def editDistanceNearDup(
+      docs: DataFrame,
+      blockCol: String = "source",
+      maxDist: Int = 60): DataFrame = {
+    val a = docs.select(
+      col(blockCol).as("blk"), col("doc_id").as("id_a"),
+      col("text").as("ta"), length(col("text")).as("la"))
+    val b = docs.select(
+      col(blockCol).as("blk_b"), col("doc_id").as("id_b"),
+      col("text").as("tb"), length(col("text")).as("lb"))
+    a.join(
+        b,
+        col("blk") === col("blk_b") && col("id_a") < col("id_b")
+          && abs(col("la") - col("lb")) <= maxDist,
+        "inner")
+      .filter(levenshtein(col("ta"), col("tb")) <= maxDist)
+      .select(
+        col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+  }
 }

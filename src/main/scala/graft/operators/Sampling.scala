@@ -338,4 +338,42 @@ object Sampling {
             (pieceStart + 1L).cast("int"),
             (pieceEnd - pieceStart).cast("int"))).as("piece_text"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * the exponential-clock formulation): each row draws a
+    * deterministic md5-uniform u ∈ (0, 1] and races with clock
+    * −ln(u)/w — the k smallest clocks win, which samples exactly k
+    * rows with inclusion probability proportional to weight, without
+    * replacement. The md5 draw (not `rand()`) is the d12 discipline:
+    * reproducible in DuckDB, across reruns, and under any cluster
+    * layout. One stateless scan projection plus a
+    * TakeOrderedAndProject k-row heap — no shuffle, no state, the
+    * whole corpus is never sorted. Clocks round to 9 dp (ln is the
+    * only libm call; the 1-ulp cross-engine exposure sits 7 orders
+    * below the round), ties to the lowest id. Zero/negative weights
+    * are excluded up front (their clock is undefined — a weight-0 row
+    * must never win).
+    *
+    * Output: `<idCol>, <weightCol>, clock DOUBLE` — the k winners.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "wsample-v1"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // 15 hex chars → [0, 2^60); +1 lifts to (0, 2^60] so u is never 0
+    // (ln(0) = −inf) and never biases the race
+    val u = (conv(
+      substring(
+        md5(concat_ws(":", col(idCol).cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("double") + 1.0) / math.pow(2.0, 60)
+    df.filter(col(weightCol) > 0)
+      .withColumn(
+        "clock", round(-log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(asc("clock"), asc(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol), col("clock"))
+  }
 }

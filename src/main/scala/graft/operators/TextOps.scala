@@ -861,4 +861,39 @@ object TextOps {
       .orderBy(desc("chi2"), asc("token"))
       .limit(k)
   }
+
+  /** Inverted-index build: token → sorted posting list of the docs
+    * containing it, plus df — the artifact d41's BM25 (or any lexical
+    * search) serves from. One exploded distinct-(doc, token) pass into
+    * a token-keyed hash aggregate; postings serialize as a
+    * comma-joined string (a stable, engine-portable encoding — sorted
+    * doc order is part of the index contract). At 100 TB the aggregate
+    * is map-side combined per token; a stop-word-grade token with a
+    * corpus-sized posting list is the one skew risk, which is why the
+    * `minDf`/`maxDfRatio` gates exist — real indexes drop those terms
+    * anyway (they carry no selectivity).
+    *
+    * Output: `token, df LONG, postings STRING`.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      minDf: Int = 1,
+      maxDfRatio: Double = 1.0): DataFrame = {
+    val nDocs = docs.agg(
+      count_distinct(col("doc_id")).cast("double").as("n_docs"))
+    docs
+      .select(
+        col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      .crossJoin(nDocs)
+      .filter(
+        col("df") >= minDf
+          && col("df").cast("double") <= col("n_docs") * maxDfRatio)
+      .select(col("token"), col("df"), col("postings"))
+  }
 }

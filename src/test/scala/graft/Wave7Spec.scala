@@ -188,6 +188,60 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(!got.contains("all"), got)   // c+d margin is 0 → undefined
   }
 
+  test("weightedSample: huge weight wins, zero weight never drawn, deterministic") {
+    val sp = spark
+    import sp.implicits._
+    val rows = ((0 until 50).map(i => (i.toLong, 1L))
+      :+ (99L, 1000000000000L) :+ (100L, 0L) :+ (101L, -5L))
+      .toDF("doc_id", "w")
+    val got = graft.operators.Sampling
+      .weightedSample(rows, "doc_id", "w", k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.length == 5)
+    // clock = -ln(u)/1e12 ≈ 0: the heavy row races to the front
+    assert(got.head == 99L, got.toSeq)
+    assert(!got.contains(100L) && !got.contains(101L))
+    val again = graft.operators.Sampling
+      .weightedSample(rows.repartition(13), "doc_id", "w", k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("editDistanceNearDup: blocked pairs only, length prune is lossless") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "kitten sat here", "s1"),
+      (1L, "sitten sat here", "s1"),  // dist 1 from doc 0
+      (2L, "kitten sat here", "s2"),  // identical text, OTHER block
+      (3L, "completely different words entirely unrelated", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup
+      .editDistanceNearDup(docs, blockCol = "source", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 1L)), got)
+  }
+
+  test("invertedIndex: hand postings, df gates") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (5L, "a b common"), (2L, "a common"), (9L, "b a common"))
+      .toDF("doc_id", "text")
+    val all = graft.operators.TextOps
+      .invertedIndex(docs, minDf = 1, maxDfRatio = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(all("a") == ((3L, "2,5,9")), all)
+    assert(all("b") == ((2L, "5,9")), all)
+    val gated = graft.operators.TextOps
+      .invertedIndex(docs, minDf = 2, maxDfRatio = 0.7)
+      .collect().map(_.getString(0)).toSet
+    // 'a' and 'common' (df 3 = ratio 1.0) fail the max gate; singletons
+    // fail the min gate; only 'b' (df 2, ratio 2/3) survives
+    assert(gated == Set("b"), gated)
+  }
+
   test("winsorize hand value: clip counts and winsorized mean") {
     val sp = spark
     import sp.implicits._

@@ -823,6 +823,55 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled Luby-MIS oracle: `rounds` chained symmetry-breaking
+    * rounds over the portable graph, each recomputing the md5
+    * (priority, id) race, the winners, and the shrunken active set.
+    * A round past termination is a no-op (empty active ⇒ empty
+    * winners), so the unroll equals the converged MIS for any
+    * rounds ≥ the real depth (asserted with margin in MisSpec).
+    */
+  private def lubyMisOracleSql(
+      nV: Long, nE: Long, graphSalt: String,
+      salt: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, graphSalt)},\n"
+    sb ++=
+      """ed AS MATERIALIZED (
+        |  SELECT src AS u, dst AS v FROM pe WHERE src <> dst
+        |  UNION
+        |  SELECT dst, src FROM pe WHERE src <> dst),
+        |act0 AS MATERIALIZED (
+        |  SELECT src AS id FROM pe UNION SELECT dst FROM pe)""".stripMargin
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+         |pr$r AS MATERIALIZED (
+         |  SELECT id, CAST(concat('0x', substr(md5(concat(
+         |    CAST(id AS VARCHAR), ':$r:', '$salt')), 1, 15)) AS BIGINT)
+         |    AS p
+         |  FROM act$r),
+         |nm$r AS MATERIALIZED (
+         |  SELECT id, p AS np, nid FROM (
+         |    SELECT e.v AS id, a.p, a.id AS nid,
+         |      row_number() OVER (PARTITION BY e.v
+         |                         ORDER BY a.p, a.id) AS rn
+         |    FROM ed e JOIN pr$r a ON a.id = e.u) WHERE rn = 1),
+         |win$r AS MATERIALIZED (
+         |  SELECT a.id FROM pr$r a LEFT JOIN nm$r n ON n.id = a.id
+         |  WHERE n.id IS NULL OR (a.p, a.id) < (n.np, n.nid)),
+         |act${r + 1} AS MATERIALIZED (
+         |  SELECT id FROM act$r
+         |  WHERE id NOT IN (SELECT id FROM win$r)
+         |    AND id NOT IN (SELECT e.v FROM ed e
+         |                   JOIN win$r w ON w.id = e.u))""".stripMargin
+    }
+    sb ++= s""",
+       |misAll AS (${(0 until rounds)
+        .map(r => s"SELECT id FROM win$r").mkString(" UNION ")})
+       |SELECT v.id, (v.id IN (SELECT id FROM misAll)) AS in_mis
+       |FROM act0 v""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.sources.SyntheticGraph.portableBlocks]]:
     * two disjoint md5-range blocks, the second shifted by nVBlock.
     */
@@ -4188,6 +4237,14 @@ object SparkEntry {
       // high-diameter graphs) is unit-locked on a 200-vertex path
       graft.operators.GraphBuilder.connectedComponentsStar(
         graft.sources.SyntheticGraph.portable(s, 600, 250, "g47"))._1),
+    "g48_luby_mis" -> ((s, dir) =>
+      // Luby's maximal independent set with md5 round-priorities — the
+      // whole O(log n)-round fixpoint is a pure function of the edge
+      // set, so the oracle unrolls the exact rounds (winner races,
+      // neighborhood retirement) in SQL. Independence + maximality are
+      // additionally property-locked in MisSpec.
+      graft.operators.Mis.lubyMis(
+        graft.sources.SyntheticGraph.portable(s, 300, 450, "g48"))),
     "g43_skipgram_pairs" -> { (s, dir) =>
       // SKIP-GRAM pair generation from the g36 walk corpus (the
       // word2vec/DeepWalk training-pair table — walks are sentences,
@@ -4430,6 +4487,10 @@ object SparkEntry {
          |  UNION
          |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
          |SELECT id, min(m) AS component_id FROM r GROUP BY 1""".stripMargin,
+    "g48_luby_mis" ->
+      // 12 unrolled rounds ≥ the measured fixpoint depth (MisSpec
+      // asserts depth ≤ 10 with margin; extra rounds are no-ops)
+      lubyMisOracleSql(300, 450, "g48", "mis-v1", 12),
     "g15_components" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g15")},
          |ed AS (SELECT src AS u, dst AS v FROM pe

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Luby's maximal independent set (Luby 1986) — the symmetry-breaking
+  * primitive distributed scheduling, graph coloring, and parallel
+  * matching build on. Each round every ACTIVE vertex draws a priority;
+  * a vertex enters the MIS iff its (priority, id) beats every active
+  * neighbor's, then winners and their neighborhoods retire. Expected
+  * O(log n) rounds.
+  *
+  * The repo's determinism discipline replaces Luby's random draws with
+  * md5 priorities keyed by (vertex, round, salt) — the d12/portable-
+  * graph trick — so the WHOLE fixpoint is a pure function of the edge
+  * set: replayable across engines (the g48 oracle unrolls the exact
+  * rounds in SQL), reruns, and any cluster layout. The lexicographic
+  * (priority, id) compare breaks md5 ties, so no round ever stalls.
+  *
+  * Scale shape: the symmetrized adjacency partitions by src ONCE and
+  * never re-exchanges (the g15/g25 loop discipline — each round ships
+  * the |active|-row priority frame to it shuffle-hash); the
+  * min-neighbor fold is a map-side-combined aggregate keyed by dst;
+  * active/MIS state rotates through [[CacheScope.rotate]]. Rounds
+  * shrink geometrically in expectation, so late rounds are
+  * near-free. Fails loudly if `maxRounds` is hit with vertices still
+  * active rather than returning a non-maximal set.
+  *
+  * Output: `id LONG, in_mis BOOLEAN` over the vertex universe
+  * (src ∪ dst; self-loops are ignored as edges, so a vertex with only
+  * a self-loop is effectively isolated and always enters).
+  */
+object Mis {
+
+  private def prio(id: Column, r: Int, salt: String): Column =
+    conv(
+      substring(
+        md5(concat_ws(":", id.cast("string"), lit(r.toString), lit(salt))),
+        1, 15),
+      16, 10).cast("long")
+
+  def lubyMis(
+      edges: DataFrame,
+      salt: String = "mis-v1",
+      maxRounds: Int = 64): DataFrame = {
+    val sym = edges.filter(col("src") =!= col("dst"))
+    val und = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphBuilder.vertices(edges)
+    var active = verts.transform(CacheScope.rotate)
+    var mis: DataFrame = null
+    var r = 0
+    var nActive = active.count()
+    while (nActive > 0) {
+      require(r < maxRounds,
+        s"lubyMis: $nActive vertices still active after $maxRounds " +
+          "rounds — refusing to return a non-maximal set")
+      val ap = active.select(col("id"), prio(col("id"), r, salt).as("p"))
+      val nbrMin = misNbrMin(und, ap)
+      val winners = ap
+        .join(nbrMin, col("id") === col("dst"), "left")
+        .filter(
+          col("min_nbr").isNull
+            || struct(col("p"), col("id")) < col("min_nbr"))
+        .select(col("id"))
+        .transform(CacheScope.rotate)
+      mis = if (mis == null) winners else mis.unionByName(winners)
+      val removed = winners.unionByName(
+        winners.join(und.hint("shuffle_hash"), col("id") === col("src"))
+          .select(col("dst").as("id")))
+        .distinct()
+      active = active.join(removed, Seq("id"), "left_anti")
+        .transform(CacheScope.rotate)
+      nActive = active.count()
+      r += 1
+    }
+    val misFlag =
+      if (mis == null) verts.limit(0).withColumn("in_mis", lit(true))
+      else mis.withColumn("in_mis", lit(true))
+    val out = verts
+      .join(misFlag, Seq("id"), "left")
+      .select(
+        col("id"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+    CacheScope.sealAfter(out, und)
+  }
+
+  /** ONE round's min-neighbor fold, exposed for the PlanSpec exchange
+    * audit: the src-partitioned cached adjacency never re-exchanges —
+    * only the |active|-row priority frame ships to it (shuffle_hash:
+    * the cached side streams, no per-round re-sort), and the
+    * (priority, id) min folds map-side keyed by dst.
+    */
+  private[graft] def misNbrMin(und: DataFrame, ap: DataFrame): DataFrame =
+    ap.join(und.hint("shuffle_hash"), col("id") === col("src"))
+      .select(col("dst"), struct(col("p"), col("id")).as("ps"))
+      .groupBy(col("dst"))
+      .agg(min(col("ps")).as("min_nbr"))
+
+  /** Rounds the fixpoint needed on `edges` — exposed so the oracle's
+    * unroll depth can be asserted ≥ the real depth (an unrolled round
+    * past termination is a no-op, so oracle depth only needs to be an
+    * upper bound).
+    */
+  private[graft] def roundsNeeded(
+      edges: DataFrame, salt: String = "mis-v1"): Int = {
+    // cheap: rerun the loop counting rounds; test-only helper
+    val sym = edges.filter(col("src") =!= col("dst"))
+    val und = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var active = GraphBuilder.vertices(edges).transform(CacheScope.rotate)
+    var r = 0
+    while (active.count() > 0 && r < 64) {
+      val ap = active.select(col("id"), prio(col("id"), r, salt).as("p"))
+      val nbrMin = ap.join(und, col("id") === col("src"))
+        .select(col("dst"), struct(col("p"), col("id")).as("ps"))
+        .groupBy(col("dst")).agg(min(col("ps")).as("min_nbr"))
+      val winners = ap.join(nbrMin, col("id") === col("dst"), "left")
+        .filter(col("min_nbr").isNull
+          || struct(col("p"), col("id")) < col("min_nbr"))
+        .select(col("id")).transform(CacheScope.rotate)
+      val removed = winners.unionByName(
+        winners.join(und, col("id") === col("src"))
+          .select(col("dst").as("id"))).distinct()
+      active = active.join(removed, Seq("id"), "left_anti")
+        .transform(CacheScope.rotate)
+      r += 1
+    }
+    und.unpersist(false)
+    r
+  }
+}

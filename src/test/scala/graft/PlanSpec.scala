@@ -683,6 +683,26 @@ class PlanSpec extends AnyFunSuite {
     } finally e.unpersist()
   }
 
+  test("g48 MIS round: cached adjacency never re-exchanges, min-neighbor folds map-side") {
+    val edges = graft.sources.SyntheticGraph.portable(spark, 300, 450, "g48")
+    val sym = edges.filter(col("src") =!= col("dst"))
+    val und = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    try {
+      und.count()
+      val ap = graft.operators.GraphBuilder.vertices(edges)
+        .select(col("id"),
+          org.apache.spark.sql.functions.xxhash64(col("id")).as("p"))
+      val p = concretePlan(graft.operators.Mis.misNbrMin(und, ap))
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("partial_min"), p.toString)
+      assert(!p.toString.contains("SortMergeJoin"), p.toString)
+    } finally { und.unpersist(); () }
+  }
+
   test("e25 Lloyd pass: centroids broadcast over the cached base, argmin folds map-side") {
     // the corpus side must NEVER shuffle raw: the only exchange carries
     // the min_by partials (k candidate rows already collapsed to 1 per

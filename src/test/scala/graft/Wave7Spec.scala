@@ -119,6 +119,58 @@ class SemDedupSpec extends AnyFunSuite {
   }
 }
 
+class MisSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def fixture: DataFrame =
+    graft.sources.SyntheticGraph.portable(spark, 300, 450, "g48")
+
+  test("independence and maximality on the g48 fixture") {
+    val e = fixture
+    val mis = graft.operators.Mis.lubyMis(e).persist()
+    val sym = e.filter(col("src") =!= col("dst"))
+    val ed = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val m = mis.filter(col("in_mis")).select(col("id"))
+    // independence: no edge with both endpoints in the MIS
+    assert(ed
+      .join(m.withColumnRenamed("id", "src"), Seq("src"))
+      .join(m.withColumnRenamed("id", "dst"), Seq("dst"))
+      .count() == 0)
+    // maximality: every non-MIS vertex has a MIS neighbor
+    val covered = ed.join(m.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id")).distinct()
+    assert(mis.filter(!col("in_mis")).select(col("id"))
+      .join(covered, Seq("id"), "left_anti").count() == 0)
+    mis.unpersist()
+  }
+
+  test("fixpoint depth stays within the oracle's 12-round unroll (margin 2)") {
+    assert(graft.operators.Mis.roundsNeeded(fixture) <= 10)
+  }
+
+  test("deterministic under input partitioning; self-loop vertex enters") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (7L, 7L)).toDF("src", "dst")
+    val a = graft.operators.Mis.lubyMis(e)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val b = graft.operators.Mis.lubyMis(e.repartition(9))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(a == b)
+    assert(a(7L), "self-loop-only vertex is isolated and must enter")
+    // path 1-2-3: either {1,3} or {2}; both valid MIS — but md5 pins one
+    assert(a.count(_._2) >= 2 || (a(2L) && !a(1L) && !a(3L)))
+  }
+
+  test("lubyMis leaves nothing persisted in the cache manager") {
+    spark.sharedState.cacheManager.clearCache()
+    graft.operators.Mis.lubyMis(fixture).count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
+
 class RetrievalMetricsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

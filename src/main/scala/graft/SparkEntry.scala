@@ -2546,6 +2546,47 @@ object SparkEntry {
       TextOps.hashEmbed(t(s, dir, "documents"), dim = 16)
         .select(col("doc_id"), posexplode(col("embedding"))
           .as(Seq("d", "v_r")))),
+    "p6_hybrid_rrf" -> { (s, dir) =>
+      // HYBRID SEARCH journey: BM25 lexical top-50 (d41) + semantic
+      // top-50 (the query text embedded through the SAME d34 hashing
+      // chain as the corpus — it rides the union as pseudo-doc −1),
+      // fused by reciprocal-rank fusion. Every stage ranks on
+      // (rounded score, doc_id), so the oracle replays the full
+      // lexical chain, the full embedding chain, both rank lists and
+      // the fused cut. The rank windows run on k-bounded frames (50
+      // rows), never the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val sp = s
+      import sp.implicits._
+      val docs = t(s, dir, "documents")
+      val lex = TextOps
+        .bm25TopK(docs, Seq("hash", "join", "scan"), k = 50)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val withQ = docs.select(col("doc_id"), col("text"))
+        .unionByName(Seq((-1L, "hash join scan")).toDF("doc_id", "text"))
+      val embAll = TextOps.hashEmbed(withQ, dim = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qv = broadcast(
+        embAll.filter(col("doc_id") === -1)
+          .select(col("embedding").as("qv")))
+      val sem = embAll.filter(col("doc_id") >= 0)
+        .crossJoin(qv)
+        .select(
+          col("doc_id"),
+          round(
+            graft.operators.Similarity
+              .cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(desc("cos"), asc("doc_id")).limit(50)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(desc("cos"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      graft.operators.CacheScope.sealAfter(
+        graft.operators.Metrics.rrfFuse(Seq(lex, sem), k = 20), embAll)
+    },
     "p4_rag_index" -> { (s, dir) =>
       // the RAG-INDEX journey (the fourth composed pipeline next to
       // p1 text-prep / p2 entity-resolution / p3 graph-features):
@@ -5546,6 +5587,58 @@ object SparkEntry {
         |SELECT e.doc_id, CAST(t.d AS INT) AS d,
         |  e.e[CAST(t.d AS INT) + 1] AS v_r
         |FROM emb e, unnest(range(16)) AS t(d)""".stripMargin,
+    "p6_hybrid_rrf" ->
+      // both retrieval chains replayed in full: the d41 BM25 stats and
+      // the d34 hashing chain (query riding as pseudo-doc −1), both
+      // 50-row rank lists, the fused Σ 1/(60+rank) cut
+      s"""WITH hd AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT -1, 'hash join scan'),
+        |${hashEmbedCtes("hd", 16)},
+        |bb AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+        |      AS dl,
+        |    regexp_split_to_array(trim(text), '\\s+') AS tk
+        |  FROM documents),
+        |bs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              avg(dl) AS avgdl FROM bb),
+        |btf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+        |         any_value(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM bb)
+        |  WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+        |bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |        FROM btf GROUP BY term),
+        |bc AS (
+        |  SELECT btf.doc_id,
+        |    round(ln(1.0 + (s.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
+        |      * btf.tf * (1.2 + 1.0)
+        |      / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * btf.dl / s.avgdl)),
+        |      6) AS c
+        |  FROM btf JOIN bdf USING (term), bs s),
+        |bm AS (SELECT doc_id, round(sum(c), 6) AS score FROM bc
+        |       GROUP BY doc_id),
+        |lexr AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM bm) WHERE rank <= 50),
+        |qv AS (SELECT e AS qe FROM emb WHERE doc_id = -1),
+        |semsc AS (
+        |  SELECT e.doc_id,
+        |    round(list_cosine_similarity(e.e, (SELECT qe FROM qv)), 6)
+        |      AS cos
+        |  FROM emb e WHERE e.doc_id >= 0),
+        |semr AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        |  FROM semsc) WHERE rank <= 50),
+        |u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lexr
+        |      UNION ALL
+        |      SELECT doc_id, 1.0 / (60 + rank) FROM semr)
+        |SELECT doc_id, round(sum(contrib), 9) AS rrf,
+        |       count(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "p4_rag_index" ->
       // gate → embed → retrieve, end to end: d24's keep rule, the full
       // hashing-trick chain over the kept slice, then e5's exact-kNN

@@ -84,6 +84,31 @@ object Metrics {
     CacheScope.sealAfter(out, grouped)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge ranked lists
+    * by Σ 1/(c + rank) — the standard hybrid-search combiner (lexical
+    * BM25 + semantic kNN in p6). Each input carries `doc_id, rank`;
+    * a doc absent from a list simply contributes nothing from it. One
+    * union + one k-bounded hash aggregate over frames that are already
+    * k-bounded by their producers — nothing corpus-sized. Scores round
+    * to 9 dp; ties break to the lowest id (two-list sums are exact-
+    * commutative in fp; for >2 lists the 9-dp round absorbs fold
+    * order, contributions being ≥ 1/(c + maxRank) ≫ 1e-9).
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k >= 1, "need lists and k >= 1")
+    lists
+      .map(_.select(
+        col("doc_id"),
+        (lit(1.0) / (lit(c) + col("rank"))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("contrib")), 9).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Winsorized (percentile-clipped) per-group summary of a numeric
     * feature — the outlier-control preprocessing a tabular trainer
     * runs. Exact linear-interpolated percentiles (`percentile`, the

@@ -294,6 +294,21 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(gated == Set("b"), gated)
   }
 
+  test("rrfFuse hand value: overlap beats single-list, ties break by id") {
+    val sp = spark
+    import sp.implicits._
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val l2 = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val got = graft.operators.Metrics.rrfFuse(Seq(l1, l2), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 20: 1/62 + 1/61 ≈ 0.032524; doc 10: 1/61; doc 40: 1/62; doc 30: 1/63
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L), got.toSeq)
+    assert(got(0)._3 == 2 && got(1)._3 == 1)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._2 == r9(1.0 / 62 + 1.0 / 61), got(0))
+  }
+
   test("winsorize hand value: clip counts and winsorized mean") {
     val sp = spark
     import sp.implicits._

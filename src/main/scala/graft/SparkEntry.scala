@@ -872,6 +872,57 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled Luby-matching oracle — [[lubyMisOracleSql]]'s edge-side
+    * twin: per round the md5 edge priorities, the per-vertex minima,
+    * the both-endpoint winners, and the shrunken active edge set.
+    */
+  private def lubyMatchingOracleSql(
+      nV: Long, nE: Long, graphSalt: String,
+      salt: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, graphSalt)},\n"
+    sb ++=
+      """ce AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM pe WHERE src <> dst),
+        |ae0 AS MATERIALIZED (SELECT u, v FROM ce)""".stripMargin
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+         |ap$r AS MATERIALIZED (
+         |  SELECT u, v, CAST(concat('0x', substr(md5(concat(
+         |    CAST(u AS VARCHAR), ':', CAST(v AS VARCHAR),
+         |    ':$r:', '$salt')), 1, 15)) AS BIGINT) AS p
+         |  FROM ae$r),
+         |vm$r AS MATERIALIZED (
+         |  SELECT x, p AS mp, u AS mu, v AS mv FROM (
+         |    SELECT x, p, u, v,
+         |      row_number() OVER (PARTITION BY x
+         |                         ORDER BY p, u, v) AS rn
+         |    FROM (SELECT u AS x, p, u, v FROM ap$r
+         |          UNION ALL SELECT v, p, u, v FROM ap$r))
+         |  WHERE rn = 1),
+         |wm$r AS MATERIALIZED (
+         |  SELECT a.u, a.v FROM ap$r a
+         |  JOIN vm$r m1 ON m1.x = a.u
+         |    AND (m1.mp, m1.mu, m1.mv) = (a.p, a.u, a.v)
+         |  JOIN vm$r m2 ON m2.x = a.v
+         |    AND (m2.mp, m2.mu, m2.mv) = (a.p, a.u, a.v)),
+         |mx$r AS MATERIALIZED (
+         |  SELECT u AS x FROM wm$r UNION SELECT v FROM wm$r),
+         |ae${r + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM ae$r
+         |  WHERE u NOT IN (SELECT x FROM mx$r)
+         |    AND v NOT IN (SELECT x FROM mx$r))""".stripMargin
+    }
+    sb ++= s""",
+       |mAll AS (${(0 until rounds)
+        .map(r => s"SELECT u, v FROM wm$r").mkString(" UNION ")})
+       |SELECT c.u, c.v,
+       |  ((c.u, c.v) IN (SELECT (u, v) FROM mAll)) AS in_matching
+       |FROM ce c""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.sources.SyntheticGraph.portableBlocks]]:
     * two disjoint md5-range blocks, the second shifted by nVBlock.
     */
@@ -4286,6 +4337,15 @@ object SparkEntry {
       // additionally property-locked in MisSpec.
       graft.operators.Mis.lubyMis(
         graft.sources.SyntheticGraph.portable(s, 300, 450, "g48"))),
+    "g49_luby_matching" -> ((s, dir) =>
+      // MAXIMAL MATCHING by the same symmetry-breaking recipe directly
+      // on edges: an edge enters iff it is the (priority, u, v)-min at
+      // BOTH endpoints; matched vertices retire their edges. The
+      // global-min active edge always wins, so termination is proven,
+      // and the oracle unrolls the exact rounds. Matching-validity +
+      // maximality property-locked in MisSpec.
+      graft.operators.Mis.lubyMatching(
+        graft.sources.SyntheticGraph.portable(s, 300, 450, "g49"))),
     "g43_skipgram_pairs" -> { (s, dir) =>
       // SKIP-GRAM pair generation from the g36 walk corpus (the
       // word2vec/DeepWalk training-pair table — walks are sentences,
@@ -4532,6 +4592,8 @@ object SparkEntry {
       // 12 unrolled rounds ≥ the measured fixpoint depth (MisSpec
       // asserts depth ≤ 10 with margin; extra rounds are no-ops)
       lubyMisOracleSql(300, 450, "g48", "mis-v1", 12),
+    "g49_luby_matching" ->
+      lubyMatchingOracleSql(300, 450, "g49", "match-v1", 12),
     "g15_components" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g15")},
          |ed AS (SELECT src AS u, dst AS v FROM pe

@@ -99,6 +99,135 @@ object Mis {
       .groupBy(col("dst"))
       .agg(min(col("ps")).as("min_nbr"))
 
+  /** MAXIMAL MATCHING by the same symmetry-breaking recipe ([[lubyMis]]
+    * on the line graph, computed directly): each round every ACTIVE
+    * edge draws an md5 priority keyed by (u, v, round, salt); an edge
+    * enters the matching iff it is the (priority, u, v)-minimum at
+    * BOTH endpoints (strictly better than every active edge it shares
+    * a vertex with — ties impossible under the total order), then
+    * matched vertices retire all their edges. The global-minimum
+    * active edge always wins its round, so the loop provably
+    * terminates; expected O(log n) rounds. Deterministic end to end —
+    * the g49 oracle unrolls the rounds in SQL.
+    *
+    * Scale shape per round: one 2·|active| endpoint explode into a
+    * map-side-combined min aggregate keyed by vertex, then two
+    * |active|-row joins back — everything is bounded by the shrinking
+    * active set; state rotates via [[CacheScope.rotate]]. Fails loudly
+    * at `maxRounds` rather than returning a non-maximal matching.
+    *
+    * Output: `u LONG, v LONG, in_matching BOOLEAN` over the canonical
+    * (u < v, self-loops dropped) edge set.
+    */
+  def lubyMatching(
+      edges: DataFrame,
+      salt: String = "match-v1",
+      maxRounds: Int = 64): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .transform(CacheScope.rotate)
+    var active = canon
+    var matched: DataFrame = null
+    var r = 0
+    var nActive = active.count()
+    while (nActive > 0) {
+      require(r < maxRounds,
+        s"lubyMatching: $nActive edges still active after $maxRounds " +
+          "rounds — refusing to return a non-maximal matching")
+      val ap = active.withColumn("p", edgePrio(r, salt))
+      val vmin = matchVertexMin(ap)
+      val winners = ap
+        .join(
+          vmin.select(col("x").as("u"), col("min_ps").as("mu")),
+          Seq("u"))
+        .join(
+          vmin.select(col("x").as("v"), col("min_ps").as("mv")),
+          Seq("v"))
+        .filter(
+          struct(col("p"), col("u"), col("v")) === col("mu")
+            && struct(col("p"), col("u"), col("v")) === col("mv"))
+        .select(col("u"), col("v"))
+        .transform(CacheScope.rotate)
+      matched =
+        if (matched == null) winners else matched.unionByName(winners)
+      val mVtx = winners.select(col("u").as("x"))
+        .union(winners.select(col("v").as("x"))).distinct()
+      active = active
+        .join(mVtx.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+        .join(mVtx.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+        .transform(CacheScope.rotate)
+      nActive = active.count()
+      r += 1
+    }
+    val mFlag =
+      if (matched == null)
+        canon.limit(0).withColumn("in_matching", lit(true))
+      else matched.withColumn("in_matching", lit(true))
+    canon
+      .join(mFlag, Seq("u", "v"), "left")
+      .select(
+        col("u"), col("v"),
+        coalesce(col("in_matching"), lit(false)).as("in_matching"))
+  }
+
+  private def edgePrio(r: Int, salt: String): Column =
+    conv(
+      substring(
+        md5(concat_ws(":",
+          col("u").cast("string"), col("v").cast("string"),
+          lit(r.toString), lit(salt))),
+        1, 15),
+      16, 10).cast("long")
+
+  /** ONE matching round's per-vertex minimum, exposed for the PlanSpec
+    * audit: the endpoint explode is a zero-join union projection and
+    * the (p, u, v) min folds map-side keyed by vertex.
+    */
+  private[graft] def matchVertexMin(ap: DataFrame): DataFrame = {
+    val ps = struct(col("p"), col("u"), col("v")).as("ps")
+    ap.select(col("u").as("x"), ps)
+      .unionByName(ap.select(col("v").as("x"), ps))
+      .groupBy(col("x"))
+      .agg(min(col("ps")).as("min_ps"))
+  }
+
+  /** [[lubyMatching]]'s fixpoint depth — test-only, same purpose as
+    * [[roundsNeeded]].
+    */
+  private[graft] def matchingRoundsNeeded(
+      edges: DataFrame, salt: String = "match-v1"): Int = {
+    var active = edges.filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .transform(CacheScope.rotate)
+    var r = 0
+    while (active.count() > 0 && r < 64) {
+      val ap = active.withColumn("p", edgePrio(r, salt))
+      val vmin = matchVertexMin(ap)
+      val winners = ap
+        .join(vmin.select(col("x").as("u"), col("min_ps").as("mu")),
+          Seq("u"))
+        .join(vmin.select(col("x").as("v"), col("min_ps").as("mv")),
+          Seq("v"))
+        .filter(struct(col("p"), col("u"), col("v")) === col("mu")
+          && struct(col("p"), col("u"), col("v")) === col("mv"))
+        .select(col("u"), col("v"))
+      val mVtx = winners.select(col("u").as("x"))
+        .union(winners.select(col("v").as("x"))).distinct()
+      active = active
+        .join(mVtx.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+        .join(mVtx.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+        .transform(CacheScope.rotate)
+      r += 1
+    }
+    r
+  }
+
   /** Rounds the fixpoint needed on `edges` — exposed so the oracle's
     * unroll depth can be asserted ≥ the real depth (an unrolled round
     * past termination is a no-op, so oracle depth only needs to be an

@@ -169,6 +169,35 @@ class MisSpec extends AnyFunSuite {
     graft.operators.Mis.lubyMis(fixture).count()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("matching validity and maximality on the g49 fixture") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 300, 450, "g49")
+    val m = graft.operators.Mis.lubyMatching(e).persist()
+    val won = m.filter(col("in_matching"))
+    // validity: no vertex appears in two matched edges
+    val vtxUse = won.select(col("u").as("x"))
+      .union(won.select(col("v").as("x")))
+      .groupBy(col("x")).count().filter(col("count") > 1)
+    assert(vtxUse.count() == 0)
+    // maximality: every unmatched edge touches a matched vertex
+    val mVtx = won.select(col("u").as("x"))
+      .union(won.select(col("v").as("x"))).distinct()
+    val uncovered = m.filter(!col("in_matching"))
+      .join(mVtx.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+      .join(mVtx.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+    assert(uncovered.count() == 0)
+    m.unpersist()
+  }
+
+  test("matching fixpoint depth within the 12-round unroll; deterministic") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 300, 450, "g49")
+    assert(graft.operators.Mis.matchingRoundsNeeded(e) <= 10)
+    val a = graft.operators.Mis.lubyMatching(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = graft.operators.Mis.lubyMatching(e.repartition(11))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
 }
 
 class RetrievalMetricsSpec extends AnyFunSuite {

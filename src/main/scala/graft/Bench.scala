@@ -154,6 +154,13 @@ object Bench {
         extras += "\"" + (if (n.startsWith("e23")) "nsw_sec"
                           else "exact_knn_sec") + "\":" + r1d(v)
     }
+    // d46b/d46c: full-matrix vs banded thresholded Levenshtein on the
+    // src16 slice — the measured cost of NOT using Ukkonen's band
+    results.collect {
+      case (n @ ("d46b_lev_full" | "d46c_lev_banded"), Right((v, _)), _) =>
+        extras += "\"" + (if (n.startsWith("d46b")) "lev_full_sec"
+                          else "lev_banded_sec") + "\":" + r1d(v)
+    }
     // e11 funnel-vs-exact pair at 500 probes: the measured MRL
     // cost-dial crossover, carried in the contract line like the
     // e9/g18/g20 pairs

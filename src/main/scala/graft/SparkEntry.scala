@@ -823,6 +823,19 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared d46b/d46c oracle — the full-matrix and banded engine forms
+    * produce identical pairs on the src16 slice by construction (−1
+    * beyond threshold ≡ filtered), so one SQL locks both.
+    */
+  private val levSrc0OracleSql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.source = b.source AND a.doc_id < b.doc_id
+      |  AND abs(len(a.text) - len(b.text)) <= 60
+      |WHERE a.source = 'src16'
+      |  AND levenshtein(a.text, b.text) <= 60""".stripMargin
+
   /** Unrolled Luby-MIS oracle: `rounds` chained symmetry-breaking
     * rounds over the portable graph, each recomputing the md5
     * (priority, id) race, the winners, and the shrunken active set.
@@ -4205,6 +4218,19 @@ object SparkEntry {
       // length-compatible same-block pairs.
       graft.operators.Dedup.editDistanceNearDup(
         t(s, dir, "documents"), blockCol = "source", maxDist = 60)),
+    "d46b_lev_full" -> ((s, dir) =>
+      // the DELIBERATE worse twin (g18/g20 discipline): full-matrix
+      // O(len²) Levenshtein on the src16 slice — same output as d46c,
+      // measured against it every round in the bench contract line
+      graft.operators.Dedup.editDistanceNearDup(
+        t(s, dir, "documents").filter(col("source") === "src16"),
+        blockCol = "source", maxDist = 60, banded = false)),
+    "d46c_lev_banded" -> ((s, dir) =>
+      // the banded Ukkonen form on the same slice — the fast half of
+      // the measured pair
+      graft.operators.Dedup.editDistanceNearDup(
+        t(s, dir, "documents").filter(col("source") === "src16"),
+        blockCol = "source", maxDist = 60, banded = true)),
     "d47_inverted_index" -> ((s, dir) =>
       // the lexical index artifact BM25 serves from: token → sorted
       // posting list + df, one exploded distinct-(doc, token) pass,
@@ -6649,6 +6675,8 @@ object SparkEntry {
         |  ON a.source = b.source AND a.doc_id < b.doc_id
         |  AND abs(len(a.text) - len(b.text)) <= 60
         |WHERE levenshtein(a.text, b.text) <= 60""".stripMargin,
+    "d46b_lev_full" -> levSrc0OracleSql,
+    "d46c_lev_banded" -> levSrc0OracleSql,
     "d47_inverted_index" ->
       // numeric-sorted postings joined with ',' — byte-identical to
       // the engine's sort_array + array_join encoding

@@ -667,7 +667,8 @@ object Dedup {
   def editDistanceNearDup(
       docs: DataFrame,
       blockCol: String = "source",
-      maxDist: Int = 60): DataFrame = {
+      maxDist: Int = 60,
+      banded: Boolean = true): DataFrame = {
     val meta = docs.select(
       col(blockCol).as("blk"), col("doc_id"),
       length(col("text")).as("len"))
@@ -697,10 +698,15 @@ object Dedup {
       // for the far-apart pairs that dominate any candidate set
       // (measured ~7× on the bench corpus; −1 marks over-threshold, so
       // the ≥ 0 filter is exactly the oracle's full-lev ≤ maxDist)
+      // `banded = false` keeps the full-matrix form alive as the
+      // measured worse twin (the g18/g20 discipline): same output,
+      // O(len²) cells per pair — the d46b/d46c bench pair keeps the
+      // crossover measured every round
       .withColumn(
         "dist",
-        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
-      .filter(col("dist") >= 0)
+        (if (banded) levenshtein(col("ta"), col("tb"), maxDist)
+         else levenshtein(col("ta"), col("tb"))).cast("long"))
+      .filter(if (banded) col("dist") >= 0 else col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -2518,6 +2518,54 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io10_nested_pushdown" -> { (s, dir) =>
+      // NESTED-column pushdown + schema pruning — the struct-shaped
+      // table a real event lake keeps (props/meta/metrics as structs):
+      // the predicate on meta.event_type must reach the parquet scan
+      // as a nested PushedFilter, and the read schema must carry ONLY
+      // the struct fields the query touches (metrics.ts_us is never
+      // read — plan-asserted in PlanSpec). The aggregate over the
+      // nested round-trip hash-matches the flat ground truth: pruning
+      // must lose nothing.
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          struct(col("user_id"), col("event_type")).as("meta"),
+          struct(
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+            .as("metrics"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_nested_io10").toString
+      try {
+        ev.write.mode("overwrite").parquet(tmp)
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(tmp)
+            .filter(col("meta.event_type") === "purchase")
+            .groupBy(col("meta.user_id").as("user_id"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(sum(col("metrics.value")), 2).as("sum_value")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "q43_histogram" -> ((s, dir) =>
+      // EQUAL-WIDTH histogram (d40's rank-based binning is the
+      // equal-frequency twin): fixed literal bin width so the layout
+      // is one stateless floor projection + one map-side-combined
+      // count — no percentile pass, no window; the per-bin sum rides
+      // the same aggregate
+      t(s, dir, "lineitem")
+        .select(
+          floor(col("l_extendedprice") / 10000).cast("long").as("bin"),
+          col("l_extendedprice"))
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))),
     "io8_minmax_skip" -> { (s, dir) =>
       // MIN/MAX DATA SKIPPING on a SORT-ORDERED layout — the cheapest
       // and most common bytes-never-read trick at 100 TB (the fourth
@@ -5656,6 +5704,17 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 7 AND day(ts) BETWEEN 4 AND 9
         |GROUP BY 1""".stripMargin,
+    "io10_nested_pushdown" ->
+      // the FLAT ground truth: the nested round-trip + pruned scan
+      // must reproduce it exactly
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin,
+    "q43_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "io8_minmax_skip" ->
       // the unsorted ground truth over the SAME time window: a scan
       // whose stats-skipping dropped (or double-read) a row group

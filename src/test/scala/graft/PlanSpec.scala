@@ -683,6 +683,42 @@ class PlanSpec extends AnyFunSuite {
     } finally e.unpersist()
   }
 
+  test("io10 nested pushdown: struct predicate reaches the scan, unused struct field pruned") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        org.apache.spark.sql.functions
+          .struct(col("user_id"), col("event_type")).as("meta"),
+        org.apache.spark.sql.functions
+          .struct(col("value"),
+            org.apache.spark.sql.functions.unix_micros(col("ts"))
+              .as("ts_us")).as("metrics"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_nested_plan").toString
+    try {
+      ev.write.mode("overwrite").parquet(tmp)
+      val p = spark.read.parquet(tmp)
+        .filter(col("meta.event_type") === "purchase")
+        .groupBy(col("meta.user_id").as("user_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("metrics.value"))
+            .as("s"))
+        .queryExecution.executedPlan.toString
+      // the nested predicate must reach parquet as a pushed filter...
+      assert(p.contains("PushedFilters: [IsNotNull(meta.event_type)"), p)
+      // ...and nested schema pruning must drop the untouched
+      // metrics.ts_us from the read schema entirely
+      assert(p.contains("ReadSchema"), p)
+      assert(!p.contains("ts_us"), "unused nested field must be pruned: " + p)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("g48 MIS round: cached adjacency never re-exchanges, min-neighbor folds map-side") {
     val edges = graft.sources.SyntheticGraph.portable(spark, 300, 450, "g48")
     val sym = edges.filter(col("src") =!= col("dst"))

@@ -936,6 +936,65 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled iterated-MIS coloring oracle — [[lubyMisOracleSql]]
+    * nested: `colors` outer color classes, each an unrolled
+    * `rounds`-deep MIS fixpoint over the residual vertex set under
+    * salt `salt:k`. Both unrolls are generous upper bounds (no-ops
+    * past termination); MisSpec asserts (4, 3) measured depth against
+    * the (6, 6) unroll.
+    */
+  private def lubyColoringOracleSql(
+      nV: Long, nE: Long, graphSalt: String,
+      salt: String, colors: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, graphSalt)},\n"
+    sb ++=
+      """ed AS MATERIALIZED (
+        |  SELECT src AS u, dst AS v FROM pe WHERE src <> dst
+        |  UNION
+        |  SELECT dst, src FROM pe WHERE src <> dst),
+        |rem0 AS MATERIALIZED (
+        |  SELECT src AS id FROM pe UNION SELECT dst FROM pe)""".stripMargin
+    for (k <- 0 until colors) {
+      sb ++= s""",
+         |a${k}x0 AS MATERIALIZED (SELECT id FROM rem$k)""".stripMargin
+      for (r <- 0 until rounds) {
+        sb ++= s""",
+           |p${k}x$r AS MATERIALIZED (
+           |  SELECT id, CAST(concat('0x', substr(md5(concat(
+           |    CAST(id AS VARCHAR), ':$r:', '$salt:$k')), 1, 15))
+           |    AS BIGINT) AS p
+           |  FROM a${k}x$r),
+           |n${k}x$r AS MATERIALIZED (
+           |  SELECT id, p AS np, nid FROM (
+           |    SELECT e.v AS id, a.p, a.id AS nid,
+           |      row_number() OVER (PARTITION BY e.v
+           |                         ORDER BY a.p, a.id) AS rn
+           |    FROM ed e JOIN p${k}x$r a ON a.id = e.u) WHERE rn = 1),
+           |w${k}x$r AS MATERIALIZED (
+           |  SELECT a.id FROM p${k}x$r a
+           |  LEFT JOIN n${k}x$r n ON n.id = a.id
+           |  WHERE n.id IS NULL OR (a.p, a.id) < (n.np, n.nid)),
+           |a${k}x${r + 1} AS MATERIALIZED (
+           |  SELECT id FROM a${k}x$r
+           |  WHERE id NOT IN (SELECT id FROM w${k}x$r)
+           |    AND id NOT IN (SELECT e.v FROM ed e
+           |                   JOIN w${k}x$r w ON w.id = e.u))""".stripMargin
+      }
+      sb ++= s""",
+         |m$k AS MATERIALIZED (${(0 until rounds)
+          .map(r => s"SELECT id FROM w${k}x$r").mkString(" UNION ")}),
+         |rem${k + 1} AS MATERIALIZED (
+         |  SELECT id FROM rem$k
+         |  WHERE id NOT IN (SELECT id FROM m$k))""".stripMargin
+    }
+    sb ++= s"""
+       |${(0 until colors)
+        .map(k => s"SELECT id, CAST($k AS BIGINT) AS color FROM m$k")
+        .mkString(" UNION ALL ")}""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.sources.SyntheticGraph.portableBlocks]]:
     * two disjoint md5-range blocks, the second shifted by nVBlock.
     */
@@ -4420,6 +4479,14 @@ object SparkEntry {
       // maximality property-locked in MisSpec.
       graft.operators.Mis.lubyMatching(
         graft.sources.SyntheticGraph.portable(s, 300, 450, "g49"))),
+    "g50_coloring" -> ((s, dir) =>
+      // graph coloring by ITERATED MIS (the Luby route to a proper
+      // Δ+1-bounded coloring): color k = g48's fixpoint on the
+      // residual graph under salt color-v1:k. Properness and the
+      // no-smaller-color witness property are unit-locked; the oracle
+      // unrolls colors × rounds.
+      graft.operators.Mis.lubyColoring(
+        graft.sources.SyntheticGraph.portable(s, 120, 180, "g50"))),
     "g43_skipgram_pairs" -> { (s, dir) =>
       // SKIP-GRAM pair generation from the g36 walk corpus (the
       // word2vec/DeepWalk training-pair table — walks are sentences,
@@ -4668,6 +4735,8 @@ object SparkEntry {
       lubyMisOracleSql(300, 450, "g48", "mis-v1", 12),
     "g49_luby_matching" ->
       lubyMatchingOracleSql(300, 450, "g49", "match-v1", 12),
+    "g50_coloring" ->
+      lubyColoringOracleSql(120, 180, "g50", "color-v1", 6, 6),
     "g15_components" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g15")},
          |ed AS (SELECT src AS u, dst AS v FROM pe

@@ -50,6 +50,38 @@ object Mis {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = GraphBuilder.vertices(edges)
+    val mis = misOn(und, verts, salt, maxRounds)
+    val misFlag =
+      if (mis == null) verts.limit(0).withColumn("in_mis", lit(true))
+      else mis.withColumn("in_mis", lit(true))
+    val out = verts
+      .join(misFlag, Seq("id"), "left")
+      .select(
+        col("id"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+    CacheScope.sealAfter(out, und)
+  }
+
+  /** The MIS fixpoint over an arbitrary starting vertex set — the
+    * induced-subgraph form [[lubyColoring]] iterates: edges to
+    * vertices OUTSIDE `verts` never constrain anyone because only
+    * active vertices enter the priority frame. Returns the MIS ids
+    * (possibly empty frame when `verts` is empty).
+    */
+  private def misOn(
+      und: DataFrame,
+      verts: DataFrame,
+      salt: String,
+      maxRounds: Int): DataFrame =
+    misOnCounted(und, verts, salt, maxRounds)._1
+
+  /** [[misOn]] plus the fixpoint depth it used — the depth feeds the
+    * oracle unroll-bound assertions.
+    */
+  private def misOnCounted(
+      und: DataFrame,
+      verts: DataFrame,
+      salt: String,
+      maxRounds: Int): (DataFrame, Int) = {
     var active = verts.transform(CacheScope.rotate)
     var mis: DataFrame = null
     var r = 0
@@ -77,14 +109,84 @@ object Mis {
       nActive = active.count()
       r += 1
     }
-    val misFlag =
-      if (mis == null) verts.limit(0).withColumn("in_mis", lit(true))
-      else mis.withColumn("in_mis", lit(true))
-    val out = verts
-      .join(misFlag, Seq("id"), "left")
-      .select(
-        col("id"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
-    CacheScope.sealAfter(out, und)
+    (if (mis == null) verts.limit(0) else mis, r)
+  }
+
+  /** GRAPH COLORING by iterated MIS (the Luby route to a
+    * (Δ+1)-bounded proper coloring): color k is the MIS of the
+    * residual graph under salt `salt:k`; its members retire, the rest
+    * continue. Two properties fall out by construction and are
+    * unit-locked: the coloring is PROPER (each color class is an
+    * independent set), and every vertex of color k has, for EVERY
+    * j < k, a neighbor of color j (MIS maximality — so no vertex
+    * could take a smaller color under this schedule). Deterministic
+    * end to end; the g50 oracle unrolls colors × rounds in SQL.
+    *
+    * Scale shape: the symmetrized adjacency partitions ONCE and is
+    * shared by every color's fixpoint (the residual graph is implicit
+    * — inactive vertices simply never enter a priority frame, so no
+    * edge rewrite ever happens); expected total rounds
+    * O(colors · log n).
+    *
+    * Output: `id LONG, color LONG`.
+    */
+  def lubyColoring(
+      edges: DataFrame,
+      salt: String = "color-v1",
+      maxColors: Int = 64,
+      maxRounds: Int = 64): DataFrame = {
+    val sym = edges.filter(col("src") =!= col("dst"))
+    val und = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var remaining = GraphBuilder.vertices(edges)
+      .transform(CacheScope.rotate)
+    var colored: DataFrame = null
+    var k = 0
+    var nRem = remaining.count()
+    while (nRem > 0) {
+      require(k < maxColors,
+        s"lubyColoring: $nRem vertices uncolored after $maxColors " +
+          "colors — refusing to return a partial coloring")
+      val misK = misOn(und, remaining, s"$salt:$k", maxRounds)
+      val ck = misK.withColumn("color", lit(k.toLong))
+      colored = if (colored == null) ck else colored.unionByName(ck)
+      remaining = remaining.join(misK, Seq("id"), "left_anti")
+        .transform(CacheScope.rotate)
+      nRem = remaining.count()
+      k += 1
+    }
+    CacheScope.sealAfter(
+      if (colored == null)
+        remaining.limit(0).withColumn("color", lit(0L))
+      else colored,
+      und)
+  }
+
+  /** [[lubyColoring]]'s (colors, max inner fixpoint depth) — test-only,
+    * for the oracle unroll-depth assertions.
+    */
+  private[graft] def coloringDepth(
+      edges: DataFrame, salt: String = "color-v1"): (Int, Int) = {
+    val sym = edges.filter(col("src") =!= col("dst"))
+    val und = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var remaining = GraphBuilder.vertices(edges)
+      .transform(CacheScope.rotate)
+    var k = 0
+    var maxDepth = 0
+    while (remaining.count() > 0 && k < 64) {
+      val (misK, depth) = misOnCounted(und, remaining, s"$salt:$k", 64)
+      maxDepth = math.max(maxDepth, depth)
+      remaining = remaining.join(misK, Seq("id"), "left_anti")
+        .transform(CacheScope.rotate)
+      k += 1
+    }
+    und.unpersist(false)
+    (k, maxDepth)
   }
 
   /** ONE round's min-neighbor fold, exposed for the PlanSpec exchange

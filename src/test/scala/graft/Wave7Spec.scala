@@ -189,6 +189,39 @@ class MisSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("coloring is proper, every color has a lower-color witness, depth in unroll") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 120, 180, "g50")
+    val c = graft.operators.Mis.lubyColoring(e).persist()
+    val sym = e.filter(col("src") =!= col("dst"))
+    val ed = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // proper: no edge joins two vertices of the same color
+    val cu = c.select(col("id").as("src"), col("color").as("cs"))
+    val cv = c.select(col("id").as("dst"), col("color").as("cd"))
+    assert(ed.join(cu, Seq("src")).join(cv, Seq("dst"))
+      .filter(col("cs") === col("cd")).count() == 0)
+    // witness: a vertex of color k has, for every j < k, a neighbor of
+    // color j (MIS maximality at every earlier color) — so no vertex
+    // could take a smaller color under this schedule
+    val nbrColors = ed.join(cv, Seq("dst"))
+      .select(col("src").as("id"), col("cd"))
+      .distinct()
+    val witnessCount = nbrColors
+      .join(c, Seq("id"))
+      .filter(col("cd") < col("color"))
+      .groupBy(col("id"), col("color"))
+      .agg(countDistinct(col("cd")).as("w"))
+    assert(witnessCount.filter(col("w") =!= col("color")).count() == 0)
+    assert(c.join(witnessCount, Seq("id"), "left_anti")
+      .filter(col("color") > 0).count() == 0)
+    // measured depth (4 colors, 3 inner rounds) sits well inside the
+    // oracle's (6, 6) unroll
+    val (colors, depth) = graft.operators.Mis.coloringDepth(e)
+    assert(colors <= 5 && depth <= 5, (colors, depth))
+    c.unpersist()
+  }
+
   test("matching fixpoint depth within the 12-round unroll; deterministic") {
     val e = graft.sources.SyntheticGraph.portable(spark, 300, 450, "g49")
     assert(graft.operators.Mis.matchingRoundsNeeded(e) <= 10)

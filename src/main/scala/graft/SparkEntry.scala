@@ -4325,6 +4325,16 @@ object SparkEntry {
       // length-compatible same-block pairs.
       graft.operators.Dedup.editDistanceNearDup(
         t(s, dir, "documents"), blockCol = "source", maxDist = 60)),
+    "d48_ppjoin" -> ((s, dir) =>
+      // EXACT τ-Jaccard set-similarity join by PREFIX FILTERING (the
+      // PPJoin lemma): rarest-first canonical order, |T|−⌈τ·|T|⌉+1
+      // prefix, candidates = pairs sharing a prefix element + the
+      // lossless size bound, exact verify on candidates only. 100%
+      // recall is a theorem (spec-locked against brute force) — the
+      // LOSSLESS member of the near-dup family next to d5's
+      // probabilistic banding.
+      graft.operators.Dedup.ppJoin(
+        t(s, dir, "documents"), tau = 0.8, shingle = 3)),
     "d46b_lev_full" -> ((s, dir) =>
       // the DELIBERATE worse twin (g18/g20 discipline): full-matrix
       // O(len²) Levenshtein on the src16 slice — same output as d46c,
@@ -6803,6 +6813,47 @@ object SparkEntry {
         |  ON a.source = b.source AND a.doc_id < b.doc_id
         |  AND abs(len(a.text) - len(b.text)) <= 60
         |WHERE levenshtein(a.text, b.text) <= 60""".stripMargin,
+    "d48_ppjoin" ->
+      // the whole prefix-filter chain replayed: d5b's shingle digests,
+      // df, the (df, t) canonical order, the prefix cut, the size
+      // bound, the candidate join, the exact verify. τ rides as an
+      // explicit DOUBLE so both engines ceil/floor the same IEEE value
+      // (DuckDB would otherwise read 0.8 as DECIMAL)
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(tk) - 2, 1)),
+        |      i -> CAST(concat('0x',
+        |        substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 15))
+        |        AS BIGINT))) AS ts
+        |  FROM tk),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM sh),
+        |df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+        |rk AS (
+        |  SELECT doc_id, t,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY df.df, t) AS rnk,
+        |    count(*) OVER (PARTITION BY doc_id) AS sz
+        |  FROM tok JOIN df USING (t)),
+        |pf AS (SELECT doc_id, t, sz FROM rk
+        |       WHERE rnk <= sz - ceil(CAST(0.8 AS DOUBLE) * sz) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pf a JOIN pf b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  AND b.sz >= ceil(CAST(0.8 AS DOUBLE) * a.sz)
+        |  AND b.sz <= floor(a.sz / CAST(0.8 AS DOUBLE)))
+        |SELECT c.id_a, c.id_b,
+        |  round(CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.ts, sb.ts))), 6)
+        |    AS jaccard
+        |FROM cand c
+        |JOIN sh sa ON sa.doc_id = c.id_a
+        |JOIN sh sb ON sb.doc_id = c.id_b
+        |WHERE round(CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.ts, sb.ts))), 6)
+        |      >= CAST(0.8 AS DOUBLE)""".stripMargin,
     "d46b_lev_full" -> levSrc0OracleSql,
     "d46c_lev_banded" -> levSrc0OracleSql,
     "d47_inverted_index" ->

@@ -641,6 +641,90 @@ object Dedup {
         .as("contaminated"))
   }
 
+  /** EXACT set-similarity join by PREFIX FILTERING (PPJoin's core
+    * lemma, Xiao et al. 2008) — the LOSSLESS member of the near-dup
+    * family: unlike LSH banding (probabilistic recall) it returns
+    * EVERY pair with token-set Jaccard ≥ τ, and unlike the blocked
+    * quadratic forms it never enumerates a block's cross product.
+    *
+    * Lemma: order each doc's distinct tokens canonically (ascending
+    * document frequency, ties lexicographic — rarest first) and keep
+    * only the first |T| − ⌈τ·|T|⌉ + 1 as its PREFIX. Two sets with
+    * Jaccard ≥ τ MUST share a prefix token (if they shared none, the
+    * overlap is confined to the suffixes, which are too small to reach
+    * τ). So: candidates = pairs sharing ANY prefix token (an equi-join
+    * keyed by token over prefix tokens only — Σ|bucket|² on PREFIX
+    * buckets, which the rarest-first order keeps small by
+    * construction: prefixes are made of LOW-df tokens), then one exact
+    * Jaccard verify per candidate. 100% recall is a THEOREM, not a
+    * tuning outcome — and the spec locks it against the brute-force
+    * join on the gate fixture.
+    *
+    * Scale: the df table is token-keyed (Heaps-sublinear, statistics
+    * pick the join side); prefix buckets are df-bounded — the hot
+    * stop-word buckets that would explode a naive token join never
+    * appear in a prefix unless a doc is nearly ALL stop words. The
+    * verify joins ride the id-keyed candidate frame (the d46
+    * redistribution discipline).
+    *
+    * Output: `id_a, id_b, jaccard DOUBLE` (id_a < id_b, ≥ τ).
+    */
+  def ppJoin(
+      docs: DataFrame, tau: Double = 0.8, shingle: Int = 3): DataFrame =
+    ppJoinSets(
+      docs.select(
+        col("doc_id"),
+        shingleSetPortable(col("text"), shingle).as("ts")),
+      tau)
+
+  /** [[ppJoin]]'s generic core over a `(doc_id, ts ARRAY<LONG>)`
+    * distinct-element set frame.
+    */
+  def ppJoinSets(setsIn: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    val sets = setsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sets.select(col("doc_id"), explode(col("ts")).as("t"))
+    val df = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("t"))
+    val ranked = toks.join(df, Seq("t"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn(
+        "sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rnk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id"), col("t"), col("sz"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), Seq("t"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      // size filter is also lossless: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ
+      .filter(
+        col("b.sz") >= ceil(lit(tau) * col("a.sz"))
+          && col("b.sz") <= floor(col("a.sz") / lit(tau)))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .repartition(col("id_a"), col("id_b"))
+    val out = cand
+      .join(sets.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("ts", "ta"), Seq("id_a"))
+      .join(sets.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("ts", "tb"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("ta"), col("tb"))).cast("double")
+            / size(array_union(col("ta"), col("tb"))),
+          6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    CacheScope.sealAfter(out, sets)
+  }
+
   /** EDIT-DISTANCE near-dup pairs — the character-level member of the
     * near-dup family (exact d1 / MinHash d5 / SimHash d7 / semantic
     * e26): same-block pairs whose Levenshtein distance is ≤ `maxDist`.

@@ -356,6 +356,42 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(gated == Set("b"), gated)
   }
 
+  test("ppJoin equals the brute-force tau-Jaccard join (100% recall theorem)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val tau = 0.5 // low tau = worst case for the prefix filter
+    val got = graft.operators.Dedup.ppJoin(docs, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val sets = docs.select(
+      col("doc_id"),
+      graft.operators.Dedup.shingleSetPortable(col("text"), 3).as("ts"))
+    val brute = sets.as("a")
+      .join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(
+          size(array_intersect(col("a.ts"), col("b.ts"))).cast("double")
+            / size(array_union(col("a.ts"), col("b.ts"))), 6)
+          .as("j"))
+      .filter(col("j") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == brute, s"prefix filter lost pairs: ${brute -- got}")
+    assert(got.nonEmpty, "fixture should have tau=0.5 pairs")
+  }
+
+  test("ppJoin tau=1 finds exactly the identical-set pairs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.ppJoin(docs, tau = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got)
+  }
+
   test("rrfFuse hand value: overlap beats single-list, ties break by id") {
     val sp = spark
     import sp.implicits._

@@ -4325,6 +4325,19 @@ object SparkEntry {
       // length-compatible same-block pairs.
       graft.operators.Dedup.editDistanceNearDup(
         t(s, dir, "documents"), blockCol = "source", maxDist = 60)),
+    "d49_calibration" -> ((s, dir) =>
+      // CALIBRATION bins for a scored binary label (the reliability
+      // table ECE sums over, next to d42's AUC): d3's stopword ratio
+      // as the [0,1] score against the lang='en' label, RANK-binned
+      // (ntile over (score, id) — the d40 no-float-edges discipline).
+      graft.operators.Metrics.calibrationBins(
+        TextOps.qualityMetrics(t(s, dir, "documents"))
+          .join(
+            t(s, dir, "documents").select(col("doc_id"), col("lang")),
+            Seq("doc_id")),
+        score = col("stopword_ratio"),
+        label = col("lang") === "en",
+        id = col("doc_id"), bins = 10)),
     "d48_ppjoin" -> ((s, dir) =>
       // EXACT τ-Jaccard set-similarity join by PREFIX FILTERING (the
       // PPJoin lemma): rarest-first canonical order, |T|−⌈τ·|T|⌉+1
@@ -6813,6 +6826,27 @@ object SparkEntry {
         |  ON a.source = b.source AND a.doc_id < b.doc_id
         |  AND abs(len(a.text) - len(b.text)) <= 60
         |WHERE levenshtein(a.text, b.text) <= 60""".stripMargin,
+    "d49_calibration" ->
+      // same d3 ratio, same ntile(10) over (score, id), same per-bin
+      // aggregates
+      """WITH q AS (
+        |  SELECT doc_id, (lang = 'en') AS y,
+        |    round(CAST(len(list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is')))
+        |      AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 6)
+        |      AS s
+        |  FROM documents),
+        |b AS (SELECT s, y, doc_id,
+        |        CAST(ntile(10) OVER (ORDER BY s, doc_id) AS BIGINT)
+        |          AS bin
+        |      FROM q)
+        |SELECT bin, count(*) AS n, round(avg(s), 6) AS mean_score,
+        |  round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate,
+        |  round(abs(round(avg(s), 6) - round(avg(CAST(y AS DOUBLE)), 6)),
+        |        6) AS gap
+        |FROM b GROUP BY bin""".stripMargin,
     "d48_ppjoin" ->
       // the whole prefix-filter chain replayed: d5b's shingle digests,
       // df, the (df, t) canonical order, the prefix cut, the size

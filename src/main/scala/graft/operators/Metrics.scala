@@ -109,6 +109,39 @@ object Metrics {
       .limit(k)
   }
 
+  /** CALIBRATION (reliability) bins for a scored binary label — the
+    * diagram a team reads before trusting a quality classifier's
+    * probabilities, and the per-bin table ECE sums over. Binning is
+    * RANK-based (`ntile` over (score, id) — the d40 discipline: no
+    * float bin-edge can disagree cross-engine); each bin reports its
+    * size, mean score ("confidence") and positive rate ("accuracy").
+    * One window sort + one map-side-combined aggregate; the window
+    * partitions by nothing but operates on (score, id) — at 100 TB
+    * swap the global ntile for q20's approx-percentile edges, exactly
+    * as d40 documents for its equal-frequency twin.
+    *
+    * Output per bin: `bin, n, mean_score, pos_rate` (+ the |gap|
+    * each bin contributes to ECE before weighting).
+    */
+  def calibrationBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      id: Column,
+      bins: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("s"), col("i"))
+    df.select(
+        score.as("s"), label.cast("boolean").as("y"), id.as("i"))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("s")), 6).as("mean_score"),
+        round(avg(col("y").cast("double")), 6).as("pos_rate"))
+      .withColumn(
+        "gap", round(abs(col("mean_score") - col("pos_rate")), 6))
+  }
+
   /** Winsorized (percentile-clipped) per-group summary of a numeric
     * feature — the outlier-control preprocessing a tabular trainer
     * runs. Exact linear-interpolated percentiles (`percentile`, the

@@ -407,6 +407,22 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(got(0)._2 == r9(1.0 / 62 + 1.0 / 61), got(0))
   }
 
+  test("calibrationBins: perfectly-calibrated halves land on zero gap") {
+    val sp = spark
+    import sp.implicits._
+    // bins of {0.0 scores, all negative} and {1.0 scores, all positive}:
+    // mean_score == pos_rate in both bins → gap 0
+    val rows = ((0 until 10).map(i => (i.toLong, 0.0, false))
+      ++ (10 until 20).map(i => (i.toLong, 1.0, true)))
+      .toDF("id", "s", "y")
+    val got = graft.operators.Metrics
+      .calibrationBins(rows, col("s"), col("y"), col("id"), bins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 10L, 0.0, 0.0, 0.0), (2L, 10L, 1.0, 1.0, 0.0)), got.toSeq)
+  }
+
   test("winsorize hand value: clip counts and winsorized mean") {
     val sp = spark
     import sp.implicits._

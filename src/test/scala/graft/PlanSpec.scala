@@ -601,6 +601,36 @@ class PlanSpec extends AnyFunSuite {
       "threshold join must not be hint-broadcast: " + p)
   }
 
+  test("d41 bm25: term filter inside the scan, df/stats joins hint-free, top-k as heap") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.TextOps
+      .bm25TopK(docs, Seq("hash", "join", "scan"), k = 20)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"),
+      "df/avgdl joins must stay statistics-driven: " + opt)
+    val p = df.queryExecution.executedPlan.toString
+    // the global top-20 cut must plan as a bounded heap, never a sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d45 weighted sample plans as one projection + TakeOrderedAndProject") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Sampling
+      .weightedSample(docs, "doc_id", "n_chars", k = 25)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no shuffle beyond the heap's single-partition merge: the clock is
+    // a stateless scan projection
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("d48 ppJoin: prefix candidates are an equi-join on the element, never a cross product") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = concretePlan(graft.operators.Dedup.ppJoin(docs, tau = 0.8))
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+    assert(!p.toString.contains("BroadcastNestedLoopJoin"), p.toString)
+  }
+
   test("g31 SCC HashMin round: cached edge copy never re-exchanges, min map-side combined") {
     // the inner fixpoint both FW and BW passes run — same discipline as
     // g28: the to-partitioned persisted edge copy streams, only the

@@ -2611,6 +2611,77 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "q44_transitions" -> { (s, dir) =>
+      // first-order MARKOV transition matrix over per-user event
+      // sequences (the session-path statistic q31 lists raw): lead()
+      // per (user, time, id), pair counts map-side combined, row
+      // probabilities normalized inside each source state's
+      // |event_types|-bounded window
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val norm = Window.partitionBy(col("event_type"))
+      graft.sources.Tables.events(s, dir)
+        .withColumn("next", lead(col("event_type"), 1).over(seq))
+        .filter(col("next").isNotNull)
+        .groupBy(col("event_type"), col("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn(
+          "p",
+          round(col("n").cast("double") / sum(col("n")).over(norm), 6))
+    },
+    "q45_rfm" -> { (s, dir) =>
+      // RFM SEGMENTATION (recency/frequency/monetary quartiles over
+      // purchasers): one purchase-filtered aggregate per user, then
+      // three RANK-based ntile(4) scores (the d40 no-float-edges
+      // discipline, ties by user_id) — the classic CRM feature tuple
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.sources.Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          max(unix_micros(col("ts"))).as("r"),
+          count(lit(1)).as("f"),
+          round(sum(col("value")), 2).as("m"))
+      base
+        .withColumn(
+          "r_score",
+          ntile(4).over(
+            Window.orderBy(col("r"), col("user_id"))).cast("long"))
+        .withColumn(
+          "f_score",
+          ntile(4).over(
+            Window.orderBy(col("f"), col("user_id"))).cast("long"))
+        .withColumn(
+          "m_score",
+          ntile(4).over(
+            Window.orderBy(col("m"), col("user_id"))).cast("long"))
+        .select(
+          col("user_id"), col("r"), col("f"), col("m"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("segment"))
+    },
+    "q46_anomaly" -> { (s, dir) =>
+      // TRAILING-WINDOW z-score anomaly flag per user: value vs the
+      // mean/stddev of the 5 preceding events (frame excludes the
+      // current row — no self-leakage, the p5 discipline applied to
+      // windows); per-user frames keep the sort distributed
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-5, -1)
+      graft.sources.Tables.events(s, dir)
+        .withColumn("n_prev", count(col("value")).over(w))
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .filter(col("n_prev") >= 3 && col("sd") > 0)
+        .select(
+          col("event_id"), col("user_id"),
+          col("value"),
+          round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+        .withColumn("anomaly", abs(col("z")) > 2)
+    },
     "q43_histogram" -> ((s, dir) =>
       // EQUAL-WIDTH histogram (d40's rank-based binning is the
       // equal-frequency twin): fixed literal bin width so the layout
@@ -5807,6 +5878,48 @@ object SparkEntry {
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
         |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q44_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |c AS (SELECT event_type, next, count(*) AS n FROM s
+        |      WHERE next IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next, n,
+        |  round(CAST(n AS DOUBLE)
+        |        / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c""".stripMargin,
+    "q45_rfm" ->
+      """WITH base AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS r, count(*) AS f,
+        |         round(sum(value), 2) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |sc AS (
+        |  SELECT user_id, r, f, m,
+        |    CAST(ntile(4) OVER (ORDER BY r, user_id) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY f, user_id) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY m, user_id) AS BIGINT)
+        |      AS m_score
+        |  FROM base)
+        |SELECT user_id, r, f, m, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc""".stripMargin,
+    "q46_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    count(value) OVER fr AS n_prev,
+        |    avg(value) OVER fr AS mu,
+        |    stddev_samp(value) OVER fr AS sd
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        |  round((value - mu) / sd, 6) AS z,
+        |  (abs(round((value - mu) / sd, 6)) > 2) AS anomaly
+        |FROM w WHERE n_prev >= 3 AND sd > 0""".stripMargin,
     "io8_minmax_skip" ->
       // the unsorted ground truth over the SAME time window: a scan
       // whose stats-skipping dropped (or double-read) a row group

@@ -6918,18 +6918,18 @@ object SparkEntry {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
     "d45_weighted_sample" ->
-      // the same md5 draw (15 hex chars + 1 over 2^60), the same
-      // exponential clock, the same (clock, id) race
+      // the same md5 draw ((v+1)/(2^60+1), strictly inside (0,1)), the
+      // same log-domain clock ln(−ln u) − ln w, the same (key, id) race
       """WITH h AS (
         |  SELECT doc_id, n_chars,
-        |    round(-ln((CAST(concat('0x',
+        |    round(ln(-ln((CAST(concat('0x',
         |        substr(md5(concat(CAST(doc_id AS VARCHAR),
         |          ':', 'wsample-v1')), 1, 15)) AS BIGINT) + 1.0)
-        |        / power(2, 60))
-        |      / CAST(n_chars AS DOUBLE), 9) AS clock
+        |        / (power(2, 60) + 1.0)))
+        |      - ln(CAST(n_chars AS DOUBLE)), 9) AS log_clock
         |  FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, n_chars, clock FROM h
-        |ORDER BY clock, doc_id LIMIT 25""".stripMargin,
+        |SELECT doc_id, n_chars, log_clock FROM h
+        |ORDER BY log_clock, doc_id LIMIT 25""".stripMargin,
     "d46_editdist_neardup" ->
       // the same blocked join, the same lossless length prune, the
       // same classical Levenshtein

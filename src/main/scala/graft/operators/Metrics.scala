@@ -36,6 +36,12 @@ object Metrics {
       .get("spark.sql.shuffle.partitions").toInt
     val grouped = df
       .select(score.as("s"), label.cast("boolean").as("y"))
+      // a NULL score or label is an unscoreable row, not a rank: drop
+      // it explicitly — engines disagree on where NULL sorts (Spark
+      // windows default NULLS FIRST, DuckDB's cumulative NULLS LAST),
+      // so letting NULLs ride would shift every real rank by their
+      // count on one side only
+      .filter(col("s").isNotNull && col("y").isNotNull)
       .groupBy(col("s"))
       .agg(
         count(lit(1)).as("n"),

@@ -39,21 +39,36 @@ object Mis {
         1, 15),
       16, 10).cast("long")
 
-  def lubyMis(
-      edges: DataFrame,
-      salt: String = "mis-v1",
-      maxRounds: Int = 64): DataFrame = {
+  /** Self-loop-free symmetric adjacency, src-partitioned and persisted
+    * — the one cached frame every fixpoint here streams against.
+    * Callers own the unpersist (via sealAfter or explicitly).
+    */
+  private def symmetrize(edges: DataFrame): DataFrame = {
     val sym = edges.filter(col("src") =!= col("dst"))
-    val und = sym.select(col("src"), col("dst"))
+    sym.select(col("src"), col("dst"))
       .union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Canonical (u < v) self-loop-free edge set, lineage-rotated. */
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .transform(CacheScope.rotate)
+
+  def lubyMis(
+      edges: DataFrame,
+      salt: String = "mis-v1",
+      maxRounds: Int = 64): DataFrame = {
+    val und = symmetrize(edges)
     val verts = GraphBuilder.vertices(edges)
-    val mis = misOn(und, verts, salt, maxRounds)
-    val misFlag =
-      if (mis == null) verts.limit(0).withColumn("in_mis", lit(true))
-      else mis.withColumn("in_mis", lit(true))
+    val misFlag = misOn(und, verts, salt, maxRounds)
+      .withColumn("in_mis", lit(true))
     val out = verts
       .join(misFlag, Seq("id"), "left")
       .select(
@@ -135,12 +150,7 @@ object Mis {
       salt: String = "color-v1",
       maxColors: Int = 64,
       maxRounds: Int = 64): DataFrame = {
-    val sym = edges.filter(col("src") =!= col("dst"))
-    val und = sym.select(col("src"), col("dst"))
-      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = symmetrize(edges)
     var remaining = GraphBuilder.vertices(edges)
       .transform(CacheScope.rotate)
     var colored: DataFrame = null
@@ -170,10 +180,7 @@ object Mis {
     */
   private[graft] def coloringDepth(
       edges: DataFrame, salt: String = "color-v1"): (Int, Int) = {
-    val sym = edges.filter(col("src") =!= col("dst"))
-    val und = sym.select(col("src"), col("dst"))
-      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+    val und = symmetrize(edges)
     var remaining = GraphBuilder.vertices(edges)
       .transform(CacheScope.rotate)
     var k = 0
@@ -225,12 +232,49 @@ object Mis {
       edges: DataFrame,
       salt: String = "match-v1",
       maxRounds: Int = 64): DataFrame = {
-    val canon = edges.filter(col("src") =!= col("dst"))
+    val canon = canonEdges(edges)
+    val mFlag = matchOnCounted(canon, salt, maxRounds)._1
+      .withColumn("in_matching", lit(true))
+    canon
+      .join(mFlag, Seq("u", "v"), "left")
       .select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .transform(CacheScope.rotate)
+        col("u"), col("v"),
+        coalesce(col("in_matching"), lit(false)).as("in_matching"))
+  }
+
+  private def edgePrio(r: Int, salt: String): Column =
+    conv(
+      substring(
+        md5(concat_ws(":",
+          col("u").cast("string"), col("v").cast("string"),
+          lit(r.toString), lit(salt))),
+        1, 15),
+      16, 10).cast("long")
+
+  /** ONE matching round's per-vertex minimum, exposed for the PlanSpec
+    * audit: the endpoint explode is a zero-join union projection and
+    * the (p, u, v) min folds map-side keyed by vertex.
+    */
+  private[graft] def matchVertexMin(ap: DataFrame): DataFrame = {
+    val ps = struct(col("p"), col("u"), col("v")).as("ps")
+    ap.select(col("u").as("x"), ps)
+      .unionByName(ap.select(col("v").as("x"), ps))
+      .groupBy(col("x"))
+      .agg(min(col("ps")).as("min_ps"))
+  }
+
+  /** [[lubyMatching]]'s fixpoint depth — test-only, same purpose as
+    * [[roundsNeeded]].
+    */
+  /** The matching fixpoint over a canonical edge set, plus its depth —
+    * THE production loop (lubyMatching and the depth assertion both
+    * call it, so the oracle unroll bound is always measured against
+    * the real logic).
+    */
+  private def matchOnCounted(
+      canon: DataFrame,
+      salt: String,
+      maxRounds: Int): (DataFrame, Int) = {
     var active = canon
     var matched: DataFrame = null
     var r = 0
@@ -264,71 +308,12 @@ object Mis {
       nActive = active.count()
       r += 1
     }
-    val mFlag =
-      if (matched == null)
-        canon.limit(0).withColumn("in_matching", lit(true))
-      else matched.withColumn("in_matching", lit(true))
-    canon
-      .join(mFlag, Seq("u", "v"), "left")
-      .select(
-        col("u"), col("v"),
-        coalesce(col("in_matching"), lit(false)).as("in_matching"))
+    (if (matched == null) canon.limit(0) else matched, r)
   }
 
-  private def edgePrio(r: Int, salt: String): Column =
-    conv(
-      substring(
-        md5(concat_ws(":",
-          col("u").cast("string"), col("v").cast("string"),
-          lit(r.toString), lit(salt))),
-        1, 15),
-      16, 10).cast("long")
-
-  /** ONE matching round's per-vertex minimum, exposed for the PlanSpec
-    * audit: the endpoint explode is a zero-join union projection and
-    * the (p, u, v) min folds map-side keyed by vertex.
-    */
-  private[graft] def matchVertexMin(ap: DataFrame): DataFrame = {
-    val ps = struct(col("p"), col("u"), col("v")).as("ps")
-    ap.select(col("u").as("x"), ps)
-      .unionByName(ap.select(col("v").as("x"), ps))
-      .groupBy(col("x"))
-      .agg(min(col("ps")).as("min_ps"))
-  }
-
-  /** [[lubyMatching]]'s fixpoint depth — test-only, same purpose as
-    * [[roundsNeeded]].
-    */
   private[graft] def matchingRoundsNeeded(
-      edges: DataFrame, salt: String = "match-v1"): Int = {
-    var active = edges.filter(col("src") =!= col("dst"))
-      .select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .transform(CacheScope.rotate)
-    var r = 0
-    while (active.count() > 0 && r < 64) {
-      val ap = active.withColumn("p", edgePrio(r, salt))
-      val vmin = matchVertexMin(ap)
-      val winners = ap
-        .join(vmin.select(col("x").as("u"), col("min_ps").as("mu")),
-          Seq("u"))
-        .join(vmin.select(col("x").as("v"), col("min_ps").as("mv")),
-          Seq("v"))
-        .filter(struct(col("p"), col("u"), col("v")) === col("mu")
-          && struct(col("p"), col("u"), col("v")) === col("mv"))
-        .select(col("u"), col("v"))
-      val mVtx = winners.select(col("u").as("x"))
-        .union(winners.select(col("v").as("x"))).distinct()
-      active = active
-        .join(mVtx.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
-        .join(mVtx.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
-        .transform(CacheScope.rotate)
-      r += 1
-    }
-    r
-  }
+      edges: DataFrame, salt: String = "match-v1"): Int =
+    matchOnCounted(canonEdges(edges), salt, 64)._2
 
   /** Rounds the fixpoint needed on `edges` — exposed so the oracle's
     * unroll depth can be asserted ≥ the real depth (an unrolled round
@@ -337,30 +322,8 @@ object Mis {
     */
   private[graft] def roundsNeeded(
       edges: DataFrame, salt: String = "mis-v1"): Int = {
-    // cheap: rerun the loop counting rounds; test-only helper
-    val sym = edges.filter(col("src") =!= col("dst"))
-    val und = sym.select(col("src"), col("dst"))
-      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var active = GraphBuilder.vertices(edges).transform(CacheScope.rotate)
-    var r = 0
-    while (active.count() > 0 && r < 64) {
-      val ap = active.select(col("id"), prio(col("id"), r, salt).as("p"))
-      val nbrMin = ap.join(und, col("id") === col("src"))
-        .select(col("dst"), struct(col("p"), col("id")).as("ps"))
-        .groupBy(col("dst")).agg(min(col("ps")).as("min_nbr"))
-      val winners = ap.join(nbrMin, col("id") === col("dst"), "left")
-        .filter(col("min_nbr").isNull
-          || struct(col("p"), col("id")) < col("min_nbr"))
-        .select(col("id")).transform(CacheScope.rotate)
-      val removed = winners.unionByName(
-        winners.join(und, col("id") === col("src"))
-          .select(col("dst").as("id"))).distinct()
-      active = active.join(removed, Seq("id"), "left_anti")
-        .transform(CacheScope.rotate)
-      r += 1
-    }
-    und.unpersist(false)
-    r
+    val und = symmetrize(edges)
+    try misOnCounted(und, GraphBuilder.vertices(edges), salt, 64)._2
+    finally { und.unpersist(false); () }
   }
 }

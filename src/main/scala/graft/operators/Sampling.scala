@@ -348,13 +348,18 @@ object Sampling {
     * reproducible in DuckDB, across reruns, and under any cluster
     * layout. One stateless scan projection plus a
     * TakeOrderedAndProject k-row heap — no shuffle, no state, the
-    * whole corpus is never sorted. Clocks round to 9 dp (ln is the
-    * only libm call; the 1-ulp cross-engine exposure sits 7 orders
-    * below the round), ties to the lowest id. Zero/negative weights
-    * are excluded up front (their clock is undefined — a weight-0 row
-    * must never win).
+    * whole corpus is never sorted. The race ranks on the LOG of the
+    * clock, rounded to 9 dp: log-domain rounding keeps RELATIVE
+    * precision at every weight magnitude (an absolute 9-dp round of
+    * the raw clock would collapse all weights ≳ 2e9 to 0.0 and decide
+    * among heavy rows by id instead of weight), while still absorbing
+    * ln's 1-ulp cross-engine exposure — clock ratios of even 1+1e-8
+    * are 10 orders above the round. Ties to the lowest id.
+    * Zero/negative weights are excluded up front (their clock is
+    * undefined — a weight-0 row must never win).
     *
-    * Output: `<idCol>, <weightCol>, clock DOUBLE` — the k winners.
+    * Output: `<idCol>, <weightCol>, log_clock DOUBLE` — the k winners
+    * by ascending log clock (ln(−ln u) − ln w).
     */
   def weightedSample(
       df: DataFrame,
@@ -363,17 +368,18 @@ object Sampling {
       k: Int,
       salt: String = "wsample-v1"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    // 15 hex chars → [0, 2^60); +1 lifts to (0, 2^60] so u is never 0
-    // (ln(0) = −inf) and never biases the race
+    // 15 hex chars → [0, 2^60); (v+1)/(2^60+1) lands strictly inside
+    // (0, 1), so both ln's are finite for every draw
     val u = (conv(
       substring(
         md5(concat_ws(":", col(idCol).cast("string"), lit(salt))), 1, 15),
-      16, 10).cast("double") + 1.0) / math.pow(2.0, 60)
+      16, 10).cast("double") + 1.0) / (math.pow(2.0, 60) + 1.0)
     df.filter(col(weightCol) > 0)
       .withColumn(
-        "clock", round(-log(u) / col(weightCol).cast("double"), 9))
-      .orderBy(asc("clock"), asc(idCol))
+        "log_clock",
+        round(log(-log(u)) - log(col(weightCol).cast("double")), 9))
+      .orderBy(asc("log_clock"), asc(idCol))
       .limit(k)
-      .select(col(idCol), col(weightCol), col("clock"))
+      .select(col(idCol), col(weightCol), col("log_clock"))
   }
 }

@@ -1827,23 +1827,34 @@ object Similarity {
     // fail fast on unknown probe ids: a missing probe would otherwise
     // walk nothing and silently emit zero rows for it — the
     // probeIvfRange discipline (the count is a bounded driver action on
-    // the broadcast-small probe frame)
-    require(probes.count() == probeIds.distinct.size,
-      s"nswSearch: some probe ids are not in the corpus " +
-        s"(${probeIds.distinct.size} requested)")
+    // the broadcast-small probe frame). Guards run inside a
+    // release-on-throw block: a caller that catches the
+    // IllegalArgumentException (both guard paths are exercised by
+    // HardeningSpec) must not inherit leaked cache entries — the
+    // success path's hygiene contract applies to failures too.
     val adj = graph.select(col("src"), col("nbr"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // fixed entry point: the graph's minimum vertex (1-row action) —
-    // the NSW convention of a designated enter-point, made deterministic.
-    // min over an empty adjacency is NULL (a 1-vector corpus builds a
-    // zero-edge graph) — fail as loudly as the unknown-probe require
-    // instead of an opaque NPE.
-    val entryRow = adj.agg(min(col("src"))).first()
-    require(!entryRow.isNullAt(0),
-      "nswSearch: graph has no edges — cannot derive an entry point " +
-        "(a corpus of fewer than 2 vectors builds an empty kNN graph)")
-    val entryId = entryRow.getLong(0)
+    val entryId =
+      try {
+        require(probes.count() == probeIds.distinct.size,
+          s"nswSearch: some probe ids are not in the corpus " +
+            s"(${probeIds.distinct.size} requested)")
+        // fixed entry point: the graph's minimum vertex (1-row action)
+        // — the NSW convention of a designated enter-point, made
+        // deterministic. min over an empty adjacency is NULL (a
+        // 1-vector corpus builds a zero-edge graph) — fail as loudly
+        // as the unknown-probe require instead of an opaque NPE.
+        val entryRow = adj.agg(min(col("src"))).first()
+        require(!entryRow.isNullAt(0),
+          "nswSearch: graph has no edges — cannot derive an entry " +
+            "point (a corpus of fewer than 2 vectors builds an empty " +
+            "kNN graph)")
+        entryRow.getLong(0)
+      } catch {
+        case e: Throwable =>
+          base.unpersist(false); adj.unpersist(false); throw e
+      }
     // the walk MAY pass through the probe's own vertex (it scores 1.0
     // and anchors the beam — the standard ANN convention); the self row
     // is excluded only from the FINAL top-k. Excluding it mid-walk
@@ -1947,6 +1958,25 @@ object Similarity {
       .limit(k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    // id-modulo striding assumes ids roughly cover [0, n) — on a
+    // corpus of, say, all-odd ids it selects NOTHING and the crossJoin
+    // against an empty centroid frame would silently drop every row.
+    // Deterministic top-up: the lowest-id vectors not already seeds
+    // fill the remaining slots (a k-row TakeOrderedAndProject — never
+    // a global sort). On an id-contiguous corpus the top-up is a
+    // no-op, so the oracle's modulo replay stays exact there.
+    if (cents.length < k && n > cents.length) {
+      val have = cents.map(_._1).toSet
+      val fill = base
+        .filter(!col("vec_id").isin(have.toSeq: _*))
+        .orderBy(col("vec_id"))
+        .limit(k - cents.length)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      cents = (cents ++ fill).sortBy(_._1)
+    }
+    require(cents.nonEmpty || n == 0,
+      "kmeansAssign: no seeds selected from a non-empty corpus")
     def centroidFrame(cs: Seq[(Long, Seq[Double])]): DataFrame =
       broadcast(cs.toDF("c_id", "c_emb"))
     def assign(centroids: DataFrame): DataFrame =

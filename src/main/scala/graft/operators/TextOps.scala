@@ -774,12 +774,31 @@ object TextOps {
       k: Int = 20,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val (ranked, base) = bm25Stages(docs, queryTerms, k, k1, b)
+    CacheScope.sealAfter(ranked, base)
+  }
+
+  /** The pre-seal stages of [[bm25TopK]] — exposed so the PlanSpec
+    * audit can see the join plan and the TakeOrderedAndProject before
+    * the checkpoint hides them (the tfidfStages pattern). Callers must
+    * unpersist the returned `base`.
+    */
+  private[graft] def bm25Stages(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): (DataFrame, DataFrame) = {
     require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
     val toks = tokens(col("text"))
+    // persisted: BOTH the corpus stats and the tf branch read this
+    // frame — without the barrier each would re-scan and re-tokenize
+    // the corpus (the lshPairsCore materialization discipline)
     val base = docs.select(
-      col("doc_id"),
-      size(toks).cast("double").as("dl"),
-      filter(toks, t => t.isin(queryTerms: _*)).as("qtoks"))
+        col("doc_id"),
+        size(toks).cast("double").as("dl"),
+        filter(toks, t => t.isin(queryTerms: _*)).as("qtoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
@@ -802,10 +821,11 @@ object TextOps {
           6).as("c"))
     // global top-k plans as TakeOrderedAndProject: a bounded heap per
     // partition + one k-row merge on the driver, never a full sort
-    contrib.groupBy(col("doc_id"))
+    val ranked = contrib.groupBy(col("doc_id"))
       .agg(round(sum(col("c")), 6).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+    (ranked, base)
   }
 
   /** χ² feature selection: the chi-squared association of each token's

@@ -602,15 +602,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d41 bm25: term filter inside the scan, df/stats joins hint-free, top-k as heap") {
+    // audit the pre-seal stage (sealAfter's checkpoint hides the plan —
+    // the tfidfStages discipline)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val df = graft.operators.TextOps
-      .bm25TopK(docs, Seq("hash", "join", "scan"), k = 20)
-    val opt = df.queryExecution.optimizedPlan.toString
-    assert(!opt.contains("strategy=broadcast"),
-      "df/avgdl joins must stay statistics-driven: " + opt)
-    val p = df.queryExecution.executedPlan.toString
-    // the global top-20 cut must plan as a bounded heap, never a sort
-    assert(p.contains("TakeOrderedAndProject"), p)
+    val (ranked, base) = graft.operators.TextOps
+      .bm25Stages(docs, Seq("hash", "join", "scan"), 20)
+    try {
+      val opt = ranked.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("strategy=broadcast"),
+        "df/avgdl joins must stay statistics-driven: " + opt)
+      val p = ranked.queryExecution.executedPlan.toString
+      // the global top-20 cut must plan as a bounded heap, never a sort
+      assert(p.contains("TakeOrderedAndProject"), p)
+    } finally { base.unpersist(); () }
+  }
+
+  test("d41 bm25 leaves nothing persisted in the cache manager") {
+    spark.sharedState.cacheManager.clearCache()
+    graft.operators.TextOps
+      .bm25TopK(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq("hash", "join"), k = 5)
+      .count()
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("d45 weighted sample plans as one projection + TakeOrderedAndProject") {

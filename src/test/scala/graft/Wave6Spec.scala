@@ -624,6 +624,28 @@ class HardeningSpec extends AnyFunSuite {
     assert(thrown)
   }
 
+  test("nswSearch guard failures leave nothing persisted (release-on-throw)") {
+    val sp = spark
+    import sp.implicits._
+    sp.sharedState.cacheManager.clearCache()
+    val oneVec = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val emptyG = Seq.empty[(Long, Long)].toDF("src", "nbr")
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.nswSearch(emptyG, oneVec, Seq(0L), k = 1)
+    }
+    assert(sp.sharedState.cacheManager.isEmpty,
+      "edgeless-graph failure leaked cache entries")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = graft.operators.Similarity
+      .knnGraphIvf(emb, m = 4, nList = 4, nProbe = 4)
+    sp.sharedState.cacheManager.clearCache()
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.nswSearch(g, emb, Seq(-12345L), k = 1)
+    }
+    assert(sp.sharedState.cacheManager.isEmpty,
+      "unknown-probe failure leaked cache entries")
+  }
+
   test("conflicting in-batch rows for one (key, version) resolve " +
     "deterministically to a single winner") {
     val sp = spark

@@ -302,18 +302,21 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(!got.contains("all"), got)   // c+d margin is 0 → undefined
   }
 
-  test("weightedSample: huge weight wins, zero weight never drawn, deterministic") {
+  test("weightedSample: heavier beats heavy even past 2e9, zero weight never drawn") {
     val sp = spark
     import sp.implicits._
+    // 98 vs 99: both raw clocks would round to 0.000000000 at 9 dp —
+    // the log-domain key keeps the 10x weight ratio decisive
     val rows = ((0 until 50).map(i => (i.toLong, 1L))
-      :+ (99L, 1000000000000L) :+ (100L, 0L) :+ (101L, -5L))
+      :+ (98L, 1000000000000L) :+ (99L, 10000000000000L)
+      :+ (100L, 0L) :+ (101L, -5L))
       .toDF("doc_id", "w")
     val got = graft.operators.Sampling
       .weightedSample(rows, "doc_id", "w", k = 5)
       .collect().map(_.getLong(0))
     assert(got.length == 5)
-    // clock = -ln(u)/1e12 ≈ 0: the heavy row races to the front
-    assert(got.head == 99L, got.toSeq)
+    assert(got.take(2).toSeq == Seq(99L, 98L),
+      s"weight order must decide among heavy rows: ${got.toSeq}")
     assert(!got.contains(100L) && !got.contains(101L))
     val again = graft.operators.Sampling
       .weightedSample(rows.repartition(13), "doc_id", "w", k = 5)

@@ -66,6 +66,20 @@ class KmeansSpec extends AnyFunSuite {
     assert(cids.subsetOf(Set(0L, 2L, 4L)), cids)
   }
 
+  test("kmeans on a sparse id space still seeds k clusters (modulo top-up)") {
+    val sp = spark
+    import sp.implicits._
+    // all-odd ids: id % stride == 0 can match nothing — the top-up
+    // must fill the seed set from the lowest ids instead of silently
+    // assigning against zero centroids (which would drop every row)
+    val v = Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L, 15L)
+      .map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(v, k = 2, iters = 1)
+    assert(got.count() == 8, "rows must never be dropped")
+    assert(got.select(col("c_id")).distinct().count() == 2)
+  }
+
   test("kmeans leaves nothing persisted in the cache manager") {
     spark.sharedState.cacheManager.clearCache()
     Similarity.kmeansAssign(emb, k = 4, iters = 1).count()

@@ -2634,7 +2634,10 @@ object SparkEntry {
       // RFM SEGMENTATION (recency/frequency/monetary quartiles over
       // purchasers): one purchase-filtered aggregate per user, then
       // three RANK-based ntile(4) scores (the d40 no-float-edges
-      // discipline, ties by user_id) — the classic CRM feature tuple
+      // discipline, ties by user_id) — the classic CRM feature tuple.
+      // The global ntiles sort the |purchasers| frame; at 100 TB that
+      // swaps for approx_percentile quartile edges exactly as d40/d49
+      // document for their equal-frequency windows.
       import org.apache.spark.sql.expressions.Window
       val base = graft.sources.Tables.events(s, dir)
         .filter(col("event_type") === "purchase")

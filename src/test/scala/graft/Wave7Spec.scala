@@ -80,6 +80,19 @@ class KmeansSpec extends AnyFunSuite {
     assert(got.select(col("c_id")).distinct().count() == 2)
   }
 
+  test("Lloyd objective is non-increasing across iterations") {
+    // Σ dist² over assignments must not grow with more Lloyd passes
+    // (monotone convergence — the 9-dp mean rounding can wiggle the
+    // last ulps, hence the 1e-6 slack)
+    def obj(iters: Int): Double = Similarity
+      .kmeansAssign(emb, k = 4, iters = iters)
+      .agg(sum(col("dist") * col("dist"))).collect()(0).getDouble(0)
+    val o = (0 to 3).map(obj)
+    o.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"objective grew: $o")
+    }
+  }
+
   test("kmeans leaves nothing persisted in the cache manager") {
     spark.sharedState.cacheManager.clearCache()
     Similarity.kmeansAssign(emb, k = 4, iters = 1).count()
@@ -285,6 +298,17 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     // ranks: 1→1, 2→2, 3→avg(3,4)=3.5; Σpos = 2+3.5 = 5.5;
     // auc = (5.5 − 2·3/2) / (2·2) = 0.625
     assert(auc(Seq((1.0, false), (2.0, true), (3.0, true), (3.0, false))) == 0.625)
+  }
+
+  test("rocAuc complement symmetry: AUC(s) + AUC(-s) == 1 (ties included)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 120).map(i =>
+      ((i % 11).toDouble, i % 4 == 0)).toDF("s", "y")
+    def auc(c: org.apache.spark.sql.Column): Double =
+      graft.operators.Metrics.rocAuc(rows, c, col("y"))
+        .collect()(0).getDouble(0)
+    assert(math.abs(auc(col("s")) + auc(-col("s")) - 1.0) < 2e-6)
   }
 
   test("rocAuc is invariant under input partitioning and more partitions than scores") {

@@ -48,9 +48,13 @@ object SparkEntry {
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |st AS (SELECT greatest(count(*) // 8, 1) AS s FROM e),
-      |c0 AS (SELECT vec_id AS c_id, v AS c FROM e
-      |       WHERE vec_id % (SELECT s FROM st) = 0
-      |       ORDER BY vec_id LIMIT 8),
+      |c0a AS (SELECT vec_id AS c_id, v AS c FROM e
+      |        WHERE vec_id % (SELECT s FROM st) = 0
+      |        ORDER BY vec_id LIMIT 8),
+      |c0b AS (SELECT vec_id AS c_id, v AS c FROM e
+      |        WHERE vec_id NOT IN (SELECT c_id FROM c0a)
+      |        ORDER BY vec_id LIMIT 8 - (SELECT count(*) FROM c0a)),
+      |c0 AS (SELECT * FROM c0a UNION ALL SELECT * FROM c0b),
       |a0 AS (SELECT vec_id, c_id, v FROM (
       |  SELECT e.vec_id, c0.c_id, e.v,
       |    row_number() OVER (PARTITION BY e.vec_id
@@ -6404,7 +6408,9 @@ object SparkEntry {
       (kmeansCteSql + """,
         |p AS (SELECT b.vec_id AS v FROM a2 a JOIN a2 b
         |      ON a.c_id = b.c_id AND a.vec_id < b.vec_id
-        |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+        |      WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
+        |        AND list_sum(list_transform(b.v, x -> x * x)) > 0
+        |        AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
         |SELECT a.vec_id, a.c_id,
         |       (a.vec_id IN (SELECT v FROM p)) AS removed
         |FROM a2 a""".stripMargin),
@@ -7063,7 +7069,8 @@ object SparkEntry {
         |SELECT round(
         |    (sr - CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE) / 2.0)
         |    / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 6) AS auc,
-        |  p AS n_pos, q AS n_neg FROM agg""".stripMargin,
+        |  CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg
+        |FROM agg""".stripMargin,
     "d43_chi2" ->
       // same contingency cells from one distinct-(doc, token) pass;
       // doubles only at the final statistic
@@ -7087,7 +7094,7 @@ object SparkEntry {
         |    / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
         |       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
         |    6) AS chi2,
-        |  a + b AS df
+        |  CAST(a + b AS BIGINT) AS df
         |FROM x
         |WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
         |ORDER BY chi2 DESC, token LIMIT 20""".stripMargin,
@@ -7100,8 +7107,10 @@ object SparkEntry {
         |    quantile_cont(value, 0.95) AS p_hi
         |  FROM events GROUP BY event_type)
         |SELECT e.event_type AS g, count(*) AS n,
-        |  sum(CAST(e.value < b.p_lo AS BIGINT)) AS n_clip_lo,
-        |  sum(CAST(e.value > b.p_hi AS BIGINT)) AS n_clip_hi,
+        |  CAST(sum(CAST(e.value < b.p_lo AS BIGINT)) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CAST(e.value > b.p_hi AS BIGINT)) AS BIGINT)
+        |    AS n_clip_hi,
         |  round(avg(greatest(least(e.value, b.p_hi), b.p_lo)), 6)
         |    AS mean_winsorized,
         |  round(min(b.p_lo), 6) AS p_lo, round(min(b.p_hi), 6) AS p_hi

@@ -88,11 +88,13 @@ object Cdc {
     //    same version id, different payload or seqCol — and those must
     //    not both survive (tied on (seqCol, versionCol) the lead window
     //    between them would be partitioning-dependent). One version id
-    //    = one version: pick a deterministic winner with a row_number
-    //    totally ordered over every payload column.
+    //    = one version: the winner is the LATEST delivery (seqCol
+    //    descending — CDC merge semantics: recency beats payload), with
+    //    the full payload-column order only as a total-order tiebreaker
+    //    so seqCol-tied conflicts stay partitioning-independent.
     val conflictW = Window
       .partitionBy(col(keyCol), col(versionCol))
-      .orderBy(payloadCols.map(col): _*)
+      .orderBy(col(seqCol).desc +: payloadCols.map(col): _*)
     val fresh = batch
       .select(payloadCols.map(col): _*)
       .distinct()

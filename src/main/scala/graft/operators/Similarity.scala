@@ -2059,6 +2059,13 @@ object Similarity {
       col("e").as("ve"), col("nrm").as("vn"))
     val removedIds = l.join(r, Seq("c_id"))
       .filter(col("u") < col("v"))
+      // zero-norm guard: cosine is undefined (NaN) when either norm is
+      // 0, and NaN comparison semantics diverge across engines (Spark:
+      // NaN >= tau is false; DuckDB: NaN sorts above everything). A
+      // zero vector can neither remove nor be removed — made explicit
+      // here and mirrored in the e26 oracle, so the behavior is a
+      // contract, not an engine accident.
+      .filter(col("un") > 0 && col("vn") > 0)
       .filter(
         round(cosinePre(col("ue"), col("ve"), col("un"), col("vn")), 6)
           >= tau)

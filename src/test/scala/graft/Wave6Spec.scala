@@ -659,12 +659,13 @@ class HardeningSpec extends AnyFunSuite {
         "valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
       .withColumn("is_current", col("valid_to") === -1L)
     // same (key=1, version=11), three CONFLICTING payloads — distinct
-    // alone keeps all three; the merge must keep exactly one, and the
-    // winner must not depend on partitioning (min over the payload
-    // column order: "buy" < "click" < "view")
+    // alone keeps all three; the merge must keep exactly one, chosen by
+    // RECENCY (latest seqCol wins: "view"@300 beats both 200s even
+    // though "click" sorts first alphabetically), with the payload
+    // order only breaking seqCol ties partitioning-independently
     val conflict = Seq(
-      (1L, 11L, "view", 200L), (1L, 11L, "click", 200L),
-      (1L, 11L, "buy", 250L))
+      (1L, 11L, "view", 300L), (1L, 11L, "click", 200L),
+      (1L, 11L, "buy", 200L))
       .toDF("user_id", "event_id", "event_type", "valid_from")
     def run(df: org.apache.spark.sql.DataFrame) =
       graft.operators.Cdc.scd2Merge(t, df).collect()
@@ -672,9 +673,19 @@ class HardeningSpec extends AnyFunSuite {
           r.getLong(4), r.getBoolean(5))).toSet
     val got = run(conflict)
     assert(got == Set(
-      (10L, "signup", 100L, 250L, false),
-      (11L, "buy", 250L, -1L, true)),
+      (10L, "signup", 100L, 300L, false),
+      (11L, "view", 300L, -1L, true)),
       s"conflicting versions survived or winner nondeterministic: $got")
     assert(got == run(conflict.repartition(7)))
+    // seqCol-tied conflicts still resolve deterministically (payload
+    // total order as tiebreaker): "buy" < "click" at valid_from=200
+    val tied = Seq((1L, 11L, "click", 200L), (1L, 11L, "buy", 200L))
+      .toDF("user_id", "event_id", "event_type", "valid_from")
+    val gotTied = run(tied)
+    assert(gotTied == Set(
+      (10L, "signup", 100L, 200L, false),
+      (11L, "buy", 200L, -1L, true)),
+      s"seq-tied conflict winner nondeterministic: $gotTied")
+    assert(gotTied == run(tied.repartition(5)))
   }
 }

@@ -4426,6 +4426,15 @@ object SparkEntry {
       // probabilistic banding.
       graft.operators.Dedup.ppJoin(
         t(s, dir, "documents"), tau = 0.8, shingle = 3)),
+    "d50_span_dedup" -> ((s, dir) =>
+      // EXACT SUBSTRING-level dedup (Lee et al. 2022 ExactSubstr — the
+      // dedup granularity d1/d5/d48 do not cover): maximal token spans
+      // duplicated anywhere in the corpus, via the sorted-k-gram
+      // relational re-expression of the paper's suffix array. Every
+      // decision is md5-digest/integer-deterministic, so the oracle
+      // replays gram index → dup set → gaps-and-islands runs exactly.
+      graft.operators.Dedup.substringSpans(
+        t(s, dir, "documents"), k = 5)),
     "d46b_lev_full" -> ((s, dir) =>
       // the DELIBERATE worse twin (g18/g20 discipline): full-matrix
       // O(len²) Levenshtein on the src16 slice — same output as d46c,
@@ -6969,6 +6978,31 @@ object SparkEntry {
         |  round(abs(round(avg(s), 6) - round(avg(CAST(y AS DOUBLE)), 6)),
         |        6) AS gap
         |FROM b GROUP BY bin""".stripMargin,
+    "d50_span_dedup" ->
+      // the k-gram index → duplicated-digest set → per-doc
+      // gaps-and-islands runs, replayed with the same 60-bit md5
+      // digests and the same 0-based positions
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
+        |      AS BIGINT) AS gd
+        |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
+        |  WHERE len(toks) >= 5),
+        |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gd)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM d)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
+        |  max(pos) + 4 - min(pos) + 1 AS span_tokens,
+        |  count(*) AS n_dup_grams
+        |FROM runs GROUP BY doc_id, grp""".stripMargin,
     "d48_ppjoin" ->
       // the whole prefix-filter chain replayed: d5b's shingle digests,
       // df, the (df, t) canonical order, the prefix cut, the size

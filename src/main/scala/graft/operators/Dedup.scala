@@ -793,4 +793,81 @@ object Dedup {
       .filter(if (banded) col("dist") >= 0 else col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** EXACT SUBSTRING-LEVEL deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr variant): find every maximal token SPAN that occurs
+    * at ≥ 2 sites anywhere in the corpus (another document OR another
+    * position of the same document). This is the granularity the rest
+    * of the dedup family does not cover — [[lshCandidatePairsPortable]]
+    * / SimHash / PPJoin judge whole documents, so corpus-wide
+    * boilerplate spans (license headers, navigation chrome, quoted
+    * passages) survive doc-level Jaccard; span-level removal is what
+    * the paper shows actually shrinks memorization.
+    *
+    * The paper builds a suffix array; the distributed re-expression is
+    * a sorted k-gram index: every doc emits its token k-grams keyed by
+    * a portable 60-bit md5 digest (the [[shingleSetPortable]]
+    * construction — identical in DuckDB, so the whole decision chain is
+    * oracle-replayable), a gram occurring at ≥ 2 (doc, pos) sites is
+    * duplicated, and a doc's maximal runs of consecutive duplicated
+    * gram positions are exactly the maximal duplicated spans of length
+    * ≥ k (a k-gram is duplicated iff it lies inside such a span —
+    * Lee et al. §3.1's suffix-array run detection, relationalized).
+    *
+    * Scale shape: one posexplode ∝ total corpus tokens, ONE
+    * map-side-combined count keyed on the 8-byte digest (the shuffle
+    * carries digests, never gram text), one digest-keyed join back to
+    * positions, and a per-document window over the surviving positions
+    * (bounded by doc length — never a global sort). No stage sees the
+    * |corpus|² pair space or a corpus-wide sort: the gram-count shuffle
+    * is the suffix array's sort, paid as hash aggregation.
+    *
+    * Output: `doc_id, start_tok, end_tok, span_tokens, n_dup_grams` —
+    * one row per maximal duplicated span (token positions 0-based,
+    * `end_tok` inclusive: `span_tokens = end_tok - start_tok + 1 ≥ k`).
+    */
+  def substringSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val digests = transform(
+      sequence(lit(0), size(col("toks")) - k),
+      i =>
+        conv(
+          substring(
+            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
+          16, 10).cast("long"))
+    // persisted: the gram frame feeds BOTH the duplicate-digest count
+    // and the position join-back — unpersisted, the tokenize+hash scan
+    // would run twice
+    val grams = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(digests).as(Seq("pos", "gd")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams
+      .groupBy(col("gd"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gd"))
+    // duplicated positions, then maximal runs per doc: consecutive
+    // positions share (pos − row_number) — the classic gaps-and-islands
+    // grouping, windowed per doc (bounded frames, no global sort)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = grams
+      .join(dup, Seq("gd"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("end_tok"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(
+        col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1L).as("span_tokens"),
+        col("n_dup_grams"))
+    CacheScope.sealAfter(out, grams)
+  }
 }

@@ -2639,9 +2639,9 @@ object SparkEntry {
       // purchasers): one purchase-filtered aggregate per user, then
       // three RANK-based ntile(4) scores (the d40 no-float-edges
       // discipline, ties by user_id) — the classic CRM feature tuple.
-      // The global ntiles sort the |purchasers| frame; at 100 TB that
-      // swaps for approx_percentile quartile edges exactly as d40/d49
-      // document for their equal-frequency windows.
+      // The global ntiles sort the |purchasers| frame; q45b IS the
+      // registered 100 TB twin (approx_percentile quartile edges +
+      // stateless bucket projection), measured against this one.
       import org.apache.spark.sql.expressions.Window
       val base = graft.sources.Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
@@ -2668,6 +2668,41 @@ object SparkEntry {
           col("r_score"), col("f_score"), col("m_score"),
           (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
             .as("segment"))
+    },
+    "q45b_rfm_approx" -> { (s, dir) =>
+      // q45's 100 TB twin, REGISTERED: the three global ntile(4) sorts
+      // replaced by ONE sketch aggregate (approx_percentile quartile
+      // edges for r/f/m together) + a stateless broadcast-edge bucket
+      // projection — zero sorts, zero windows. Rows-only: sketch edges
+      // are engine-defined; the Wave8 accuracy spec pins per-score
+      // agreement with the exact ntile twin.
+      val qs = array(lit(0.25), lit(0.5), lit(0.75))
+      val base = graft.sources.Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          max(unix_micros(col("ts"))).as("r"),
+          count(lit(1)).as("f"),
+          round(sum(col("value")), 2).as("m"))
+      val edges = base.agg(
+        percentile_approx(col("r"), qs, lit(10000)).as("re"),
+        percentile_approx(col("f"), qs, lit(10000)).as("fe"),
+        percentile_approx(col("m"), qs, lit(10000)).as("me"))
+      def bucket(
+          c: org.apache.spark.sql.Column,
+          e: String): org.apache.spark.sql.Column =
+        (1 to 3).foldLeft(lit(1L)) { (acc, i) =>
+          acc + when(c > element_at(col(e), i), 1L).otherwise(0L)
+        }
+      base.crossJoin(broadcast(edges))
+        .select(
+          col("user_id"), col("r"), col("f"), col("m"),
+          bucket(col("r"), "re").as("r_score"),
+          bucket(col("f"), "fe").as("f_score"),
+          bucket(col("m"), "me").as("m_score"))
+        .withColumn(
+          "segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     },
     "q46_anomaly" -> { (s, dir) =>
       // TRAILING-WINDOW z-score anomaly flag per user: value vs the
@@ -2835,6 +2870,42 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"))
       graft.operators.CacheScope.sealAfter(
         graft.operators.Metrics.rrfFuse(Seq(lex, sem), k = 20), embAll)
+    },
+    "p7_multilevel_community" -> { (s, dir) =>
+      // MULTILEVEL COMMUNITY DETECTION journey (the Louvain-shaped
+      // loop real graph pipelines run): detect (g22 LPA) → contract
+      // (g39 coarsen) → detect AGAIN on the |communities|-wide coarse
+      // graph → map every fine vertex through both levels, with the
+      // g35 modularity score of the fine partition AND of the
+      // coarse-induced partition riding as 1-row broadcast columns —
+      // the refinement check (did the second level improve Q on the
+      // ORIGINAL graph?) that closes the multilevel loop. Every stage
+      // is already oracle-locked alone (g22/g39/g35); this row locks
+      // the composed trajectory. Scale: level 2 runs on a graph
+      // |communities| wide — the whole point of coarsening — and the
+      // two modularity frames are 1 row each.
+      val e = graft.sources.SyntheticGraph.portable(s, 400, 1200, "g22")
+      val l1 = GraphBuilder.labelPropagation(e, 3)
+      val coarse = GraphBuilder.coarsen(e, l1)
+      val l2 = GraphBuilder.labelPropagation(
+        coarse.select(col("lu").as("src"), col("lv").as("dst")), 3)
+      // left_outer + coalesce: total by construction (every community
+      // label reaches the coarse graph — all fine vertices are edge
+      // endpoints), kept defensive so a future edgeless-input change
+      // degrades to identity instead of dropping vertices
+      val mapped = l1
+        .join(
+          l2.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left_outer")
+        .select(
+          col("id"), col("lbl").as("lbl_fine"),
+          coalesce(col("lbl2"), col("lbl")).as("lbl_coarse"))
+      val qFine = GraphBuilder.modularity(e, l1)
+        .select(col("q_r").as("q_fine_r"))
+      val qMulti = GraphBuilder.modularity(
+        e, mapped.select(col("id"), col("lbl_coarse").as("lbl")))
+        .select(col("q_r").as("q_multi_r"))
+      mapped.crossJoin(broadcast(qFine)).crossJoin(broadcast(qMulti))
     },
     "p4_rag_index" -> { (s, dir) =>
       // the RAG-INDEX journey (the fourth composed pipeline next to
@@ -4416,6 +4487,19 @@ object SparkEntry {
         score = col("stopword_ratio"),
         label = col("lang") === "en",
         id = col("doc_id"), bins = 10)),
+    "d49b_calibration_approx" -> ((s, dir) =>
+      // d49's 100 TB twin, REGISTERED (the documented swap made
+      // executable): approx_percentile edge sketch + stateless bucket
+      // projection — no global ntile sort. Rows-only: sketch edges are
+      // engine-defined; the Wave8 accuracy spec pins near-equal bin
+      // sizes and monotone mean scores against the exact twin.
+      graft.operators.Metrics.calibrationBinsApprox(
+        TextOps.qualityMetrics(t(s, dir, "documents"))
+          .join(
+            t(s, dir, "documents").select(col("doc_id"), col("lang")),
+            Seq("doc_id")),
+        score = col("stopword_ratio"),
+        label = col("lang") === "en", bins = 10)),
     "d48_ppjoin" -> ((s, dir) =>
       // EXACT τ-Jaccard set-similarity join by PREFIX FILTERING (the
       // PPJoin lemma): rarest-first canonical order, |T|−⌈τ·|T|⌉+1
@@ -4556,6 +4640,20 @@ object SparkEntry {
       val seeds = GraphBuilder.vertices(e)
         .orderBy(col("id")).limit(4).collect().map(_.getLong(0)).toSeq
       graft.operators.Brandes.sampledBetweenness(e, seeds, depth = 4)
+    },
+    "g45b_betweenness_conv" -> { (s, dir) =>
+      // g45 run TO CONVERGENCE (frontier-empty, the O14/O16 early-stop
+      // discipline): stops at depth 8 on this fixture — TRUE sampled
+      // Brandes betweenness rather than the depth-bounded κ-path
+      // variant. Levels past the stop are empty and contribute nothing,
+      // so the fixed-depth unrolled oracle (depth 10 ≥ stop) replays it
+      // exactly; the Wave8 differential spec pins converged ≡
+      // fixed-depth on top.
+      val e = graft.sources.SyntheticGraph.portable(s, 300, 600, "g45")
+      val seeds = GraphBuilder.vertices(e)
+        .orderBy(col("id")).limit(4).collect().map(_.getLong(0)).toSeq
+      graft.operators.Brandes
+        .sampledBetweennessConverged(e, seeds, maxDepth = 64)._1
     },
     "g44_components_df" -> ((s, dir) =>
       // DataFrame-native connected components (HashMin diffusion, early
@@ -4819,6 +4917,10 @@ object SparkEntry {
     "g14_personalized_k4" -> personalizedPageRankSql(k = 4, nSeeds = 3),
     "g45_betweenness" ->
       brandesSql(300, 600, "g45", nSeeds = 4, depth = 4),
+    "g45b_betweenness_conv" ->
+      // converged ≡ fixed-depth for any unroll ≥ the stop depth (8 on
+      // this fixture): the post-stop level CTEs are empty frames
+      brandesSql(300, 600, "g45", nSeeds = 4, depth = 10),
     "g44_components_df" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g44")},
          |ed AS (SELECT src AS u, dst AS v FROM pe
@@ -4938,6 +5040,68 @@ object SparkEntry {
          |JOIN deg db ON db.vtx = cand.b
          |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "g35_modularity" -> modularitySql(3),
+    "p7_multilevel_community" ->
+      // the whole multilevel trajectory replayed: g22's LPA chain to
+      // l3, the g39 contraction, a SECOND unrolled LPA over the coarse
+      // graph (m0..m3 — self-loop communities enter verts2 and keep
+      // their label, exactly the engine's vertices(coarse) rule), the
+      // two-level mapping, and BOTH g35 modularity scores as scalar
+      // columns
+      lpaSqlOver(
+        portableGraphSql(400, 1200, "g22"), 3,
+        (1 to 3).foldLeft(
+          """,
+            |lab AS MATERIALIZED (
+            |  SELECT e.u, e.v, a.lbl AS la, b.lbl AS lb
+            |  FROM ue e JOIN l3 a ON a.id = e.u JOIN l3 b ON b.id = e.v),
+            |ue2 AS MATERIALIZED (SELECT DISTINCT least(la, lb) AS u,
+            |  greatest(la, lb) AS v FROM lab WHERE la <> lb),
+            |und2 AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue2
+            |  UNION ALL SELECT v, u FROM ue2),
+            |verts2 AS MATERIALIZED (SELECT DISTINCT lbl AS id FROM l3),
+            |m0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts2)""".stripMargin
+        ) { (acc, i) =>
+          acc + s""",
+            |mc$i AS MATERIALIZED (
+            |  SELECT d.vtx, l.lbl, count(*) AS cnt
+            |  FROM und2 d JOIN m${i - 1} l ON d.nbr = l.id GROUP BY 1, 2),
+            |ma$i AS MATERIALIZED (
+            |  SELECT vtx, lbl FROM (
+            |    SELECT vtx, lbl, row_number() OVER (PARTITION BY vtx
+            |      ORDER BY cnt DESC, lbl ASC) AS rn FROM mc$i)
+            |  WHERE rn = 1),
+            |m$i AS MATERIALIZED (
+            |  SELECT v.id, coalesce(a.lbl, v.id) AS lbl
+            |  FROM verts2 v LEFT JOIN ma$i a ON a.vtx = v.id)""".stripMargin
+        } + """,
+          |mp AS MATERIALIZED (
+          |  SELECT l.id, l.lbl AS lbl_fine,
+          |    coalesce(x.lbl, l.lbl) AS lbl_coarse
+          |  FROM l3 l LEFT JOIN m3 x ON x.id = l.lbl),
+          |me AS (SELECT count(*) AS m_edges,
+          |    CAST(sum(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS intra
+          |  FROM ue e JOIN l3 a ON a.id = e.u JOIN l3 b ON b.id = e.v),
+          |dc AS (SELECT l.lbl, count(*) AS dc
+          |  FROM (SELECT u AS id FROM ue UNION ALL SELECT v FROM ue) x
+          |  JOIN l3 l ON l.id = x.id GROUP BY 1),
+          |ds AS (SELECT CAST(sum(dc*dc) AS BIGINT) AS sds FROM dc),
+          |me2 AS (SELECT count(*) AS m_edges,
+          |    CAST(sum(CASE WHEN a.lbl_coarse = b.lbl_coarse
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS intra
+          |  FROM ue e JOIN mp a ON a.id = e.u JOIN mp b ON b.id = e.v),
+          |dc2 AS (SELECT l.lbl_coarse, count(*) AS dc
+          |  FROM (SELECT u AS id FROM ue UNION ALL SELECT v FROM ue) x
+          |  JOIN mp l ON l.id = x.id GROUP BY 1),
+          |ds2 AS (SELECT CAST(sum(dc*dc) AS BIGINT) AS sds FROM dc2)
+          |SELECT mp.id, mp.lbl_fine, mp.lbl_coarse,
+          |  round(CAST(me.intra AS DOUBLE)/me.m_edges
+          |      - CAST(ds.sds AS DOUBLE)/(4.0*me.m_edges*me.m_edges), 9)
+          |    AS q_fine_r,
+          |  round(CAST(me2.intra AS DOUBLE)/me2.m_edges
+          |      - CAST(ds2.sds AS DOUBLE)/(4.0*me2.m_edges*me2.m_edges), 9)
+          |    AS q_multi_r
+          |FROM mp, me, ds, me2, ds2""".stripMargin),
     "p3_graph_features" -> {
       // PR recurrence over the deduped portable graph, then the degree,
       // triangle and 3-core CTEs, all joined into the same one-row-per-

@@ -28,7 +28,30 @@ import org.apache.spark.sql.functions._
 object Brandes {
 
   def sampledBetweenness(
-      edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
+      edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame =
+    run(edges, seeds, depth, converge = false)._1
+
+  /** [[sampledBetweenness]] run TO CONVERGENCE — the forward BFS stops
+    * when the frontier EMPTIES (every seed's reachable set fully
+    * levelled) instead of at a fixed depth, bounded by `maxDepth`
+    * (the O14/O16 early-stop discipline its siblings g22b/g25b/g6b
+    * carry). Past the stop level every deeper level is empty and
+    * contributes nothing to the backward pass, so the converged result
+    * equals the fixed-depth result for ANY depth ≥ the stop depth —
+    * which keeps the unrolled oracle valid without the caller
+    * hand-picking the eccentricity. Costs one |frontier|-count driver
+    * action per level (the labelPropagationConverged cost model) on
+    * top of the fixed-depth plan. Returns the betweenness frame plus
+    * the depth at which the frontier emptied.
+    */
+  def sampledBetweennessConverged(
+      edges: DataFrame, seeds: Seq[Long],
+      maxDepth: Int = 64): (DataFrame, Int) =
+    run(edges, seeds, maxDepth, converge = true)
+
+  private def run(
+      edges: DataFrame, seeds: Seq[Long], depth: Int,
+      converge: Boolean): (DataFrame, Int) = {
     require(seeds.nonEmpty, "need at least one seed")
     require(depth >= 1, "depth must be >= 1")
     val spark = edges.sparkSession
@@ -52,28 +75,38 @@ object Brandes {
     val levels = scala.collection.mutable.ArrayBuffer(lvl0)
     var visitedKeys = lvl0.select(col("seed"), col("id")).transform(CacheScope.rotate)
     var frontier = lvl0
-    for (l <- 1 to depth) {
+    var lvl = 1
+    var drained = false
+    while (lvl <= depth && !drained) {
       val newLevel = frontier
         .join(sym, frontier("id") === sym("src"))
         .select(col("seed"), col("dst").as("id"), col("sig"))
         .join(visitedKeys, Seq("seed", "id"), "left_anti")
         .groupBy(col("seed"), col("id"))
         .agg(sum(col("sig")).as("sig"))
-        .select(col("seed"), col("id"), lit(l).as("d"), col("sig"))
+        .select(col("seed"), col("id"), lit(lvl).as("d"), col("sig"))
         .transform(CacheScope.rotate) // eager: per-level lineage cut
-      levels += newLevel
-      visitedKeys = visitedKeys
-        .union(newLevel.select(col("seed"), col("id")))
-        .transform(CacheScope.rotate)
-      frontier = newLevel
+      // convergence probe: the rotated level is materialized, so the
+      // count is a cached-frame action, not a recompute
+      if (converge && newLevel.isEmpty) {
+        drained = true
+      } else {
+        levels += newLevel
+        visitedKeys = visitedKeys
+          .union(newLevel.select(col("seed"), col("id")))
+          .transform(CacheScope.rotate)
+        frontier = newLevel
+        lvl += 1
+      }
     }
+    val stopDepth = levels.size - 1
     // backward: δ at the deepest level is 0; each shallower level sums
     // (σv/σw)(1+δw) over its successors at the next level
-    var deltaNext = levels(depth)
+    var deltaNext = levels(stopDepth)
       .select(col("seed"), col("id"), lit(0.0).as("delta"))
       .transform(CacheScope.rotate)
     val deltas = scala.collection.mutable.ArrayBuffer(deltaNext)
-    for (l <- (depth - 1) to 0 by -1) {
+    for (l <- (stopDepth - 1) to 0 by -1) {
       val cur = levels(l)
       val succ = cur
         .join(sym, cur("id") === sym("src"))
@@ -110,6 +143,6 @@ object Brandes {
       .filter(col("id") =!= col("seed"))
       .groupBy(col("id"))
       .agg(round(sum(col("delta")) / 2.0, 6).as("bc_r"))
-    CacheScope.sealAfter(out, sym, ue)
+    (CacheScope.sealAfter(out, sym, ue), stopDepth)
   }
 }

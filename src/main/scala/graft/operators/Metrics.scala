@@ -122,9 +122,9 @@ object Metrics {
     * float bin-edge can disagree cross-engine); each bin reports its
     * size, mean score ("confidence") and positive rate ("accuracy").
     * One window sort + one map-side-combined aggregate; the window
-    * partitions by nothing but operates on (score, id) — at 100 TB
-    * swap the global ntile for q20's approx-percentile edges, exactly
-    * as d40 documents for its equal-frequency twin.
+    * partitions by nothing but operates on (score, id) — at 100 TB use
+    * [[calibrationBinsApprox]], the registered sketch-edge twin (d49b),
+    * which removes the global sort entirely.
     *
     * Output per bin: `bin, n, mean_score, pos_rate` (+ the |gap|
     * each bin contributes to ECE before weighting).
@@ -139,6 +139,45 @@ object Metrics {
     df.select(
         score.as("s"), label.cast("boolean").as("y"), id.as("i"))
       .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("s")), 6).as("mean_score"),
+        round(avg(col("y").cast("double")), 6).as("pos_rate"))
+      .withColumn(
+        "gap", round(abs(col("mean_score") - col("pos_rate")), 6))
+  }
+
+  /** The 100 TB twin of [[calibrationBins]] — the swap that method's
+    * Scaladoc documents, made executable: `approx_percentile` computes
+    * the `bins − 1` interior score edges in ONE map-side-combined
+    * sketch aggregate (no global sort anywhere), the 1-row edge frame
+    * broadcasts, and binning becomes a STATELESS projection — bin =
+    * 1 + #(edges strictly below the score), unrolled into `bins − 1`
+    * codegen'd comparisons (no interpreted array lambda in the hot
+    * path). Same output schema as the exact form; bin MEMBERSHIP near
+    * sketch edges is engine-defined (the q14/q20 sketch-accuracy
+    * stance), so the row registers rows-only with the accuracy spec
+    * pinning near-equal bin sizes and monotone mean scores against the
+    * exact twin.
+    */
+  def calibrationBinsApprox(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10,
+      accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, "need bins >= 2")
+    val probs = array(
+      (1 until bins).map(i => lit(i.toDouble / bins)): _*)
+    val edges = df
+      .agg(percentile_approx(score, probs, lit(accuracy)).as("edges"))
+    val binCol = (1 until bins).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col("s") > element_at(col("edges"), i), 1L).otherwise(0L)
+    }
+    df.select(score.as("s"), label.cast("boolean").as("y"))
+      .crossJoin(broadcast(edges))
+      .withColumn("bin", binCol)
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),

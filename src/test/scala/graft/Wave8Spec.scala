@@ -66,3 +66,107 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(a == b && a.size == 20, s"got ${a.size} spans")
   }
 }
+
+/** Round-11 wave: sketch-edge approx twins for the last two global
+  * sorts (q45b RFM, d49b calibration bins).
+  */
+class ApproxTwinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("d49b: sketch bins track the exact ntile bins") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.operators.TextOps.qualityMetrics(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val approx = graft.operators.Metrics.calibrationBinsApprox(
+      scored, col("stopword_ratio"), col("lang") === "en", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val n = scored.count()
+    // nothing lost, bins near-equal (ties in the score can legitimately
+    // imbalance rank-free binning — allow 3x), mean scores monotone
+    assert(approx.values.map(_._1).sum == n)
+    assert(approx.nonEmpty && approx.keys.min >= 1 && approx.keys.max <= 10)
+    val ideal = n.toDouble / 10
+    assert(approx.values.forall(_._1 <= 3 * ideal),
+      s"a sketch bin is pathologically oversized: $approx")
+    val means = approx.toSeq.sortBy(_._1).map(_._2._2)
+    assert(means == means.sorted, s"mean_score not monotone: $means")
+  }
+
+  test("q45b: sketch quartile scores agree with exact ntile scores") {
+    val exact = SparkEntry.queries("q45_rfm")(spark, sf)
+      .select(col("user_id"), col("r_score"), col("f_score"),
+        col("m_score"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val approx = SparkEntry.queries("q45b_rfm_approx")(spark, sf)
+      .select(col("user_id"), col("r_score"), col("f_score"),
+        col("m_score"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(approx.keySet == exact.keySet, "user universes differ")
+    // per-dimension agreement: ntile breaks boundary ties by user_id,
+    // the sketch by edge value — only boundary users may differ
+    val dims = Seq[((Long, Long, Long)) => Long](_._1, _._2, _._3)
+    for ((f, nm) <- dims.zip(Seq("r", "f", "m"))) {
+      val agree = exact.keys.count(k => f(exact(k)) == f(approx(k)))
+      val frac = agree.toDouble / exact.size
+      assert(frac >= 0.9, s"$nm-score agreement only $frac")
+      // never off by more than one quartile
+      assert(exact.keys.forall(k =>
+        math.abs(f(exact(k)) - f(approx(k))) <= 1),
+        s"$nm-score off by > 1 quartile somewhere")
+    }
+  }
+}
+
+/** Round-11 wave: convergent sampled Brandes (g45b). */
+class BrandesConvergedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def fixture = {
+    val e = graft.sources.SyntheticGraph.portable(spark, 300, 600, "g45")
+    val seeds = graft.operators.GraphBuilder.vertices(e)
+      .orderBy(col("id")).limit(4).collect().map(_.getLong(0)).toSeq
+    (e, seeds)
+  }
+
+  test("converged result equals fixed-depth for any depth >= stop depth") {
+    val (e, seeds) = fixture
+    val (conv, stop) =
+      graft.operators.Brandes.sampledBetweennessConverged(e, seeds)
+    assert(stop >= 1 && stop < 64, s"suspicious stop depth $stop")
+    val a = conv.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val fixed = graft.operators.Brandes
+      .sampledBetweenness(e, seeds, depth = stop + 2)
+    val b = fixed.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b, "converged != fixed-depth past the frontier drain")
+  }
+
+  test("early stop really stops: maxDepth far above stop is not walked") {
+    val (e, seeds) = fixture
+    val (_, s64) =
+      graft.operators.Brandes.sampledBetweennessConverged(e, seeds, 64)
+    val (_, s32) =
+      graft.operators.Brandes.sampledBetweennessConverged(e, seeds, 32)
+    assert(s64 == s32, "stop depth must be maxDepth-independent")
+  }
+
+  test("depth-bounded variant is a strict truncation when depth < stop") {
+    val (e, seeds) = fixture
+    val (conv, stop) =
+      graft.operators.Brandes.sampledBetweennessConverged(e, seeds)
+    val shallow = graft.operators.Brandes
+      .sampledBetweenness(e, seeds, depth = math.max(stop - 4, 1))
+    // κ-path truncation reaches no deeper than the converged walk; the
+    // two must differ somewhere (this fixture's eccentricity > 4)
+    val a = conv.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = shallow.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a != b, "truncated walk unexpectedly identical to converged")
+  }
+}

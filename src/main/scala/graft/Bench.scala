@@ -299,8 +299,24 @@ object Bench {
       case (k, Right((v, _)), _)
           if idleWalls.get(k).exists(iw => iw >= 0.5 && v > 3.0 * iw) => k
     }
-    val contendedJson = (contended ++ vsIdle).distinct
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspects = (contended ++ vsIdle).distinct
+    val contendedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // machine-readable contention DISCOUNT (r10 advice): re-total the
+    // run with each suspect's wall replaced by its committed idle wall
+    // (min-guarded so the substitution can only shrink), so a contended
+    // driver run self-reports the number an idle host would have
+    // produced instead of reading as a regression. idle_ref_n says how
+    // many queries had an idle reference to discount against.
+    val suspectSet = suspects.toSet
+    val adjustedTotal = results.collect { case (k, Right((v, _)), _) =>
+      if (suspectSet.contains(k))
+        idleWalls.get(k).map(math.min(v, _)).getOrElse(v)
+      else v
+    }.sum
+    val idleRefN = results.count {
+      case (k, Right(_), _) => idleWalls.contains(k)
+      case _                => false
+    }
     // whole-run executor totals: task wall-time inflates ~linearly with
     // host CPU oversubscription while cpu-time doesn't, so the pair makes
     // a wall-inflated bench (r4's 575 s artifact) self-diagnosing from
@@ -309,7 +325,9 @@ object Bench {
     val benchRes = res.snapshot - benchStart
     val extraJson = (extras ++ Seq(
       "\"exec_sec\":" + r2d(benchRes.executorRunMs / 1000.0),
-      "\"cpu_sec\":" + r2d(benchRes.executorCpuMs / 1000.0)))
+      "\"cpu_sec\":" + r2d(benchRes.executorCpuMs / 1000.0),
+      "\"adjusted_total_sec\":" + r2d(adjustedTotal),
+      "\"idle_ref_n\":" + idleRefN))
       .mkString(",", ",", "")
     // full-fidelity detail (resource accounting per query) goes to a
     // sidecar file + an EARLY stdout line; only the compact contract

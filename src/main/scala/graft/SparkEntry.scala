@@ -152,7 +152,7 @@ object SparkEntry {
     """WITH l AS (
       |  SELECT CASE WHEN event_id % 2 = 0 THEN 0
       |           ELSE event_id % 997 END AS jk, value + i AS value
-      |  FROM events, unnest(range(16)) AS rep(i)),
+      |  FROM events, unnest(range(64)) AS rep(i)),
       |r AS (
       |  SELECT event_id % 997 AS jk, count(*) AS r_n
       |  FROM events GROUP BY 1)
@@ -167,7 +167,7 @@ object SparkEntry {
     * relational joins (the reference's own skew analysis,
     * README.md:410-416, is the anchor: a power-law key distribution
     * concentrates one reducer's work). Half the probe side's rows share
-    * join key 0 (a 16× row-multiplied events copy, so the hub partition
+    * join key 0 (a 64× row-multiplied events copy, so the hub partition
     * dwarfs the median); the other side is one pre-aggregated row per
     * key, forced OFF the broadcast path (threshold −1) the way real
     * fact-fact sides are too big to broadcast. With skew handling ON,
@@ -195,9 +195,16 @@ object SparkEntry {
       s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin",
         skewOn.toString)
       s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // thresholds sized to the ×64 bench fixture (r11 rescale: at the
+      // old ×16 both twins finished in ~1 s and the pair demonstrated
+      // nothing — the g18 fixture-growth treatment applied here): the
+      // hub partition carries ~32 MB at sf0.1, the 997 non-hub keys
+      // ~100 KB each, so 1m splits exactly the hub and the measured
+      // idle ratio is ≥ 2× (see BENCH_DETAIL skew_noaqe_sec /
+      // skew_aqe_sec)
       s.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
-      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       val ev = t(s, dir, "events")
@@ -217,7 +224,7 @@ object SparkEntry {
           when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
             .otherwise(pmod(col("event_id"), lit(997))).as("jk"),
           col("value"),
-          explode(sequence(lit(0), lit(15))).as("rep"))
+          explode(sequence(lit(0), lit(63))).as("rep"))
         .select(col("jk"), (col("value") + col("rep")).as("value"))
       // materialized: OptimizeSkewedJoin pattern-matches
       // SMJ(Sort(stage), Sort(stage)) — an aggregate living between the
@@ -4519,6 +4526,15 @@ object SparkEntry {
       // replays gram index → dup set → gaps-and-islands runs exactly.
       graft.operators.Dedup.substringSpans(
         t(s, dir, "documents"), k = 5)),
+    "d50b_span_removal" -> ((s, dir) =>
+      // d50 APPLIED (Lee et al.'s actual dedup step): the corpus
+      // rewritten with every non-canonical duplicated span cut —
+      // canonical = the corpus-minimal (doc, pos) site of the span's
+      // leading gram, a pure hash-aggregate decision, so the whole
+      // rewrite (index → canon → cut → rebuild) replays in the oracle
+      // byte-for-byte including the cleaned text.
+      graft.operators.Dedup.removeDuplicatedSpans(
+        t(s, dir, "documents"), k = 5)),
     "d46b_lev_full" -> ((s, dir) =>
       // the DELIBERATE worse twin (g18/g20 discipline): full-matrix
       // O(len²) Levenshtein on the src16 slice — same output as d46c,
@@ -7167,6 +7183,55 @@ object SparkEntry {
         |  max(pos) + 4 - min(pos) + 1 AS span_tokens,
         |  count(*) AS n_dup_grams
         |FROM runs GROUP BY doc_id, grp""".stripMargin,
+    "d50b_span_removal" ->
+      // the full rewrite replayed: same gram index, canonical site per
+      // gram by lexicographic struct min, non-canonical ranges cut,
+      // text re-assembled token-ordered
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
+        |      AS BIGINT) AS gd
+        |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
+        |  WHERE len(toks) >= 5),
+        |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+        |d AS (SELECT g.doc_id, g.pos, g.gd FROM g JOIN dup USING (gd)),
+        |canon AS (SELECT gd,
+        |    min(struct_pack(d := doc_id, p := pos)) AS ms
+        |  FROM d GROUP BY gd),
+        |runs AS (
+        |  SELECT doc_id, pos, gd,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM d),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
+        |    min_by(gd, pos) AS lead_gd
+        |  FROM runs GROUP BY doc_id, grp),
+        |rm AS (
+        |  SELECT s.doc_id, s.start_tok, s.end_tok
+        |  FROM spans s JOIN canon c ON c.gd = s.lead_gd
+        |  WHERE NOT (struct_extract(c.ms, 'd') = s.doc_id
+        |         AND struct_extract(c.ms, 'p') = s.start_tok)),
+        |rp AS (SELECT DISTINCT doc_id, CAST(t.p AS BIGINT) AS pos
+        |  FROM rm, unnest(range(start_tok, end_tok + 1)) AS t(p)),
+        |tp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    toks[CAST(t.i AS INT)+1] AS tok
+        |  FROM tok, unnest(range(len(toks))) AS t(i)),
+        |kp AS (
+        |  SELECT tp.doc_id, count(*) AS n_kept,
+        |    string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
+        |  FROM tp LEFT JOIN rp
+        |    ON rp.doc_id = tp.doc_id AND rp.pos = tp.pos
+        |  WHERE rp.doc_id IS NULL GROUP BY tp.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(k.clean, '') AS text_clean
+        |FROM tok t LEFT JOIN kp k USING (doc_id)""".stripMargin,
     "d48_ppjoin" ->
       // the whole prefix-filter chain replayed: d5b's shingle digests,
       // df, the (df, t) canonical order, the prefix cut, the size

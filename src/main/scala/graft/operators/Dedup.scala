@@ -870,4 +870,101 @@ object Dedup {
         col("n_dup_grams"))
     CacheScope.sealAfter(out, grams)
   }
+
+  /** APPLY [[substringSpans]]: rewrite the corpus with every
+    * non-canonical duplicated span REMOVED — Lee et al. 2022's actual
+    * dedup step (the paper keeps one occurrence of each duplicated
+    * string and cuts the rest; this is what shrinks memorization, the
+    * span REPORT alone is just the audit). Canonicality is
+    * deterministic and relational: a maximal span survives iff its
+    * (doc_id, start_tok) is the corpus-minimal site of its LEADING
+    * gram (min over a hash aggregate — never a per-gram window sort,
+    * which a boilerplate gram with millions of sites would skew);
+    * every other occurrence's token range is cut.
+    *
+    * Scale shape: [[substringSpans]]'s index stages plus ONE
+    * doc_id-keyed rebuild exchange — rewriting the corpus costs one
+    * linear keyed shuffle, which is the irreducible price of emitting
+    * cleaned text (tokens explode → anti-join the removed positions →
+    * re-assemble per doc; every stage codegen'd, no interpreted
+    * per-token lambdas). Docs below k tokens pass through unchanged.
+    *
+    * Output: `doc_id, n_tokens, n_removed, text_clean` (tokens
+    * re-joined single-spaced — tokenization already normalized runs of
+    * whitespace, so the rebuild is the canonical form).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val digests = transform(
+      sequence(lit(0), size(col("toks")) - k),
+      i =>
+        conv(
+          substring(
+            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
+          16, 10).cast("long"))
+    val base = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(digests).as(Seq("pos", "gd")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupPos = grams
+      .join(
+        grams.groupBy(col("gd")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select(col("gd")),
+        Seq("gd"))
+    // canonical site per duplicated gram: min (doc_id, pos) via hash
+    // aggregate (struct min is lexicographic)
+    val canon = dupPos
+      .groupBy(col("gd"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("ms"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("end_tok"),
+        min_by(col("gd"), col("pos")).as("lead_gd"))
+    val removedRanges = spans
+      .join(canon, col("lead_gd") === col("gd"))
+      .filter(
+        !(col("ms.doc_id") === col("doc_id") &&
+          col("ms.pos") === col("start_tok")))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"))
+    val removedPos = removedRanges.select(
+      col("doc_id"),
+      explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+    val tokPos = base.select(
+      col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(
+        col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = tokPos
+      .join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("clean"))
+    // left join from the doc universe: a FULLY-duplicated non-canonical
+    // doc loses every token and must still emit its (empty) row
+    val out = base
+      .select(
+        col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean"), lit("")).as("text_clean"))
+    CacheScope.sealAfter(out, base, grams)
+  }
 }

@@ -194,16 +194,16 @@ class SkewJoinSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val saved = keys.keys.map(k => k -> s.conf.getOption(k)).toSeq
     try {
       keys.foreach { case (k, v) => s.conf.set(k, v) }
       val ev = spark.read.parquet(s"$dir/events.parquet")
-      // ×256 multiplier (vs the entry's ×16): at sf0.001 the hub
-      // partition must clear the same 256k skew threshold the entry's
+      // ×1024 multiplier (vs the entry's ×64): at sf0.001 the hub
+      // partition must clear the same 1m skew threshold the entry's
       // confs use at verify/bench scale — the plan SHAPE is what this
       // test pins, the thresholds are scale knobs. Same construction as
       // the entry otherwise: distinct per-replica values (compressible
@@ -215,7 +215,7 @@ class SkewJoinSpec extends AnyFunSuite {
           when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
             .otherwise(pmod(col("event_id"), lit(997))).as("jk"),
           col("value"),
-          explode(sequence(lit(0), lit(255))).as("rep"))
+          explode(sequence(lit(0), lit(1023))).as("rep"))
         .select(col("jk"), (col("value") + col("rep")).as("value"))
       val right = ev.groupBy(pmod(col("event_id"), lit(997)).as("jk"))
         .agg(count(lit(1)).as("r_n"))

@@ -65,6 +65,45 @@ class SubstringDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b && a.size == 20, s"got ${a.size} spans")
   }
+
+  test("span removal keeps the canonical (min-site) occurrence only") {
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = docs(Seq(
+      0L -> s"u1 u2 $s8 v1 v2",
+      1L -> s"$s8 w1 w2 w3"))
+    val got = Dedup.removeDuplicatedSpans(d, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // canonical site of the leading gram is (0, 2) — doc 0 keeps all,
+    // doc 1 loses its 8 span tokens
+    assert(got(0L) == (12L, 0L, s"u1 u2 $s8 v1 v2"), s"doc0: ${got(0L)}")
+    assert(got(1L) == (11L, 8L, "w1 w2 w3"), s"doc1: ${got(1L)}")
+  }
+
+  test("within-doc repetition keeps the first occurrence") {
+    val r5 = (1 to 5).map(i => s"r$i").mkString(" ")
+    val d = docs(Seq(2L -> s"m1 m2 $r5 m3 m4 $r5 m5"))
+    val got = Dedup.removeDuplicatedSpans(d, k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(got == (15L, 5L, s"m1 m2 $r5 m3 m4 m5"), s"got $got")
+  }
+
+  test("a fully-duplicated doc still emits its (empty) row") {
+    val s6 = (1 to 6).map(i => s"z$i").mkString(" ")
+    val d = docs(Seq(0L -> s6, 1L -> s6))
+    val got = Dedup.removeDuplicatedSpans(d, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) == (6L, 0L, s6))
+    assert(got(1L) == (6L, 6L, ""), s"doc1 not emptied: ${got(1L)}")
+  }
+
+  test("untouched docs pass through verbatim (single-spaced)") {
+    val d = docs(Seq(7L -> "a1  a2\ta3 a4 a5 a6"))
+    val got = Dedup.removeDuplicatedSpans(d, k = 5).collect().head
+    assert(got.getString(3) == "a1 a2 a3 a4 a5 a6")
+    assert(got.getLong(2) == 0L)
+  }
 }
 
 /** Round-11 wave: sketch-edge approx twins for the last two global

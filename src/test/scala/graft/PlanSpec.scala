@@ -645,6 +645,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toString.contains("BroadcastNestedLoopJoin"), p.toString)
   }
 
+  test("d50/d50b span dedup: no cross join, no global sort anywhere") {
+    // the gram index is a hash shuffle on the 8-byte digest and the
+    // run detection a doc-partitioned window — a rangepartitioning
+    // exchange (global sort) or a degenerate join would mean the
+    // suffix-array re-expression stopped being linear
+    for (q <- Seq("d50_span_dedup", "d50b_span_removal")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to nested-loop: " + p)
+      assert(!p.contains("CartesianProduct"), s"$q has a cross product: " + p)
+      assert(!p.contains("rangepartitioning"), s"$q global-sorts: " + p)
+    }
+  }
+
   test("g31 SCC HashMin round: cached edge copy never re-exchanges, min map-side combined") {
     // the inner fixpoint both FW and BW passes run — same discipline as
     // g28: the to-partitioned persisted edge copy streams, only the

@@ -104,6 +104,71 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got.getString(3) == "a1 a2 a3 a4 a5 a6")
     assert(got.getLong(2) == 0L)
   }
+
+  test("generative: spans are exactly the maximal duplicated-gram runs") {
+    // deterministic random corpus over a tiny vocab (lots of genuine
+    // collisions), then the operator's output is checked against the
+    // DEFINITION: soundness — every k-window inside a reported span is
+    // a corpus-duplicated gram; completeness — every corpus-duplicated
+    // gram position lies inside some reported span; maximality — spans
+    // per doc are disjoint and non-adjacent
+    val k = 5
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (0L until 30L).map(i =>
+      i -> Seq.fill(10 + rnd.nextInt(21))(vocab(rnd.nextInt(8)))
+        .mkString(" "))
+    val tokens = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val gramCount = new scala.collection.mutable.HashMap[Seq[String], Int]()
+    for ((_, tk) <- tokens; w <- tk.sliding(k) if w.length == k)
+      gramCount(w) = gramCount.getOrElse(w, 0) + 1
+    // flatMap over a Seq, NOT the Map — a Map's flatMap re-keys by the
+    // tuple's first element and silently collapses to one pos per doc
+    val dupPos = tokens.toSeq.flatMap { case (id, tk) =>
+      tk.sliding(k).zipWithIndex.collect {
+        case (w, p) if w.length == k && gramCount(w) >= 2 => (id, p.toLong)
+      }
+    }.toSet
+    val spans = Dedup.substringSpans(docs(corpus), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(spans.nonEmpty, "tiny-vocab corpus produced no dup spans")
+    // soundness + the n_dup_grams arithmetic invariant
+    for ((id, s, e, n) <- spans) {
+      assert(n == e - s + 1 - (k - 1), s"gram count wrong for ($id,$s,$e)")
+      for (p <- s to (e - k + 1))
+        assert(dupPos.contains((id, p)), s"non-dup gram inside span: $id $p")
+    }
+    // completeness
+    val covered = spans.flatMap { case (id, s, e, _) =>
+      (s to (e - k + 1)).map(p => (id, p))
+    }.toSet
+    assert(dupPos == covered,
+      s"missed dup positions: ${(dupPos -- covered).take(5)}")
+    // maximality: per-doc spans disjoint and separated by >= 1 position
+    for ((id, ss) <- spans.groupBy(_._1)) {
+      val sorted = ss.sortBy(_._2)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray)
+             if sorted.length >= 2)
+        assert(b._2 > a._3 - k + 2, s"adjacent spans not merged in doc $id")
+    }
+    // removal conservation on the same corpus: kept tokens = original
+    // minus removed, and the clean text is a subsequence of the original
+    val cleaned = Dedup.removeDuplicatedSpans(docs(corpus), k).collect()
+    for (r <- cleaned) {
+      val orig = tokens(r.getLong(0))
+      val clean =
+        if (r.getString(3).isEmpty) Seq.empty[String]
+        else r.getString(3).split(" ").toSeq
+      assert(clean.length == r.getLong(1) - r.getLong(2))
+      // subsequence check
+      var i = 0
+      for (t <- clean) {
+        while (i < orig.length && orig(i) != t) i += 1
+        assert(i < orig.length, s"clean text not a subsequence: doc ${r.getLong(0)}")
+        i += 1
+      }
+    }
+  }
 }
 
 /** Round-11 wave: sketch-edge approx twins for the last two global

@@ -4535,6 +4535,30 @@ object SparkEntry {
       // byte-for-byte including the cleaned text.
       graft.operators.Dedup.removeDuplicatedSpans(
         t(s, dir, "documents"), k = 5)),
+    "d51_winnow" -> ((s, dir) =>
+      // WINNOWING fingerprints (Schleimer et al. 2003, MOSS): per-doc
+      // bounded-window minimum of k-gram digests, rightmost-min ties —
+      // the LOCAL fingerprint sketch with the ≥ w+k−1 match guarantee
+      // (unit-locked). One posexplode + one doc-bounded window; the
+      // whole selection is md5/integer arithmetic the oracle replays.
+      graft.operators.Dedup.winnowFingerprints(
+        t(s, dir, "documents"), k = 4, w = 4)),
+    "d51b_winnow_pairs" -> ((s, dir) =>
+      // d51 APPLIED (the MOSS score shape): doc pairs sharing ≥ 2
+      // distinct fingerprints, bucketed per fingerprint (Σ|bucket|²,
+      // never |D|²) with the deterministic stop-fingerprint df cut
+      // mirrored in the oracle.
+      graft.operators.Dedup.winnowPairs(
+        t(s, dir, "documents"), k = 4, w = 4,
+        minShared = 2, maxDf = 50)),
+    "d53_cms" -> ((s, dir) =>
+      // COUNT-MIN sketch (Cormode–Muthukrishnan) point-frequency audit:
+      // 3×128 md5-hashed counters built in ONE map-side-combined agg
+      // whose shuffle carries the SKETCH not the corpus; every distinct
+      // token probed, est ≥ true by theorem (overest column). The
+      // sketch family's point-query member next to q14 HLL + d25 MG.
+      graft.operators.CountMin.pointEstimates(
+        t(s, dir, "documents"), depth = 3, width = 128)),
     "d46b_lev_full" -> ((s, dir) =>
       // the DELIBERATE worse twin (g18/g20 discipline): full-matrix
       // O(len²) Levenshtein on the src16 slice — same output as d46c,
@@ -7273,6 +7297,86 @@ object SparkEntry {
         |WHERE round(CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
         |      / len(list_distinct(list_concat(sa.ts, sb.ts))), 6)
         |      >= CAST(0.8 AS DOUBLE)""".stripMargin,
+    "d51_winnow" ->
+      // the whole winnowing selection replayed: same 60-bit k-gram
+      // digests, same bounded ROWS window, lexicographic struct min =
+      // (min hash, rightmost tie), distinct
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(toks) - 3 AS BIGINT) AS n_grams,
+        |    CAST(t.i AS BIGINT) AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+4], ' ')), 1, 15)
+        |      AS BIGINT) AS gh
+        |  FROM tok, unnest(range(len(toks) - 3)) AS t(i)
+        |  WHERE len(toks) >= 7),
+        |m AS (
+        |  SELECT doc_id, n_grams, pos,
+        |    min(struct_pack(g := gh, np := -pos)) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ms
+        |  FROM g)
+        |SELECT DISTINCT doc_id,
+        |  -struct_extract(ms, 'np') AS pos,
+        |  struct_extract(ms, 'g') AS fp
+        |FROM m WHERE pos <= n_grams - 4""".stripMargin,
+    "d51b_winnow_pairs" ->
+      // fingerprints → df cut (2 ≤ df ≤ 50) → within-bucket pairs →
+      // shared-count threshold, all replayed on the same digests
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(toks) - 3 AS BIGINT) AS n_grams,
+        |    CAST(t.i AS BIGINT) AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+4], ' ')), 1, 15)
+        |      AS BIGINT) AS gh
+        |  FROM tok, unnest(range(len(toks) - 3)) AS t(i)
+        |  WHERE len(toks) >= 7),
+        |m AS (
+        |  SELECT doc_id, n_grams, pos,
+        |    min(struct_pack(g := gh, np := -pos)) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ms
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, struct_extract(ms, 'g') AS fp
+        |  FROM m WHERE pos <= n_grams - 4),
+        |rare AS (SELECT fp FROM fps GROUP BY fp
+        |         HAVING count(*) >= 2 AND count(*) <= 50),
+        |cut AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cut a JOIN cut b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "d53_cms" ->
+      // the sketch rebuilt cell for cell from the same md5 row hashes,
+      // then every distinct token probed with the same min-over-rows
+      // rule
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cells AS (
+        |  SELECT t, u.r,
+        |    CAST('0x' || substr(md5('cms-v1:' || CAST(u.r AS VARCHAR)
+        |      || ':' || t), 1, 15) AS BIGINT) % 128 AS cell
+        |  FROM tk, unnest([0, 1, 2]) AS u(r)),
+        |sk AS (SELECT r, cell, count(*) AS cnt FROM cells
+        |       GROUP BY r, cell),
+        |probes AS (SELECT t, count(*) AS cnt_true FROM tk GROUP BY t),
+        |pc AS (
+        |  SELECT p.t, p.cnt_true, u.r,
+        |    CAST('0x' || substr(md5('cms-v1:' || CAST(u.r AS VARCHAR)
+        |      || ':' || p.t), 1, 15) AS BIGINT) % 128 AS cell
+        |  FROM probes p, unnest([0, 1, 2]) AS u(r))
+        |SELECT pc.t AS tok, CAST(pc.cnt_true AS BIGINT) AS cnt_true,
+        |  CAST(min(sk.cnt) AS BIGINT) AS est,
+        |  CAST(min(sk.cnt) - pc.cnt_true AS BIGINT) AS overest
+        |FROM pc JOIN sk USING (r, cell)
+        |GROUP BY pc.t, pc.cnt_true""".stripMargin,
     "d46b_lev_full" -> levSrc0OracleSql,
     "d46c_lev_banded" -> levSrc0OracleSql,
     "d47_inverted_index" ->

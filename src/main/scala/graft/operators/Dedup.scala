@@ -967,4 +967,130 @@ object Dedup {
         coalesce(col("clean"), lit("")).as("text_clean"))
     CacheScope.sealAfter(out, base, grams)
   }
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    * — the MOSS local fingerprinting algorithm): hash every token
+    * k-gram, slide a window of `w` consecutive gram hashes over each
+    * document, and keep the MINIMUM hash of each window (rightmost
+    * occurrence on ties — the paper's "robust winnowing" rule, which
+    * makes the selection depend only on local context). The selected
+    * (position, hash) set is the document's fingerprint sketch, with
+    * the paper's guarantee: any substring match of length
+    * ≥ w + k − 1 tokens between two documents shares at least one
+    * fingerprint, and no match shorter than k is ever detected. This is
+    * the LOCAL member of the fingerprint family — unlike MinHash
+    * (global random sample of the shingle set) the selection at a
+    * position is a function of a bounded neighborhood, so the sketch
+    * supports substring-level evidence, not just whole-doc Jaccard.
+    *
+    * Every decision is md5-digest/integer arithmetic on the
+    * [[shingleSetPortable]] 60-bit construction, so the whole selection
+    * replays in the oracle: gram index → per-doc bounded window min of
+    * `struct(hash, −pos)` (lexicographic min ⇒ min hash, rightmost
+    * tie) → distinct.
+    *
+    * Scale shape: one posexplode ∝ corpus tokens, ONE per-document
+    * window with a ROWS-bounded frame of `w` following rows (the
+    * doc_id partition bound — never a global sort; gram positions are
+    * dense 0..n−1 so the row frame IS the position frame), one
+    * distinct keyed on (doc_id, pos). Expected sketch density is
+    * 2/(w+1) fingerprints per token — the corpus-size reduction that
+    * makes the downstream pair stage affordable.
+    *
+    * Output: `doc_id, pos, fp` — one row per selected fingerprint
+    * (`pos` = 0-based token position of the gram; `fp` = 60-bit gram
+    * digest). Docs with fewer than w + k − 1 tokens emit nothing (no
+    * full window exists).
+    */
+  def winnowFingerprints(
+      docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(w >= 1, "w must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val digests = transform(
+      sequence(lit(0), size(col("toks")) - k),
+      i =>
+        conv(
+          substring(
+            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
+          16, 10).cast("long"))
+    val grams = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - (k - 1)).cast("long").as("n_grams"),
+        posexplode(digests).as(Seq("pos", "gh")))
+      .select(
+        col("doc_id"), col("n_grams"),
+        col("pos").cast("long").as("pos"), col("gh"))
+    // bounded frame: this row's gram + the next w−1 — each frame is one
+    // winnowing window; lexicographic struct min = (min hash, then max
+    // pos among the minima) = the rightmost-min rule
+    val wn = Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("ms", min(struct(col("gh"), (-col("pos")).as("np"))).over(wn))
+      // only positions that START a full window select a fingerprint
+      .filter(col("pos") <= col("n_grams") - w)
+      .select(
+        col("doc_id"),
+        (-col("ms.np")).as("pos"),
+        col("ms.gh").as("fp"))
+      .distinct()
+  }
+
+  /** Fingerprint-overlap NEAR-COPY pairs from [[winnowFingerprints]]:
+    * two documents are candidates when they share ≥ `minShared`
+    * distinct winnowing fingerprints. By the winnowing guarantee every
+    * shared token run of length ≥ w + k − 1 contributes ≥ 1 shared
+    * fingerprint, so `minShared` is a lower bound on the number of
+    * disjoint shared passages (boilerplate headers, quoted blocks) —
+    * the MOSS plagiarism-score shape.
+    *
+    * Scale shape: the pair stage is the d5/e3 bucketed discipline —
+    * group by fingerprint, pairs only WITHIN a bucket (Σ|bucket|²,
+    * never |D|²), with the standard stop-fingerprint cut: fingerprints
+    * present in more than `maxDf` documents are dropped before pairing
+    * (corpus-universal boilerplate grams would otherwise make one
+    * bucket quadratic in the corpus — the cut is deterministic and
+    * mirrored in the oracle, the d41 idf-floor discipline).
+    *
+    * Output: `id_a, id_b, n_shared` (id_a < id_b).
+    */
+  def winnowPairs(
+      docs: DataFrame, k: Int = 4, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val (out, fps) = winnowPairsStage(docs, k, w, minShared, maxDf)
+    CacheScope.sealAfter(out, fps)
+  }
+
+  /** [[winnowPairs]] BEFORE the seal — the lazy pair-stage plan plus
+    * the persisted fingerprint frame, exposed so PlanSpec can audit the
+    * bucket join (the sealed public result is a checkpoint scan).
+    */
+  private[graft] def winnowPairsStage(
+      docs: DataFrame, k: Int, w: Int,
+      minShared: Int, maxDf: Int): (DataFrame, DataFrame) = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDf >= 2, "maxDf must be >= 2 (a pair needs two docs)")
+    val fps = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select(col("fp"))
+    val cut = fps.join(rare, Seq("fp"))
+    val out = cut.as("a")
+      .join(cut.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    (out, fps)
+  }
 }

@@ -659,6 +659,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d51/d51b winnowing: doc-bounded window, equi-join pair stage, no global sort") {
+    val p = plan("d51_winnow")
+    assert(!p.contains("CartesianProduct"), "d51 has a cross product: " + p)
+    // the winnowing window partitions by doc_id — a rangepartitioning
+    // exchange would mean the per-doc frame became a global sort
+    assert(!p.contains("rangepartitioning"), "d51 global-sorts: " + p)
+    // the pair stage (audited PRE-seal — the public result is a
+    // checkpoint scan) is an equi-join keyed on the fingerprint, never
+    // a cross product
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (out, fps) = graft.operators.Dedup.winnowPairsStage(
+      docs, 4, 4, 2, 50)
+    try {
+      val pp = out.queryExecution.executedPlan.toString
+      assert(!pp.contains("CartesianProduct"), pp)
+      assert(!pp.contains("BroadcastNestedLoopJoin"), pp)
+      assert(!pp.contains("rangepartitioning"), pp)
+      assert(pp.contains("SortMergeJoin") || pp.contains("ShuffledHashJoin")
+        || pp.contains("BroadcastHashJoin"), pp)
+    } finally fps.unpersist(false)
+  }
+
+  test("d53 CMS: the probe joins the depth*width sketch BROADCAST, no sort") {
+    val p = plan("d53_cms")
+    assert(p.contains("BroadcastHashJoin"),
+      "sketch side must broadcast (it is <= depth*width rows): " + p)
+    assert(!p.contains("rangepartitioning"), "CMS never needs a sort: " + p)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "sketch build must map-side combine: " + p)
+  }
+
   test("g31 SCC HashMin round: cached edge copy never re-exchanges, min map-side combined") {
     // the inner fixpoint both FW and BW passes run — same discipline as
     // g28: the to-partitioned persisted edge copy streams, only the

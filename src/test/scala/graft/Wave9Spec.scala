@@ -1,0 +1,237 @@
+package graft
+
+import graft.operators.{CountMin, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 wave: winnowing fingerprints (d51, Schleimer et al. 2003)
+  * and the Count-Min sketch (d53, Cormode–Muthukrishnan 2005).
+  */
+class WinnowingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** The operator's 60-bit md5 digest, reproduced on the JVM. */
+  private def md60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Reference winnowing (the paper's definition, literal): gram hashes,
+    * every window of w consecutive hashes selects its minimum (rightmost
+    * position on ties), selections form a distinct set.
+    */
+  private def refWinnow(
+      toks: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+    val grams = toks.sliding(k).filter(_.length == k)
+      .map(g => md60(g.mkString(" "))).toArray
+    if (grams.length < w) Set.empty
+    else (0 to grams.length - w).map { p =>
+      val win = (p until p + w)
+      val mn = win.map(grams).min
+      val sel = win.filter(grams(_) == mn).max
+      (sel.toLong, grams(sel))
+    }.toSet
+  }
+
+  test("the paper's guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    // k=4, w=4 → any match of ≥ 7 tokens must surface; docs share
+    // EXACTLY 7 tokens, everything else globally unique
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val d = docs(Seq(
+      0L -> s"u1 u2 u3 $shared u4 u5 u6",
+      1L -> s"v1 $shared v2 v3 v4 v5 v6"))
+    val fps = Dedup.winnowFingerprints(d, k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val a = fps.collect { case (0L, f) => f }.toSet
+    val b = fps.collect { case (1L, f) => f }.toSet
+    assert((a intersect b).nonEmpty,
+      "w+k-1 shared run produced no shared fingerprint")
+    // and the pair stage surfaces it at minShared=1
+    val pairs = Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1,
+      maxDf = 50).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L)))
+  }
+
+  test("below the guarantee threshold nothing is promised OR selected here") {
+    // share only k-1 = 3 tokens: no common gram even exists
+    val shared = "s1 s2 s3"
+    val d = docs(Seq(
+      0L -> s"u1 u2 $shared u3 u4 u5",
+      1L -> s"v1 v2 $shared v3 v4 v5"))
+    val fps = Dedup.winnowFingerprints(d, k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val a = fps.collect { case (0L, f) => f }.toSet
+    val b = fps.collect { case (1L, f) => f }.toSet
+    assert((a intersect b).isEmpty)
+  }
+
+  test("generative: selection equals the paper's definition exactly") {
+    val k = 4; val w = 4
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val corpus = (0L until 25L).map(i =>
+      i -> Seq.fill(7 + rnd.nextInt(30))(vocab(rnd.nextInt(6)))
+        .mkString(" "))
+    val expect = corpus.flatMap { case (id, t) =>
+      refWinnow(t.split(" ").toSeq, k, w).map { case (p, h) => (id, p, h) }
+    }.toSet
+    val got = Dedup.winnowFingerprints(docs(corpus), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("density: every doc keeps between ceil(nWin/w) and nWin fingerprints") {
+    // one selection can cover at most w consecutive windows, so the
+    // sketch can never be sparser than nWin/w — the winnowing
+    // lower-bound that makes coverage (not just expectation) a theorem
+    val k = 4; val w = 4
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val corpus = (0L until 15L).map(i =>
+      i -> Seq.fill(12 + rnd.nextInt(25))(vocab(rnd.nextInt(5)))
+        .mkString(" "))
+    val counts = Dedup.winnowFingerprints(docs(corpus), k, w)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, t) <- corpus) {
+      val nGrams = t.split(" ").length - k + 1
+      val nWin = nGrams - w + 1
+      if (nWin >= 1) {
+        val c = counts.getOrElse(id, 0L)
+        assert(c >= (nWin + w - 1) / w, s"doc $id too sparse: $c")
+        assert(c <= nWin.toLong, s"doc $id too dense: $c")
+      } else assert(!counts.contains(id))
+    }
+  }
+
+  test("fingerprints are invariant under input partitioning") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Array("a", "b", "c", "d")
+    val corpus = (0L until 12L).map(i =>
+      i -> Seq.fill(10 + rnd.nextInt(15))(vocab(rnd.nextInt(4)))
+        .mkString(" "))
+    val one = Dedup.winnowFingerprints(docs(corpus).coalesce(1), 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val many = Dedup.winnowFingerprints(docs(corpus).repartition(7), 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == many)
+  }
+
+  test("stop-fingerprint cut: a boilerplate gram in >maxDf docs never pairs") {
+    // 6 IDENTICAL boilerplate docs: every selected fingerprint has
+    // df exactly 6, so maxDf=5 drops all of them — no pair survives
+    // on corpus-universal boilerplate
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val d = docs((0L until 6L).map(i => i -> boiler))
+    val pairs = Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1, maxDf = 5)
+    assert(pairs.count() == 0)
+    // raising the cap to 6 re-admits them
+    val loose = Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1, maxDf = 6)
+    assert(loose.count() == 15, "all C(6,2) pairs should surface")
+  }
+}
+
+class CountMinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def md60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Reference CMS (the definition, literal): depth×width counters,
+    * cell = md60("cms-v1:r:tok") mod width, est = min over rows.
+    */
+  private def refCms(
+      tokens: Seq[String], depth: Int, width: Int): Map[String, Long] = {
+    val table = Array.fill(depth, width)(0L)
+    for (t <- tokens; r <- 0 until depth)
+      table(r)((md60(s"cms-v1:$r:$t") % width).toInt) += 1
+    tokens.distinct.map { t =>
+      t -> (0 until depth).map(r =>
+        table(r)((md60(s"cms-v1:$r:$t") % width).toInt)).min
+    }.toMap
+  }
+
+  private val rnd = new scala.util.Random(19)
+  private val vocab = (1 to 40).map(i => s"w$i")
+  private val corpus = (0L until 40L).map(i =>
+    i -> Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(40)))
+      .mkString(" "))
+
+  test("estimates equal the definition, and est >= true always (CMS theorem)") {
+    // width 8 forces real collisions: the over-estimate side of the
+    // theorem is exercised, not just the identity case
+    val truth = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (t, o) => t -> o.length.toLong }
+    val ref = refCms(corpus.flatMap(_._2.split(" ")), depth = 3, width = 8)
+    val got = CountMin.pointEstimates(docs(corpus), depth = 3, width = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == truth.size)
+    var sawCollision = false
+    for ((tok, ct, est, over) <- got) {
+      assert(ct == truth(tok), s"true count wrong for $tok")
+      assert(est == ref(tok), s"estimate != definition for $tok")
+      assert(est >= ct, s"CMS under-estimated $tok: $est < $ct")
+      assert(over == est - ct)
+      if (over > 0) sawCollision = true
+    }
+    assert(sawCollision,
+      "width-8 fixture produced zero collisions — test is vacuous")
+  }
+
+  test("mergeability: shard sketches sum cell-wise to the corpus sketch") {
+    val sp = spark
+    import sp.implicits._
+    val all = docs(corpus)
+    def toks(d: DataFrame) = d
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+    val whole = CountMin.sketch(toks(all), depth = 3, width = 16)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val a = CountMin.sketch(
+      toks(all.filter(col("doc_id") < 20)), depth = 3, width = 16)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val b = CountMin.sketch(
+      toks(all.filter(col("doc_id") >= 20)), depth = 3, width = 16)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "cell-wise shard sum != corpus sketch")
+  }
+
+  test("sketch size is bounded by depth*width regardless of corpus") {
+    val big = docs(corpus ++ corpus.map { case (i, t) => (i + 100L) -> t })
+    val toks = big.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+    assert(CountMin.sketch(toks, depth = 3, width = 8).count() <= 24)
+  }
+
+  test("estimates are invariant under input partitioning") {
+    val one = CountMin.pointEstimates(docs(corpus).coalesce(1), 3, 16)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val many = CountMin.pointEstimates(docs(corpus).repartition(9), 3, 16)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(one == many)
+  }
+}

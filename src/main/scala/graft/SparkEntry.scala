@@ -1083,6 +1083,114 @@ object SparkEntry {
        |SELECT doc_id, CASE $cases END AS lang_guess FROM mm""".stripMargin
   }
 
+  /** DuckDB twin of the p8 hygiene journey, generated from the SAME
+    * stopword lists as [[langIdSql]] so the language gate can never
+    * drift: language argmax gate → d24 rule chain → the d50b span
+    * removal chain re-rooted on the gated subset → md5 min-id dedup of
+    * the cleaned text.
+    */
+  private def p8OracleSql: String = {
+    val scores = TextOps.langStops.map { case (code, words) =>
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(lt, x -> x IN ($in))) AS s_$code"
+    }.mkString(",\n    ")
+    val codes = TextOps.langStops.map(_._1)
+    val m = codes.map(c => s"s_$c").mkString("greatest(", ", ", ")")
+    val cases = codes
+      .map(c => s"WHEN s_$c = m THEN '$c'")
+      .mkString(" ")
+    s"""WITH lt AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+       |  FROM documents),
+       |sc AS (SELECT doc_id, text, $scores FROM lt),
+       |mm AS (SELECT *, $m AS m FROM sc),
+       |lang AS (
+       |  SELECT doc_id, text FROM mm WHERE CASE $cases END = 'en'),
+       |qt AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM lang),
+       |qm AS (
+       |  SELECT doc_id,
+       |    len(tk) AS n_tokens,
+       |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+       |      / len(tk) AS avg_len,
+       |    CAST(len(list_filter(tk,
+       |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |      / len(tk) AS stop_r,
+       |    CAST(length(text)
+       |         - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+       |         AS DOUBLE) / length(text) AS punct_r,
+       |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_r
+       |  FROM qt),
+       |qr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 5 THEN 'too_short'
+       |         WHEN avg_len > 12.0 THEN 'long_tokens'
+       |         WHEN stop_r < 0.01 THEN 'low_stopword'
+       |         WHEN punct_r > 0.2 THEN 'high_punct'
+       |         WHEN dup_r > 0.6 THEN 'repetitive'
+       |         ELSE 'ok' END AS reason
+       |  FROM qm),
+       |base AS (
+       |  SELECT l.doc_id, l.text FROM lang l
+       |  JOIN qr USING (doc_id) WHERE qr.reason = 'ok'),
+       |tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM base),
+       |g AS (
+       |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(
+       |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
+       |      AS BIGINT) AS gd
+       |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
+       |  WHERE len(toks) >= 5),
+       |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+       |d AS (SELECT g.doc_id, g.pos, g.gd FROM g JOIN dup USING (gd)),
+       |canon AS (SELECT gd,
+       |    min(struct_pack(d := doc_id, p := pos)) AS ms
+       |  FROM d GROUP BY gd),
+       |runs AS (
+       |  SELECT doc_id, pos, gd,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS grp
+       |  FROM d),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
+       |    min_by(gd, pos) AS lead_gd
+       |  FROM runs GROUP BY doc_id, grp),
+       |rm AS (
+       |  SELECT s.doc_id, s.start_tok, s.end_tok
+       |  FROM spans s JOIN canon c ON c.gd = s.lead_gd
+       |  WHERE NOT (struct_extract(c.ms, 'd') = s.doc_id
+       |         AND struct_extract(c.ms, 'p') = s.start_tok)),
+       |rp AS (SELECT DISTINCT doc_id, CAST(t.p AS BIGINT) AS pos
+       |  FROM rm, unnest(range(start_tok, end_tok + 1)) AS t(p)),
+       |tp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       |    toks[CAST(t.i AS INT)+1] AS tok
+       |  FROM tok, unnest(range(len(toks))) AS t(i)),
+       |kp AS (
+       |  SELECT tp.doc_id, count(*) AS n_kept,
+       |    string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
+       |  FROM tp LEFT JOIN rp
+       |    ON rp.doc_id = tp.doc_id AND rp.pos = tp.pos
+       |  WHERE rp.doc_id IS NULL GROUP BY tp.doc_id),
+       |cleaned AS (
+       |  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT)
+       |      AS n_removed,
+       |    coalesce(k.clean, '') AS text_clean
+       |  FROM tok t LEFT JOIN kp k USING (doc_id)),
+       |ne AS (
+       |  SELECT *, md5(text_clean) AS dg FROM cleaned
+       |  WHERE length(text_clean) > 0),
+       |reps AS (SELECT dg, min(doc_id) AS keep_id FROM ne GROUP BY dg)
+       |SELECT ne.doc_id, ne.n_tokens, ne.n_removed, ne.text_clean
+       |FROM ne JOIN reps ON ne.dg = reps.dg AND ne.doc_id = reps.keep_id"""
+      .stripMargin
+  }
+
   /** DuckDB twin of Dedup.simhashNearDupPairs: recomputes the portable
     * 60-bit SimHash (same md5-derived token hashes, same sum>0 tie rule,
     * same bit packing) and takes ALL pairs with Hamming ≤ maxDist — the
@@ -2914,6 +3022,41 @@ object SparkEntry {
         .select(col("q_r").as("q_multi_r"))
       mapped.crossJoin(broadcast(qFine)).crossJoin(broadcast(qMulti))
     },
+    "p8_hygiene" -> { (s, dir) =>
+      // CORPUS-HYGIENE journey (the eighth composed pipeline — the
+      // ingest-cleaning chain an LLM corpus actually runs, in the
+      // order that matters: cheap row-local gates first, the corpus-
+      // wide index last so it only prices the survivors): language
+      // gate (d8's stopword argmax, keep 'en') → quality gate (d24's
+      // composed C4/Gopher rules) → EXACT substring span removal
+      // (d50b, k=5) across the surviving corpus → exact dedup of the
+      // CLEANED text (d1's min-id rule; docs cleaned to empty drop
+      // out). Every stage is oracle-locked alone; this row locks the
+      // composed trajectory byte-for-byte including the cleaned text.
+      // Scale: the two gates are zero-exchange scan projections, the
+      // span index shuffles 8-byte digests of the gated subset only,
+      // and the final dedup keys on one md5 per survivor.
+      val docs = t(s, dir, "documents")
+      val lang = docs
+        .withColumn("lang_guess", TextOps.languageGuess(col("text")))
+        .filter(col("lang_guess") === "en")
+      val keep = TextOps.filterPipeline(lang)
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = lang.join(keep, Seq("doc_id"))
+      val cleaned = Dedup.removeDuplicatedSpans(
+        kept.select(col("doc_id"), col("text")), k = 5)
+      val nonEmpty = cleaned
+        .filter(length(col("text_clean")) > 0)
+        .withColumn("dg", md5(col("text_clean")))
+      val reps = nonEmpty
+        .groupBy(col("dg")).agg(min(col("doc_id")).as("keep_id"))
+      nonEmpty
+        .join(reps, Seq("dg"))
+        .filter(col("doc_id") === col("keep_id"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("text_clean"))
+    },
     "p4_rag_index" -> { (s, dir) =>
       // the RAG-INDEX journey (the fourth composed pipeline next to
       // p1 text-prep / p2 entity-resolution / p3 graph-features):
@@ -4218,6 +4361,21 @@ object SparkEntry {
           expr("approx_percentile(l_extendedprice, 0.9, 1000)")
             .as("p90_price"))
     },
+    "q47_median" -> { (s, dir) =>
+      // the EXACT twin of q20's sketch (the d40/q45b measured-pair
+      // discipline, exactness side): per-group exact interpolated
+      // median + p90. Exact percentile buffers each group's values —
+      // group-bounded memory, so it holds while groups fit an executor
+      // and q20's KLL sketch is the constant-memory 100 TB path; the
+      // pair makes that trade measurable. round(6) pins IEEE
+      // interpolation noise.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(median(col("l_extendedprice")), 6).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6)
+            .as("p90_price"))
+    },
     "q21_geomean" -> { (s, dir) =>
       // typed-Aggregator UDAF (the engine's user-defined-aggregate
       // extension point, planned as a regular partial+final aggregate);
@@ -5080,6 +5238,7 @@ object SparkEntry {
          |JOIN deg db ON db.vtx = cand.b
          |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "g35_modularity" -> modularitySql(3),
+    "p8_hygiene" -> p8OracleSql,
     "p7_multilevel_community" ->
       // the whole multilevel trajectory replayed: g22's LPA chain to
       // l3, the g39 contraction, a SECOND unrolled LPA over the coarse
@@ -5426,6 +5585,13 @@ object SparkEntry {
     "q21_geomean" ->
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q47_median" ->
+      // both engines interpolate at (n-1)*p — Spark percentile ≡
+      // DuckDB quantile_cont; round(6) absorbs the one IEEE division
+      """SELECT l_returnflag,
+        |  round(median(l_extendedprice), 6) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q23_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price

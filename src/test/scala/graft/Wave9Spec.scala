@@ -143,6 +143,65 @@ class WinnowingSpec extends AnyFunSuite {
   }
 }
 
+/** p8 hygiene journey: the composed invariants each stage must leave
+  * behind, re-checked through the component operators.
+  */
+class HygieneJourneySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("survivors pass every gate, dedup held, token arithmetic closes") {
+    import graft.operators.TextOps
+    val out = SparkEntry.queries("p8_hygiene")(spark, dir).collect()
+    assert(out.nonEmpty, "journey dropped the whole corpus")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val langOk = docs
+      .select(col("doc_id"), TextOps.languageGuess(col("text")).as("lg"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the gate is row-local, so checking it over the full corpus gives
+    // the same per-doc verdict as the journey's gated subset
+    val gateOk = TextOps.filterPipeline(docs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val texts = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    for ((id, nTok, nRem, clean) <- texts) {
+      assert(langOk(id) == "en", s"doc $id not English-gated")
+      assert(gateOk(id), s"doc $id failed the quality gate")
+      assert(nRem >= 0 && nRem < nTok, s"doc $id arithmetic: $nRem/$nTok")
+      val cleanToks = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(cleanToks == nTok - nRem, s"doc $id token count mismatch")
+    }
+    // exact dedup held: no two survivors share a cleaned text
+    val dups = texts.groupBy(_._4).filter(_._2.length > 1)
+    assert(dups.isEmpty, s"duplicate cleaned texts survived: ${dups.keys.take(2)}")
+    // the journey actually bites at this SF: some doc was span-cleaned
+    assert(texts.exists(_._3 > 0), "no span was ever removed — vacuous fixture")
+  }
+}
+
+/** q47 (exact interpolated percentiles) is the measured exact twin of
+  * q20's KLL sketch — the pair differential locks the sketch's accuracy
+  * against the exact path on the same fixture.
+  */
+class MedianPairSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q20 sketch percentiles track q47 exact within 2% per group") {
+    val exact = SparkEntry.queries("q47_median")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q20_approx_percentiles")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    for ((g, (m, p90)) <- exact) {
+      val (am, ap) = approx(g)
+      assert(math.abs(am - m) <= 0.02 * m, s"$g median drift: $am vs $m")
+      assert(math.abs(ap - p90) <= 0.02 * p90, s"$g p90 drift: $ap vs $p90")
+    }
+  }
+}
+
 class CountMinSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

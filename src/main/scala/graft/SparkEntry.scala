@@ -1488,7 +1488,24 @@ object SparkEntry {
     * position-walk per word (state = (pos, acc); a match consumes two
     * positions, anything else one).
     */
-  private def bpeSql(k: Int): String = {
+  private def bpeSql(k: Int): String =
+    bpeCtes(k) + "\n" + (1 to k).map(r =>
+      s"SELECT $r AS m_rank, lft AS m_left, rgt AS m_right, " +
+        s"CAST(pcnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+
+  /** Oracle for d54: the SAME unrolled training chain, but the answer
+    * is the final re-tokenized word table `s\$k` — corpus subword
+    * frequency after applying all k merges.
+    */
+  private def bpeEncodeSql(k: Int): String =
+    bpeCtes(k) +
+      s"""
+         |SELECT sym AS subword, CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM (SELECT cnt, unnest(syms) AS sym FROM s$k) t
+         |GROUP BY 1""".stripMargin
+
+  private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH RECURSIVE w0 AS (
@@ -1528,10 +1545,6 @@ object SparkEntry {
         |  SELECT w, cnt, acc AS syms FROM rec$r
         |  WHERE pos > len(syms))""".stripMargin
     }
-    sb ++= "\n" + (1 to k).map(r =>
-      s"SELECT $r AS m_rank, lft AS m_left, rgt AS m_right, " +
-        s"CAST(pcnt AS BIGINT) AS pair_count FROM b$r")
-      .mkString("\nUNION ALL\n")
     sb.toString
   }
 
@@ -2647,6 +2660,14 @@ object SparkEntry {
       // replays every round, so the merge table transitively
       // hash-checks every intermediate re-tokenization too
       TextOps.bpeMerges(t(s, dir, "documents"), k = 3)),
+    "d54_bpe_encode" -> ((s, dir) =>
+      // the tokenizer-APPLICATION half of d35: encode the corpus with
+      // the 3 trained merges and emit the subword frequency table.
+      // Encoding prices the distinct-WORD table weighted by counts
+      // (each word encoded once — the memoization real tokenizers run
+      // at corpus scale); same deterministic argmax + l2r fold, so the
+      // oracle unrolls training AND application in one CTE chain.
+      TextOps.bpeEncode(t(s, dir, "documents"), k = 3)),
     "d37_containment" -> { (s, dir) =>
       // CONTAINMENT scoring over the d5c candidates — the
       // superset-duplicate detector Jaccard misses (verbatim-embedded
@@ -6206,6 +6227,7 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
     "d35_bpe_merges" -> bpeSql(3),
+    "d54_bpe_encode" -> bpeEncodeSql(3),
     "d37_containment" ->
       // the banding chain regenerates the candidates, then every
       // containment/Jaccard score recomputed off the same intersection

@@ -96,7 +96,32 @@ object TextOps {
     * plan is what must be right). Output: `m_rank, m_left, m_right,
     * pair_count` — one row per learned merge.
     */
-  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = bpeTrain(docs, k)._1
+
+  /** APPLY the trained merges: the corpus SUBWORD FREQUENCY table after
+    * encoding with the k merges [[bpeMerges]] learns — the tokenizer-
+    * APPLICATION half of the BPE pair (training alone never tokenizes a
+    * corpus). Encoding runs on the distinct-WORD table and weights by
+    * word frequency — the memoization every real tokenizer applies at
+    * corpus scale (encode each distinct word once, words ≪ token
+    * occurrences), so the quadratic-ish merge walk prices the
+    * vocabulary, not the corpus. Deterministic end-to-end (the d35
+    * argmax + left-to-right non-overlap fold), so the oracle unrolls
+    * training AND application in the same recursive CTE chain.
+    *
+    * Output: `subword, cnt` (cnt = Σ over words word_count ×
+    * occurrences-in-word after k merges).
+    */
+  def bpeEncode(docs: DataFrame, k: Int): DataFrame =
+    bpeTrain(docs, k)._2
+      .select(col("cnt"), explode(col("syms")).as("subword"))
+      .groupBy(col("subword"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Shared BPE training loop: returns (merge table, final encoded
+    * word table `w, cnt, syms`).
+    */
+  private def bpeTrain(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, "k must be >= 1")
     val spark = docs.sparkSession
     val words = docs
@@ -160,7 +185,7 @@ object TextOps {
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("m_rank", "m_left", "m_right", "pair_count")
+    (merges.toSeq.toDF("m_rank", "m_left", "m_right", "pair_count"), syms)
   }
 
   /** BPE-ish subword proxy: alphanumeric runs and single punctuation

@@ -143,6 +143,58 @@ class WinnowingSpec extends AnyFunSuite {
   }
 }
 
+/** d54 BPE encode: applying the trained merges to the corpus — the
+  * conservation and monotonicity laws any correct encoder obeys.
+  */
+class BpeEncodeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(Seq(
+    0L -> "aa ab aab aab",
+    1L -> "ab ab aa b",
+    2L -> "aab b aa"))
+
+  test("character mass is conserved: sum(cnt*len(subword)) = corpus chars") {
+    val chars = Seq("aa ab aab aab", "ab ab aa b", "aab b aa")
+      .flatMap(_.split(" ")).map(_.length).sum
+    for (k <- 1 to 3) {
+      val enc = graft.operators.TextOps.bpeEncode(corpus, k).collect()
+      val mass = enc.map(r => r.getString(0).length * r.getLong(1)).sum
+      assert(mass == chars, s"k=$k lost characters: $mass vs $chars")
+    }
+  }
+
+  test("token count shrinks monotonically with more merges") {
+    val totals = (1 to 3).map { k =>
+      graft.operators.TextOps.bpeEncode(corpus, k).collect()
+        .map(_.getLong(1)).sum
+    }
+    assert(totals.zip(totals.tail).forall { case (a, b) => b <= a },
+      s"not monotone: $totals")
+  }
+
+  test("hand fixture: the first merge is the argmax pair, applied l2r") {
+    // word counts: aa=3, ab=3, aab=3, b=2. Pair counts: (a,a) = 3 (aa)
+    // + 3 (aab) = 6; (a,b) = 3 (ab) + 3 (aab) = 6 — a TIE, broken
+    // lexicographic ascending ⇒ merge (a,a) → "aa"
+    val m = graft.operators.TextOps.bpeMerges(corpus, 1).collect()
+    assert(m.length == 1 && m(0).getString(1) == "a"
+      && m(0).getString(2) == "a" && m(0).getLong(3) == 6L,
+      m.mkString(","))
+    val enc = graft.operators.TextOps.bpeEncode(corpus, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // aa→[aa]×3; ab→[a,b]×3; aab→[aa,b]×3 (l2r eats the first two);
+    // b→[b]×2 ⇒ aa: 6, a: 3, b: 8
+    assert(enc == Map("aa" -> 6L, "a" -> 3L, "b" -> 8L), enc.toString)
+  }
+}
+
 /** p8 hygiene journey: the composed invariants each stage must leave
   * behind, re-checked through the component operators.
   */

@@ -4041,6 +4041,44 @@ object SparkEntry {
       } finally q.stop()
       s.table(qname)
     },
+    "st19_stream_cms" -> { (s, dir) =>
+      // STREAMING sketch maintenance — d53's Count-Min sketch as live
+      // streaming state (the shape a production ingest keeps: the
+      // sketch IS the aggregation state, depth×width counters forever,
+      // regardless of how much stream has flowed): documents replayed
+      // OUT OF ORDER in 5 micro-batches, the (row, cell)-keyed count
+      // folding incrementally in Complete mode. Counts are
+      // order-insensitive, so the converged sketch must hash-match the
+      // batch oracle cell for cell — certifying the streaming state
+      // path itself (st8 discipline).
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .collect()
+      val scrambled = all.sortBy { case (id, _) =>
+        java.lang.Long.rotateLeft(id * 0x9E3779B97F4A7C15L, 29)
+      }
+      val ms = MemoryStream[(Long, String)]
+      val qname =
+        "st19_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val toks = ms.toDS().toDF("doc_id", "text")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+      val q = graft.operators.CountMin.sketch(toks, depth = 3, width = 128)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try {
+        scrambled.grouped(math.max(scrambled.length / 5, 1)).foreach { b =>
+          ms.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qname)
+    },
     "st14_stream_funnel" -> { (s, dir) =>
       // STREAMING funnel (q29's staged minima with 2h per-stage
       // conversion windows) through the real stateful operator,
@@ -6753,6 +6791,19 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "st19_stream_cms" ->
+      // the batch sketch cell for cell — streaming Complete-mode counts
+      // are order-insensitive, so the converged state must equal it
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cells AS (
+        |  SELECT t, u.r,
+        |    CAST('0x' || substr(md5('cms-v1:' || CAST(u.r AS VARCHAR)
+        |      || ':' || t), 1, 15) AS BIGINT) % 128 AS cell
+        |  FROM tk, unnest([0, 1, 2]) AS u(r))
+        |SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+        |FROM cells GROUP BY r, cell""".stripMargin,
     "st3_event_dedup" ->
       """WITH d AS (
         |  SELECT event_id, ts,

@@ -345,4 +345,30 @@ class CountMinSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(one == many)
   }
+
+  test("streaming sketch state converges to the batch sketch (st19 path)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def toks(d: DataFrame) = d
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+    val batch = CountMin.sketch(toks(docs(corpus)), 3, 16)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val ms = MemoryStream[(Long, String)]
+    val qn = "cms_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = CountMin.sketch(toks(ms.toDS().toDF("doc_id", "text")), 3, 16)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try {
+      corpus.grouped(corpus.length / 3 + 1).foreach { b =>
+        ms.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(qn)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed == batch, "converged streaming sketch != batch sketch")
+  }
 }

@@ -75,7 +75,10 @@ object CountMin {
     */
   def pointEstimates(
       docs: DataFrame, depth: Int = 3, width: Int = 128): DataFrame = {
-    val toks = docs
+    // 3 md5s per token run before the sketch agg's shuffle, on scan
+    // partitioning — ensure() restores parallelism on a one-file
+    // fixture (no-op at production split counts)
+    val toks = graft.core.Parallelism.ensure(docs)
       .filter(length(trim(col("text"))) > 0)
       .select(explode(TextOps.tokens(col("text"))).as("t"))
     val sk = sketch(toks, depth, width)

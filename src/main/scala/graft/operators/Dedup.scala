@@ -1015,7 +1015,10 @@ object Dedup {
           substring(
             md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
           16, 10).cast("long"))
-    val grams = docs
+    // the tokenize+md5 projection runs BEFORE the window's shuffle, on
+    // scan partitioning — ensure() restores parallelism on a one-file
+    // fixture (no-op at production split counts)
+    val grams = graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
       .select(

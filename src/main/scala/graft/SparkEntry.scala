@@ -1427,7 +1427,12 @@ object SparkEntry {
     * recurrence level by level; final betweenness rounded at 6 dp after
     * the undirected halving.
     */
-  private def brandesSql(
+  /** The shared forward-BFS CTE chain of the g45/g51 oracles: the
+    * portable graph, its symmetric dedup'd edges, the nSeeds smallest
+    * vertices as seeds, and per-level frontiers `f0..f$depth` carrying
+    * exact σ path counts (level = shortest distance).
+    */
+  private def bfsForwardCtes(
       nV: Long, nE: Long, salt: String, nSeeds: Int, depth: Int): String = {
     val sb = new StringBuilder
     sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
@@ -1454,6 +1459,26 @@ object SparkEntry {
         |vis$l AS MATERIALIZED (SELECT seed, id FROM vis${l - 1}
         |  UNION ALL SELECT seed, id FROM f$l)""".stripMargin
     }
+    sb.toString
+  }
+
+  /** Oracle for g51: the forward chain, then
+    * `H(v) = Σ_{levels l ≥ 1} 1/l` per (seed, id) first-visit — the
+    * level IS the shortest distance, so no extra recursion is needed.
+    */
+  private def harmonicSql(
+      nV: Long, nE: Long, salt: String, nSeeds: Int, depth: Int): String =
+    bfsForwardCtes(nV, nE, salt, nSeeds, depth) +
+      "\nSELECT id, round(sum(1.0 / lvl), 6) AS harm_r FROM (" +
+      (1 to depth).map(l =>
+        s"SELECT seed, id, CAST($l AS DOUBLE) AS lvl FROM f$l")
+        .mkString("\n", "\nUNION ALL\n", "\n") +
+      ") GROUP BY 1"
+
+  private def brandesSql(
+      nV: Long, nE: Long, salt: String, nSeeds: Int, depth: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bfsForwardCtes(nV, nE, salt, nSeeds, depth)
     sb ++= s""",
       |b$depth AS (SELECT seed, id, CAST(0 AS DOUBLE) AS delta
       |  FROM f$depth)""".stripMargin
@@ -4912,6 +4937,19 @@ object SparkEntry {
       graft.operators.Brandes
         .sampledBetweennessConverged(e, seeds, maxDepth = 64)._1
     },
+    "g51_harmonic" -> { (s, dir) =>
+      // sampled-source HARMONIC centrality (Boldi–Vigna's closeness
+      // variant that stays finite on disconnected graphs) run TO
+      // CONVERGENCE: g45's batched forward BFS reused verbatim —
+      // distance = first-visit level — plus ONE aggregate; fixture
+      // stops well inside the depth-10 unrolled oracle (the g45b
+      // fixed-depth-covers-converged argument), completing the
+      // centrality family (degree/PageRank/HITS/betweenness/harmonic).
+      val e = graft.sources.SyntheticGraph.portable(s, 300, 600, "g45")
+      val seeds = GraphBuilder.vertices(e)
+        .orderBy(col("id")).limit(4).collect().map(_.getLong(0)).toSeq
+      graft.operators.Brandes.sampledHarmonic(e, seeds, maxDepth = 64)._1
+    },
     "g44_components_df" -> ((s, dir) =>
       // DataFrame-native connected components (HashMin diffusion, early
       // stop) — the GraphX-free scale path for dedup grouping; the
@@ -5178,6 +5216,8 @@ object SparkEntry {
       // converged ≡ fixed-depth for any unroll ≥ the stop depth (8 on
       // this fixture): the post-stop level CTEs are empty frames
       brandesSql(300, 600, "g45", nSeeds = 4, depth = 10),
+    "g51_harmonic" ->
+      harmonicSql(300, 600, "g45", nSeeds = 4, depth = 10),
     "g44_components_df" ->
       s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g44")},
          |ed AS (SELECT src AS u, dst AS v FROM pe

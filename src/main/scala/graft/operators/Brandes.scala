@@ -49,9 +49,107 @@ object Brandes {
       maxDepth: Int = 64): (DataFrame, Int) =
     run(edges, seeds, maxDepth, converge = true)
 
+  /** Sampled-source HARMONIC centrality (the closeness-family member —
+    * Boldi & Vigna's harmonic variant, which stays finite on
+    * disconnected graphs where classic closeness breaks):
+    * `H(v) = Σ_{s ∈ seeds, s ≠ v, d(s,v) < ∞} 1 / d(s,v)`, run TO
+    * CONVERGENCE (frontier-empty, the O14/O16 early-stop discipline)
+    * bounded by `maxDepth`. Reuses [[sampledBetweenness]]'s batched
+    * forward BFS verbatim — distance = the level a (seed, id) pair
+    * first surfaces at, so the operator is the forward pass plus ONE
+    * map-side-combined aggregate; levels past the stop are empty and
+    * contribute nothing, keeping the fixed-depth unrolled oracle valid
+    * for any depth ≥ the stop depth (the g45b argument). Output:
+    * `id, harm_r` (6-dp rounded; one IEEE division per level, summed
+    * per vertex — the d23 float-sum discipline).
+    */
+  def sampledHarmonic(
+      edges: DataFrame, seeds: Seq[Long],
+      maxDepth: Int = 64): (DataFrame, Int) = {
+    val f = forward(edges, seeds, maxDepth, converge = true)
+    val byLevel = f.levels.zipWithIndex.drop(1).map { case (lv, l) =>
+      lv.select(col("seed"), col("id"), lit(l.toDouble).as("d"))
+    }
+    val out =
+      if (byLevel.isEmpty)
+        // edgeless graph: no (seed, id) pair at distance ≥ 1 — emit the
+        // schema-stable empty frame rather than failing the reduce
+        f.levels.head
+          .select(col("id"), lit(0.0).as("harm_r")).limit(0)
+      else
+        byLevel.reduce(_ union _)
+          .groupBy(col("id"))
+          .agg(round(sum(lit(1.0) / col("d")), 6).as("harm_r"))
+    (CacheScope.sealAfter(out, f.sym, f.ue), f.stopDepth)
+  }
+
+  private case class Forward(
+      levels: Seq[DataFrame], ue: DataFrame, sym: DataFrame, stopDepth: Int)
+
   private def run(
       edges: DataFrame, seeds: Seq[Long], depth: Int,
       converge: Boolean): (DataFrame, Int) = {
+    val f = forward(edges, seeds, depth, converge)
+    val levels = f.levels
+    val sym = f.sym
+    val ue = f.ue
+    val stopDepth = f.stopDepth
+    // backward: δ at the deepest level is 0; each shallower level sums
+    // (σv/σw)(1+δw) over its successors at the next level
+    var deltaNext = levels(stopDepth)
+      .select(col("seed"), col("id"), lit(0.0).as("delta"))
+      .transform(CacheScope.rotate)
+    val deltas = scala.collection.mutable.ArrayBuffer(deltaNext)
+    for (l <- (stopDepth - 1) to 0 by -1) {
+      val cur = levels(l)
+      val succ = cur
+        .join(sym, cur("id") === sym("src"))
+        .select(
+          col("seed"), cur("id").as("vid"), col("sig").as("vsig"),
+          col("dst").as("wid"))
+        .join(
+          levels(l + 1).select(
+            col("seed"), col("id").as("wid"), col("sig").as("wsig")),
+          Seq("seed", "wid"))
+        .join(
+          deltaNext.select(
+            col("seed"), col("id").as("wid"), col("delta").as("wdelta")),
+          Seq("seed", "wid"))
+        .groupBy(col("seed"), col("vid"))
+        .agg(sum(
+          col("vsig").cast("double") / col("wsig") *
+            (lit(1.0) + col("wdelta"))).as("delta"))
+      val deltaCur = cur
+        .join(
+          succ.select(col("seed"), col("vid").as("id"), col("delta")),
+          Seq("seed", "id"), "left_outer")
+        .select(
+          col("seed"), col("id"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .transform(CacheScope.rotate)
+      deltas += deltaCur
+      deltaNext = deltaCur
+    }
+    val out = deltas.reduce(_ union _)
+      .filter(col("delta") > 0)
+      // a seed's own dependency never counts toward ITS walk — but the
+      // same vertex accumulates normally from every other seed
+      .filter(col("id") =!= col("seed"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("delta")) / 2.0, 6).as("bc_r"))
+    (CacheScope.sealAfter(out, sym, ue), stopDepth)
+  }
+
+  /** The batched multi-source forward BFS both centralities share:
+    * per level one frontier join against the src-partitioned persisted
+    * symmetric edges + one map-side-combined σ aggregate, per-level
+    * lineage rotation; with `converge` the loop stops when the frontier
+    * empties (stopDepth = last non-empty level). The caller owns the
+    * returned `ue`/`sym` persists (seal them with its result).
+    */
+  private def forward(
+      edges: DataFrame, seeds: Seq[Long], depth: Int,
+      converge: Boolean): Forward = {
     require(seeds.nonEmpty, "need at least one seed")
     require(depth >= 1, "depth must be >= 1")
     val spark = edges.sparkSession
@@ -99,50 +197,6 @@ object Brandes {
         lvl += 1
       }
     }
-    val stopDepth = levels.size - 1
-    // backward: δ at the deepest level is 0; each shallower level sums
-    // (σv/σw)(1+δw) over its successors at the next level
-    var deltaNext = levels(stopDepth)
-      .select(col("seed"), col("id"), lit(0.0).as("delta"))
-      .transform(CacheScope.rotate)
-    val deltas = scala.collection.mutable.ArrayBuffer(deltaNext)
-    for (l <- (stopDepth - 1) to 0 by -1) {
-      val cur = levels(l)
-      val succ = cur
-        .join(sym, cur("id") === sym("src"))
-        .select(
-          col("seed"), cur("id").as("vid"), col("sig").as("vsig"),
-          col("dst").as("wid"))
-        .join(
-          levels(l + 1).select(
-            col("seed"), col("id").as("wid"), col("sig").as("wsig")),
-          Seq("seed", "wid"))
-        .join(
-          deltaNext.select(
-            col("seed"), col("id").as("wid"), col("delta").as("wdelta")),
-          Seq("seed", "wid"))
-        .groupBy(col("seed"), col("vid"))
-        .agg(sum(
-          col("vsig").cast("double") / col("wsig") *
-            (lit(1.0) + col("wdelta"))).as("delta"))
-      val deltaCur = cur
-        .join(
-          succ.select(col("seed"), col("vid").as("id"), col("delta")),
-          Seq("seed", "id"), "left_outer")
-        .select(
-          col("seed"), col("id"),
-          coalesce(col("delta"), lit(0.0)).as("delta"))
-        .transform(CacheScope.rotate)
-      deltas += deltaCur
-      deltaNext = deltaCur
-    }
-    val out = deltas.reduce(_ union _)
-      .filter(col("delta") > 0)
-      // a seed's own dependency never counts toward ITS walk — but the
-      // same vertex accumulates normally from every other seed
-      .filter(col("id") =!= col("seed"))
-      .groupBy(col("id"))
-      .agg(round(sum(col("delta")) / 2.0, 6).as("bc_r"))
-    (CacheScope.sealAfter(out, sym, ue), stopDepth)
+    Forward(levels.toSeq, ue, sym, levels.size - 1)
   }
 }

@@ -143,6 +143,74 @@ class WinnowingSpec extends AnyFunSuite {
   }
 }
 
+/** g51 sampled harmonic centrality: hand-checkable distances and the
+  * disconnected-graph finiteness that distinguishes harmonic from
+  * classic closeness.
+  */
+class HarmonicSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def edges(rows: Seq[(Long, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  test("path graph from one seed: H(v) = 1/d, stop depth = eccentricity") {
+    val e = edges(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L))
+    val (h, stop) = graft.operators.Brandes.sampledHarmonic(
+      e, Seq(0L), maxDepth = 64)
+    assert(stop == 3, s"stopDepth $stop != path eccentricity 3")
+    val m = h.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.333333), m.toString)
+  }
+
+  test("two seeds sum; a disconnected island contributes nothing but stays finite") {
+    // component A: 0-1-2 (seeds 0 and 1); island B: 10-11 (no seed) —
+    // island vertices simply receive nothing; component vertices sum
+    // over BOTH seeds (harmonic's whole point vs classic closeness)
+    val e = edges(Seq(0L -> 1L, 1L -> 2L, 10L -> 11L))
+    val (h, _) = graft.operators.Brandes.sampledHarmonic(
+      e, Seq(0L, 1L), maxDepth = 64)
+    val m = h.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // from seed 0: 1→1, 2→1/2; from seed 1: 0→1, 2→1
+    assert(m == Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.5), m.toString)
+    assert(!m.contains(10L) && !m.contains(11L))
+  }
+
+  test("harmonic agrees with a brute-force BFS reference on a random graph") {
+    val rnd = new scala.util.Random(5)
+    val es = (0 until 120).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.toSeq.sorted.take(4)
+    def bfs(s: Long): Map[Long, Int] = {
+      var dist = Map(s -> 0); var frontier = Set(s); var d = 1
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .diff(dist.keySet)
+        next.foreach(v => dist += v -> d)
+        frontier = next; d += 1
+      }
+      dist
+    }
+    val expect = seeds.flatMap(s => bfs(s).toSeq.filter(_._2 > 0))
+      .groupBy(_._1)
+      .map { case (v, ds) =>
+        v -> BigDecimal(ds.map(1.0 / _._2).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val got = graft.operators.Brandes.sampledHarmonic(
+      edges(es), seeds, maxDepth = 64)._1.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expect.keySet)
+    for ((v, hv) <- expect)
+      assert(math.abs(got(v) - hv) < 2e-6, s"vertex $v: ${got(v)} vs $hv")
+  }
+}
+
 /** d54 BPE encode: applying the trained merges to the corpus — the
   * conservation and monotonicity laws any correct encoder obeys.
   */

@@ -208,7 +208,7 @@ object SparkEntry {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       val ev = t(s, dir, "events")
-      // probe side: ×16 row multiplier, half of all rows remapped to hub
+      // probe side: ×64 row multiplier, half of all rows remapped to hub
       // key 0 — the deterministic power-law stand-in. Each replica gets
       // a DISTINCT value (value + rep): byte-identical replicas would
       // LZ4-compress ~256× in the shuffle and the "skewed" partition
@@ -1089,6 +1089,62 @@ object SparkEntry {
     * removal chain re-rooted on the gated subset → md5 min-id dedup of
     * the cleaned text.
     */
+  /** The d50b span-removal chain as a reusable CTE block, rooted at
+    * relation `from` (must expose `doc_id, text`): gram index →
+    * duplicate set → canonical sites → gaps-and-islands runs →
+    * non-canonical cut → token rebuild, ending in
+    * `cleaned(doc_id, n_tokens, n_removed, text_clean)`. Shared by the
+    * d50b oracle and the p8 journey oracle so the two locks can never
+    * drift (k = 5, matching both registered queries).
+    */
+  private def spanRemovalCtes(from: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM $from),
+       |g AS (
+       |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(
+       |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
+       |      AS BIGINT) AS gd
+       |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
+       |  WHERE len(toks) >= 5),
+       |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+       |d AS (SELECT g.doc_id, g.pos, g.gd FROM g JOIN dup USING (gd)),
+       |canon AS (SELECT gd,
+       |    min(struct_pack(d := doc_id, p := pos)) AS ms
+       |  FROM d GROUP BY gd),
+       |runs AS (
+       |  SELECT doc_id, pos, gd,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS grp
+       |  FROM d),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
+       |    min_by(gd, pos) AS lead_gd
+       |  FROM runs GROUP BY doc_id, grp),
+       |rm AS (
+       |  SELECT s.doc_id, s.start_tok, s.end_tok
+       |  FROM spans s JOIN canon c ON c.gd = s.lead_gd
+       |  WHERE NOT (struct_extract(c.ms, 'd') = s.doc_id
+       |         AND struct_extract(c.ms, 'p') = s.start_tok)),
+       |rp AS (SELECT DISTINCT doc_id, CAST(t.p AS BIGINT) AS pos
+       |  FROM rm, unnest(range(start_tok, end_tok + 1)) AS t(p)),
+       |tp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       |    toks[CAST(t.i AS INT)+1] AS tok
+       |  FROM tok, unnest(range(len(toks))) AS t(i)),
+       |kp AS (
+       |  SELECT tp.doc_id, count(*) AS n_kept,
+       |    string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
+       |  FROM tp LEFT JOIN rp
+       |    ON rp.doc_id = tp.doc_id AND rp.pos = tp.pos
+       |  WHERE rp.doc_id IS NULL GROUP BY tp.doc_id),
+       |cleaned AS (
+       |  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT)
+       |      AS n_removed,
+       |    coalesce(k.clean, '') AS text_clean
+       |  FROM tok t LEFT JOIN kp k USING (doc_id))""".stripMargin
+
   private def p8OracleSql: String = {
     val scores = TextOps.langStops.map { case (code, words) =>
       val in = words.map(w => s"'$w'").mkString(", ")
@@ -1136,52 +1192,7 @@ object SparkEntry {
        |base AS (
        |  SELECT l.doc_id, l.text FROM lang l
        |  JOIN qr USING (doc_id) WHERE qr.reason = 'ok'),
-       |tok AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |  FROM base),
-       |g AS (
-       |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-       |    CAST('0x' || substr(md5(array_to_string(
-       |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
-       |      AS BIGINT) AS gd
-       |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
-       |  WHERE len(toks) >= 5),
-       |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
-       |d AS (SELECT g.doc_id, g.pos, g.gd FROM g JOIN dup USING (gd)),
-       |canon AS (SELECT gd,
-       |    min(struct_pack(d := doc_id, p := pos)) AS ms
-       |  FROM d GROUP BY gd),
-       |runs AS (
-       |  SELECT doc_id, pos, gd,
-       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-       |      AS grp
-       |  FROM d),
-       |spans AS (
-       |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
-       |    min_by(gd, pos) AS lead_gd
-       |  FROM runs GROUP BY doc_id, grp),
-       |rm AS (
-       |  SELECT s.doc_id, s.start_tok, s.end_tok
-       |  FROM spans s JOIN canon c ON c.gd = s.lead_gd
-       |  WHERE NOT (struct_extract(c.ms, 'd') = s.doc_id
-       |         AND struct_extract(c.ms, 'p') = s.start_tok)),
-       |rp AS (SELECT DISTINCT doc_id, CAST(t.p AS BIGINT) AS pos
-       |  FROM rm, unnest(range(start_tok, end_tok + 1)) AS t(p)),
-       |tp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-       |    toks[CAST(t.i AS INT)+1] AS tok
-       |  FROM tok, unnest(range(len(toks))) AS t(i)),
-       |kp AS (
-       |  SELECT tp.doc_id, count(*) AS n_kept,
-       |    string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
-       |  FROM tp LEFT JOIN rp
-       |    ON rp.doc_id = tp.doc_id AND rp.pos = tp.pos
-       |  WHERE rp.doc_id IS NULL GROUP BY tp.doc_id),
-       |cleaned AS (
-       |  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-       |    CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT)
-       |      AS n_removed,
-       |    coalesce(k.clean, '') AS text_clean
-       |  FROM tok t LEFT JOIN kp k USING (doc_id)),
+       |${spanRemovalCtes("base")},
        |ne AS (
        |  SELECT *, md5(text_clean) AS dg FROM cleaned
        |  WHERE length(text_clean) > 0),
@@ -1549,6 +1560,16 @@ object SparkEntry {
         |b$r AS MATERIALIZED (
         |  SELECT lft, rgt, pcnt FROM p$r
         |  ORDER BY pcnt DESC, lft, rgt LIMIT 1),
+        |-- bb: b or a NULL sentinel when pairs are EXHAUSTED before
+        |-- round k — the NULL never equals a symbol, so the walk passes
+        |-- syms through unchanged (the engine's exhausted=true branch);
+        |-- without it the cross join with an empty b would empty s$r
+        |-- and the d54 encode oracle with it (d35 is unaffected: an
+        |-- empty b contributes no merge row either way)
+        |bb$r AS (
+        |  SELECT lft, rgt FROM b$r
+        |  UNION ALL SELECT NULL, NULL WHERE NOT EXISTS
+        |    (SELECT 1 FROM b$r)),
         |rec$r AS (
         |  SELECT s.w, s.cnt, s.syms, CAST(1 AS BIGINT) AS pos,
         |    CAST([] AS VARCHAR[]) AS acc
@@ -1564,7 +1585,7 @@ object SparkEntry {
         |        AND rec.syms[CAST(rec.pos + 1 AS INT)] = b.rgt
         |      THEN list_append(rec.acc, b.lft || b.rgt)
         |      ELSE list_append(rec.acc, rec.syms[CAST(rec.pos AS INT)]) END
-        |  FROM rec$r rec, b$r b
+        |  FROM rec$r rec, bb$r b
         |  WHERE rec.pos <= len(rec.syms)),
         |s$r AS MATERIALIZED (
         |  SELECT w, cnt, acc AS syms FROM rec$r
@@ -7489,52 +7510,10 @@ object SparkEntry {
     "d50b_span_removal" ->
       // the full rewrite replayed: same gram index, canonical site per
       // gram by lexicographic struct min, non-canonical ranges cut,
-      // text re-assembled token-ordered
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-        |    CAST('0x' || substr(md5(array_to_string(
-        |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
-        |      AS BIGINT) AS gd
-        |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
-        |  WHERE len(toks) >= 5),
-        |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
-        |d AS (SELECT g.doc_id, g.pos, g.gd FROM g JOIN dup USING (gd)),
-        |canon AS (SELECT gd,
-        |    min(struct_pack(d := doc_id, p := pos)) AS ms
-        |  FROM d GROUP BY gd),
-        |runs AS (
-        |  SELECT doc_id, pos, gd,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-        |      AS grp
-        |  FROM d),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
-        |    min_by(gd, pos) AS lead_gd
-        |  FROM runs GROUP BY doc_id, grp),
-        |rm AS (
-        |  SELECT s.doc_id, s.start_tok, s.end_tok
-        |  FROM spans s JOIN canon c ON c.gd = s.lead_gd
-        |  WHERE NOT (struct_extract(c.ms, 'd') = s.doc_id
-        |         AND struct_extract(c.ms, 'p') = s.start_tok)),
-        |rp AS (SELECT DISTINCT doc_id, CAST(t.p AS BIGINT) AS pos
-        |  FROM rm, unnest(range(start_tok, end_tok + 1)) AS t(p)),
-        |tp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-        |    toks[CAST(t.i AS INT)+1] AS tok
-        |  FROM tok, unnest(range(len(toks))) AS t(i)),
-        |kp AS (
-        |  SELECT tp.doc_id, count(*) AS n_kept,
-        |    string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean
-        |  FROM tp LEFT JOIN rp
-        |    ON rp.doc_id = tp.doc_id AND rp.pos = tp.pos
-        |  WHERE rp.doc_id IS NULL GROUP BY tp.doc_id)
-        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-        |  CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT)
-        |    AS n_removed,
-        |  coalesce(k.clean, '') AS text_clean
-        |FROM tok t LEFT JOIN kp k USING (doc_id)""".stripMargin,
+      // text re-assembled token-ordered — the chain is the shared
+      // spanRemovalCtes block (also the p8 journey's middle)
+      ("WITH " + spanRemovalCtes("documents") +
+        "\nSELECT doc_id, n_tokens, n_removed, text_clean FROM cleaned"),
     "d48_ppjoin" ->
       // the whole prefix-filter chain replayed: d5b's shingle digests,
       // df, the (df, t) canonical order, the prefix cut, the size

@@ -75,15 +75,30 @@ object CountMin {
     */
   def pointEstimates(
       docs: DataFrame, depth: Int = 3, width: Int = 128): DataFrame = {
+    val (out, toks) = pointEstimatesStage(docs, depth, width)
+    CacheScope.sealAfter(out, toks)
+  }
+
+  /** [[pointEstimates]] BEFORE the seal — the lazy plan plus the
+    * persisted token stream, exposed so PlanSpec can audit the
+    * broadcast sketch join (the sealed public result is a checkpoint
+    * scan).
+    */
+  private[graft] def pointEstimatesStage(
+      docs: DataFrame, depth: Int, width: Int): (DataFrame, DataFrame) = {
     // 3 md5s per token run before the sketch agg's shuffle, on scan
     // partitioning — ensure() restores parallelism on a one-file
-    // fixture (no-op at production split counts)
+    // fixture (no-op at production split counts). PERSISTED: the token
+    // stream feeds BOTH the sketch build and the exact-count probe
+    // aggregate — unpersisted, the scan + tokenize + explode would run
+    // twice (the substringSpans grams-persist rationale).
     val toks = graft.core.Parallelism.ensure(docs)
       .filter(length(trim(col("text"))) > 0)
       .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sk = sketch(toks, depth, width)
     val probes = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt_true"))
-    probes
+    val out = probes
       .select(
         col("t"), col("cnt_true"),
         posexplode(
@@ -99,5 +114,6 @@ object CountMin {
       .select(
         col("tok"), col("cnt_true"), col("est"),
         (col("est") - col("cnt_true")).as("overest"))
+    (out, toks)
   }
 }

@@ -827,17 +827,26 @@ object Dedup {
     * one row per maximal duplicated span (token positions 0-based,
     * `end_tok` inclusive: `span_tokens = end_tok - start_tok + 1 ≥ k`).
     */
+  /** Portable 60-bit digests of every token k-gram of a tokenized doc
+    * (column `toks`): the [[shingleSetPortable]] md5 construction kept
+    * POSITIONAL (one digest per gram start, duplicates preserved) —
+    * shared by the span-dedup pair (d50/d50b) and winnowing (d51); the
+    * three oracles mirror this expression byte for byte, so it must
+    * stay single-sourced.
+    */
+  private def gramDigests60(k: Int) = transform(
+    sequence(lit(0), size(col("toks")) - k),
+    i =>
+      conv(
+        substring(
+          md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
+        16, 10).cast("long"))
+
   def substringSpans(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
-    val digests = transform(
-      sequence(lit(0), size(col("toks")) - k),
-      i =>
-        conv(
-          substring(
-            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
-          16, 10).cast("long"))
+    val digests = gramDigests60(k)
     // persisted: the gram frame feeds BOTH the duplicate-digest count
     // and the position join-back — unpersisted, the tokenize+hash scan
     // would run twice
@@ -873,14 +882,25 @@ object Dedup {
 
   /** APPLY [[substringSpans]]: rewrite the corpus with every
     * non-canonical duplicated span REMOVED — Lee et al. 2022's actual
-    * dedup step (the paper keeps one occurrence of each duplicated
-    * string and cuts the rest; this is what shrinks memorization, the
-    * span REPORT alone is just the audit). Canonicality is
-    * deterministic and relational: a maximal span survives iff its
-    * (doc_id, start_tok) is the corpus-minimal site of its LEADING
-    * gram (min over a hash aggregate — never a per-gram window sort,
-    * which a boilerplate gram with millions of sites would skew);
-    * every other occurrence's token range is cut.
+    * dedup step (this is what shrinks memorization; the span REPORT
+    * alone is just the audit). Canonicality is deterministic and
+    * relational: a maximal span survives iff its (doc_id, start_tok)
+    * is the corpus-minimal site of its LEADING gram (min over a hash
+    * aggregate — never a per-gram window sort, which a boilerplate
+    * gram with millions of sites would skew); every other occurrence's
+    * token range is cut.
+    *
+    * PRECISE GUARANTEE (and its edge): exactly one occurrence of each
+    * maximal SPAN (keyed by its leading gram) survives. When maximal
+    * spans in different docs OVERLAP without coinciding (doc A's span
+    * starts mid-way through doc B's), a short substring shared by both
+    * can lose every site: B's copy is cut because B's span is
+    * non-canonical for B's leading gram, and A's copy is cut with A's
+    * span likewise. That is deliberately the CONSERVATIVE side — the
+    * paper's released ExactSubstr tool is harsher still (it cuts every
+    * occurrence of a duplicated substring, keeping none), so this
+    * over-removal is bounded by the published behavior; the
+    * SubstringDedupSpec overlap-chain test pins the rule.
     *
     * Scale shape: [[substringSpans]]'s index stages plus ONE
     * doc_id-keyed rebuild exchange — rewriting the corpus costs one
@@ -897,13 +917,7 @@ object Dedup {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
-    val digests = transform(
-      sequence(lit(0), size(col("toks")) - k),
-      i =>
-        conv(
-          substring(
-            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
-          16, 10).cast("long"))
+    val digests = gramDigests60(k)
     val base = docs
       .select(col("doc_id"), toks.as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -912,11 +926,15 @@ object Dedup {
       .select(col("doc_id"), posexplode(digests).as(Seq("pos", "gd")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: dupPos feeds BOTH the canonical-site aggregate and the
+    // runs window — unpersisted, the digest-count aggregate + join
+    // would execute twice (the grams-persist rationale, one level up)
     val dupPos = grams
       .join(
         grams.groupBy(col("gd")).agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2).select(col("gd")),
         Seq("gd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // canonical site per duplicated gram: min (doc_id, pos) via hash
     // aggregate (struct min is lexicographic)
     val canon = dupPos
@@ -965,7 +983,7 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("clean"), lit("")).as("text_clean"))
-    CacheScope.sealAfter(out, base, grams)
+    CacheScope.sealAfter(out, base, grams, dupPos)
   }
 
   /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003
@@ -1008,13 +1026,7 @@ object Dedup {
     require(w >= 1, "w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
-    val digests = transform(
-      sequence(lit(0), size(col("toks")) - k),
-      i =>
-        conv(
-          substring(
-            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
-          16, 10).cast("long"))
+    val digests = gramDigests60(k)
     // the tokenize+md5 projection runs BEFORE the window's shuffle, on
     // scan partitioning — ensure() restores parallelism on a one-file
     // fixture (no-op at production split counts)

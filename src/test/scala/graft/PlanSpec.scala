@@ -682,12 +682,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d53 CMS: the probe joins the depth*width sketch BROADCAST, no sort") {
-    val p = plan("d53_cms")
-    assert(p.contains("BroadcastHashJoin"),
-      "sketch side must broadcast (it is <= depth*width rows): " + p)
-    assert(!p.contains("rangepartitioning"), "CMS never needs a sort: " + p)
-    assert(p.contains("partial_count") || p.contains("partial_min"),
-      "sketch build must map-side combine: " + p)
+    // audited PRE-seal (the public result is a checkpoint scan)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (out, toks) = graft.operators.CountMin.pointEstimatesStage(
+      docs, 3, 128)
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        "sketch side must broadcast (it is <= depth*width rows): " + p)
+      assert(!p.contains("rangepartitioning"), "CMS never needs a sort: " + p)
+      assert(p.contains("partial_count") || p.contains("partial_min"),
+        "sketch build must map-side combine: " + p)
+    } finally toks.unpersist(false)
   }
 
   test("g31 SCC HashMin round: cached edge copy never re-exchanges, min map-side combined") {

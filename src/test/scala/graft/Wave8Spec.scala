@@ -105,6 +105,26 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got.getLong(2) == 0L)
   }
 
+  test("overlap chain: a substring may lose every site (documented conservative edge)") {
+    // H = (h t1..t4) duplicated at doc0@0 / doc1@2; G = (t1..t5) at
+    // doc1@3 / doc2@0. doc0's span is canonical for H and survives;
+    // doc1's span [2..7] is non-canonical for H → cut (taking G's copy
+    // with it); doc2's span is non-canonical for G → cut. The string
+    // t1..t5 then survives NOWHERE — the precise rule the Scaladoc
+    // states (one occurrence per maximal SPAN, not per substring;
+    // strictly more conservative removal, bounded by the paper's
+    // cut-every-occurrence released tool).
+    val d = docs(Seq(
+      0L -> "h t1 t2 t3 t4 u1 u2 u3",
+      1L -> "m1 m2 h t1 t2 t3 t4 t5 n1 n2",
+      2L -> "t1 t2 t3 t4 t5 q1 q2 q3"))
+    val got = Dedup.removeDuplicatedSpans(d, k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) == (0L, "h t1 t2 t3 t4 u1 u2 u3"), got(0L).toString)
+    assert(got(1L) == (6L, "m1 m2 n1 n2"), got(1L).toString)
+    assert(got(2L) == (5L, "q1 q2 q3"), got(2L).toString)
+  }
+
   test("generative: spans are exactly the maximal duplicated-gram runs") {
     // deterministic random corpus over a tiny vocab (lots of genuine
     // collisions), then the operator's output is checked against the

@@ -247,6 +247,16 @@ class BpeEncodeSpec extends AnyFunSuite {
       s"not monotone: $totals")
   }
 
+  test("merge exhaustion before round k passes the table through (oracle-matched)") {
+    // every word is 'ab': round 1 merges (a,b); round 2 finds no pair
+    // and must NOT empty the table — the engine's exhausted branch and
+    // the oracle's NULL-sentinel bb CTE both pass syms through
+    val d = docs(Seq(0L -> "ab ab", 1L -> "ab"))
+    val enc = graft.operators.TextOps.bpeEncode(d, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc == Map("ab" -> 3L), enc.toString)
+  }
+
   test("hand fixture: the first merge is the argmax pair, applied l2r") {
     // word counts: aa=3, ab=3, aab=3, b=2. Pair counts: (a,a) = 3 (aa)
     // + 3 (aab) = 6; (a,b) = 3 (ab) + 3 (aab) = 6 — a TIE, broken

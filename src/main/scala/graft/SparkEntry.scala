@@ -3437,6 +3437,37 @@ object SparkEntry {
           .foreach(p => Files.deleteIfExists(p))
       }
     },
+    "e27_ivf_delete" -> { (s, dir) =>
+      // index maintenance, the DELETE half (e13 is the append half —
+      // dedup pipelines retract exactly like they ingest): build on the
+      // full corpus, write, DELETE the odd ids by partition-pruned
+      // rewrite (only list dirs holding a deleted id are read/rewritten
+      // — the Delta-style partition-level delete), reopen, probe every
+      // list. At nProbe = nList the result must be the exact kNN over
+      // the SURVIVORS, so the oracle hash-locks the delete round-trip.
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfIndex(emb, nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_e27").toString
+      try {
+        Similarity.writeIvfIndex(idx, tmp)
+        idx.release()
+        Similarity.deleteFromIvfIndex(
+          s, tmp,
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+            .select(col("vec_id")))
+        val disk = Similarity.readIvfIndex(s, tmp)
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPruned(
+            disk, Seq(0L, 2L, 4L, 6L, 8L), k = 10, nProbe = 16))
+      } finally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(tmp)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    },
     "e22_knn_graph" -> ((s, dir) =>
       // the GRAPH-ANN family's build half (single-layer NSW adjacency):
       // per-vector top-8 neighbors with candidates from the IVF coarse
@@ -6059,6 +6090,25 @@ object SparkEntry {
     // e13 probes every list of the build-then-append layout — exact at
     // nProbe = nList, so the append path reproduces e5's ground truth
     "e13_knn_ivf_append" -> knnBatchExactSql,
+    "e27_ivf_delete" ->
+      // exact kNN over the SURVIVORS (odd ids deleted): the whole
+      // delete → reopen → probe round-trip must reproduce it
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM base WHERE vec_id IN (0, 2, 4, 6, 8)),
+        |r AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+        |      AS cos_sim
+        |  FROM base e, p WHERE e.vec_id <> p.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
     "q22_array_funcs" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l

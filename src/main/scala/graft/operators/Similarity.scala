@@ -819,6 +819,75 @@ object Similarity {
       .write.partitionBy("c_id").mode("append").parquet(s"$path/lists")
   }
 
+  /** DELETE vectors from an existing disk IVF index — the maintenance
+    * path [[appendToIvfIndex]] is the other half of (dedup pipelines
+    * retract exactly like they ingest: a SemDeDup/near-dup pass marks
+    * ids, the index must forget them). PARTITION-PRUNED rewrite, the
+    * Delta-style partition-level delete: only the list directories that
+    * CONTAIN a deleted vector are read (literal `c_id IN (...)` →
+    * `PartitionFilters`, so the scan never touches the other
+    * nList − |affected| directories) and only those are rewritten
+    * (dynamic partition overwrite). At 100 TB deleting a handful of
+    * vectors prices a handful of list directories, not the index.
+    *
+    * The surviving rows are materialized (localCheckpoint) BEFORE the
+    * overwrite — both to legalize the self-overwrite and so a write
+    * failure cannot eat the data being moved. A list whose every
+    * vector is deleted is NOT rewritten by dynamic overwrite (no rows
+    * ⇒ partition absent from the write); its directory is removed
+    * explicitly, keeping reopen-after-delete consistent.
+    *
+    * Returns the affected c_ids — the rewrite's blast radius, which
+    * the spec asserts is exactly the lists holding deleted ids.
+    */
+  def deleteFromIvfIndex(
+      spark: SparkSession, path: String,
+      deleteIds: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("e", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("c_id", LongType)))
+    val del = deleteIds.select(col("vec_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // blast radius: which lists hold a deleted id (bounded by nList)
+      val affected = spark.read.schema(schema).parquet(s"$path/lists")
+        .join(broadcast(del), Seq("vec_id"))
+        .select(col("c_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (affected.nonEmpty) {
+        val survivors = spark.read.schema(schema).parquet(s"$path/lists")
+          .filter(col("c_id").isin(affected: _*))
+          .join(broadcast(del), Seq("vec_id"), "left_anti")
+          .localCheckpoint() // materialize BEFORE touching the files
+        val survivorCids = survivors.select(col("c_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val prev = spark.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try survivors.write
+          .partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+        finally spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", prev)
+        // fully-emptied lists: dynamic overwrite never saw them — drop
+        // their directories so the reopen reads no ghost rows
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path match {
+            case p if p.contains("://") => p
+            case p => s"file://$p"
+          }),
+          spark.sparkContext.hadoopConfiguration)
+        for (c <- affected if !survivorCids.contains(c))
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/lists/c_id=$c"), true)
+      }
+      affected
+    } finally del.unpersist(false)
+  }
+
   /** Reopen a disk [[IvfIndex]]. The explicit schema keeps the c_id
     * partition column LongType (partition-value inference would narrow
     * small ids to INT and break join/pruning key types). The lists frame

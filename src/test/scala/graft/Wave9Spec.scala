@@ -143,6 +143,113 @@ class WinnowingSpec extends AnyFunSuite {
   }
 }
 
+/** e27 IVF delete: the partition-pruned rewrite's blast radius and the
+  * fully-emptied-list directory removal.
+  */
+class IvfDeleteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def lists(tmp: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("e", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("c_id", LongType)))
+    spark.read.schema(schema).parquet(s"$tmp/lists")
+  }
+
+  private def listDirState(tmp: String): Map[String, Set[(String, Long)]] = {
+    val root = new java.io.File(s"$tmp/lists")
+    root.listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }.toMap
+  }
+
+  private def withIndex[T](nList: Int)(f: (String, DataFrame) => T): T = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.operators.Similarity.buildIvfIndex(emb, nList)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_delspec").toString
+    try {
+      graft.operators.Similarity.writeIvfIndex(idx, tmp)
+      idx.release()
+      f(tmp, emb)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("blast radius: only list dirs holding a deleted id are rewritten") {
+    withIndex(8) { (tmp, _) =>
+      val byList = lists(tmp).select("c_id", "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val target = byList.map(_._1).min
+      val victim = byList.filter(_._1 == target).map(_._2).min
+      val before = listDirState(tmp)
+      val sp = spark
+      import sp.implicits._
+      val affected = graft.operators.Similarity.deleteFromIvfIndex(
+        spark, tmp, Seq(victim).toDF("vec_id"))
+      assert(affected == Seq(target), s"blast radius $affected")
+      val after = listDirState(tmp)
+      // untouched lists: identical file names AND mtimes
+      for ((d, files) <- before if d != s"c_id=$target")
+        assert(after(d) == files, s"untouched dir $d was rewritten")
+      assert(after(s"c_id=$target") != before(s"c_id=$target"))
+      // the victim is gone, nothing else is
+      val ids = lists(tmp).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!ids.contains(victim))
+      assert(ids.size == byList.length - 1)
+    }
+  }
+
+  test("deleting a whole list removes its directory; reopen sees no ghosts") {
+    withIndex(8) { (tmp, _) =>
+      val byList = lists(tmp).select("c_id", "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val target = byList.map(_._1).min
+      val victims = byList.filter(_._1 == target).map(_._2)
+      val sp = spark
+      import sp.implicits._
+      val affected = graft.operators.Similarity.deleteFromIvfIndex(
+        spark, tmp, victims.toSeq.toDF("vec_id"))
+      assert(affected == Seq(target))
+      assert(!new java.io.File(s"$tmp/lists/c_id=$target").exists(),
+        "emptied list directory must be removed")
+      val re = lists(tmp)
+      assert(re.filter(col("c_id") === target).count() == 0)
+      assert(re.count() == byList.length - victims.length)
+    }
+  }
+
+  test("append then delete round-trip keeps the survivors exact") {
+    withIndex(8) { (tmp, emb) =>
+      // append a re-keyed copy of 5 vectors, then delete them again:
+      // the index must equal its pre-append state row-for-row
+      val pre = lists(tmp).select("vec_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val extra = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      graft.operators.Similarity.appendToIvfIndex(spark, tmp, extra)
+      val sp = spark
+      import sp.implicits._
+      graft.operators.Similarity.deleteFromIvfIndex(
+        spark, tmp,
+        (0L until 5L).map(_ + 100000L).toDF("vec_id"))
+      val post = lists(tmp).select("vec_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(post == pre, "append+delete did not round-trip")
+    }
+  }
+}
+
 /** g51 sampled harmonic centrality: hand-checkable distances and the
   * disconnected-graph finiteness that distinguishes harmonic from
   * classic closeness.

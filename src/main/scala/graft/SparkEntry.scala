@@ -1145,7 +1145,45 @@ object SparkEntry {
        |    coalesce(k.clean, '') AS text_clean
        |  FROM tok t LEFT JOIN kp k USING (doc_id))""".stripMargin
 
-  private def p8OracleSql: String = {
+  private def p8OracleSql: String =
+    p8Ctes +
+      """
+        |SELECT ne.doc_id, ne.n_tokens, ne.n_removed, ne.text_clean
+        |FROM ne JOIN reps ON ne.dg = reps.dg AND ne.doc_id = reps.keep_id"""
+      .stripMargin
+
+  /** Oracle for p8b: the journey's DROP LEDGER — one row per corpus
+    * doc with the FIRST stage that dropped it (or 'kept'). Shares
+    * every CTE with the p8 oracle so the two locks cannot drift; CASE
+    * order re-encodes the stage order (lang → quality → span-emptied →
+    * exact dedup).
+    */
+  private def p8LedgerSql: String =
+    p8Ctes +
+      """
+        |SELECT g.doc_id,
+        |  CASE WHEN g.lang_guess <> 'en' THEN 'lang'
+        |       WHEN qr.reason <> 'ok' THEN 'quality'
+        |       WHEN ne.doc_id IS NULL THEN 'span_removal'
+        |       WHEN g.doc_id = r.keep_id THEN 'kept'
+        |       ELSE 'exact_dedup' END AS stage,
+        |  CASE WHEN g.lang_guess <> 'en' THEN g.lang_guess
+        |       WHEN qr.reason <> 'ok' THEN qr.reason
+        |       WHEN ne.doc_id IS NULL THEN 'emptied'
+        |       WHEN g.doc_id = r.keep_id THEN 'ok'
+        |       ELSE CAST(r.keep_id AS VARCHAR) END AS detail
+        |FROM lg g
+        |LEFT JOIN qr USING (doc_id)
+        |LEFT JOIN ne USING (doc_id)
+        |LEFT JOIN reps r ON r.dg = ne.dg""".stripMargin
+
+  /** Shared CTE chain of the p8 journey oracles: language scores and
+    * guess (generated from the SAME stopword lists as the d8 twin),
+    * the d24 rule chain, the gated base, the d50b span-removal block,
+    * and the md5 min-id dedup frames (`ne`, `reps`); `lg` carries
+    * every corpus doc with its language guess for the ledger.
+    */
+  private def p8Ctes: String = {
     val scores = TextOps.langStops.map { case (code, words) =>
       val in = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(lt, x -> x IN ($in))) AS s_$code"
@@ -1161,8 +1199,10 @@ object SparkEntry {
        |  FROM documents),
        |sc AS (SELECT doc_id, text, $scores FROM lt),
        |mm AS (SELECT *, $m AS m FROM sc),
+       |lg AS (SELECT doc_id, CASE $cases END AS lang_guess FROM mm),
        |lang AS (
-       |  SELECT doc_id, text FROM mm WHERE CASE $cases END = 'en'),
+       |  SELECT mm.doc_id, mm.text FROM mm
+       |  JOIN lg USING (doc_id) WHERE lg.lang_guess = 'en'),
        |qt AS (
        |  SELECT doc_id, text,
        |    regexp_split_to_array(trim(text), '\\s+') AS tk
@@ -1196,9 +1236,7 @@ object SparkEntry {
        |ne AS (
        |  SELECT *, md5(text_clean) AS dg FROM cleaned
        |  WHERE length(text_clean) > 0),
-       |reps AS (SELECT dg, min(doc_id) AS keep_id FROM ne GROUP BY dg)
-       |SELECT ne.doc_id, ne.n_tokens, ne.n_removed, ne.text_clean
-       |FROM ne JOIN reps ON ne.dg = reps.dg AND ne.doc_id = reps.keep_id"""
+       |reps AS (SELECT dg, min(doc_id) AS keep_id FROM ne GROUP BY dg)"""
       .stripMargin
   }
 
@@ -3123,6 +3161,49 @@ object SparkEntry {
         .select(
           col("doc_id"), col("n_tokens"), col("n_removed"),
           col("text_clean"))
+    },
+    "p8b_hygiene_ledger" -> { (s, dir) =>
+      // the p8 journey's DROP LEDGER — provenance for every corpus doc
+      // (the "why did my document disappear" answer a pipeline owner
+      // actually asks): one row per doc with the FIRST stage that
+      // dropped it ('lang' / 'quality' / 'span_removal' when cleaned
+      // to empty / 'exact_dedup' with the kept twin's id as detail) or
+      // 'kept'. Same stages, same rules, same canonical decisions as
+      // p8 — the oracle shares every CTE with the p8 oracle so the two
+      // locks cannot drift.
+      val docs = t(s, dir, "documents")
+      val lg = docs.select(
+        col("doc_id"), TextOps.languageGuess(col("text")).as("lang_guess"))
+      val lang = docs.join(
+        lg.filter(col("lang_guess") === "en").select(col("doc_id")),
+        Seq("doc_id"))
+      val qr = TextOps.filterPipeline(lang)
+        .select(col("doc_id"), col("reason"))
+      val kept = lang.join(
+        qr.filter(col("reason") === "ok").select(col("doc_id")),
+        Seq("doc_id"))
+      val cleaned = Dedup.removeDuplicatedSpans(
+        kept.select(col("doc_id"), col("text")), k = 5)
+      val ne = cleaned
+        .filter(length(col("text_clean")) > 0)
+        .select(col("doc_id"), md5(col("text_clean")).as("dg"))
+      val reps = ne.groupBy(col("dg")).agg(min(col("doc_id")).as("keep_id"))
+      lg
+        .join(qr, Seq("doc_id"), "left_outer")
+        .join(ne, Seq("doc_id"), "left_outer")
+        .join(reps, Seq("dg"), "left_outer") // NULL dg matches nothing
+        .select(
+          col("doc_id"),
+          when(col("lang_guess") =!= "en", lit("lang"))
+            .when(col("reason") =!= "ok", lit("quality"))
+            .when(col("dg").isNull, lit("span_removal"))
+            .when(col("doc_id") === col("keep_id"), lit("kept"))
+            .otherwise(lit("exact_dedup")).as("stage"),
+          when(col("lang_guess") =!= "en", col("lang_guess"))
+            .when(col("reason") =!= "ok", col("reason"))
+            .when(col("dg").isNull, lit("emptied"))
+            .when(col("doc_id") === col("keep_id"), lit("ok"))
+            .otherwise(col("keep_id").cast("string")).as("detail"))
     },
     "p4_rag_index" -> { (s, dir) =>
       // the RAG-INDEX journey (the fourth composed pipeline next to
@@ -5390,6 +5471,7 @@ object SparkEntry {
          |ORDER BY aa_r DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "g35_modularity" -> modularitySql(3),
     "p8_hygiene" -> p8OracleSql,
+    "p8b_hygiene_ledger" -> p8LedgerSql,
     "p7_multilevel_community" ->
       // the whole multilevel trajectory replayed: g22's LPA chain to
       // l3, the g39 contraction, a SECOND unrolled LPA over the coarse

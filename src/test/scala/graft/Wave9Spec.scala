@@ -414,6 +414,30 @@ class HygieneJourneySpec extends AnyFunSuite {
     // the journey actually bites at this SF: some doc was span-cleaned
     assert(texts.exists(_._3 > 0), "no span was ever removed — vacuous fixture")
   }
+
+  test("p8b ledger: total, kept-set equality with p8, and dedup pointers resolve") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ledger = SparkEntry.queries("p8b_hygiene_ledger")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ledger.length == docs.count(), "one ledger row per corpus doc")
+    val keptIds = ledger.collect { case (id, "kept", d) =>
+      assert(d == "ok"); id
+    }.toSet
+    val p8Ids = SparkEntry.queries("p8_hygiene")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == p8Ids, "ledger 'kept' set != p8 survivors")
+    // every dedup pointer names a doc the journey actually kept
+    for ((id, st, d) <- ledger if st == "exact_dedup") {
+      assert(keptIds.contains(d.toLong), s"doc $id points at dropped $d")
+      assert(d.toLong < id, "min-id rule: the keeper is the smallest twin")
+    }
+    // the ledger's stage vocabulary is exactly the journey's stages
+    val stages = ledger.map(_._2).toSet
+    assert(stages.subsetOf(
+      Set("lang", "quality", "span_removal", "exact_dedup", "kept")))
+    assert(stages.contains("kept") && stages.size >= 2,
+      s"fixture exercises too few stages: $stages")
+  }
 }
 
 /** q47 (exact interpolated percentiles) is the measured exact twin of

@@ -181,4 +181,49 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("harmonic centrality is bounded by the seed count (each seed gives <= 1)") {
+    val sp = spark
+    import sp.implicits._
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val es = List.fill(40)(
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (es.nonEmpty) {
+        val sd = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted.take(3)
+        val h = graft.operators.Brandes
+          .sampledHarmonic(es.toDF("src", "dst"), sd, maxDepth = 64)._1
+          .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        h.foreach { case (v, hv) =>
+          // d(s,v) >= 1 for every contributing seed, so each seed adds
+          // at most 1.0 — the bound is tight only for a seed-adjacent v
+          assert(hv > 0 && hv <= sd.length + 1e-9,
+            s"seed=$seed vertex=$v H=$hv > |seeds|=${sd.length}")
+        }
+      }
+    }
+  }
+
+  test("CMS estimates are monotone under corpus growth (counts only ever add)") {
+    val sp = spark
+    import sp.implicits._
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 12).map(i => s"w$i")
+      def doc(i: Long) =
+        i -> List.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(12)))
+          .mkString(" ")
+      val small = (0L until 6L).map(doc)
+      val grown = small ++ (6L until 12L).map(doc)
+      def est(c: Seq[(Long, String)]) =
+        graft.operators.CountMin
+          .pointEstimates(c.toDF("doc_id", "text"), depth = 3, width = 8)
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val a = est(small); val b = est(grown)
+      for ((tok, e) <- a)
+        assert(b(tok) >= e,
+          s"seed=$seed token=$tok estimate shrank: ${b(tok)} < $e")
+    }
+  }
 }

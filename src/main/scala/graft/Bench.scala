@@ -69,7 +69,46 @@ object Bench {
     val res = graft.metrics.ResourceMetrics.attach(spark.sparkContext)
     res.quiesce()
     val benchStart = res.snapshot // for whole-run cpu/exec totals
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Host-speed CALIBRATION (engine-independent): a fixed-work integer
+    // loop timed single-threaded and at full width. The r11→r12 g13
+    // investigation burned a round-trip proving an idle-to-idle +38%
+    // drift was the HOST (the r10 binary reproduced the slow number on
+    // the new host bit-for-bit) — these two numbers make that diagnosis
+    // a one-line diff: engine walls moved but calib didn't ⇒ code;
+    // calib moved with them ⇒ host. xorshift64 keeps the loop
+    // optimizer-proof (result is consumed); ~1 s total.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 400000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42) System.err.println("") // consume
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib1t = calibOnce()
+    val calibWide = {
+      val nThreads = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { _ =>
+        val t = new Thread(() => { calibOnce(); () })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // SPARK_GRAFT_ONLY=g13_s3_pagerank[,name2,...] runs an isolation
+    // subset in a fresh JVM — the suite-interaction bisection tool (a
+    // query that is fast alone but slow in the marathon is feeling its
+    // predecessors' cache/GC wake, not its own plan)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val cacheAfter = scala.collection.mutable.Map[String, Double]()
+    val results = selected.map { case (name, fn) =>
       // stderr breadcrumb: when a run dies mid-bench (OOM, kill), the
       // log names the query that was executing — stdout stays reserved
       // for the contract lines
@@ -81,6 +120,13 @@ object Bench {
       // resource delta spans EXACTLY the first rep — comparable across
       // queries regardless of how many timing reps follow
       val used = res.snapshot - snap0
+      // storage-memory occupancy LEFT BEHIND after the query (cached
+      // RDD bytes): the cross-query pressure signal — a query that is
+      // slow in the marathon but fast alone usually sits downstream of
+      // a rising cache_mb staircase, and this column names the stairs
+      cacheAfter(name) = math.round(
+        spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+          / 1048576.0 * 100) / 100.0
       val best = first match {
         case Right((f, df)) if f <= 30.0 =>
           once(fn) match {
@@ -256,8 +302,39 @@ object Bench {
         }
       (errs ++ slow).mkString("{", ",", "}")
     }
-    val rs = results.map { case (k, _, u) => "\"" + k + "\":" + u.toJson }
-      .mkString("{", ",", "}")
+    // committed idle walls (BENCH_DETAIL.json is the idle reference
+    // artifact): feeds the per-row vs_idle column below, the 3× vsIdle
+    // contention suspects, and the adjusted-total discount
+    val idleWalls: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+      val qStart = txt.indexOf("\"queries\":{")
+      // the reference is only comparable at the SAME scale factor — an
+      // sf0.01 iteration run must not be "discounted" against sf0.1 walls
+      val sfOk = txt.contains("\"sf\":\"" + sfDir + "\"")
+      if (qStart < 0 || !sfOk) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    // per-query resource rows, augmented with (a) post-query cache
+    // occupancy and (b) the committed idle wall + drift ratio, so an
+    // idle-to-idle drift (the r11 g13 case: +38% with an unchanged
+    // plan) is flagged IN the round's own detail file instead of two
+    // snapshots later by a human diffing artifacts
+    val rs = results.map { case (k, b, u) =>
+      val cache = cacheAfter.get(k)
+        .map(c => s""","cache_mb":$c""").getOrElse("")
+      val idle = (b, idleWalls.get(k)) match {
+        case (Right((v, _)), Some(iw)) if iw > 0 =>
+          s""","idle_wall_sec":$iw,"vs_idle":${r2d(v / iw)}"""
+        case _ => ""
+      }
+      "\"" + k + "\":" + u.toJson.dropRight(1) + cache + idle + "}"
+    }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right((v, _)), _) => v }
     val nErr = results.count(_._2.isLeft)
     val total = ok.sum
@@ -283,18 +360,6 @@ object Bench {
     // in r8 went unflagged); the committed BENCH_DETAIL.json is the
     // idle reference every run can compare itself against. Sub-second
     // idle walls are exempt (3× of noise is noise).
-    val idleWalls: Map[String, Double] = try {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-      val qStart = txt.indexOf("\"queries\":{")
-      if (qStart < 0) Map.empty
-      else {
-        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
-        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
     val vsIdle = results.collect {
       case (k, Right((v, _)), _)
           if idleWalls.get(k).exists(iw => iw >= 0.5 && v > 3.0 * iw) => k
@@ -326,6 +391,9 @@ object Bench {
     val extraJson = (extras ++ Seq(
       "\"exec_sec\":" + r2d(benchRes.executorRunMs / 1000.0),
       "\"cpu_sec\":" + r2d(benchRes.executorCpuMs / 1000.0),
+      "\"gc_sec\":" + r2d(benchRes.jvmGcMs / 1000.0),
+      "\"calib_1t_sec\":" + r2d(calib1t),
+      "\"calib_wide_sec\":" + r2d(calibWide),
       "\"adjusted_total_sec\":" + r2d(adjustedTotal),
       "\"idle_ref_n\":" + idleRefN))
       .mkString(",", ",", "")

@@ -19,6 +19,7 @@ final case class ResourceSnapshot(
     outputBytes: Long,
     executorRunMs: Long,
     executorCpuMs: Long,
+    jvmGcMs: Long,
     peakStageShuffleWriteBytes: Long) {
 
   /** Delta between two snapshots of the SAME listener (peak is carried
@@ -33,6 +34,7 @@ final case class ResourceSnapshot(
     outputBytes - o.outputBytes,
     executorRunMs - o.executorRunMs,
     executorCpuMs - o.executorCpuMs,
+    jvmGcMs - o.jvmGcMs,
     peakStageShuffleWriteBytes)
 
   private def mb(b: Long): Double = math.round(b / 1048576.0 * 100) / 100.0
@@ -48,7 +50,8 @@ final case class ResourceSnapshot(
       s""""spill_mb":${mb(memorySpillBytes + diskSpillBytes)},""" +
       s""""input_mb":${mb(inputBytes)},""" +
       s""""executor_run_ms":$executorRunMs,""" +
-      s""""executor_cpu_ms":$executorCpuMs}"""
+      s""""executor_cpu_ms":$executorCpuMs,""" +
+      s""""gc_ms":$jvmGcMs}"""
 
   /** `metric,value` CSV — the analogue of the reference's per-node
     * monitoring CSVs (PerformanceMonitor.java:83-135), with totals
@@ -65,6 +68,7 @@ final case class ResourceSnapshot(
       s"Output_bytes,$outputBytes\n" +
       s"Executor_Run_ms,$executorRunMs\n" +
       s"Executor_Cpu_ms,$executorCpuMs\n" +
+      s"Jvm_Gc_ms,$jvmGcMs\n" +
       s"Peak_Stage_Shuffle_Write_bytes,$peakStageShuffleWriteBytes\n"
 }
 
@@ -88,6 +92,7 @@ final class ResourceListener extends SparkListener {
   private val output = new AtomicLong(0)
   private val runMs = new AtomicLong(0)
   private val cpuMs = new AtomicLong(0)
+  private val gcMs = new AtomicLong(0)
   private val peakStageShuffleWrite = new AtomicLong(0)
 
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
@@ -102,6 +107,7 @@ final class ResourceListener extends SparkListener {
       output.addAndGet(tm.outputMetrics.bytesWritten)
       runMs.addAndGet(tm.executorRunTime)
       cpuMs.addAndGet(tm.executorCpuTime / 1000000L) // reported in ns
+      gcMs.addAndGet(tm.jvmGCTime)
       peakStageShuffleWrite.updateAndGet(p => math.max(p, w))
     }
     updates.incrementAndGet()
@@ -110,8 +116,8 @@ final class ResourceListener extends SparkListener {
 
   def snapshot: ResourceSnapshot = ResourceSnapshot(
     shuffleRead.get(), shuffleWrite.get(), memSpill.get(), diskSpill.get(),
-    input.get(), output.get(), runMs.get(), cpuMs.get(),
-    peakStageShuffleWrite.get())
+    input.get(), output.get(), runMs.get(), cpuMs.get(), gcMs.get(),
+    peakStageShuffleWriteBytes = peakStageShuffleWrite.get())
 
   def resetPeak(): Unit = peakStageShuffleWrite.set(0)
 

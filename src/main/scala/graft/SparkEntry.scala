@@ -398,6 +398,91 @@ object SparkEntry {
          |    AS q_r
          |FROM me, ds""".stripMargin)
 
+  /** Unrolled synchronous LOUVAIN gain-move rounds (g52/g52b oracle) —
+    * the [[graft.operators.Louvain]] trajectory replayed decision for
+    * decision. Assumes a CTE `we$l(u, v, w)` (canonical weighted
+    * undirected edges, `u = v` rows = self-loops) is already defined;
+    * emits `kv$l/mm$l/adj$l/l${l}_0..l${l}_$k`. Every decision value is
+    * the exact integer `2m·(k_vb − k_va) − k_v·(D_b − D_a + k_v)`;
+    * round i activates `vtx % 2 = i % 2` (red-black alternation) and
+    * applies the singleton-swap minimum-label guard — both mirrored
+    * from the engine, so the argmax (`row_number` ORDER BY gain DESC,
+    * clbl ASC ≡ the engine's max_by((gain, -clbl))) reproduces every
+    * move.
+    */
+  private def louvainRoundsSql(l: String, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""kv$l AS MATERIALIZED (
+         |  SELECT id, CAST(sum(kw) AS BIGINT) AS kv FROM (
+         |    SELECT u AS id, CASE WHEN u = v THEN 2*w ELSE w END AS kw FROM we$l
+         |    UNION ALL SELECT v, w FROM we$l WHERE u <> v)
+         |  GROUP BY id),
+         |mm$l AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS m FROM we$l),
+         |adj$l AS MATERIALIZED (
+         |  SELECT u AS vtx, v AS nbr, w FROM we$l WHERE u <> v
+         |  UNION ALL SELECT v, u, w FROM we$l WHERE u <> v),
+         |l${l}_0 AS MATERIALIZED (SELECT id, id AS lbl FROM kv$l)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i % 2
+      sb.append(s""",
+        |dc${l}_$i AS MATERIALIZED (
+        |  SELECT lbl, CAST(sum(kv) AS BIGINT) AS dc, count(*) AS csize
+        |  FROM l${l}_${i - 1} JOIN kv$l USING (id) GROUP BY lbl),
+        |cn${l}_$i AS MATERIALIZED (
+        |  SELECT a.vtx, x.lbl AS clbl, CAST(sum(a.w) AS BIGINT) AS kvc
+        |  FROM adj$l a JOIN l${l}_${i - 1} x ON x.id = a.nbr GROUP BY 1, 2),
+        |own${l}_$i AS MATERIALIZED (
+        |  SELECT t.id, t.lbl, coalesce(c.kvc, 0) AS kva
+        |  FROM l${l}_${i - 1} t
+        |  LEFT JOIN cn${l}_$i c ON c.vtx = t.id AND c.clbl = t.lbl),
+        |mv${l}_$i AS MATERIALIZED (
+        |  SELECT vtx, clbl FROM (
+        |    SELECT c.vtx, c.clbl,
+        |      2*(SELECT m FROM mm$l)*(c.kvc - o.kva)
+        |        - k.kv*(db.dc - da.dc + k.kv) AS gain,
+        |      row_number() OVER (PARTITION BY c.vtx
+        |        ORDER BY 2*(SELECT m FROM mm$l)*(c.kvc - o.kva)
+        |          - k.kv*(db.dc - da.dc + k.kv) DESC, c.clbl ASC) AS rn
+        |    FROM cn${l}_$i c
+        |    JOIN own${l}_$i o ON o.id = c.vtx
+        |    JOIN kv$l k ON k.id = c.vtx
+        |    JOIN dc${l}_$i db ON db.lbl = c.clbl
+        |    JOIN dc${l}_$i da ON da.lbl = o.lbl
+        |    WHERE c.clbl <> o.lbl AND c.vtx % 2 = $p
+        |      AND NOT (da.csize = 1 AND db.csize = 1 AND c.clbl > o.lbl))
+        |  WHERE rn = 1 AND gain > 0),
+        |l${l}_$i AS MATERIALIZED (
+        |  SELECT t.id, coalesce(m.clbl, t.lbl) AS lbl
+        |  FROM l${l}_${i - 1} t LEFT JOIN mv${l}_$i m ON m.vtx = t.id)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Shared modularity tail for the Louvain oracles: Newman Q of the
+    * labels in CTE `labCte` over the original graph's `ue`, emitted as
+    * `n_comms, q_r` columns on every label row (mirrors the engine's
+    * crossJoin of the 1-row modularity frame).
+    */
+  private def louvainFinalSql(labCte: String): String =
+    s""",
+       |qme AS MATERIALIZED (
+       |  SELECT count(*) AS m_edges,
+       |    CAST(sum(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS intra_edges
+       |  FROM ue e JOIN $labCte a ON a.id = e.u JOIN $labCte b ON b.id = e.v),
+       |qdc AS MATERIALIZED (
+       |  SELECT l.lbl, count(*) AS dcc
+       |  FROM (SELECT u AS id FROM ue UNION ALL SELECT v FROM ue) x
+       |  JOIN $labCte l ON l.id = x.id GROUP BY 1),
+       |qds AS (SELECT count(*) AS n_comms,
+       |        CAST(sum(dcc*dcc) AS BIGINT) AS sum_deg_sq FROM qdc)
+       |SELECT t.id, t.lbl, qds.n_comms,
+       |  round(CAST(qme.intra_edges AS DOUBLE)/qme.m_edges
+       |      - CAST(qds.sum_deg_sq AS DOUBLE)/(4.0*qme.m_edges*qme.m_edges), 9)
+       |    AS q_r
+       |FROM $labCte t, qme, qds""".stripMargin
+
   /** Oracle for g36: the walk recurrence unrolled — a row_numbered
     * deduped adjacency (neighbors ranked by dst ascending, exactly the
     * engine's array_sort order) and, per step, the SAME md5 draw
@@ -2207,6 +2292,40 @@ object SparkEntry {
       // multilevel round recurses on; all-integer, |communities|-sized
       val e = graft.sources.SyntheticGraph.portable(s, 400, 1200, "g22")
       GraphBuilder.coarsen(e, GraphBuilder.labelPropagation(e, 3))
+    },
+    "g52_louvain" -> { (s, dir) =>
+      // LOUVAIN proper — the modularity-gain local-move phase (Blondel
+      // et al. 2008) in the deterministic red-black formulation
+      // (operators/Louvain.scala): 6 synchronous gain rounds on the
+      // g22 ER fixture, with the g35 Newman-Q of the result riding as
+      // 1-row broadcast columns. Every move decision is an exact
+      // integer (2m·Δk − k_v·ΔD term), so the oracle replays the whole
+      // trajectory decision for decision. LPA on this fixture floods
+      // to Q ≈ −0.004 (g35); the gain pass finds real structure
+      // (Q ≈ 0.15 after one level, 0.33 multileveled — LouvainSpec
+      // pins the ≥ differential).
+      val e = graft.sources.SyntheticGraph.portable(s, 400, 1200, "g22")
+      val lab = graft.operators.Louvain.moveRounds(e, 6)
+      val qv = GraphBuilder.modularity(e, lab)
+        .select(col("n_comms"), col("q_r"))
+      lab.crossJoin(broadcast(qv))
+    },
+    "g52b_louvain_multilevel" -> { (s, dir) =>
+      // MULTILEVEL Louvain — the complete algorithm: gain moves →
+      // weighted contraction (self-loops carrying intra-weight) → gain
+      // moves on the supergraph → labels projected back to the fine
+      // vertices; 2 levels × 6 rounds on the planted 2-block fixture.
+      // The second level runs the SAME weighted gain pass on the
+      // contracted graph — at 100 TB that level is |communities| wide,
+      // which is the entire point of contraction. At 5 levels this
+      // recovers the planted 2-block partition exactly (Q ties LPA's
+      // 0.499999639 — LouvainSpec); 2 levels keep the unrolled oracle
+      // bounded while still hash-locking contraction + weighted moves.
+      val e = graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b")
+      val lab = graft.operators.Louvain.multilevel(e, 6, 2)
+      val qv = GraphBuilder.modularity(e, lab)
+        .select(col("n_comms"), col("q_r"))
+      lab.crossJoin(broadcast(qv))
     },
     "g40_neighbor_agg" -> ((s, dir) =>
       // two-layer GNN-style neighbor aggregation (GraphSAGE prep):
@@ -5629,6 +5748,29 @@ object SparkEntry {
         |SELECT least(la, lb) AS lu, greatest(la, lb) AS lv,
         |  count(*) AS n_edges
         |FROM lab GROUP BY 1, 2""".stripMargin),
+    "g52_louvain" ->
+      s"""WITH ${portableGraphSql(400, 1200, "g22")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |weA AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue),
+         |${louvainRoundsSql("A", 6)}${louvainFinalSql("lA_6")}""".stripMargin,
+    "g52b_louvain_multilevel" ->
+      s"""WITH ${portableBlocksSql(200, 600, "g22b")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |weA AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue),
+         |${louvainRoundsSql("A", 6)},
+         |weB AS MATERIALIZED (
+         |  SELECT least(a.lbl, b.lbl) AS u, greatest(a.lbl, b.lbl) AS v,
+         |    CAST(sum(w.w) AS BIGINT) AS w
+         |  FROM weA w JOIN lA_6 a ON a.id = w.u JOIN lA_6 b ON b.id = w.v
+         |  GROUP BY 1, 2),
+         |${louvainRoundsSql("B", 6)},
+         |proj AS MATERIALIZED (
+         |  SELECT a.id, b.lbl FROM lA_6 a JOIN lB_6 b ON b.id = a.lbl)
+         |${louvainFinalSql("proj")}""".stripMargin,
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),
     "g38_weighted_walks" ->
       weightedWalksSql(300, 900, "g38", "g38w", len = 8),

@@ -1012,7 +1012,7 @@ object GraphBuilder {
   /** Canonical undirected simple edge set: u < v, self-loops dropped,
     * multi-edges and reversals collapsed.
     */
-  private def undirectedSimple(edges: DataFrame): DataFrame =
+  private[operators] def undirectedSimple(edges: DataFrame): DataFrame =
     edges
       .select(
         least(col("src"), col("dst")).as("u"),

@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** LOUVAIN community detection — the modularity-gain local-move phase
+  * (Blondel et al. 2008, "Fast unfolding of communities in large
+  * networks"), in the SYNCHRONOUS, deterministic-tie formulation that a
+  * distributed engine can actually run and another engine can replay
+  * decision for decision (the parallel-Louvain family: Que et al.
+  * IPDPS 2015 "Scalable community detection with the Louvain
+  * algorithm"; the sequential textbook scan order is schedule-dependent
+  * and cannot be certified cross-engine — the same argument as
+  * [[GraphBuilder.labelPropagation]]'s synchronous LPA).
+  *
+  * Every vertex starts in its own community. Rounds alternate between
+  * the two vertex-id parity classes (RED-BLACK relaxation — round r
+  * activates `id % 2 == r % 2`); each ACTIVE vertex evaluates moving
+  * to each NEIGHBORING community and takes the move with the largest
+  * modularity gain if that gain is strictly positive (ties: largest
+  * gain first, then SMALLEST target label). The alternation is what
+  * makes the synchronous sweep converge: with all vertices active at
+  * once, two adjacent vertices whose moves are each individually
+  * ΔQ-positive can swap into each other's communities and 2-cycle
+  * forever; activating one parity class at a time serializes adjacent
+  * odd/even pairs while keeping every round a deterministic pure
+  * function of the label frame. With Q = Σ_c [e_c/m − (D_c/2m)²] over the weighted
+  * undirected graph (e_c = intra-community edge weight, D_c = total
+  * weighted degree of c, m = total edge weight), the gain of moving v
+  * from its community a to a neighboring community b, scaled by the
+  * positive constant 2m², is the EXACT INTEGER
+  *
+  *   gain(v, b) = 2m·(k_vb − k_va) − k_v·(D_b − D_a + k_v)
+  *
+  * where k_vc = weight from v to community c (v's self-loops excluded —
+  * they follow v wherever it goes and cancel in the difference), k_v =
+  * v's weighted degree (self-loops counting twice, the A_ii = 2w
+  * convention), and D_a includes v itself. Scaling by 2m² > 0 preserves
+  * the argmax and sign, and makes every decision value an exact 64-bit
+  * integer — no float enters any move decision, so a SQL oracle
+  * replays the whole trajectory hash-exactly (the g29/g35 closed-form
+  * discipline). Overflow bound: |gain| ≤ 2m·k_v + k_v·2m = 4m·k_v,
+  * safe while m·k_v < 2³⁶·2²⁶ ≈ 2.3e18 — at 100 TB scale (m ~ 10¹²)
+  * that allows hub degrees to ~10⁶; past that, rescale weights or
+  * switch the decision value to DOUBLE (documented, not silently).
+  *
+  * Scale shape per round (the LPA/PageRank iteration class): one
+  * |E|-row join of the once-partitioned symmetric adjacency against
+  * the |V|-row label frame, one map-side-combined (vtx, lbl) weight
+  * sum, then |cand|-row joins against |V|- and |C|-sized stat frames
+  * (broadcast while they fit — statistics decide, no hints) and an
+  * argmax that folds inside the hash aggregate via max_by — no window
+  * over the candidate stream anywhere. Labels are rotated through
+  * localCheckpoint per round (the PageRank loop's lineage discipline).
+  *
+  * The weighted-with-self-loops core is exactly what Louvain's
+  * aggregation phase needs: [[GraphBuilder.coarsen]]'s output
+  * (`lu, lv, n_edges` with `lu = lv` self-loop rows) feeds
+  * [[moveRoundsWeighted]] directly, closing the multilevel loop with
+  * gain moves at every level.
+  */
+object Louvain {
+
+  /** Canonical weighted undirected form of a directed edge list: the
+    * simple graph's edges with weight 1 (duplicate directed edges and
+    * orientation collapse, self-loops drop — the
+    * [[GraphBuilder.undirectedSimple]] semantics every community
+    * operator in this repo shares).
+    */
+  def fromEdges(edges: DataFrame): DataFrame =
+    GraphBuilder.undirectedSimple(edges)
+      .select(col("u"), col("v"), lit(1L).as("w"))
+
+  /** Fixed-round synchronous gain-move pass over a canonical weighted
+    * undirected graph `wedges(u ≤ v, w)` (one row per undirected edge;
+    * `u = v` rows are self-loops). Fixed rounds keep the trajectory
+    * oracle-unrollable; a stable round is a fixpoint of the
+    * deterministic update (decisions are a function of the labels
+    * alone), so [[moveRoundsConverged]]'s result equals this one for
+    * any `rounds` ≥ the stop depth. Returns `(id, lbl)`.
+    */
+  def moveRoundsWeighted(wedges: DataFrame, rounds: Int): DataFrame =
+    runMoves(wedges, rounds, stopOnStable = false)._1
+
+  /** [[moveRoundsWeighted]] run TO STABILITY (zero moves — the
+    * O14/O16 early-stop discipline), bounded by `maxRounds`. Returns
+    * the labels plus rounds run, the last being the no-op round that
+    * proved stability (unless `maxRounds` cut it off first, which the
+    * caller sees).
+    */
+  def moveRoundsConverged(
+      wedges: DataFrame, maxRounds: Int = 20): (DataFrame, Int) =
+    runMoves(wedges, maxRounds, stopOnStable = true)
+
+  /** Unweighted convenience: [[fromEdges]] + [[moveRoundsWeighted]]. */
+  def moveRounds(edges: DataFrame, rounds: Int): DataFrame =
+    moveRoundsWeighted(fromEdges(edges), rounds)
+
+  /** WEIGHTED community contraction — Louvain's aggregation phase over
+    * a weighted graph (the weight-carrying generalization of
+    * [[GraphBuilder.coarsen]], which counts simple edges): every
+    * community becomes a supervertex, edge weights between communities
+    * sum, and `lu = lv` self-loop rows accumulate each community's
+    * intra-weight (including member self-loops) — exactly the input
+    * [[moveRoundsWeighted]] needs for the next level. One |E|-row
+    * double label lookup (broadcast while the label frame fits) + one
+    * map-side-combined (lu, lv) sum; output is |C|²-bounded and
+    * near-linear in |C| in practice.
+    */
+  def contractWeighted(wedges: DataFrame, labels: DataFrame): DataFrame = {
+    val lbl = labels.select(col("id"), col("lbl"))
+    wedges
+      .join(lbl.select(col("id").as("u"), col("lbl").as("la")), Seq("u"))
+      .join(lbl.select(col("id").as("v"), col("lbl").as("lb")), Seq("v"))
+      .groupBy(
+        least(col("la"), col("lb")).as("u"),
+        greatest(col("la"), col("lb")).as("v"))
+      .agg(sum(col("w")).as("w"))
+  }
+
+  /** MULTILEVEL Louvain: `levels` × (gain-move rounds → contract),
+    * labels projected back through every level so the result labels
+    * the ORIGINAL vertices. Fixed `roundsPerLevel` keeps the whole
+    * trajectory oracle-unrollable; each level runs on a graph
+    * |communities| wide (the point of contraction — level 2+ cost is
+    * driven by the community count, not |V|). Returns `(id, lbl)` on
+    * the input graph's vertex set.
+    */
+  def multilevel(
+      edges: DataFrame, roundsPerLevel: Int, levels: Int): DataFrame = {
+    require(levels >= 1, "levels must be >= 1")
+    var w = fromEdges(edges)
+    var mapping: DataFrame = null
+    for (_ <- 1 to levels) {
+      val lab = moveRoundsWeighted(w, roundsPerLevel)
+      mapping =
+        if (mapping == null) lab
+        else CacheScope.rotate(
+          mapping
+            .join(lab.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"))
+            .select(col("id"), col("lbl2").as("lbl")))
+      w = contractWeighted(w, lab)
+    }
+    mapping
+  }
+
+  private def runMoves(
+      wedges: DataFrame,
+      maxRounds: Int,
+      stopOnStable: Boolean): (DataFrame, Int) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val we = wedges.select(col("u"), col("v"), col("w").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // symmetric NON-self adjacency (self-loops cancel in every gain
+    // difference — they never enter candidate scoring), partitioned
+    // once by nbr so each round's label fan-out join reuses the
+    // exchange (the LPA adjacency discipline)
+    val und = we.filter(col("u") =!= col("v"))
+      .select(col("u").as("vtx"), col("v").as("nbr"), col("w"))
+      .union(
+        we.filter(col("u") =!= col("v"))
+          .select(col("v").as("vtx"), col("u").as("nbr"), col("w")))
+      .repartition(col("nbr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // weighted degree k_v: each non-self edge adds w at both ends, a
+    // self-loop adds 2w at its vertex (the A_ii = 2w convention) —
+    // isolated-by-self-loop-only vertices still get a degree row
+    val kv = we
+      .select(col("u").as("id"),
+        when(col("u") === col("v"), lit(2L) * col("w")).otherwise(col("w"))
+          .as("kw"))
+      .union(
+        we.filter(col("u") =!= col("v"))
+          .select(col("v").as("id"), col("w").as("kw")))
+      .groupBy(col("id")).agg(sum(col("kw")).as("kv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // m = total edge weight (self-loops once); a driver scalar — it
+    // multiplies into every gain as a literal
+    val m: Long = we.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    require(m > 0, "empty graph")
+
+    var labels = kv.select(col("id"), col("id").as("lbl"))
+      .transform(CacheScope.rotate)
+    var iters = 0
+    var stable = false
+    var prevQuiet = false
+    var prev: DataFrame = labels
+    while (iters < maxRounds && !stable) {
+      // D_c + community size per community — |V|-row join + agg,
+      // output |C| rows. Size feeds the SINGLETON-SWAP GUARD below.
+      val dc = labels.join(kv, Seq("id"))
+        .groupBy(col("lbl"))
+        .agg(sum(col("kv")).as("dc"), count(lit(1)).as("csize"))
+
+      // k_vc: v's connection weight to each neighboring community —
+      // THE |E|-scale stage of the round (everything after operates on
+      // the (vtx, community) candidate stream, ≤ |E| rows, usually far
+      // fewer after the map-side combine)
+      val cand = und
+        .join(labels.select(col("id").as("nbr"), col("lbl").as("clbl")),
+          Seq("nbr"))
+        .groupBy(col("vtx"), col("clbl"))
+        .agg(sum(col("w")).as("kvc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // k_va: v's connection to its CURRENT community (0 when v has no
+      // neighbor at home — e.g. a freshly-emptied singleton)
+      val own = labels
+        .join(
+          cand.select(col("vtx").as("id"), col("clbl").as("lbl"),
+            col("kvc").as("kva")),
+          Seq("id", "lbl"), "left_outer")
+        .select(col("id"), col("lbl"),
+          coalesce(col("kva"), lit(0L)).as("kva"))
+
+      // integer gain per (v, candidate b ≠ a), argmax folded into the
+      // hash aggregate via max_by((gain, -b)) — no candidate window.
+      // RED-BLACK ALTERNATION: only vertices of one id-parity are
+      // active per round (round r activates id % 2 == r % 2) — the
+      // deterministic relaxation-coloring of parallel Louvain. Without
+      // it, two ADJACENT vertices whose moves are each ΔQ-positive on
+      // the current state can swap into each other's communities
+      // simultaneously and 2-cycle forever (observed on the
+      // two-triangle fixture: the bridge endpoints' neighbors traded
+      // communities every round). Alternating parities serializes
+      // adjacent odd/even pairs while keeping every round a pure
+      // function of the labels — the trajectory stays replayable by a
+      // `vtx % 2 = r % 2` predicate per unrolled round.
+      val active = lit(((iters + 1) % 2).toLong)
+      val gains = cand
+        .join(own.withColumnRenamed("id", "vtx"), Seq("vtx"))
+        .filter(pmod(col("vtx"), lit(2L)) === active)
+        .filter(col("clbl") =!= col("lbl"))
+        .join(kv.withColumnRenamed("id", "vtx"), Seq("vtx"))
+        .join(dc.select(col("lbl").as("clbl"), col("dc").as("db"),
+          col("csize").as("sb")), Seq("clbl"))
+        .join(dc.select(col("lbl"), col("dc").as("da"),
+          col("csize").as("sa")), Seq("lbl"))
+        // SINGLETON-SWAP GUARD (the parallel-Louvain minimum-label
+        // heuristic, Lu–Halappanavar–Kalyanaraman 2015): two singleton
+        // communities evaluating each other see SYMMETRIC positive
+        // gains, and a synchronous round would swap them forever (the
+        // first cut of this operator oscillated exactly like that on a
+        // two-triangle fixture). Restricting singleton→singleton moves
+        // to the SMALLER target label breaks the symmetry
+        // deterministically; all other moves are pure gain-argmax.
+        .filter(!(col("sa") === 1L && col("sb") === 1L &&
+          col("clbl") > col("lbl")))
+        .select(col("vtx"), col("clbl"),
+          (lit(2L * m) * (col("kvc") - col("kva")) -
+            col("kv") * (col("db") - col("da") + col("kv"))).as("gain"))
+        .filter(col("gain") > 0L)
+        .groupBy(col("vtx"))
+        .agg(max_by(col("clbl"), struct(col("gain"), -col("clbl")))
+          .as("new_lbl"))
+
+      val next = labels
+        .join(gains.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .transform(CacheScope.rotate)
+      iters += 1
+      if (stopOnStable) {
+        val changed = next
+          .join(labels.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
+          .filter(col("lbl") =!= col("prev_lbl"))
+          .count()
+        // a fixpoint needs BOTH parity classes quiet: one zero-move
+        // round only proves the currently-active class is settled
+        if (changed == 0L && prevQuiet) stable = true
+        prevQuiet = changed == 0L
+      }
+      cand.unpersist(false)
+      prev.unpersist(false)
+      prev = next
+      labels = next
+    }
+    we.unpersist(false)
+    und.unpersist(false)
+    kv.unpersist(false)
+    (labels, iters)
+  }
+}

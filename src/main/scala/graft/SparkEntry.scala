@@ -3668,6 +3668,36 @@ object SparkEntry {
           .foreach(p => Files.deleteIfExists(p))
       }
     },
+    "e28_ivf_rebalance" -> { (s, dir) =>
+      // index maintenance, the REBALANCE/OPTIMIZE half completing the
+      // lifecycle (e13 append / e27 delete): build, write, SPLIT every
+      // list above the mean size by re-clustering only its own members
+      // into 2 sub-lists (bounded blast radius — untouched dirs are
+      // never read or rewritten), reopen, probe every list. At
+      // nProbe = nList(after) the result must be the exact kNN over
+      // the corpus — the oracle hash-locks the whole
+      // split → rewrite → reopen → probe round-trip.
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfIndex(emb, nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_e28").toString
+      try {
+        Similarity.writeIvfIndex(idx, tmp)
+        idx.release()
+        val meanSize = math.max(1L, emb.count() / 16)
+        Similarity.rebalanceIvfIndex(s, tmp, maxListSize = meanSize)
+        val disk = Similarity.readIvfIndex(s, tmp)
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPruned(
+            disk, Seq(1L, 3L, 5L, 7L, 9L), k = 10, nProbe = disk.nList))
+      } finally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(tmp)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    },
     "e22_knn_graph" -> ((s, dir) =>
       // the GRAPH-ANN family's build half (single-layer NSW adjacency):
       // per-vector top-8 neighbors with candidates from the IVF coarse
@@ -6327,6 +6357,23 @@ object SparkEntry {
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
         |      AS cos_sim
         |  FROM base e, p WHERE e.vec_id <> p.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "e28_ivf_rebalance" ->
+      // exact kNN over the full corpus: the rebalance must be invisible
+      // at nProbe = nList — same e5-shaped ground truth as e27's
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM embeddings WHERE vec_id IN (1, 3, 5, 7, 9)),
+        |r AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+        |      AS cos_sim
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
         |rk AS (
         |  SELECT probe_id, vec_id, cos_sim,
         |    row_number() OVER (PARTITION BY probe_id

@@ -837,6 +837,17 @@ object Similarity {
     * ⇒ partition absent from the write); its directory is removed
     * explicitly, keeping reopen-after-delete consistent.
     *
+    * SINGLE-WRITER assumption (this applies to [[appendToIvfIndex]]
+    * and [[rebalanceIvfIndex]] too): the layout has no transaction
+    * log, so exactly one maintenance job may mutate an index at a
+    * time, and a failure between the partition overwrite and the
+    * emptied-directory cleanup can leave a fully-deleted list's stale
+    * directory on disk — rerunning the same delete is the repair
+    * (every step is idempotent). Concurrent writers need a
+    * table-format layer (Delta/Iceberg) above this layout. The
+    * overwrite mode is a PER-WRITE option, so no session-wide config
+    * is ever mutated.
+    *
     * Returns the affected c_ids — the rewrite's blast radius, which
     * the spec asserts is exactly the lists holding deleted ids.
     */
@@ -864,28 +875,166 @@ object Similarity {
           .localCheckpoint() // materialize BEFORE touching the files
         val survivorCids = survivors.select(col("c_id")).distinct()
           .collect().map(_.getLong(0)).toSet
-        val prev = spark.conf
-          .get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try survivors.write
+        // per-write dynamic overwrite: only the partitions present in
+        // `survivors` are replaced, and the session conf is untouched
+        // (a session-wide flip would leak into concurrent writes)
+        survivors.write
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
-        finally spark.conf
-          .set("spark.sql.sources.partitionOverwriteMode", prev)
         // fully-emptied lists: dynamic overwrite never saw them — drop
-        // their directories so the reopen reads no ghost rows
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path match {
-            case p if p.contains("://") => p
-            case p => s"file://$p"
-          }),
-          spark.sparkContext.hadoopConfiguration)
+        // their directories so the reopen reads no ghost rows.
+        // Filesystem resolved FROM the path (a hand-built file:// URI
+        // would misparse relative paths as URI authorities).
+        val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+        val fs =
+          listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
         for (c <- affected if !survivorCids.contains(c))
           fs.delete(
             new org.apache.hadoop.fs.Path(s"$path/lists/c_id=$c"), true)
       }
       affected
     } finally del.unpersist(false)
+  }
+
+  /** REBALANCE/OPTIMIZE a disk IVF index (the lifecycle op that
+    * completes CRUD — [[appendToIvfIndex]] grows lists without
+    * re-clustering, so repeated ingest drifts list balance: hot lists
+    * grow unboundedly and every probe of a hot list prices its whole
+    * directory). The Delta-OPTIMIZE-style maintenance pass: every list
+    * larger than `maxListSize` is SPLIT by re-clustering ONLY its own
+    * members against k'=2 sub-centroids — the e27 bounded-blast-radius
+    * discipline (untouched list directories are never read, never
+    * rewritten; the spec asserts them byte-stable).
+    *
+    * Deterministic like the build quantizer: sub-seeds are each list's
+    * min- and max-vec_id members, `kmeansIter` fixed Lloyd passes with
+    * 9-dp-rounded means refine them (ALL oversized lists train in the
+    * same scans — one assignment pass + one mean pass per iteration
+    * total, keyed (c_id, sub), never a per-list job), final assignment
+    * by max-cosine with ties to sub 0. Sub 0 keeps the original c_id
+    * (its directory is overwritten in place); sub 1 gets a fresh id
+    * allocated past the current max, in oversized-c_id order. A list
+    * whose re-clustering leaves either sub empty (e.g. all-identical
+    * members) is left UNSPLIT — splitting it is geometrically
+    * meaningless, and writing a one-sided split under dynamic
+    * overwrite would leave the old directory's rows alive next to the
+    * re-written copy. The centroid table is rewritten from
+    * driver-collected rows (nList-bounded, like every centroid
+    * collect). Probing the rebalanced index at nProbe = nList is
+    * EXACT by construction — the e28 oracle hash-locks that
+    * round-trip; single-writer caveat as on [[deleteFromIvfIndex]].
+    *
+    * Returns the splits as (original c_id, new c_id) pairs.
+    */
+  def rebalanceIvfIndex(
+      spark: SparkSession, path: String,
+      maxListSize: Long, kmeansIter: Int = 3): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("e", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("c_id", LongType)))
+    def lists = spark.read.schema(schema).parquet(s"$path/lists")
+    // per-list sizes: c_id is the partition column and count needs no
+    // data column, so this scan prices parquet footers, not pages
+    val sizes = lists.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oversized = sizes.filter(_._2 > maxListSize).keys.toSeq.sorted
+    if (oversized.isEmpty) return Seq.empty
+    val maxCid = sizes.keys.max
+    val newIdOf: Map[Long, Long] =
+      oversized.zipWithIndex.map { case (c, i) => c -> (maxCid + 1 + i) }.toMap
+
+    // members of the oversized lists only — literal IN ⇒ the scan
+    // touches exactly the affected directories (PartitionFilters)
+    val members = lists.filter(col("c_id").isin(oversized: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic per-list 2-seed init: the min- and max-vec_id
+    // members (id order, no randomness — the build discipline)
+    var cents: Seq[(Long, Int, Seq[Double])] = members
+      .groupBy(col("c_id"))
+      .agg(
+        min_by(col("e"), col("vec_id")).as("s0"),
+        max_by(col("e"), col("vec_id")).as("s1"))
+      .collect()
+      .flatMap(r => Seq(
+        (r.getLong(0), 0, r.getSeq[Double](1).toSeq),
+        (r.getLong(0), 1, r.getSeq[Double](2).toSeq)))
+      .toSeq
+    def centFrame(cs: Seq[(Long, Int, Seq[Double])]): DataFrame =
+      broadcast(
+        cs.toDF("c_id", "sub", "s_emb")
+          .withColumn("s_nrm", norm(col("s_emb"))))
+    def assign(cs: Seq[(Long, Int, Seq[Double])]): DataFrame = members
+      .join(centFrame(cs), Seq("c_id"))
+      .withColumn("sim",
+        cosinePre(col("e"), col("s_emb"), col("nrm"), col("s_nrm")))
+      .groupBy(col("c_id"), col("vec_id"))
+      .agg(max_by(
+        struct(col("sub"), col("e"), col("nrm")),
+        struct(col("sim"), -col("sub"))).as("best"))
+      .select(col("c_id"), col("vec_id"), col("best.e").as("e"),
+        col("best.nrm").as("nrm"), col("best.sub").as("sub"))
+    for (_ <- 1 to kmeansIter) {
+      val updated = assign(cents)
+        .select(col("c_id"), col("sub"), posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy(col("c_id"), col("sub"), col("d"))
+        .agg(round(avg(col("x")), 9).as("m"))
+        .groupBy(col("c_id"), col("sub"))
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("c_id"), col("sub"),
+          transform(col("dm"), s => s.getField("m")).as("c_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      cents = cents.map { case (c, s, e) =>
+        (c, s, updated.getOrElse((c, s), e))
+      }
+    }
+    val assigned = assign(cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lists where BOTH subs are populated actually split; one-sided
+    // outcomes stay unsplit (see Scaladoc)
+    val subCounts = assigned.groupBy(col("c_id"), col("sub")).count()
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val splitting = oversized
+      .filter(c => subCounts.contains((c, 0)) && subCounts.contains((c, 1)))
+    try {
+      if (splitting.nonEmpty) {
+        val newIdExpr = splitting.foldLeft(col("c_id")) { (acc, c) =>
+          when(col("c_id") === c && col("sub") === 1, lit(newIdOf(c)))
+            .otherwise(acc)
+        }
+        val rewritten = assigned
+          .filter(col("c_id").isin(splitting: _*))
+          .select(col("vec_id"), col("e"), col("nrm"),
+            newIdExpr.as("c_id"))
+          .localCheckpoint() // materialize BEFORE the self-overwrite
+        rewritten.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("c_id").mode("overwrite").parquet(s"$path/lists")
+        // centroid table: split lists take their sub-0 centroid on the
+        // old id + the sub-1 centroid on the new id; everything else
+        // keeps its row (all driver-side — the table is nList-bounded)
+        val centMap = cents.map { case (c, s, e) => (c, s) -> e }.toMap
+        val keep = spark.read.parquet(s"$path/centroids")
+          .filter(!col("c_id").isin(splitting: _*))
+          .select(col("c_id"), col("c_emb").cast("array<double>"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+        val merged = (keep.toSeq ++ splitting.flatMap(c => Seq(
+          c -> centMap((c, 0)), newIdOf(c) -> centMap((c, 1)))))
+          .sortBy(_._1)
+        merged.toDF("c_id", "c_emb")
+          .withColumn("c_nrm", norm(col("c_emb")))
+          .write.mode("overwrite").parquet(s"$path/centroids")
+      }
+      splitting.map(c => c -> newIdOf(c))
+    } finally {
+      assigned.unpersist(false)
+      members.unpersist(false)
+    }
   }
 
   /** Reopen a disk [[IvfIndex]]. The explicit schema keeps the c_id

@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** e28 IVF rebalance: size-threshold split selection, bounded blast
+  * radius (untouched dirs byte-stable), member conservation, the
+  * homogeneous-list refusal, and probe-exactness after the rewrite.
+  */
+class IvfRebalanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def lists(tmp: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("e", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("c_id", LongType)))
+    spark.read.schema(schema).parquet(s"$tmp/lists")
+  }
+
+  private def listDirState(tmp: String): Map[String, Set[(String, Long)]] = {
+    val root = new java.io.File(s"$tmp/lists")
+    root.listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }.toMap
+  }
+
+  private def withIndex[T](emb: DataFrame, nList: Int)(
+      f: String => T): T = {
+    val idx = Similarity.buildIvfIndex(emb, nList)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rebspec").toString
+    try {
+      Similarity.writeIvfIndex(idx, tmp)
+      idx.release()
+      f(tmp)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def corpus: DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("splits exactly the oversized lists; untouched dirs byte-stable") {
+    withIndex(corpus, 4) { tmp =>
+      val before = lists(tmp).select("c_id", "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val sizes = before.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      // threshold between min and max so SOME lists split and some don't
+      val thr = (sizes.values.min + sizes.values.max) / 2
+      val expected = sizes.filter(_._2 > thr).keys.toSeq.sorted
+      assert(expected.nonEmpty && expected.size < sizes.size,
+        s"fixture must mix oversized and small lists: $sizes thr=$thr")
+      val dirsBefore = listDirState(tmp)
+      val splits = Similarity.rebalanceIvfIndex(spark, tmp, maxListSize = thr)
+      assert(splits.map(_._1).sorted == expected,
+        s"split set ${splits} vs expected $expected")
+      // new ids allocated past the old max, in oversized order
+      val maxOld = sizes.keys.max
+      assert(splits.map(_._2) == splits.indices.map(maxOld + 1 + _))
+      val dirsAfter = listDirState(tmp)
+      for ((d, files) <- dirsBefore
+           if !expected.contains(d.stripPrefix("c_id=").toLong))
+        assert(dirsAfter(d) == files, s"untouched dir $d was rewritten")
+      // member conservation: every split list's two parts partition it
+      val after = lists(tmp).select("c_id", "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(after.map(_._2).sorted.toSeq == before.map(_._2).sorted.toSeq,
+        "vector set must be preserved exactly")
+      val newIdOf = splits.toMap
+      for (c <- expected) {
+        val orig = before.filter(_._1 == c).map(_._2).toSet
+        val p0 = after.filter(_._1 == c).map(_._2).toSet
+        val p1 = after.filter(_._1 == newIdOf(c)).map(_._2).toSet
+        assert(p0.nonEmpty && p1.nonEmpty, s"one-sided split of $c")
+        assert((p0 ++ p1) == orig && (p0 & p1).isEmpty,
+          s"list $c not partitioned: ${p0.size}+${p1.size} vs ${orig.size}")
+      }
+      // centroid table tracks the layout: same c_id set as the dirs
+      val centIds = spark.read.parquet(s"$tmp/centroids")
+        .select("c_id").collect().map(_.getLong(0)).toSet
+      assert(centIds == after.map(_._1).toSet)
+    }
+  }
+
+  test("no-op when nothing exceeds the threshold") {
+    withIndex(corpus, 4) { tmp =>
+      val maxSize = lists(tmp).groupBy(col("c_id")).count()
+        .agg(max("count")).first().getLong(0)
+      val dirsBefore = listDirState(tmp)
+      assert(
+        Similarity.rebalanceIvfIndex(spark, tmp, maxListSize = maxSize)
+          .isEmpty)
+      assert(listDirState(tmp) == dirsBefore, "no-op must touch nothing")
+    }
+  }
+
+  test("homogeneous list is refused (no one-sided ghost split)") {
+    val sp = spark
+    import sp.implicits._
+    // 40 identical vectors: every sub-assignment ties to sub 0, so the
+    // operator must leave the list unsplit rather than write a split
+    // whose sub-1 partition is empty (stale rows would survive next to
+    // the rewrite under dynamic overwrite)
+    val flat = (0L until 40L).map(i => (i, Seq(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    withIndex(flat, 2) { tmp =>
+      val dirsBefore = listDirState(tmp)
+      assert(
+        Similarity.rebalanceIvfIndex(spark, tmp, maxListSize = 5L).isEmpty)
+      assert(listDirState(tmp) == dirsBefore)
+    }
+  }
+
+  test("probe at nProbe = nList after rebalance is exact") {
+    withIndex(corpus, 8) { tmp =>
+      val thr = math.max(1L, corpus.count() / 8)
+      Similarity.rebalanceIvfIndex(spark, tmp, maxListSize = thr)
+      val disk = Similarity.readIvfIndex(spark, tmp)
+      val probes = Seq(10L, 20L, 30L)
+      val got = Similarity
+        .probeIvfPruned(disk, probes, k = 5, nProbe = disk.nList)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Similarity.knnBatch(corpus, probes, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, "rebalance must be invisible to a full probe")
+    }
+  }
+}

@@ -4604,6 +4604,35 @@ object SparkEntry {
       Dedup.contaminationReport(
         t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0),
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0))),
+    "d55_chunk_structured" -> { (s, dir) =>
+      // STRUCTURE-AWARE chunking (d16's boundary-respecting twin — the
+      // chunker RAG pipelines deploy): the synthetic corpus carries no
+      // punctuation, so the query first SENTENCIZES it
+      // deterministically (a period after token i whenever a 16-bit
+      // md5(doc:i) digest ≡ 0 mod 4 — the d38 augmented-fixture
+      // discipline, both engines build the identical text), then runs
+      // the real operator: split at sentence boundaries, pack segments
+      // into ~48-token chunks cut only at boundaries, 1-segment
+      // overlap prefix. The oracle regenerates fixture, segments, cut
+      // points, and every chunk string byte for byte.
+      val tk = split(trim(col("text")), "\\s+")
+      val flagged = transform(tk, (x, i) =>
+        concat(x,
+          when(
+            pmod(
+              conv(
+                substring(
+                  md5(concat(
+                    col("doc_id").cast("string"), lit(":"),
+                    i.cast("string"), lit(":d55"))), 1, 4),
+                16, 10).cast("long"),
+              lit(4L)) === 0L,
+            lit(".")).otherwise(lit(""))))
+      val sentencized = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), concat_ws(" ", flagged).as("text"))
+      TextOps.chunkStructured(sentencized, budget = 48)
+    },
     "d19_pack_sequences" -> ((s, dir) =>
       // per-shard sequence packing: cumulative token offsets cut into
       // 512-token training sequences; window partitioned by source so
@@ -5182,6 +5211,25 @@ object SparkEntry {
         .except(users("purchase"))
         .agg(count(lit(1)).as("n")).withColumn("tag", lit("click_no_buy"))
       both.union(only).select(col("tag"), col("n"))
+    },
+    "q48_set_ops_all" -> { (s, dir) =>
+      // INTERSECT ALL / EXCEPT ALL — q37's MULTISET completions (the
+      // SQL-standard bag semantics: a user with 5 clicks and 2
+      // purchases contributes 2 copies to the intersection and 3 to
+      // the difference). Output folds each side's result bag to
+      // (tag, user_id, n_copies) so the duplicate counts themselves
+      // are hash-checked; both operators plan as count-aggregates +
+      // replication, no row-object comparison anywhere.
+      val ev = graft.sources.Tables.events(s, dir)
+      def bag(tp: String) = ev.filter(col("event_type") === tp)
+        .select(col("user_id"))
+      val interAll = bag("click").intersectAll(bag("purchase"))
+        .withColumn("tag", lit("inter_all"))
+      val exceptAll = bag("click").exceptAll(bag("purchase"))
+        .withColumn("tag", lit("except_all"))
+      interAll.union(exceptAll)
+        .groupBy(col("tag"), col("user_id"))
+        .agg(count(lit(1)).as("n_copies"))
     },
     "g46_effective_diameter" -> { (s, dir) =>
       // EFFECTIVE DIAMETER (the ANF/HyperBall headline statistic):
@@ -6076,6 +6124,53 @@ object SparkEntry {
         |  array_to_string(tk[c*16+1 : c*16+32], ' ') AS chunk_text,
         |  CAST(len(tk[c*16+1 : c*16+32]) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+    "d55_chunk_structured" ->
+      // the sentencized fixture (16-bit md5(doc:i:d55) % 4 = 0 flags a
+      // period), then the chunker replayed: segments, per-segment token
+      // counts, the cumulative-offset budget cut at 48, and the
+      // 1-segment overlap prefix — every chunk string regenerated
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (
+        |  SELECT doc_id, array_to_string(list_transform(range(len(tk)), i ->
+        |    concat(tk[i+1],
+        |      CASE WHEN CAST(concat('0x', substr(md5(concat(
+        |        CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR), ':d55')),
+        |        1, 4)) AS BIGINT) % 4 = 0 THEN '.' ELSE '' END)), ' ')
+        |    AS text
+        |  FROM tk),
+        |sa AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[.!?]\s+') AS sa
+        |  FROM st),
+        |sg0 AS (
+        |  SELECT doc_id, sa, unnest(range(len(sa))) AS i FROM sa),
+        |sg AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, trim(sa[i+1]) AS seg
+        |  FROM sg0 WHERE length(trim(sa[i+1])) > 0),
+        |sgt AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    CAST(len(regexp_split_to_array(seg, '\s+')) AS BIGINT) AS t
+        |  FROM sg),
+        |asg AS (
+        |  SELECT doc_id, seg_idx, seg, t,
+        |    CAST(floor(coalesce(sum(t) OVER (PARTITION BY doc_id
+        |      ORDER BY seg_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 48.0)
+        |      AS BIGINT) AS chunk_id
+        |  FROM sgt),
+        |ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(t) AS BIGINT) AS n_tokens,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS body,
+        |    arg_max(seg, seg_idx) AS last_seg
+        |  FROM asg GROUP BY 1, 2)
+        |SELECT c.doc_id, c.chunk_id, c.n_segments, c.n_tokens,
+        |  CASE WHEN p.last_seg IS NOT NULL
+        |       THEN p.last_seg || ' ' || c.body ELSE c.body END AS chunk_text
+        |FROM ch c LEFT JOIN ch p
+        |  ON p.doc_id = c.doc_id AND p.chunk_id = c.chunk_id - 1""".stripMargin,
     "d17_boilerplate" ->
       // same md5-digest 3-gram stream, df computed over distinct
       // (doc, gram) pairs, boilerplate = df >= 5; keep uses the
@@ -8090,6 +8185,21 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'click'
         |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "q48_set_ops_all" ->
+      // identical bag algebra: min(c,p) copies in the intersection,
+      // max(0, c-p) in the difference, folded to per-user copy counts
+      """WITH ia AS (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |ea AS (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'inter_all' AS tag, user_id, count(*) AS n_copies
+        |FROM ia GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all', user_id, count(*) FROM ea GROUP BY 2""".stripMargin,
     "d32_temperature_mix" ->
       // same √n temperature share, ORDERED running denominator (window
       // by source), 9-dp round, exact ×2^20 floor, and the d21 20-bit

@@ -554,6 +554,79 @@ object TextOps {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** STRUCTURE-AWARE chunking (the chunker RAG pipelines actually
+    * deploy, [[chunkTokens]]' boundary-respecting twin): text splits
+    * into SEGMENTS at separator boundaries (default: sentence-ending
+    * punctuation + whitespace — a character class both Java regex and
+    * RE2 read identically, the d38 portability rule) and consecutive
+    * segments pack into chunks of ≈ `budget` tokens, cutting ONLY at
+    * segment boundaries. A segment starts the chunk its cumulative
+    * token offset falls into (`floor(cum_before/budget)` — the d19/d20
+    * budget-cut rule, which keeps assignment a pure window expression
+    * instead of a sequential fold), so a single segment longer than
+    * the budget owns its chunk whole — never split mid-sentence. Each
+    * chunk after the first is prefixed with the PREVIOUS chunk's last
+    * segment (1-segment overlap, the context-stitching RAG retrievers
+    * rely on).
+    *
+    * Scale shape: one posexplode of the segment stream, ONE window per
+    * document (cumulative token offsets — documents chunk in
+    * parallel, the d19 argument), one (doc, chunk) hash aggregate, and
+    * a |chunks|-sized self-join for the overlap prefix. Output:
+    * `doc_id, chunk_id, n_segments, n_tokens, chunk_text` (n_* count
+    * the chunk's OWN segments, excluding the overlap prefix).
+    */
+  def chunkStructured(
+      docs: DataFrame,
+      sepRegex: String = "[.!?]\\s+",
+      budget: Int = 48): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("seg_idx"))
+    val segs = graft.core.Parallelism.ensure(docs)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(split(trim(col("text")), sepRegex))
+          .as(Seq("seg_idx", "seg")))
+      .filter(length(trim(col("seg"))) > 0)
+      .select(
+        col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        trim(col("seg")).as("seg"))
+      .withColumn("t", size(split(col("seg"), "\\s+")).cast("long"))
+    val assigned = segs
+      .withColumn(
+        "cum_before",
+        coalesce(
+          sum(col("t")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(
+        "chunk_id", floor(col("cum_before") / budget).cast("long"))
+    val chunks = assigned
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("t")).as("n_tokens"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg"))).as("body"),
+        max_by(col("seg"), col("seg_idx")).as("last_seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = chunks
+      .join(
+        chunks.select(
+          col("doc_id"), (col("chunk_id") + 1).as("chunk_id"),
+          col("last_seg").as("overlap_seg")),
+        Seq("doc_id", "chunk_id"), "left_outer")
+      .select(
+        col("doc_id"), col("chunk_id"), col("n_segments"), col("n_tokens"),
+        when(col("overlap_seg").isNotNull,
+          concat(col("overlap_seg"), lit(" "), col("body")))
+          .otherwise(col("body")).as("chunk_text"))
+    CacheScope.sealAfter(out, chunks)
+  }
+
   /** Cross-document boilerplate ratio (the CCNet/C4-style corpus-level
     * repetition filter, complementing [[repeatedNgramStats]]'s
     * within-document signal): an n-gram is "boilerplate" when it occurs

@@ -1,9 +1,95 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+/** d55 structure-aware chunking: hand-computed boundary cuts, the
+  * never-split-a-segment rule, and the overlap prefix.
+  */
+class ChunkStructuredSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def rowsOf(df: DataFrame): Seq[(Long, Long, Long, Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4))).sortBy(x => (x._1, x._2)).toSeq
+
+  test("budget cut lands on the segment boundary, overlap prefixes next") {
+    // segments: "aa bb"(2), "cc dd ee"(3), "ff"(1); offsets 0,2,5 at
+    // budget 4 → chunks {0,1} and {2}; chunk 1 carries chunk 0's last
+    // segment as context
+    val got = rowsOf(TextOps.chunkStructured(
+      docs(1L -> "aa bb. cc dd ee. ff"), budget = 4))
+    assert(got == Seq(
+      (1L, 0L, 2L, 5L, "aa bb cc dd ee"),
+      (1L, 1L, 1L, 1L, "cc dd ee ff")))
+  }
+
+  test("a segment longer than the budget is never split") {
+    val got = rowsOf(TextOps.chunkStructured(
+      docs(1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), budget = 4))
+    assert(got == Seq((1L, 0L, 1L, 10L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")))
+  }
+
+  test("exact-budget segment closes its chunk; empty docs drop") {
+    val got = rowsOf(TextOps.chunkStructured(
+      docs(1L -> "a b c d. e f", 2L -> "   "), budget = 4))
+    assert(got == Seq(
+      (1L, 0L, 1L, 4L, "a b c d"),
+      (1L, 1L, 1L, 2L, "a b c d e f")))
+  }
+
+  test("all separator variants split; docs chunk independently") {
+    val got = rowsOf(TextOps.chunkStructured(
+      docs(1L -> "x y! z w? q r. s", 2L -> "u v"), budget = 2))
+    // doc 1 segments: "x y"(0), "z w"(1), "q r"(2), "s"(3) at offsets
+    // 0,2,4,6 → one chunk each; each later chunk overlaps its
+    // predecessor's (single-segment) body
+    assert(got == Seq(
+      (1L, 0L, 1L, 2L, "x y"),
+      (1L, 1L, 1L, 2L, "x y z w"),
+      (1L, 2L, 1L, 2L, "z w q r"),
+      (1L, 3L, 1L, 1L, "q r s"),
+      (2L, 0L, 1L, 2L, "u v")))
+  }
+}
+
+/** q48 INTERSECT ALL / EXCEPT ALL: bag semantics against the
+  * closed-form per-user copy counts (min(c,p) and max(0, c−p)).
+  */
+class SetOpsAllSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("copy counts equal the closed-form bag algebra on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q48_set_ops_all")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+    val counts = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantInter = counts.collect {
+      case (u, c, p) if math.min(c, p) > 0 =>
+        ("inter_all", u) -> math.min(c, p)
+    }.toMap
+    val wantExcept = counts.collect {
+      case (u, c, p) if c - p > 0 => ("except_all", u) -> (c - p)
+    }.toMap
+    assert(got == wantInter ++ wantExcept)
+  }
+}
 
 /** e28 IVF rebalance: size-threshold split selection, bounded blast
   * radius (untouched dirs byte-stable), member conservation, the

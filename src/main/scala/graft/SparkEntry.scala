@@ -1188,9 +1188,8 @@ object SparkEntry {
        |  FROM $from),
        |g AS (
        |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-       |    CAST('0x' || substr(md5(array_to_string(
-       |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
-       |      AS BIGINT) AS gd
+       |    md5(array_to_string(
+       |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')) AS gd
        |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
        |  WHERE len(toks) >= 5),
        |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
@@ -7900,16 +7899,16 @@ object SparkEntry {
         |FROM b GROUP BY bin""".stripMargin,
     "d50_span_dedup" ->
       // the k-gram index → duplicated-digest set → per-doc
-      // gaps-and-islands runs, replayed with the same 60-bit md5
-      // digests and the same 0-based positions
+      // gaps-and-islands runs, replayed with the same FULL 128-bit md5
+      // digests (the destructive pair never truncates — collision
+      // safety at 100 TB) and the same 0-based positions
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
-        |    CAST('0x' || substr(md5(array_to_string(
-        |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')), 1, 15)
-        |      AS BIGINT) AS gd
+        |    md5(array_to_string(
+        |      toks[CAST(t.i AS INT)+1 : CAST(t.i AS INT)+5], ' ')) AS gd
         |  FROM tok, unnest(range(len(toks) - 4)) AS t(i)
         |  WHERE len(toks) >= 5),
         |dup AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),

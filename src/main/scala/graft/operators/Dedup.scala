@@ -807,16 +807,18 @@ object Dedup {
     *
     * The paper builds a suffix array; the distributed re-expression is
     * a sorted k-gram index: every doc emits its token k-grams keyed by
-    * a portable 60-bit md5 digest (the [[shingleSetPortable]]
-    * construction — identical in DuckDB, so the whole decision chain is
-    * oracle-replayable), a gram occurring at ≥ 2 (doc, pos) sites is
-    * duplicated, and a doc's maximal runs of consecutive duplicated
-    * gram positions are exactly the maximal duplicated spans of length
-    * ≥ k (a k-gram is duplicated iff it lies inside such a span —
-    * Lee et al. §3.1's suffix-array run detection, relationalized).
+    * a FULL 128-bit md5 digest ([[gramDigestsFull]] — identical in
+    * DuckDB, so the whole decision chain is oracle-replayable; full
+    * width because this family cuts text with no downstream verify,
+    * see that method's collision analysis), a gram occurring at ≥ 2
+    * (doc, pos) sites is duplicated, and a doc's maximal runs of
+    * consecutive duplicated gram positions are exactly the maximal
+    * duplicated spans of length ≥ k (a k-gram is duplicated iff it
+    * lies inside such a span — Lee et al. §3.1's suffix-array run
+    * detection, relationalized).
     *
     * Scale shape: one posexplode ∝ total corpus tokens, ONE
-    * map-side-combined count keyed on the 8-byte digest (the shuffle
+    * map-side-combined count keyed on the digest (the shuffle
     * carries digests, never gram text), one digest-keyed join back to
     * positions, and a per-document window over the surviving positions
     * (bounded by doc length — never a global sort). No stage sees the
@@ -830,9 +832,12 @@ object Dedup {
   /** Portable 60-bit digests of every token k-gram of a tokenized doc
     * (column `toks`): the [[shingleSetPortable]] md5 construction kept
     * POSITIONAL (one digest per gram start, duplicates preserved) —
-    * shared by the span-dedup pair (d50/d50b) and winnowing (d51); the
-    * three oracles mirror this expression byte for byte, so it must
-    * stay single-sourced.
+    * used by winnowing (d51), whose fingerprint sketch needs an
+    * INTEGER hash (and is a sketch by design, so truncation
+    * collisions only perturb selection density). The span-dedup pair
+    * (d50/d50b) deliberately does NOT use this truncation — see
+    * [[gramDigestsFull]]. The d51 oracle mirrors this expression byte
+    * for byte, so it must stay single-sourced.
     */
   private def gramDigests60(k: Int) = transform(
     sequence(lit(0), size(col("toks")) - k),
@@ -842,11 +847,27 @@ object Dedup {
           md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
         16, 10).cast("long"))
 
+  /** FULL 128-bit positional k-gram digests (md5 hex string per gram
+    * start) for the span-dedup pair (d50/d50b): the rewrite
+    * DESTRUCTIVELY cuts text on digest equality with no downstream
+    * verify stage (unlike the candidate-pair operators, where an exact
+    * verify follows the bucketing), so a truncated hash is not
+    * acceptable — at 100 TB (~10¹³ grams) 60-bit birthday collisions
+    * are EXPECTED and would silently delete non-duplicated text, while
+    * 128-bit collision odds stay below ~10⁻¹² corpus-wide. The group
+    * key costs 32 bytes instead of 8 on the gram shuffle — the price
+    * of the "exact" claim being actually exact. The d50/d50b/p8
+    * oracles mirror this expression byte for byte.
+    */
+  private def gramDigestsFull(k: Int) = transform(
+    sequence(lit(0), size(col("toks")) - k),
+    i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+
   def substringSpans(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
-    val digests = gramDigests60(k)
+    val digests = gramDigestsFull(k)
     // persisted: the gram frame feeds BOTH the duplicate-digest count
     // and the position join-back — unpersisted, the tokenize+hash scan
     // would run twice
@@ -917,7 +938,7 @@ object Dedup {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
-    val digests = gramDigests60(k)
+    val digests = gramDigestsFull(k)
     val base = docs
       .select(col("doc_id"), toks.as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -990,8 +1011,12 @@ object Dedup {
     * — the MOSS local fingerprinting algorithm): hash every token
     * k-gram, slide a window of `w` consecutive gram hashes over each
     * document, and keep the MINIMUM hash of each window (rightmost
-    * occurrence on ties — the paper's "robust winnowing" rule, which
-    * makes the selection depend only on local context). The selected
+    * occurrence on ties — the paper's standard winnowing selection
+    * rule; the paper's "robust winnowing" VARIANT additionally prefers
+    * re-selecting the previous window's fingerprint on ties, which
+    * this implementation deliberately does not do — the w+k−1
+    * guarantee holds for both, and the generative spec checks the
+    * standard definition). The selected
     * (position, hash) set is the document's fingerprint sketch, with
     * the paper's guarantee: any substring match of length
     * ≥ w + k − 1 tokens between two documents shares at least one

@@ -160,6 +160,14 @@ object Metrics {
     * stance), so the row registers rows-only with the accuracy spec
     * pinning near-equal bin sizes and monotone mean scores against the
     * exact twin.
+    *
+    * DENSE domain guarantee: heavy score ties can make several sketch
+    * edges EQUAL, leaving some bins with no rows — unlike the exact
+    * ntile twin, which always fills 1..bins. A downstream ECE
+    * weighting that assumes a dense bin domain would silently skip the
+    * gaps, so empty bins are emitted explicitly with `n = 0` and NULL
+    * mean_score/pos_rate/gap (no rows ⇒ no means; NULL, not a fake
+    * 0.0, so nothing averages them in).
     */
   def calibrationBinsApprox(
       df: DataFrame,
@@ -175,7 +183,7 @@ object Metrics {
     val binCol = (1 until bins).foldLeft(lit(1L)) { (acc, i) =>
       acc + when(col("s") > element_at(col("edges"), i), 1L).otherwise(0L)
     }
-    df.select(score.as("s"), label.cast("boolean").as("y"))
+    val filled = df.select(score.as("s"), label.cast("boolean").as("y"))
       .crossJoin(broadcast(edges))
       .withColumn("bin", binCol)
       .groupBy(col("bin"))
@@ -185,6 +193,13 @@ object Metrics {
         round(avg(col("y").cast("double")), 6).as("pos_rate"))
       .withColumn(
         "gap", round(abs(col("mean_score") - col("pos_rate")), 6))
+    // dense 1..bins domain (see Scaladoc): a bins-row generated frame
+    // left-joins the aggregate, so tie-emptied bins surface as n = 0
+    df.sparkSession.range(1, bins + 1).toDF("bin")
+      .join(filled, Seq("bin"), "left_outer")
+      .select(
+        col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        col("mean_score"), col("pos_rate"), col("gap"))
   }
 
   /** Winsorized (percentile-clipped) per-group summary of a numeric

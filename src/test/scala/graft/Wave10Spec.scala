@@ -61,6 +61,80 @@ class ChunkStructuredSpec extends AnyFunSuite {
   }
 }
 
+/** st9's native session_window under TRUE STREAMING replay (the st6
+  * sentinel-flush discipline): out-of-order micro-batches, a late
+  * event that MERGES two open sessions, watermark flush — the
+  * converged emitted sessions must equal the batch operator on the
+  * same events. st9's registered row locks the batch path; this locks
+  * the state-store session-merge path of the SAME native operator.
+  */
+class NativeSessionStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("streaming session_window with disorder and merge equals batch") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = ms.toDS().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "60 seconds")
+      .groupBy(
+        col("user_id"),
+        org.apache.spark.sql.functions
+          .session_window(col("ts"), "30 seconds").as("sw"))
+      .agg(
+        count("*").as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"), col("sw.start").as("start"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("st9stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 at 0s and 60s — two OPEN sessions (59 < 60,
+      // touching-window rule keeps them apart); user 2 out of order
+      ms.addData((1L, ts(0), 1.0), (1L, ts(60), 4.0), (2L, ts(45), 10.0),
+        (2L, ts(40), 20.0))
+      q.processAllAvailable()
+      // batch 2: LATE event at 29s — its [29,59) window touches
+      // [0,30), so user 1's two fragments MERGE into one session in
+      // the state store (the semantics only the streaming path has)
+      ms.addData((1L, ts(29), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("st9stream").count() == 0,
+        "nothing may emit before the watermark passes a session's end")
+      // sentinel on an uncompared user pushes the watermark past every
+      // horizon → all sessions of users 1 and 2 flush
+      ms.addData((99L, ts(10000), 0.0))
+      q.processAllAvailable()
+      val sessNo = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start"))
+      val got = spark.table("st9stream")
+        .filter(col("user_id") =!= 99L)
+        .withColumn("session_no", row_number().over(sessNo).cast("long"))
+        .select("user_id", "session_no", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = graft.streaming.EventStreams.sessionizeNative(
+        Seq(
+          (1L, ts(0), 1.0), (1L, ts(60), 4.0), (1L, ts(29), 2.0),
+          (2L, ts(45), 10.0), (2L, ts(40), 20.0))
+          .toDF("user_id", "ts", "value"),
+        gap = "30 seconds")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch, s"streaming $got vs batch $batch")
+      // the merge really happened: user 1 emitted sessions {0,29} + {60}
+      assert(got.contains((1L, 1L, 2L, 3.0)) && got.contains((1L, 2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}
+
 /** q48 INTERSECT ALL / EXCEPT ALL: bag semantics against the
   * closed-form per-user copy counts (min(c,p) and max(0, c−p)).
   */

@@ -202,19 +202,24 @@ class ApproxTwinSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val scored = graft.operators.TextOps.qualityMetrics(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val approx = graft.operators.Metrics.calibrationBinsApprox(
+    val rows = graft.operators.Metrics.calibrationBinsApprox(
       scored, col("stopword_ratio"), col("lang") === "en", bins = 10)
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getDouble(2))).toMap
+      .collect()
+    val approx = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
     val n = scored.count()
+    // DENSE domain: all 10 bins present even if score ties empty some
+    assert(approx.keySet == (1L to 10L).toSet, s"sparse bins: $approx")
+    // empty bins carry NULL means, populated bins never do
+    assert(approx.values.forall { case (cnt, m) => (cnt == 0) == m.isEmpty })
     // nothing lost, bins near-equal (ties in the score can legitimately
     // imbalance rank-free binning — allow 3x), mean scores monotone
     assert(approx.values.map(_._1).sum == n)
-    assert(approx.nonEmpty && approx.keys.min >= 1 && approx.keys.max <= 10)
     val ideal = n.toDouble / 10
     assert(approx.values.forall(_._1 <= 3 * ideal),
       s"a sketch bin is pathologically oversized: $approx")
-    val means = approx.toSeq.sortBy(_._1).map(_._2._2)
+    val means = approx.toSeq.sortBy(_._1).flatMap(_._2._2)
     assert(means == means.sorted, s"mean_score not monotone: $means")
   }
 

@@ -483,6 +483,46 @@ object SparkEntry {
        |    AS q_r
        |FROM $labCte t, qme, qds""".stripMargin
 
+  /** Unrolled CORENESS recurrence (g53 oracle): c_0 = degree, then k
+    * rounds of the neighbor h-index — per round a per-vtx rank of
+    * neighbor values (value desc) and `max(least(rank, value))`,
+    * mirroring [[graft.operators.GraphBuilder.corenessRounds]]. The
+    * converged engine run equals the unroll for any k ≥ the stop
+    * depth (monotone non-increasing recurrence — the g22b argument).
+    */
+  private def corenessSql(
+      nV: Long, nE: Long, salt: String, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
+    sb ++=
+      s"""ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT u AS vtx, v AS nbr FROM ue
+         |  UNION ALL SELECT v, u FROM ue),
+         |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe)),
+         |c0 AS MATERIALIZED (
+         |  SELECT v.id, CAST(coalesce(d.dd, 0) AS BIGINT) AS val
+         |  FROM verts v LEFT JOIN
+         |    (SELECT vtx, count(*) AS dd FROM adj GROUP BY 1) d
+         |    ON d.vtx = v.id)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+        |h$i AS MATERIALIZED (
+        |  SELECT vtx, max(least(rn, nval)) AS hval FROM (
+        |    SELECT a.vtx, c.val AS nval,
+        |      row_number() OVER (PARTITION BY a.vtx
+        |        ORDER BY c.val DESC, a.nbr) AS rn
+        |    FROM adj a JOIN c${i - 1} c ON c.id = a.nbr)
+        |  GROUP BY vtx),
+        |c$i AS MATERIALIZED (
+        |  SELECT v.id, CAST(coalesce(h.hval, 0) AS BIGINT) AS val
+        |  FROM verts v LEFT JOIN h$i h ON h.vtx = v.id)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, val AS coreness FROM c$k"
+    sb.toString
+  }
+
   /** Oracle for g36: the walk recurrence unrolled — a row_numbered
     * deduped adjacency (neighbors ranked by dst ascending, exactly the
     * engine's array_sort order) and, per step, the SAME md5 draw
@@ -2325,6 +2365,17 @@ object SparkEntry {
       val qv = GraphBuilder.modularity(e, lab)
         .select(col("n_comms"), col("q_r"))
       lab.crossJoin(broadcast(qv))
+    },
+    "g53_coreness" -> { (s, dir) =>
+      // FULL core decomposition — every vertex's coreness number by
+      // the iterated neighbor h-index (Montresor et al. 2013): one
+      // loop prices the whole peel ladder instead of one kCore run
+      // per k (differential-tested against kCoreConverged for
+      // k = 1..3). Run TO STABILITY (7 rounds on this fixture);
+      // monotone recurrence ⇒ the 9-round unrolled oracle replays it
+      // exactly.
+      GraphBuilder.corenessConverged(
+        graft.sources.SyntheticGraph.portable(s, 300, 900, "g53"))._1
     },
     "g40_neighbor_agg" -> ((s, dir) =>
       // two-layer GNN-style neighbor aggregation (GraphSAGE prep):
@@ -4482,6 +4533,55 @@ object SparkEntry {
       out
     },
 
+    "st20_stream_native_session" -> { (s, dir) =>
+      // the NATIVE session_window operator under TRUE streaming replay
+      // (st9 locks its batch path; this row locks the state-store
+      // session-merge path): the events table scrambled determin-
+      // istically, replayed through the watermarked streaming
+      // aggregate, then a sentinel batch advances the watermark past
+      // every horizon so ALL sessions flush — at which point
+      // watermark-driven native sessions equal batch gap sessions,
+      // which is what the shared gapSession oracle recomputes.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+        .collect()
+      val scrambled = all.sortBy(e =>
+        java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 17))
+      val maxMs = all.iterator.map(_.ts.getTime).max
+      val ms = MemoryStream[graft.streaming.EventStreams.Event]
+      val qname =
+        "st20_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .sessionizeNativeStream(ms.toDS().toDF())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        ms.addData(scrambled.toIndexedSeq)
+        q.processAllAvailable()
+        // one sentinel: session_window emits as soon as the watermark
+        // passes a session's end — no timeout lag to double-flush
+        ms.addData(graft.streaming.EventStreams.Event(
+          -1L, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000),
+          -1L, "sentinel", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start_ts"))
+      val out = s.table(qname)
+        .filter(col("user_id") >= 0) // drop the sentinel user
+        .select(
+          col("user_id"),
+          row_number().over(w).cast("long").as("session_no"),
+          col("n_events"), col("sum_value"))
+      s.catalog.dropTempView(qname)
+      out
+    },
+
     // ---- temporal joins (operators the reference lacks entirely) ----
     "q15_asof_join" -> { (s, dir) =>
       // "latest click at or before each purchase, per user" — the as-of
@@ -5848,6 +5948,7 @@ object SparkEntry {
          |proj AS MATERIALIZED (
          |  SELECT a.id, b.lbl FROM lA_6 a JOIN lB_6 b ON b.id = a.lbl)
          |${louvainFinalSql("proj")}""".stripMargin,
+    "g53_coreness" -> corenessSql(300, 900, "g53", k = 9),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),
     "g38_weighted_walks" ->
       weightedWalksSql(300, 900, "g38", "g38w", len = 8),
@@ -7252,6 +7353,8 @@ object SparkEntry {
     // predecessor stays in the same session), so the gap rule is
     // identical to st1's lag form — same oracle
     "st9_native_session" -> gapSessionSql,
+    // the streaming replay must converge to the identical batch result
+    "st20_stream_native_session" -> gapSessionSql,
     // st10: the watermark-expiring dedup's emitted key set equals the
     // batch distinct, order-independent by construction
     "st10_watermark_dedup" ->

@@ -594,6 +594,93 @@ object GraphBuilder {
       .join(s.withColumnRenamed("id", "vtx").hint("shuffle_hash"), Seq("vtx"))
       .select(col("vtx").as("id"), col("deg"))
 
+  /** FULL core decomposition — every vertex's CORENESS number (the max
+    * k with v ∈ k-core), by iterated neighbor h-index (Montresor–De
+    * Pellegrini–Miorandi 2013, "Distributed k-core decomposition"):
+    * `c_0(v) = deg(v)`, then
+    * `c_{i+1}(v) = H({c_i(u) : u ∈ N(v)})` where H is the h-index
+    * (largest k such that ≥ k neighbors hold value ≥ k). With the
+    * degree init the sequence is monotone non-increasing per vertex
+    * and converges exactly to the coreness — so unlike [[kCore]]
+    * (one membership question per k), ONE loop prices the entire peel
+    * ladder, which is what a feature pipeline materializing coreness
+    * as a column actually wants. Every value is an integer ⇒
+    * hash-exact across engines/partitionings, and each round is a
+    * pure function of the previous values ⇒ the SQL oracle unrolls
+    * the recurrence (converged ≡ fixed-k for any k ≥ the stop depth —
+    * the g22b argument).
+    *
+    * Scale shape: the symmetrized adjacency is built/partitioned ONCE
+    * ([[kCoreAdjacency]]); per round the |V|-row value frame ships to
+    * it (shuffle_hash, cached side never moves), then the h-index
+    * needs ORDER STATISTICS of each vertex's neighbor values — one
+    * per-vtx window (rank by value desc) over the |E|-row joined
+    * stream, frames bounded by degree (never a global sort), then
+    * `max(least(rank, value))` folds in a map-side-combined hash
+    * aggregate. The window is the intrinsic price of h-index; it is
+    * what replaces kCore's |K| separate peel LOOPS with one loop.
+    * Vertices with no (non-self-loop) neighbors report 0.
+    */
+  def corenessRounds(edges: DataFrame, rounds: Int): DataFrame =
+    corenessLoop(edges, rounds, stopOnStable = false)._1
+
+  /** [[corenessRounds]] run TO STABILITY (zero value changes — the
+    * O14/O16 early-stop discipline), bounded by `maxRounds`; returns
+    * the coreness frame plus rounds run, the last being the no-op
+    * round that proved the fixpoint.
+    */
+  def corenessConverged(
+      edges: DataFrame, maxRounds: Int = 100): (DataFrame, Int) =
+    corenessLoop(edges, maxRounds, stopOnStable = true)
+
+  private def corenessLoop(
+      edges: DataFrame,
+      maxRounds: Int,
+      stopOnStable: Boolean): (DataFrame, Int) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val (ue, und) = kCoreAdjacency(edges)
+    val verts = vertices(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var c = verts
+      .join(
+        und.groupBy(col("vtx")).agg(count(lit(1)).as("val"))
+          .withColumnRenamed("vtx", "id"),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("val"), lit(0L)).as("val"))
+      .transform(CacheScope.rotate)
+    var rounds = 0
+    var stable = false
+    while (rounds < maxRounds && !stable) {
+      val w = Window.partitionBy(col("vtx"))
+        .orderBy(desc("nval"), asc("nbr"))
+      val h = und
+        .join(
+          c.select(col("id").as("nbr"), col("val").as("nval"))
+            .hint("shuffle_hash"),
+          Seq("nbr"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("vtx"))
+        .agg(max(least(col("rn"), col("nval"))).as("hval"))
+      val next = verts
+        .join(h.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("hval"), lit(0L)).as("val"))
+        .transform(CacheScope.rotate)
+      rounds += 1
+      if (stopOnStable) {
+        val changed = next
+          .join(c.withColumnRenamed("val", "prev"), Seq("id"))
+          .filter(col("val") =!= col("prev"))
+          .count()
+        if (changed == 0L) stable = true
+      }
+      c.unpersist(false)
+      c = next
+    }
+    val out = c.select(col("id"), col("val").as("coreness"))
+    (CacheScope.sealAfter(out, ue, und, verts), rounds)
+  }
+
   /** WEIGHTED s-core by fixed-round peeling — [[kCore]]'s generalization
     * to weighted degrees (strength): each round drops survivors whose
     * total edge weight WITHIN the surviving set falls below

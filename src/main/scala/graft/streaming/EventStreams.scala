@@ -733,4 +733,30 @@ object EventStreams {
         col("user_id"), col("session_no"),
         col("n_events"), col("sum_value"))
   }
+
+  /** [[sessionizeNative]]'s STREAMING form — the same native
+    * `session_window` aggregate made watermark-driven, so the state
+    * store merges open sessions across micro-batches (including
+    * merging two open fragments when a late event bridges them — the
+    * semantics only the streaming path exercises). Append mode: a
+    * session emits once the watermark passes its end + gap. Returns
+    * the un-numbered `(user_id, start_ts, n_events, sum_value)` frame
+    * (a rank over a streaming aggregate is not append-expressible;
+    * callers number sessions after the flush, as the st20 gate row
+    * does). State per key is one open session struct — bounded
+    * regardless of stream length.
+    */
+  def sessionizeNativeStream(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      delay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count("*").as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"), col("sw.start").as("start_ts"),
+        col("n_events"), col("sum_value"))
 }

@@ -61,6 +61,60 @@ class ChunkStructuredSpec extends AnyFunSuite {
   }
 }
 
+/** g53 full core decomposition by iterated neighbor h-index: closed-form
+  * hand graphs, the coreness ⇔ kCore duality, and converged ≡ fixed-k.
+  */
+class CorenessSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import graft.operators.GraphBuilder
+
+  private def edges(rows: Seq[(Long, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  private def coreMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: everyone coreness 3, degree init is already the fixpoint") {
+    val k4 = edges(for { a <- 0L to 3L; b <- 0L to 3L if a < b }
+      yield (a, b))
+    val (c, rounds) = GraphBuilder.corenessConverged(k4)
+    assert(rounds == 1, "first round must prove stability")
+    assert(coreMap(c) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangle + pendant: 2,2,2,1 — the pendant peels one level down") {
+    val (c, _) = GraphBuilder.corenessConverged(
+      edges(Seq(0L -> 1L, 1L -> 2L, 0L -> 2L, 2L -> 3L)))
+    assert(coreMap(c) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("path graph: coreness 1 everywhere despite interior degree 2") {
+    val (c, _) = GraphBuilder.corenessConverged(
+      edges(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)))
+    assert(coreMap(c).values.toSet == Set(1L))
+  }
+
+  test("duality: {coreness >= k} equals the converged k-core, k = 1..3") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 300, 900, "g53")
+    val (cn, rounds) = GraphBuilder.corenessConverged(e)
+    val byCn = coreMap(cn)
+    for (k <- 1 to 3) {
+      val core = GraphBuilder.kCoreConverged(e, k)._1
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(byCn.filter(_._2 >= k).keySet == core, s"k=$k mismatch")
+    }
+    // converged ≡ fixed-k for any k ≥ the stop depth (oracle validity)
+    assert(byCn == coreMap(GraphBuilder.corenessRounds(e, rounds + 2)))
+    // coreness never exceeds degree
+    val deg = GraphBuilder.degrees(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) + r.getLong(2))).toMap
+    assert(byCn.forall { case (id, c) => c <= deg(id) })
+  }
+}
+
 /** st9's native session_window under TRUE STREAMING replay (the st6
   * sentinel-flush discipline): out-of-order micro-batches, a late
   * event that MERGES two open sessions, watermark flush — the

@@ -4703,6 +4703,24 @@ object SparkEntry {
       Dedup.contaminationReport(
         t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0),
         t(s, dir, "documents").filter(col("doc_id") % 50 === 0))),
+    "d56_bloom_ingest" -> { (s, dir) =>
+      // BLOOM-PREFILTERED ingest dedup: history = 2/3 of the corpus,
+      // batch = the other third PLUS re-keyed replayed copies of every
+      // 5th doc (the re-ingest scenario the gate exists for — replays
+      // whose originals sit in history must be dropped, everything
+      // else kept). Blooms have no false negatives, so bloom-miss ∪
+      // verified-new ≡ the exact anti-join — which is exactly what the
+      // oracle computes; fpp only moves the cost split (spec-measured).
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .union(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + lit(100000L)).as("doc_id"),
+              col("text")))
+      Dedup.bloomIngestGate(history, batch)
+    },
     "d55_chunk_structured" -> { (s, dir) =>
       // STRUCTURE-AWARE chunking (d16's boundary-respecting twin — the
       // chunker RAG pipelines deploy): the synthetic corpus carries no
@@ -6224,6 +6242,20 @@ object SparkEntry {
         |  array_to_string(tk[c*16+1 : c*16+32], ' ') AS chunk_text,
         |  CAST(len(tk[c*16+1 : c*16+32]) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+    "d56_bloom_ingest" ->
+      // the exact anti-join the bloom split must structurally equal
+      """WITH h AS (
+        |  SELECT DISTINCT md5(text) AS dg FROM documents
+        |  WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, md5(text) AS dg FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents
+        |  WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id, b.dg FROM b
+        |LEFT JOIN h ON h.dg = b.dg
+        |WHERE h.dg IS NULL""".stripMargin,
     "d55_chunk_structured" ->
       // the sentencized fixture (16-bit md5(doc:i:d55) % 4 = 0 flags a
       // period), then the chunker replayed: segments, per-segment token

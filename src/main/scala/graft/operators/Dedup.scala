@@ -1007,6 +1007,66 @@ object Dedup {
     CacheScope.sealAfter(out, base, grams, dupPos)
   }
 
+  /** BLOOM-PREFILTERED incremental ingest dedup (d56) — the "have we
+    * seen this document before" gate an ingest pipeline runs against
+    * its accumulated history on every new batch. The exact form is an
+    * anti-join of batch text digests against the history digest set —
+    * at 100 TB that join shuffles the whole batch against a
+    * corpus-sized digest table every ingest. The bloom form is the
+    * q34 runtime-filter pattern applied at the application level: a
+    * Bloom filter built over the history digests (one aggregate pass,
+    * `fpp` sized; bits broadcast to every task) splits the batch into
+    * DEFINITELY-NEW (bloom miss — no shuffle at all, the common case
+    * for fresh content) and MAYBE-SEEN (bloom hit — exactly verified
+    * by the anti-join, now over only ~|dups| + fpp·|batch| rows).
+    * Blooms have NO false negatives, so the union is structurally
+    * equal to the exact anti-join whatever the filter quality — the
+    * d56 oracle hash-locks that equality end to end; fpp only moves
+    * the cost split (spec-measured).
+    *
+    * The membership probe is a Scala UDF over the broadcast filter —
+    * justified under the no-UDF-where-a-builtin-exists rule because
+    * Spark exposes no public Column function for bloom membership
+    * (`might_contain` is optimizer-internal). Null-text docs carry a
+    * null digest: never in the filter, never joinable — they pass
+    * through as new in both engines. The gate dedups against HISTORY
+    * only; intra-batch duplicates are [[TextOps]] d1's job.
+    *
+    * Output: the new docs as `doc_id, dg` (md5 text digest).
+    */
+  def bloomIngestGate(
+      history: DataFrame, batch: DataFrame, fpp: Double = 0.03): DataFrame = {
+    val (definitelyNew, verifiedNew, h) = bloomIngestStages(history, batch, fpp)
+    CacheScope.sealAfter(
+      definitelyNew.unionByName(verifiedNew), h)
+  }
+
+  /** The gate's two paths, exposed for the spec that measures the
+    * split (false-positive rate, no-false-negative structure). Returns
+    * (definitely-new, bloom-hit-but-verified-new, the persisted
+    * history digest frame — caller unpersists).
+    */
+  private[graft] def bloomIngestStages(
+      history: DataFrame,
+      batch: DataFrame,
+      fpp: Double): (DataFrame, DataFrame, DataFrame) = {
+    val spark = history.sparkSession
+    val h = history.select(md5(col("text")).as("dg"))
+      .filter(col("dg").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = math.max(h.count(), 1L)
+    val bf = h.stat.bloomFilter("dg", n, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val maybeSeen =
+      udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val b = batch.select(col("doc_id"), md5(col("text")).as("dg"))
+    val definitelyNew = b.filter(!maybeSeen(col("dg")))
+    val verifiedNew = b.filter(maybeSeen(col("dg")))
+      .join(h.select(col("dg")).distinct(), Seq("dg"), "left_anti")
+      .select(col("doc_id"), col("dg"))
+    (definitelyNew, verifiedNew, h)
+  }
+
   /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003
     * — the MOSS local fingerprinting algorithm): hash every token
     * k-gram, slide a window of `w` consecutive gram hashes over each

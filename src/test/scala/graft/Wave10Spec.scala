@@ -61,6 +61,57 @@ class ChunkStructuredSpec extends AnyFunSuite {
   }
 }
 
+/** d56 bloom ingest gate: no false negatives (structural), the measured
+  * cost split, and replay-vs-fresh behavior on a hand corpus.
+  */
+class BloomIngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import graft.operators.Dedup
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("replays drop, fresh docs keep — exact anti-join semantics") {
+    val history = docs(1L -> "seen one", 2L -> "seen two", 3L -> "seen three")
+    val batch = docs(10L -> "seen two", 11L -> "brand new", 12L -> "seen one")
+    val got = Dedup.bloomIngestGate(history, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L))
+  }
+
+  test("every truly-seen doc is dropped whatever the fpp (no false negatives)") {
+    val history = docs((1L to 50L).map(i => i -> s"doc number $i"): _*)
+    // batch replays ALL history texts under new keys at an aggressive fpp
+    val batch = docs((1L to 50L).map(i => (i + 1000L) -> s"doc number $i"): _*)
+    val got = Dedup.bloomIngestGate(history, batch, fpp = 0.5)
+    assert(got.count() == 0, "a bloom false negative is impossible")
+  }
+
+  test("split is measured: misses skip the join, hits verify exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val history = all.filter(col("doc_id") % 3 =!= 0)
+    val batch = all.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val (miss, verified, h) =
+      Dedup.bloomIngestStages(history, batch, fpp = 0.03)
+    try {
+      val nMiss = miss.count()
+      val nVerified = verified.count()
+      val nBatch = batch.count()
+      // no cross-half duplicates in this corpus: everything is new, and
+      // the bloom must route the overwhelming majority down the
+      // join-free path (fpp 3% → expect ~97% misses; assert ≥ 80%)
+      assert(nMiss + nVerified == nBatch)
+      assert(nMiss >= (nBatch * 0.8).toLong,
+        s"bloom fpp pathological: $nMiss misses of $nBatch")
+    } finally h.unpersist(false)
+  }
+}
+
 /** g53 full core decomposition by iterated neighbor h-index: closed-form
   * hand graphs, the coreness ⇔ kCore duality, and converged ≡ fixed-k.
   */

@@ -523,6 +523,46 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled MAXIMAL-MATCHING trajectory (g54 oracle): per round the
+    * per-endpoint rank minima, the both-endpoints dominance test, and
+    * the matched-vertex removal — mirroring
+    * [[graft.operators.Matching]] (converged ≡ fixed-k: matching
+    * accumulation is monotone).
+    */
+  private def matchingSql(
+      nV: Long, nE: Long, salt: String, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, salt)},\n"
+    sb ++=
+      s"""ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |e0 AS MATERIALIZED (
+         |  SELECT u, v, md5(concat(CAST(u AS VARCHAR), ':',
+         |    CAST(v AS VARCHAR))) AS rk FROM ue)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+        |b$i AS MATERIALIZED (
+        |  SELECT vtx, min(rk) AS mn FROM (
+        |    SELECT u AS vtx, rk FROM e${i - 1}
+        |    UNION ALL SELECT v, rk FROM e${i - 1}) GROUP BY vtx),
+        |m$i AS MATERIALIZED (
+        |  SELECT e.u, e.v, CAST($i AS BIGINT) AS round
+        |  FROM e${i - 1} e
+        |  JOIN b$i bu ON bu.vtx = e.u AND bu.mn = e.rk
+        |  JOIN b$i bv ON bv.vtx = e.v AND bv.mn = e.rk),
+        |mv$i AS MATERIALIZED (
+        |  SELECT u AS vtx FROM m$i UNION SELECT v FROM m$i),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.u, e.v, e.rk FROM e${i - 1} e
+        |  LEFT JOIN mv$i a ON a.vtx = e.u
+        |  LEFT JOIN mv$i b ON b.vtx = e.v
+        |  WHERE a.vtx IS NULL AND b.vtx IS NULL)""".stripMargin
+    }
+    sb ++= "\nSELECT u, v, round FROM (" +
+      (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
   /** Oracle for g36: the walk recurrence unrolled — a row_numbered
     * deduped adjacency (neighbors ranked by dst ascending, exactly the
     * engine's array_sort order) and, per step, the SAME md5 draw
@@ -2365,6 +2405,16 @@ object SparkEntry {
       val qv = GraphBuilder.modularity(e, lab)
         .select(col("n_comms"), col("q_r"))
       lab.crossJoin(broadcast(qv))
+    },
+    "g54_matching" -> { (s, dir) =>
+      // MAXIMAL MATCHING by synchronous locally-dominant edges
+      // (Preis/Manne–Bisseling family, md5 edge ranks): the pairing
+      // primitive of METIS-style coarsening ladders; ≥ ½ maximum
+      // cardinality by the local-dominance guarantee. Run to drain
+      // (4 rounds on this fixture); monotone accumulation ⇒ the
+      // 6-round unrolled oracle replays every dominance decision.
+      graft.operators.Matching.maximalMatching(
+        graft.sources.SyntheticGraph.portable(s, 300, 900, "g54"))._1
     },
     "g53_coreness" -> { (s, dir) =>
       // FULL core decomposition — every vertex's coreness number by
@@ -5967,6 +6017,7 @@ object SparkEntry {
          |  SELECT a.id, b.lbl FROM lA_6 a JOIN lB_6 b ON b.id = a.lbl)
          |${louvainFinalSql("proj")}""".stripMargin,
     "g53_coreness" -> corenessSql(300, 900, "g53", k = 9),
+    "g54_matching" -> matchingSql(300, 900, "g54", k = 6),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),
     "g38_weighted_walks" ->
       weightedWalksSql(300, 900, "g38", "g38w", len = 8),

@@ -61,6 +61,56 @@ class ChunkStructuredSpec extends AnyFunSuite {
   }
 }
 
+/** g54 maximal matching by locally-dominant edges: validity,
+  * maximality, the path-graph closed form, and converged ≡ fixed-k.
+  */
+class MatchingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import graft.operators.Matching
+
+  private def edges(rows: Seq[(Long, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  test("single edge matches in one round") {
+    val (m, rounds) = Matching.maximalMatching(edges(Seq(3L -> 7L)))
+    assert(m.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 7L)))
+    assert(rounds == 1)
+  }
+
+  test("triangle: exactly one edge matches (two would share a vertex)") {
+    val (m, _) = Matching.maximalMatching(
+      edges(Seq(0L -> 1L, 1L -> 2L, 0L -> 2L)))
+    assert(m.count() == 1)
+  }
+
+  test("fixture: valid matching, maximal, converged equals fixed-round") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 300, 900, "g54")
+    val (m, rounds) = Matching.maximalMatching(e)
+    val pairs = m.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(verts.distinct.length == verts.length, "a vertex matched twice")
+    val mv = verts.toSet
+    val ue = e.select(
+      least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ue.forall(p => mv(p._1) || mv(p._2)),
+      "an edge with two unmatched endpoints survives — not maximal")
+    val fixed = Matching.maximalMatchingRounds(e, rounds + 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed == pairs.toSet)
+    // local-dominance guarantee: ≥ half the maximum cardinality, and a
+    // maximum matching can never exceed ⌊|V|/2⌋
+    assert(pairs.length * 2 >= ue.flatMap(p => Seq(p._1, p._2))
+      .distinct.length / 2)
+  }
+}
+
 /** d56 bloom ingest gate: no false negatives (structural), the measured
   * cost split, and replay-vs-fresh behavior on a hand corpus.
   */

@@ -523,6 +523,86 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The d55 sentencize + structure-aware-chunk chain as a reusable
+    * CTE block rooted at relation `from` (must expose `doc_id, text`),
+    * ending in `ch(doc_id, chunk_id, n_segments, n_tokens, body,
+    * last_seg)`; [[chunkFinalSql]] is the shared final projection with
+    * the overlap prefix. Shared by the d55 oracle and the p9 journey
+    * oracle so the two locks cannot drift (budget 48, the ':d55'
+    * sentencizer salt — matching [[sentencized]] exactly).
+    */
+  private def sentencizeChunkCtes(from: String): String =
+    s"""stk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM $from WHERE length(trim(text)) > 0),
+       |st AS (
+       |  SELECT doc_id, array_to_string(list_transform(range(len(tk)), i ->
+       |    concat(tk[i+1],
+       |      CASE WHEN CAST(concat('0x', substr(md5(concat(
+       |        CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR), ':d55')),
+       |        1, 4)) AS BIGINT) % 4 = 0 THEN '.' ELSE '' END)), ' ')
+       |    AS text
+       |  FROM stk),
+       |sa AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '[.!?]\\s+') AS sa
+       |  FROM st),
+       |sg0 AS (
+       |  SELECT doc_id, sa, unnest(range(len(sa))) AS i FROM sa),
+       |sg AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, trim(sa[i+1]) AS seg
+       |  FROM sg0 WHERE length(trim(sa[i+1])) > 0),
+       |sgt AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |    CAST(len(regexp_split_to_array(seg, '\\s+')) AS BIGINT) AS t
+       |  FROM sg),
+       |asg AS (
+       |  SELECT doc_id, seg_idx, seg, t,
+       |    CAST(floor(coalesce(sum(t) OVER (PARTITION BY doc_id
+       |      ORDER BY seg_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 48.0)
+       |      AS BIGINT) AS chunk_id
+       |  FROM sgt),
+       |ch AS (
+       |  SELECT doc_id, chunk_id,
+       |    CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(sum(t) AS BIGINT) AS n_tokens,
+       |    string_agg(seg, ' ' ORDER BY seg_idx) AS body,
+       |    arg_max(seg, seg_idx) AS last_seg
+       |  FROM asg GROUP BY 1, 2)""".stripMargin
+
+  private val chunkFinalSql: String =
+    """
+      |SELECT c.doc_id, c.chunk_id, c.n_segments, c.n_tokens,
+      |  CASE WHEN p.last_seg IS NOT NULL
+      |       THEN p.last_seg || ' ' || c.body ELSE c.body END AS chunk_text
+      |FROM ch c LEFT JOIN ch p
+      |  ON p.doc_id = c.doc_id AND p.chunk_id = c.chunk_id - 1""".stripMargin
+
+  /** The deterministic SENTENCIZER fixture shared by d55 and p9 (the
+    * synthetic corpus has no punctuation): a period lands after token
+    * i whenever a 16-bit md5(doc:i:d55) digest ≡ 0 mod 4 — the d38
+    * augmented-fixture discipline; both oracles regenerate the
+    * identical text. Blank docs are dropped (nothing to sentencize).
+    */
+  private def sentencized(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    val flagged = transform(tk, (x, i) =>
+      concat(x,
+        when(
+          pmod(
+            conv(
+              substring(
+                md5(concat(
+                  col("doc_id").cast("string"), lit(":"),
+                  i.cast("string"), lit(":d55"))), 1, 4),
+              16, 10).cast("long"),
+            lit(4L)) === 0L,
+          lit(".")).otherwise(lit(""))))
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), concat_ws(" ", flagged).as("text"))
+  }
+
   /** Unrolled MAXIMAL-MATCHING trajectory (g54 oracle): per round the
     * per-endpoint rank minima, the both-endpoints dominance test, and
     * the matched-vertex removal — mirroring
@@ -3346,6 +3426,34 @@ object SparkEntry {
         .select(col("q_r").as("q_multi_r"))
       mapped.crossJoin(broadcast(qFine)).crossJoin(broadcast(qMulti))
     },
+    "p9_incremental_ingest" -> { (s, dir) =>
+      // INCREMENTAL-INGEST journey (the ninth composed pipeline — what
+      // a continuously-fed corpus runs on every batch, in cost order):
+      // bloom-prefiltered history dedup (d56 — replays of known docs
+      // never reach the gates) → quality gate (d24's rule chain on the
+      // fresh survivors) → structure-aware chunking (d55's sentencize
+      // + boundary-respecting packer) ready for the RAG/training
+      // store. Every stage oracle-locked alone; this row locks the
+      // composed trajectory byte for byte including every chunk
+      // string. Scale: the bloom kills replays with zero shuffle, the
+      // gate is a scan projection, the chunker one window per doc.
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .union(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + lit(100000L)).as("doc_id"),
+              col("text")))
+      val fresh = batch.join(
+        Dedup.bloomIngestGate(history, batch).select(col("doc_id")),
+        Seq("doc_id"))
+      val kept = fresh.join(
+        TextOps.filterPipeline(fresh).filter(col("keep"))
+          .select(col("doc_id")),
+        Seq("doc_id"))
+      TextOps.chunkStructured(sentencized(kept), budget = 48)
+    },
     "p8_hygiene" -> { (s, dir) =>
       // CORPUS-HYGIENE journey (the eighth composed pipeline — the
       // ingest-cleaning chain an LLM corpus actually runs, in the
@@ -4782,23 +4890,8 @@ object SparkEntry {
       // into ~48-token chunks cut only at boundaries, 1-segment
       // overlap prefix. The oracle regenerates fixture, segments, cut
       // points, and every chunk string byte for byte.
-      val tk = split(trim(col("text")), "\\s+")
-      val flagged = transform(tk, (x, i) =>
-        concat(x,
-          when(
-            pmod(
-              conv(
-                substring(
-                  md5(concat(
-                    col("doc_id").cast("string"), lit(":"),
-                    i.cast("string"), lit(":d55"))), 1, 4),
-                16, 10).cast("long"),
-              lit(4L)) === 0L,
-            lit(".")).otherwise(lit(""))))
-      val sentencized = t(s, dir, "documents")
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), concat_ws(" ", flagged).as("text"))
-      TextOps.chunkStructured(sentencized, budget = 48)
+      TextOps.chunkStructured(
+        sentencized(t(s, dir, "documents")), budget = 48)
     },
     "d19_pack_sequences" -> ((s, dir) =>
       // per-shard sequence packing: cumulative token offsets cut into
@@ -6293,6 +6386,51 @@ object SparkEntry {
         |  array_to_string(tk[c*16+1 : c*16+32], ' ') AS chunk_text,
         |  CAST(len(tk[c*16+1 : c*16+32]) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+    "p9_incremental_ingest" ->
+      // the journey end to end: d56's anti-join gate, d24's rule chain
+      // on the fresh survivors, then the shared d55 sentencize+chunk
+      // block rooted on the kept docs
+      s"""WITH h AS (
+         |  SELECT DISTINCT md5(text) AS dg FROM documents
+         |  WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+         |b AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |fresh AS (
+         |  SELECT b.doc_id, b.text FROM b
+         |  LEFT JOIN h ON h.dg = md5(b.text) WHERE h.dg IS NULL),
+         |ftk AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM fresh),
+         |fm AS (
+         |  SELECT doc_id,
+         |    len(tk) AS n_tokens,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+         |      / len(tk) AS avg_len,
+         |    CAST(len(list_filter(tk,
+         |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |      / len(tk) AS stop_r,
+         |    CAST(length(text)
+         |         - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |         AS DOUBLE) / length(text) AS punct_r,
+         |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_r
+         |  FROM ftk),
+         |fr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 5 THEN 'too_short'
+         |         WHEN avg_len > 12.0 THEN 'long_tokens'
+         |         WHEN stop_r < 0.01 THEN 'low_stopword'
+         |         WHEN punct_r > 0.2 THEN 'high_punct'
+         |         WHEN dup_r > 0.6 THEN 'repetitive'
+         |         ELSE 'ok' END AS reason
+         |  FROM fm),
+         |kept AS (
+         |  SELECT f.doc_id, f.text FROM fresh f
+         |  JOIN fr ON fr.doc_id = f.doc_id WHERE fr.reason = 'ok'),
+         |${sentencizeChunkCtes("kept")}$chunkFinalSql""".stripMargin,
     "d56_bloom_ingest" ->
       // the exact anti-join the bloom split must structurally equal
       """WITH h AS (
@@ -6311,49 +6449,10 @@ object SparkEntry {
       // the sentencized fixture (16-bit md5(doc:i:d55) % 4 = 0 flags a
       // period), then the chunker replayed: segments, per-segment token
       // counts, the cumulative-offset budget cut at 48, and the
-      // 1-segment overlap prefix — every chunk string regenerated
-      """WITH tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |st AS (
-        |  SELECT doc_id, array_to_string(list_transform(range(len(tk)), i ->
-        |    concat(tk[i+1],
-        |      CASE WHEN CAST(concat('0x', substr(md5(concat(
-        |        CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR), ':d55')),
-        |        1, 4)) AS BIGINT) % 4 = 0 THEN '.' ELSE '' END)), ' ')
-        |    AS text
-        |  FROM tk),
-        |sa AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '[.!?]\s+') AS sa
-        |  FROM st),
-        |sg0 AS (
-        |  SELECT doc_id, sa, unnest(range(len(sa))) AS i FROM sa),
-        |sg AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, trim(sa[i+1]) AS seg
-        |  FROM sg0 WHERE length(trim(sa[i+1])) > 0),
-        |sgt AS (
-        |  SELECT doc_id, seg_idx, seg,
-        |    CAST(len(regexp_split_to_array(seg, '\s+')) AS BIGINT) AS t
-        |  FROM sg),
-        |asg AS (
-        |  SELECT doc_id, seg_idx, seg, t,
-        |    CAST(floor(coalesce(sum(t) OVER (PARTITION BY doc_id
-        |      ORDER BY seg_idx
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 48.0)
-        |      AS BIGINT) AS chunk_id
-        |  FROM sgt),
-        |ch AS (
-        |  SELECT doc_id, chunk_id,
-        |    CAST(count(*) AS BIGINT) AS n_segments,
-        |    CAST(sum(t) AS BIGINT) AS n_tokens,
-        |    string_agg(seg, ' ' ORDER BY seg_idx) AS body,
-        |    arg_max(seg, seg_idx) AS last_seg
-        |  FROM asg GROUP BY 1, 2)
-        |SELECT c.doc_id, c.chunk_id, c.n_segments, c.n_tokens,
-        |  CASE WHEN p.last_seg IS NOT NULL
-        |       THEN p.last_seg || ' ' || c.body ELSE c.body END AS chunk_text
-        |FROM ch c LEFT JOIN ch p
-        |  ON p.doc_id = c.doc_id AND p.chunk_id = c.chunk_id - 1""".stripMargin,
+      // 1-segment overlap prefix — every chunk string regenerated.
+      // Chain shared with the p9 journey oracle (sentencizeChunkCtes)
+      // so the two locks cannot drift.
+      ("WITH " + sentencizeChunkCtes("documents") + chunkFinalSql),
     "d17_boilerplate" ->
       // same md5-digest 3-gram stream, df computed over distinct
       // (doc, gram) pairs, boilerplate = df >= 5; keep uses the

@@ -633,6 +633,31 @@ object GraphBuilder {
       edges: DataFrame, maxRounds: Int = 100): (DataFrame, Int) =
     corenessLoop(edges, maxRounds, stopOnStable = true)
 
+  /** ONE h-index round of [[corenessRounds]] (pre-checkpoint), exposed
+    * for the PlanSpec round audit: the cached nbr-partitioned
+    * adjacency never re-exchanges (the |V|-row value frame ships TO
+    * it, shuffle_hash pinned), the per-vtx neighbor-value rank is the
+    * degree-bounded window h-index intrinsically needs, and the
+    * `max(least(rank, value))` fold is map-side combined.
+    */
+  private[graft] def corenessRound(
+      und: DataFrame, verts: DataFrame, c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vtx"))
+      .orderBy(desc("nval"), asc("nbr"))
+    val h = und
+      .join(
+        c.select(col("id").as("nbr"), col("val").as("nval"))
+          .hint("shuffle_hash"),
+        Seq("nbr"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("vtx"))
+      .agg(max(least(col("rn"), col("nval"))).as("hval"))
+    verts
+      .join(h.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("hval"), lit(0L)).as("val"))
+  }
+
   private def corenessLoop(
       edges: DataFrame,
       maxRounds: Int,
@@ -652,20 +677,7 @@ object GraphBuilder {
     var rounds = 0
     var stable = false
     while (rounds < maxRounds && !stable) {
-      val w = Window.partitionBy(col("vtx"))
-        .orderBy(desc("nval"), asc("nbr"))
-      val h = und
-        .join(
-          c.select(col("id").as("nbr"), col("val").as("nval"))
-            .hint("shuffle_hash"),
-          Seq("nbr"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .groupBy(col("vtx"))
-        .agg(max(least(col("rn"), col("nval"))).as("hval"))
-      val next = verts
-        .join(h.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("hval"), lit(0L)).as("val"))
-        .transform(CacheScope.rotate)
+      val next = corenessRound(und, verts, c).transform(CacheScope.rotate)
       rounds += 1
       if (stopOnStable) {
         val changed = next

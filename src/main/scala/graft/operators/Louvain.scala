@@ -146,18 +146,103 @@ object Louvain {
     mapping
   }
 
-  private def runMoves(
-      wedges: DataFrame,
-      maxRounds: Int,
-      stopOnStable: Boolean): (DataFrame, Int) = {
-    require(maxRounds >= 1, "maxRounds must be >= 1")
+  /** ONE synchronous gain-move round (pre-checkpoint), exposed so the
+    * PlanSpec round audit can walk the executed plan: the cached
+    * nbr-partitioned adjacency never re-exchanges (the |V|-row label
+    * frame ships TO it, shuffle_hash pinned so the cached side streams
+    * instead of re-sorting per round — the PageRank/CC loop
+    * discipline) and the k_vc sum is map-side combined, so the round's
+    * one |E|-scale stage exchanges combined partials only. The
+    * DECISION joins after it operate on the ≤|cand|-sized candidate
+    * stream against the |C|-sized community stats — in round 1 |C| =
+    * |V| and those joins shuffle candidate-sized rows (the intrinsic
+    * price of evaluating every vertex's neighborhood); as communities
+    * merge, statistics/AQE collapse them to broadcasts. Returns (next
+    * labels, the persisted candidate frame — caller unpersists after
+    * the rotate).
+    *
+    * Round semantics (see the object Scaladoc): D_c + community size
+    * feed the gain and the SINGLETON-SWAP GUARD
+    * (Lu–Halappanavar–Kalyanaraman's minimum-label heuristic — two
+    * singleton communities see symmetric positive gains and would
+    * swap forever; restricting singleton→singleton moves to the
+    * smaller label breaks the symmetry). RED-BLACK ALTERNATION:
+    * round r activates `id % 2 == r % 2` — without it two ADJACENT
+    * vertices whose moves are each ΔQ-positive on the current state
+    * trade communities in a 2-cycle (both pathologies were observed
+    * on a two-triangle fixture before the fixes). The gain argmax
+    * folds inside the hash aggregate via max_by((gain, −lbl)) — no
+    * candidate window anywhere.
+    */
+  private[graft] def louvainRound(
+      und: DataFrame,
+      kv: DataFrame,
+      labels: DataFrame,
+      m: Long,
+      round: Int): (DataFrame, DataFrame) = {
+    // D_c + community size per community — |V|-row join + agg, |C| rows
+    val dc = labels.join(kv, Seq("id"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("kv")).as("dc"), count(lit(1)).as("csize"))
+    // k_vc: v's connection weight to each neighboring community — THE
+    // |E|-scale stage of the round; everything after operates on the
+    // (vtx, community) candidate stream
+    val cand = und
+      .join(
+        labels.select(col("id").as("nbr"), col("lbl").as("clbl"))
+          .hint("shuffle_hash"),
+        Seq("nbr"))
+      .groupBy(col("vtx"), col("clbl"))
+      .agg(sum(col("w")).as("kvc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // k_va: v's connection to its CURRENT community (0 when v has no
+    // neighbor at home — e.g. a freshly-emptied singleton)
+    val own = labels
+      .join(
+        cand.select(col("vtx").as("id"), col("clbl").as("lbl"),
+          col("kvc").as("kva")),
+        Seq("id", "lbl"), "left_outer")
+      .select(col("id"), col("lbl"),
+        coalesce(col("kva"), lit(0L)).as("kva"))
+    val active = lit((round % 2).toLong)
+    val gains = cand
+      .join(own.withColumnRenamed("id", "vtx"), Seq("vtx"))
+      .filter(pmod(col("vtx"), lit(2L)) === active)
+      .filter(col("clbl") =!= col("lbl"))
+      .join(kv.withColumnRenamed("id", "vtx"), Seq("vtx"))
+      .join(dc.select(col("lbl").as("clbl"), col("dc").as("db"),
+        col("csize").as("sb")), Seq("clbl"))
+      .join(dc.select(col("lbl"), col("dc").as("da"),
+        col("csize").as("sa")), Seq("lbl"))
+      .filter(!(col("sa") === 1L && col("sb") === 1L &&
+        col("clbl") > col("lbl")))
+      .select(col("vtx"), col("clbl"),
+        (lit(2L * m) * (col("kvc") - col("kva")) -
+          col("kv") * (col("db") - col("da") + col("kv"))).as("gain"))
+      .filter(col("gain") > 0L)
+      .groupBy(col("vtx"))
+      .agg(max_by(col("clbl"), struct(col("gain"), -col("clbl")))
+        .as("new_lbl"))
+    val next = labels
+      .join(gains.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    (next, cand)
+  }
+
+  /** The loop's once-built frames, exposed for the PlanSpec round
+    * audit: canonical weighted edges, the symmetric non-self adjacency
+    * (self-loops cancel in every gain difference — they never enter
+    * candidate scoring) hash-partitioned by `nbr` and persisted so
+    * each round's label fan-out reuses the exchange (the LPA adjacency
+    * discipline), the weighted-degree frame (each non-self edge adds w
+    * at both ends, a self-loop adds 2w — A_ii = 2w), and the total
+    * edge weight m (a driver scalar; it multiplies into every gain as
+    * a literal). Caller unpersists all three frames.
+    */
+  private[graft] def louvainFrames(
+      wedges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
     val we = wedges.select(col("u"), col("v"), col("w").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // symmetric NON-self adjacency (self-loops cancel in every gain
-    // difference — they never enter candidate scoring), partitioned
-    // once by nbr so each round's label fan-out join reuses the
-    // exchange (the LPA adjacency discipline)
     val und = we.filter(col("u") =!= col("v"))
       .select(col("u").as("vtx"), col("v").as("nbr"), col("w"))
       .union(
@@ -165,10 +250,6 @@ object Louvain {
           .select(col("v").as("vtx"), col("u").as("nbr"), col("w")))
       .repartition(col("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // weighted degree k_v: each non-self edge adds w at both ends, a
-    // self-loop adds 2w at its vertex (the A_ii = 2w convention) —
-    // isolated-by-self-loop-only vertices still get a degree row
     val kv = we
       .select(col("u").as("id"),
         when(col("u") === col("v"), lit(2L) * col("w")).otherwise(col("w"))
@@ -178,10 +259,16 @@ object Louvain {
           .select(col("v").as("id"), col("w").as("kw")))
       .groupBy(col("id")).agg(sum(col("kw")).as("kv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // m = total edge weight (self-loops once); a driver scalar — it
-    // multiplies into every gain as a literal
     val m: Long = we.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    (we, und, kv, m)
+  }
+
+  private def runMoves(
+      wedges: DataFrame,
+      maxRounds: Int,
+      stopOnStable: Boolean): (DataFrame, Int) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val (we, und, kv, m) = louvainFrames(wedges)
     require(m > 0, "empty graph")
 
     var labels = kv.select(col("id"), col("id").as("lbl"))
@@ -191,78 +278,8 @@ object Louvain {
     var prevQuiet = false
     var prev: DataFrame = labels
     while (iters < maxRounds && !stable) {
-      // D_c + community size per community — |V|-row join + agg,
-      // output |C| rows. Size feeds the SINGLETON-SWAP GUARD below.
-      val dc = labels.join(kv, Seq("id"))
-        .groupBy(col("lbl"))
-        .agg(sum(col("kv")).as("dc"), count(lit(1)).as("csize"))
-
-      // k_vc: v's connection weight to each neighboring community —
-      // THE |E|-scale stage of the round (everything after operates on
-      // the (vtx, community) candidate stream, ≤ |E| rows, usually far
-      // fewer after the map-side combine)
-      val cand = und
-        .join(labels.select(col("id").as("nbr"), col("lbl").as("clbl")),
-          Seq("nbr"))
-        .groupBy(col("vtx"), col("clbl"))
-        .agg(sum(col("w")).as("kvc"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-      // k_va: v's connection to its CURRENT community (0 when v has no
-      // neighbor at home — e.g. a freshly-emptied singleton)
-      val own = labels
-        .join(
-          cand.select(col("vtx").as("id"), col("clbl").as("lbl"),
-            col("kvc").as("kva")),
-          Seq("id", "lbl"), "left_outer")
-        .select(col("id"), col("lbl"),
-          coalesce(col("kva"), lit(0L)).as("kva"))
-
-      // integer gain per (v, candidate b ≠ a), argmax folded into the
-      // hash aggregate via max_by((gain, -b)) — no candidate window.
-      // RED-BLACK ALTERNATION: only vertices of one id-parity are
-      // active per round (round r activates id % 2 == r % 2) — the
-      // deterministic relaxation-coloring of parallel Louvain. Without
-      // it, two ADJACENT vertices whose moves are each ΔQ-positive on
-      // the current state can swap into each other's communities
-      // simultaneously and 2-cycle forever (observed on the
-      // two-triangle fixture: the bridge endpoints' neighbors traded
-      // communities every round). Alternating parities serializes
-      // adjacent odd/even pairs while keeping every round a pure
-      // function of the labels — the trajectory stays replayable by a
-      // `vtx % 2 = r % 2` predicate per unrolled round.
-      val active = lit(((iters + 1) % 2).toLong)
-      val gains = cand
-        .join(own.withColumnRenamed("id", "vtx"), Seq("vtx"))
-        .filter(pmod(col("vtx"), lit(2L)) === active)
-        .filter(col("clbl") =!= col("lbl"))
-        .join(kv.withColumnRenamed("id", "vtx"), Seq("vtx"))
-        .join(dc.select(col("lbl").as("clbl"), col("dc").as("db"),
-          col("csize").as("sb")), Seq("clbl"))
-        .join(dc.select(col("lbl"), col("dc").as("da"),
-          col("csize").as("sa")), Seq("lbl"))
-        // SINGLETON-SWAP GUARD (the parallel-Louvain minimum-label
-        // heuristic, Lu–Halappanavar–Kalyanaraman 2015): two singleton
-        // communities evaluating each other see SYMMETRIC positive
-        // gains, and a synchronous round would swap them forever (the
-        // first cut of this operator oscillated exactly like that on a
-        // two-triangle fixture). Restricting singleton→singleton moves
-        // to the SMALLER target label breaks the symmetry
-        // deterministically; all other moves are pure gain-argmax.
-        .filter(!(col("sa") === 1L && col("sb") === 1L &&
-          col("clbl") > col("lbl")))
-        .select(col("vtx"), col("clbl"),
-          (lit(2L * m) * (col("kvc") - col("kva")) -
-            col("kv") * (col("db") - col("da") + col("kv"))).as("gain"))
-        .filter(col("gain") > 0L)
-        .groupBy(col("vtx"))
-        .agg(max_by(col("clbl"), struct(col("gain"), -col("clbl")))
-          .as("new_lbl"))
-
-      val next = labels
-        .join(gains.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .transform(CacheScope.rotate)
+      val (next0, cand) = louvainRound(und, kv, labels, m, iters + 1)
+      val next = next0.transform(CacheScope.rotate)
       iters += 1
       if (stopOnStable) {
         val changed = next

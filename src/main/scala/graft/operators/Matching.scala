@@ -50,6 +50,32 @@ object Matching {
   def maximalMatchingRounds(edges: DataFrame, rounds: Int): DataFrame =
     run(edges, rounds, stopWhenDrained = false)._1
 
+  /** ONE dominance round (pre-checkpoint), exposed for the PlanSpec
+    * round audit: the per-endpoint rank minimum is a map-side-combined
+    * hash aggregate (exchange ≤ |V| partials, never edge-sized), the
+    * two dominance joins and the two matched-vertex anti-joins are
+    * |V|-keyed. Returns (matched edges of this round, surviving edge
+    * set).
+    */
+  private[graft] def matchingRound(
+      e: DataFrame, round: Int): (DataFrame, DataFrame) = {
+    val inc = e.select(col("u").as("vtx"), col("rk"))
+      .union(e.select(col("v").as("vtx"), col("rk")))
+      .groupBy(col("vtx")).agg(min(col("rk")).as("mn"))
+    val m = e
+      .join(inc.select(col("vtx").as("u"), col("mn").as("bu")), Seq("u"))
+      .join(inc.select(col("vtx").as("v"), col("mn").as("bv")), Seq("v"))
+      .filter(col("rk") === col("bu") && col("rk") === col("bv"))
+      .select(col("u"), col("v"), lit(round).cast("long").as("round"))
+    val mv = m.select(col("u").as("vtx"))
+      .union(m.select(col("v").as("vtx")))
+      .distinct()
+    val nextE = e
+      .join(mv.withColumnRenamed("vtx", "u"), Seq("u"), "left_anti")
+      .join(mv.withColumnRenamed("vtx", "v"), Seq("v"), "left_anti")
+    (m, nextE)
+  }
+
   private def run(
       edges: DataFrame,
       maxRounds: Int,
@@ -66,24 +92,11 @@ object Matching {
     var rounds = 0
     var drained = false
     while (rounds < maxRounds && !drained) {
-      val inc = e.select(col("u").as("vtx"), col("rk"))
-        .union(e.select(col("v").as("vtx"), col("rk")))
-        .groupBy(col("vtx")).agg(min(col("rk")).as("mn"))
-      val m = e
-        .join(inc.select(col("vtx").as("u"), col("mn").as("bu")), Seq("u"))
-        .join(inc.select(col("vtx").as("v"), col("mn").as("bv")), Seq("v"))
-        .filter(col("rk") === col("bu") && col("rk") === col("bv"))
-        .select(col("u"), col("v"), lit(rounds + 1).cast("long").as("round"))
-      val mv = m.select(col("u").as("vtx"))
-        .union(m.select(col("v").as("vtx")))
-        .distinct()
+      val (m, nextE0) = matchingRound(e, rounds + 1)
       val nextMatched =
         (if (matched == null) m else matched.unionByName(m))
           .transform(CacheScope.rotate)
-      val nextE = e
-        .join(mv.withColumnRenamed("vtx", "u"), Seq("u"), "left_anti")
-        .join(mv.withColumnRenamed("vtx", "v"), Seq("v"), "left_anti")
-        .transform(CacheScope.rotate)
+      val nextE = nextE0.transform(CacheScope.rotate)
       rounds += 1
       if (stopWhenDrained && nextE.isEmpty) drained = true
       if (prevMatched != null) prevMatched.unpersist(false)

@@ -363,6 +363,106 @@ class PlanSpec extends AnyFunSuite {
     } finally und.unpersist()
   }
 
+  test("g52 Louvain gain round: cached adjacency never re-exchanges, k_vc map-side combined") {
+    // the labels ship TO the nbr-partitioned cached adjacency
+    // (shuffle_hash pinned — no per-round re-sort of the big side);
+    // the candidate sum combines map-side; the |C|-sized community
+    // stats broadcast by statistics
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g52t")
+    val (we, und, kv, m) = graft.operators.Louvain.louvainFrames(
+      graft.operators.Louvain.fromEdges(edges))
+    try {
+      und.count(); kv.count()
+      // labels as the loop passes them: a checkpointed state frame,
+      // not a projection of the kv cache (|V|-sized state frames are
+      // EXPECTED to move — the audit targets the edge-sized adjacency)
+      val labels = graft.operators.CacheScope.rotate(
+        kv.select(col("id"), col("id").as("lbl")))
+      // the |E|-SCALE stage of the round, mirroring louvainRound's
+      // cand construction exactly: the k_vc aggregate must combine
+      // map-side so the exchange carries (vtx, community) partials,
+      // never raw adjacency rows, and the cached adjacency must
+      // stream into the join (shuffle_hash — no per-round re-sort).
+      // The later decision joins operate on the ≤|cand|-sized
+      // candidate stream against |C|-sized stats (shuffling while |C|
+      // is large, AQE-broadcast once communities merge) — candidate-
+      // sized by construction, not audited here.
+      val cand = und
+        .join(
+          labels.select(col("id").as("nbr"), col("lbl").as("clbl"))
+            .hint("shuffle_hash"),
+          Seq("nbr"))
+        .groupBy(col("vtx"), col("clbl"))
+        .agg(org.apache.spark.sql.functions.sum(col("w")).as("kvc"))
+      val p = concretePlan(cand)
+      assert(!reshufflesCachedRows(p), p.toString)
+      assert(p.toString.contains("partial_sum"), p.toString)
+      assert(p.toString.contains("ShuffledHashJoin"), p.toString)
+    } finally { we.unpersist(); und.unpersist(); kv.unpersist() }
+  }
+
+  test("g53 coreness h-index round: adjacency streams into the join; one intrinsic exchange") {
+    // the h-index needs ORDER STATISTICS of each vertex's neighbor
+    // values, so ONE |E|-sized exchange per round (re-keying the
+    // joined stream to vtx for the degree-bounded window) is intrinsic
+    // — the same cost class as a PageRank iteration's contribution
+    // shuffle. What must NOT happen: the cached adjacency re-exchanging
+    // BEFORE its join (that would double the per-round exchanges), a
+    // per-round re-sort of the cached side (ShuffledHashJoin, not
+    // SMJ), or a global RangePartitioning sort.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g53t")
+    val (ue, und) = graft.operators.GraphBuilder.kCoreAdjacency(edges)
+    try {
+      und.count()
+      val verts = graft.operators.GraphBuilder.vertices(edges)
+      val c = graft.operators.CacheScope.rotate(
+        verts.select(col("id"),
+          org.apache.spark.sql.functions.lit(3L).as("val")))
+      val p = concretePlan(
+        graft.operators.GraphBuilder.corenessRound(und, verts, c))
+      // no exchange between the cache scan and its join: a shuffle that
+      // reaches the cache WITHOUT passing a join or aggregate re-keys
+      // the adjacency itself
+      def reachesCachePreJoin(n: SparkPlan): Boolean = n match {
+        case _: BaseAggregateExec => false
+        case _: BaseJoinExec => false
+        case _: InMemoryTableScanExec => true
+        case other => other.children.exists(reachesCachePreJoin)
+      }
+      val preJoin = p.collect {
+        case e: ShuffleExchangeExec if reachesCachePreJoin(e.child) => e
+      }
+      assert(preJoin.isEmpty, p.toString)
+      assert(p.toString.contains("ShuffledHashJoin"), p.toString)
+      assert(p.toString.contains("partial_max"), p.toString)
+      assert(!p.toString.toLowerCase.contains("rangepartitioning"),
+        p.toString)
+    } finally { ue.unpersist(); und.unpersist() }
+  }
+
+  test("g54 matching round: endpoint minima map-side combined, nothing edge-sized re-keyed") {
+    val edges = graft.sources.SyntheticGraph.portable(spark, 400, 1200, "g54t")
+    val e = graft.operators.Louvain.fromEdges(edges)
+      .select(col("u"), col("v"),
+        org.apache.spark.sql.functions
+          .md5(org.apache.spark.sql.functions
+            .concat_ws(":", col("u"), col("v"))).as("rk"))
+      .persist()
+    try {
+      e.count()
+      val (m, nextE) = graft.operators.Matching.matchingRound(e, round = 1)
+      val p = concretePlan(nextE)
+      assert(p.toString.contains("partial_min"), p.toString)
+      assert(!p.toString.contains("CartesianProduct"), p.toString)
+      assert(m.columns.toSeq == Seq("u", "v", "round"))
+    } finally e.unpersist()
+  }
+
   test("g26 PPR iteration: cached edges never re-exchange, recombine map-side combined") {
     val sp = spark
     import sp.implicits._

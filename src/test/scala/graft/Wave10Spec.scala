@@ -61,6 +61,100 @@ class ChunkStructuredSpec extends AnyFunSuite {
   }
 }
 
+/** Generative soundness of the new graph operators: the Louvain gain
+  * formula against the true modularity delta in EXACT integer space,
+  * and coreness against an in-driver brute-force peel.
+  */
+class GraphGenerativeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  // deterministic pseudo-random simple graph on n vertices
+  private def randomGraph(n: Int, m: Int, salt: String): Seq[(Long, Long)] = {
+    def h(i: Int, tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$tag:$salt".getBytes("UTF-8"))
+      math.abs(BigInt(1, d.take(4)).toLong) % n
+    }
+    (0 until m).map(i => (h(i, "s"), h(i, "d")))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+  }
+
+  test("Louvain gain = exact modularity delta: 4m²·ΔQ == 2·gain for every move") {
+    val sp = spark
+    import sp.implicits._
+    for (salt <- Seq("gA", "gB")) {
+      val es = randomGraph(12, 30, salt)
+      val edf = es.toDF("src", "dst")
+      val adj = es.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      val m = es.size.toLong
+      // state after 2 gain rounds (a non-trivial, mid-trajectory state)
+      val labels = graft.operators.Louvain.moveRounds(edf, 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def suffStats(lab: Map[Long, Long]): (Long, Long) = {
+        val intra = es.count(e => lab(e._1) == lab(e._2)).toLong
+        val dc = lab.groupBy(_._2).view
+          .mapValues(_.keys.toSeq.map(deg).sum).toMap
+        (intra, dc.values.map(d => d * d).sum)
+      }
+      val (intra0, sds0) = suffStats(labels)
+      val dcMap = labels.groupBy(_._2).view
+        .mapValues(_.keys.toSeq.map(deg).sum).toMap
+      var checked = 0
+      for {
+        v <- adj.keys.toSeq.sorted
+        b <- adj(v).map(labels).toSeq.distinct.sorted
+        a = labels(v) if b != a
+      } {
+        val kvb = adj(v).count(labels(_) == b).toLong
+        val kva = adj(v).count(u => labels(u) == a).toLong
+        val gain = 2L * m * (kvb - kva) -
+          deg(v) * (dcMap(b) - dcMap(a) + deg(v))
+        val moved = labels.updated(v, b)
+        val (intra1, sds1) = suffStats(moved)
+        // Q·4m² = 4m·intra − Σ D_c², all integers — so the move's true
+        // modularity delta times 4m² must equal exactly 2·gain
+        val lhs = (4L * m * intra1 - sds1) - (4L * m * intra0 - sds0)
+        assert(lhs == 2L * gain,
+          s"salt=$salt v=$v $a→$b: ΔQ·4m²=$lhs vs 2·gain=${2L * gain}")
+        checked += 1
+      }
+      assert(checked > 20, s"degenerate fixture $salt: only $checked moves")
+    }
+  }
+
+  test("coreness equals the brute-force min-degree peel on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    for (salt <- Seq("cA", "cB", "cC")) {
+      val es = randomGraph(40, 90, salt)
+      val got = graft.operators.GraphBuilder
+        .corenessConverged(es.toDF("src", "dst"))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // textbook peel: repeatedly remove the minimum-degree vertex;
+      // coreness(v) = max over the peel of min-degree at removal time
+      var adj = es.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).view
+        .mapValues(x => collection.mutable.Set(x.map(_._2): _*)).toMap
+        .map(identity)
+      val core = collection.mutable.Map[Long, Long]()
+      var k = 0L
+      val alive = collection.mutable.Set(adj.keys.toSeq: _*)
+      while (alive.nonEmpty) {
+        val v = alive.minBy(x => (adj(x).size, x))
+        k = math.max(k, adj(v).size.toLong)
+        core(v) = k
+        for (u <- adj(v)) adj(u) -= v
+        alive -= v
+      }
+      assert(got == core.toMap, s"salt=$salt: $got vs $core")
+    }
+  }
+}
+
 /** g54 maximal matching by locally-dominant edges: validity,
   * maximality, the path-graph closed form, and converged ≡ fixed-k.
   */

@@ -603,6 +603,44 @@ object SparkEntry {
       .select(col("doc_id"), concat_ws(" ", flagged).as("text"))
   }
 
+  /** Deterministic messy-URL fixture (d57 — documents carry no URL
+    * column): every doc gets a raw URL whose scheme case, host case,
+    * default port, trailing slash, tracking params, param order and
+    * fragment vary by the bits of a 20-bit md5(doc:d57) draw — every
+    * variant class the canonicalizer must fold. The d38
+    * augmented-fixture discipline: both engines rebuild the identical
+    * strings, so the oracle checks the real canonicalization work.
+    * Path collides on doc_id mod 100 (and the id param on mod 50, which
+    * mod 100 determines), so distinct documents genuinely alias to the
+    * same canonical URL and the dedup stage has real duplicates to find.
+    */
+  private def withUrls(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = conv(
+      substring(
+        md5(concat(col("doc_id").cast("string"), lit(":d57"))), 1, 5),
+      16, 10).cast("long")
+    def b(i: Int) = shiftright(h, i).bitwiseAND(lit(1L)) === 1L
+    val idp = concat(lit("id="), pmod(col("doc_id"), lit(50L)).cast("string"))
+    val utm = when(b(4), lit("&utm_source=feed")).otherwise(lit(""))
+    val ref = when(b(5), lit("&ref=home")).otherwise(lit(""))
+    val utmF = when(b(4), lit("utm_source=feed&")).otherwise(lit(""))
+    val refF = when(b(5), lit("ref=home&")).otherwise(lit(""))
+    val query = when(b(6), concat(utmF, refF, idp))
+      .otherwise(concat(idp, utm, ref))
+    docs.select(
+      col("doc_id"),
+      concat(
+        when(b(0), lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(b(1), upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(b(2), lit(":443")).otherwise(lit("")),
+        lit("/docs/"), pmod(col("doc_id"), lit(100L)).cast("string"),
+        when(b(3), lit("/")).otherwise(lit("")),
+        lit("?"), query,
+        when(b(7), lit("#sec")).otherwise(lit(""))).as("url"))
+  }
+
   /** Unrolled MAXIMAL-MATCHING trajectory (g54 oracle): per round the
     * per-endpoint rank minima, the both-endpoints dominance test, and
     * the matched-vertex removal — mirroring
@@ -3341,6 +3379,50 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io11_deletion_vectors" -> { (s, dir) =>
+      // DELETION-VECTOR merge-on-read — the NO-REWRITE delete (e27's
+      // complement: e27 pays the write now, this pays a broadcast
+      // anti-probe at read): documents land once as base files, two
+      // delete batches (md5-drawn key sets, overlapping) append ONLY
+      // keys to a tiny sidecar, and the read scans the untouched base
+      // minus the unioned vectors — pushed filters and column pruning
+      // survive on the base scan (spec-asserted). The oracle replays
+      // both delete draws and the anti-join.
+      val docs = t(s, dir, "documents")
+      def draw(salt: String) = conv(
+        substring(
+          md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
+          1, 5),
+        16, 10).cast("long")
+      val baseTmp = java.nio.file.Files
+        .createTempDirectory("graft_io11_base").toString
+      val dvTmp = java.nio.file.Files
+        .createTempDirectory("graft_io11_dv").toString
+      try {
+        docs.repartition(4).write.mode("overwrite").parquet(baseTmp)
+        graft.sources.DeletionVectors.appendDeletes(
+          docs.filter(pmod(draw("dv1"), lit(8L)) === 0L).select("doc_id"),
+          dvTmp)
+        graft.sources.DeletionVectors.appendDeletes(
+          docs.filter(pmod(draw("dv2"), lit(11L)) === 0L).select("doc_id"),
+          dvTmp)
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.DeletionVectors
+            .readMergeOnRead(s, baseTmp, dvTmp, "doc_id")
+            .filter(col("lang") === "en")
+            .groupBy(col("source"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Seq(baseTmp, dvTmp).foreach { d =>
+          val root = java.nio.file.Paths.get(d)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -4234,6 +4316,25 @@ object SparkEntry {
           col("out_w"), col("out_h"),
           length(col("thumb")).cast("long").as("thumb_len"))
     },
+    "m6_interleaved_pack" -> { (s, dir) =>
+      // INTERLEAVED multimodal sequence packing (the LLaVA/Flamingo
+      // data shape: each image placeholder costs a fixed 576-patch
+      // token budget in the training sequence, text costs its token
+      // count): per-doc image counts synthesized by a 20-bit
+      // md5(doc:m6) draw mod 4 (the d38 augmented-fixture discipline),
+      // packed into 2048-token sequences by the d19 fixed-stride rule
+      // — ONE window per source shard, one hash aggregate, no serial
+      // fold. The oracle replays draw, costs, offsets and every
+      // per-sequence total.
+      val nImg = pmod(
+        conv(
+          substring(
+            md5(concat(col("doc_id").cast("string"), lit(":m6"))), 1, 5),
+          16, 10).cast("long"),
+        lit(4L))
+      Multimodal.interleavedPack(
+        t(s, dir, "documents"), nImg, budget = 2048, imageTokens = 576)
+    },
 
     // ---- streaming operators (batch twins for the oracle gate; the
     // streaming forms themselves are locked by StreamingSpec) ----
@@ -4892,6 +4993,17 @@ object SparkEntry {
       // points, and every chunk string byte for byte.
       TextOps.chunkStructured(
         sentencized(t(s, dir, "documents")), budget = 48)
+    },
+    "d57_url_dedup" -> { (s, dir) =>
+      // URL CANONICALIZATION + URL-level exact dedup (the cheapest
+      // dedup granularity a crawl pipeline runs — no content read):
+      // the messy-URL fixture (withUrls — scheme/host case, :443,
+      // trailing slash, utm_*/ref params in varying order, fragments)
+      // is canonicalized by pure codegen'd string algebra, then ONE
+      // hash aggregate on the canonical form finds the aliases. The
+      // oracle rebuilds every raw URL bit for bit and replays the
+      // whole canonicalizer in SQL.
+      TextOps.urlDedup(withUrls(t(s, dir, "documents")))
     },
     "d19_pack_sequences" -> ((s, dir) =>
       // per-shard sequence packing: cumulative token offsets cut into
@@ -6453,6 +6565,77 @@ object SparkEntry {
       // Chain shared with the p9 journey oracle (sentencizeChunkCtes)
       // so the two locks cannot drift.
       ("WITH " + sentencizeChunkCtes("documents") + chunkFinalSql),
+    "d57_url_dedup" ->
+      // the messy-URL fixture rebuilt bit for bit from the same 20-bit
+      // md5(doc:d57) draw, then the FULL canonicalizer replayed in SQL:
+      // fragment strip, scheme/host lowercase, :443 default-port drop,
+      // trailing-slash strip, tracking-param removal (starts_with, so
+      // no LIKE-wildcard surprises), surviving params sorted and
+      // rejoined — then the same dedup aggregate
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x',
+        |      substr(md5(concat(CAST(doc_id AS VARCHAR), ':d57')), 1, 5))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN (hv >> 0) & 1 = 1 THEN 'HTTPS' ELSE 'https' END,
+        |    '://',
+        |    CASE WHEN (hv >> 1) & 1 = 1 THEN upper(source) ELSE source END,
+        |    '.Example.COM',
+        |    CASE WHEN (hv >> 2) & 1 = 1 THEN ':443' ELSE '' END,
+        |    '/docs/', CAST(doc_id % 100 AS VARCHAR),
+        |    CASE WHEN (hv >> 3) & 1 = 1 THEN '/' ELSE '' END,
+        |    '?',
+        |    CASE WHEN (hv >> 6) & 1 = 1 THEN concat(
+        |        CASE WHEN (hv >> 4) & 1 = 1 THEN 'utm_source=feed&' ELSE '' END,
+        |        CASE WHEN (hv >> 5) & 1 = 1 THEN 'ref=home&' ELSE '' END,
+        |        'id=', CAST(doc_id % 50 AS VARCHAR))
+        |      ELSE concat('id=', CAST(doc_id % 50 AS VARCHAR),
+        |        CASE WHEN (hv >> 4) & 1 = 1 THEN '&utm_source=feed' ELSE '' END,
+        |        CASE WHEN (hv >> 5) & 1 = 1 THEN '&ref=home' ELSE '' END)
+        |    END,
+        |    CASE WHEN (hv >> 7) & 1 = 1 THEN '#sec' ELSE '' END) AS url
+        |  FROM h),
+        |p AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |x AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostport,
+        |    regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1) AS rawpath,
+        |    CASE WHEN contains(nf, '?')
+        |      THEN regexp_extract(nf, '\?(.*)$', 1) ELSE '' END AS rawq
+        |  FROM p),
+        |n AS (
+        |  SELECT doc_id, scheme,
+        |    CASE
+        |      WHEN scheme = 'https' AND suffix(hostport, ':443')
+        |        THEN regexp_replace(hostport, ':443$', '')
+        |      WHEN scheme = 'http' AND suffix(hostport, ':80')
+        |        THEN regexp_replace(hostport, ':80$', '')
+        |      ELSE hostport END AS host,
+        |    CASE WHEN length(rawpath) > 1 AND suffix(rawpath, '/')
+        |      THEN regexp_replace(rawpath, '/$', '') ELSE rawpath END AS path,
+        |    array_to_string(list_sort(list_filter(str_split(rawq, '&'),
+        |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=')
+        |        OR starts_with(q, 'fbclid=') OR starts_with(q, 'gclid=')
+        |        OR q = ''))), '&') AS q
+        |  FROM x),
+        |canon AS (
+        |  SELECT doc_id, concat(scheme, '://', host, path,
+        |    CASE WHEN length(q) > 0 THEN concat('?', q) ELSE '' END)
+        |    AS canonical_url
+        |  FROM n)
+        |SELECT canonical_url,
+        |  regexp_extract(canonical_url,
+        |    '^[a-z][a-z0-9+.-]*://([^/?]+)', 1) AS host,
+        |  count(*) AS n_dups, min(doc_id) AS keep_doc_id
+        |FROM canon GROUP BY 1, 2""".stripMargin,
     "d17_boilerplate" ->
       // same md5-digest 3-gram stream, df computed over distinct
       // (doc, gram) pairs, boilerplate = df >= 5; keep uses the
@@ -7079,6 +7262,25 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id""".stripMargin,
+    "io11_deletion_vectors" ->
+      // both 20-bit md5 delete draws replayed (mod 8 and mod 11,
+      // overlapping — the union dedups), then the same filtered
+      // aggregate over the anti-joined survivors
+      """WITH del AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(concat('0x',
+        |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':dv1')), 1, 5))
+        |    AS BIGINT) % 8 = 0
+        |  UNION
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(concat('0x',
+        |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':dv2')), 1, 5))
+        |    AS BIGINT) % 11 = 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang = 'en' AND doc_id NOT IN (SELECT doc_id FROM del)
+        |GROUP BY source""".stripMargin,
     "q43_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
         |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
@@ -7892,6 +8094,33 @@ object SparkEntry {
     "sql5_lateral_topn" -> sql5LateralTopOrders,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
+    "m6_interleaved_pack" ->
+      // same 20-bit md5(doc:m6) image-count draw, same per-doc cost
+      // (whitespace tokens + 576/image), same per-source cumulative
+      // stride cut at 2048, same per-sequence totals
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS text_tokens,
+        |    CAST(concat('0x',
+        |      substr(md5(concat(CAST(doc_id AS VARCHAR), ':m6')), 1, 5))
+        |      AS BIGINT) % 4 AS n_images
+        |  FROM documents),
+        |i AS (
+        |  SELECT *, text_tokens + 576 * n_images AS item_tokens FROM c),
+        |o AS (
+        |  SELECT *,
+        |    sum(item_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - item_tokens AS start_offset
+        |  FROM i)
+        |SELECT source,
+        |  CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+        |  CAST(sum(n_images) AS BIGINT) AS n_images,
+        |  CAST(sum(item_tokens) AS BIGINT) AS total_tokens
+        |FROM o GROUP BY 1, 2""".stripMargin,
     "m4_image_resize" ->
       // mirrors Multimodal.fitDims + the stub thumb sizing; images are
       // doc_id % 3 = 0, w/h derive from doc_id (syntheticMedia), payload

@@ -256,4 +256,59 @@ object Multimodal {
             lit(0L),
             floor(col("meta.duration_ms") / lit(everyMs)).cast("long"),
             lit(1L))).as("frame_no"))
+
+  /** INTERLEAVED multimodal SEQUENCE PACKING — the manifest step that
+    * turns a cleaned image-text corpus into fixed-budget training
+    * sequences when documents carry images as well as text (the
+    * LLaVA/Flamingo data shape: every image placeholder consumes a
+    * fixed patch-token budget in the sequence, text costs its token
+    * count). A document's sequence cost is
+    * `token_count(text) + imageTokens · n_images`; documents pack by
+    * the d19/d20 fixed-stride rule — `seq_id = floor(cum_before /
+    * budget)` over ONE window per `source` shard — so packing is a
+    * pure window expression: shards pack in parallel, any engine
+    * reproduces every cut, and there is no serial next-fit fold (a
+    * document whose cost straddles a stride boundary spills its tail
+    * into the next sequence, exactly like d19's token-split packing —
+    * acceptable for pretraining loaders, which mask across the split).
+    * Output is the per-sequence manifest a loader consumes: document
+    * count, text/image token totals, and the realized fill.
+    *
+    * `imageCountCol` supplies each document's image count; callers
+    * without a real media join synthesize one deterministically (the
+    * d38 augmented-fixture discipline). 100 TB shape: one shuffle
+    * (the per-source window) + one map-side-combined hash aggregate —
+    * no global order, no driver state.
+    */
+  def interleavedPack(
+      docs: DataFrame,
+      imageCountCol: org.apache.spark.sql.Column,
+      budget: Int,
+      imageTokens: Int = 576,
+      shardCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(imageTokens >= 0, "imageTokens must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col(idCol), col(shardCol),
+        TextOps.tokenCount(col("text")).as("text_tokens"),
+        imageCountCol.cast("long").as("n_images"))
+      .withColumn(
+        "item_tokens",
+        col("text_tokens") + lit(imageTokens.toLong) * col("n_images"))
+      .withColumn(
+        "start_offset",
+        sum(col("item_tokens")).over(w) - col("item_tokens"))
+      .withColumn("seq_id", (col("start_offset") / budget).cast("long"))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(col("n_images")).as("n_images"),
+        sum(col("item_tokens")).as("total_tokens"))
+  }
 }

@@ -1014,4 +1014,70 @@ object TextOps {
           && col("df").cast("double") <= col("n_docs") * maxDfRatio)
       .select(col("token"), col("df"), col("postings"))
   }
+
+  /** URL CANONICALIZATION — the normalization every web-crawl pipeline
+    * runs before URL-level dedup (CommonCrawl/CCNet discipline: the
+    * same page arrives under scheme-case, host-case, default-port,
+    * trailing-slash, tracking-parameter and fragment variants, and a
+    * byte-equality dedup misses all of them). Pure codegen'd string
+    * algebra on a single projection — no UDF, no shuffle:
+    *
+    *  1. fragment stripped (`#…` never reaches the server);
+    *  2. scheme and host lowercased (RFC 3986 §6.2.2.1);
+    *  3. default port dropped (`:443` for https, `:80` for http);
+    *  4. trailing path slash stripped (root `/` kept);
+    *  5. query parameters split, tracking params removed
+    *     (`utm_*`, `ref`, `fbclid`, `gclid` — the standard strip list),
+    *     survivors SORTED and rejoined (param order is not semantic).
+    *
+    * Output: input columns + `canonical_url`. Downstream URL-level
+    * dedup is then an exact hash-aggregate on the canonical form —
+    * the cheapest dedup granularity at 100 TB (no content read).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    val host = when(
+      scheme === "https" && hostPort.endsWith(":443"),
+      regexp_replace(hostPort, ":443$", ""))
+      .when(
+        scheme === "http" && hostPort.endsWith(":80"),
+        regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    val path = when(
+      length(rawPath) > 1 && rawPath.endsWith("/"),
+      regexp_replace(rawPath, "/$", ""))
+      .otherwise(rawPath)
+    val rawQuery = when(noFrag.contains("?"),
+      regexp_extract(noFrag, "\\?(.*)$", 1)).otherwise(lit(""))
+    val keptParams = filter(
+      split(rawQuery, "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("ref=") ||
+        p.startsWith("fbclid=") || p.startsWith("gclid=") || p === ""))
+    val query = array_join(array_sort(keptParams), "&")
+    concat(
+      scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** URL-level exact dedup over canonical forms: one hash aggregate
+    * keyed by [[canonicalizeUrl]] output — per canonical URL, the
+    * duplicate count and the kept (minimum) document id, plus the host
+    * for downstream per-site stats. Map-side combined; the only
+    * shuffle is the dedup key exchange.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .withColumn(
+        "host",
+        regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://([^/?]+)", 1))
+      .groupBy(col("canonical_url"), col("host"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(col("doc_id")).as("keep_doc_id"))
 }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DELETION-VECTOR merge-on-read — the lakehouse delete path that does
+  * NOT rewrite data files (Delta deletion vectors / Iceberg positional
+  * deletes / Hudi MoR, re-expressed Spark-first).
+  *
+  * The engine already has the REWRITE delete (e27: partition-pruned
+  * dynamic overwrite — pay the write cost now, reads stay clean). This
+  * is its complement for high-churn tables at 100 TB, where rewriting a
+  * multi-GB file to delete ten rows is the wrong trade:
+  *
+  *  - a DELETE appends only the deleted KEYS to a tiny sidecar
+  *    directory — O(|deletes|) written bytes, never O(|file|);
+  *  - a READ scans the base files untouched and applies the union of
+  *    all delete batches as one LEFT ANTI join; the sidecar is orders
+  *    of magnitude smaller than the base, so the join broadcasts and
+  *    the base-side scan keeps its pushed filters and column pruning
+  *    (asserted in the spec) — the merge costs one broadcast hash
+  *    probe per row, no shuffle of the base;
+  *  - compaction (the io7 pass) eventually folds accumulated vectors
+  *    into a rewrite and empties the sidecar — the standard
+  *    MoR-then-compact lifecycle.
+  *
+  * Keys, not file/row positions: positional vectors require a stable
+  * file layout contract that plain parquet dirs don't give; key-based
+  * vectors survive compaction and re-partitioning unchanged.
+  */
+object DeletionVectors {
+
+  /** Append one delete batch (a frame of keys) to the sidecar dir.
+    * Append-mode: batches accumulate; readers take the union. A key
+    * deleted twice is deleted once (the read path distincts). Single
+    * delete-writer at a time assumed — same contract as e27.
+    */
+  def appendDeletes(deletedKeys: DataFrame, dvDir: String): Unit =
+    deletedKeys.coalesce(1).write.mode(SaveMode.Append).parquet(dvDir)
+
+  /** Merge-on-read scan: base files untouched, minus every key in the
+    * sidecar. The anti-join side is `broadcast()`-hinted — a deletion
+    * vector that outgrows broadcast is the signal to compact, not to
+    * shuffle the base table.
+    */
+  def readMergeOnRead(
+      spark: SparkSession,
+      baseDir: String,
+      dvDir: String,
+      keyCol: String): DataFrame = {
+    val base = spark.read.parquet(baseDir)
+    val dv = spark.read.parquet(dvDir).select(col(keyCol)).distinct()
+    base.join(broadcast(dv), Seq(keyCol), "left_anti")
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.operators.{Multimodal, TextOps}
+import graft.sources.DeletionVectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d57 URL canonicalization: every variant class the canonicalizer
+  * claims to fold, hand-checked, plus the dedup aggregate over aliases.
+  */
+class UrlCanonSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def canon(urls: String*): Seq[String] = {
+    val sp = spark
+    import sp.implicits._
+    urls.toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("scheme/host case, default port, fragment, tracking params fold") {
+    val variants = Seq(
+      "https://example.com/a?id=1",
+      "HTTPS://EXAMPLE.COM/a?id=1",
+      "https://Example.com:443/a?id=1",
+      "https://example.com/a/?id=1",
+      "https://example.com/a?id=1#frag",
+      "https://example.com/a?utm_source=x&id=1",
+      "https://example.com/a?id=1&ref=home&utm_campaign=y")
+    assert(canon(variants: _*).distinct == Seq("https://example.com/a?id=1"))
+  }
+
+  test("non-default port, http :80, root slash, param sort") {
+    assert(canon("https://example.com:8443/a?id=1")
+      == Seq("https://example.com:8443/a?id=1"))
+    assert(canon("http://Example.com:80/a") == Seq("http://example.com/a"))
+    // root "/" is length 1 — kept, never stripped
+    assert(canon("https://example.com/?utm_source=x")
+      == Seq("https://example.com/"))
+    // surviving params sort; tracking stripped mid-list
+    assert(canon("https://example.com/p?b=2&utm_source=x&a=1")
+      == Seq("https://example.com/p?a=1&b=2"))
+    // https :80 is NOT a default port — kept
+    assert(canon("https://example.com:80/a") == Seq("https://example.com:80/a"))
+  }
+
+  test("urlDedup groups aliases under min doc_id") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (10L, "HTTPS://Site.com/a?id=1#x"),
+      (7L, "https://site.com:443/a/?utm_source=f&id=1"),
+      (3L, "https://site.com/b")).toDF("doc_id", "url")
+    val got = TextOps.urlDedup(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("https://site.com/a?id=1", "site.com", 2L, 7L),
+      ("https://site.com/b", "site.com", 1L, 3L)))
+  }
+}
+
+/** m6 interleaved multimodal packing: hand-computed stride cuts with
+  * mixed text/image costs, shard independence, zero-image reduction to
+  * the d19 rule.
+  */
+class InterleavedPackSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def docs(rows: (Long, String, String, Long)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "source", "text", "n_img")
+  }
+
+  private def packed(df: DataFrame, budget: Int, imgTok: Int)
+      : Seq[(String, Long, Long, Long, Long, Long)] =
+    Multimodal.interleavedPack(df, col("n_img"), budget, imgTok)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+  test("image cost lands docs in the right stride") {
+    // costs: d1 = 2 + 10·1 = 12, d2 = 3, d3 = 2 + 10·2 = 22
+    // offsets: 0, 12, 15 at budget 16 → seqs 0, 0, 0? no: floor(0/16)=0,
+    // floor(12/16)=0, floor(15/16)=0 — all seq 0; raise: budget 10 →
+    // seqs 0, 1, 1
+    val got = packed(docs(
+      (1L, "s", "a b", 1L), (2L, "s", "a b c", 0L), (3L, "s", "a b", 2L)),
+      budget = 10, imgTok = 10)
+    assert(got == Seq(
+      ("s", 0L, 1L, 2L, 1L, 12L),
+      ("s", 1L, 2L, 5L, 2L, 25L)))
+  }
+
+  test("shards pack independently; zero images reduces to token packing") {
+    val got = packed(docs(
+      (1L, "s0", "a b c d", 0L), (2L, "s0", "e f", 0L),
+      (3L, "s1", "g", 0L)), budget = 4, imgTok = 576)
+    // s0: offsets 0, 4 → seqs 0, 1; s1: offset 0 → seq 0
+    assert(got == Seq(
+      ("s0", 0L, 1L, 4L, 0L, 4L),
+      ("s0", 1L, 1L, 2L, 0L, 2L),
+      ("s1", 0L, 1L, 1L, 0L, 1L)))
+  }
+}
+
+/** io11 deletion vectors: accumulate-and-union delete batches, exact
+  * survivors, double-delete idempotence, and the plan contract (base
+  * scan keeps pushdown; the DV side broadcasts as LEFT ANTI).
+  */
+class DeletionVectorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withDirs(f: (String, String) => Unit): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("dv_base").toString
+    val dv = java.nio.file.Files.createTempDirectory("dv_dv").toString
+    try f(base, dv)
+    finally {
+      import scala.jdk.CollectionConverters._
+      Seq(base, dv).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("batches union; double delete is idempotent; survivors exact") {
+    val sp = spark
+    import sp.implicits._
+    withDirs { (base, dv) =>
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+        .write.mode("overwrite").parquet(base)
+      DeletionVectors.appendDeletes(Seq(2L, 4L).toDF("k"), dv)
+      DeletionVectors.appendDeletes(Seq(4L, 7L).toDF("k"), dv) // 4 twice
+      val got = DeletionVectors.readMergeOnRead(spark, base, dv, "k")
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 3L, 5L, 6L, 8L, 9L, 10L))
+    }
+  }
+
+  test("read plan: broadcast LEFT ANTI, base-scan pushdown survives") {
+    val sp = spark
+    import sp.implicits._
+    withDirs { (base, dv) =>
+      (1L to 100L).map(i => (i, i % 5, s"v$i")).toDF("k", "g", "v")
+        .write.mode("overwrite").parquet(base)
+      DeletionVectors.appendDeletes(Seq(2L, 8L).toDF("k"), dv)
+      val q = DeletionVectors.readMergeOnRead(spark, base, dv, "k")
+        .filter(col("g") === 2)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+      assert(p.contains("PushedFilters: [IsNotNull(g), EqualTo(g,2)"), p)
+      assert(q.count() == 19) // 20 with g=2, minus deleted k=2
+    }
+  }
+}

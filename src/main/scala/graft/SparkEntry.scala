@@ -300,9 +300,17 @@ object SparkEntry {
     * `rank·w/outdeg` — the NetworkX weighted semantics the engine
     * implements.
     */
-  private def weightedPageRankSql(k: Int, select: String): String = {
+  private def weightedPageRankSql(k: Int, select: String): String =
+    weightedPageRankSqlOver(EdgeListReader.fromOrdersWeightedSql, k, select)
+
+  /** [[weightedPageRankSql]] over an arbitrary `(src, dst, w)` edges
+    * SQL — the same unrolled weighted loop serves any weighted graph
+    * (g21's relational co-occurrence, d58's TextRank word graph).
+    */
+  private def weightedPageRankSqlOver(
+      edgesSql: String, k: Int, select: String): String = {
     val ctes =
-      s"""edges AS MATERIALIZED (${EdgeListReader.fromOrdersWeightedSql}),
+      s"""edges AS MATERIALIZED ($edgesSql),
          |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
          |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
          |deg AS MATERIALIZED (SELECT v.id, coalesce(d.outdeg, 0.0) AS outdeg FROM verts v LEFT JOIN (SELECT src AS id, sum(w) AS outdeg FROM edges GROUP BY 1) d USING (id))""".stripMargin
@@ -5005,6 +5013,24 @@ object SparkEntry {
       // whole canonicalizer in SQL.
       TextOps.urlDedup(withUrls(t(s, dir, "documents")))
     },
+    "d58_textrank" -> { (s, dir) =>
+      // TEXTRANK keyword scoring (Mihalcea & Tarau 2004): the
+      // flagship weighted PageRank loop run on the word
+      // CO-OCCURRENCE graph (window 2) — keyword extraction as graph
+      // centrality, composing the engine's two surfaces. Pair
+      // generation is a stateless projection (no positional
+      // self-join); the graph is vocabulary-sized, so the loop's
+      // state is tiny regardless of corpus size. 4 weighted
+      // iterations; every word's rank hash-matches the unrolled SQL.
+      val edges =
+        TextOps.cooccurrenceEdges(t(s, dir, "documents"), window = 2)
+      val res = PageRank.run(
+        s, edges,
+        PageRankConfig(maxIter = 4, tol = -1.0, minIter = 4),
+        weightCol = Some("w"))
+      res.ranks.select(
+        col("id").as("word"), round(col("rank"), 9).as("rank_r"))
+    },
     "d19_pack_sequences" -> ((s, dir) =>
       // per-shard sequence packing: cumulative token offsets cut into
       // 512-token training sequences; window partitioned by source so
@@ -5868,6 +5894,30 @@ object SparkEntry {
     "g21_weighted_k4" -> weightedPageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
+    "d58_textrank" ->
+      // same co-occurrence construction (window-2 neighbor pairs from
+      // the token array — index algebra, no positional join — self
+      // pairs dropped, symmetrized, corpus-counted weights), then the
+      // SAME unrolled weighted loop as g21's oracle
+      weightedPageRankSqlOver(
+        """WITH tkt AS (
+          |  SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+          |  FROM documents),
+          |p AS (
+          |  SELECT unnest(list_concat(
+          |    list_transform(range(greatest(len(tk) - 1, 0)),
+          |      i -> struct_pack(u := tk[i+1], v := tk[i+2])),
+          |    list_transform(range(greatest(len(tk) - 2, 0)),
+          |      i -> struct_pack(u := tk[i+1], v := tk[i+3])))) AS p
+          |  FROM tkt),
+          |pf AS (SELECT p.u AS u, p.v AS v FROM p WHERE p.u <> p.v),
+          |und AS (
+          |  SELECT u AS src, v AS dst FROM pf
+          |  UNION ALL SELECT v, u FROM pf)
+          |SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          |FROM und GROUP BY 1, 2""".stripMargin,
+        4,
+        "SELECT id AS word, round(rank, 9) AS rank_r FROM r4"),
     "g22_lpa_k3" -> lpaSql(3),
     "g23_sssp_k4" -> ssspSql(4),
     "g24_hits_k4" -> hitsSql(4),

@@ -1015,6 +1015,34 @@ object TextOps {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** Word CO-OCCURRENCE graph (the TextRank construction, Mihalcea &
+    * Tarau 2004): an undirected weighted edge per ordered token pair at
+    * distance ≤ `window` inside a document, weight = corpus-wide count.
+    * Pair generation is a STATELESS projection — `transform` over the
+    * token array with `try_element_at` neighbor lookups, no positional
+    * self-join — so at 100 TB the only shuffle is the final
+    * map-side-combined edge aggregate (vocabulary-sized, tiny next to
+    * the corpus). Self-pairs dropped; both directions emitted so the
+    * downstream weighted PageRank sees a symmetric graph. Output:
+    * `src STRING, dst STRING, w DOUBLE`.
+    */
+  def cooccurrenceEdges(docs: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val tk = tokens(col("text"))
+    val offs = (1 to window).map { d =>
+      docs.select(explode(transform(tk, (x, i) =>
+        struct(
+          x.as("u"),
+          try_element_at(tk, i + lit(d + 1)).as("v")))).as("p"))
+        .select(col("p.u").as("src"), col("p.v").as("dst"))
+    }
+    val pairs = offs.reduce(_ unionAll _)
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
   /** URL CANONICALIZATION — the normalization every web-crawl pipeline
     * runs before URL-level dedup (CommonCrawl/CCNet discipline: the
     * same page arrives under scheme-case, host-case, default-port,

@@ -62,6 +62,45 @@ class UrlCanonSpec extends AnyFunSuite {
   }
 }
 
+/** d58 TextRank word graph: hand-computed window-2 co-occurrence
+  * edges — symmetry, self-pair drop, multiplicity counting.
+  */
+class CooccurrenceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def edges(texts: String*): Map[(String, String), Double] = {
+    val sp = spark
+    import sp.implicits._
+    TextOps.cooccurrenceEdges(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("window-2 pairs, symmetrized, counted with multiplicity") {
+    // "a b c a": off1 (a,b)(b,c)(c,a); off2 (a,c)(b,a) — then mirrored
+    val got = edges("a b c a")
+    assert(got == Map(
+      ("a", "b") -> 2.0, ("b", "a") -> 2.0,
+      ("a", "c") -> 2.0, ("c", "a") -> 2.0,
+      ("b", "c") -> 1.0, ("c", "b") -> 1.0))
+  }
+
+  test("self-pairs dropped; single-token and blank docs emit nothing") {
+    assert(edges("a a b") == Map(("a", "b") -> 2.0, ("b", "a") -> 2.0))
+    assert(edges("a").isEmpty)
+    assert(edges("").isEmpty)
+  }
+
+  test("weights symmetric on a mixed corpus") {
+    val got = edges("x y z", "z y x", "y y x")
+    got.foreach { case ((u, v), w) =>
+      assert(got(v -> u) == w, s"asymmetric at ($u,$v)")
+    }
+  }
+}
+
 /** m6 interleaved multimodal packing: hand-computed stride cuts with
   * mixed text/image costs, shard independence, zero-image reduction to
   * the d19 rule.

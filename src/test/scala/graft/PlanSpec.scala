@@ -959,4 +959,39 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.toString.contains("SortMergeJoin"), p.toString)
     } finally base.unpersist()
   }
+
+  test("d57 URL dedup: stateless canonicalization, one exchange, no join") {
+    // the canonicalizer is pure string algebra inside the scan's
+    // projection; the ONLY exchange is the dedup key — a join- or
+    // window-shaped canonicalization would not survive 100 TB
+    val p = plan("d57_url_dedup")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("m6 interleaved pack: one shard exchange serves window AND aggregate") {
+    // the per-source window partitioning (hash(source)) satisfies the
+    // (source, seq_id) clustering of the final aggregate — rows with
+    // equal keys are already co-located, so the aggregate must NOT
+    // re-exchange; a second shuffle here doubles the pipeline's cost
+    val p = plan("m6_interleaved_pack")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("d58 TextRank edges: pair generation is a projection, count map-side") {
+    // no positional self-join: pairs come from indexed transform over
+    // the token array; the edge count is hash-aggregated with a
+    // partial (map-side) phase before its single exchange
+    val p = graft.operators.TextOps
+      .cooccurrenceEdges(
+        spark.read.parquet(s"$dir/documents.parquet"), window = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
 }

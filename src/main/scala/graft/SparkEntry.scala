@@ -3431,6 +3431,36 @@ object SparkEntry {
         }
       }
     },
+    "io12_time_travel" -> { (s, dir) =>
+      // SNAPSHOT / VERSION-AS-OF read (Delta time travel / Iceberg
+      // snapshots; completes the lifecycle family with io7 compaction
+      // and io11 deletion vectors): three deterministic batches commit
+      // as versions 1..3 (data dirs first, manifest rows last), the
+      // read plans VERSION AS OF 2 from the manifest — version 3's
+      // rows must be invisible even though its files sit in the same
+      // tree. The oracle replays the batch rule at the cut.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io12").toString
+      try {
+        (0 to 2).foreach { b =>
+          graft.sources.Snapshots.commit(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            root, version = b + 1)
+        }
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.Snapshots.readVersion(s, root, asOf = 2)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -4872,6 +4902,33 @@ object SparkEntry {
         .agg(min(col("event_id")).as("c_id"))
       TemporalJoins
         .asofJoin(probes, quotes, "user_id", "p_us", "c_us",
+          payload = Seq("c_id", "c_us"))
+        .select(
+          col("user_id"), col("p_us"), col("p_id"),
+          coalesce(col("c_id"), lit(-1L)).as("c_id"),
+          coalesce(col("c_us"), lit(-1L)).as("c_us"))
+    },
+    "q49_asof_nearest" -> { (s, dir) =>
+      // NEAREST as-of join (pandas merge_asof direction='nearest', the
+      // missing third direction next to q15's backward and p5's
+      // strict-predecessor): same fixture as q15, but each purchase
+      // attaches the click MINIMIZING |Δt|, ties backward. One
+      // exchange, one sort, two frames in the same window pass.
+      val ev = graft.sources.Tables.events(s, dir)
+      val probes = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("p_id"))
+      val quotes = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("c_us"))
+        .agg(min(col("event_id")).as("c_id"))
+      TemporalJoins
+        .asofJoinNearest(probes, quotes, "user_id", "p_us", "c_us",
           payload = Seq("c_id", "c_us"))
         .select(
           col("user_id"), col("p_us"), col("p_id"),
@@ -7331,6 +7388,13 @@ object SparkEntry {
         |FROM documents
         |WHERE lang = 'en' AND doc_id NOT IN (SELECT doc_id FROM del)
         |GROUP BY source""".stripMargin,
+    "io12_time_travel" ->
+      // VERSION AS OF 2 = the first two mod-3 batches; version 3's
+      // rows (doc_id % 3 = 2) must be invisible
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <= 1
+        |GROUP BY lang""".stripMargin,
     "q43_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
         |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
@@ -8083,6 +8147,44 @@ object SparkEntry {
         |  coalesce(c.c_id, -1) AS c_id, coalesce(c.c_us, -1) AS c_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.p_us >= c.c_us""".stripMargin,
+    "q49_asof_nearest" ->
+      // nearest = min(|Δt|) of the backward and forward candidates,
+      // ties backward; per-column IGNORE NULLS windows cannot tear the
+      // candidate because quote rows carry c_id/c_us non-null TOGETHER
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, min(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, 0 AS tag, c_us AS t, c_id, c_us,
+        |    NULL::BIGINT AS p_id
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, 1, p_us, NULL, NULL, p_id FROM p),
+        |w AS (
+        |  SELECT *,
+        |    last_value(c_id IGNORE NULLS) OVER wb AS b_id,
+        |    last_value(c_us IGNORE NULLS) OVER wb AS b_us,
+        |    first_value(c_id IGNORE NULLS) OVER wf AS f_id,
+        |    first_value(c_us IGNORE NULLS) OVER wf AS f_us
+        |  FROM u
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY t, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY t, tag
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t AS p_us, p_id,
+        |  coalesce(CASE WHEN b_us IS NULL THEN f_id
+        |       WHEN f_us IS NULL THEN b_id
+        |       WHEN t - b_us <= f_us - t THEN b_id ELSE f_id END, -1)
+        |    AS c_id,
+        |  coalesce(CASE WHEN b_us IS NULL THEN f_us
+        |       WHEN f_us IS NULL THEN b_us
+        |       WHEN t - b_us <= f_us - t THEN b_us ELSE f_us END, -1)
+        |    AS c_us
+        |FROM w WHERE tag = 1""".stripMargin,
     "q16_range_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS hi

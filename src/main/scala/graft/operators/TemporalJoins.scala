@@ -91,6 +91,79 @@ object TemporalJoins {
           payload.map(c => col("_p").getField(c).as(c))): _*)
   }
 
+  /** NEAREST as-of: for every left row, the payload of the right row
+    * minimizing `|rightTs − leftTs|` within the key (pandas
+    * `merge_asof(direction='nearest')`); equidistant candidates take
+    * the BACKWARD row — the deterministic completion of [[asofJoin]]'s
+    * inclusive-backward semantics. Same cost class as [[asofJoin]]:
+    * ONE hash exchange on the key and one per-partition sort; the
+    * backward (running last-before) and forward (running first-after)
+    * candidates are two frames over the SAME window ordering, so Spark
+    * evaluates both in the single sorted pass — no second shuffle, no
+    * self-join. Timestamps must be numeric (the registered query uses
+    * epoch micros). Right rows tied on (key, rightTs) must be
+    * pre-deduplicated by the caller, as in [[asofJoin]]. Null payload
+    * only when the key has no right rows at all.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(
+      payload.nonEmpty && !payload.contains(key),
+      "payload must be non-empty right-side value columns")
+    val clash = payload.intersect(leftCols)
+    require(
+      clash.isEmpty,
+      s"payload columns [${clash.mkString(", ")}] collide with left-side " +
+        "columns — rename one side before joining")
+
+    val extra = leftCols.filterNot(c => c == key || c == leftTs)
+    // quote timestamp rides INSIDE the struct so the distance compare
+    // and the payload always come from the same candidate row
+    val pType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types
+        .StructField("_qt", right.schema(rightTs).dataType) +:
+        payload.map(c => right.schema(c)))
+    val qFull = right.select(
+      (col(key) +: lit(0).as("_tag") +: col(rightTs).as("_t") +:
+        struct((col(rightTs).as("_qt") +: payload.map(col)): _*).as("_p") +:
+        extra.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val pFull = left.select(
+      (col(key) +: lit(1).as("_tag") +: col(leftTs).as("_t") +:
+        lit(null).cast(pType).as("_p") +:
+        extra.map(col)): _*)
+    val unioned = qFull.unionByName(pFull)
+
+    // quote tag 0 sorts before probe tag 1 at equal instants: an
+    // exact-instant quote is a BACKWARD candidate at distance 0 (and
+    // wins every tie), never double-counted by the forward frame
+    val ord = Window
+      .partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_tag").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_pb", last(col("_p"), ignoreNulls = true).over(wb))
+      .withColumn("_pf", first(col("_p"), ignoreNulls = true).over(wf))
+      .filter(col("_tag") === 1)
+      .withColumn(
+        "_p",
+        when(col("_pb").isNull, col("_pf"))
+          .when(col("_pf").isNull, col("_pb"))
+          .when(
+            col("_t") - col("_pb._qt") <= col("_pf._qt") - col("_t"),
+            col("_pb"))
+          .otherwise(col("_pf")))
+      .select(
+        (col(key) +: col("_t").as(leftTs) +: extra.map(col) ++:
+          payload.map(c => col("_p").getField(c).as(c))): _*)
+  }
+
   /** Inner equi-join of `right` point rows onto `left` interval rows
     * (`[loCol, hiCol)`, half-open) sharing `key`, via time-bucketing.
     * Caller guarantees every interval's width is ≤ `bucketWidth` (checked

@@ -1080,6 +1080,54 @@ object SparkEntry {
        |  FROM range($nE) t(i))""".stripMargin
   }
 
+  /** Unrolled Monte-Carlo PPR oracle (g55): every walk's stop draw,
+    * neighbor draw, sink-teleport and truncation cut replayed step
+    * by step over the portable graph — the walks are deterministic
+    * md5 algebra, so the ESTIMATE (not just its shape) hash-matches.
+    */
+  private def mcPprSql(
+      nV: Long, nE: Long, graphSalt: String, walkSalt: String,
+      seed: Long, walks: Int, alphaThresh: Long, maxSteps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${portableGraphSql(nV, nE, graphSalt)},\n"
+    sb ++=
+      """adj AS MATERIALIZED (
+        |  SELECT src, list_sort(list(dst)) AS nbrs
+        |  FROM (SELECT DISTINCT src, dst FROM pe) GROUP BY src),""".stripMargin
+    sb ++= s"\nl0 AS MATERIALIZED (SELECT i AS walk_id, " +
+      s"CAST($seed AS BIGINT) AS cur FROM range($walks) t(i))"
+    for (k <- 1 to maxSteps) {
+      sb ++=
+        s""",
+           |s$k AS MATERIALIZED (
+           |  SELECT walk_id, cur,
+           |    CAST(concat('0x', substr(md5(concat(CAST(walk_id AS VARCHAR),
+           |      ':$k:', '$walkSalt', ':stop')), 1, 5)) AS BIGINT)
+           |      >= $alphaThresh AS stop
+           |  FROM l${k - 1}),
+           |m$k AS MATERIALIZED (
+           |  SELECT t.walk_id, t.cur,
+           |    a.nbrs[CAST(CAST(concat('0x', substr(md5(concat(
+           |      CAST(t.walk_id AS VARCHAR), ':$k:', '$walkSalt')), 1, 8))
+           |      AS BIGINT) % len(a.nbrs) AS INT) + 1] AS nxt
+           |  FROM (SELECT walk_id, cur FROM s$k WHERE NOT stop) t
+           |  LEFT JOIN adj a ON a.src = t.cur),
+           |e$k AS MATERIALIZED (SELECT cur AS vtx FROM s$k WHERE stop),
+           |l$k AS MATERIALIZED (
+           |  SELECT walk_id, coalesce(nxt, CAST($seed AS BIGINT)) AS cur
+           |  FROM m$k)""".stripMargin
+    }
+    val allEnds = (1 to maxSteps).map(k => s"SELECT vtx FROM e$k")
+      .mkString(" UNION ALL ") + s" UNION ALL SELECT cur FROM l$maxSteps"
+    sb ++=
+      s""",
+         |ends AS MATERIALIZED ($allEnds)
+         |SELECT vtx, count(*) AS n_end,
+         |  round(CAST(count(*) AS DOUBLE) / $walks, 9) AS est
+         |FROM ends GROUP BY vtx""".stripMargin
+    sb.toString
+  }
+
   /** Unrolled k-truss oracle: `rounds` chained peel rounds, each
     * recomputing every surviving edge's triangle support as its
     * common-neighbour count (equal to the engine's triangle-explode
@@ -2729,6 +2777,21 @@ object SparkEntry {
         .orderBy(col("src")).limit(3)
         .collect().map(_.getLong(0)).toSeq
       ShortestPaths.multiSourceHops(sym, seeds, rounds = 4)
+    },
+    "g55_mc_ppr" -> { (s, dir) =>
+      // MONTE-CARLO personalized PageRank (walk-endpoint estimator,
+      // Fogaras 2005) — the single-seed PPR that runs at 100 TB: 1000
+      // deterministic α-geometric walks from seed 7, state is 1000
+      // rows touching only the reachable neighborhood (the exact
+      // g14/g26 loop carries |V| state). Every stop draw, neighbor
+      // pick, sink teleport (the exact loop's dangling rule, so both
+      // target the SAME quantity) and truncation is md5 algebra the
+      // oracle replays — the ESTIMATE hash-matches; the differential
+      // spec pins its fixed error against the exact loop.
+      Walks.mcPersonalizedPageRank(
+        graft.sources.SyntheticGraph.portable(s, 400, 1200, "g55"),
+        seed = 7L, walks = 1000, alpha = 0.85, maxSteps = 20,
+        salt = "g55w")
     },
     "g26_multi_ppr" -> { (s, dir) =>
       // BATCHED multi-seed personalized PageRank (the graph
@@ -5984,6 +6047,9 @@ object SparkEntry {
     // where the engine's early stop landed
     "g25b_kcore_converged" -> kCoreSql(k = 3, rounds = 6, salt = "g25b"),
     "g26_multi_ppr" -> multiPprSql(k = 4, nSeeds = 3),
+    "g55_mc_ppr" -> mcPprSql(
+      400, 1200, "g55", "g55w", seed = 7, walks = 1000,
+      alphaThresh = 891289, maxSteps = 20),
     "g27_wcore" -> wCoreSql(minStrength = 61.0, rounds = 5),
     "g28_multi_bfs" -> multiBfsSql(rounds = 4, nSeeds = 3),
     // converged LPA: stable labelling is a fixpoint, so a 12-round

@@ -272,6 +272,77 @@ object Walks {
     * `next = NULL`. Plan-audited in PlanSpec: the cached src-partitioned
     * adjacency never re-exchanges — only the |walks|-sized state moves.
     */
+  /** MONTE-CARLO personalized PageRank (the walk-endpoint estimator,
+    * Fogaras et al. 2005) — the single-seed PPR method that actually
+    * runs at 100 TB: `walks` independent α-geometric walks start at
+    * `seed`, and est(v) = (walks ending at v) / walks. The working set
+    * is `walks` rows that only ever touch the seed's reachable
+    * neighborhood — the exact loop (g14/g26) iterates |V|-sized state
+    * over the whole graph per seed. Fully deterministic: the per-step
+    * STOP draw (20-bit md5(walk:step:salt:stop) ≥ α·2²⁰) and the
+    * neighbor draw (the [[walkStep]] md5 rule) are both column
+    * algebra, so any engine replays every walk — the estimate itself
+    * is oracle-checkable, and its error vs the exact loop is a FIXED
+    * number a differential test pins, never a flaky sample.
+    *
+    * A walk ends at its current vertex when the stop fires, or at
+    * `maxSteps` (truncation mass α^maxSteps, documented). A continuing
+    * walk on a SINK teleports to the seed — the same dangling rule as
+    * the exact loop (g14/g26 send dangling mass back to the seed), so
+    * the estimator targets the SAME stationary quantity and the only
+    * differential error is sampling + truncation.
+    * Output: `vtx LONG, n_end LONG, est DOUBLE(rounded 9)`.
+    */
+  def mcPersonalizedPageRank(
+      edges: DataFrame,
+      seed: Long,
+      walks: Int,
+      alpha: Double = 0.85,
+      maxSteps: Int = 20,
+      salt: String = "mcppr-v1"): DataFrame = {
+    require(walks >= 1 && maxSteps >= 1, "walks and maxSteps must be >= 1")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val spark = edges.sparkSession
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thresh = (alpha * (1L << 20)).toLong
+    var live = spark.range(walks.toLong)
+      .select(col("id").as("walk_id"), lit(seed).as("cur"))
+    val ends = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (step <- 1 to maxSteps) {
+      val stopDraw = conv(
+        substring(
+          md5(concat_ws(":",
+            col("walk_id").cast("string"), lit(step.toString), lit(salt),
+            lit("stop"))),
+          1, 5),
+        16, 10).cast("long")
+      val tagged = live.withColumn("_stop", stopDraw >= thresh)
+      ends += tagged.filter(col("_stop")).select(col("cur").as("vtx"))
+      val stepped = walkStep(
+        adj,
+        tagged.filter(!col("_stop"))
+          .select(col("walk_id"), col("cur"), array(col("cur")).as("path")),
+        step, salt)
+        .select(col("walk_id"), col("next"))
+        .transform(CacheScope.rotate)
+      // a continuing walk on a sink teleports to the seed (the exact
+      // loop's dangling rule) — no endpoint, the walk goes on
+      live = stepped
+        .select(col("walk_id"), coalesce(col("next"), lit(seed)).as("cur"))
+    }
+    ends += live.select(col("cur").as("vtx"))
+    val out = ends.reduce(_ union _)
+      .groupBy(col("vtx"))
+      .agg(count(lit(1)).as("n_end"))
+      .withColumn(
+        "est", round(col("n_end").cast("double") / walks, 9))
+    CacheScope.sealAfter(out, adj)
+  }
+
   private[graft] def walkStep(
       adj: DataFrame, live: DataFrame, step: Int, salt: String): DataFrame = {
     val h = conv(

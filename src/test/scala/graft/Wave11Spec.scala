@@ -178,6 +178,49 @@ class AsofNearestSpec extends AnyFunSuite {
   }
 }
 
+/** g55 Monte-Carlo PPR: fixed (deterministic-walk) error vs the exact
+  * personalized loop, endpoint-mass conservation, sink absorption.
+  */
+class McPprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("MC estimate tracks the exact personalized loop; mass conserved") {
+    val sp = spark
+    import sp.implicits._
+    val edges = graft.sources.SyntheticGraph.portable(sp, 400, 1200, "g55")
+    val mc = graft.operators.Walks
+      .mcPersonalizedPageRank(
+        edges, seed = 7L, walks = 1000, maxSteps = 20, salt = "g55w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every walk ends somewhere exactly once
+    assert(math.abs(mc.values.sum - 1.0) < 1e-9)
+    val exact = graft.operators.PageRank.run(
+      sp, edges,
+      graft.operators.PageRankConfig(
+        maxIter = 60, tol = 1e-12, minIter = 10),
+      teleport = Some(Seq((7L, 1.0)).toDF("id", "w")))
+      .ranks.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // the walks are salted md5 draws, so this error is a FIXED number
+    // (re-runs reproduce it bit for bit), not a flaky sample
+    val keys = mc.keySet ++ exact.filter(_._2 > 1e-6).keys
+    val maxErr = keys.map(k =>
+      math.abs(mc.getOrElse(k, 0.0) - exact.getOrElse(k, 0.0))).max
+    assert(maxErr < 0.05, s"maxErr=$maxErr")
+  }
+
+  test("a sink seed absorbs every walk at itself") {
+    val sp = spark
+    import sp.implicits._
+    val got = graft.operators.Walks
+      .mcPersonalizedPageRank(
+        Seq((1L, 2L)).toDF("src", "dst"), seed = 2L, walks = 50,
+        maxSteps = 5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq((2L, 50L, 1.0)))
+  }
+}
+
 /** io12 snapshots: version cuts exact, as-of reads byte-stable under
   * later commits, orphan data dirs (crash before manifest) invisible.
   */

@@ -4417,6 +4417,18 @@ object SparkEntry {
           col("out_w"), col("out_h"),
           length(col("thumb")).cast("long").as("thumb_len"))
     },
+    "m7_audio_segments" -> { (s, dir) =>
+      // AUDIO VAD-style segmentation (silence removal before
+      // transcription/packing): 1 s frames over each audio clip's
+      // metadata duration, stub frame energies (8-bit md5 — the m2
+      // decode-kernel seam), maximal voice-active runs by
+      // gaps-and-islands — one window per clip, clips in parallel,
+      // output segment-sized. The oracle regenerates every frame,
+      // energy, island and segment boundary.
+      Multimodal.audioSegments(
+        Multimodal.syntheticMedia(s, dir), frameMs = 1000L,
+        threshold = 128)
+    },
     "m6_interleaved_pack" -> { (s, dir) =>
       // INTERLEAVED multimodal sequence packing (the LLaVA/Flamingo
       // data shape: each image placeholder costs a fixed 576-patch
@@ -8312,6 +8324,32 @@ object SparkEntry {
     "sql5_lateral_topn" -> sql5LateralTopOrders,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
+    "m7_audio_segments" ->
+      // audio rows are doc_id % 3 = 1 with duration (doc_id·97 %
+      // 600000)+1 (syntheticMedia); same 1 s framing, same 8-bit
+      // md5(id:frame:m7) energies, same >= 128 gate, same
+      // gaps-and-islands run grouping
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, (doc_id * 97) % 600000 + 1 AS dur
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT media_id, unnest(range((dur - 1) // 1000 + 1)) AS frame
+        |  FROM a),
+        |act AS (
+        |  SELECT media_id, frame FROM f
+        |  WHERE CAST(concat('0x', substr(md5(concat(
+        |    CAST(media_id AS VARCHAR), ':', CAST(frame AS VARCHAR),
+        |    ':m7')), 1, 2)) AS BIGINT) >= 128),
+        |isl AS (
+        |  SELECT media_id, frame,
+        |    frame - row_number() OVER (PARTITION BY media_id
+        |      ORDER BY frame) AS island
+        |  FROM act)
+        |SELECT media_id,
+        |  CAST(min(frame) * 1000 AS BIGINT) AS start_ms,
+        |  CAST(max(frame) * 1000 + 1000 AS BIGINT) AS end_ms,
+        |  count(*) AS n_frames
+        |FROM isl GROUP BY media_id, island""".stripMargin,
     "m6_interleaved_pack" ->
       // same 20-bit md5(doc:m6) image-count draw, same per-doc cost
       // (whitespace tokens + 576/image), same per-source cumulative

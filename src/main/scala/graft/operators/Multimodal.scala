@@ -257,6 +257,55 @@ object Multimodal {
             floor(col("meta.duration_ms") / lit(everyMs)).cast("long"),
             lit(1L))).as("frame_no"))
 
+  /** AUDIO SEGMENTATION (VAD-shaped silence removal — the step an
+    * audio-training pipeline runs before transcription/packing): the
+    * clip is framed at `frameMs`, each frame gets an energy from the
+    * decode kernel (STUBBED deterministically as an 8-bit md5 digest
+    * of (media_id, frame) — the same seam as [[extractFeatures]]; a
+    * real deployment swaps only the energy expression for the codec's
+    * RMS), frames at or above `threshold` are voice-active, and
+    * maximal active runs become segments via gaps-and-islands
+    * (`frame − row_number` per clip — ONE window per media id, clips
+    * segment in parallel). The explode is bounded by
+    * duration/frameMs per row; output is segment-sized, not
+    * frame-sized. Output: `media_id, start_ms, end_ms (half-open),
+    * n_frames`.
+    */
+  def audioSegments(
+      media: DataFrame,
+      frameMs: Long = 1000L,
+      threshold: Int = 128): DataFrame = {
+    require(frameMs >= 1, "frameMs must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val frames = media
+      .filter(col("kind") === "audio")
+      .select(
+        col("media_id"),
+        explode(sequence(
+          lit(0L),
+          floor((col("meta.duration_ms") - 1) / frameMs).cast("long")))
+          .as("frame"))
+    val energy = conv(
+      substring(
+        md5(concat_ws(":",
+          col("media_id").cast("string"), col("frame").cast("string"),
+          lit("m7"))),
+        1, 2),
+      16, 10).cast("int")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    frames
+      .withColumn("energy", energy)
+      .filter(col("energy") >= threshold)
+      .withColumn("island", col("frame") - row_number().over(w))
+      .groupBy(col("media_id"), col("island"))
+      .agg(
+        (min(col("frame")) * frameMs).as("start_ms"),
+        (max(col("frame")) * frameMs + frameMs).as("end_ms"),
+        count(lit(1)).as("n_frames"))
+      .select(
+        col("media_id"), col("start_ms"), col("end_ms"), col("n_frames"))
+  }
+
   /** INTERLEAVED multimodal SEQUENCE PACKING — the manifest step that
     * turns a cleaned image-text corpus into fixed-budget training
     * sequences when documents carry images as well as text (the

@@ -178,6 +178,58 @@ class AsofNearestSpec extends AnyFunSuite {
   }
 }
 
+/** m7 audio segmentation: independent driver-side run-grouping over
+  * the same active frames must reproduce every segment; threshold
+  * edges (0 ⇒ one wall-to-wall segment per clip, 256 ⇒ none).
+  */
+class AudioSegmentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private def media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+
+  test("segments == independently grouped active-frame runs") {
+    val segs = Multimodal.audioSegments(media, frameMs = 1000L, threshold = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // recompute active frames with the operator's published energy rule,
+    // then group runs IN THE DRIVER (textbook two-pointer, no windows)
+    val active = media.filter(col("kind") === "audio")
+      .select(col("media_id"),
+        explode(sequence(lit(0L),
+          floor((col("meta.duration_ms") - 1) / 1000).cast("long")))
+          .as("frame"))
+      .withColumn("e", conv(substring(md5(concat_ws(":",
+        col("media_id").cast("string"), col("frame").cast("string"),
+        lit("m7"))), 1, 2), 16, 10).cast("int"))
+      .filter(col("e") >= 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = active.groupBy(_._1).flatMap { case (id, rows) =>
+      val fs = rows.map(_._2).sorted
+      val runs = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      for (f <- fs) {
+        if (runs.nonEmpty && runs.last._2 == f - 1)
+          runs(runs.length - 1) = (runs.last._1, f)
+        else runs += ((f, f))
+      }
+      runs.map { case (a, b) => (id, a * 1000L, b * 1000L + 1000L, b - a + 1) }
+    }.toSet
+    assert(segs == expect)
+  }
+
+  test("threshold edges: 0 gives wall-to-wall segments, 256 gives none") {
+    val all = Multimodal.audioSegments(media, threshold = 0)
+    val durs = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("meta.duration_ms")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = all.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == durs.size) // one segment per clip
+    got.foreach { case (id, s, e) =>
+      assert(s == 0L && e == (((durs(id) - 1) / 1000) + 1) * 1000)
+    }
+    assert(Multimodal.audioSegments(media, threshold = 256).count() == 0)
+  }
+}
+
 /** g55 Monte-Carlo PPR: fixed (deterministic-walk) error vs the exact
   * personalized loop, endpoint-mass conservation, sink absorption.
   */

@@ -178,6 +178,86 @@ class AsofNearestSpec extends AnyFunSuite {
   }
 }
 
+/** Generative invariants for the round's projections (the PropertySpec
+  * discipline — seeded Random, no flaky reruns): URL canonicalization
+  * is an idempotent normal form with the advertised absences; packing
+  * conserves documents and token mass under any random corpus.
+  */
+class UrlCanonPropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("canonical form is idempotent, clean, and sorted (300 random URLs)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(57L)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS", "Https")
+    val hosts = Seq("a.Example.COM", "b.example.com", "WWW.SITE.ORG")
+    val ports = Seq("", ":443", ":80", ":8080")
+    val paths = Seq("", "/", "/a", "/a/b", "/a/b/")
+    val frags = Seq("", "#x", "#sec2")
+    val params = Seq("id=1", "utm_source=x", "ref=home", "b=2", "a=3",
+      "gclid=z", "fbclid=f")
+    val urls = (1 to 300).map { _ =>
+      val q = rnd.shuffle(params).take(rnd.nextInt(params.size + 1))
+      schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + ports(rnd.nextInt(ports.size)) +
+        paths(rnd.nextInt(paths.size)) +
+        (if (q.nonEmpty) "?" + q.mkString("&") else "") +
+        frags(rnd.nextInt(frags.size))
+    }
+    def canonAll(in: Seq[String]): Seq[String] =
+      in.toDF("url")
+        .select(graft.operators.TextOps.canonicalizeUrl(col("url")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+    val once = canonAll(urls)
+    // idempotence: the canonical form is a fixed point
+    assert(canonAll(once) == once)
+    once.foreach { c =>
+      assert(!c.contains("#"), c)
+      // no DEFAULT port survives (https:443 / http:80); non-default
+      // ports (https:80, :8080) are kept by design
+      val hp = c.dropWhile(_ != '/').drop(2).takeWhile(x => x != '/' && x != '?')
+      if (c.startsWith("https://")) assert(!hp.endsWith(":443"), c)
+      if (c.startsWith("http://")) assert(!hp.endsWith(":80"), c)
+      assert(!c.contains("utm_") && !c.contains("ref=") &&
+        !c.contains("gclid=") && !c.contains("fbclid="), c)
+      val sh = c.takeWhile(_ != '?')
+      assert(sh == sh.toLowerCase, c) // scheme+host+path... host lowered
+      if (c.contains("?")) {
+        val ps = c.dropWhile(_ != '?').drop(1).split("&").toSeq
+        assert(ps == ps.sorted, c)
+      }
+    }
+  }
+}
+
+class PackConservationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("packing conserves docs, images and token mass (6 random corpora)") {
+    val sp = spark
+    import sp.implicits._
+    (1L to 6L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 50).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(30))("w").mkString(" ")
+        (i.toLong, s"s${rnd.nextInt(3)}", words, rnd.nextInt(4).toLong)
+      }
+      val df = docs.toDF("doc_id", "source", "text", "n_img")
+      val budget = 8 + rnd.nextInt(64)
+      val imgTok = 1 + rnd.nextInt(20)
+      val packed = Multimodal.interleavedPack(df, col("n_img"), budget, imgTok)
+        .collect()
+      val expTokens = docs.map { case (_, _, t, img) =>
+        t.split("\\s+").length.toLong + imgTok * img
+      }.sum
+      assert(packed.map(_.getLong(2)).sum == docs.size) // n_docs
+      assert(packed.map(_.getLong(4)).sum == docs.map(_._4).sum) // images
+      assert(packed.map(_.getLong(5)).sum == expTokens, s"seed=$seed")
+    }
+  }
+}
+
 /** m7 audio segmentation: independent driver-side run-grouping over
   * the same active frames must reproduce every segment; threshold
   * edges (0 ⇒ one wall-to-wall segment per clip, 256 ⇒ none).

@@ -4451,6 +4451,27 @@ object SparkEntry {
 
     // ---- streaming operators (batch twins for the oracle gate; the
     // streaming forms themselves are locked by StreamingSpec) ----
+    "st21_late_audit" -> { (s, dir) =>
+      // LATE-EVENT WATERMARK AUDIT (the what-if table before choosing
+      // a delay): the events log is perfectly time-ordered, so
+      // arrival is simulated with a BOUNDED deterministic jitter
+      // (±1 h, 8-hex md5(event_id:st21) — the d38 fixture
+      // discipline), micro-batches are 1 h arrival windows (stateless
+      // projection, no global sort), and the exact between-batch
+      // watermark rule (prev-batch running max − 5 s, strict <,
+      // first batch unbounded) flags every would-be-dropped event —
+      // ~half the corpus at this jitter/delay, a non-degenerate gate.
+      val jitterUs = (pmod(
+        conv(
+          substring(
+            md5(concat(col("event_id").cast("string"), lit(":st21"))),
+            1, 8),
+          16, 10).cast("long"),
+        lit(7200001L)) - 3600000L) * 1000L
+      graft.streaming.EventStreams.lateEventAudit(
+        graft.sources.Tables.events(s, dir), delayMs = 5000L,
+        arrivalUs = unix_micros(col("ts")) + jitterUs)
+    },
     "st1_sessions" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(
         graft.sources.Tables.events(s, dir))),
@@ -7867,6 +7888,29 @@ object SparkEntry {
         |    AS frame_no
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "st1_sessions" -> gapSessionSql,
+    "st21_late_audit" ->
+      // same ±1 h md5 arrival jitter, same 1 h arrival batching, same
+      // between-batch watermark rule (prev running max − 5 s), same
+      // strict-< late gate
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    (epoch_us(ts)
+        |      + ((CAST(concat('0x', substr(md5(concat(
+        |          CAST(event_id AS VARCHAR), ':st21')), 1, 8)) AS BIGINT)
+        |          % 7200001) - 3600000) * 1000) // 3600000000 AS batch
+        |  FROM events),
+        |bm AS (SELECT batch, max(ts_us) AS bmax FROM ev GROUP BY 1),
+        |wm AS (
+        |  SELECT batch,
+        |    max(bmax) OVER (ORDER BY batch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - 5000000 AS wm_us
+        |  FROM bm)
+        |SELECT e.event_id, e.batch,
+        |  coalesce(w.wm_us, -1) AS wm_us,
+        |  CASE WHEN w.wm_us IS NOT NULL AND e.ts_us < w.wm_us
+        |    THEN 1 ELSE 0 END AS late
+        |FROM ev e JOIN wm w USING (batch)""".stripMargin,
     "st7_enrich" ->
       // left-outer so unmatched events survive with NULL enrichment;
       // tier thresholds identical to EventStreams.enrichEvents

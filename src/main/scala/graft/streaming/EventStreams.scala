@@ -759,4 +759,51 @@ object EventStreams {
       .select(
         col("user_id"), col("sw.start").as("start_ts"),
         col("n_events"), col("sum_value"))
+
+  /** LATE-EVENT WATERMARK AUDIT — the what-if table a team reads
+    * before choosing a watermark delay: replay the corpus through
+    * Structured Streaming's watermark rule under a caller-supplied
+    * ARRIVAL time (`arrivalUs` — event time itself for an in-order
+    * log; event time plus a bounded deterministic jitter to simulate
+    * out-of-order delivery, the registered query's md5 draw) and flag
+    * every event the chosen delay would drop. Micro-batches are
+    * `batchWindowUs`-wide arrival windows — a stateless projection,
+    * never a global arrival sort. Semantics mirror micro-batch
+    * watermarking exactly: the watermark seen by batch k is `max(event
+    * time over earlier batches) − delay` (watermarks advance BETWEEN
+    * micro-batches, never within one), an event is late iff its EVENT
+    * time is strictly below its batch's watermark, and the first batch
+    * has no watermark (nothing is late).
+    *
+    * 100 TB shape: one map-side-combined per-batch max, a running max
+    * over the BATCH-COUNT-sized frame (thousands of rows, not the
+    * corpus), broadcast back onto the events — the corpus itself never
+    * sorts globally. Output: `event_id, batch, wm_us (−1 for the first
+    * batch), late 0/1`.
+    */
+  def lateEventAudit(
+      events: DataFrame,
+      delayMs: Long,
+      arrivalUs: org.apache.spark.sql.Column,
+      batchWindowUs: Long = 3600000000L): DataFrame = {
+    require(delayMs >= 0 && batchWindowUs >= 1,
+      "delayMs >= 0, batchWindowUs >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(arrivalUs / batchWindowUs).cast("long").as("batch"))
+    val wmW = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = ev.groupBy(col("batch"))
+      .agg(max(col("ts_us")).as("bmax"))
+      .withColumn("wm_us", max(col("bmax")).over(wmW) - delayMs * 1000L)
+      .select(col("batch"), col("wm_us"))
+    ev.join(broadcast(wm), Seq("batch"))
+      .select(
+        col("event_id"), col("batch"),
+        coalesce(col("wm_us"), lit(-1L)).as("wm_us"),
+        when(col("wm_us").isNotNull && col("ts_us") < col("wm_us"), 1)
+          .otherwise(0).as("late"))
+  }
 }

@@ -258,6 +258,39 @@ class PackConservationSpec extends AnyFunSuite {
   }
 }
 
+/** st21 late-event audit: the micro-batch watermark rule hand-checked
+  * — batch 0 unbounded, watermark = prev-batch running max − delay,
+  * strict < gate.
+  */
+class LateAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("between-batch watermark advances on running max; first batch free") {
+    val sp = spark
+    import sp.implicits._
+    // (event time, arrival time): arrival windows of 10 make batches
+    // {0,1}, {2}, {3,4,5}; watermark = prev batches' max EVENT time
+    val df = Seq(
+      (0L, 10L, 5L), (1L, 5L, 7L),   // batch 0
+      (2L, 3L, 15L), (3L, 12L, 17L), // batch 1, wm = 10
+      (4L, 11L, 25L), (5L, 12L, 22L)) // batch 2, wm = max(10,12) = 12
+      .toDF("event_id", "us", "arr")
+      .select(
+        col("event_id"), timestamp_micros(col("us")).as("ts"), col("arr"))
+    val got = graft.streaming.EventStreams
+      .lateEventAudit(df, delayMs = 0L, arrivalUs = col("arr"),
+        batchWindowUs = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got == Map(
+      0L -> ((-1L, 0)), 1L -> ((-1L, 0)), // first batch: no watermark
+      2L -> ((10L, 1)),                   // event time 3 < wm 10 -> late
+      3L -> ((10L, 0)),                   // 12 >= 10
+      4L -> ((12L, 1)),                   // wm advanced to 12; 11 < 12
+      5L -> ((12L, 0))))                  // equal is NOT late (strict <)
+  }
+}
+
 /** m7 audio segmentation: independent driver-side run-grouping over
   * the same active frames must reproduce every segment; threshold
   * edges (0 ⇒ one wall-to-wall segment per clip, 256 ⇒ none).

@@ -579,12 +579,16 @@ object SparkEntry {
        |  FROM asg GROUP BY 1, 2)""".stripMargin
 
   private val chunkFinalSql: String =
+    // overlap by chunk ORDER (lag), not id−1: oversized segments make
+    // chunk ids skip integers and the prefix must survive the gap —
+    // mirrors the engine's lag window exactly. (No line here may start
+    // with '|': p9 embeds this text inside a second stripMargin.)
     """
-      |SELECT c.doc_id, c.chunk_id, c.n_segments, c.n_tokens,
-      |  CASE WHEN p.last_seg IS NOT NULL
-      |       THEN p.last_seg || ' ' || c.body ELSE c.body END AS chunk_text
-      |FROM ch c LEFT JOIN ch p
-      |  ON p.doc_id = c.doc_id AND p.chunk_id = c.chunk_id - 1""".stripMargin
+      |SELECT doc_id, chunk_id, n_segments, n_tokens,
+      |  CASE WHEN lag(last_seg) OVER w IS NOT NULL
+      |       THEN lag(last_seg) OVER w || ' ' || body
+      |       ELSE body END AS chunk_text
+      |FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id)""".stripMargin
 
   /** The deterministic SENTENCIZER fixture shared by d55 and p9 (the
     * synthetic corpus has no punctuation): a period lands after token

@@ -241,7 +241,19 @@ object Louvain {
     */
   private[graft] def louvainFrames(
       wedges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
-    val we = wedges.select(col("u"), col("v"), col("w").cast("long").as("w"))
+    // gains are exact 64-bit integers (see the object Scaladoc), so
+    // weights must be integral — fail loudly instead of silently
+    // truncating a fractional weight (all-sub-1 weights would collapse
+    // to m = 0 with a misleading "empty graph")
+    val we = wedges.select(col("u"), col("v"),
+      when(col("w").cast("long").cast(wedges.schema("w").dataType)
+        === col("w"), col("w").cast("long"))
+        .otherwise(raise_error(concat(
+          lit("Louvain requires integral edge weights (exact integer "),
+          lit("gain algebra); got fractional w="),
+          col("w").cast("string"),
+          lit(" — rescale weights to integers first"))).cast("long"))
+        .as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val und = we.filter(col("u") =!= col("v"))
       .select(col("u").as("vtx"), col("v").as("nbr"), col("w"))

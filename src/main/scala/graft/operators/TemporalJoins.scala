@@ -60,6 +60,14 @@ object TemporalJoins {
       clash.isEmpty,
       s"payload columns [${clash.mkString(", ")}] collide with left-side " +
         "columns — rename one side before joining")
+    // same internal-name defense as [[asofJoinNearest]]
+    val reservedA = (leftCols ++ right.columns).toSet
+      .intersect(Set("_p", "_t", "_tag"))
+    require(
+      reservedA.isEmpty,
+      s"columns [${reservedA.toSeq.sorted.mkString(", ")}] collide with " +
+        "asofJoin's internal working names (_p, _t, _tag) — rename them " +
+        "before joining")
 
     // tag 0 sorts before tag 1 at equal timestamps, so a quote exactly at
     // the probe instant is visible to it (inclusive semantics).
@@ -121,6 +129,20 @@ object TemporalJoins {
       clash.isEmpty,
       s"payload columns [${clash.mkString(", ")}] collide with left-side " +
         "columns — rename one side before joining")
+    // internal working names: _qt rides inside the payload struct, and
+    // _p/_t/_tag are the union frame's columns — a user column with one
+    // of these names would silently corrupt the join, so reject loudly
+    require(
+      !payload.contains("_qt"),
+      "payload column _qt collides with the internal quote-ts struct " +
+        "field — rename it before joining")
+    val reserved = (leftCols ++ right.columns).toSet
+      .intersect(Set("_p", "_t", "_tag"))
+    require(
+      reserved.isEmpty,
+      s"columns [${reserved.toSeq.sorted.mkString(", ")}] collide with " +
+        "asofJoinNearest's internal working names (_p, _t, _tag) — " +
+        "rename them before joining")
 
     val extra = leftCols.filterNot(c => c == key || c == leftTs)
     // quote timestamp rides INSIDE the struct so the distance compare

@@ -567,12 +567,14 @@ object TextOps {
     * the budget owns its chunk whole — never split mid-sentence. Each
     * chunk after the first is prefixed with the PREVIOUS chunk's last
     * segment (1-segment overlap, the context-stitching RAG retrievers
-    * rely on).
+    * rely on) — "previous" by chunk ORDER, not by id−1: an oversized
+    * segment makes chunk ids skip integers (`floor(cum/budget)` jumps),
+    * and the chunk after the gap still gets its predecessor's tail.
     *
     * Scale shape: one posexplode of the segment stream, ONE window per
     * document (cumulative token offsets — documents chunk in
     * parallel, the d19 argument), one (doc, chunk) hash aggregate, and
-    * a |chunks|-sized self-join for the overlap prefix. Output:
+    * a chunk-count-sized lag window for the overlap prefix. Output:
     * `doc_id, chunk_id, n_segments, n_tokens, chunk_text` (n_* count
     * the chunk's OWN segments, excluding the overlap prefix).
     */
@@ -612,19 +614,17 @@ object TextOps {
             array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
             s => s.getField("seg"))).as("body"),
         max_by(col("seg"), col("seg_idx")).as("last_seg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = chunks
-      .join(
-        chunks.select(
-          col("doc_id"), (col("chunk_id") + 1).as("chunk_id"),
-          col("last_seg").as("overlap_seg")),
-        Seq("doc_id", "chunk_id"), "left_outer")
+    // overlap = the PRECEDING chunk's tail by chunk order (lag, not an
+    // id−1 self-join): oversized segments make chunk ids skip integers,
+    // and the chunk after the gap must still get its predecessor's tail
+    val wc = Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+    chunks
+      .withColumn("overlap_seg", lag(col("last_seg"), 1).over(wc))
       .select(
         col("doc_id"), col("chunk_id"), col("n_segments"), col("n_tokens"),
         when(col("overlap_seg").isNotNull,
           concat(col("overlap_seg"), lit(" "), col("body")))
           .otherwise(col("body")).as("chunk_text"))
-    CacheScope.sealAfter(out, chunks)
   }
 
   /** Cross-document boilerplate ratio (the CCNet/C4-style corpus-level

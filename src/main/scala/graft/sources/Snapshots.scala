@@ -43,11 +43,16 @@ object Snapshots {
   /** `VERSION AS OF asOf`: scan exactly the committed batches with
     * `version <= asOf`. Fails loudly when nothing is committed at or
     * before `asOf` (an empty table is a caller bug, not an empty scan).
+    * Paths are DEDUPLICATED before the scan: a committer that crashed
+    * after the manifest append and retried the whole commit leaves two
+    * manifest rows pointing at the same (idempotently overwritten) data
+    * dir — double-scanning it would silently duplicate every row of
+    * that version.
     */
   def readVersion(spark: SparkSession, root: String, asOf: Int): DataFrame = {
     val paths = spark.read.parquet(s"$root/manifest")
       .filter(col("version") <= asOf)
-      .select(col("path")).collect().map(_.getString(0)).sorted
+      .select(col("path")).collect().map(_.getString(0)).distinct.sorted
     require(
       paths.nonEmpty,
       s"no committed version <= $asOf under $root")

@@ -38,6 +38,18 @@ class ChunkStructuredSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, 1L, 10L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")))
   }
 
+  test("overlap prefix survives the chunk-id gap an oversized segment makes") {
+    // segments: "a b"(2), "c1..c10"(10), "z"(1) at offsets 0, 2, 12 and
+    // budget 4 → chunk ids 0, 0, 3: the oversized segment jumps the id
+    // from 0 straight to 3. The chunk AFTER the gap must still carry its
+    // predecessor's last segment (lag by order, not an id−1 join).
+    val got = rowsOf(TextOps.chunkStructured(
+      docs(1L -> "a b. c1 c2 c3 c4 c5 c6 c7 c8 c9 c10. z"), budget = 4))
+    assert(got == Seq(
+      (1L, 0L, 2L, 12L, "a b c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (1L, 3L, 1L, 1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 z")))
+  }
+
   test("exact-budget segment closes its chunk; empty docs drop") {
     val got = rowsOf(TextOps.chunkStructured(
       docs(1L -> "a b c d. e f", 2L -> "   "), budget = 4))

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Louvain, TemporalJoins}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 advice hardening: the retried-commit manifest dedup, the
+  * Louvain integral-weight contract, and the as-of internal-name
+  * defenses.
+  */
+class SnapshotRetrySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("snapr").toString
+    try f(root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("a retried commit (duplicate manifest row) does not double-read") {
+    val sp = spark
+    import sp.implicits._
+    withRoot { root =>
+      graft.sources.Snapshots.commit(Seq(1L, 2L).toDF("k"), root, 1)
+      // the retry window the Scaladoc discusses: the committer crashed
+      // AFTER the manifest append and replayed the whole commit — data
+      // dir idempotently overwritten, manifest now holds TWO rows for
+      // version 1 pointing at the same path
+      graft.sources.Snapshots.commit(Seq(1L, 2L).toDF("k"), root, 1)
+      val got = graft.sources.Snapshots.readVersion(spark, root, asOf = 1)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L), "duplicate manifest path must scan once")
+    }
+  }
+}
+
+class LouvainWeightContractSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("fractional weights fail loudly, not silently truncate to m=0") {
+    val sp = spark
+    import sp.implicits._
+    val frac = Seq((0L, 1L, 0.5), (1L, 2L, 0.25)).toDF("u", "v", "w")
+    val ex = intercept[Exception] {
+      Louvain.moveRoundsWeighted(frac, 1).collect()
+    }
+    assert(ex.getMessage.contains("integral edge weights"),
+      s"expected the integral-weight error, got: ${ex.getMessage}")
+  }
+
+  test("integral double weights pass the guard and run") {
+    val sp = spark
+    import sp.implicits._
+    // two triangles joined by a bridge, weights 2.0 (integral doubles)
+    val w = Seq((0L, 1L, 2.0), (1L, 2L, 2.0), (0L, 2L, 2.0),
+      (3L, 4L, 2.0), (4L, 5L, 2.0), (3L, 5L, 2.0), (2L, 3L, 2.0))
+      .toDF("u", "v", "w")
+    val labels = Louvain.moveRoundsWeighted(w, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doubling every weight rescales m and every k uniformly — the
+    // trajectory matches the w=1 run: two communities, one per triangle
+    assert(labels.values.toSet.size == 2)
+    assert(Set(0L, 1L, 2L).map(labels) != Set(3L, 4L, 5L).map(labels))
+  }
+}
+
+class AsofReservedNamesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("asofJoinNearest rejects _qt payload and _p/_t/_tag columns") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "pt")
+    val right = Seq((1L, 5L, "a")).toDF("k", "qt", "v")
+    val exQt = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNearest(
+        left, right.withColumnRenamed("v", "_qt"),
+        "k", "pt", "qt", payload = Seq("_qt"))
+    }
+    assert(exQt.getMessage.contains("_qt"))
+    val exTag = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNearest(
+        left.withColumnRenamed("pt", "_tag").withColumn("pt", lit(1L)),
+        right, "k", "pt", "qt", payload = Seq("v"))
+    }
+    assert(exTag.getMessage.contains("_tag"))
+    val exRight = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNearest(
+        left, right.withColumn("_p", lit(1)),
+        "k", "pt", "qt", payload = Seq("v"))
+    }
+    assert(exRight.getMessage.contains("_p"))
+  }
+
+  test("asofJoin rejects _p/_t/_tag on either side") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "pt")
+    val right = Seq((1L, 5L, "a")).toDF("k", "qt", "v")
+    val ex = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(
+        left.withColumn("_t", lit(0)), right,
+        "k", "pt", "qt", payload = Seq("v"))
+    }
+    assert(ex.getMessage.contains("_t"))
+  }
+}

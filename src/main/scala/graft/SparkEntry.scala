@@ -896,7 +896,7 @@ object SparkEntry {
     * products (all-ones init), so the engines agree exactly until the
     * one final L1 division.
     */
-  private def hitsSql(k: Int): String = {
+  private def hitsCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH edges AS MATERIALIZED (${EdgeListReader.fromOrdersSql}),
@@ -911,15 +911,61 @@ object SparkEntry {
         |  SELECT e.src AS id, sum(a.a) AS h
         |  FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY 1)""".stripMargin)
     }
-    sb.append(s""",
+    sb.toString
+  }
+
+  private def hitsSql(k: Int): String =
+    hitsCtes(k) + s""",
       |sa AS (SELECT sum(a) AS s FROM a$k),
       |sh AS (SELECT sum(h) AS s FROM h$k)
       |SELECT v.id,
       |  round(coalesce(a.a, 0) / (SELECT s FROM sa), 9) AS auth_r,
       |  round(coalesce(h.h, 0) / (SELECT s FROM sh), 9) AS hub_r
       |FROM verts v LEFT JOIN a$k a USING (id)
-      |LEFT JOIN h$k h USING (id)""".stripMargin)
-    sb.toString
+      |LEFT JOIN h$k h USING (id)""".stripMargin
+
+  /** Oracle for g24b: [[hitsSql]]'s unroll to `maxK` plus a REPLAY of
+    * the engine's stopping rule (the [[pageRankConvergedSql]]
+    * discipline): per iteration the normalized-hub L1 delta
+    * Σ|h_i/Σh_i − h_{i-1}/Σh_{i-1}| (ĥ_0 = 1/N uniform), chosen = the
+    * first i ≥ minIter with delta ≤ tol (else maxK), output = the
+    * normalized scores at the chosen iteration. The tol sits ≥3× away
+    * from both neighbouring deltas on this fixture (measured 7.0e-7 at
+    * i=4 vs 1.7e-8 at i=5 against tol 5e-8), so cross-engine
+    * accumulation-order noise (~1e-15 relative) cannot flip the stop.
+    */
+  private def hitsConvergedSql(maxK: Int, tol: Double, minIter: Int): String = {
+    val deltas = (1 to maxK).map { i =>
+      s"""SELECT $i AS i,
+         |  (SELECT sum(abs(
+         |     coalesce(a.h, 0) / (SELECT sum(h) FROM h$i)
+         |     - coalesce(b.h, 0) / (SELECT sum(h) FROM h${i - 1})))
+         |   FROM h$i a FULL JOIN h${i - 1} b USING (id)) AS d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val alla = (1 to maxK)
+      .map(i => s"SELECT $i AS i, id, a FROM a$i").mkString("\nUNION ALL\n")
+    val allh = (1 to maxK)
+      .map(i => s"SELECT $i AS i, id, h FROM h$i").mkString("\nUNION ALL\n")
+    hitsCtes(maxK) + s""",
+      |deltas AS MATERIALIZED (
+      |$deltas
+      |), chosen AS (
+      |  SELECT coalesce(min(i), $maxK) AS it FROM deltas
+      |  WHERE i >= $minIter AND d <= $tol
+      |), alla AS (
+      |$alla
+      |), allh AS (
+      |$allh
+      |), sca AS (SELECT sum(a) AS s FROM alla
+      |           WHERE i = (SELECT it FROM chosen)),
+      |sch AS (SELECT sum(h) AS s FROM allh
+      |        WHERE i = (SELECT it FROM chosen))
+      |SELECT v.id,
+      |  round(coalesce(a.a, 0) / (SELECT s FROM sca), 9) AS auth_r,
+      |  round(coalesce(h.h, 0) / (SELECT s FROM sch), 9) AS hub_r
+      |FROM verts v
+      |LEFT JOIN alla a ON a.id = v.id AND a.i = (SELECT it FROM chosen)
+      |LEFT JOIN allh h ON h.id = v.id AND h.i = (SELECT it FROM chosen)""".stripMargin
   }
 
   /** Oracle for g26: unrolled batched multi-seed PPR — the seed rides
@@ -2845,6 +2891,20 @@ object SparkEntry {
           col("id"),
           round(col("auth"), 9).as("auth_r"),
           round(col("hub"), 9).as("hub_r"))),
+    "g24b_hits_converged" -> ((s, dir) =>
+      // g24's CONVERGED twin — normalized-hub L1 delta ≤ 5e-8 with the
+      // g6 minIter guard; stops at iteration 5 of maxK=8 on this
+      // fixture (deltas shrink ~23× per step: 7.0e-7 at 4, 1.7e-8 at
+      // 5 — both ≥3× from the threshold, so accumulation-order noise
+      // cannot flip the stop). The oracle unrolls to 8 and REPLAYS the
+      // rule (the g6b discipline), selecting iteration 5's scores.
+      Hits.runConverged(
+        EdgeListReader.fromOrdersCached(s, dir),
+        maxK = 8, tol = 5e-8, minIter = 2)._1
+        .select(
+          col("id"),
+          round(col("auth"), 9).as("auth_r"),
+          round(col("hub"), 9).as("hub_r"))),
     "g23_sssp_k4" -> { (s, dir) =>
       // weighted single-source shortest paths: 4 Bellman–Ford rounds on
       // the SYMMETRIZED co-occurrence graph (the raw cust→supp graph is
@@ -2857,6 +2917,21 @@ object SparkEntry {
         w.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       val seed = sym.agg(min(col("src")).as("id"))
       ShortestPaths.run(sym, seed, rounds = 4)
+        .select(col("id"), round(col("dist"), 9).as("dist_r"))
+    },
+    "g23b_sssp_converged" -> { (s, dir) =>
+      // g23's CONVERGED twin — stop when a relaxation round improves
+      // zero distances (the O14/O16 early-stop the fixed form lacks; a
+      // user doesn't know the graph's hop diameter). Stops at round 4
+      // on this fixture (round 4 is the proving no-op); distances are a
+      // monotone fixpoint, so the 6-round unrolled oracle replays them
+      // exactly (the g22b/g25b argument — Wave12 pins converged ≡ fixed
+      // past the stop, and that maxRounds cuts honestly before it).
+      val w = EdgeListReader.fromOrdersWeighted(s, dir)
+      val sym = w.union(
+        w.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seed = sym.agg(min(col("src")).as("id"))
+      ShortestPaths.runConverged(sym, seed, maxRounds = 60)._1
         .select(col("id"), round(col("dist"), 9).as("dist_r"))
     },
     "g18_hub_salt32" -> { (s, dir) =>
@@ -6077,7 +6152,12 @@ object SparkEntry {
         "SELECT id AS word, round(rank, 9) AS rank_r FROM r4"),
     "g22_lpa_k3" -> lpaSql(3),
     "g23_sssp_k4" -> ssspSql(4),
+    "g23b_sssp_converged" ->
+      // converged ≡ fixed for any unroll ≥ the stop depth (4 on this
+      // fixture): post-stop rounds are no-ops of the monotone fixpoint
+      ssspSql(6),
     "g24_hits_k4" -> hitsSql(4),
+    "g24b_hits_converged" -> hitsConvergedSql(maxK = 8, tol = 5e-8, minIter = 2),
     "g25_kcore" -> kCoreSql(k = 4, rounds = 6),
     // converged run: fixed-round unroll at ≥ the fixture's peel depth
     // (monotone peeling ⇒ identical result) — the oracle never learns

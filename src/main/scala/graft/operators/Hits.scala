@@ -76,6 +76,88 @@ object Hits {
     CacheScope.sealAfter(out, eSrc, eDst, verts, araw, h)
   }
 
+  /** [[run]] TO CONVERGENCE on a NORMALIZED-score L1 delta — the
+    * O14/O16 early-stop discipline for the last fixed-round loop that
+    * lacked one. Raw scores grow without bound (normalization is
+    * deferred), so the stopping rule compares what the caller actually
+    * consumes: per iteration, Σ_v |ĥ_i(v) − ĥ_{i-1}(v)| where
+    * ĥ = h/Σh (ĥ_0 = 1/N uniform — the normalized all-ones init); stop
+    * when the delta ≤ `tol` AND `i ≥ minIter` (the g6 guard against a
+    * deceptively-quiet first step), else cap at `maxK`. The fixed-round
+    * form stays action-free per round; this twin pays ONE driver action
+    * per round (a single aggregate emitting the round's Σh and delta
+    * together), exactly the per-round scalar class of the PageRank
+    * loop. The returned scores at stop depth n are identical to
+    * [[run]](edges, n) — which is how the g24b oracle replays the rule:
+    * unroll to maxK, recompute every delta, select the chosen
+    * iteration. `tol` must be chosen with numeric margin: deltas are
+    * double sums whose accumulation order differs across engines
+    * (the g6b discipline — pick a threshold with wide gaps to the
+    * neighbouring iterations' deltas).
+    * @return (scores as in [[run]], iterations actually run)
+    */
+  def runConverged(
+      edgesRaw: DataFrame,
+      maxK: Int,
+      tol: Double,
+      minIter: Int = 2): (DataFrame, Int) = {
+    require(maxK >= 1, "maxK must be >= 1")
+    require(minIter >= 1 && minIter <= maxK, "need 1 <= minIter <= maxK")
+    val e = edgesRaw.select(col("src"), col("dst")).dropDuplicates()
+    val eSrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphBuilder.vertices(e)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var h = verts.select(col("id"), lit(1.0).as("h"))
+      .transform(CacheScope.rotate)
+    var prevSh = verts.count().toDouble // Σh_0 = N
+    var araw: DataFrame = null
+    var prevH: DataFrame = h
+    var prevAr: DataFrame = null
+    var iters = 0
+    var stop = false
+    while (iters < maxK && !stop) {
+      val ar = authGather(eSrc, h).transform(CacheScope.rotate)
+      val next = hubGather(eDst, ar).transform(CacheScope.rotate)
+      iters += 1
+      // one action per round: Σh_i and the normalized delta together
+      // (the 1-row Σh frame rides the plan via crossJoin — no second
+      // job). full_outer: support(h_i) excludes outdeg-0 vertices the
+      // init covered, and both coalesce to 0 in the diff.
+      val shF = next.agg(sum(col("h")).as("sh"))
+      val row = next.withColumnRenamed("h", "hn")
+        .join(prevH.withColumnRenamed("h", "hp"), Seq("id"), "full_outer")
+        .crossJoin(shF)
+        .agg(
+          sum(abs(
+            coalesce(col("hn"), lit(0.0)) / col("sh") -
+              coalesce(col("hp"), lit(0.0)) / lit(prevSh))).as("delta"),
+          first(col("sh")).as("sh"))
+        .first()
+      val delta = row.getDouble(0)
+      prevSh = row.getDouble(1)
+      if (iters >= minIter && delta <= tol) stop = true
+      if (prevAr != null) prevAr.unpersist(false)
+      prevH.unpersist(false)
+      prevH = next
+      prevAr = ar
+      h = next
+      araw = ar
+    }
+    val sa = araw.agg(sum(col("a")).as("sa"))
+    val sh = h.agg(sum(col("h")).as("sh"))
+    val out = verts
+      .join(araw.withColumnRenamed("a", "araw"), Seq("id"), "left_outer")
+      .join(h.withColumnRenamed("h", "hraw"), Seq("id"), "left_outer")
+      .crossJoin(sa)
+      .crossJoin(sh)
+      .select(
+        col("id"),
+        (coalesce(col("araw"), lit(0.0)) / col("sa")).as("auth"),
+        (coalesce(col("hraw"), lit(0.0)) / col("sh")).as("hub"))
+    (CacheScope.sealAfter(out, eSrc, eDst, verts, araw, h), iters)
+  }
+
   /** The two pre-partitioned persisted edge copies the loop gathers
     * over — exposed for the PlanSpec exchange audit.
     */

@@ -61,6 +61,62 @@ object ShortestPaths {
     dist
   }
 
+  /** [[run]] TO CONVERGENCE — stop when a relaxation round improves
+    * ZERO distances (no new vertex reached, no distance lowered): the
+    * O14/O16 early-stop discipline the fixed-round form leaves to the
+    * caller. Distances are monotone non-increasing and the reached set
+    * monotone non-decreasing, so a zero-improvement round is a fixpoint
+    * of the deterministic update — every later round no-ops, which is
+    * why the converged result equals [[run]] for ANY `rounds` ≥ the
+    * stop depth (the g22b/g25b oracle argument; the g23b differential
+    * pins it). The stability check is one count per round over the
+    * |reached|-sized state (prev joined back on the co-partitioned id),
+    * the same per-round driver-scalar class as the PageRank loop's
+    * convergence sum. Bounded by `maxRounds` — with positive weights
+    * true convergence needs at most |V|−1 rounds.
+    * @return (distances as in [[run]], rounds actually run — the last
+    *   being the no-op round that proved stability, unless `maxRounds`
+    *   cut the loop first)
+    */
+  def runConverged(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = edges
+      .select(col("src").as("id"), col("dst"), col("w").cast("double").as("w"))
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("id"), lit(0.0).as("dist"))
+      .transform(CacheScope.rotate)
+    var prevCp: DataFrame = dist
+    var rounds = 0
+    var stable = false
+    while (rounds < maxRounds && !stable) {
+      val relaxed = dist
+        .join(e, Seq("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist
+        .union(relaxed)
+        .groupBy(col("id"))
+        .agg(min(col("dist")).as("dist"))
+        .transform(CacheScope.rotate)
+      rounds += 1
+      // improved = newly reached OR strictly lowered; min over doubles
+      // is exact (no accumulation), so zero-improved is a crisp fixpoint
+      val improved = next
+        .join(dist.withColumnRenamed("dist", "prev"), Seq("id"), "left_outer")
+        .filter(col("prev").isNull || col("dist") < col("prev"))
+        .count()
+      if (improved == 0L) stable = true
+      prevCp.unpersist(false)
+      prevCp = next
+      dist = next
+    }
+    e.unpersist(false)
+    (dist, rounds)
+  }
+
   /** BATCHED multi-source min-hop BFS: hop distances from EVERY seed in
     * ONE loop over the edge set — the sparse `(seed, id, dist)` state
     * pattern ([[MultiPpr]]'s batching) applied to reachability. The

@@ -70,6 +70,86 @@ class LouvainWeightContractSpec extends AnyFunSuite {
   }
 }
 
+/** g23b/g24b: the converged twins equal their fixed-round forms at/past
+  * the stop depth, the stop itself is honest (earlier rounds differ),
+  * and maxRounds caps the loop.
+  */
+class ConvergedTwinsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def weightedPath: org.apache.spark.sql.DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    // 0→1→2→3→4 path (so convergence needs exactly 4 relaxations) plus
+    // a costly shortcut 0→4 that an early round takes and a later round
+    // must IMPROVE — distances keep changing until the true fixpoint
+    Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (0L, 4L, 10.0)).toDF("src", "dst", "w")
+  }
+
+  private def dists(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("sssp converged ≡ fixed past the stop; earlier rounds differ") {
+    val sp = spark
+    import sp.implicits._
+    val seeds = Seq(0L).toDF("id")
+    val (conv, n) = graft.operators.ShortestPaths
+      .runConverged(weightedPath, seeds, maxRounds = 20)
+    // rounds 1..4 improve something; round 5 proves stability
+    assert(n == 5, s"expected stop at round 5 (4 improving + proof), got $n")
+    val fix4 = dists(graft.operators.ShortestPaths.run(weightedPath, seeds, 4))
+    val fix9 = dists(graft.operators.ShortestPaths.run(weightedPath, seeds, 9))
+    assert(dists(conv) == fix4 && fix4 == fix9)
+    assert(fix4(4L) == 4.0, "the shortcut must be improved away")
+    // an unroll BEFORE the stop disagrees — the stop is not vacuous
+    val fix2 = dists(graft.operators.ShortestPaths.run(weightedPath, seeds, 2))
+    assert(fix2 != fix4 && fix2(4L) == 10.0)
+  }
+
+  test("sssp maxRounds caps the loop honestly") {
+    val sp = spark
+    import sp.implicits._
+    val seeds = Seq(0L).toDF("id")
+    val (capped, n) = graft.operators.ShortestPaths
+      .runConverged(weightedPath, seeds, maxRounds = 2)
+    assert(n == 2)
+    assert(dists(capped) ==
+      dists(graft.operators.ShortestPaths.run(weightedPath, seeds, 2)))
+  }
+
+  test("hits converged scores ≡ fixed run at the reported stop depth") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 60, 180, "g24b")
+    val (conv, n) = graft.operators.Hits.runConverged(
+      e, maxK = 12, tol = 1e-9, minIter = 2)
+    assert(n >= 2 && n <= 12)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val fixed = scores(graft.operators.Hits.run(e, n))
+    val got = scores(conv)
+    assert(got.keySet == fixed.keySet)
+    got.foreach { case (id, (a, h)) =>
+      assert(math.abs(a - fixed(id)._1) < 1e-12 &&
+        math.abs(h - fixed(id)._2) < 1e-12, s"id $id diverges")
+    }
+    // the stop is real: one iteration earlier the delta was above tol,
+    // i.e. the scores at n-1 differ from n by more than tol in L1
+    val prev = scores(graft.operators.Hits.run(e, n - 1))
+    val l1 = got.keySet.map(id =>
+      math.abs(got(id)._2 - prev(id)._2)).sum
+    assert(l1 > 1e-9, s"stop at $n must be the FIRST quiet iteration")
+  }
+
+  test("hits minIter guard defers a deceptively-quiet early stop") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 60, 180, "g24b")
+    // a huge tol would stop at iteration 1; the guard forces minIter
+    val (_, n) = graft.operators.Hits.runConverged(
+      e, maxK = 6, tol = 1e9, minIter = 4)
+    assert(n == 4)
+  }
+}
+
 class AsofReservedNamesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -467,6 +467,55 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Generic L-level fixed-unroll Louvain oracle (the g52c lock):
+    * level i runs [[louvainRoundsSql]]'s `rounds` gain rounds on we{i},
+    * we{i+1} contracts by level i's final labels, and the projection
+    * chain folds every level's labels back to the original vertices.
+    * Equals the engine's SELF-STOPPED [[graft.operators.Louvain
+    * .multilevelConverged]] run at the same per-level budget for any
+    * `levels` ≥ the observed stop level: capped levels run exactly
+    * `rounds` in both, stabilized levels no-op their tail rounds
+    * (fixpoint), post-stop levels replay identity (see the engine
+    * Scaladoc's oracle contract). Caller supplies the graph CTEs
+    * ending in `ue(u, v)`; the first weighted graph is all-1 weights.
+    */
+  private def louvainMultilevelSql(levels: Int, rounds: Int): String = {
+    require(levels >= 1 && levels <= 26)
+    val names = (0 until levels).map(i => ('A' + i).toChar.toString)
+    val sb = new StringBuilder
+    sb ++=
+      s"""weA AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue),
+         |""".stripMargin
+    sb ++= louvainRoundsSql("A", rounds)
+    for (i <- 1 until levels) {
+      val p = names(i - 1)
+      val c = names(i)
+      sb ++= s""",
+        |we$c AS MATERIALIZED (
+        |  SELECT least(a.lbl, b.lbl) AS u, greatest(a.lbl, b.lbl) AS v,
+        |    CAST(sum(w.w) AS BIGINT) AS w
+        |  FROM we$p w JOIN l${p}_$rounds a ON a.id = w.u
+        |  JOIN l${p}_$rounds b ON b.id = w.v
+        |  GROUP BY 1, 2),
+        |""".stripMargin
+      sb ++= louvainRoundsSql(c, rounds)
+    }
+    // projection chain back to the fine vertices
+    var mapping = s"lA_$rounds"
+    for (i <- 1 until levels) {
+      val c = names(i)
+      val next = s"proj$c"
+      sb ++= s""",
+        |$next AS MATERIALIZED (
+        |  SELECT p.id, c.lbl FROM $mapping p
+        |  JOIN l${c}_$rounds c ON c.id = p.lbl)""".stripMargin
+      mapping = next
+    }
+    sb ++= louvainFinalSql(mapping)
+    sb.toString
+  }
+
   /** Shared modularity tail for the Louvain oracles: Newman Q of the
     * labels in CTE `labCte` over the original graph's `ue`, emitted as
     * `n_comms, q_r` columns on every label row (mirrors the engine's
@@ -2626,6 +2675,25 @@ object SparkEntry {
       // bounded while still hash-locking contraction + weighted moves.
       val e = graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b")
       val lab = graft.operators.Louvain.multilevel(e, 6, 2)
+      val qv = GraphBuilder.modularity(e, lab)
+        .select(col("n_comms"), col("q_r"))
+      lab.crossJoin(broadcast(qv))
+    },
+    "g52c_louvain_converged" -> { (s, dir) =>
+      // CONVERGED multilevel Louvain — the ladder depth is the
+      // algorithm's own (stop when a level's move phase makes zero
+      // moves ⇒ contraction would no-op); per-level rounds stay a
+      // budget of 8 (synchronous sweeps can limit-cycle on noisy
+      // levels — see the engine Scaladoc — so rounds are honestly a
+      // cap, cut early when the level stabilizes). Self-stops at 6
+      // levels on this fixture and recovers the planted 2-block
+      // partition EXACTLY with no depth hint (Q = 0.499999639, the
+      // LouvainSpec constant). Oracle: the fixed 8-round × 6-level
+      // unroll — capped levels run exactly 8 in both, stabilized
+      // levels no-op their tails, the final level replays identity.
+      val e = graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b")
+      val lab = graft.operators.Louvain.multilevelConverged(
+        e, maxRoundsPerLevel = 8, maxLevels = 12)._1
       val qv = GraphBuilder.modularity(e, lab)
         .select(col("n_comms"), col("q_r"))
       lab.crossJoin(broadcast(qv))
@@ -6511,6 +6579,11 @@ object SparkEntry {
          |proj AS MATERIALIZED (
          |  SELECT a.id, b.lbl FROM lA_6 a JOIN lB_6 b ON b.id = a.lbl)
          |${louvainFinalSql("proj")}""".stripMargin,
+    "g52c_louvain_converged" ->
+      s"""WITH ${portableBlocksSql(200, 600, "g22b")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |${louvainMultilevelSql(levels = 6, rounds = 8)}""".stripMargin,
     "g53_coreness" -> corenessSql(300, 900, "g53", k = 9),
     "g54_matching" -> matchingSql(300, 900, "g54", k = 6),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),

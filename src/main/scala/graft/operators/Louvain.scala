@@ -146,6 +146,71 @@ object Louvain {
     mapping
   }
 
+  /** [[multilevel]] with the LADDER DEPTH decided by the algorithm's
+    * own stopping rule — the dimension a user cannot guess: the level
+    * loop stops when a level's move phase makes ZERO moves (its labels
+    * are the identity), because then the contraction is a no-op and
+    * every further level would replay the same graph — Blondel et al.'s
+    * own termination ("when no further improvement is possible"), the
+    * O14/O16 discipline applied to the ladder. The identity check (one
+    * count over the |V_level|-sized label frame per level) is
+    * deliberately stricter than "no merges": a permutation fixpoint
+    * with all-singleton communities would relabel the graph and could
+    * re-tie-break downstream levels.
+    *
+    * Per-level ROUNDS stay a capped budget, honestly: each level runs
+    * [[moveRoundsConverged]], which cuts early when stability is
+    * reached (measured: the small contracted levels stabilize in 2–6
+    * rounds), but on large noisy levels the SYNCHRONOUS dynamics can
+    * churn in a limit cycle without ever reaching a zero-move round
+    * (measured on the planted fixture: level 1 still moves ~45
+    * labels/round at round 44, while exact-integer modularity climbs
+    * then oscillates) — the known failure mode of parallel Louvain
+    * sweeps (Que et al. IPDPS 2015 discuss the oscillation class;
+    * red-black alternation removes only the ADJACENT 2-cycles).
+    * `maxRoundsPerLevel` is therefore a real knob (an iteration budget,
+    * like every capped loop here), not a convergence guess — and depth,
+    * the expensive dimension (each level is a full move phase +
+    * contraction), is self-determined.
+    *
+    * Oracle contract (the g52c lock, differential-pinned in
+    * LouvainSpec): this run with budget R ≡ [[multilevel]](edges, R, L)
+    * for ANY L ≥ the self-determined stop level — capped levels run
+    * exactly R rounds in both, stabilized levels no-op their remaining
+    * fixed rounds (a both-parities-quiet state is a fixpoint of the
+    * alternating update), and post-stop levels replay identity.
+    * @return (labels on the original vertex set, levels run — the last
+    *   being the zero-move level that proved the ladder closed, unless
+    *   `maxLevels` cut the loop first, which the caller sees)
+    */
+  def multilevelConverged(
+      edges: DataFrame,
+      maxRoundsPerLevel: Int = 20,
+      maxLevels: Int = 10): (DataFrame, Int) = {
+    require(maxLevels >= 1, "maxLevels must be >= 1")
+    var w = fromEdges(edges)
+    var mapping: DataFrame = null
+    var level = 0
+    var done = false
+    while (level < maxLevels && !done) {
+      val lab = moveRoundsConverged(w, maxRoundsPerLevel)._1
+      level += 1
+      val moved = lab.filter(col("id") =!= col("lbl")).count()
+      mapping =
+        if (mapping == null) lab
+        else CacheScope.rotate(
+          mapping
+            .join(lab.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"))
+            .select(col("id"), col("lbl2").as("lbl")))
+      if (moved == 0L) done = true
+      // rotate the (|C|²-bounded, small) contracted graph so the level
+      // ladder's lineage stays flat at any depth
+      else w = CacheScope.rotate(contractWeighted(w, lab))
+    }
+    (mapping, level)
+  }
+
   /** ONE synchronous gain-move round (pre-checkpoint), exposed so the
     * PlanSpec round audit can walk the executed plan: the cached
     * nbr-partitioned adjacency never re-exchanges (the |V|-row label

@@ -92,4 +92,29 @@ class LouvainSpec extends AnyFunSuite {
       "5 levels must contract to the two planted blocks")
     assert(q(e, lab) >= qLpa - 1e-12, s"${q(e, lab)} vs $qLpa")
   }
+
+  test("converged ladder on tiny: stops at the identity level, ≡ fixed") {
+    val (lab, levels) = Louvain.multilevelConverged(
+      tiny, maxRoundsPerLevel = 6, maxLevels = 8)
+    // level 1 merges the triangles; level 2's move phase is identity
+    // (the 2-supernode merge has negative gain) — the ladder's own stop
+    assert(levels == 2)
+    assert(labelMap(lab) == labelMap(Louvain.multilevel(tiny, 6, 2)))
+    assert(labelMap(lab) == labelMap(Louvain.multilevel(tiny, 6, 4)),
+      "post-stop levels of the fixed unroll must replay identity")
+  }
+
+  test("converged ladder recovers the planted blocks with NO depth hint") {
+    val e = graft.sources.SyntheticGraph.portableBlocks(
+      spark, 200, 600, "g22b")
+    val (lab, levels) = Louvain.multilevelConverged(
+      e, maxRoundsPerLevel = 8, maxLevels = 12)
+    // self-determined depth (6 on this fixture), exact planted recovery
+    assert(levels == 6, s"ladder self-stop moved: $levels")
+    assert(lab.select("lbl").distinct().count() == 2)
+    assert(math.abs(q(e, lab) - 0.499999639) < 1e-9)
+    // the oracle contract: converged ≡ fixed at (same budget, L ≥ stop)
+    assert(labelMap(lab) == labelMap(Louvain.multilevel(e, 8, 6)),
+      "converged must equal the fixed unroll at the stop level")
+  }
 }

@@ -4705,6 +4705,15 @@ object SparkEntry {
       // batch twin — the SAME code path — is hash-checked
       graft.streaming.EventStreams.attributionJoinFull(
         graft.sources.Tables.events(s, dir))),
+    "st22_attribution_right" -> ((s, dir) =>
+      // RIGHT OUTER stream-stream interval join — the fourth SQL form,
+      // completing the family (st5 inner, st11 left, st16 full): every
+      // click survives, p_id NULL for clicks that never converted; in
+      // streaming mode the null rows flush by the click side's
+      // watermark expiry (out-of-order replay in IoAndOuterJoinSpec);
+      // here the batch twin — the SAME code path — is hash-checked
+      graft.streaming.EventStreams.attributionJoinRight(
+        graft.sources.Tables.events(s, dir))),
     "st11_attribution_outer" -> ((s, dir) =>
       // the LEFT OUTER stream-stream interval join: unattributed
       // purchases surface with NULL c_id instead of vanishing. In
@@ -8623,6 +8632,20 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'click')
         |SELECT p.p_id, coalesce(p.user_id, c.user_id) AS user_id, c.c_id
         |FROM p FULL OUTER JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.c_ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.c_ts) < epoch_us(p.ts)""".stripMargin,
+    "st22_attribution_right" ->
+      // the right interval join: every click survives, p_id NULL for
+      // the never-converted ones
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, c.user_id, c.c_id
+        |FROM p RIGHT JOIN c
         |  ON p.user_id = c.user_id
         |  AND epoch_us(c.c_ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.c_ts) < epoch_us(p.ts)""".stripMargin,

@@ -396,6 +396,47 @@ object EventStreams {
         col("c_id"))
   }
 
+  /** RIGHT OUTER stream-stream interval join — the fourth and last SQL
+    * form of the family (st5 inner, st11 left, st16 full): every CLICK
+    * survives, with NULL `p_id` when no purchase by the same user
+    * followed it inside the window — the "click that never converted"
+    * row a funnel analysis reads, without the full form's unmatched
+    * purchases. In streaming mode the orphan clicks are emitted by the
+    * click side's watermark expiry (a click leaves the state store and
+    * emits its null row only once the watermark proves no qualifying
+    * purchase can still arrive — bounded state, runnable forever;
+    * matches emit immediately). Symmetric to [[attributionJoinOuter]]
+    * with the surviving side swapped; batch twin IS the same code path,
+    * which is how the st22 oracle checks it. Output: `p_id, user_id,
+    * c_id` (`p_id` NULL for unconverted clicks; user_id from the
+    * always-present click side).
+    */
+  def attributionJoinRight(
+      events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("c_id"),
+        col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases
+      .join(
+        clicks,
+        col("p_user") === col("user_id") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("c_ts") < col("p_ts"),
+        "right_outer")
+      .select(col("p_id"), col("user_id"), col("c_id"))
+  }
+
   final case class UserTotals(
       user_id: Long, n_events: Long, total_spend: Double)
   final case class LedgerState(n: Long, spend: Double)

@@ -91,6 +91,43 @@ class IoAndOuterJoinSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("right attribution: orphan CLICKS flush by watermark expiry") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(id: Long, u: Long, tpe: String, sec: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(base + sec * 1000L), u, tpe, 1.0)
+    val rows = Seq(
+      ev(1, 1, "click", 100), //    converts into purchase 10
+      ev(10, 1, "purchase", 3600),
+      ev(11, 2, "purchase", 7300), // purchase w/o click ⇒ DROPPED here
+      ev(5, 3, "click", 4000), //   never converts ⇒ (null, 5)
+      ev(6, 1, "click", 3600)) //   same instant as purchase ⇒ (null, 6)
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(rows(2), rows(0))
+    ms.addData(rows(4), rows(3), rows(1))
+    val q = EventStreams.attributionJoinRight(ms.toDS().toDF()).writeStream
+      .format("memory").queryName("attr_right").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinels advance both watermarks so the orphan clicks evict
+      ms.addData(ev(90, 99, "click", 200000), ev(91, 99, "purchase", 200001))
+      q.processAllAvailable()
+      ms.addData(ev(92, 99, "click", 300000), ev(93, 99, "purchase", 300001))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(2))
+    val got = spark.table("attr_right")
+      .filter(col("user_id") =!= 99L).collect().map(key).toSet
+    val batch = EventStreams.attributionJoinRight(rows.toDF())
+      .collect().map(key).toSet
+    assert(batch == Set((10L, 1L), (-1L, 5L), (-1L, 6L)))
+    assert(got == batch, "streaming replay must equal the batch twin")
+  }
+
   test("io4: partition filter prunes directories at the file level") {
     val sp = spark
     import sp.implicits._

@@ -3641,6 +3641,57 @@ object SparkEntry {
         }
       }
     },
+    "io13_dv_fold_compact" -> { (s, dir) =>
+      // DELETION-VECTOR FOLDING COMPACTION — io11's lifecycle close:
+      // the same fixture (base + two overlapping md5 delete draws) is
+      // FOLDED (base-minus-vectors rewritten once, sidecar truncated),
+      // and the result is the MoR read over the COMPACTED base — which
+      // must equal the pre-fold view (the oracle replays the draws and
+      // the anti-join), with the emptied sidecar's row count riding as
+      // a hash-locked dv_rows=0 column. Idempotent refold + pushdown
+      // survival on the compacted base are spec-locked (Wave12).
+      val docs = t(s, dir, "documents")
+      def draw(salt: String) = conv(
+        substring(
+          md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
+          1, 5),
+        16, 10).cast("long")
+      val baseTmp = java.nio.file.Files
+        .createTempDirectory("graft_io13_base").toString
+      val dvTmp = java.nio.file.Files
+        .createTempDirectory("graft_io13_dv").toString
+      val compTmp = java.nio.file.Files
+        .createTempDirectory("graft_io13_comp").toString
+      try {
+        docs.repartition(4).write.mode("overwrite").parquet(baseTmp)
+        graft.sources.DeletionVectors.appendDeletes(
+          docs.filter(pmod(draw("dv1"), lit(8L)) === 0L).select("doc_id"),
+          dvTmp)
+        graft.sources.DeletionVectors.appendDeletes(
+          docs.filter(pmod(draw("dv2"), lit(11L)) === 0L).select("doc_id"),
+          dvTmp)
+        graft.sources.DeletionVectors.foldCompact(
+          s, baseTmp, dvTmp, "doc_id", compTmp)
+        val dvRows = s.read.parquet(dvTmp)
+          .agg(count(lit(1)).as("dv_rows"))
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.DeletionVectors
+            .readMergeOnRead(s, compTmp, dvTmp, "doc_id")
+            .filter(col("lang") === "en")
+            .groupBy(col("source"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .crossJoin(broadcast(dvRows)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Seq(baseTmp, dvTmp, compTmp).foreach { d =>
+          val root = java.nio.file.Paths.get(d)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    },
     "io12_time_travel" -> { (s, dir) =>
       // SNAPSHOT / VERSION-AS-OF read (Delta time travel / Iceberg
       // snapshots; completes the lifecycle family with io7 compaction
@@ -7650,6 +7701,25 @@ object SparkEntry {
         |    AS BIGINT) % 11 = 0)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang = 'en' AND doc_id NOT IN (SELECT doc_id FROM del)
+        |GROUP BY source""".stripMargin,
+    "io13_dv_fold_compact" ->
+      // the folded view must equal the pre-fold MoR view (same draws,
+      // same anti-join); dv_rows = 0 hash-locks the emptied sidecar
+      """WITH del AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(concat('0x',
+        |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':dv1')), 1, 5))
+        |    AS BIGINT) % 8 = 0
+        |  UNION
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(concat('0x',
+        |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':dv2')), 1, 5))
+        |    AS BIGINT) % 11 = 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(0 AS BIGINT) AS dv_rows
         |FROM documents
         |WHERE lang = 'en' AND doc_id NOT IN (SELECT doc_id FROM del)
         |GROUP BY source""".stripMargin,

@@ -52,4 +52,39 @@ object DeletionVectors {
     val dv = spark.read.parquet(dvDir).select(col(keyCol)).distinct()
     base.join(broadcast(dv), Seq(keyCol), "left_anti")
   }
+
+  /** FOLDING COMPACTION — the lifecycle close the object Scaladoc
+    * promises (io13): rewrite base-minus-vectors once and TRUNCATE the
+    * sidecar, so reads stop paying the anti-probe until deletes
+    * accumulate again. One [[readMergeOnRead]] scan written to
+    * `compactedDir` (the anti-join cost paid exactly once), then the
+    * sidecar is overwritten with a zero-row frame of the SAME schema —
+    * built from the captured schema, never by reading-while-overwriting
+    * the dir. Ordering is crash-safe the cheap way: the compacted copy
+    * lands fully before the sidecar empties, so a crash between the
+    * two steps leaves the OLD base + non-empty sidecar view and the
+    * new dir both readable and equivalent — a retry re-folds
+    * idempotently (the refold sees zero deletes and rewrites the same
+    * rows; unit-locked). Post-fold invariants, all spec/oracle-locked:
+    * `readMergeOnRead(compactedDir, dvDir)` ≡ the pre-fold MoR view,
+    * the sidecar holds 0 rows, and pushdown/pruning survive on the
+    * compacted base (it is a plain parquet dir). Writes one file per
+    * input partition; pass the frame through io7-style `coalesce`
+    * downstream if small-file pressure matters more than write
+    * parallelism. Single writer, as everywhere in this family.
+    */
+  def foldCompact(
+      spark: SparkSession,
+      baseDir: String,
+      dvDir: String,
+      keyCol: String,
+      compactedDir: String): Unit = {
+    val dvSchema = spark.read.parquet(dvDir).schema
+    readMergeOnRead(spark, baseDir, dvDir, keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(compactedDir)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), dvSchema)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dvDir)
+  }
 }

@@ -150,6 +150,98 @@ class ConvergedTwinsSpec extends AnyFunSuite {
   }
 }
 
+/** io13 deletion-vector folding compaction: fold ≡ pre-fold MoR view,
+  * sidecar truncated, refold idempotent, pushdown on the compacted base.
+  */
+class DvFoldCompactSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withDirs(f: (String, String, String) => Unit): Unit = {
+    val dirs = Seq("base", "dv", "comp")
+      .map(n => java.nio.file.Files.createTempDirectory(s"dvf_$n").toString)
+    try f(dirs(0), dirs(1), dirs(2))
+    finally {
+      import scala.jdk.CollectionConverters._
+      dirs.foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+
+  test("fold rewrites survivors, empties the sidecar, stays readable") {
+    val sp = spark
+    import sp.implicits._
+    withDirs { (base, dv, comp) =>
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(3).write.mode("overwrite").parquet(base)
+      graft.sources.DeletionVectors.appendDeletes(
+        Seq(2L, 4L).toDF("k"), dv)
+      graft.sources.DeletionVectors.appendDeletes(
+        Seq(4L, 6L).toDF("k"), dv) // overlap: 4 deleted twice
+      val preFold = rows(
+        graft.sources.DeletionVectors.readMergeOnRead(spark, base, dv, "k"))
+      graft.sources.DeletionVectors.foldCompact(spark, base, dv, "k", comp)
+      // sidecar: zero rows, schema intact
+      val dvAfter = spark.read.parquet(dv)
+      assert(dvAfter.count() == 0 && dvAfter.columns.toSeq == Seq("k"))
+      // compacted base alone IS the view; MoR over it is identical
+      assert(rows(spark.read.parquet(comp)) == preFold)
+      assert(rows(graft.sources.DeletionVectors
+        .readMergeOnRead(spark, comp, dv, "k")) == preFold)
+      assert(!preFold.exists(r => Set(2L, 4L, 6L).contains(r._1)))
+      // new deletes accumulate against the compacted base as before
+      graft.sources.DeletionVectors.appendDeletes(Seq(10L).toDF("k"), dv)
+      assert(rows(graft.sources.DeletionVectors
+        .readMergeOnRead(spark, comp, dv, "k")) ==
+        preFold.filterNot(_._1 == 10L))
+    }
+  }
+
+  test("refold is idempotent; pushdown survives on the compacted base") {
+    val sp = spark
+    import sp.implicits._
+    withDirs { (base, dv, comp) =>
+      (1L to 12L).map(k => (k, s"v$k")).toDF("k", "v")
+        .write.mode("overwrite").parquet(base)
+      graft.sources.DeletionVectors.appendDeletes(Seq(5L).toDF("k"), dv)
+      graft.sources.DeletionVectors.foldCompact(spark, base, dv, "k", comp)
+      val once = rows(spark.read.parquet(comp))
+      // refold of the compacted dir with the emptied sidecar: no-op view
+      val comp2 = java.nio.file.Files
+        .createTempDirectory("dvf_comp2").toString
+      try {
+        graft.sources.DeletionVectors.foldCompact(spark, comp, dv, "k", comp2)
+        assert(rows(spark.read.parquet(comp2)) == once)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(comp2))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      // the compacted base is a plain parquet dir: predicates reach the
+      // scan as PushedFilters (the io11 plan contract, post-fold)
+      val q = graft.sources.DeletionVectors
+        .readMergeOnRead(spark, comp, dv, "k")
+        .filter(col("k") > 6L)
+      q.collect()
+      // two parquet scans (compacted base + sidecar); each FileScan
+      // renders on one line carrying both Location and PushedFilters —
+      // the COMPACTED dir's line must carry the pushed predicate
+      val planText = q.queryExecution.executedPlan.toString
+      val baseLine = planText.linesIterator
+        .find(l => l.contains("FileScan") && l.contains(
+          java.nio.file.Paths.get(comp).getFileName.toString))
+      assert(baseLine.isDefined, s"base scan line not found:\n$planText")
+      assert(baseLine.get.contains("GreaterThan(k,6)"), baseLine.get)
+    }
+  }
+}
+
 class AsofReservedNamesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -3722,6 +3722,45 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io12b_snapshot_expire" -> { (s, dir) =>
+      // SNAPSHOT EXPIRATION / VACUUM — io12's lifecycle close: the
+      // same three mod-3 batches commit as versions 1..3 plus a fake
+      // ORPHAN dir (a crashed commit), then expire(cut=2) checkpoints
+      // the as-of-2 state into one dir, swaps the manifest to
+      // {(2, ckpt), (3, v3)} and sweeps expired + orphan dirs. The
+      // result is the as-of-3 read AFTER expiry — byte-identical to
+      // the full table (the oracle is the plain ground truth), with
+      // the post-expiry manifest row count riding as a hash-locked
+      // column. Expired-read-fails + orphan-swept + dirs-deleted are
+      // spec-locked (Wave12).
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io12b").toString
+      try {
+        (0 to 2).foreach { b =>
+          graft.sources.Snapshots.commit(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            root, version = b + 1)
+        }
+        // crashed commit: data landed, manifest row never did
+        docs.limit(5).write.parquet(s"$root/data/v=9")
+        graft.sources.Snapshots.expire(s, root, cut = 2)
+        val mrows = s.read.parquet(s"$root/manifest")
+          .agg(count(lit(1)).as("manifest_rows"))
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.Snapshots.readVersion(s, root, asOf = 3)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .crossJoin(broadcast(mrows)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -7730,6 +7769,13 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 3 <= 1
         |GROUP BY lang""".stripMargin,
+    "io12b_snapshot_expire" ->
+      // as-of-3 after expire(2) = checkpoint(v≤2) ∪ v3 = the full
+      // table, byte-stable; manifest_rows = 2 locks the swap
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS manifest_rows
+        |FROM documents GROUP BY lang""".stripMargin,
     "q43_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
         |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price

@@ -58,4 +58,59 @@ object Snapshots {
       s"no committed version <= $asOf under $root")
     spark.read.parquet(paths.toIndexedSeq: _*)
   }
+
+  /** EXPIRATION / VACUUM (io12b — Delta `VACUUM` + checkpoint, Iceberg
+    * `expireSnapshots`, completing the time-travel lifecycle the way
+    * e28/io13 completed the index's and the deletion vectors'). In a
+    * pure-append model every batch is referenced by EVERY later
+    * snapshot, so old batches can never just be unlinked — expiration
+    * must first CHECKPOINT: the full state as of `cut` is consolidated
+    * into one new data dir (a distributed read of the old dirs, paid
+    * once — the cost every format's checkpoint pays), the manifest is
+    * rewritten to `(cut, checkpoint) ∪ rows > cut`, and then every
+    * data dir the new manifest does not reference is removed — which
+    * sweeps BOTH the expired batch dirs and any ORPHANS from crashed
+    * commits (the cleanup path for the crash window [[commit]]
+    * documents). Afterwards:
+    *
+    *  - `readVersion(asOf ≥ cut)` is BYTE-STABLE: checkpoint ∪ the
+    *    retained later batches ≡ the old union (spec + oracle-locked);
+    *  - `readVersion(asOf < cut)` FAILS LOUDLY (no manifest row ≤
+    *    asOf — history below the cut is genuinely retired, not
+    *    silently empty);
+    *  - a crash after the checkpoint write but before the manifest
+    *    swap leaves an invisible orphan the next expire sweeps; the
+    *    manifest rewrite itself is the one non-atomic step — a real
+    *    deployment swaps an atomic pointer file instead (documented,
+    *    single maintenance writer assumed, the e27/io11 contract).
+    *
+    * Driver work is manifest-sized (collect of the batch list — the
+    * standard table-format planning step); deletion uses the
+    * Path-resolved FileSystem, never a hardcoded scheme.
+    */
+  def expire(spark: SparkSession, root: String, cut: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val manifest = spark.read.parquet(s"$root/manifest")
+    val all = manifest.select(col("version"), col("path"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).distinct
+    require(all.exists(_._1 <= cut), s"nothing committed at or before $cut")
+    val ckptPath = s"$root/data/ckpt=$cut"
+    readVersion(spark, root, cut)
+      .write.mode(SaveMode.Overwrite).parquet(ckptPath)
+    val kept = (cut, ckptPath) +: all.filter(_._1 > cut)
+    val spark2 = spark
+    import spark2.implicits._
+    // rows were collected above — writing the manifest from a local
+    // Seq never reads the dir it overwrites
+    kept.toSeq.toDF("version", "path")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val keepNames = kept.map(p => new Path(p._2).getName).toSet
+    val dataDir = new Path(s"$root/data")
+    fs.listStatus(dataDir)
+      .filter(st => !keepNames.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
 }

@@ -150,6 +150,82 @@ class ConvergedTwinsSpec extends AnyFunSuite {
   }
 }
 
+/** io12b snapshot expiration/VACUUM: retained as-of reads byte-stable,
+  * expired reads fail loudly, orphan + expired dirs swept.
+  */
+class SnapshotExpireSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("snapx").toString
+    try f(root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def dataDirs(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/data"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+  }
+
+  test("expire checkpoints the cut, keeps later reads byte-stable") {
+    val sp = spark
+    import sp.implicits._
+    withRoot { root =>
+      graft.sources.Snapshots.commit(Seq(1L, 2L).toDF("k"), root, 1)
+      graft.sources.Snapshots.commit(Seq(3L).toDF("k"), root, 2)
+      graft.sources.Snapshots.commit(Seq(4L).toDF("k"), root, 3)
+      // orphan from a crashed commit — expire must sweep it
+      Seq(99L).toDF("k").write.parquet(s"$root/data/v=7")
+      val v2Before = ids(graft.sources.Snapshots.readVersion(spark, root, 2))
+      val v3Before = ids(graft.sources.Snapshots.readVersion(spark, root, 3))
+      graft.sources.Snapshots.expire(spark, root, cut = 2)
+      // retained as-of views are byte-stable through the checkpoint
+      assert(ids(graft.sources.Snapshots.readVersion(spark, root, 2))
+        == v2Before)
+      assert(ids(graft.sources.Snapshots.readVersion(spark, root, 3))
+        == v3Before)
+      // history below the cut is retired LOUDLY
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.readVersion(spark, root, asOf = 1)
+      }
+      // only the checkpoint and the retained batch dir remain; the
+      // expired v=1, v=2 dirs and the v=7 orphan are gone
+      assert(dataDirs(root) == Set("ckpt=2", "v=3"), dataDirs(root))
+      // the table keeps working: a later commit appends past the cut
+      graft.sources.Snapshots.commit(Seq(5L).toDF("k"), root, 4)
+      assert(ids(graft.sources.Snapshots.readVersion(spark, root, 4))
+        == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
+  test("expire below the earliest commit fails; repeat expire is sound") {
+    val sp = spark
+    import sp.implicits._
+    withRoot { root =>
+      graft.sources.Snapshots.commit(Seq(1L).toDF("k"), root, 2)
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.expire(spark, root, cut = 1)
+      }
+      graft.sources.Snapshots.commit(Seq(2L).toDF("k"), root, 3)
+      graft.sources.Snapshots.expire(spark, root, cut = 2)
+      // re-expiring at a later cut folds the previous checkpoint in
+      graft.sources.Snapshots.expire(spark, root, cut = 3)
+      assert(ids(graft.sources.Snapshots.readVersion(spark, root, 3))
+        == Seq(1L, 2L))
+      assert(dataDirs(root) == Set("ckpt=3"), dataDirs(root))
+    }
+  }
+}
+
 /** io13 deletion-vector folding compaction: fold ≡ pre-fold MoR view,
   * sidecar truncated, refold idempotent, pushdown on the compacted base.
   */

@@ -639,6 +639,80 @@ object SparkEntry {
       |       ELSE body END AS chunk_text
       |FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id)""".stripMargin
 
+  /** The m5 perceptual-near-dup chain as a reusable CTE block ending in
+    * `m5pairs(id_a, id_b, ham)` — shared by the m5 oracle and the p10
+    * media-ingest journey oracle so the two locks cannot drift: every
+    * signature bit regenerated from the text bytes (ASCII fixture:
+    * codepoints ≡ payload bytes, the m2 caveat), the same 2×8-bit
+    * banded candidate set, the same popcount-≤1 cut.
+    */
+  private val m5PairCtes: String =
+    """cp AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    list_transform(split(text, ''), x -> unicode(x)) AS cps
+      |  FROM documents),
+      |blocks AS (
+      |  SELECT c.doc_id, CAST(t.i AS INT) AS i,
+      |    CAST(t.i * c.n // 16 AS INT) AS lo,
+      |    CAST((t.i + 1) * c.n // 16 AS INT) AS hi,
+      |    c.n, c.cps
+      |  FROM cp c, unnest(range(16)) AS t(i)
+      |  WHERE c.n > 0),
+      |bits AS (
+      |  SELECT doc_id,
+      |    CASE WHEN hi > lo AND
+      |        list_sum(cps[lo+1:hi]) * n > list_sum(cps) * (hi - lo)
+      |      THEN (1 << i) ELSE 0 END AS bit
+      |  FROM blocks),
+      |sg0 AS (SELECT doc_id, CAST(sum(bit) AS INT) AS sig
+      |        FROM bits GROUP BY 1),
+      |sg AS (
+      |  SELECT c.doc_id, coalesce(s.sig, 0) AS sig
+      |  FROM cp c LEFT JOIN sg0 s USING (doc_id)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.sig AS sa, b.sig AS sb
+      |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+      |    AND ((a.sig % 256) = (b.sig % 256)
+      |      OR (a.sig // 256) = (b.sig // 256))),
+      |m5pairs AS (
+      |  SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
+      |  FROM cand WHERE bit_count(xor(sa, sb)) <= 1)""".stripMargin
+
+  /** The m6 interleaved-packing chain as a reusable CTE block rooted at
+    * relation `from` (must expose `doc_id, source, text`), ending in
+    * `packed(source, seq_id, n_docs, text_tokens, n_images,
+    * total_tokens)` — shared by the m6 oracle and the p10 journey
+    * oracle: the 20-bit md5(doc:salt) image-count draw mod 4, per-doc
+    * cost text_tokens + 576·n_images, the per-source cumulative stride
+    * cut at 2048.
+    */
+  private def interleavePackCtes(from: String, salt: String): String =
+    s"""ipc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      |      AS text_tokens,
+      |    CAST(concat('0x',
+      |      substr(md5(concat(CAST(doc_id AS VARCHAR), ':$salt')), 1, 5))
+      |      AS BIGINT) % 4 AS n_images
+      |  FROM $from),
+      |ipi AS (
+      |  SELECT *, text_tokens + 576 * n_images AS item_tokens FROM ipc),
+      |ipo AS (
+      |  SELECT *,
+      |    sum(item_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - item_tokens AS start_offset
+      |  FROM ipi),
+      |packed AS (
+      |  SELECT source,
+      |    CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_id,
+      |    count(*) AS n_docs,
+      |    CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+      |    CAST(sum(n_images) AS BIGINT) AS n_images,
+      |    CAST(sum(item_tokens) AS BIGINT) AS total_tokens
+      |  FROM ipo GROUP BY 1, 2)""".stripMargin
+
   /** The deterministic SENTENCIZER fixture shared by d55 and p9 (the
     * synthetic corpus has no punctuation): a period lands after token
     * i whenever a 16-bit md5(doc:i:d55) digest ≡ 0 mod 4 — the d38
@@ -3846,6 +3920,40 @@ object SparkEntry {
         .select(col("q_r").as("q_multi_r"))
       mapped.crossJoin(broadcast(qFine)).crossJoin(broadcast(qMulti))
     },
+    "p10_media_ingest" -> { (s, dir) =>
+      // MEDIA-LAKE INGEST journey (the multimodal p8/p9: the m-family
+      // composed end to end, in cost order): m1 metadata stats (the
+      // governance pass — payload never read, its corpus totals ride
+      // the manifest as 1-row broadcast columns) → m5 perceptual
+      // near-dup pairs (banded pigeonhole, no |D|² stage) with the
+      // d1 min-id keep rule (every pair's LARGER id drops) → m6
+      // interleaved packing of the SURVIVORS into 2048-token
+      // image+text sequences. Every stage oracle-locked alone
+      // (m1/m5/m6); this row locks the composition, sharing the m5
+      // pair chain and the m6 packing chain with their own oracles so
+      // the locks cannot drift. Scale: stats are metadata-only, dedup
+      // is candidate-bounded, packing is one window per shard.
+      val media = graft.operators.Multimodal.syntheticMedia(s, dir)
+      val statsRow = graft.operators.Multimodal.metadataStats(media)
+        .agg(
+          sum(col("n_media")).as("n_media"),
+          sum(col("total_bytes")).as("media_bytes"))
+      val dups = graft.operators.Multimodal.perceptualNearDupPairs(media)
+        .select(col("id_b").as("doc_id")).distinct()
+      val nDrop = dups.agg(count(lit(1)).as("n_dropped"))
+      val kept = t(s, dir, "documents")
+        .join(broadcast(dups), Seq("doc_id"), "left_anti")
+      val nImg = pmod(
+        conv(
+          substring(
+            md5(concat(col("doc_id").cast("string"), lit(":m6"))), 1, 5),
+          16, 10).cast("long"),
+        lit(4L))
+      graft.operators.Multimodal
+        .interleavedPack(kept, nImg, budget = 2048, imageTokens = 576)
+        .crossJoin(broadcast(statsRow))
+        .crossJoin(broadcast(nDrop))
+    },
     "p9_incremental_ingest" -> { (s, dir) =>
       // INCREMENTAL-INGEST journey (the ninth composed pipeline — what
       // a continuously-fed corpus runs on every batch, in cost order):
@@ -6960,6 +7068,25 @@ object SparkEntry {
         |  array_to_string(tk[c*16+1 : c*16+32], ' ') AS chunk_text,
         |  CAST(len(tk[c*16+1 : c*16+32]) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+    "p10_media_ingest" ->
+      // the m5 pair chain and the m6 packing chain are the SAME CTE
+      // blocks their own oracles use; dups = each pair's larger id,
+      // survivors pack, the m1 corpus totals ride every row
+      s"""WITH $m5PairCtes,
+         |dups AS (SELECT DISTINCT id_b AS doc_id FROM m5pairs),
+         |kept AS (
+         |  SELECT d.* FROM documents d
+         |  LEFT JOIN dups u ON u.doc_id = d.doc_id
+         |  WHERE u.doc_id IS NULL),
+         |jstats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_media,
+         |    (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+         |      AS media_bytes,
+         |    (SELECT count(*) FROM dups) AS n_dropped),
+         |${interleavePackCtes("kept", "m6")}
+         |SELECT p.source, p.seq_id, p.n_docs, p.text_tokens, p.n_images,
+         |  p.total_tokens, s.n_media, s.media_bytes, s.n_dropped
+         |FROM packed p, jstats s""".stripMargin,
     "p9_incremental_ingest" ->
       // the journey end to end: d56's anti-join gate, d24's rule chain
       // on the fresh survivors, then the shared d55 sentencize+chunk
@@ -7638,36 +7765,8 @@ object SparkEntry {
       // every signature bit regenerated from the text bytes (ASCII
       // fixture: codepoints ≡ payload bytes, the m2 caveat), then the
       // same banded candidate set and popcount cut
-      """WITH cp AS (
-        |  SELECT doc_id, length(text) AS n,
-        |    list_transform(split(text, ''), x -> unicode(x)) AS cps
-        |  FROM documents),
-        |blocks AS (
-        |  SELECT c.doc_id, CAST(t.i AS INT) AS i,
-        |    CAST(t.i * c.n // 16 AS INT) AS lo,
-        |    CAST((t.i + 1) * c.n // 16 AS INT) AS hi,
-        |    c.n, c.cps
-        |  FROM cp c, unnest(range(16)) AS t(i)
-        |  WHERE c.n > 0),
-        |bits AS (
-        |  SELECT doc_id,
-        |    CASE WHEN hi > lo AND
-        |        list_sum(cps[lo+1:hi]) * n > list_sum(cps) * (hi - lo)
-        |      THEN (1 << i) ELSE 0 END AS bit
-        |  FROM blocks),
-        |sg0 AS (SELECT doc_id, CAST(sum(bit) AS INT) AS sig
-        |        FROM bits GROUP BY 1),
-        |sg AS (
-        |  SELECT c.doc_id, coalesce(s.sig, 0) AS sig
-        |  FROM cp c LEFT JOIN sg0 s USING (doc_id)),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    a.sig AS sa, b.sig AS sb
-        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-        |    AND ((a.sig % 256) = (b.sig % 256)
-        |      OR (a.sig // 256) = (b.sig // 256)))
-        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS ham
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin,
+      s"""WITH $m5PairCtes
+        |SELECT id_a, id_b, ham FROM m5pairs""".stripMargin,
     "d35_bpe_merges" -> bpeSql(3),
     "d54_bpe_encode" -> bpeEncodeSql(3),
     "d37_containment" ->
@@ -8680,29 +8779,10 @@ object SparkEntry {
       // same 20-bit md5(doc:m6) image-count draw, same per-doc cost
       // (whitespace tokens + 576/image), same per-source cumulative
       // stride cut at 2048, same per-sequence totals
-      """WITH c AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS text_tokens,
-        |    CAST(concat('0x',
-        |      substr(md5(concat(CAST(doc_id AS VARCHAR), ':m6')), 1, 5))
-        |      AS BIGINT) % 4 AS n_images
-        |  FROM documents),
-        |i AS (
-        |  SELECT *, text_tokens + 576 * n_images AS item_tokens FROM c),
-        |o AS (
-        |  SELECT *,
-        |    sum(item_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      - item_tokens AS start_offset
-        |  FROM i)
-        |SELECT source,
-        |  CAST(floor(start_offset / 2048.0) AS BIGINT) AS seq_id,
-        |  count(*) AS n_docs,
-        |  CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
-        |  CAST(sum(n_images) AS BIGINT) AS n_images,
-        |  CAST(sum(item_tokens) AS BIGINT) AS total_tokens
-        |FROM o GROUP BY 1, 2""".stripMargin,
+      s"""WITH ${interleavePackCtes("documents", "m6")}
+        |SELECT source, seq_id, n_docs, text_tokens, n_images,
+        |  total_tokens
+        |FROM packed""".stripMargin,
     "m4_image_resize" ->
       // mirrors Multimodal.fitDims + the stub thumb sizing; images are
       // doc_id % 3 = 0, w/h derive from doc_id (syntheticMedia), payload

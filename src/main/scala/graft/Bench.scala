@@ -305,21 +305,27 @@ object Bench {
     // committed idle walls (BENCH_DETAIL.json is the idle reference
     // artifact): feeds the per-row vs_idle column below, the 3× vsIdle
     // contention suspects, and the adjusted-total discount
-    val idleWalls: Map[String, Double] = try {
+    val (idleWalls: Map[String, Double], idleCalib1t: Option[Double]) = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
       val qStart = txt.indexOf("\"queries\":{")
-      // the reference is only comparable at the SAME scale factor — an
+      // the idle run's own host-speed calibration, for the
+      // calib_vs_idle ratio below — engine- and SF-independent, so it
+      // parses regardless of the scale-factor gate
+      val calib = "\"calib_1t_sec\":([0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+      // the walls are only comparable at the SAME scale factor — an
       // sf0.01 iteration run must not be "discounted" against sf0.1 walls
       val sfOk = txt.contains("\"sf\":\"" + sfDir + "\"")
-      if (qStart < 0 || !sfOk) Map.empty
+      if (qStart < 0 || !sfOk) (Map.empty[String, Double], calib)
       else {
         val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
-        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+        val walls = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        (walls, calib)
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty[String, Double], None) }
     // per-query resource rows, augmented with (a) post-query cache
     // occupancy and (b) the committed idle wall + drift ratio, so an
     // idle-to-idle drift (the r11 g13 case: +38% with an unchanged
@@ -382,6 +388,20 @@ object Bench {
       case (k, Right(_), _) => idleWalls.contains(k)
       case _                => false
     }
+    // FULLY-idle-normalized total (r12 advice): the 3×-suspect discount
+    // above under-adjusts when contention is UNIFORM (~1.4× across the
+    // whole suite slips a 3× per-query gate entirely — r12 measured
+    // 533.5 s contended vs 388.0 s idle with only g13 flagged). Since
+    // every committed query has an idle wall at matching SF, re-total
+    // with EVERY wall replaced by its idle reference (new queries keep
+    // their own wall); alongside it, calib_vs_idle = this run's
+    // single-thread calibration over the idle run's — the
+    // engine-independent host-speed ratio that says which total to
+    // trust (≈1.0 ⇒ this host matches the idle reference; >1 ⇒ the
+    // idle-normalized number is the honest one).
+    val idleNormTotal = results.collect { case (k, Right((v, _)), _) =>
+      idleWalls.getOrElse(k, v)
+    }.sum
     // whole-run executor totals: task wall-time inflates ~linearly with
     // host CPU oversubscription while cpu-time doesn't, so the pair makes
     // a wall-inflated bench (r4's 575 s artifact) self-diagnosing from
@@ -395,7 +415,9 @@ object Bench {
       "\"calib_1t_sec\":" + r2d(calib1t),
       "\"calib_wide_sec\":" + r2d(calibWide),
       "\"adjusted_total_sec\":" + r2d(adjustedTotal),
-      "\"idle_ref_n\":" + idleRefN))
+      "\"idle_norm_total_sec\":" + r2d(idleNormTotal),
+      "\"idle_ref_n\":" + idleRefN) ++
+      idleCalib1t.map(ic => "\"calib_vs_idle\":" + r2d(calib1t / ic)))
       .mkString(",", ",", "")
     // full-fidelity detail (resource accounting per query) goes to a
     // sidecar file + an EARLY stdout line; only the compact contract

@@ -54,4 +54,95 @@ object Profiler {
         col(s"mx_$i").as("max_s"))
     }.reduce(_ union _)
   }
+
+  /** A row-level expectation: `violation` is TRUE exactly on rows that
+    * BREAK the constraint (nulls in the predicate count as violations —
+    * an unevaluable expectation must not silently pass).
+    */
+  final case class RowCheck(
+      name: String, violation: org.apache.spark.sql.Column)
+
+  /** Constraint EXPECTATIONS — [[profile]]'s judging twin (the
+    * deequ `Check` / dbt-test / Great Expectations shape): declarative
+    * constraints evaluated against a frame, one summary row per
+    * constraint (`check_name, n_violations, pass`). Three constraint
+    * classes, each priced at its natural cost and no more:
+    *
+    *  - ROW checks (not-null, range, regex, …): ALL of them ride ONE
+    *    zero-shuffle scan as conditional sums — adding a check adds a
+    *    column to the aggregate, never a pass over the data;
+    *  - UNIQUENESS of a key tuple: one hash aggregate;
+    *    `n_violations` = surplus rows (n_rows − n_distinct_keys), so 0
+    *    ⇔ the tuple is a key;
+    *  - REFERENTIAL integrity (fact key ⊆ dim key): one anti-join
+    *    count of fact rows whose NON-NULL key misses the dim
+    *    (null-key rows are the not-null check's business, not the
+    *    FK's); statistics drive the dim side to broadcast when it
+    *    fits — no hint.
+    *
+    * The summary is a union of 1-row aggregates — constraint-count
+    * rows, nothing data-sized leaves the executors. Quarantine of the
+    * offending rows themselves is [[quarantineRows]].
+    */
+  def expectations(
+      df: DataFrame,
+      rowChecks: Seq[RowCheck],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      foreignKeys: Seq[(String, String, DataFrame, String)] = Nil)
+      : DataFrame = {
+    require(
+      rowChecks.nonEmpty || uniqueKeys.nonEmpty || foreignKeys.nonEmpty,
+      "need at least one constraint")
+    val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+    if (rowChecks.nonEmpty) {
+      // one scan, one conditional sum per check; nulls violate
+      val aggs = rowChecks.zipWithIndex.map { case (c, i) =>
+        sum(
+          when(coalesce(c.violation, lit(true)), lit(1L)).otherwise(lit(0L)))
+          .as(s"v_$i")
+      }
+      val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      rowChecks.zipWithIndex.foreach { case (c, i) =>
+        parts += wide.select(
+          lit(c.name).as("check_name"),
+          col(s"v_$i").as("n_violations"))
+      }
+    }
+    uniqueKeys.foreach { case (name, keyCols) =>
+      parts += df
+        .agg(
+          (count(lit(1)) -
+            countDistinct(keyCols.head, keyCols.tail: _*))
+            .as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }
+    foreignKeys.foreach { case (name, factKey, dim, dimKey) =>
+      parts += df
+        .filter(col(factKey).isNotNull)
+        .join(
+          dim.select(col(dimKey).as(factKey)).distinct(),
+          Seq(factKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }
+    parts.reduce(_ union _)
+      .withColumn("pass", (col("n_violations") === 0L).cast("boolean"))
+  }
+
+  /** The QUARANTINE split for the scan-expressible subset: rows failing
+    * any row check, labeled with the FIRST failing constraint in
+    * declaration order (the d24 first-failing-reason discipline) — the
+    * frame an ingest pipeline writes to its dead-letter store while the
+    * clean rows continue. Stateless zero-exchange projection + filter.
+    */
+  def quarantineRows(
+      df: DataFrame, rowChecks: Seq[RowCheck]): DataFrame = {
+    require(rowChecks.nonEmpty, "need at least one row check")
+    val reason = rowChecks.reverse.foldLeft(
+      lit(null).cast("string")) { (acc, c) =>
+      when(coalesce(c.violation, lit(true)), lit(c.name)).otherwise(acc)
+    }
+    df.withColumn("quarantine_reason", reason)
+      .filter(col("quarantine_reason").isNotNull)
+  }
 }

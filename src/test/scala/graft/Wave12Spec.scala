@@ -226,6 +226,67 @@ class SnapshotExpireSpec extends AnyFunSuite {
   }
 }
 
+/** q51 expectations: null-violates rule, uniqueness surplus math, FK
+  * null exemption, and the quarantine first-failing-reason order.
+  */
+class ExpectationsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import graft.operators.Profiler
+  import graft.operators.Profiler.RowCheck
+
+  private def summary(df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Boolean)] =
+    df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+  test("row checks: nulls violate; one scan covers all checks") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(200.0)), (3L, Option.empty[Double]))
+      .toDF("k", "v")
+    val got = summary(Profiler.expectations(
+      df, Seq(
+        RowCheck("v_max", col("v") > 100.0), // null row ALSO violates
+        RowCheck("k_pos", col("k") <= 0L))))
+    assert(got == Map(
+      "v_max" -> ((2L, false)), // the 200 row + the null row
+      "k_pos" -> ((0L, true))))
+  }
+
+  test("uniqueness surplus and FK orphan count; null FK keys exempt") {
+    val sp = spark
+    import sp.implicits._
+    val fact = Seq(
+      (1L, Option(10L)), (1L, Option(11L)), (2L, Option(99L)),
+      (3L, Option.empty[Long]))
+      .toDF("k", "fk")
+    val dim = Seq(10L, 11L).toDF("id")
+    val got = summary(Profiler.expectations(
+      fact,
+      rowChecks = Nil,
+      uniqueKeys = Seq(("uk_k", Seq("k"))),
+      foreignKeys = Seq(("fk_dim", "fk", dim, "id"))))
+    // k has 4 rows, 3 distinct → 1 surplus; fk: 99 orphan, null exempt
+    assert(got == Map(
+      "uk_k" -> ((1L, false)),
+      "fk_dim" -> ((1L, false))))
+  }
+
+  test("quarantine labels the FIRST failing check, keeps clean rows out") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, 200.0), (2L, -5.0), (3L, 50.0)).toDF("k", "v")
+    val got = Profiler.quarantineRows(
+      df, Seq(
+        RowCheck("too_big", col("v") > 100.0),
+        RowCheck("negative", col("v") < 0.0),
+        RowCheck("also_big", col("v") > 150.0))) // never wins: declared later
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "too_big", 2L -> "negative"))
+  }
+}
+
 /** io13 deletion-vector folding compaction: fold ≡ pre-fold MoR view,
   * sidecar truncated, refold idempotent, pushdown on the compacted base.
   */

@@ -5431,6 +5431,32 @@ object SparkEntry {
           coalesce(col("c_id"), lit(-1L)).as("c_id"),
           coalesce(col("c_us"), lit(-1L)).as("c_us"))
     },
+    "q52_interval_overlap" -> { (s, dir) =>
+      // INTERVAL-OVERLAP join (q16's two-interval-set generalization —
+      // the ad-exposure × session shape): purchase windows [p, p+30min)
+      // against click windows [c, c+20min) per user, every overlapping
+      // pair. The bucketed rewrite (1h buckets, both widths ≤ bucket)
+      // keeps this a plain shuffled equi-join — no theta join at any
+      // scale; the canonical-bucket attribution drops the
+      // shared-bucket double match without a distinct. Exact
+      // epoch-micros carriers (q24 discipline).
+      val ev = graft.sources.Tables.events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_lo"),
+          (unix_micros(col("ts")) + 1800L * 1000000L).as("p_hi"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(
+          col("user_id"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_lo"),
+          (unix_micros(col("ts")) + 1200L * 1000000L).as("c_hi"))
+      TemporalJoins.bucketedIntervalJoin(
+        purch, clicks, "user_id",
+        "p_lo", "p_hi", "c_lo", "c_hi",
+        bucketWidth = 3600L * 1000000L)
+        .select(col("user_id"), col("p_id"), col("c_id"))
+    },
     "q16_range_join" -> { (s, dir) =>
       // bounded-range join: clicks in the hour BEFORE each purchase by
       // the same user ([p-1h, p), half-open). The bucketed equi-join
@@ -8778,6 +8804,21 @@ object SparkEntry {
         |       WHEN t - b_us <= f_us - t THEN b_us ELSE f_us END, -1)
         |    AS c_us
         |FROM w WHERE tag = 1""".stripMargin,
+    "q52_interval_overlap" ->
+      // the ground truth is the plain theta join — the bucketed rewrite
+      // must lose nothing and double-count nothing
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 1800000000 AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS c_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 1200000000 AS hi
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.p_id, c.c_id
+        |FROM p JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND p.lo < c.hi AND c.lo < p.hi""".stripMargin,
     "q16_range_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS hi

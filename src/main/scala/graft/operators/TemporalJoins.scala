@@ -223,6 +223,55 @@ object TemporalJoins {
       .drop("_bucket")
   }
 
+  /** INTERVAL-OVERLAP equi-bucketed join — [[bucketedRangeJoin]]'s
+    * two-interval-set generalization (the ad-exposure × session /
+    * downtime × incident shape): every pair of same-key intervals with
+    * `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅` (half-open — touching intervals do
+    * NOT overlap). Both sides' widths must be ≤ `bucketWidth`
+    * (fail-fast inside the bucket expression, the [[bucketedRangeJoin]]
+    * guard), so each interval spans ≤ 2 buckets; both sides explode to
+    * their bucket keys and the join is a plain shuffled equi-join on
+    * (key, bucket) with the exact overlap residual. A pair whose
+    * intervals share BOTH buckets would match twice, so the match is
+    * ATTRIBUTED to one canonical bucket — the one containing the
+    * overlap's start, `floor(max(lLo, rLo)/W)` — a pure predicate
+    * instead of a dedup exchange. No theta join, no
+    * broadcast-nested-loop, no cartesian corner; 2×2 probe duplication
+    * at worst.
+    */
+  def bucketedIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lLo: String,
+      lHi: String,
+      rLo: String,
+      rHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(lo: String, hi: String, side: String) = {
+      val hiBucket = when(
+        col(hi) - col(lo) <= bucketWidth,
+        floor((col(hi) - 1) / bucketWidth))
+        .otherwise(raise_error(concat(
+          lit(s"bucketedIntervalJoin: $side interval wider than "),
+          lit("bucketWidth at "),
+          col(lo).cast("string"))).cast("long"))
+      explode(array_distinct(
+        array(floor(col(lo) / bucketWidth), hiBucket)))
+    }
+    val l = left.withColumn("_bucket", buckets(lLo, lHi, "left"))
+    val r = right.withColumn("_bucket", buckets(rLo, rHi, "right"))
+    l.join(r, Seq(key, "_bucket"))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      // canonical attribution: count the pair only in the bucket where
+      // the overlap STARTS — the both-buckets-shared double match drops
+      // without a distinct
+      .filter(
+        col("_bucket") === floor(greatest(col(lLo), col(rLo)) / bucketWidth))
+      .drop("_bucket")
+  }
+
   /** Time-series GAP FILL onto an explicit hourly grid: one row per
     * (user, hour) across the table's global hour span, carrying the
     * last event value at or before that hour (latest ts wins within an

@@ -226,6 +226,67 @@ class SnapshotExpireSpec extends AnyFunSuite {
   }
 }
 
+/** q52 interval-overlap join: bucketed ≡ naive theta, half-open edges,
+  * shared-bucket dedup, width fail-fast.
+  */
+class IntervalOverlapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("touching intervals do NOT overlap; shared-bucket pairs count once") {
+    val sp = spark
+    import sp.implicits._
+    // W=10. a1=[5,15) crosses the bucket edge; b1=[8,18) also crosses —
+    // they share BOTH buckets 0 and 1 (the double-match case). b2=[15,20)
+    // TOUCHES a1 (a1.hi == b2.lo): half-open ⇒ no overlap.
+    val left = Seq((1L, 1L, 5L, 15L)).toDF("k", "a_id", "a_lo", "a_hi")
+    val right = Seq((1L, 1L, 8L, 18L), (1L, 2L, 15L, 20L))
+      .toDF("k", "b_id", "b_lo", "b_hi")
+    val got = graft.operators.TemporalJoins.bucketedIntervalJoin(
+      left, right, "k", "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 10L)
+    assert(pairs(got) == Set((1L, 1L)), got.collect().mkString("|"))
+    assert(got.count() == 1L, "shared-bucket pair must count exactly once")
+  }
+
+  test("bucketed equals naive theta join on random intervals") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(52)
+    def gen(n: Int) = (1 to n).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (rnd.nextInt(4).toLong, i.toLong, lo, lo + 1 + rnd.nextInt(49))
+    }
+    val left = gen(120).toDF("k", "a_id", "a_lo", "a_hi")
+    val right = gen(120).toDF("k", "b_id", "b_lo", "b_hi")
+      .withColumnRenamed("k", "k2")
+    val naive = left.join(
+      right,
+      col("k") === col("k2") &&
+        col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+    val got = graft.operators.TemporalJoins.bucketedIntervalJoin(
+      left, right.withColumnRenamed("k2", "k"),
+      "k", "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 50L)
+    assert(pairs(got) == pairs(naive))
+    assert(got.count() == naive.count(), "no double-counted pairs")
+  }
+
+  test("an interval wider than the bucket fails fast, names the side") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 1L, 0L, 100L)).toDF("k", "a_id", "a_lo", "a_hi")
+    val right = Seq((1L, 1L, 0L, 5L)).toDF("k", "b_id", "b_lo", "b_hi")
+    val ex = intercept[Exception] {
+      graft.operators.TemporalJoins.bucketedIntervalJoin(
+        left, right, "k", "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 10L).collect()
+    }
+    assert(ex.getMessage.contains("left interval wider"), ex.getMessage)
+  }
+}
+
 /** q51 expectations: null-violates rule, uniqueness surplus math, FK
   * null exemption, and the quarantine first-failing-reason order.
   */

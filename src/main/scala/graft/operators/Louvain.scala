@@ -288,9 +288,14 @@ object Louvain {
       .groupBy(col("vtx"))
       .agg(max_by(col("clbl"), struct(col("gain"), -col("clbl")))
         .as("new_lbl"))
+    // chg rides the frame so the converged loop's stability count is a
+    // scan of the checkpointed result, not a second |V|-row join+exchange
     val next = labels
       .join(gains.withColumnRenamed("vtx", "id"), Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      .select(
+        col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+        (col("new_lbl").isNotNull && col("new_lbl") =!= col("lbl"))
+          .as("chg"))
     (next, cand)
   }
 
@@ -356,13 +361,14 @@ object Louvain {
     var prev: DataFrame = labels
     while (iters < maxRounds && !stable) {
       val (next0, cand) = louvainRound(und, kv, labels, m, iters + 1)
-      val next = next0.transform(CacheScope.rotate)
+      // the per-round chg flag checkpoints WITH the labels, so the
+      // stability count below scans the materialized frame instead of
+      // paying a |V|-row join+exchange per round
+      val nextFull = next0.transform(CacheScope.rotate)
+      val next = nextFull.select(col("id"), col("lbl"))
       iters += 1
       if (stopOnStable) {
-        val changed = next
-          .join(labels.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
-          .filter(col("lbl") =!= col("prev_lbl"))
-          .count()
+        val changed = nextFull.filter(col("chg")).count()
         // a fixpoint needs BOTH parity classes quiet: one zero-move
         // round only proves the currently-active class is settled
         if (changed == 0L && prevQuiet) stable = true
@@ -370,7 +376,7 @@ object Louvain {
       }
       cand.unpersist(false)
       prev.unpersist(false)
-      prev = next
+      prev = nextFull
       labels = next
     }
     we.unpersist(false)

@@ -95,13 +95,9 @@ object Profiler {
       "need at least one constraint")
     val parts = scala.collection.mutable.ListBuffer[DataFrame]()
     if (rowChecks.nonEmpty) {
-      // one scan, one conditional sum per check; nulls violate
-      val aggs = rowChecks.zipWithIndex.map { case (c, i) =>
-        sum(
-          when(coalesce(c.violation, lit(true)), lit(1L)).otherwise(lit(0L)))
-          .as(s"v_$i")
-      }
-      val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      // checkpointed so melting one row per constraint does not re-run
+      // the scan per constraint
+      val wide = rowCheckWide(df, rowChecks).localCheckpoint()
       rowChecks.zipWithIndex.foreach { case (c, i) =>
         parts += wide.select(
           lit(c.name).as("check_name"),
@@ -127,6 +123,21 @@ object Profiler {
     }
     parts.reduce(_ union _)
       .withColumn("pass", (col("n_violations") === 0L).cast("boolean"))
+  }
+
+  /** The one-scan wide aggregate behind the row checks (one conditional
+    * sum per check; nulls violate) — exposed pre-checkpoint so the plan
+    * audit can assert all checks share a single scan (the
+    * boilerplateStages discipline).
+    */
+  private[graft] def rowCheckWide(
+      df: DataFrame, rowChecks: Seq[RowCheck]): DataFrame = {
+    val aggs = rowChecks.zipWithIndex.map { case (c, i) =>
+      sum(
+        when(coalesce(c.violation, lit(true)), lit(1L)).otherwise(lit(0L)))
+        .as(s"v_$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** The QUARANTINE split for the scan-expressible subset: rows failing

@@ -994,4 +994,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
     assert("Exchange".r.findAllIn(p).length == 1, p)
   }
+
+  test("q52 interval overlap: shuffled equi-join, no nested-loop corner") {
+    // the bucketed rewrite must plan as a plain equi-join on
+    // (key, bucket) — a theta-shaped plan (BroadcastNestedLoopJoin /
+    // CartesianProduct) means the rewrite silently degraded
+    val p = plan("q52_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+      p)
+  }
+
+  test("q51 row checks: all conditional sums ride ONE lineitem scan") {
+    // the row-check subset of the expectations suite is a single
+    // aggregate over a single scan — adding a check must add a column,
+    // never a pass over the data
+    import graft.operators.Profiler
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // the pre-checkpoint wide aggregate (the summary melt reads its
+    // 1-row checkpoint, so the shared scan is only visible here)
+    val p = Profiler.rowCheckWide(
+      li,
+      Seq(
+        Profiler.RowCheck("a", col("l_quantity") > 45.0),
+        Profiler.RowCheck("b", col("l_discount") > 0.08),
+        Profiler.RowCheck("c", col("l_shipdate").isNull)))
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(p).length == 1,
+      "three row checks must share one scan: " + p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

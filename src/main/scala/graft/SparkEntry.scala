@@ -4480,6 +4480,47 @@ object SparkEntry {
           .foreach(p => Files.deleteIfExists(p))
       }
     },
+    "p11_index_lifecycle" -> { (s, dir) =>
+      // VECTOR-INDEX LIFECYCLE journey — the e-family composed end to
+      // end the way p9/p10 compose text and media ingest: BUILD on the
+      // even half (e4's k-means build) → WRITE the disk layout →
+      // APPEND the odd half to the existing centroids (e13) → DELETE
+      // every vec_id % 3 == 0 by partition-pruned rewrite (e27) →
+      // REBALANCE oversized lists by local re-clustering (e28) →
+      // reopen and PROBE at nProbe = nList(after). Each maintenance
+      // step is oracle-locked alone; this row locks the composed
+      // sequence: the final probe must be the exact kNN over the
+      // SURVIVORS (vec_id % 3 ≠ 0), byte for byte — any step that
+      // lost, duplicated, or misplaced a vector breaks the hash.
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), nList = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_p11").toString
+      try {
+        Similarity.writeIvfIndex(idx, tmp)
+        idx.release()
+        Similarity.appendToIvfIndex(
+          s, tmp, emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+        Similarity.deleteFromIvfIndex(
+          s, tmp,
+          emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+            .select(col("vec_id")))
+        val survivors = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+        Similarity.rebalanceIvfIndex(
+          s, tmp, maxListSize = math.max(1L, survivors.count() / 16))
+        val disk = Similarity.readIvfIndex(s, tmp)
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPruned(
+            disk, Seq(1L, 2L, 4L, 5L, 7L), k = 10, nProbe = disk.nList))
+      } finally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(tmp)
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    },
     "e22_knn_graph" -> ((s, dir) =>
       // the GRAPH-ANN family's build half (single-layer NSW adjacency):
       // per-vector top-8 neighbors with candidates from the IVF coarse
@@ -7573,6 +7614,25 @@ object SparkEntry {
         |p AS (
         |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
         |  FROM base WHERE vec_id IN (0, 2, 4, 6, 8)),
+        |r AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+        |      AS cos_sim
+        |  FROM base e, p WHERE e.vec_id <> p.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "p11_index_lifecycle" ->
+      // exact kNN over the lifecycle's survivors (vec_id % 3 ≠ 0):
+      // build → append → delete → rebalance → probe must reproduce it
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+        |p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM base WHERE vec_id IN (1, 2, 4, 5, 7)),
         |r AS (
         |  SELECT p.probe_id, e.vec_id,
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)

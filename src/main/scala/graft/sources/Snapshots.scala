@@ -95,9 +95,20 @@ object Snapshots {
       .collect().map(r => (r.getInt(0), r.getString(1))).distinct
     require(all.exists(_._1 <= cut), s"nothing committed at or before $cut")
     val ckptPath = s"$root/data/ckpt=$cut"
-    readVersion(spark, root, cut)
-      .write.mode(SaveMode.Overwrite).parquet(ckptPath)
-    val kept = (cut, ckptPath) +: all.filter(_._1 > cut)
+    // idempotence: re-expiring at the same cut would otherwise read the
+    // existing checkpoint dir while overwriting it — when the history
+    // below the cut is already exactly this checkpoint, skip the rewrite
+    // and fall through to the sweep (a crashed previous sweep resumes)
+    val alreadyFolded =
+      all.filter(_._1 <= cut).map(_._2).distinct.sameElements(
+        Array(ckptPath))
+    val kept =
+      if (alreadyFolded) (cut, ckptPath) +: all.filter(_._1 > cut)
+      else {
+        readVersion(spark, root, cut)
+          .write.mode(SaveMode.Overwrite).parquet(ckptPath)
+        (cut, ckptPath) +: all.filter(_._1 > cut)
+      }
     val spark2 = spark
     import spark2.implicits._
     // rows were collected above — writing the manifest from a local

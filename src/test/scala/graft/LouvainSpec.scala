@@ -117,4 +117,17 @@ class LouvainSpec extends AnyFunSuite {
     assert(labelMap(lab) == labelMap(Louvain.multilevel(e, 8, 6)),
       "converged must equal the fixed unroll at the stop level")
   }
+
+  test("budget robustness: a different per-level budget still recovers") {
+    // the per-level rounds knob changes the trajectory, not the answer
+    // on recoverable structure: budget 12 self-stops at its own depth
+    // and finds the same planted 2-block partition
+    val e = graft.sources.SyntheticGraph.portableBlocks(
+      spark, 200, 600, "g22b")
+    val (lab, levels) = Louvain.multilevelConverged(
+      e, maxRoundsPerLevel = 12, maxLevels = 12)
+    assert(levels <= 8)
+    assert(lab.select("lbl").distinct().count() == 2)
+    assert(math.abs(q(e, lab) - 0.499999639) < 1e-9)
+  }
 }

@@ -217,6 +217,11 @@ class SnapshotExpireSpec extends AnyFunSuite {
       }
       graft.sources.Snapshots.commit(Seq(2L).toDF("k"), root, 3)
       graft.sources.Snapshots.expire(spark, root, cut = 2)
+      // re-expiring at the SAME cut is a no-op (must not read the
+      // checkpoint dir while overwriting it)
+      graft.sources.Snapshots.expire(spark, root, cut = 2)
+      assert(ids(graft.sources.Snapshots.readVersion(spark, root, 3))
+        == Seq(1L, 2L))
       // re-expiring at a later cut folds the previous checkpoint in
       graft.sources.Snapshots.expire(spark, root, cut = 3)
       assert(ids(graft.sources.Snapshots.readVersion(spark, root, 3))
@@ -284,6 +289,95 @@ class IntervalOverlapSpec extends AnyFunSuite {
         bucketWidth = 10L).collect()
     }
     assert(ex.getMessage.contains("left interval wider"), ex.getMessage)
+  }
+}
+
+/** Generative lifecycle invariants: random commit/expire schedules and
+  * random delete-batch sequences must be indistinguishable from their
+  * from-scratch ground truths.
+  */
+class LifecyclePropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("lcp").toString
+    try f(root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("random commit/expire schedule: every retained as-of ≡ batch rule") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      withRoot { root =>
+        val nV = 5 + rnd.nextInt(3)
+        val batches = (1 to nV).map { v =>
+          v -> (0 until 1 + rnd.nextInt(4)).map(i => v * 100L + i)
+        }.toMap
+        var cut = 0
+        (1 to nV).foreach { v =>
+          graft.sources.Snapshots.commit(batches(v).toDF("k"), root, v)
+          // occasionally expire at a random cut ≤ the committed head
+          if (v >= 2 && rnd.nextBoolean()) {
+            cut = math.max(cut, 1 + rnd.nextInt(v))
+            graft.sources.Snapshots.expire(spark, root, cut)
+          }
+        }
+        (math.max(cut, 1) to nV).foreach { asOf =>
+          val want = (1 to asOf).flatMap(batches).sorted
+          val got = graft.sources.Snapshots.readVersion(spark, root, asOf)
+            .select("k").collect().map(_.getLong(0)).sorted.toSeq
+          assert(got == want, s"trial $trial asOf $asOf after cut $cut")
+        }
+        if (cut >= 1) intercept[IllegalArgumentException] {
+          graft.sources.Snapshots.readVersion(spark, root, cut - 1)
+        }
+      }
+    }
+  }
+
+  test("random delete batches + fold points: view ≡ base minus all deletes") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { trial =>
+      val base0 = (1L to 60L).map(k => (k, s"v$k"))
+      withRoot { root =>
+        val baseDir = s"$root/base0"
+        val dvDir = s"$root/dv"
+        base0.toDF("k", "v").write.parquet(baseDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dvDir))
+        var curBase = baseDir
+        var gen = 0
+        val deleted = scala.collection.mutable.Set[Long]()
+        (1 to 5).foreach { step =>
+          val batch = (0 until 1 + rnd.nextInt(5))
+            .map(_ => 1L + rnd.nextInt(60)).distinct
+          deleted ++= batch
+          graft.sources.DeletionVectors.appendDeletes(
+            batch.toDF("k"), dvDir)
+          if (rnd.nextBoolean()) { // fold at random points
+            gen += 1
+            val next = s"$root/base$gen"
+            graft.sources.DeletionVectors.foldCompact(
+              spark, curBase, dvDir, "k", next)
+            curBase = next
+          }
+          val got = graft.sources.DeletionVectors
+            .readMergeOnRead(spark, curBase, dvDir, "k")
+            .select("k").collect().map(_.getLong(0)).toSet
+          val want = base0.map(_._1).toSet -- deleted
+          assert(got == want, s"trial $trial step $step (folds: $gen)")
+        }
+      }
+    }
   }
 }
 

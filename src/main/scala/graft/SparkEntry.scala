@@ -5472,6 +5472,34 @@ object SparkEntry {
           coalesce(col("c_id"), lit(-1L)).as("c_id"),
           coalesce(col("c_us"), lit(-1L)).as("c_us"))
     },
+    "q53_asof_forward" -> { (s, dir) =>
+      // FORWARD as-of join (pandas merge_asof direction='forward' —
+      // completing the family: q15 backward, q49 nearest, p5 strict
+      // predecessor): each purchase attaches the EARLIEST click at or
+      // after it — the "next event after this instant" lookup. Same
+      // fixture and cost class as its siblings: one exchange, one
+      // sort, a first(ignoreNulls) window over the following frame.
+      val ev = graft.sources.Tables.events(s, dir)
+      val probes = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("p_id"))
+      val quotes = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("c_us"))
+        .agg(min(col("event_id")).as("c_id"))
+      TemporalJoins
+        .asofJoinForward(probes, quotes, "user_id", "p_us", "c_us",
+          payload = Seq("c_id", "c_us"))
+        .select(
+          col("user_id"), col("p_us"), col("p_id"),
+          coalesce(col("c_id"), lit(-1L)).as("c_id"),
+          coalesce(col("c_us"), lit(-1L)).as("c_us"))
+    },
     "q52_interval_overlap" -> { (s, dir) =>
       // INTERVAL-OVERLAP join (q16's two-interval-set generalization —
       // the ad-exposure × session shape): purchase windows [p, p+30min)
@@ -8826,6 +8854,32 @@ object SparkEntry {
         |  coalesce(c.c_id, -1) AS c_id, coalesce(c.c_us, -1) AS c_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.p_us >= c.c_us""".stripMargin,
+    "q53_asof_forward" ->
+      // forward = the first quote at or after the probe: probe rows
+      // (tag 0) sort before same-instant quotes (tag 1), so the
+      // following frame is inclusive — mirroring the engine exactly
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, min(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, 1 AS tag, c_us AS t, c_id, c_us,
+        |    NULL::BIGINT AS p_id
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, 0, p_us, NULL, NULL, p_id FROM p),
+        |w AS (
+        |  SELECT *,
+        |    first_value(c_id IGNORE NULLS) OVER wf AS f_id,
+        |    first_value(c_us IGNORE NULLS) OVER wf AS f_us
+        |  FROM u
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY t, tag
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t AS p_us, p_id,
+        |  coalesce(f_id, -1) AS c_id, coalesce(f_us, -1) AS c_us
+        |FROM w WHERE tag = 0""".stripMargin,
     "q49_asof_nearest" ->
       // nearest = min(|Δt|) of the backward and forward candidates,
       // ties backward; per-column IGNORE NULLS windows cannot tear the

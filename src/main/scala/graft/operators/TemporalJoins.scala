@@ -99,6 +99,71 @@ object TemporalJoins {
           payload.map(c => col("_p").getField(c).as(c))): _*)
   }
 
+  /** FORWARD as-of: for every left row, the payload of the EARLIEST
+    * right row with `rightTs >= leftTs` for the same key (pandas
+    * `merge_asof(direction='forward')`) — the "next scheduled event
+    * after this instant" lookup ([[asofJoin]] is the backward form,
+    * [[asofJoinNearest]] the tie-broken union of both). Inclusive: a
+    * quote exactly at the probe instant matches. Same cost class as
+    * its siblings: ONE hash exchange on the key, one per-partition
+    * sort, the candidate found by a `first(ignoreNulls)` window over
+    * the FOLLOWING frame — no self-join, cost independent of match
+    * fan-out. Right rows tied on (key, rightTs) must be
+    * pre-deduplicated by the caller. Null payload when no right row
+    * follows.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(
+      payload.nonEmpty && !payload.contains(key),
+      "payload must be non-empty right-side value columns")
+    val clash = payload.intersect(leftCols)
+    require(
+      clash.isEmpty,
+      s"payload columns [${clash.mkString(", ")}] collide with left-side " +
+        "columns — rename one side before joining")
+    val reservedF = (leftCols ++ right.columns).toSet
+      .intersect(Set("_p", "_t", "_tag"))
+    require(
+      reservedF.isEmpty,
+      s"columns [${reservedF.toSeq.sorted.mkString(", ")}] collide with " +
+        "asofJoinForward's internal working names (_p, _t, _tag) — " +
+        "rename them before joining")
+
+    val extra = leftCols.filterNot(c => c == key || c == leftTs)
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
+    val qFull = right.select(
+      (col(key) +: lit(1).as("_tag") +: col(rightTs).as("_t") +:
+        struct(payload.map(col): _*).as("_p") +:
+        extra.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val pFull = left.select(
+      (col(key) +: lit(0).as("_tag") +: col(leftTs).as("_t") +:
+        lit(null).cast(pType).as("_p") +:
+        extra.map(col)): _*)
+    val unioned = qFull.unionByName(pFull)
+
+    // probe tag 0 sorts BEFORE quote tag 1 at equal instants, so an
+    // exact-instant quote sits in the probe's following frame
+    // (inclusive forward semantics — the mirror of asofJoin's ordering)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_tag").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_p", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+      .select(
+        (col(key) +: col("_t").as(leftTs) +: extra.map(col) ++:
+          payload.map(c => col("_p").getField(c).as(c))): _*)
+  }
+
   /** NEAREST as-of: for every left row, the payload of the right row
     * minimizing `|rightTs − leftTs|` within the key (pandas
     * `merge_asof(direction='nearest')`); equidistant candidates take

@@ -534,6 +534,66 @@ class DvFoldCompactSpec extends AnyFunSuite {
   }
 }
 
+/** q53 forward as-of: earliest at-or-after quote, inclusive instant,
+  * left-outer semantics, and the backward/forward mirror differential.
+  */
+class AsofForwardSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def fwd(
+      probes: Seq[(Long, Long)], quotes: Seq[(Long, Long, String)]) = {
+    val sp = spark
+    import sp.implicits._
+    TemporalJoins
+      .asofJoinForward(
+        probes.toDF("k", "pt"),
+        quotes.toDF("k", "qt", "v"),
+        key = "k", leftTs = "pt", rightTs = "qt", payload = Seq("v", "qt"))
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("k"), r.getAs[Long]("pt"), r.getAs[String]("v"),
+          Option(r.getAs[java.lang.Long]("qt")).map(_.toLong)))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+  }
+
+  test("forward picks the earliest at-or-after quote, per key") {
+    val out = fwd(
+      probes = Seq((1L, 10L), (1L, 25L), (2L, 60L)),
+      quotes = Seq((1L, 5L, "old"), (1L, 20L, "b"), (1L, 30L, "c"),
+        (2L, 50L, "z")))
+    assert(out == Seq(
+      (1L, 10L, "b", Some(20L)), // 5 is behind, 20 is the next
+      (1L, 25L, "c", Some(30L)),
+      (2L, 60L, null, None))) // no quote follows ⇒ left-outer null
+  }
+
+  test("forward is inclusive: quote exactly at the probe instant wins") {
+    val out = fwd(
+      probes = Seq((1L, 10L)),
+      quotes = Seq((1L, 10L, "now"), (1L, 15L, "later")))
+    assert(out == Seq((1L, 10L, "now", Some(10L))))
+  }
+
+  test("backward/forward mirror: reversing time swaps the directions") {
+    val sp = spark
+    import sp.implicits._
+    val probes = Seq((1L, 10L), (1L, 25L), (1L, 40L))
+    val quotes = Seq((1L, 5L, "a"), (1L, 20L, "b"), (1L, 35L, "c"))
+    val f = fwd(probes, quotes).map(t => (t._1, t._2, t._4))
+    // negate every timestamp: forward(t) ≡ backward(−t) negated back
+    val b = TemporalJoins.asofJoin(
+      probes.map(p => (p._1, -p._2)).toDF("k", "pt"),
+      quotes.map(q => (q._1, -q._2, q._3)).toDF("k", "qt", "v"),
+      "k", "pt", "qt", Seq("v", "qt"))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), -r.getAs[Long]("pt"),
+        Option(r.getAs[java.lang.Long]("qt")).map(x => -x.toLong)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(f == b)
+  }
+}
+
 class AsofReservedNamesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

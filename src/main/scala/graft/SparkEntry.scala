@@ -4990,6 +4990,28 @@ object SparkEntry {
       // batch twin — the SAME code path — is hash-checked
       graft.streaming.EventStreams.attributionJoinFull(
         graft.sources.Tables.events(s, dir))),
+    "st23_gated_ingest" -> { (s, dir) =>
+      // STREAMING INGEST GATE with dead-lettering (q51's expectations
+      // at ingest time): every row tagged with its first-failing
+      // constraint (error events quarantine first, then the value
+      // tail), NULL ⇔ clean — the batch twin IS the streaming split
+      // expression (gateSplit rides Profiler.quarantineReason; the
+      // two-sink exactly-once replay path is locked in Wave12). Both
+      // constraints genuinely fire on this data (~2k error events,
+      // a >300 value tail), so the gate is non-degenerate.
+      import graft.operators.Profiler
+      graft.streaming.EventStreams.gateSplit(
+        graft.sources.Tables.events(s, dir),
+        Seq(
+          Profiler.RowCheck("error_event", col("event_type") === "error"),
+          Profiler.RowCheck("value_too_big", col("value") > 300.0)))
+        .groupBy(
+          coalesce(col("gate_reason"), lit("clean")).as("gate"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
     "st22_attribution_right" -> ((s, dir) =>
       // RIGHT OUTER stream-stream interval join — the fourth SQL form,
       // completing the family (st5 inner, st11 left, st16 full): every
@@ -9076,6 +9098,15 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         |  AND epoch_us(c.c_ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.c_ts) < epoch_us(p.ts)""".stripMargin,
+    "st23_gated_ingest" ->
+      // the same first-failing CASE chain + per-(gate, type) totals
+      """SELECT
+        |  CASE WHEN event_type = 'error' THEN 'error_event'
+        |       WHEN value IS NULL OR value > 300.0 THEN 'value_too_big'
+        |       ELSE 'clean' END AS gate,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "st22_attribution_right" ->
       // the right interval join: every click survives, p_id NULL for
       // the never-converted ones

@@ -147,13 +147,22 @@ object Profiler {
     * clean rows continue. Stateless zero-exchange projection + filter.
     */
   def quarantineRows(
-      df: DataFrame, rowChecks: Seq[RowCheck]): DataFrame = {
+      df: DataFrame, rowChecks: Seq[RowCheck]): DataFrame =
+    df.withColumn("quarantine_reason", quarantineReason(rowChecks))
+      .filter(col("quarantine_reason").isNotNull)
+
+  /** The first-failing-constraint reason as a bare Column (NULL ⇔ the
+    * row passes every check) — the single expression behind
+    * [[quarantineRows]] and the streaming gate
+    * ([[graft.streaming.EventStreams.gatedIngest]]), shared so the
+    * batch and streaming splits cannot drift.
+    */
+  def quarantineReason(
+      rowChecks: Seq[RowCheck]): org.apache.spark.sql.Column = {
     require(rowChecks.nonEmpty, "need at least one row check")
-    val reason = rowChecks.reverse.foldLeft(
+    rowChecks.reverse.foldLeft(
       lit(null).cast("string")) { (acc, c) =>
       when(coalesce(c.violation, lit(true)), lit(c.name)).otherwise(acc)
     }
-    df.withColumn("quarantine_reason", reason)
-      .filter(col("quarantine_reason").isNotNull)
   }
 }

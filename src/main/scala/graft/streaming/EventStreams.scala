@@ -115,6 +115,59 @@ object EventStreams {
       }
       .start()
 
+  /** The GATE SPLIT one micro-batch of [[gatedIngest]] performs, and
+    * the batch twin the st23 oracle checks (SAME expression — the
+    * split rides [[graft.operators.Profiler.quarantineReason]], so the
+    * batch and streaming paths cannot drift): every row tagged with
+    * its first-failing constraint, NULL ⇔ clean. Stateless
+    * zero-exchange projection.
+    */
+  def gateSplit(
+      events: DataFrame,
+      rowChecks: Seq[graft.operators.Profiler.RowCheck]): DataFrame =
+    events.withColumn(
+      "gate_reason", graft.operators.Profiler.quarantineReason(rowChecks))
+
+  /** STREAMING INGEST GATE with DEAD-LETTERING (st23 — the q51
+    * expectations suite at ingest time): each micro-batch splits on
+    * [[gateSplit]]'s reason, clean rows land in `cleanPath` and
+    * offenders (reason attached) in `dlqPath`, BOTH through
+    * [[writeBatchIdempotent]]'s batch_id-partition overwrite. The
+    * crash window between the two writes is covered by the same
+    * idempotence that makes each sink exactly-once alone: a replayed
+    * batch overwrites its OWN partition in both dirs, so the pair
+    * converges to exactly-once together — no row is ever in both
+    * sinks, none in neither (replay-tested in Wave12).
+    */
+  def gatedIngest(
+      stream: DataFrame,
+      rowChecks: Seq[graft.operators.Profiler.RowCheck],
+      cleanPath: String,
+      dlqPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        gatedIngestBatch(df, rowChecks, batchId, cleanPath, dlqPath)
+      }
+      .start()
+
+  /** One micro-batch of [[gatedIngest]], exposed for the replay test:
+    * tag once, write the two partitions idempotently.
+    */
+  def gatedIngestBatch(
+      df: DataFrame,
+      rowChecks: Seq[graft.operators.Profiler.RowCheck],
+      batchId: Long,
+      cleanPath: String,
+      dlqPath: String): Unit = {
+    val tagged = gateSplit(df, rowChecks)
+    writeBatchIdempotent(
+      tagged.filter(col("gate_reason").isNull).drop("gate_reason"),
+      batchId, cleanPath)
+    writeBatchIdempotent(
+      tagged.filter(col("gate_reason").isNotNull),
+      batchId, dlqPath)
+  }
+
   /** Watermarked windowed APPROXIMATE distinct-user count per
     * (window, event_type) — the cardinality question a streaming
     * dashboard actually asks at 100 TB/day rates, where exact distinct

@@ -534,6 +534,73 @@ class DvFoldCompactSpec extends AnyFunSuite {
   }
 }
 
+/** st23 gated ingest: the two-sink split is exhaustive and disjoint,
+  * and a replayed batch stays exactly-once across BOTH sinks.
+  */
+class GatedIngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import graft.operators.Profiler.RowCheck
+  import graft.streaming.EventStreams
+
+  private def withDirs(f: (String, String) => Unit): Unit = {
+    val dirs = Seq("clean", "dlq")
+      .map(n => java.nio.file.Files.createTempDirectory(s"gate_$n").toString)
+    try f(dirs(0), dirs(1))
+    finally {
+      import scala.jdk.CollectionConverters._
+      dirs.foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  private val checks = Seq(
+    RowCheck("error_event", col("event_type") === "error"),
+    RowCheck("value_too_big", col("value") > 300.0))
+
+  test("streamed gate: clean ∪ dlq = input, disjoint; replay stays once") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tpe: String, v: Double) = EventStreams.Event(
+      id, new java.sql.Timestamp(1700000000000L + id), 1L, tpe, v)
+    val rows = Seq(
+      ev(1, "click", 10.0), ev(2, "error", 5.0), ev(3, "view", 999.0),
+      ev(4, "purchase", 20.0), ev(5, "error", 500.0))
+    withDirs { (clean, dlq) =>
+      val ms = MemoryStream[EventStreams.Event]
+      val q = EventStreams.gatedIngest(ms.toDS().toDF(), checks, clean, dlq)
+      try {
+        // deterministic batch boundaries: drain between adds, so batch 0
+        // holds exactly rows 1-3 (the replay below re-delivers it)
+        ms.addData(rows.take(3): _*)
+        q.processAllAvailable()
+        ms.addData(rows.drop(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      def ids(path: String) = spark.read.parquet(path)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(clean) == Seq(1L, 4L))
+      assert(ids(dlq) == Seq(2L, 3L, 5L))
+      // both-checks row 5 gets the FIRST reason
+      val reasons = spark.read.parquet(dlq)
+        .select("event_id", "gate_reason").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(reasons == Map(
+        2L -> "error_event", 3L -> "value_too_big", 5L -> "error_event"))
+      // REPLAY: the at-least-once window — re-running a batch id must
+      // overwrite its own partitions in BOTH sinks, duplicating nothing
+      EventStreams.gatedIngestBatch(
+        rows.take(3).toDF(), checks, batchId = 0L, clean, dlq)
+      assert(ids(clean) == Seq(1L, 4L), "replay duplicated clean rows")
+      assert(ids(dlq) == Seq(2L, 3L, 5L), "replay duplicated dlq rows")
+    }
+  }
+}
+
 /** q53 forward as-of: earliest at-or-after quote, inclusive instant,
   * left-outer semantics, and the backward/forward mirror differential.
   */

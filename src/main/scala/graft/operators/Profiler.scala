@@ -73,7 +73,12 @@ object Profiler {
     *    column to the aggregate, never a pass over the data;
     *  - UNIQUENESS of a key tuple: one hash aggregate;
     *    `n_violations` = surplus rows (n_rows − n_distinct_keys), so 0
-    *    ⇔ the tuple is a key;
+    *    ⇔ the tuple is a key. EXACT by design — a uniqueness
+    *    constraint is a correctness gate, and its cost is one
+    *    key-tuple exchange (what any PK validation pays); callers who
+    *    only need a drift signal at 100 TB can swap
+    *    `approx_count_distinct` (the q14 HLL path) at the price of
+    *    false passes within the sketch's rsd;
     *  - REFERENTIAL integrity (fact key ⊆ dim key): one anti-join
     *    count of fact rows whose NON-NULL key misses the dim
     *    (null-key rows are the not-null check's business, not the

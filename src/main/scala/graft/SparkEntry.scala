@@ -3357,6 +3357,35 @@ object SparkEntry {
       Dedup.componentsFromPairs(
         Dedup.verifiedJaccardPairs(docs, cands, threshold = 0.8))
     },
+    "m8_video_neardup" -> { (s, dir) =>
+      // CLIP-LEVEL video near-dup via frame fingerprints (m5's video
+      // twin — re-encoded/trimmed copies share frames, not file
+      // hashes): the fixture gives every video clip 8 frame
+      // fingerprints, 6 drawn from its GROUP (consecutive videos form
+      // sequel groups of ~5 — the true near-dups) and 2 per-clip (the
+      // d38 augmented-fixture discipline; 40-bit draws so cross-group
+      // collisions are rare and deterministic in both engines).
+      // clipNearDupPairs blocks on the fingerprint with a ubiquity cap
+      // and keeps pairs sharing ≥ 5 — exactly the within-group pairs.
+      val vids = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id").as("media_id"))
+      val grp = col("media_id") - pmod(col("media_id"), lit(15L))
+      val frames = vids
+        .select(
+          col("media_id"),
+          explode(sequence(lit(0L), lit(7L))).as("frame_no"))
+        .select(
+          col("media_id"), col("frame_no"),
+          substring(
+            md5(concat(
+              when(col("frame_no") < 6, grp).otherwise(col("media_id"))
+                .cast("string"),
+              lit(":"), col("frame_no").cast("string"), lit(":m8"))),
+            1, 10).as("fp"))
+      graft.operators.Multimodal
+        .clipNearDupPairs(frames, minShared = 5, maxDf = 50)
+    },
     "m5_perceptual_neardup" -> ((s, dir) =>
       // multimodal near-dup: block-mean perceptual signatures from the
       // per-partition kernel (integer cross-multiply bits — exactly
@@ -7943,6 +7972,27 @@ object SparkEntry {
       // recursive-CTE components, end to end
       s"""WITH RECURSIVE $entityGroupCtes
         |SELECT id AS doc_id, min(m) AS group_id FROM r GROUP BY 1""".stripMargin,
+    "m8_video_neardup" ->
+      // same fixture draws, same df cap, same blocked join and
+      // shared-count cut
+      """WITH v AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, CAST(t.s AS BIGINT) AS frame_no,
+        |    substr(md5(concat(
+        |      CAST(CASE WHEN t.s < 6 THEN media_id - media_id % 15
+        |                ELSE media_id END AS VARCHAR),
+        |      ':', CAST(t.s AS VARCHAR), ':m8')), 1, 10) AS fp
+        |  FROM v, unnest(range(8)) AS t(s)),
+        |d AS (SELECT DISTINCT media_id, fp FROM fr),
+        |keep AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 50),
+        |dk AS (SELECT d.media_id, d.fp FROM d JOIN keep USING (fp)),
+        |p AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM dk a JOIN dk b ON a.fp = b.fp AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 5""".stripMargin,
     "m5_perceptual_neardup" ->
       // every signature bit regenerated from the text bytes (ASCII
       // fixture: codepoints ≡ payload bytes, the m2 caveat), then the

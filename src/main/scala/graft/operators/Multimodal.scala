@@ -306,6 +306,45 @@ object Multimodal {
         col("media_id"), col("start_ms"), col("end_ms"), col("n_frames"))
   }
 
+  /** CLIP-LEVEL video near-dup by FRAME-FINGERPRINT matching (m8 —
+    * the video twin of m5's whole-media perceptual hash, and the shape
+    * real video dedup takes: a re-encoded/trimmed copy shares most
+    * frame fingerprints with its original even when no whole-file hash
+    * matches). Input is a `frames(media_id, frame_no, fp)` table — the
+    * per-frame fingerprint column is the decode-kernel seam
+    * ([[extractFeatures]]'s discipline: a real deployment computes fp
+    * with a perceptual frame hash; the registered fixture derives it
+    * deterministically).
+    *
+    * Candidates are BLOCKED on the fingerprint (clips sharing a frame
+    * meet in its group — never an all-pairs stage), with a UBIQUITY
+    * CAP first: fingerprints present in more than `maxDf` clips are
+    * dropped before the join (the d17 boilerplate discipline — a
+    * title-card/black frame shared by thousands of clips carries no
+    * dedup signal and would make its block quadratic). Pairs keep
+    * when they share ≥ `minShared` DISTINCT fingerprints. Scale
+    * shape: one distinct, one df aggregate, one fp-keyed equi-join
+    * whose block sizes are bounded by `maxDf`, one map-side-combined
+    * pair count. Output: `id_a, id_b, n_shared` (a < b).
+    */
+  def clipNearDupPairs(
+      frames: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDf >= 2, "maxDf must be >= 2 (a df-1 fingerprint cannot pair)")
+    val d = frames.select(col("media_id"), col("fp")).distinct()
+    val keep = d.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val dk = d.join(keep, Seq("fp"))
+    dk.select(col("fp"), col("media_id").as("id_a"))
+      .join(dk.select(col("fp"), col("media_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** INTERLEAVED multimodal SEQUENCE PACKING — the manifest step that
     * turns a cleaned image-text corpus into fixed-budget training
     * sequences when documents carry images as well as text (the

@@ -534,6 +534,49 @@ class DvFoldCompactSpec extends AnyFunSuite {
   }
 }
 
+/** m8 clip near-dup: distinct-fingerprint counting, the ubiquity cap,
+  * and the minShared threshold edge.
+  */
+class ClipNearDupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def frames(rows: (Long, Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("media_id", "frame_no", "fp")
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+
+  test("shared distinct fingerprints counted once; threshold is ≥") {
+    // clips 1/2 share fps a,b (b twice in clip 1 — counts once);
+    // clips 1/3 share only a
+    val f = frames(
+      (1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 0L, "a"), (2L, 1L, "b"),
+      (3L, 0L, "a"), (3L, 1L, "z"))
+    val got2 = pairs(graft.operators.Multimodal.clipNearDupPairs(
+      f, minShared = 2, maxDf = 10))
+    assert(got2 == Map((1L, 2L) -> 2L))
+    val got1 = pairs(graft.operators.Multimodal.clipNearDupPairs(
+      f, minShared = 1, maxDf = 10))
+    assert(got1 == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
+  test("ubiquitous fingerprints are dropped before pairing") {
+    // fp "title" appears in ALL four clips (the title-card frame) —
+    // with maxDf = 3 it must not create any pair on its own
+    val f = frames(
+      (1L, 0L, "title"), (2L, 0L, "title"), (3L, 0L, "title"),
+      (4L, 0L, "title"),
+      (1L, 1L, "x"), (2L, 1L, "x"))
+    val got = pairs(graft.operators.Multimodal.clipNearDupPairs(
+      f, minShared = 1, maxDf = 3))
+    assert(got == Map((1L, 2L) -> 1L), s"got $got")
+  }
+}
+
 /** st23 gated ingest: the two-sink split is exhaustive and disjoint,
   * and a replayed batch stays exactly-once across BOTH sinks.
   */

@@ -3628,6 +3628,27 @@ object SparkEntry {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_discount"), col("quarantine_reason"))
     },
+    "q51c_expectations_approx" -> { (s, dir) =>
+      // APPROX-UNIQUENESS drift signal (q51's sketch twin — the escape
+      // hatch the exact gate's Scaladoc documents, registered): two
+      // uniqueness constraints re-priced as ONE zero-exchange HLL++
+      // scan (constant sketch state per key vs the exact form's
+      // key-tuple exchange — the daily 100 TB shape), on orders so the
+      // gate fires in BOTH directions: o_orderkey is genuinely unique
+      // (estimate inside the noise floor → passes) and o_custkey has a
+      // ~10× surplus (~1000× any sketch noise → fails). The estimates
+      // themselves are engine-sketch-defined (DuckDB's approx sketch
+      // differs) → rows-only; the rsd-bounded differential vs the
+      // exact form and the false-pass price are pinned in
+      // ApproxUniqueSpec.
+      import graft.operators.Profiler
+      Profiler.expectationsApproxUnique(
+        t(s, dir, "orders"),
+        Seq(
+          ("pk_orderkey", Seq("o_orderkey")),
+          ("uk_custkey", Seq("o_custkey"))),
+        rsd = 0.01)
+    },
     "q46_anomaly" -> { (s, dir) =>
       // TRAILING-WINDOW z-score anomaly flag per user: value vs the
       // mean/stddev of the 5 preceding events (frame excludes the

@@ -111,6 +111,12 @@ object Hits {
     var h = verts.select(col("id"), lit(1.0).as("h"))
       .transform(CacheScope.rotate)
     var prevSh = verts.count().toDouble // Σh_0 = N
+    // fail loudly on an edgeless graph (the family's require style): the
+    // per-round metric aggregate would otherwise yield NULL sums and NPE
+    // at getDouble, and the Σh normalization divides by 0 (ADVICE r13);
+    // the count above already ran, so this guard costs nothing
+    require(prevSh > 0,
+      "HITS requires a non-empty edge set (no vertices to score)")
     var araw: DataFrame = null
     var prevH: DataFrame = h
     var prevAr: DataFrame = null

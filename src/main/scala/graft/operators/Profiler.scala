@@ -73,12 +73,21 @@ object Profiler {
     *    column to the aggregate, never a pass over the data;
     *  - UNIQUENESS of a key tuple: one hash aggregate;
     *    `n_violations` = surplus rows (n_rows − n_distinct_keys), so 0
-    *    ⇔ the tuple is a key. EXACT by design — a uniqueness
+    *    ⇔ the tuple is a key. NULL SEMANTICS (pinned by unit test, not
+    *    an accident of the engine): Spark's multi-column
+    *    `countDistinct` drops any tuple with a NULL component, so EVERY
+    *    null-key row counts as a violation — the primary-key reading
+    *    (a PK must be non-null AND unique), not the SQL UNIQUE-
+    *    constraint reading (which ignores nulls). An oracle mirroring
+    *    this in an engine whose `count(DISTINCT (a,b))` keeps
+    *    null-bearing structs (DuckDB) must null-guard the tuple:
+    *    `count(*) − count(DISTINCT CASE WHEN a IS NOT NULL AND b IS
+    *    NOT NULL THEN (a,b) END)`. EXACT by design — a uniqueness
     *    constraint is a correctness gate, and its cost is one
     *    key-tuple exchange (what any PK validation pays); callers who
-    *    only need a drift signal at 100 TB can swap
-    *    `approx_count_distinct` (the q14 HLL path) at the price of
-    *    false passes within the sketch's rsd;
+    *    only need a drift signal at 100 TB use
+    *    [[expectationsApproxUnique]] (the q51c HLL path) at the price
+    *    of false passes within the sketch's rsd;
     *  - REFERENTIAL integrity (fact key ⊆ dim key): one anti-join
     *    count of fact rows whose NON-NULL key misses the dim
     *    (null-key rows are the not-null check's business, not the
@@ -128,6 +137,61 @@ object Profiler {
     }
     parts.reduce(_ union _)
       .withColumn("pass", (col("n_violations") === 0L).cast("boolean"))
+  }
+
+  /** APPROXIMATE-uniqueness expectations (q51c) — the registered form of
+    * the escape hatch [[expectations]]' uniqueness bullet documents: at
+    * 100 TB a DAILY uniqueness check is a drift signal, not a
+    * correctness gate, and the HLL++ sketch (`approx_count_distinct`)
+    * prices it at ONE ZERO-EXCHANGE SCAN — constant sketch state per
+    * key tuple instead of the exact form's key-tuple exchange. ALL keys
+    * ride a single `agg(...)` (HLL sketches compose in one pass; the
+    * exact multi-distinct would force an Expand), so adding a key adds
+    * a sketch, never a scan.
+    *
+    * Null semantics mirror the exact check exactly: a tuple with any
+    * NULL component never reaches the sketch (the `when` guard yields
+    * NULL, which `approx_count_distinct` ignores), so every null-key
+    * row counts toward the surplus.
+    *
+    * Output: `check_name, n_violations_est, pass_est`. The estimate
+    * errs BOTH ways within the sketch's rsd, so the verdict thresholds
+    * at the sketch's NOISE FLOOR — `pass_est` ⇔ the estimated surplus
+    * is ≤ `ceil(noiseFactor · rsd · n_distinct_est)` — never at zero:
+    * a zero threshold would false-FAIL every clean key whose estimate
+    * undershoots. The symmetric price is the FALSE PASS: a true
+    * surplus under the noise floor reads clean (bounded by the rsd,
+    * unit-pinned). A negative `n_violations_est` (overshooting
+    * estimate on a clean key) is reported as-is — consumers trend the
+    * raw number. Anything beyond a drift signal belongs on
+    * [[expectations]].
+    */
+  def expectationsApproxUnique(
+      df: DataFrame,
+      uniqueKeys: Seq[(String, Seq[String])],
+      rsd: Double = 0.01,
+      noiseFactor: Double = 3.0): DataFrame = {
+    require(uniqueKeys.nonEmpty, "need at least one unique-key constraint")
+    require(rsd > 0.0 && rsd < 1.0, "rsd must be in (0, 1)")
+    require(noiseFactor > 0.0, "noiseFactor must be positive")
+    val aggs = uniqueKeys.zipWithIndex.map { case ((_, keyCols), i) =>
+      val tuple = when(
+        keyCols.map(c => col(quoted(c)).isNotNull).reduce(_ && _),
+        struct(keyCols.map(c => col(quoted(c))): _*))
+      approx_count_distinct(tuple, rsd).as(s"nd_$i")
+    }
+    // checkpointed 1-row frame: melting per key must not re-run the scan
+    val wide = df
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .localCheckpoint()
+    uniqueKeys.zipWithIndex.map { case ((name, _), i) =>
+      val est = col("n_rows") - col(s"nd_$i")
+      wide.select(
+        lit(name).as("check_name"),
+        est.as("n_violations_est"),
+        (est <= ceil(lit(noiseFactor * rsd) * col(s"nd_$i")).cast("long"))
+          .as("pass_est"))
+    }.reduce(_ union _)
   }
 
   /** The one-scan wide aggregate behind the row checks (one conditional

@@ -83,6 +83,11 @@ object ShortestPaths {
       sources: DataFrame,
       maxRounds: Int = 50): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    // fail loudly instead of silently returning an empty frame (the
+    // Hits.runConverged guard's sibling, ADVICE r13): an empty seed set
+    // is a caller bug, not a graph with no reachable vertices
+    require(!sources.isEmpty,
+      "SSSP requires a non-empty source set")
     val e = edges
       .select(col("src").as("id"), col("dst"), col("w").cast("double").as("w"))
       .repartition(col("id"))

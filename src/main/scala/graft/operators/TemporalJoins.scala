@@ -292,9 +292,12 @@ object TemporalJoins {
     * two-interval-set generalization (the ad-exposure × session /
     * downtime × incident shape): every pair of same-key intervals with
     * `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅` (half-open — touching intervals do
-    * NOT overlap). Both sides' widths must be ≤ `bucketWidth`
-    * (fail-fast inside the bucket expression, the [[bucketedRangeJoin]]
-    * guard), so each interval spans ≤ 2 buckets; both sides explode to
+    * NOT overlap). Both sides' intervals must be NON-EMPTY (`lo < hi` —
+    * an empty `[x, x)` overlaps nothing, but the pairwise residual
+    * alone would match it against any enclosing interval) and of width
+    * ≤ `bucketWidth`; both contracts fail fast inside the bucket
+    * expression (the [[bucketedRangeJoin]] guard style), so each
+    * interval spans ≤ 2 buckets; both sides explode to
     * their bucket keys and the join is a plain shuffled equi-join on
     * (key, bucket) with the exact overlap residual. A pair whose
     * intervals share BOTH buckets would match twice, so the match is
@@ -315,9 +318,21 @@ object TemporalJoins {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def buckets(lo: String, hi: String, side: String) = {
+      // both contract guards live INSIDE the bucket expression (never a
+      // separate dropped column — column pruning would remove it): a
+      // too-wide interval would silently lose matches beyond the second
+      // bucket, and an EMPTY interval `[x, x)` would silently GAIN
+      // matches (lLo < rHi && rLo < lHi passes against any enclosing
+      // interval even though ∅ overlaps nothing) — both fail the query
+      // loudly instead (ADVICE r13 for the empty case)
       val hiBucket = when(
-        col(hi) - col(lo) <= bucketWidth,
-        floor((col(hi) - 1) / bucketWidth))
+        col(lo) >= col(hi),
+        raise_error(concat(
+          lit(s"bucketedIntervalJoin: $side interval empty (lo >= hi) at "),
+          col(lo).cast("string"))).cast("long"))
+        .when(
+          col(hi) - col(lo) <= bucketWidth,
+          floor((col(hi) - 1) / bucketWidth))
         .otherwise(raise_error(concat(
           lit(s"bucketedIntervalJoin: $side interval wider than "),
           lit("bucketWidth at "),

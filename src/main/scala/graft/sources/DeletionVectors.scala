@@ -63,9 +63,27 @@ object DeletionVectors {
     * the dir. Ordering is crash-safe the cheap way: the compacted copy
     * lands fully before the sidecar empties, so a crash between the
     * two steps leaves the OLD base + non-empty sidecar view and the
-    * new dir both readable and equivalent — a retry re-folds
-    * idempotently (the refold sees zero deletes and rewrites the same
-    * rows; unit-locked). Post-fold invariants, all spec/oracle-locked:
+    * new dir both readable and equivalent.
+    *
+    * Retry windows, each covered (unit-locked):
+    *  - crash BEFORE the truncation: the sidecar is still non-empty, a
+    *    retry re-folds the same survivors and overwrites `compactedDir`
+    *    with identical rows;
+    *  - crash AFTER the truncation (or a double call): the sidecar is
+    *    empty and `compactedDir` is already populated — the fold NO-OPS.
+    *    Without this guard a retry against the ORIGINAL `baseDir` would
+    *    read base-minus-nothing and overwrite the compacted copy with
+    *    previously-deleted rows resurrected;
+    *  - crash MID-truncation (the parquet overwrite is not atomic):
+    *    `dvDir` may be left schema-unreadable, in which case the retry
+    *    FAILS LOUDLY at the sidecar read — repair by writing a zero-row
+    *    frame of the key schema to `dvDir`, never by guessing.
+    * An empty sidecar with NO existing compacted copy still folds (a
+    * plain copy — the refold-onto-a-fresh-dir shape). After a completed
+    * fold the compacted dir IS the new base: later deletes must append
+    * against it, and later folds must pass it as `baseDir` (folding the
+    * original base again would lose the already-folded deletes).
+    * Post-fold invariants, all spec/oracle-locked:
     * `readMergeOnRead(compactedDir, dvDir)` ≡ the pre-fold MoR view,
     * the sidecar holds 0 rows, and pushdown/pruning survive on the
     * compacted base (it is a plain parquet dir). Writes one file per
@@ -79,7 +97,17 @@ object DeletionVectors {
       dvDir: String,
       keyCol: String,
       compactedDir: String): Unit = {
-    val dvSchema = spark.read.parquet(dvDir).schema
+    val dv = spark.read.parquet(dvDir)
+    val dvSchema = dv.schema
+    // completed-fold retry guard (ADVICE r13): an empty sidecar with a
+    // populated compacted dir is the post-truncation state — re-folding
+    // the original base here would resurrect every previously-deleted
+    // row into compactedDir. One limit-1 probe + a driver-side listing.
+    if (dv.isEmpty) {
+      val cp = new org.apache.hadoop.fs.Path(compactedDir)
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(cp) && fs.listStatus(cp).nonEmpty) return
+    }
     readMergeOnRead(spark, baseDir, dvDir, keyCol)
       .write.mode(SaveMode.Overwrite).parquet(compactedDir)
     spark.createDataFrame(

@@ -294,6 +294,58 @@ object SparkEntry {
     sb.append(s"\n$select").toString
   }
 
+  /** One unrolled reference-recurrence iteration (the [[pageRankSqlOver]]
+    * body, factored so the warm-start oracle can run the SAME rule over
+    * two graphs): reads `$p$i`, emits `${p}d$i` (lagged dangling) and
+    * `$p${i + 1}`. `edges`/`nn` name the graph the iteration runs on.
+    */
+  private def prIterSql(p: String, edges: String, nn: String, i: Int): String =
+    s""",
+       |${p}d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS ds FROM $p$i WHERE outdeg = 0),
+       |$p${i + 1} AS MATERIALIZED (
+       |  SELECT s.id, s.outdeg,
+       |         (1 - $D)/(SELECT n FROM $nn)
+       |       + $D*(SELECT ds FROM ${p}d$i)/(SELECT n FROM $nn)
+       |       + $D*coalesce(c.contrib, 0.0) AS rank
+       |  FROM $p$i s
+       |  LEFT JOIN (SELECT e.dst AS id, sum(r.rank/r.outdeg) AS contrib
+       |             FROM $edges e JOIN $p$i r ON e.src = r.id GROUP BY 1) c
+       |  USING (id))""".stripMargin
+
+  /** WARM-START PageRank oracle (g56): `kOld` cold iterations over the
+    * OLD graph (the full orders graph minus the `deltaPred` edges), the
+    * resulting ranks seeded onto the NEW (full) graph — absent vertices
+    * at 1/N, the vector renormalized to mass 1 — then `kWarm` iterations
+    * of the identical reference recurrence with the initial dangling
+    * scan over the seeded state. Replays [[graft.operators.PageRank]]'s
+    * warm path decision for decision.
+    */
+  private def pageRankWarmSql(
+      kOld: Int, kWarm: Int, deltaPred: String, select: String): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(graphCtes).append(",\n")
+    // the OLD graph: same vertex-closure/degree build over the retained
+    // edge subset
+    sb.append(
+      s"""oedges AS MATERIALIZED (SELECT src, dst FROM edges WHERE $deltaPred),
+         |overts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM oedges UNION ALL SELECT dst FROM oedges)),
+         |onn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM overts),
+         |odeg AS MATERIALIZED (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM overts v LEFT JOIN (SELECT src AS id, count(*) AS outdeg FROM oedges GROUP BY 1) d USING (id)),
+         |o0 AS MATERIALIZED (SELECT id, outdeg, 1.0/(SELECT n FROM onn) AS rank FROM odeg)""".stripMargin)
+    for (i <- 0 until kOld) sb.append(prIterSql("o", "oedges", "onn", i))
+    // warm seed onto the NEW graph: absent ids at 1/N, renormalize to 1
+    sb.append(
+      s""",
+         |s0 AS MATERIALIZED (
+         |  SELECT d.id, d.outdeg,
+         |         coalesce(o.rank, 1.0/(SELECT n FROM nn)) AS rank
+         |  FROM deg d LEFT JOIN o$kOld o USING (id)),
+         |sm AS MATERIALIZED (SELECT sum(rank) AS m FROM s0),
+         |r0 AS MATERIALIZED (SELECT id, outdeg, rank/(SELECT m FROM sm) AS rank FROM s0)""".stripMargin)
+    for (i <- 0 until kWarm) sb.append(prIterSql("r", "edges", "nn", i))
+    sb.append(s"\n$select").toString
+  }
+
   /** Unrolled fixed-k WEIGHTED PageRank (g21 oracle): identical chain to
     * [[pageRankSql]] with the weighted graph (lineitem co-occurrence
     * count), out-WEIGHT sums for outdeg, and contributions
@@ -2425,6 +2477,23 @@ object SparkEntry {
     "g5c_pagerank_k10" -> { (s, dir) =>
       val res =
         PageRank.runFixed(s, EdgeListReader.fromOrdersCached(s, dir), k = 10)
+      res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "g56_pagerank_warm" -> { (s, dir) =>
+      // INCREMENTAL (warm-start) PageRank — the capability a
+      // daily-refreshed 100 TB graph needs most: yesterday's ranks (here
+      // k=3 over the graph MINUS a deterministic ~20% edge delta) seed
+      // today's loop over the full graph — new vertices at 1/N, the
+      // vector renormalized to mass 1, the initial dangling scan over
+      // the seeded state — and the O16 recurrence runs k=2 more rounds.
+      // Fixed-k unroll on both phases keeps it hash-green (the g5
+      // discipline applied twice); the converged-mode payoff (warm
+      // reaches the g6 tolerance in strictly fewer iterations than
+      // cold) is differential-locked in WarmStartSpec.
+      val all = EdgeListReader.fromOrdersCached(s, dir)
+      val old = all.filter((col("src") + col("dst")) % 5 =!= 0)
+      val prior = PageRank.runFixed(s, old, k = 3).ranks
+      val res = PageRank.runFixed(s, all, k = 2, initRanks = Some(prior))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r"))
     },
     "g10_trace_k4" -> { (s, dir) =>
@@ -6611,6 +6680,10 @@ object SparkEntry {
     "g5_pagerank_k4" -> pageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),
+    "g56_pagerank_warm" -> pageRankWarmSql(
+      kOld = 3, kWarm = 2,
+      deltaPred = "(src + dst) % 5 <> 0",
+      select = "SELECT id, round(rank, 9) AS rank_r FROM r2"),
     "g21_weighted_k4" -> weightedPageRankSql(
       4,
       "SELECT id, round(rank, 9) AS rank_r FROM r4"),

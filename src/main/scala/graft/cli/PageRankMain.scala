@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * `id\tPR|links` iteration-state rows) — so every ingest path a user of
   * the reference has keeps working.
   *
+  * `resume=true` (8th arg, `state` format only) RESUMES the computation
+  * from the state file's ranks instead of restarting at 1/N — the warm-
+  * start path the reference's iteration-dir model implies
+  * (PageRankDriver.java:121-122,177-185: every iteration dir is a
+  * resumable snapshot) but its driver never exposes. Default `false`
+  * keeps the historical contract: state-format ingest reproduces the
+  * snap-format ranks exactly (CliSpec-pinned).
+  *
   * and its output contract (O17-O22, PageRankDriver.java:250-271):
   *   - `<output>/final_scores/` — merged single-file `id \t rank` text
   *   - `<output>/pagerank_top_50.txt` — top-K=50, `id \t rank` desc
@@ -35,7 +43,8 @@ object PageRankMain {
     if (args.length < 2) {
       System.err.println(
         "usage: PageRankMain <input> <output> [maxIter] [damping] " +
-          "[threshold] [minIter] [format=snap|giraph|state]")
+          "[threshold] [minIter] [format=snap|giraph|state] " +
+          "[resume=false]")
       sys.exit(2)
     }
     val input = args(0)
@@ -57,32 +66,42 @@ object PageRankMain {
     val resources = graft.metrics.ResourceMetrics.attach(spark.sparkContext)
     try {
       val format = if (args.length > 6) args(6) else "snap"
-      val (edges, explicitVerts) = perf.time("Setup") {
-        val (e, v) = format match {
-          case "snap" => (EdgeListReader.snap(spark, input), None)
+      val resume = args.length > 7 && args(7).toBoolean
+      if (resume && format != "state") {
+        System.err.println("resume=true requires format=state " +
+          "(the ranks to resume from live in the state rows)")
+        sys.exit(2)
+      }
+      val (edges, explicitVerts, warmRanks) = perf.time("Setup") {
+        val (e, v, w) = format match {
+          case "snap" => (EdgeListReader.snap(spark, input), None, None)
           case "giraph" =>
             // adjacency lines enumerate vertices; keep neighbor-less ones
             (EdgeListReader.giraphAdjacency(spark, input),
-              Some(EdgeListReader.giraphVertices(spark, input)))
+              Some(EdgeListReader.giraphVertices(spark, input)), None)
           case "state" =>
             // state rows enumerate every vertex (including isolated ones
-            // an edge list cannot express) — pass them through explicitly
+            // an edge list cannot express) — pass them through explicitly;
+            // with resume=true their RANKS seed the loop too (the
+            // iteration-dir-as-resumable-snapshot model made real)
             val st = graft.sources.IterationStateIO.read(spark, input)
             val e = st.select(
               org.apache.spark.sql.functions.col("id").as("src"),
               org.apache.spark.sql.functions
                 .explode(org.apache.spark.sql.functions.col("outlinks"))
                 .as("dst"))
-            (e, Some(st.select("id")))
+            (e, Some(st.select("id")),
+              if (resume) Some(st.select("id", "rank")) else None)
           case other =>
             System.err.println(s"unknown format: $other (snap|giraph|state)")
             sys.exit(2)
         }
         val cached = e.cache()
         cached.count()
-        (cached, v)
+        (cached, v, w)
       }
-      val res = PageRank.run(spark, edges, cfg, explicitVerts)
+      val res =
+        PageRank.run(spark, edges, cfg, explicitVerts, initRanks = warmRanks)
       perf.addIterations(res.trace)
 
       perf.time("Cleanup_And_Write") {

@@ -229,6 +229,26 @@ object PageRank {
     *   normalized over the in-graph ids only, so Σp = 1 and total rank
     *   mass stays 1). `None` (default) is the reference's uniform mode,
     *   bit-identical to before (the literal expression tree is untouched).
+    * @param initRanks optional WARM-START state: `(id LONG, rank DOUBLE)`,
+    *   one row per id (duplicate ids would fan out the seed join — the
+    *   caller dedups, same contract as the reference's state rows). The
+    *   loop re-enters from these ranks instead of the uniform 1/N init —
+    *   the incremental-computation path for a daily-refreshed graph,
+    *   where seeding from yesterday's converged ranks after a small edge
+    *   delta converges in a fraction of the iterations (differential-
+    *   tested). Mirrors the reference's iteration-state-as-table model
+    *   (PageRankDriver.java:121-122,177-185 — every iteration dir is a
+    *   resumable snapshot; [[graft.sources.IterationStateIO]] round-trips
+    *   that exact format). Semantics: vertices of the CURRENT graph
+    *   missing from `initRanks` (new this refresh) seed at 1/N; ranks for
+    *   ids no longer in the graph are dropped; the seeded vector is then
+    *   NORMALIZED to total mass 1 (one setup-time aggregate), preserving
+    *   the O15 invariant every downstream expression assumes. The initial
+    *   dangling scan runs over the seeded state, preserving the
+    *   reference's one-iteration dangling lag from the new starting
+    *   point: warm-starting from iteration i's saved state reproduces the
+    *   cold run's iterations i+1, i+2, … exactly (spec-locked).
+    *   `None` (default) is the uniform init, bit-identical to before.
     * @param weightCol optional edge-weight column (positive DOUBLE) for
     *   NetworkX-aligned WEIGHTED PageRank: u's rank flows to v in
     *   proportion w(u,v)/Σ_x w(u,x) instead of 1/outdeg. "outdeg" in the
@@ -248,7 +268,8 @@ object PageRank {
       cfg: PageRankConfig = PageRankConfig(),
       explicitVertices: Option[DataFrame] = None,
       teleport: Option[DataFrame] = None,
-      weightCol: Option[String] = None): PageRankResult = {
+      weightCol: Option[String] = None,
+      initRanks: Option[DataFrame] = None): PageRankResult = {
 
     val d = cfg.damping
     val weighted = weightCol.isDefined
@@ -346,14 +367,44 @@ object PageRank {
     require(n > 0, "empty graph")
     val bcast = n * stateRowBytes <= cfg.broadcastStateMaxBytes
 
-    // uniform 1/N init (PageRankDriver.java:102-108; NetworkX keeps the
-    // uniform start even in personalized mode)
-    var state = state0
-      .select(col("id") +: col("outdeg") +: carry :+ lit(1.0 / n).as("rank"): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // init: uniform 1/N (PageRankDriver.java:102-108; NetworkX keeps the
+    // uniform start even in personalized mode), or the WARM-START seed
+    // when the caller supplies prior ranks. The None branch keeps the
+    // literal 1/N expression tree untouched (bit-identical to the
+    // oracle-pinned cold runs).
+    var warmTmp: DataFrame = null // seeded pre-normalization frame to drop
+    var state = (initRanks match {
+      case None =>
+        state0.select(
+          col("id") +: col("outdeg") +: carry :+ lit(1.0 / n).as("rank"): _*)
+      case Some(prior) =>
+        // left join onto the CURRENT vertex universe: new vertices seed
+        // at 1/N, departed ids drop with the join; then ONE setup-time
+        // aggregate renormalizes total mass to 1 (O15) — prior mass on
+        // departed vertices redistributes proportionally instead of
+        // leaking out of the system
+        val pr = prior.select(
+          col("id"), col("rank").cast("double").as("_prior"))
+        val seeded = state0
+          .join(pr, Seq("id"), "left_outer")
+          .select(
+            col("id") +: col("outdeg") +: carry :+
+              coalesce(col("_prior"), lit(1.0 / n)).as("rank"): _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        warmTmp = seeded
+        val tot = seeded
+          .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+        require(
+          tot > 0,
+          "warm-start ranks must carry positive total mass over the " +
+            "current graph's vertices")
+        seeded.select(
+          col("id") +: col("outdeg") +: carry :+
+            (col("rank") / tot).as("rank"): _*)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // initial dangling scan (PageRankDriver.java:112-114) — this also
-    // materializes the 1/N frame, after which the pre-init state frame is
+    // materializes the init frame, after which the pre-init state frame is
     // dead weight; dropping it here (not at the end) keeps ONE |V|-sized
     // frame resident instead of two for the whole run (a 10-query bench
     // session leaked a |V| frame per graph query before this)
@@ -363,6 +414,7 @@ object PageRank {
       .first()
       .getDouble(0)
     state0.unpersist(false)
+    if (warmTmp != null) warmTmp.unpersist(false)
 
     val trace = scala.collection.mutable.ArrayBuffer.empty[IterationStat]
     var iter = 0
@@ -548,12 +600,14 @@ object PageRank {
       spark: SparkSession,
       edges: DataFrame,
       k: Int,
-      damping: Double = 0.85): PageRankResult =
+      damping: Double = 0.85,
+      initRanks: Option[DataFrame] = None): PageRankResult =
     run(
       spark,
       edges,
       PageRankConfig(
-        damping = damping, maxIter = k, tol = -1.0, minIter = k))
+        damping = damping, maxIter = k, tol = -1.0, minIter = k),
+      initRanks = initRanks)
 
   /** Top-K by rank, descending, deterministic tie-break on id — Catalyst
     * plans this as TakeOrderedAndProject, the same bounded-heap + merge the

@@ -191,6 +191,84 @@ class ApproxUniqueSpec extends AnyFunSuite {
   }
 }
 
+/** g56 incremental warm-start PageRank: continuation exactness, the
+  * fewer-iterations payoff, mass renormalization with a vertex delta.
+  */
+class WarmStartSpec extends AnyFunSuite {
+  import graft.operators.{PageRank, PageRankConfig}
+  lazy val spark: SparkSession = TestSpark.spark
+
+  /** Deterministic pseudo-random digraph: 300 vertices, 900 edges from
+    * an LCG (self-loops skipped by construction offset).
+    */
+  private def edges(n: Int, m: Int, seed: Long) = {
+    val sp = spark
+    import sp.implicits._
+    var x = seed
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    (1 to m).map { _ =>
+      val s = math.floorMod(nxt(), n.toLong)
+      val d = (s + 1 + math.floorMod(nxt(), (n - 1).toLong)) % n
+      (s, d)
+    }.toDF("src", "dst")
+  }
+
+  test("warm continuation from iteration-3 state reproduces cold k=5") {
+    val g = edges(300, 900, seed = 42L)
+    val r3 = PageRank.runFixed(spark, g, k = 3).ranks
+    val warm = PageRank.runFixed(spark, g, k = 2, initRanks = Some(r3))
+      .ranks.withColumnRenamed("rank", "rw")
+    val cold = PageRank.runFixed(spark, g, k = 5)
+      .ranks.withColumnRenamed("rank", "rc")
+    val maxDiff = warm.join(cold, Seq("id"))
+      .agg(max(abs(col("rw") - col("rc")))).first().getDouble(0)
+    // the only divergence is the warm path's renormalization by the
+    // saved state's total mass (≈ 1 up to float accumulation)
+    assert(maxDiff <= 1e-12, s"continuation diverged by $maxDiff")
+  }
+
+  test("warm start from converged ranks beats cold on a perturbed graph") {
+    val sp = spark
+    import sp.implicits._
+    val gNew = edges(300, 930, seed = 42L)
+    // yesterday's graph: ~3% of today's edges missing (every 30th),
+    // which also drops a few vertices entirely — exercising the
+    // new-vertex 1/N seed and the renormalization
+    val gOld = gNew.withColumn(
+      "rn", monotonically_increasing_id())
+      .filter(pmod(col("rn"), lit(30)) =!= 0).drop("rn")
+    val cfg = PageRankConfig(tol = 1e-9, minIter = 1, maxIter = 60)
+    val prior = PageRank.run(spark, gOld, cfg)
+    val cold = PageRank.run(spark, gNew, cfg)
+    val warm = PageRank.run(
+      spark, gNew, cfg, initRanks = Some(prior.ranks))
+    assert(warm.iterations < cold.iterations,
+      s"warm ${warm.iterations} must beat cold ${cold.iterations}")
+    // both stopped on the same rule — the fixpoints agree within the
+    // tolerance scale (L1/N ≤ tol each, so pointwise gap is tiny)
+    val gap = warm.ranks.withColumnRenamed("rank", "rw")
+      .join(cold.ranks.withColumnRenamed("rank", "rc"), Seq("id"))
+      .agg(max(abs(col("rw") - col("rc")))).first().getDouble(0)
+    assert(gap <= 1e-6, s"warm and cold fixpoints diverged by $gap")
+    // the mass invariant holds from the first warm iteration: the seed
+    // was renormalized to 1 even though the vertex sets differ
+    warm.trace.foreach(t =>
+      assert(math.abs(t.totalPR - 1.0) <= 1e-9,
+        s"iter ${t.iteration} mass ${t.totalPR}"))
+  }
+
+  test("warm-start mass renormalizes even from unnormalized ranks") {
+    val sp = spark
+    import sp.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // a user feeds raw scores (sum = 60) — the seed must renormalize
+    val prior = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "rank")
+    val res = PageRank.runFixed(spark, g, k = 1, initRanks = Some(prior))
+    val tot = res.trace.head.totalPR
+    assert(math.abs(tot - 1.0) <= 1e-12, s"mass $tot after seeding")
+  }
+}
+
 class ConvergedEmptyGuardSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -294,6 +294,22 @@ object SparkEntry {
     sb.append(s"\n$select").toString
   }
 
+  /** DuckDB's native ASOF LEFT JOIN is the semantic spec the engine's
+    * union+window rewrite (q15) AND the streaming stateful form (st24)
+    * must reproduce exactly (inclusive >=; min-event_id quote dedup).
+    */
+  private val asofOracleSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_us, min(event_id) AS c_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.user_id, p.p_us, p.p_id,
+      |  coalesce(c.c_id, -1) AS c_id, coalesce(c.c_us, -1) AS c_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.p_us >= c.c_us""".stripMargin
+
   /** One unrolled reference-recurrence iteration (the [[pageRankSqlOver]]
     * body, factored so the warm-start oracle can run the SAME rule over
     * two graphs): reads `$p$i`, emits `${p}d$i` (lagged dangling) and
@@ -5411,6 +5427,57 @@ object SparkEntry {
       } finally q.stop()
       s.table(qname)
     },
+    "st24_stream_asof" -> { (s, dir) =>
+      // STREAM-STREAM AS-OF join through the REAL stateful operator
+      // (flatMapGroupsWithState + EventTimeTimeout), replayed OUT OF
+      // ORDER with the st14 sentinel-flush discipline: per user,
+      // clicks and purchases buffer in state, each purchase resolves
+      // to the latest click at or before it once the watermark passes
+      // (ties to min event_id — the q15 dedup rule), and flushed
+      // quotes COMPACT to the single latest per user (bounded state
+      // forever — the eviction path Wave13 unit-locks). The fully
+      // flushed result is a pure function of the event set, so it
+      // hash-checks against the SAME DuckDB ASOF oracle as the batch
+      // q15 — locking the streaming operator itself to the batch
+      // contract, not just its twin.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+        .collect()
+      val scrambled = all.sortBy(e =>
+        java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 23))
+      val maxMs = all.iterator.map(_.ts.getTime).max
+      def sentinel(t: Long) = graft.streaming.EventStreams.Event(
+        -1L, new java.sql.Timestamp(t), -1L, "sentinel", 0.0)
+      val ms = MemoryStream[graft.streaming.EventStreams.Event]
+      val qname =
+        "st24_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.asofEnrichStream(ms.toDS())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        // ONE batch for the whole scrambled history: the watermark only
+        // advances BETWEEN micro-batches, so nothing is late within it
+        // (splitting would drop the older half as late data); the
+        // out-of-order fold is still fully exercised inside the batch
+        ms.addData(scrambled.toIndexedSeq)
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 4L * 3600 * 1000))
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .filter(col("user_id") >= 0) // drop the sentinel user
+        .select(
+          col("user_id"), col("p_us"), col("p_id"),
+          col("c_id"), col("c_us"))
+        .localCheckpoint() // detach from the sink view before the drop
+    },
     "st14_stream_funnel" -> { (s, dir) =>
       // STREAMING funnel (q29's staged minima with 2h per-stage
       // conversion windows) through the real stateful operator,
@@ -9007,19 +9074,11 @@ object SparkEntry {
         |                               (SELECT p FROM probe)), 6) AS cos_sim
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "q15_asof_join" ->
-      // DuckDB's native ASOF LEFT JOIN is the semantic spec the engine's
-      // union+window rewrite must reproduce exactly (inclusive >=)
-      """WITH p AS (
-        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
-        |  FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, epoch_us(ts) AS c_us, min(event_id) AS c_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.user_id, p.p_us, p.p_id,
-        |  coalesce(c.c_id, -1) AS c_id, coalesce(c.c_us, -1) AS c_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.p_us >= c.c_us""".stripMargin,
+    "q15_asof_join" -> asofOracleSql,
+    "st24_stream_asof" ->
+      // the STREAMING operator is held to the SAME ASOF spec as the
+      // batch q15 — one contract, two execution paths
+      asofOracleSql,
     "q53_asof_forward" ->
       // forward = the first quote at or after the probe: probe rows
       // (tag 0) sort before same-instant quotes (tag 1), so the

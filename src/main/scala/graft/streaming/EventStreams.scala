@@ -690,6 +690,108 @@ object EventStreams {
     }
   }
 
+  // ---- stream-stream AS-OF join (st24) ----
+
+  final case class AsofState(
+      lastCus: Long, lastCid: Long,
+      quotes: List[(Long, Long)], trades: List[(Long, Long)])
+
+  final case class AsofMatch(
+      user_id: Long, p_us: Long, p_id: Long, c_id: Long, c_us: Long)
+
+  /** STREAM-STREAM AS-OF join — the single most common streaming
+    * enrichment after stream-static: for every purchase, the LATEST
+    * click by the same user at or before it (inclusive), exactly the
+    * batch [[graft.operators.TemporalJoins.asofJoin]] / q15 contract
+    * (quote ties at one instant resolve to the min event_id — the q15
+    * dedup rule applied at resolution). Unmatched purchases emit with
+    * `-1` sentinels, the q15 shape.
+    *
+    * Watermarked interval joins cannot express "latest" (an aggregate
+    * over the match set is not append-expressible after a stream-stream
+    * join), so this is a per-user `flatMapGroupsWithState` fold with
+    * the st14 discipline — buffer, resolve at watermark flush, so
+    * arrival order cannot matter:
+    *
+    *  - incoming clicks and purchases buffer in per-user state;
+    *  - when the watermark passes a purchase's timestamp no earlier
+    *    click can still arrive (it would be late beyond the watermark),
+    *    so the purchase RESOLVES: max `c_us ≤ p_us`, ties to min id;
+    *  - quotes at or before the watermark then COMPACT to the single
+    *    latest one (min id at ties): every future purchase has
+    *    `p_us > wm ≥` any dropped quote, and the kept quote dominates
+    *    all dropped ones — so state per user is ONE compacted quote
+    *    plus the in-horizon buffer, bounded forever (the eviction the
+    *    st24 spec exercises: a purchase hours later still finds the
+    *    compacted quote, never the discarded ones).
+    *
+    * State works in epoch MICROS (recovered from the Timestamp's
+    * millis + sub-milli nanos), matching the batch twin's
+    * `unix_micros` carriers exactly.
+    */
+  def asofEnrichStream(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    // earlier quote first ⇒ later quote wins; at equal c_us the SMALLER
+    // id wins (q15's min-event_id dedup)
+    def better(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ripe, waiting) = s.trades.partition(_._1 <= wmUs)
+            val lastOpt =
+              if (s.lastCus >= 0) List((s.lastCus, s.lastCid)) else Nil
+            val results = ripe.map { case (pUs, pId) =>
+              val cands = lastOpt ++ s.quotes.filter(_._1 <= pUs)
+              if (cands.isEmpty) AsofMatch(uid, pUs, pId, -1L, -1L)
+              else {
+                val best = cands.reduce(better)
+                AsofMatch(uid, pUs, pId, best._2, best._1)
+              }
+            }
+            // compact: quotes at or before the watermark fold into ONE
+            val (oldQ, newQ) = s.quotes.partition(_._1 <= wmUs)
+            val (nCus, nCid) = (lastOpt ++ oldQ) match {
+              case Nil => (-1L, -1L)
+              case cs  => cs.reduce(better)
+            }
+            if (newQ.isEmpty && waiting.isEmpty && nCus < 0) state.remove()
+            else {
+              state.update(AsofState(nCus, nCid, newQ, waiting))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            }
+            results.iterator
+          } else {
+            val prior = state.getOption
+              .getOrElse(AsofState(-1L, -1L, Nil, Nil))
+            val next = it.foldLeft(prior) { (st, e) =>
+              e.event_type match {
+                case "click" =>
+                  st.copy(quotes = (us(e.ts), e.event_id) :: st.quotes)
+                case "purchase" =>
+                  st.copy(trades = (us(e.ts), e.event_id) :: st.trades)
+                case _ => st
+              }
+            }
+            state.update(next)
+            // flush when the watermark advances; must stay above the
+            // current watermark (Spark rejects expired timestamps)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Gap-based sessionization: a user's session closes after `gapMs` of
     * inactivity (processing-time timeout so sessions also close when the
     * stream goes quiet). State per user is O(1) — four numbers — so the

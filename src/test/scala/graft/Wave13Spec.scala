@@ -269,6 +269,126 @@ class WarmStartSpec extends AnyFunSuite {
   }
 }
 
+/** st24 stream-stream as-of join: out-of-order replay equals the batch
+  * ASOF contract, and flushed quotes compact to one survivor that still
+  * serves purchases hours later (the bounded-state eviction path).
+  */
+class StreamAsofSpec extends AnyFunSuite {
+  import graft.streaming.EventStreams
+  import graft.streaming.EventStreams.Event
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def ev(id: Long, sec: Long, uid: Long, typ: String) =
+    Event(id, new java.sql.Timestamp(sec * 1000L), uid, typ, 0.0)
+
+  test("out-of-order replay resolves to the batch as-of; state compacts") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.asofEnrichStream(ms.toDS(), "1 second")
+      .writeStream.format("memory").queryName("asof_t")
+      .outputMode("append").start()
+    try {
+      // batch 1 deliberately SCRAMBLED: the purchase at 150 arrives
+      // before the click at 100 that must win it; u2's purchase has no
+      // click at all; the click at 250 ties another click at 250 —
+      // min id (5) must win for the purchase at 260
+      ms.addData(Seq(
+        ev(10, 150, 1, "purchase"),
+        ev(2, 200, 1, "click"),
+        ev(1, 100, 1, "click"),
+        ev(12, 100, 2, "purchase"),
+        ev(6, 250, 1, "click"),
+        ev(5, 250, 1, "click"),
+        ev(11, 260, 1, "purchase")))
+      q.processAllAvailable()
+      // sentinel flushes everything ≤ 300 (two batches: the watermark
+      // advances in one, timeouts fire in the next)
+      ms.addData(ev(-1, 400, -1, "sentinel")); q.processAllAvailable()
+      ms.addData(ev(-1, 500, -1, "sentinel")); q.processAllAvailable()
+      // hours later: a purchase must still find the COMPACTED click
+      // (250/id-5 — every older quote was evicted at the flush, and
+      // the kept survivor must be the right one)
+      ms.addData(ev(13, 10000, 1, "purchase")); q.processAllAvailable()
+      ms.addData(ev(-1, 20000, -1, "sentinel")); q.processAllAvailable()
+      ms.addData(ev(-1, 30000, -1, "sentinel")); q.processAllAvailable()
+      val got = spark.table("asof_t")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => r.getAs[Long]("p_id") ->
+          ((r.getAs[Long]("c_id"), r.getAs[Long]("c_us"))))
+        .toMap
+      assert(got(10L) == ((1L, 100000000L)),
+        s"purchase 150 must match the out-of-order click 100: ${got(10L)}")
+      assert(got(11L) == ((5L, 250000000L)),
+        s"tie at 250 must resolve to min id 5: ${got(11L)}")
+      assert(got(12L) == ((-1L, -1L)), s"no click for u2: ${got(12L)}")
+      assert(got(13L) == ((5L, 250000000L)),
+        s"late purchase must hit the compacted quote: ${got(13L)}")
+      assert(got.size == 4)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("asof_t")
+    }
+  }
+
+  test("streaming replay of the full events table equals the batch asofJoin") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val all = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val scrambled = all.sortBy(e =>
+      java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 11))
+    val maxMs = all.iterator.map(_.ts.getTime).max
+    val ms = MemoryStream[Event]
+    val q = EventStreams.asofEnrichStream(ms.toDS())
+      .writeStream.format("memory").queryName("asof_full")
+      .outputMode("append").start()
+    try {
+      // one batch: the watermark advances between batches, so a split
+      // replay would drop the older half as late data
+      ms.addData(scrambled.toIndexedSeq); q.processAllAvailable()
+      ms.addData(Event(-1, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000),
+        -1, "sentinel", 0.0)); q.processAllAvailable()
+      ms.addData(Event(-1, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000),
+        -1, "sentinel", 0.0)); q.processAllAvailable()
+      val stream = spark.table("asof_full")
+        .filter(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // batch twin: the q15 composition over TemporalJoins.asofJoin
+      val probes = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("p_id"))
+      val quotes = events.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("c_us"))
+        .agg(min(col("event_id")).as("c_id"))
+      val batch = graft.operators.TemporalJoins
+        .asofJoin(probes, quotes, "user_id", "p_us", "c_us",
+          payload = Seq("c_id", "c_us"))
+        .select(col("user_id"), col("p_us"), col("p_id"),
+          coalesce(col("c_id"), lit(-1L)).as("c_id"),
+          coalesce(col("c_us"), lit(-1L)).as("c_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(stream == batch,
+        s"stream−batch=${(stream -- batch).take(3)} " +
+          s"batch−stream=${(batch -- stream).take(3)}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("asof_full")
+    }
+  }
+}
+
 class ConvergedEmptyGuardSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

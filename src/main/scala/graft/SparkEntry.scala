@@ -4016,6 +4016,57 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io12c_atomic_expire" -> { (s, dir) =>
+      // ATOMIC-POINTER snapshot lifecycle — io12b's one named
+      // non-atomic step (the manifest rewrite) closed: manifests are
+      // immutable GENERATIONS and the live one is a tiny `_current`
+      // pointer updated by ONE atomic rename, so every crash state
+      // reads consistently. Commits 1..3 go through commitPtr; a
+      // crashed COMMIT's orphan data dir and a crashed EXPIRE's
+      // unswapped generation are both planted (each invisible — the
+      // pointer never moved); expirePtr(2) then checkpoints, publishes
+      // with one rename, and sweeps expired dirs + orphans + stale
+      // generations. As-of-3 after expiry is byte-identical to the
+      // full table; manifest_rows = 2 locks the published generation,
+      // n_gens = 1 locks the sweep. Crash-window sequences (kill
+      // between checkpoint/publish/swap/sweep) are spec-locked in
+      // AtomicSnapshotSpec.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io12c").toString
+      try {
+        (0 to 2).foreach { b =>
+          graft.sources.Snapshots.commitPtr(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            root, version = b + 1)
+        }
+        // crashed commit: data landed, no generation published
+        docs.limit(5).write.parquet(s"$root/data/v=9")
+        // crashed expire: generation written but the pointer never
+        // swapped — must stay invisible and get swept
+        graft.sources.Snapshots.writeManifestGen(
+          s, root, 99L, Seq((1, s"$root/data/v=1")))
+        graft.sources.Snapshots.expirePtr(s, root, cut = 2)
+        val gen = graft.sources.Snapshots.currentGen(s, root).get
+        val mrows = s.read.parquet(s"$root/manifest/g=$gen")
+          .agg(count(lit(1)).as("manifest_rows"))
+        val nGens = new java.io.File(s"$root/manifest").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("g="))
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.Snapshots.readVersionPtr(s, root, asOf = 3)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .crossJoin(broadcast(mrows))
+            .withColumn("n_gens", lit(nGens.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -8311,6 +8362,16 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(2 AS BIGINT) AS manifest_rows
+        |FROM documents GROUP BY lang""".stripMargin,
+    "io12c_atomic_expire" ->
+      // io12b through the atomic pointer: same byte-stable as-of-3
+      // ground truth; manifest_rows = 2 locks the published
+      // generation, n_gens = 1 locks the sweep of superseded and
+      // crash-stranded generations
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS manifest_rows,
+        |  CAST(1 AS BIGINT) AS n_gens
         |FROM documents GROUP BY lang""".stripMargin,
     "q43_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,

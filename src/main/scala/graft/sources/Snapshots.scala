@@ -88,6 +88,179 @@ object Snapshots {
     * standard table-format planning step); deletion uses the
     * Path-resolved FileSystem, never a hardcoded scheme.
     */
+  // ---- io12c: ATOMIC-POINTER manifest (versioned generations) ----
+  //
+  // The gap [[expire]] names — its manifest rewrite is the one
+  // non-atomic step — closed the way real table formats close it:
+  // manifests become IMMUTABLE GENERATIONS (`root/manifest/g=<gen>/`,
+  // each a complete snapshot of the (version, path) log) and the live
+  // one is named by a tiny `root/manifest/_current` pointer file whose
+  // update is ONE ATOMIC RENAME (FileContext rename with OVERWRITE —
+  // atomic on HDFS and POSIX; the Delta `_last_checkpoint` / Iceberg
+  // `version-hint` pattern). Every reader plans from the pointer, so
+  // every intermediate crash state reads consistently: a generation
+  // without a pointer swap is invisible, and the swap either happened
+  // entirely or not at all. Single writer assumed (the family
+  // contract); readers are concurrent-safe because generations are
+  // never mutated, only superseded and later swept.
+
+  private def ptrPath(root: String) = s"$root/manifest/_current"
+
+  private def fileContext(spark: SparkSession, root: String) = {
+    import org.apache.hadoop.fs.{FileContext, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileContext.getFileContext(
+      new Path(root).getFileSystem(conf).getUri, conf)
+  }
+
+  /** The live generation number, read through the pointer; None before
+    * the first commit.
+    */
+  private[graft] def currentGen(
+      spark: SparkSession, root: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(ptrPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      Some(new String(buf, "UTF-8").trim.toLong)
+    }
+  }
+
+  /** Write generation `gen` as a complete manifest snapshot. NOT yet
+    * visible — visibility is [[swapPointer]]'s job (the two are split
+    * so the crash window between them is unit-testable).
+    */
+  private[graft] def writeManifestGen(
+      spark: SparkSession,
+      root: String,
+      gen: Long,
+      rows: Seq[(Int, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("version", "path")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/g=$gen")
+  }
+
+  /** Atomically point `_current` at `gen`: write a tmp file, then ONE
+    * rename with OVERWRITE — the only mutation any reader can observe.
+    */
+  private[graft] def swapPointer(
+      spark: SparkSession, root: String, gen: Long): Unit = {
+    import org.apache.hadoop.fs.{CreateFlag, Options, Path}
+    val fc = fileContext(spark, root)
+    val tmp = new Path(s"$root/manifest/_current_tmp")
+    val dst = new Path(ptrPath(root))
+    fc.mkdir(
+      tmp.getParent,
+      org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+    val out = fc.create(
+      tmp, java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    try out.write(gen.toString.getBytes("UTF-8"))
+    finally out.close()
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  private def currentRows(
+      spark: SparkSession, root: String): Seq[(Int, String)] =
+    currentGen(spark, root) match {
+      case None => Seq.empty
+      case Some(g) =>
+        spark.read.parquet(s"$root/manifest/g=$g")
+          .select(col("version"), col("path"))
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    }
+
+  /** [[commit]] through the pointer: data dir first, then a NEW manifest
+    * generation (previous rows + this one, deduped — a retried commit
+    * converges instead of double-listing), then the atomic swap. A crash
+    * before the swap leaves the new generation invisible; the retry
+    * overwrites both idempotently.
+    */
+  def commitPtr(df: DataFrame, root: String, version: Int): Unit = {
+    val spark = df.sparkSession
+    val path = s"$root/data/v=$version"
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    val prev = currentRows(spark, root)
+    val gen = currentGen(spark, root).getOrElse(0L) + 1L
+    writeManifestGen(
+      spark, root, gen, (prev :+ ((version, path))).distinct)
+    swapPointer(spark, root, gen)
+  }
+
+  /** [[readVersion]] through the pointer: plan from the live generation
+    * only — every crash state of a writer reads consistently.
+    */
+  def readVersionPtr(
+      spark: SparkSession, root: String, asOf: Int): DataFrame = {
+    val paths = currentRows(spark, root)
+      .filter(_._1 <= asOf).map(_._2).distinct.sorted
+    require(paths.nonEmpty, s"no committed version <= $asOf under $root")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** io12b's checkpoint step against the live generation: consolidate
+    * the ≤ cut state into `ckpt=<cut>` (skipped when the history below
+    * the cut is already exactly that checkpoint — the idempotent
+    * re-expire), return the rows the next generation should carry.
+    */
+  private[graft] def ptrCheckpoint(
+      spark: SparkSession, root: String, cut: Int): Seq[(Int, String)] = {
+    val all = currentRows(spark, root).distinct
+    require(all.exists(_._1 <= cut), s"nothing committed at or before $cut")
+    val ckptPath = s"$root/data/ckpt=$cut"
+    val alreadyFolded =
+      all.filter(_._1 <= cut).map(_._2).distinct == Seq(ckptPath)
+    if (!alreadyFolded)
+      readVersionPtr(spark, root, cut)
+        .write.mode(SaveMode.Overwrite).parquet(ckptPath)
+    ((cut, ckptPath)) +: all.filter(_._1 > cut)
+  }
+
+  /** Sweep everything the live generation does not reference: expired
+    * and orphaned data dirs AND superseded manifest generations. Pure
+    * cleanup — skipping it (a crash after the swap) costs disk, never
+    * correctness.
+    */
+  private[graft] def ptrSweep(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val gen = currentGen(spark, root)
+      .getOrElse(sys.error(s"no committed manifest under $root"))
+    val keepNames = currentRows(spark, root)
+      .map(p => new Path(p._2).getName).toSet
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(s"$root/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir)
+        .filter(st => !keepNames.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    val manDir = new Path(s"$root/manifest")
+    fs.listStatus(manDir)
+      .filter(st => st.getPath.getName.startsWith("g=") &&
+        st.getPath.getName != s"g=$gen")
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** [[expire]] through the pointer — the io12c close. Three steps,
+    * each crash window unit-tested to read consistently:
+    * checkpoint (invisible until published) → publish (ONE atomic
+    * pointer rename — the step [[expire]] could not make atomic) →
+    * sweep (pure cleanup; a lost sweep is re-swept by the next
+    * expire). Re-expiring at the same cut is idempotent end to end.
+    */
+  def expirePtr(spark: SparkSession, root: String, cut: Int): Unit = {
+    val kept = ptrCheckpoint(spark, root, cut)
+    val gen = currentGen(spark, root).getOrElse(0L) + 1L
+    writeManifestGen(spark, root, gen, kept)
+    swapPointer(spark, root, gen)
+    ptrSweep(spark, root)
+  }
+
   def expire(spark: SparkSession, root: String, cut: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val manifest = spark.read.parquet(s"$root/manifest")

@@ -72,6 +72,60 @@ object Louvain {
     GraphBuilder.undirectedSimple(edges)
       .select(col("u"), col("v"), lit(1L).as("w"))
 
+  /** FIXED-POINT RESCALE for fractional edge weights — the path forward
+    * in front of [[louvainFrames]]'s loud integral-weight failure: a
+    * similarity-weighted graph (d5 Jaccard estimates, e3 cosine scores —
+    * the natural input when clustering a near-dup graph) carries weights
+    * in (0, 1], and the exact integer gain algebra needs integers. Maps
+    * `w → round(w · 10^decimals)` and RE-CHECKS the object Scaladoc's
+    * overflow bound against the rescaled graph itself: the decision
+    * value is bounded by `4·m·k_max`, so the helper computes the
+    * rescaled total weight m and max weighted degree k_max (one setup
+    * aggregate) and REQUIRES `4·m·k_max ≤ Long.MaxValue` in exact
+    * BigInt arithmetic — too many decimals on a heavy graph fails
+    * loudly at setup, never silently wraps a gain at round 7.
+    *
+    * Quantization contract: each weight moves by ≤ 0.5·10^-decimals
+    * (absolute), so community structure is preserved whenever the
+    * modularity gaps exceed the quantization scale — pick `decimals`
+    * ≥ the precision of the similarity scores and the rounding is the
+    * identity in spirit. Weights that round to ZERO (w < 0.5·10^-d)
+    * are DROPPED with their edges: a sub-half-ulp similarity carries
+    * no mass, and keeping the edge would make its endpoint a
+    * spurious zero-weight move candidate the unquantized graph never
+    * offered.
+    */
+  def rescaleWeights(wedges: DataFrame, decimals: Int = 6): DataFrame = {
+    require(
+      decimals >= 0 && decimals <= 15,
+      "decimals must be in [0, 15] (10^d must stay an exact Long/Double)")
+    val scale = math.pow(10.0, decimals)
+    val scaled = wedges.select(
+      col("u"), col("v"),
+      round(col("w") * scale, 0).cast("long").as("w"))
+      .filter(col("w") =!= 0L)
+    // overflow re-check on the RESCALED graph (exact BigInt compare):
+    // m = Σw, k_max = max weighted degree (self-loops count twice)
+    val kw = scaled.select(
+      col("u").as("id"),
+      when(col("u") === col("v"), lit(2L) * col("w"))
+        .otherwise(col("w")).as("kw"))
+      .union(
+        scaled.filter(col("u") =!= col("v"))
+          .select(col("v").as("id"), col("w").as("kw")))
+    val row = scaled.agg(coalesce(sum(col("w")), lit(0L))).first()
+    val m = row.getLong(0)
+    require(m > 0, "all weights rounded to zero — increase decimals")
+    val kMax = kw.groupBy(col("id")).agg(sum(col("kw")).as("k"))
+      .agg(max(col("k"))).first().getLong(0)
+    require(
+      BigInt(4) * BigInt(m) * BigInt(kMax) <= BigInt(Long.MaxValue),
+      s"rescaled graph overflows the exact gain algebra: 4·m·k_max = " +
+        s"4·${m}·${kMax} > 2^63−1 — lower `decimals` (quantize " +
+        "coarser) so gains stay exact 64-bit integers")
+    scaled
+  }
+
   /** Fixed-round synchronous gain-move pass over a canonical weighted
     * undirected graph `wedges(u ≤ v, w)` (one row per undirected edge;
     * `u = v` rows are self-loops). Fixed rounds keep the trajectory
@@ -322,7 +376,8 @@ object Louvain {
           lit("Louvain requires integral edge weights (exact integer "),
           lit("gain algebra); got fractional w="),
           col("w").cast("string"),
-          lit(" — rescale weights to integers first"))).cast("long"))
+          lit(" — pass the graph through Louvain.rescaleWeights first")))
+          .cast("long"))
         .as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val und = we.filter(col("u") =!= col("v"))

@@ -520,6 +520,81 @@ class AtomicSnapshotSpec extends AnyFunSuite {
   }
 }
 
+/** Louvain fixed-point weight rescale: similarity-weighted near-dup
+  * graphs cluster; the overflow bound is re-checked on the rescaled
+  * graph; sub-half-ulp weights drop.
+  */
+class LouvainRescaleSpec extends AnyFunSuite {
+  import graft.operators.Louvain
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("similarity-weighted two-cluster graph recovers both communities") {
+    val sp = spark
+    import sp.implicits._
+    // two 4-cliques with cosine-like weights 0.82..0.95, one weak
+    // 0.08 bridge — the d5/e3 near-dup graph shape
+    def clique(ids: Seq[Long], base: Double) =
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+      } yield (ids(i), ids(j), base + 0.01 * (i + j))
+    val a = clique(Seq(0L, 1L, 2L, 3L), 0.82)
+    val b = clique(Seq(10L, 11L, 12L, 13L), 0.85)
+    val wedges = (a ++ b :+ ((3L, 10L, 0.08)))
+      .map { case (u, v, w) => (math.min(u, v), math.max(u, v), w) }
+      .toDF("u", "v", "w")
+    // fractional weights fail loudly without the rescale...
+    val ex = intercept[Exception] {
+      Louvain.moveRoundsWeighted(wedges, 2).collect()
+    }
+    assert(ex.getMessage.contains("integral edge weights"))
+    // ...and cluster perfectly with it: one move level + one
+    // contraction level (the multilevel ladder's first rung — a single
+    // synchronous move phase legitimately stops at two sub-communities
+    // per clique)
+    val rescaled = Louvain.rescaleWeights(wedges, 3)
+    val l1 = Louvain.moveRoundsWeighted(rescaled, 6)
+    val l2 = Louvain.moveRoundsWeighted(
+      Louvain.contractWeighted(rescaled, l1), 6)
+    val labels = l1.select(col("id"), col("lbl").as("l1"))
+      .join(l2.select(col("id").as("l1"), col("lbl")), Seq("l1"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("lbl")).toMap
+    val ca = Seq(0L, 1L, 2L, 3L).map(labels).distinct
+    val cb = Seq(10L, 11L, 12L, 13L).map(labels).distinct
+    assert(ca.size == 1 && cb.size == 1 && ca != cb,
+      s"expected the two planted similarity clusters, got $labels")
+  }
+
+  test("overflow bound re-checked on the rescaled graph, fails loudly") {
+    val sp = spark
+    import sp.implicits._
+    // one edge of astronomic weight: at decimals=6 the rescaled
+    // m·k_max breaks 4·m·k ≤ 2^63−1 — must be caught at SETUP
+    // (1e9 chosen so decimals=0 sits just INSIDE the bound: 4e18 < 2^63)
+    val heavy = Seq((1L, 2L, 1.0e9)).toDF("u", "v", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Louvain.rescaleWeights(heavy, decimals = 6)
+    }
+    assert(ex.getMessage.contains("overflows the exact gain algebra"))
+    // the same graph at coarser quantization passes the bound
+    assert(Louvain.rescaleWeights(heavy, decimals = 0).count() == 1L)
+  }
+
+  test("sub-half-ulp weights drop; all-zero rescale fails loudly") {
+    val sp = spark
+    import sp.implicits._
+    val mixed = Seq((1L, 2L, 0.9), (2L, 3L, 0.0001)).toDF("u", "v", "w")
+    val kept = Louvain.rescaleWeights(mixed, decimals = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.toSeq == Seq((1L, 2L, 900L)),
+      "the 0.0001 edge rounds to zero mass and must drop")
+    val tiny = Seq((1L, 2L, 1.0e-9)).toDF("u", "v", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Louvain.rescaleWeights(tiny, decimals = 3)
+    }
+    assert(ex.getMessage.contains("all weights rounded to zero"))
+  }
+}
+
 class ConvergedEmptyGuardSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -355,10 +355,17 @@ object Bench {
     // timers (st14 tripped this on every idle run), so the ratio carries
     // no contention signal — the whole-run exec/cpu pair below still
     // catches a genuinely oversubscribed host.
+    // The committed idle wall overrides the ratio when we have one: a
+    // query running at (or near) its own idle wall is by definition
+    // NOT contended, whatever its cpu ratio — streaming queries whose
+    // wall is micro-batch-timer-dominated (st8: ~2.8 s wall, ~1.2 s
+    // cpu on an IDLE host) tripped the ratio rule forever otherwise
+    // (the r13 verdict's suspect-list false positive).
     val contended = results.collect {
       case (k, Right((v, _)), u)
           if v > 2.0 && u.executorCpuMs >= 1000 &&
-            v > 2.0 * (u.executorCpuMs / 1000.0) => k
+            v > 2.0 * (u.executorCpuMs / 1000.0) &&
+            idleWalls.get(k).forall(iw => v > 1.5 * iw) => k
     }
     // second contention signal (r8 advice): wall > 3× the COMMITTED idle
     // wall for the same query. The cpu-ratio heuristic above misses

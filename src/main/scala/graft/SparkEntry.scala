@@ -3471,6 +3471,49 @@ object SparkEntry {
       graft.operators.Multimodal
         .clipNearDupPairs(frames, minShared = 5, maxDf = 50)
     },
+    "m9_audio_neardup" -> { (s, dir) =>
+      // CLIP-LEVEL AUDIO near-dup (m8's time-based-media sibling,
+      // completing the family: a trimmed/re-encoded track shares its
+      // energy PROFILE with the original even when no file hash
+      // matches): frames get the m7 energy seam (8-bit md5 draw — the
+      // fixture derives shared-track frames from the GROUP id,
+      // per-clip tail frames from the clip id, the d38 discipline),
+      // 4-frame energy windows shingle into acoustic fingerprints
+      // (one lead-window per clip — clips shingle in parallel), and
+      // the SAME clipNearDupPairs blocks them with the df cap — no
+      // new join shape. Groups of 5 share 6 windows; minShared = 5
+      // keeps exactly the within-group pairs.
+      import org.apache.spark.sql.expressions.Window
+      val auds = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id").as("media_id"))
+      val grp = col("media_id") - pmod(col("media_id"), lit(15L))
+      val frames = auds
+        .select(
+          col("media_id"),
+          explode(sequence(lit(0L), lit(11L))).as("frame"))
+        .select(
+          col("media_id"), col("frame"),
+          conv(substring(md5(concat(
+            when(col("frame") < 9, grp).otherwise(col("media_id"))
+              .cast("string"),
+            lit(":"), col("frame").cast("string"), lit(":m9"))), 1, 2),
+            16, 10).cast("int").as("energy"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+      val fps = frames
+        .withColumn("e1", lead(col("energy"), 1).over(w))
+        .withColumn("e2", lead(col("energy"), 2).over(w))
+        .withColumn("e3", lead(col("energy"), 3).over(w))
+        .filter(col("e3").isNotNull)
+        .select(
+          col("media_id"), col("frame").as("frame_no"),
+          substring(md5(concat_ws(",",
+            col("energy").cast("string"), col("e1").cast("string"),
+            col("e2").cast("string"), col("e3").cast("string"))),
+            1, 10).as("fp"))
+      graft.operators.Multimodal
+        .clipNearDupPairs(fps, minShared = 5, maxDf = 50)
+    },
     "m5_perceptual_neardup" -> ((s, dir) =>
       // multimodal near-dup: block-mean perceptual signatures from the
       // per-partition kernel (integer cross-multiply bits — exactly
@@ -8197,6 +8240,43 @@ object SparkEntry {
         |      ':', CAST(t.s AS VARCHAR), ':m8')), 1, 10) AS fp
         |  FROM v, unnest(range(8)) AS t(s)),
         |d AS (SELECT DISTINCT media_id, fp FROM fr),
+        |keep AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 50),
+        |dk AS (SELECT d.media_id, d.fp FROM d JOIN keep USING (fp)),
+        |p AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM dk a JOIN dk b ON a.fp = b.fp AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 5""".stripMargin,
+    "m9_audio_neardup" ->
+      // same energy draws (the m7 seam with group-shared track
+      // frames), same 4-frame shingles, same df cap, same blocked
+      // join and shared-count cut
+      """WITH a AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT media_id, CAST(t.s AS BIGINT) AS frame
+        |  FROM a, unnest(range(12)) AS t(s)),
+        |e AS (
+        |  SELECT media_id, frame,
+        |    CAST(concat('0x', substr(md5(concat(
+        |      CAST(CASE WHEN frame < 9 THEN media_id - media_id % 15
+        |                ELSE media_id END AS VARCHAR),
+        |      ':', CAST(frame AS VARCHAR), ':m9')), 1, 2)) AS BIGINT)
+        |      AS energy
+        |  FROM f),
+        |s AS (
+        |  SELECT media_id, frame,
+        |    concat_ws(',', CAST(energy AS VARCHAR),
+        |      CAST(lead(energy, 1) OVER w AS VARCHAR),
+        |      CAST(lead(energy, 2) OVER w AS VARCHAR),
+        |      CAST(lead(energy, 3) OVER w AS VARCHAR)) AS es,
+        |    lead(energy, 3) OVER w AS e3
+        |  FROM e WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
+        |fp AS (
+        |  SELECT media_id, substr(md5(es), 1, 10) AS fp
+        |  FROM s WHERE e3 IS NOT NULL),
+        |d AS (SELECT DISTINCT media_id, fp FROM fp),
         |keep AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 50),
         |dk AS (SELECT d.media_id, d.fp FROM d JOIN keep USING (fp)),
         |p AS (

@@ -2554,6 +2554,22 @@ object SparkEntry {
           e.select(col("src").as("id_a"), col("dst").as("id_b")))
         .select(col("doc_id").as("id"), col("group_id").as("component_id"))
     },
+    "g57_cc_warm" -> { (s, dir) =>
+      // WARM-START connected components (g56's incremental discipline
+      // applied to the dedup pipeline's grouping primitive): prior
+      // labels from the graph minus a deterministic ~20% GROW-ONLY
+      // edge delta seed the HashMin diffusion over the full graph —
+      // sound because additions only MERGE components, so the min of
+      // warm labels over a new component is exactly its true min id;
+      // the warm run pays only the merge structure's rounds, not the
+      // diameter (differential + removal-failure pin in WarmCcSpec).
+      // Converged labels are delta-independent, so the oracle is the
+      // same recursive closure as g15's.
+      val all = graft.sources.SyntheticGraph.portable(s, 600, 250, "g57")
+      val old = all.filter((col("src") * 31 + col("dst")) % 5 =!= 0)
+      val prior = GraphBuilder.connectedComponentsDF(old)._1
+      GraphBuilder.connectedComponentsDF(all, initLabels = Some(prior))._1
+    },
     "g16_triangles" -> { (s, dir) =>
       // exact per-vertex triangle counts on a denser portable graph
       // (bipartite orders graph has zero triangles by construction)
@@ -4110,6 +4126,42 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io14_changes_since" -> { (s, dir) =>
+      // INCREMENTAL CONSUMPTION (the change-data-feed / incremental-
+      // scan primitive in the append-only model): three mod-3 batches
+      // commit through the io12c atomic pointer lifecycle, then a
+      // consumer polls versions (1, 3] and reads ONLY batches 2∪3 —
+      // delta bytes, never the table (the property that lets a daily
+      // 100 TB refresh read gigabytes). A second poll past the head
+      // returns the documented EMPTY frame (schema intact, zero rows);
+      // its count rides the output as a hash-locked column.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io14").toString
+      try {
+        (0 to 2).foreach { b =>
+          graft.sources.Snapshots.commitPtr(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            root, version = b + 1)
+        }
+        val changes =
+          graft.sources.Snapshots.changesSincePtr(s, root, 1, 3)
+        val emptyPoll =
+          graft.sources.Snapshots.changesSincePtr(s, root, 3, 9).count()
+        graft.operators.CacheScope.sealAfter(
+          changes
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("empty_poll_rows", lit(emptyPoll)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -4707,6 +4759,41 @@ object SparkEntry {
         val root = Paths.get(tmp)
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
+      }
+    },
+    "p12_incremental_refresh" -> { (s, dir) =>
+      // INCREMENTAL DAILY-REFRESH journey — the round's three
+      // incremental pieces composed end to end: yesterday's graph
+      // commits as snapshot v1 of an edge TABLE and today's delta as
+      // v2 (io12c's atomic pointer lifecycle), the consumer reads
+      // yesterday's edges and the delta through the CHANGES feed
+      // (io14 — delta bytes, never a table re-scan), reconstructs
+      // today's graph as their union, and WARM-STARTS the O16 loop
+      // (g56) from yesterday's ranks. The oracle is g56's two-phase
+      // warm SQL verbatim, so every step is hash-locked together: a
+      // row lost or duplicated by commit/changes/union, or a seed the
+      // warm path mis-normalizes, breaks the hash.
+      val all = EdgeListReader.fromOrdersCached(s, dir)
+      val pred = (col("src") + col("dst")) % 5 =!= 0
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p12").toString
+      try {
+        graft.sources.Snapshots.commitPtr(all.filter(pred), root, 1)
+        graft.sources.Snapshots.commitPtr(all.filter(!pred), root, 2)
+        val oldEdges =
+          graft.sources.Snapshots.changesSincePtr(s, root, 0, 1)
+        val delta =
+          graft.sources.Snapshots.changesSincePtr(s, root, 1, 2)
+        val prior = PageRank.runFixed(s, oldEdges, k = 3).ranks
+        val res = PageRank.runFixed(
+          s, oldEdges.union(delta), k = 2, initRanks = Some(prior))
+        graft.operators.CacheScope.sealAfter(
+          res.ranks.select(col("id"), round(col("rank"), 9).as("rank_r")))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
     "p11_index_lifecycle" -> { (s, dir) =>
@@ -8453,6 +8540,35 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS manifest_rows,
         |  CAST(1 AS BIGINT) AS n_gens
         |FROM documents GROUP BY lang""".stripMargin,
+    "io14_changes_since" ->
+      // versions (1, 3] = the doc_id%3 ∈ {1, 2} batches; the past-head
+      // poll returns zero rows with the schema intact
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(0 AS BIGINT) AS empty_poll_rows
+        |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |GROUP BY lang""".stripMargin,
+    "g57_cc_warm" ->
+      // converged components are warm-start-independent: the oracle is
+      // the same recursive reachability closure as g15, on this
+      // fixture's salt
+      s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g57")},
+         |ed AS (SELECT src AS u, dst AS v FROM pe
+         |       UNION SELECT dst, src FROM pe),
+         |nodes AS (SELECT DISTINCT u AS id FROM ed),
+         |r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+         |SELECT id, min(m) AS component_id FROM r GROUP BY 1""".stripMargin,
+    "p12_incremental_refresh" ->
+      // the journey is hash-locked by g56's two-phase warm chain: the
+      // snapshot commit/changes/union plumbing must reconstruct
+      // exactly the graphs the SQL derives from the base tables
+      pageRankWarmSql(
+        kOld = 3, kWarm = 2,
+        deltaPred = "(src + dst) % 5 <> 0",
+        select = "SELECT id, round(rank, 9) AS rank_r FROM r2"),
     "q43_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
         |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price

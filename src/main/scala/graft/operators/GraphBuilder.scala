@@ -323,14 +323,40 @@ object GraphBuilder {
     * keeps the edge frame IMMUTABLE and cached, which wins on the
     * short-diameter graphs dedup actually produces. Returns
     * (`id, component_id` labels, rounds run).
+    *
+    * @param initLabels optional WARM START (g57 — the g56 incremental
+    *   discipline applied to components): `(id, component_id)` from a
+    *   prior run seeds the diffusion instead of identity labels; new
+    *   vertices seed as themselves. SOUND FOR GROW-ONLY DELTAS ONLY
+    *   (edge/vertex ADDITIONS — the streaming-CC assumption): old
+    *   components only merge, so the min over a new component of the
+    *   warm labels is exactly its true min vertex id, and the
+    *   diffusion needs only the rounds of the MERGE structure, not the
+    *   full graph diameter (differential-tested). After REMOVALS a
+    *   split component would keep its old (now too-small) label
+    *   forever — warm labels can never grow under HashMin — so a
+    *   shrinking delta requires a cold run; spec-pinned as the
+    *   documented failure mode, not silently wrong.
     */
   def connectedComponentsDF(
-      edges: DataFrame, maxRounds: Int = 100): (DataFrame, Int) = {
+      edges: DataFrame,
+      maxRounds: Int = 100,
+      initLabels: Option[DataFrame] = None): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val (ue, sym) = ccAdjacency(edges)
     val verts = vertices(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = verts.select(col("id"), col("id").as("lbl")).transform(CacheScope.rotate)
+    var labels = (initLabels match {
+      case None => verts.select(col("id"), col("id").as("lbl"))
+      case Some(prior) =>
+        verts
+          .join(
+            prior.select(
+              col("id"), col(prior.columns(1)).as("_warm")),
+            Seq("id"), "left_outer")
+          .select(
+            col("id"), coalesce(col("_warm"), col("id")).as("lbl"))
+    }).transform(CacheScope.rotate)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {

@@ -595,6 +595,91 @@ class LouvainRescaleSpec extends AnyFunSuite {
   }
 }
 
+/** g57 warm-start connected components + io14 incremental consumption. */
+class WarmCcSpec extends AnyFunSuite {
+  import graft.operators.GraphBuilder
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("grow-only warm start: same labels, strictly fewer rounds") {
+    val sp = spark
+    import sp.implicits._
+    // a 60-vertex path: worst-case diameter for HashMin — the shape
+    // where warm start pays off most
+    val full = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    // yesterday: the path minus one bridge edge (29–30) = two halves
+    val old = full.filter(!(col("src") === 29L))
+    val (prior, _) = GraphBuilder.connectedComponentsDF(old)
+    val (coldL, coldR) = GraphBuilder.connectedComponentsDF(full)
+    val (warmL, warmR) = GraphBuilder.connectedComponentsDF(
+      full, initLabels = Some(prior))
+    assert(warmR < coldR, s"warm $warmR rounds vs cold $coldR")
+    val cold = coldL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warm = warmL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == cold, "warm labels must equal the cold fixpoint")
+    assert(warm.values.toSet == Set(0L), "one merged component labeled 0")
+  }
+
+  test("new vertices in the delta seed as themselves and join correctly") {
+    val sp = spark
+    import sp.implicits._
+    val old = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val (prior, _) = GraphBuilder.connectedComponentsDF(old)
+    // delta adds vertex 9 bridging both components
+    val full = old.union(Seq((2L, 9L), (9L, 3L)).toDF("src", "dst"))
+    val (warmL, _) = GraphBuilder.connectedComponentsDF(
+      full, initLabels = Some(prior))
+    val labels = warmL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L),
+      s"all five vertices must merge under min id 1: $labels")
+  }
+
+  test("REMOVAL delta is the documented failure mode: labels go stale") {
+    val sp = spark
+    import sp.implicits._
+    val old = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val (prior, _) = GraphBuilder.connectedComponentsDF(old)
+    // today the 2–3 edge is GONE and 3 pairs with new vertex 5: the
+    // true component {3, 5} has min id 3, but 3's warm label (1) can
+    // never grow under HashMin — the contract violation the Scaladoc
+    // pins (a shrinking delta needs a cold run)
+    val shrunk = Seq((1L, 2L), (3L, 5L)).toDF("src", "dst")
+    val (warmL, _) = GraphBuilder.connectedComponentsDF(
+      shrunk, initLabels = Some(prior))
+    val labels = warmL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(3L) == 1L && labels(5L) == 1L,
+      "stale labels expected — this PIN documents why removals need a " +
+        s"cold run (got $labels)")
+    val (coldL, _) = GraphBuilder.connectedComponentsDF(shrunk)
+    val cold = coldL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold(3L) == 3L && cold(5L) == 3L, "the cold run is the fix")
+  }
+
+  test("changesSince reads only the delta; past-head poll is empty") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("io14t").toString
+    try {
+      graft.sources.Snapshots.commitPtr(Seq(1L, 2L).toDF("k"), root, 1)
+      graft.sources.Snapshots.commitPtr(Seq(3L).toDF("k"), root, 2)
+      graft.sources.Snapshots.commitPtr(Seq(4L).toDF("k"), root, 3)
+      val delta = graft.sources.Snapshots.changesSincePtr(spark, root, 1, 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(delta == Set(3L, 4L), s"only batches 2 and 3: $delta")
+      val empty = graft.sources.Snapshots.changesSincePtr(spark, root, 3, 7)
+      assert(empty.count() == 0L && empty.columns.toSeq == Seq("k"),
+        "past-head poll: zero rows, schema intact")
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.changesSincePtr(spark, root, 5, 4)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
+
 class ConvergedEmptyGuardSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

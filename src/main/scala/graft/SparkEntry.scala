@@ -4162,6 +4162,212 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io15_merge_upsert" -> { (s, dir) =>
+      // COPY-ON-WRITE MERGE (Delta MERGE INTO / Iceberg CoW upsert —
+      // the WRITE-path close of the lake family): documents keyed by
+      // doc_id land as two range-split batches; the merge source
+      // carries UPDATES confined to the low half (n_chars + 1000 for
+      // doc_id%6=0) and INSERTS in brand-new key space (+1e9 — the
+      // "today's ids are new" shape). Manifest key stats prove the
+      // high batch can hold no match, so it is carried BY PATH —
+      // untouched_batches = 1 rides the hash. The read-back state
+      // hash-matches the SQL merge semantics: matched rows replaced,
+      // unmatched kept, new keys inserted.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io15").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), root, "doc_id")
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val inserts = docs
+          .filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+        val rep = graft.sources.LakeTable.merge(
+          updates.unionByName(inserts), root, "doc_id")
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn(
+              "untouched_batches", lit(rep.untouched.size.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "io16_stats_pruned_scan" -> { (s, dir) =>
+      // MANIFEST-STATS FILE SKIPPING (Iceberg's planning trick, the
+      // managed twin of io8's sorted-layout skipping): orders land as
+      // 4 key-range batches whose min/max ride the manifest; a
+      // `o_orderkey BETWEEN 1 AND max/4` scan is planned from those
+      // stats alone — batches_read is computed by the SAME range
+      // intersection in the ORACLE (b.kmax >= lo AND b.kmin <= hi), so
+      // the pruning rule itself is hash-locked, not a brittle literal.
+      val orders = t(s, dir, "orders")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io16").toString
+      try {
+        val mx = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val batchCol =
+          least(lit(3L), expr(s"o_orderkey * 4 div ${mx + 1}"))
+        (0L to 3L).foreach { b =>
+          graft.sources.LakeTable.append(
+            orders.filter(batchCol === b), root, "o_orderkey")
+        }
+        val hi = mx / 4
+        val kept = graft.sources.LakeTable.planPruned(
+          graft.sources.LakeTable.currentRows(s, root), 1L, hi).size
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable
+            .readPruned(s, root, "o_orderkey", 1L, hi)
+            .groupBy(col("o_orderstatus"))
+            .agg(
+              count(lit(1)).as("n_orders"),
+              round(sum(col("o_totalprice")), 2).as("sum_price"))
+            .withColumn("batches_read", lit(kept.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "st25_feed_consume" -> { (s, dir) =>
+      // STREAMING CHANGE-FEED CONSUMPTION (the Delta streaming-source /
+      // Kafka-consumer shape over the engine's own snapshot format): a
+      // tick-driven Structured Streaming job polls the bronze feed,
+      // lands each polled range under a range-keyed idempotent sink,
+      // and commits its offset with one atomic rename AFTER the write.
+      // Bronze grows BETWEEN ticks; the crash window (range processed,
+      // offset never committed) is planted before tick 2, whose re-poll
+      // REDELIVERS the same range and must overwrite, not duplicate; a
+      // caught-up tick is a no-op. The read-back hash-matches the full
+      // table: zero loss, zero duplication, offsets at head.
+      val docs = t(s, dir, "documents")
+      val dirs = Seq("graft_st25b", "graft_st25c", "graft_st25o")
+        .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+      val (bronze, consumer, out) = (dirs(0), dirs(1), dirs(2))
+      try {
+        val sp = s
+        import sp.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+        def sink(df: DataFrame, from: Int, to: Int): Unit =
+          df.withColumn("feed_to", lit(to))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("feed_to")
+            .parquet(out)
+        graft.sources.Snapshots.commitPtr(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), bronze, 1)
+        val ticks = MemoryStream[Int]
+        val q = graft.streaming.ChangeFeed.streamingConsumer(
+          ticks.toDS().toDF(), bronze, consumer)(sink)
+        try {
+          ticks.addData(1); q.processAllAvailable() // consumes (0, 1]
+          graft.sources.Snapshots.commitPtr(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 1), bronze, 2)
+          graft.sources.Snapshots.commitPtr(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 2), bronze, 3)
+          // the crash: (1, 3] was processed but the offset commit died
+          sink(graft.sources.Snapshots
+            .changesSincePtr(s, bronze, 1, 3), 1, 3)
+          ticks.addData(2); q.processAllAvailable() // redelivers (1, 3]
+          ticks.addData(3); q.processAllAvailable() // caught up: no-op
+        } finally q.stop()
+        val off = graft.streaming.ChangeFeed
+          .committedOffset(s, consumer).toLong
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(out)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("final_offset", lit(off)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        dirs.foreach { d =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    },
+    "p13_medallion_merge" -> { (s, dir) =>
+      // MEDALLION bronze→silver journey — the lake write path composed
+      // end to end: bronze takes three commits (full load, then two
+      // revision waves restating n_chars for doc_id%2=0 and %4=0), a
+      // change-feed consumer polls with committed offsets, and each
+      // delta MERGEs into the keyed silver table. Poll 2 spans TWO
+      // commits, so the delta is reduced to latest-per-key by
+      // `_commit_version` (max_by) before the merge — the reduction
+      // every CDF consumer must do, here hash-locked: v3's +100 must
+      // beat v2's +10 for %4 keys, never stack. Silver's read-back
+      // hash-matches the from-scratch latest-state SQL; silver_batches
+      // = 1 locks the rewrite consolidation.
+      val docs = t(s, dir, "documents")
+      val dirs = Seq("graft_p13b", "graft_p13c", "graft_p13s")
+        .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+      val (bronze, consumer, silver) = (dirs(0), dirs(1), dirs(2))
+      try {
+        graft.sources.Snapshots.commitPtr(docs, bronze, 1)
+        var first = true
+        def applyPoll(from: Int, to: Int): Unit = {
+          val delta = graft.sources.Snapshots
+            .changesSinceVersionedPtr(s, bronze, from, to)
+          val dataCols = delta.columns.filter(_ != "_commit_version")
+          val latest = delta.groupBy(col("doc_id"))
+            .agg(max_by(
+              struct(dataCols.map(col).toIndexedSeq: _*),
+              col("_commit_version")).as("r"))
+            .select(col("r.*"))
+          if (first) {
+            graft.sources.LakeTable.append(latest, silver, "doc_id")
+            first = false
+          } else graft.sources.LakeTable.merge(latest, silver, "doc_id")
+        }
+        graft.streaming.ChangeFeed.poll(s, bronze, consumer) {
+          (_, from, to) => applyPoll(from, to)
+        }
+        graft.sources.Snapshots.commitPtr(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+            .withColumn("n_chars", col("n_chars") + 10L), bronze, 2)
+        graft.sources.Snapshots.commitPtr(
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+            .withColumn("n_chars", col("n_chars") + 100L), bronze, 3)
+        graft.streaming.ChangeFeed.poll(s, bronze, consumer) {
+          (_, from, to) => applyPoll(from, to)
+        }
+        val nBatches = graft.sources.LakeTable
+          .currentRows(s, silver).size.toLong
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, silver)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("silver_batches", lit(nBatches)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        dirs.foreach { d =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -8548,6 +8754,60 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS empty_poll_rows
         |FROM documents WHERE doc_id % 3 IN (1, 2)
         |GROUP BY lang""".stripMargin,
+    "io15_merge_upsert" ->
+      // SQL MERGE semantics replayed from the base table: matched rows
+      // (doc_id%6=0 in the low half) replaced with the +1000 version,
+      // the rest kept, %3=2 keys inserted at +1e9; untouched_batches=1
+      // is construction-guaranteed (no source key can land in the high
+      // batch's [kmin,kmax]) and path-identity is spec-locked
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |final AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr WHERE doc_id % 3 < 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS untouched_batches
+        |FROM final GROUP BY lang""".stripMargin,
+    "io16_stats_pruned_scan" ->
+      // the oracle REPLAYS the pruning rule: per-batch min/max from the
+      // same quartile split, kept = range-intersection count — the
+      // planning decision itself is hash-locked, not a literal
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |b AS (SELECT least(3, (o_orderkey * 4) // (mx + 1)) AS batch,
+        |        min(o_orderkey) AS kmin, max(o_orderkey) AS kmax
+        |      FROM orders, m GROUP BY 1),
+        |kept AS (SELECT count(*) AS n FROM b, m
+        |         WHERE kmax >= 1 AND kmin <= mx // 4)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  (SELECT n FROM kept) AS batches_read
+        |FROM orders, m WHERE o_orderkey BETWEEN 1 AND mx // 4
+        |GROUP BY o_orderstatus""".stripMargin,
+    "st25_feed_consume" ->
+      // ticks 1..3 drain every committed batch exactly once (the
+      // planted crash redelivers (1,3], the range-keyed sink absorbs
+      // it): the downstream table IS the documents table; the offset
+      // sits at the head version
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(3 AS BIGINT) AS final_offset
+        |FROM documents GROUP BY lang""".stripMargin,
+    "p13_medallion_merge" ->
+      // latest-state semantics: v3's +100 replaces (never stacks on)
+      // v2's +10 for %4 keys — the latest-per-key reduction before the
+      // merge is what the CASE order expresses; silver consolidates to
+      // one batch after the spanning merge
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN n_chars + 100
+        |                WHEN doc_id % 2 = 0 THEN n_chars + 10
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS silver_batches
+        |FROM documents GROUP BY lang""".stripMargin,
     "g57_cc_warm" ->
       // converged components are warm-start-independent: the oracle is
       // the same recursive reachability closure as g15, on this

@@ -1,0 +1,277 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KEYED lake table with a STATS manifest — the WRITE-path close of the
+  * snapshot family: [[Snapshots]] gives the append-only versioned log
+  * (time travel, CDF, expire); this gives the CURRENT-STATE table a
+  * pipeline MERGEs into (the Delta `MERGE INTO` / Iceberg
+  * copy-on-write-upsert shape, re-expressed Spark-first), with per-batch
+  * key min/max carried IN the manifest so both reads and merges prune
+  * at planning time — Iceberg's core trick, and the property that makes
+  * a 100 TB daily upsert rewrite only the batches it touches.
+  *
+  * Layout (shares [[Snapshots]]' io12c atomic-pointer discipline —
+  * `currentGen`/`swapPointer` are reused verbatim, so the crash-window
+  * guarantees are the ones AtomicSnapshotSpec already locks):
+  * `root/data/v=<n>/` immutable data batches; `root/manifest/g=<g>/`
+  * immutable manifest GENERATIONS, each a complete
+  * `(batch, path, kmin, kmax)` snapshot of the live file set; the live
+  * generation is named by the `root/manifest/_current` pointer whose
+  * update is ONE atomic rename. A reader plans from the pointer, so a
+  * writer crash at any step leaves a readable table.
+  *
+  * CONTRACT: the key column is a non-null LONG and UNIQUE across the
+  * table — the primary-key reading every upsert system assumes. [[merge]]
+  * preserves it (it checks the SOURCE side and can only replace-or-insert
+  * by key); [[append]] trusts the caller for cross-batch disjointness
+  * (documented — merge is the safe path). Unlike [[Snapshots]], batch
+  * numbers name data dirs, not history: [[read]] always returns the live
+  * state and time travel is not claimed (that is Snapshots' job —
+  * a state-mutating merge cannot be expressed as append-only history
+  * without row-level change rows).
+  *
+  * Scale notes: driver work is manifest-sized everywhere (the batch
+  * list, the candidate-batch list, scalar stats of the source — the
+  * planning step every production table format runs); the candidate
+  * probe is a broadcast of the MANIFEST against the source keys (range
+  * intersection — manifest-sized per row, exactly the per-file interval
+  * check Iceberg planning does); the merge's full-outer join shuffles
+  * only `touched ∪ source`, never the table; and the pure-insert fast
+  * path (no source key in any batch range — the "today's ids are new"
+  * shape) writes the source and touches NOTHING else.
+  *
+  * Reference anchor: the reference persists iteration state as
+  * immutable per-step directories and re-plans from the newest
+  * (`PageRankDriver.java:121-122,177-185`); the manifest-generation +
+  * pointer model here is that idea carried to a multi-batch table.
+  */
+object LakeTable {
+
+  /** One live manifest row: data batch `batch` at `path` whose keys all
+    * lie in [kmin, kmax].
+    */
+  final case class BatchStat(batch: Int, path: String, kmin: Long, kmax: Long)
+
+  private[graft] def currentRows(
+      spark: SparkSession, root: String): Seq[BatchStat] =
+    Snapshots.currentGen(spark, root) match {
+      case None => Seq.empty
+      case Some(g) =>
+        spark.read.parquet(s"$root/manifest/g=$g")
+          .select(col("batch"), col("path"), col("kmin"), col("kmax"))
+          .collect()
+          .map(r => BatchStat(
+            r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+    }
+
+  private def writeGen(
+      spark: SparkSession,
+      root: String,
+      gen: Long,
+      rows: Seq[BatchStat]): Unit = {
+    import spark.implicits._
+    rows.toDF("batch", "path", "kmin", "kmax")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/g=$gen")
+  }
+
+  /** (rowCount, distinctKeys, kmin, kmax) of `df` in ONE scan — the
+    * uniqueness check and the manifest stats share the pass.
+    */
+  private def keyStats(
+      df: DataFrame, key: String): (Long, Long, Long, Long) = {
+    val r = df.agg(
+      count(lit(1)), count(col(key)), countDistinct(col(key)),
+      min(col(key)), max(col(key))).collect()(0)
+    require(
+      r.getLong(0) == r.getLong(1),
+      s"null $key values — the key column must be non-null")
+    if (r.getLong(0) == 0L) (0L, 0L, 0L, 0L)
+    else (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  /** Append `df` as a new batch: data dir first, then a new manifest
+    * generation, then the atomic pointer swap. Requires `key` non-null
+    * and unique WITHIN `df`; cross-batch key disjointness is the
+    * caller's (use [[merge]] when unsure). Rejects an empty frame —
+    * an empty batch has no stats and a caller appending one has a bug.
+    */
+  def append(df: DataFrame, root: String, key: String): Unit = {
+    val (n, nd, kmin, kmax) = keyStats(df, key)
+    require(n > 0, "empty batch — nothing to append")
+    require(nd == n, s"duplicate $key values within the appended batch")
+    appendStatted(df, root, kmin, kmax)
+  }
+
+  /** [[append]] with the stats already known (merge's internal path —
+    * the source scan already produced them; never rescan to restate).
+    */
+  private def appendStatted(
+      df: DataFrame, root: String, kmin: Long, kmax: Long): Unit = {
+    val spark = df.sparkSession
+    val prev = currentRows(spark, root)
+    val next = prev.map(_.batch).foldLeft(0)(math.max) + 1
+    val path = s"$root/data/v=$next"
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    publish(spark, root, prev :+ BatchStat(next, path, kmin, kmax))
+  }
+
+  private def publish(
+      spark: SparkSession, root: String, rows: Seq[BatchStat]): Unit = {
+    val gen = Snapshots.currentGen(spark, root).getOrElse(0L) + 1L
+    writeGen(spark, root, gen, rows.distinct)
+    Snapshots.swapPointer(spark, root, gen)
+  }
+
+  /** The live table state: union of every live batch. Fails loudly on
+    * an uninitialized table.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, s"nothing committed under $root")
+    spark.read.parquet(rows.map(_.path).distinct.sorted: _*)
+  }
+
+  /** The batches a `key ∈ [lo, hi]` scan must read — planned from the
+    * MANIFEST stats alone, no data bytes touched. Conservative the safe
+    * way round: a kept batch may still hold no matching row (the
+    * residual filter drops them); a skipped batch provably cannot.
+    */
+  private[graft] def planPruned(
+      rows: Seq[BatchStat], lo: Long, hi: Long): Seq[BatchStat] =
+    rows.filter(b => b.kmax >= lo && b.kmin <= hi)
+
+  /** io16: range scan `key BETWEEN lo AND hi` planned from manifest
+    * stats — only intersecting batches are read (their paths go to ONE
+    * multi-path parquet scan, pushdown intact), the residual filter
+    * rides the scan. An empty plan returns an empty frame with the
+    * table schema — "no batch can match" is a normal answer.
+    */
+  def readPruned(
+      spark: SparkSession,
+      root: String,
+      key: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, s"nothing committed under $root")
+    val kept = planPruned(rows, lo, hi)
+    if (kept.isEmpty)
+      spark.read.parquet(rows.maxBy(_.batch).path).limit(0)
+    else
+      spark.read.parquet(kept.map(_.path).distinct.sorted: _*)
+        .filter(col(key) >= lo && col(key) <= hi)
+  }
+
+  /** Everything [[merge]]/[[append]] decided, for callers that assert
+    * or surface the plan (tests, the io15 row's hash-locked columns).
+    */
+  final case class MergeReport(
+      touched: Seq[Int], untouched: Seq[Int], pureInsert: Boolean)
+
+  /** COPY-ON-WRITE MERGE (upsert): `WHEN MATCHED THEN UPDATE SET *`
+    * + `WHEN NOT MATCHED THEN INSERT *` of `source` into the table,
+    * by `key`. A matched source row replaces the ENTIRE target row —
+    * nulls included (SET *, not COALESCE semantics; a partial-column
+    * update is a caller-side projection of read-modify).
+    *
+    * Plan: (1) one scan of the source yields count/uniqueness/min/max —
+    * duplicate or null source keys fail loudly BEFORE any write, an
+    * empty source is a no-op poll. (2) candidate batches = those whose
+    * [kmin, kmax] contains at least one source key — decided by a
+    * broadcast of the manifest ranges against the source keys (exact,
+    * distributed, manifest-sized per row); a batch outside every source
+    * key provably holds no match and is carried forward BY PATH,
+    * untouched. (3) no candidates ⇒ the pure-insert fast path: append
+    * the source, rewrite nothing. (4) otherwise touched ∪ source
+    * full-outer-join on key into ONE new batch (source row wins when
+    * present), whose stats are derived arithmetically from the touched
+    * batches' stats ∪ the source stats (the key set of the rewrite IS
+    * that union — no second scan). (5) new generation = untouched rows
+    * + the new batch, ONE atomic pointer rename, then the sweep of
+    * replaced dirs and superseded generations (pure cleanup — a crash
+    * that skips it costs disk, never correctness; the next merge's
+    * sweep collects it).
+    */
+  def merge(source: DataFrame, root: String, key: String): MergeReport = {
+    val spark = source.sparkSession
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, s"nothing committed under $root — append first")
+    val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
+    require(
+      source.columns.toSeq.sorted == tableSchema.sorted,
+      s"source columns ${source.columns.toSeq.sorted} != table " +
+        s"columns ${tableSchema.sorted} — MERGE is SET*/INSERT*, " +
+        "align the source first")
+    val (n, nd, sMin, sMax) = keyStats(source, key)
+    if (n == 0L) return MergeReport(Nil, rows.map(_.batch), pureInsert = false)
+    require(nd == n, s"duplicate $key values in the merge source")
+
+    import spark.implicits._
+    val ranges = rows.map(b => (b.batch, b.kmin, b.kmax))
+      .toDF("batch", "kmin", "kmax")
+    val touchedIds = source.select(col(key).as("k"))
+      .join(
+        broadcast(ranges),
+        col("k") >= col("kmin") && col("k") <= col("kmax"))
+      .select(col("batch")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    if (touchedIds.isEmpty) {
+      appendStatted(source, root, sMin, sMax)
+      return MergeReport(Nil, rows.map(_.batch), pureInsert = true)
+    }
+
+    val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
+    val cols = tableSchema
+    val target = spark.read
+      .parquet(touched.map(_.path).distinct.sorted: _*)
+    val src = source.select(cols.map(col): _*)
+    val takeS = col(s"s.$key").isNotNull
+    val merged = target.as("t")
+      .join(src.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+      .select(cols.map(c =>
+        when(takeS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+
+    val next = rows.map(_.batch).max + 1
+    val path = s"$root/data/v=$next"
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    val stat = BatchStat(
+      next, path,
+      math.min(touched.map(_.kmin).min, sMin),
+      math.max(touched.map(_.kmax).max, sMax))
+    publish(spark, root, untouched :+ stat)
+    sweep(spark, root)
+    MergeReport(
+      touched.map(_.batch), untouched.map(_.batch), pureInsert = false)
+  }
+
+  /** Sweep data dirs and manifest generations the live generation does
+    * not reference — merge's replaced batches, crashed writers'
+    * orphans, superseded generations. Identical discipline to
+    * `Snapshots.ptrSweep` (pure cleanup, idempotent, safe to lose).
+    */
+  def sweep(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val gen = Snapshots.currentGen(spark, root)
+      .getOrElse(sys.error(s"no committed manifest under $root"))
+    val keepNames = currentRows(spark, root)
+      .map(b => new Path(b.path).getName).toSet
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(s"$root/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir)
+        .filter(st => !keepNames.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    val manDir = new Path(s"$root/manifest")
+    fs.listStatus(manDir)
+      .filter(st => st.getPath.getName.startsWith("g=") &&
+        st.getPath.getName != s"g=$gen")
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+}

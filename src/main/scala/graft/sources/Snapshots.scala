@@ -192,6 +192,15 @@ object Snapshots {
     swapPointer(spark, root, gen)
   }
 
+  /** Newest committed version through the pointer; None before the
+    * first commit. What a change-feed consumer's poll compares its
+    * committed offset against (manifest-sized driver work).
+    */
+  def headVersionPtr(spark: SparkSession, root: String): Option[Int] = {
+    val rows = currentRows(spark, root)
+    if (rows.isEmpty) None else Some(rows.map(_._1).max)
+  }
+
   /** [[readVersion]] through the pointer: plan from the live generation
     * only — every crash state of a writer reads consistently.
     */
@@ -221,6 +230,40 @@ object Snapshots {
       fromExclusive: Int,
       toInclusive: Int): DataFrame =
     changesOver(spark, currentRows(spark, root), fromExclusive, toInclusive)
+
+  /** [[changesSincePtr]] with COMMIT-VERSION ATTRIBUTION — the
+    * `_commit_version` column Delta's change feed carries. A consumer
+    * whose poll spans several commits needs it to reduce the delta to
+    * latest-per-key BEFORE merging downstream (two commits may restate
+    * the same key; a keyed upsert must apply only the newest). The plan
+    * is the per-batch scans unioned (batch-count-sized union, each
+    * branch a plain pushdown-intact parquet scan — the version is a
+    * literal, it costs nothing).
+    */
+  def changesSinceVersionedPtr(
+      spark: SparkSession,
+      root: String,
+      fromExclusive: Int,
+      toInclusive: Int): DataFrame = {
+    require(
+      fromExclusive <= toInclusive,
+      s"empty range: from $fromExclusive (exclusive) to $toInclusive")
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, "nothing committed — not a table")
+    val hit = rows
+      .filter(r => r._1 > fromExclusive && r._1 <= toInclusive)
+      .groupBy(_._2).map { case (p, vs) => (vs.map(_._1).max, p) }
+      .toSeq.sortBy(_._1)
+    if (hit.nonEmpty)
+      hit.map { case (v, p) =>
+        spark.read.parquet(p).withColumn("_commit_version", lit(v))
+      }.reduce(_.unionByName(_))
+    else {
+      val newest = rows.maxBy(_._1)._2
+      spark.read.parquet(newest).limit(0)
+        .withColumn("_commit_version", lit(0))
+    }
+  }
 
   /** [[changesSincePtr]] over the classic append-manifest layout. */
   def changesSince(

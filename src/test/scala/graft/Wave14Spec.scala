@@ -1,0 +1,336 @@
+package graft
+
+import graft.sources.LakeTable
+import graft.streaming.ChangeFeed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 lake WRITE path: the stats-manifest keyed table (io16
+  * pruned reads), copy-on-write MERGE (io15), and the streaming
+  * change-feed consumer (st25) — plans, crash windows, contracts.
+  */
+class LakeTableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("lake_t").toString
+    try f(root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def kv(pairs: (Long, String)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def state(root: String): Map[Long, String] =
+    LakeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("append + read round-trips; stats ride the manifest") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c", 20L -> "d"), root, "k")
+      assert(state(root) == Map(1L -> "a", 5L -> "b", 10L -> "c", 20L -> "d"))
+      val rows = LakeTable.currentRows(spark, root).sortBy(_.batch)
+      assert(rows.map(b => (b.kmin, b.kmax)) == Seq((1L, 5L), (10L, 20L)))
+    }
+  }
+
+  test("append rejects empty, duplicate-key, and null-key batches") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      intercept[IllegalArgumentException] {
+        LakeTable.append(kv().limit(0), root, "k")
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.append(kv(1L -> "a", 1L -> "b"), root, "k")
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.append(
+          Seq((Option.empty[Long], "a")).toDF("k", "v"), root, "k")
+      }
+    }
+  }
+
+  test("readPruned plans only intersecting batches and matches the filter") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c", 20L -> "d"), root, "k")
+      LakeTable.append(kv(30L -> "e", 40L -> "f"), root, "k")
+      val rows = LakeTable.currentRows(spark, root)
+      assert(LakeTable.planPruned(rows, 8L, 25L).map(_.batch) == Seq(2))
+      val pruned = LakeTable.readPruned(spark, root, "k", 8L, 25L)
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned == Set(10L, 20L))
+      // conservative plan, exact residual: a kept batch's non-matching
+      // rows are filtered out
+      val partial = LakeTable.readPruned(spark, root, "k", 5L, 10L)
+        .collect().map(_.getLong(0)).toSet
+      assert(partial == Set(5L, 10L))
+      // no batch can match: empty frame, schema intact
+      val none = LakeTable.readPruned(spark, root, "k", 50L, 60L)
+      assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+    }
+  }
+
+  test("merge updates matched rows, inserts new ones, reports the plan") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c", 20L -> "d"), root, "k")
+      val rep = LakeTable.merge(kv(5L -> "B", 7L -> "new"), root, "k")
+      assert(rep.touched == Seq(1) && rep.untouched == Seq(2)
+        && !rep.pureInsert)
+      assert(state(root) ==
+        Map(1L -> "a", 5L -> "B", 7L -> "new", 10L -> "c", 20L -> "d"))
+    }
+  }
+
+  test("untouched batches are carried BY PATH — not rewritten") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c", 20L -> "d"), root, "k")
+      val before = LakeTable.currentRows(spark, root)
+        .find(_.batch == 2).get.path
+      LakeTable.merge(kv(5L -> "B"), root, "k")
+      val after = LakeTable.currentRows(spark, root)
+        .find(_.kmin == 10L).get
+      assert(after.path == before, "untouched batch must keep its path")
+      assert(after.batch == 2)
+    }
+  }
+
+  test("pure-insert fast path appends without touching any batch") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      val pathsBefore = LakeTable.currentRows(spark, root).map(_.path).toSet
+      val rep = LakeTable.merge(kv(100L -> "x", 200L -> "y"), root, "k")
+      assert(rep.pureInsert && rep.touched.isEmpty)
+      val rows = LakeTable.currentRows(spark, root)
+      assert(pathsBefore.subsetOf(rows.map(_.path).toSet))
+      assert(state(root) ==
+        Map(1L -> "a", 5L -> "b", 100L -> "x", 200L -> "y"))
+    }
+  }
+
+  test("merge is SET*: a null column in a matched source row wins") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(kv(1L -> "a", 2L -> "b"), root, "k")
+      LakeTable.merge(
+        Seq((1L, Option.empty[String])).toDF("k", "v"), root, "k")
+      val got = LakeTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> None, 2L -> Some("b")))
+    }
+  }
+
+  test("merge rejects duplicate source keys and schema drift; empty no-ops") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      intercept[IllegalArgumentException] {
+        LakeTable.merge(kv(2L -> "x", 2L -> "y"), root, "k")
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.merge(
+          Seq((2L, "x", 1)).toDF("k", "v", "extra"), root, "k")
+      }
+      val rep = LakeTable.merge(kv().limit(0), root, "k")
+      assert(rep.touched.isEmpty && !rep.pureInsert)
+      assert(state(root) == Map(1L -> "a"))
+    }
+  }
+
+  test("merged-batch stats derive exactly from touched ∪ source") {
+    withRoot { root =>
+      LakeTable.append(kv(5L -> "a", 9L -> "b"), root, "k")
+      LakeTable.merge(kv(9L -> "B", 2L -> "lo", 12L -> "hi"), root, "k")
+      val stat = LakeTable.currentRows(spark, root)
+      assert(stat.size == 1 && stat.head.kmin == 2L && stat.head.kmax == 12L)
+      // and pruning still works off the derived stats
+      assert(LakeTable.readPruned(spark, root, "k", 13L, 99L).count() == 0)
+    }
+  }
+
+  test("crash window: merged batch written but pointer NOT swapped reads old") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      // simulate the pre-publish crash: a stranded data dir the live
+      // generation never references
+      kv(1L -> "TORN", 99L -> "TORN").write.parquet(s"$root/data/v=7")
+      assert(state(root) == Map(1L -> "a", 5L -> "b"))
+      // the retry (a fresh merge) converges and the sweep collects the
+      // orphan
+      LakeTable.merge(kv(5L -> "B"), root, "k")
+      assert(state(root) == Map(1L -> "a", 5L -> "B"))
+      val dirs = new java.io.File(s"$root/data").listFiles().map(_.getName)
+      assert(!dirs.contains("v=7"), "sweep must collect the orphan dir")
+    }
+  }
+
+  test("sweep removes replaced batches and superseded generations") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      LakeTable.append(kv(10L -> "b"), root, "k")
+      LakeTable.merge(kv(1L -> "A", 10L -> "B"), root, "k")
+      val dataDirs = new java.io.File(s"$root/data").listFiles()
+        .map(_.getName).toSet
+      assert(dataDirs == Set("v=3"), s"replaced dirs must be swept: $dataDirs")
+      val gens = new java.io.File(s"$root/manifest").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("g="))
+      assert(gens == 1, "superseded generations must be swept")
+      assert(state(root) == Map(1L -> "A", 10L -> "B"))
+    }
+  }
+
+  test("merge then merge: stats stay exact through generations") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 100L -> "b"), root, "k")
+      LakeTable.merge(kv(50L -> "c"), root, "k")
+      LakeTable.merge(kv(100L -> "B2", 150L -> "d"), root, "k")
+      assert(state(root) ==
+        Map(1L -> "a", 50L -> "c", 100L -> "B2", 150L -> "d"))
+      val stat = LakeTable.currentRows(spark, root)
+      assert(stat.map(b => (b.kmin, b.kmax)).toSet == Set((1L, 150L)))
+    }
+  }
+}
+
+class ChangeFeedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withDirs(f: (String, String, String) => Unit): Unit = {
+    val ds = Seq("cf_bronze", "cf_consumer", "cf_out")
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    try f(ds(0), ds(1), ds(2))
+    finally {
+      import scala.jdk.CollectionConverters._
+      ds.foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  private def commitBronze(root: String, version: Int, ks: Long*): Unit = {
+    val sp = spark
+    import sp.implicits._
+    graft.sources.Snapshots.commitPtr(
+      ks.map(k => (k, s"v$k")).toDF("k", "v"), root, version)
+  }
+
+  private def sinkRange(out: String)(
+      df: DataFrame, from: Int, to: Int): Unit =
+    df.withColumn("feed_to", lit(to))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("feed_to")
+      .parquet(out)
+
+  test("bootstrap poll reads the whole table; caught-up poll is None") {
+    withDirs { (bronze, consumer, out) =>
+      commitBronze(bronze, 1, 1L, 2L)
+      commitBronze(bronze, 2, 3L)
+      assert(ChangeFeed.committedOffset(spark, consumer) == 0)
+      val r = ChangeFeed.poll(spark, bronze, consumer)(sinkRange(out))
+      assert(r.contains((0, 2)))
+      assert(ChangeFeed.committedOffset(spark, consumer) == 2)
+      assert(ChangeFeed.poll(spark, bronze, consumer)(sinkRange(out)).isEmpty)
+      val got = spark.read.parquet(out).select("k")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L))
+    }
+  }
+
+  test("each poll reads only the delta; offsets advance monotonically") {
+    withDirs { (bronze, consumer, out) =>
+      commitBronze(bronze, 1, 1L)
+      assert(ChangeFeed.poll(spark, bronze, consumer) { (df, _, _) =>
+        assert(df.collect().map(_.getLong(0)).toSet == Set(1L))
+      }.contains((0, 1)))
+      commitBronze(bronze, 2, 2L)
+      commitBronze(bronze, 3, 3L)
+      assert(ChangeFeed.poll(spark, bronze, consumer) { (df, from, to) =>
+        assert((from, to) == (1, 3))
+        assert(df.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+      }.contains((1, 3)))
+    }
+  }
+
+  test("crash before offset commit redelivers; idempotent sink converges") {
+    withDirs { (bronze, consumer, out) =>
+      commitBronze(bronze, 1, 1L, 2L)
+      // the crash: processing ran, offset commit never happened
+      val delta = graft.sources.Snapshots.changesSincePtr(spark, bronze, 0, 1)
+      sinkRange(out)(delta, 0, 1)
+      assert(ChangeFeed.committedOffset(spark, consumer) == 0)
+      // the restarted consumer re-polls the SAME range — the sink's
+      // range-keyed overwrite absorbs the redelivery
+      ChangeFeed.poll(spark, bronze, consumer)(sinkRange(out))
+      assert(ChangeFeed.committedOffset(spark, consumer) == 1)
+      val rows = spark.read.parquet(out).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows.sorted == Seq(1L, 2L), s"redelivery must not duplicate: $rows")
+    }
+  }
+
+  test("streaming consumer: ticks drive polls across live commits") {
+    withDirs { (bronze, consumer, out) =>
+      val sp = spark
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      commitBronze(bronze, 1, 1L, 2L)
+      val ticks = MemoryStream[Int]
+      val q = ChangeFeed.streamingConsumer(
+        ticks.toDS().toDF(), bronze, consumer)(sinkRange(out))
+      try {
+        ticks.addData(1); q.processAllAvailable()
+        commitBronze(bronze, 2, 3L)
+        commitBronze(bronze, 3, 4L)
+        ticks.addData(2); q.processAllAvailable()
+        ticks.addData(3); q.processAllAvailable() // caught up: no-op tick
+      } finally q.stop()
+      assert(ChangeFeed.committedOffset(spark, consumer) == 3)
+      val got = spark.read.parquet(out)
+        .select("k", "feed_to").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 1), (2L, 1), (3L, 3), (4L, 3)))
+    }
+  }
+
+  test("feed → LakeTable.merge: the medallion hop keeps latest-per-key") {
+    withDirs { (bronze, consumer, silver) =>
+      val sp = spark
+      import sp.implicits._
+      commitBronze(bronze, 1, 1L, 2L, 3L)
+      var first = true
+      def applyToSilver(df: DataFrame, from: Int, to: Int): Unit = {
+        if (first) { LakeTable.append(df, silver + "/t", "k"); first = false }
+        else LakeTable.merge(df, silver + "/t", "k")
+      }
+      ChangeFeed.poll(spark, bronze, consumer)(applyToSilver)
+      // v2 re-states key 2 (an update flowing through the feed) and
+      // adds key 4; the next poll merges just that delta
+      graft.sources.Snapshots.commitPtr(
+        Seq((2L, "v2-NEW"), (4L, "v4")).toDF("k", "v"), bronze, 2)
+      ChangeFeed.poll(spark, bronze, consumer)(applyToSilver)
+      val got = LakeTable.read(spark, silver + "/t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(
+        1L -> "v1", 2L -> "v2-NEW", 3L -> "v3", 4L -> "v4"))
+    }
+  }
+}

@@ -4368,6 +4368,157 @@ object SparkEntry {
         }
       }
     },
+    "io17_compact_cluster" -> { (s, dir) =>
+      // COMPACTION with RANGE CLUSTERING (Delta OPTIMIZE + the sort
+      // that re-sharpens stats pruning): three mod-3 appends each span
+      // the whole key space, so a range read must touch 3/3 batches;
+      // compact() rewrites into tertile buckets in ONE partitioned
+      // write and the same read prunes to 1/3. batches_before/after/
+      // total are all REPLAYED by the oracle from the same split
+      // arithmetic and intersection rule — the clustering benefit
+      // itself is hash-locked, not asserted.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io17").toString
+      try {
+        (0L to 2L).foreach { b =>
+          graft.sources.LakeTable.append(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            root, "doc_id")
+        }
+        val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val s1 = mx / 3
+        val s2 = 2L * (mx / 3)
+        val before = graft.sources.LakeTable.planPruned(
+          graft.sources.LakeTable.currentRows(s, root), s1, s2 - 1).size
+        graft.sources.LakeTable.compact(s, root, "doc_id", Seq(s1, s2))
+        val rows = graft.sources.LakeTable.currentRows(s, root)
+        val after = graft.sources.LakeTable.planPruned(rows, s1, s2 - 1).size
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable
+            .readPruned(s, root, "doc_id", s1, s2 - 1)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("batches_before", lit(before.toLong))
+            .withColumn("batches_after", lit(after.toLong))
+            .withColumn("batches_total", lit(rows.size.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "io18_cdc_apply" -> { (s, dir) =>
+      // CDC APPLY — merge generalized with DELETES (the Delta
+      // `WHEN MATCHED ... THEN DELETE` form): one change set carries
+      // deletes (doc_id%5=0, low half), updates (%7=0 minus the delete
+      // keys, +55), and inserts (%9=0 at +1e9) with op ∈ {U,D}; the
+      // high batch provably holds no change key, so it is carried by
+      // path (untouched_batches = 1 rides the hash) and the rewrite
+      // drops victims, restates matches, and inserts the rest in one
+      // full-outer pass over touched ∪ changes.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io18").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        graft.sources.LakeTable.append(
+          docs.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          docs.filter(col("doc_id") > thr), root, "doc_id")
+        val dels = docs
+          .filter(pmod(col("doc_id"), lit(5L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn("op", lit("D"))
+        val upds = docs
+          .filter(pmod(col("doc_id"), lit(7L)) === 0 &&
+            pmod(col("doc_id"), lit(5L)) =!= 0 && col("doc_id") <= thr)
+          .withColumn("n_chars", col("n_chars") + 55L)
+          .withColumn("op", lit("U"))
+        val ins = docs
+          .filter(pmod(col("doc_id"), lit(9L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+          .withColumn("op", lit("U"))
+        val rep = graft.sources.LakeTable.applyChanges(
+          dels.unionByName(upds).unionByName(ins), root, "doc_id")
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn(
+              "untouched_batches", lit(rep.untouched.size.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "st26_stream_cdc_lake" -> { (s, dir) =>
+      // STREAMING CDC UPSERT SINK into the keyed lake table (Delta's
+      // streaming-MERGE recipe: foreachBatch + upsert): three change
+      // micro-batches — full load, then +10 restatements for %2 keys
+      // and deletes for %10=3 keys, then +100 restatements for %4
+      // keys — apply through LakeTable.applyChanges; then the NEWEST
+      // batch is REPLAYED (the restart window between sink commit and
+      // checkpoint commit) and must converge: re-upserts restate, re-
+      // deletes find nothing. The read-back hash-matches the
+      // latest-state-with-deletes SQL; silver_batches = 1 locks the
+      // rewrite consolidation through every application.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_st26").toString
+      try {
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "op")
+        val docs = t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .as[(Long, String, String, String, Long)]
+          .collect()
+        def asU(r: (Long, String, String, String, Long), d: Long) =
+          (r._1, r._2, r._3, r._4, r._5 + d, "U")
+        val b1 = docs.map(asU(_, 0L)).toIndexedSeq
+        val b2 = (docs.filter(_._1 % 2 == 0).map(asU(_, 10L)) ++
+          docs.filter(_._1 % 10 == 3)
+            .map(r => (r._1, r._2, r._3, r._4, r._5, "D"))).toIndexedSeq
+        val b3 = docs.filter(_._1 % 4 == 0).map(asU(_, 100L)).toIndexedSeq
+        val ms = MemoryStream[(Long, String, String, String, Long, String)]
+        val q = graft.streaming.ChangeFeed.cdcSink(
+          ms.toDS().toDF(cols: _*), root, "doc_id")
+        try {
+          Seq(b1, b2, b3).foreach { b =>
+            ms.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        // the replay: re-apply the newest batch (what a restarted query
+        // redelivers when the sink committed but the checkpoint didn't)
+        graft.streaming.ChangeFeed.applyCdcBatch(
+          b3.toDF(cols: _*), root, "doc_id")
+        val nBatches = graft.sources.LakeTable
+          .currentRows(s, root).size.toLong
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("silver_batches", lit(nBatches)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "d34_hash_embed" -> ((s, dir) =>
       // feature-hashing embedding (the hashing trick): signed token
       // counts per md5-drawn dimension, L2-normalized, rounded 6 —
@@ -8788,6 +8939,62 @@ object SparkEntry {
         |  (SELECT n FROM kept) AS batches_read
         |FROM orders, m WHERE o_orderkey BETWEEN 1 AND mx // 4
         |GROUP BY o_orderstatus""".stripMargin,
+    "io17_compact_cluster" ->
+      // the oracle replays the tertile split and the intersection rule
+      // on both the pre-compact (mod-3) and post-compact (range)
+      // layouts — the pruning improvement 3 → 1 is itself hash-locked
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |pre AS (SELECT doc_id % 3 AS b, min(doc_id) AS kmin,
+        |               max(doc_id) AS kmax
+        |        FROM documents GROUP BY 1),
+        |nb AS (SELECT count(*) AS n FROM pre, m
+        |       WHERE kmax >= mx // 3 AND kmin <= 2 * (mx // 3) - 1),
+        |post AS (SELECT (CASE WHEN doc_id >= 2 * (mx // 3) THEN 2
+        |                      WHEN doc_id >= mx // 3 THEN 1
+        |                      ELSE 0 END) AS b,
+        |                min(doc_id) AS kmin, max(doc_id) AS kmax
+        |         FROM documents, m GROUP BY 1),
+        |na AS (SELECT count(*) AS n FROM post, m
+        |       WHERE kmax >= mx // 3 AND kmin <= 2 * (mx // 3) - 1),
+        |nt AS (SELECT count(*) AS n FROM post)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT n FROM nb) AS batches_before,
+        |  (SELECT n FROM na) AS batches_after,
+        |  (SELECT n FROM nt) AS batches_total
+        |FROM documents, m
+        |WHERE doc_id BETWEEN mx // 3 AND 2 * (mx // 3) - 1
+        |GROUP BY lang""".stripMargin,
+    "io18_cdc_apply" ->
+      // CDC semantics replayed: %5=0 low-half rows deleted, %7=0
+      // survivors restated at +55, %9=0 keys inserted at +1e9; the
+      // high batch is untouched by construction
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |final AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0
+        |              AND doc_id <= t
+        |         THEN n_chars + 55 ELSE n_chars END AS n_chars
+        |  FROM documents, thr
+        |  WHERE NOT (doc_id % 5 = 0 AND doc_id <= t)
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, n_chars
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS untouched_batches
+        |FROM final GROUP BY lang""".stripMargin,
+    "st26_stream_cdc_lake" ->
+      // latest-state-with-deletes: %10=3 keys gone, %4 keys at +100
+      // (v3 replaces v2 — never stacks), remaining evens at +10; the
+      // replayed newest batch must be invisible in the result
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN n_chars + 100
+        |                WHEN doc_id % 2 = 0 THEN n_chars + 10
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS silver_batches
+        |FROM documents WHERE doc_id % 10 <> 3
+        |GROUP BY lang""".stripMargin,
     "st25_feed_consume" ->
       // ticks 1..3 drain every committed batch exactly once (the
       // planted crash redelivers (1,3], the range-keyed sink absorbs

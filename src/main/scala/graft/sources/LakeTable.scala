@@ -250,6 +250,155 @@ object LakeTable {
       touched.map(_.batch), untouched.map(_.batch), pureInsert = false)
   }
 
+  /** CDC APPLY — [[merge]] generalized with DELETES (the Delta
+    * `MERGE ... WHEN MATCHED AND op='D' THEN DELETE` form, i.e. what a
+    * change-data-capture consumer runs): `changes` carries the table's
+    * columns plus `opCol` ∈ {'U','D'} — upserts replace-or-insert by
+    * key (SET* semantics, like [[merge]]), deletes remove the key if
+    * present and no-op if absent (the Delta/CDC convention — a delete
+    * racing a never-arrived insert must not fail the feed). One change
+    * row per key (callers reduce multi-commit deltas to latest-per-key
+    * first — the p13 discipline); duplicates fail loudly before any
+    * write.
+    *
+    * Plan is [[merge]]'s with one twist: candidate batches come from
+    * ALL change keys (a delete must find its victim), but the
+    * pure-insert fast path applies when no key lands in any range —
+    * then the deletes are provably no-ops and only the upserts append.
+    * The rewrite drops matched-delete rows and s-only delete rows
+    * (absent-key deletes) in the same projection that resolves
+    * upserts; stats bound the rewrite by touched ∪ upsert keys
+    * (deletes only shrink the key set — bounds stay valid, pruning
+    * stays conservative-correct).
+    */
+  def applyChanges(
+      changes: DataFrame,
+      root: String,
+      key: String,
+      opCol: String = "op"): MergeReport = {
+    val spark = changes.sparkSession
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, s"nothing committed under $root — append first")
+    val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
+    require(
+      changes.columns.contains(opCol),
+      s"changes must carry the op column '$opCol'")
+    require(
+      changes.columns.filter(_ != opCol).sorted.toSeq == tableSchema.sorted,
+      s"changes columns (minus $opCol) must equal the table's: " +
+        s"${tableSchema.sorted}")
+    val badOps = changes
+      .filter(!col(opCol).isin("U", "D")).limit(1).count()
+    require(badOps == 0L, s"$opCol values must be 'U' or 'D'")
+    val (n, nd, _, _) = keyStats(changes, key)
+    if (n == 0L) return MergeReport(Nil, rows.map(_.batch), pureInsert = false)
+    require(nd == n, s"duplicate $key values in the change set — " +
+      "reduce to latest-per-key first")
+
+    import spark.implicits._
+    val ranges = rows.map(b => (b.batch, b.kmin, b.kmax))
+      .toDF("batch", "kmin", "kmax")
+    val touchedIds = changes.select(col(key).as("k"))
+      .join(
+        broadcast(ranges),
+        col("k") >= col("kmin") && col("k") <= col("kmax"))
+      .select(col("batch")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    val upserts = changes.filter(col(opCol) === "U")
+      .select(tableSchema.map(col): _*)
+    if (touchedIds.isEmpty) {
+      // every delete targets a key no batch can hold — all no-ops
+      val (un, _, uMin, uMax) = keyStats(upserts, key)
+      if (un == 0L)
+        return MergeReport(Nil, rows.map(_.batch), pureInsert = false)
+      appendStatted(upserts, root, uMin, uMax)
+      return MergeReport(Nil, rows.map(_.batch), pureInsert = true)
+    }
+
+    val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
+    val cols = tableSchema
+    val target = spark.read
+      .parquet(touched.map(_.path).distinct.sorted: _*)
+    val src = changes.select((cols :+ opCol).map(col): _*)
+    val matchedOrNew = col(s"s.$key").isNotNull
+    val applied = target.as("t")
+      .join(src.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+      // a delete row (matched or absent-key) contributes nothing
+      .filter(!(matchedOrNew && col(s"s.$opCol") === "D"))
+      .select(cols.map(c =>
+        when(matchedOrNew, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+
+    // stats bound touched ∪ upserts; an all-delete rewrite can empty
+    // the batch — then the new generation simply omits it
+    val (an, _, uMin, uMax) = keyStats(upserts, key)
+    val bounds = touched.map(b => (b.kmin, b.kmax)) ++ (
+      if (an > 0L) Seq((uMin, uMax)) else Nil)
+    val next = rows.map(_.batch).max + 1
+    val path = s"$root/data/v=$next"
+    applied.write.mode(SaveMode.Overwrite).parquet(path)
+    val rewrittenEmpty =
+      spark.read.parquet(path).limit(1).count() == 0L
+    val kept =
+      if (rewrittenEmpty) untouched
+      else untouched :+ BatchStat(
+        next, path, bounds.map(_._1).min, bounds.map(_._2).max)
+    require(
+      kept.nonEmpty,
+      "applyChanges would delete the last row of the table — an empty " +
+        "keyed table has no manifest; truncate explicitly instead")
+    publish(spark, root, kept)
+    sweep(spark, root)
+    MergeReport(
+      touched.map(_.batch), untouched.map(_.batch), pureInsert = false)
+  }
+
+  /** COMPACTION with RANGE CLUSTERING (io17 — Delta `OPTIMIZE` / the
+    * Iceberg rewrite, plus the sort that makes future stats-pruning
+    * sharp): the live table is rewritten into one batch per
+    * caller-supplied split interval (`splits` are the interior
+    * boundaries; batch i = keys in [splits(i-1), splits(i)) with
+    * open ends — production derives them from table stats, tests and
+    * the io17 row pass arithmetic thresholds so the oracle can replay
+    * them). ONE scan, partitioned-by-bucket write; per-batch exact
+    * stats from one key-column-pruned grouped agg over the output.
+    * After compaction ranges are DISJOINT, so a range read prunes to
+    * the intervals it overlaps — the io16 property restored no matter
+    * how interleaved the appends were. State is untouched (oracle-
+    * locked); publish rides the atomic pointer; empty buckets simply
+    * don't appear.
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      key: String,
+      splits: Seq[Long]): Unit = {
+    require(splits == splits.sorted && splits.distinct == splits,
+      s"splits must be strictly increasing: $splits")
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, s"nothing committed under $root")
+    val next = rows.map(_.batch).max + 1
+    val stage = s"$root/data/cmp=$next"
+    val bucket = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(col(key) >= s, 1).otherwise(0)
+    }
+    val data = spark.read.parquet(rows.map(_.path).distinct.sorted: _*)
+    data.withColumn("gbucket", bucket)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("gbucket").parquet(stage)
+    val stats = spark.read.parquet(stage)
+      .groupBy(col("gbucket"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val kept = stats.zipWithIndex.map { case ((b, lo, hi), i) =>
+      BatchStat(next + i, s"$stage/gbucket=$b", lo, hi)
+    }.toSeq
+    publish(spark, root, kept)
+    sweep(spark, root)
+  }
+
   /** Sweep data dirs and manifest generations the live generation does
     * not reference — merge's replaced batches, crashed writers'
     * orphans, superseded generations. Identical discipline to
@@ -259,8 +408,13 @@ object LakeTable {
     import org.apache.hadoop.fs.Path
     val gen = Snapshots.currentGen(spark, root)
       .getOrElse(sys.error(s"no committed manifest under $root"))
+    // keep a TOP-LEVEL entry under data/ when any live path lives
+    // inside it (compacted batches are gbucket subdirs of one cmp=<n>
+    // staging dir — partially-superseded staging dirs are kept whole,
+    // a disk-only over-approximation the next full compact collects)
     val keepNames = currentRows(spark, root)
-      .map(b => new Path(b.path).getName).toSet
+      .map(b => b.path.stripPrefix(s"$root/data/").split('/').head)
+      .toSet
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val dataDir = new Path(s"$root/data")

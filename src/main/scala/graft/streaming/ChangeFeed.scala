@@ -96,6 +96,54 @@ object ChangeFeed {
     }
   }
 
+  /** One micro-batch of the STREAMING CDC UPSERT SINK ([[cdcSink]]'s
+    * foreachBatch body, exposed for the restart/replay path and its
+    * test): apply a change micro-batch (table columns + `opCol` ∈
+    * {'U','D'}) into the keyed LakeTable — the first batch initializes
+    * the table from its upserts (deletes against nothing are the
+    * documented CDC no-op), every later batch goes through
+    * `LakeTable.applyChanges`. REPLAYING the newest batch (restart
+    * between sink commit and checkpoint commit — foreachBatch's
+    * at-least-once window) converges: re-upserts restate the same
+    * values, re-deletes find nothing — CDC apply is idempotent against
+    * the state it already produced. Batches must be latest-per-key
+    * (reduce multi-statement batches by `_commit_version`/sequence
+    * first — the p13 discipline; duplicate keys fail loudly).
+    */
+  def applyCdcBatch(
+      changes: org.apache.spark.sql.DataFrame,
+      root: String,
+      key: String,
+      opCol: String = "op"): Unit = {
+    val spark = changes.sparkSession
+    if (graft.sources.Snapshots.currentGen(spark, root).isEmpty) {
+      val ups = changes.filter(org.apache.spark.sql.functions.col(opCol)
+        === "U").drop(opCol)
+      if (ups.limit(1).count() > 0L)
+        graft.sources.LakeTable.append(ups, root, key)
+    } else {
+      graft.sources.LakeTable.applyChanges(changes, root, key, opCol)
+      ()
+    }
+  }
+
+  /** The CDC stream applied into a keyed LakeTable — the write half of
+    * the medallion hop run as a real streaming job (Delta's streaming
+    * MERGE recipe: foreachBatch + upsert).
+    */
+  def cdcSink(
+      changes: org.apache.spark.sql.DataFrame,
+      root: String,
+      key: String,
+      opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          applyCdcBatch(df, root, key, opCol)
+      }
+      .start()
+
   /** The poll loop as a Structured Streaming job: each tick micro-batch
     * runs one [[poll]]. Ticks carry no data — they are the schedule
     * (rate source in production; MemoryStream in the spec and the st25

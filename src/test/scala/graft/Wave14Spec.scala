@@ -194,6 +194,111 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  private def cdc(rows: (Long, String, String)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("k", "v", "op")
+  }
+
+  test("applyChanges: upserts replace/insert, deletes remove, absent-delete no-ops") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c", 20L -> "d"), root, "k")
+      val rep = LakeTable.applyChanges(
+        cdc((5L, "B", "U"), (10L, "", "D"), (7L, "new", "U"),
+          (11L, "", "D")), root, "k")
+      assert(rep.touched.sorted == Seq(1, 2))
+      assert(state(root) == Map(1L -> "a", 5L -> "B", 7L -> "new", 20L -> "d"))
+    }
+  }
+
+  test("applyChanges: delete-only change set against out-of-range keys no-ops") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      val rep = LakeTable.applyChanges(cdc((99L, "", "D")), root, "k")
+      assert(rep.touched.isEmpty && !rep.pureInsert)
+      assert(state(root) == Map(1L -> "a"))
+    }
+  }
+
+  test("applyChanges: out-of-range upserts take the pure-insert fast path") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      val before = LakeTable.currentRows(spark, root).map(_.path).toSet
+      val rep = LakeTable.applyChanges(
+        cdc((99L, "x", "U"), (150L, "", "D")), root, "k")
+      assert(rep.pureInsert)
+      assert(before.subsetOf(
+        LakeTable.currentRows(spark, root).map(_.path).toSet))
+      assert(state(root) == Map(1L -> "a", 99L -> "x"))
+    }
+  }
+
+  test("applyChanges: an all-delete rewrite drops the emptied batch") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 2L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c"), root, "k")
+      LakeTable.applyChanges(cdc((1L, "", "D"), (2L, "", "D")), root, "k")
+      assert(state(root) == Map(10L -> "c"))
+      assert(LakeTable.currentRows(spark, root).map(_.batch) == Seq(2))
+    }
+  }
+
+  test("applyChanges refuses to empty the table, bad ops, duplicate keys") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      intercept[IllegalArgumentException] {
+        LakeTable.applyChanges(cdc((1L, "", "D")), root, "k")
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.applyChanges(cdc((2L, "x", "upsert")), root, "k")
+      }
+      intercept[IllegalArgumentException] {
+        LakeTable.applyChanges(
+          cdc((2L, "x", "U"), (2L, "", "D")), root, "k")
+      }
+      assert(state(root) == Map(1L -> "a"))
+    }
+  }
+
+  test("compact clusters interleaved appends into disjoint ranges") {
+    withRoot { root =>
+      // three appends, each spanning the whole key space — pruning
+      // can skip nothing
+      LakeTable.append(kv(1L -> "a", 50L -> "b", 100L -> "c"), root, "k")
+      LakeTable.append(kv(2L -> "d", 51L -> "e", 101L -> "f"), root, "k")
+      LakeTable.append(kv(3L -> "g", 52L -> "h", 102L -> "i"), root, "k")
+      val beforeKept =
+        LakeTable.planPruned(LakeTable.currentRows(spark, root), 50L, 52L)
+      assert(beforeKept.size == 3, "interleaved ranges prune nothing")
+      val stateBefore = state(root)
+      LakeTable.compact(spark, root, "k", splits = Seq(40L, 90L))
+      assert(state(root) == stateBefore, "compaction must not change state")
+      val rows = LakeTable.currentRows(spark, root)
+      assert(rows.size == 3)
+      assert(rows.map(b => (b.kmin, b.kmax)).sorted ==
+        Seq((1L, 3L), (50L, 52L), (100L, 102L)), "exact per-bucket stats")
+      val afterKept = LakeTable.planPruned(rows, 50L, 52L)
+      assert(afterKept.size == 1, "disjoint ranges restore pruning")
+      val got = LakeTable.readPruned(spark, root, "k", 50L, 52L)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(50L, 51L, 52L))
+    }
+  }
+
+  test("compact drops empty buckets; merge after compact still works") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 100L -> "b"), root, "k")
+      LakeTable.compact(spark, root, "k", splits = Seq(40L, 60L))
+      val rows = LakeTable.currentRows(spark, root)
+      assert(rows.size == 2, "the [40,60) bucket is empty and omitted")
+      LakeTable.merge(kv(50L -> "mid", 100L -> "B"), root, "k")
+      assert(state(root) == Map(1L -> "a", 50L -> "mid", 100L -> "B"))
+      // sweep kept the staging dir that still hosts the live batch 1
+      assert(LakeTable.read(spark, root).count() == 3)
+    }
+  }
+
   test("merge then merge: stats stay exact through generations") {
     withRoot { root =>
       LakeTable.append(kv(1L -> "a", 100L -> "b"), root, "k")
@@ -308,6 +413,26 @@ class ChangeFeedSpec extends AnyFunSuite {
         .select("k", "feed_to").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSet
       assert(got == Set((1L, 1), (2L, 1), (3L, 3), (4L, 3)))
+    }
+  }
+
+  test("cdc sink batch: bootstrap from upserts, replayed newest batch converges") {
+    withDirs { (root, _, _) =>
+      val sp = spark
+      import sp.implicits._
+      val t = root + "/t"
+      def ch(rows: (Long, String, String)*) = rows.toDF("k", "v", "op")
+      // bootstrap: deletes against an uninitialized table are no-ops
+      ChangeFeed.applyCdcBatch(
+        ch((1L, "a", "U"), (2L, "b", "U"), (9L, "", "D")), t, "k")
+      val b2 = ch((2L, "B", "U"), (1L, "", "D"), (3L, "c", "U"))
+      ChangeFeed.applyCdcBatch(b2, t, "k")
+      def st = LakeTable.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(st == Map(2L -> "B", 3L -> "c"))
+      // the restart window: the newest batch is redelivered verbatim
+      ChangeFeed.applyCdcBatch(b2, t, "k")
+      assert(st == Map(2L -> "B", 3L -> "c"), "replay must converge")
     }
   }
 

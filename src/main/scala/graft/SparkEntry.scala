@@ -4459,6 +4459,46 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io19_occ_merge" -> { (s, dir) =>
+      // OPTIMISTIC CONCURRENCY (the Delta commit protocol — closes the
+      // family's "single writer assumed" contract for the keyed
+      // table): writer A OBSERVES the live generation; writer B lands
+      // a merge first; A's validate-and-swap is REFUSED — publishing
+      // A's stale observation would have erased B's commit (the lost
+      // update OCC exists to prevent); A REBASES (a plain merge
+      // re-observes) and lands. Both updates survive, hash-locked;
+      // conflicts_detected = 1 locks that the stale publish really was
+      // refused, not silently applied. The free-running 4-writer race
+      // is spec-locked (LakeTableSpec).
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io19").toString
+      try {
+        graft.sources.LakeTable.append(docs, root, "doc_id")
+        val (rowsA, obsA) = graft.sources.LakeTable.currentState(s, root)
+        graft.sources.LakeTable.merge(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+            .withColumn("n_chars", col("n_chars") + 3L), root, "doc_id")
+        val refused = !graft.sources.LakeTable
+          .publishIfCurrent(s, root, rowsA, obsA)
+        graft.sources.LakeTable.merge(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 1)
+            .withColumn("n_chars", col("n_chars") + 7L), root, "doc_id")
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn(
+              "conflicts_detected", lit(if (refused) 1L else 0L)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "st26_stream_cdc_lake" -> { (s, dir) =>
       // STREAMING CDC UPSERT SINK into the keyed lake table (Delta's
       // streaming-MERGE recipe: foreachBatch + upsert): three change
@@ -8984,6 +9024,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(1 AS BIGINT) AS untouched_batches
         |FROM final GROUP BY lang""".stripMargin,
+    "io19_occ_merge" ->
+      // both writers' updates survive the race (disjoint key classes);
+      // the refused stale publish is locked as a count — a silent
+      // lost-update would zero it AND corrupt the %3=2 sums
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 1 THEN n_chars + 7
+        |                WHEN doc_id % 3 = 2 THEN n_chars + 3
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS conflicts_detected
+        |FROM documents GROUP BY lang""".stripMargin,
     "st26_stream_cdc_lake" ->
       // latest-state-with-deletes: %10=3 keys gone, %4 keys at +100
       // (v3 replaces v2 — never stacks), remaining evens at +10; the

@@ -12,15 +12,16 @@ import org.apache.spark.sql.functions._
   * at planning time — Iceberg's core trick, and the property that makes
   * a 100 TB daily upsert rewrite only the batches it touches.
   *
-  * Layout (shares [[Snapshots]]' io12c atomic-pointer discipline —
-  * `currentGen`/`swapPointer` are reused verbatim, so the crash-window
-  * guarantees are the ones AtomicSnapshotSpec already locks):
-  * `root/data/v=<n>/` immutable data batches; `root/manifest/g=<g>/`
-  * immutable manifest GENERATIONS, each a complete
-  * `(batch, path, kmin, kmax)` snapshot of the live file set; the live
-  * generation is named by the `root/manifest/_current` pointer whose
-  * update is ONE atomic rename. A reader plans from the pointer, so a
-  * writer crash at any step leaves a readable table.
+  * Layout (the io12c atomic-pointer discipline, extended for MULTIPLE
+  * OPTIMISTIC WRITERS): `root/data/v=<n>-<token>/` immutable data
+  * batches; `root/manifest/g=<n>-<token>/` immutable manifest
+  * GENERATIONS, each a complete `(batch, path, kmin, kmax)` snapshot of
+  * the live file set; the live generation is named by the
+  * `root/manifest/_current` pointer whose update is ONE atomic rename,
+  * guarded by a validate step (see the OCC notes below). Unique
+  * `<token>` suffixes keep concurrent stagers off each other's paths.
+  * A reader plans from the pointer, so a writer crash (or lost race)
+  * at any step leaves a readable table.
   *
   * CONTRACT: the key column is a non-null LONG and UNIQUE across the
   * table — the primary-key reading every upsert system assumes. [[merge]]
@@ -54,28 +55,137 @@ object LakeTable {
     */
   final case class BatchStat(batch: Int, path: String, kmin: Long, kmax: Long)
 
-  private[graft] def currentRows(
-      spark: SparkSession, root: String): Seq[BatchStat] =
-    Snapshots.currentGen(spark, root) match {
-      case None => Seq.empty
-      case Some(g) =>
-        spark.read.parquet(s"$root/manifest/g=$g")
+  // ---- OCC manifest addressing ----
+  //
+  // MULTI-WRITER safety (the contract the rest of the snapshot family
+  // leaves to "single writer assumed"): every write is OPTIMISTIC —
+  // observe the live generation, plan and stage against it (unique
+  // generation and data dir names, so concurrent stagers never collide
+  // on a path), then VALIDATE-AND-SWAP: publish only if the pointer
+  // still names the observed generation, otherwise throw the staged
+  // work away and REBASE (re-plan against the new state) — the Delta
+  // commit protocol. The validate-and-swap itself is guarded by a
+  // JVM-wide lock: the single-process stand-in for the atomic
+  // put-if-absent a distributed deployment gets from HDFS
+  // create-exclusive / S3 conditional writes — the OCC protocol around
+  // it (observe, stage, validate, swap, rebase-on-conflict) is
+  // filesystem-agnostic and is what the tests lock.
+
+  private val commitLock = new Object
+
+  private def token(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private def ptrPath(root: String) = s"$root/manifest/_current"
+
+  /** The live generation's manifest dir name (e.g. `g=3-4fa1c2b0`);
+    * None before the first commit. The leading ordinal is
+    * monotonically increasing; the suffix keeps concurrent stagers
+    * from ever sharing a path.
+    */
+  private[graft] def currentName(
+      spark: SparkSession, root: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(ptrPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      Some(new String(buf, "UTF-8").trim)
+    }
+  }
+
+  def isInitialized(spark: SparkSession, root: String): Boolean =
+    currentName(spark, root).nonEmpty
+
+  private def ordinal(name: String): Long =
+    name.stripPrefix("g=").takeWhile(_ != '-').toLong
+
+  /** The live batch list plus the generation it was read from — the
+    * OBSERVATION every optimistic writer plans against and later
+    * validates.
+    */
+  private[graft] def currentState(
+      spark: SparkSession,
+      root: String): (Seq[BatchStat], Option[String]) =
+    currentName(spark, root) match {
+      case None => (Seq.empty, None)
+      case some @ Some(name) =>
+        val rows = spark.read.parquet(s"$root/manifest/$name")
           .select(col("batch"), col("path"), col("kmin"), col("kmax"))
           .collect()
           .map(r => BatchStat(
             r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
           .toSeq
+        (rows, some)
     }
 
-  private def writeGen(
+  private[graft] def currentRows(
+      spark: SparkSession, root: String): Seq[BatchStat] =
+    currentState(spark, root)._1
+
+  /** Publish a new generation IFF the pointer still names `observed` —
+    * the validate-and-swap. A refused publish costs nothing on disk
+    * (validation runs BEFORE the manifest write, inside the lock, so a
+    * loser never leaves a half-staged generation and a winner's sweep
+    * can never collect an in-flight one); the big staging work — the
+    * DATA dirs — happened outside, and a loser's data dir becomes an
+    * unreferenced orphan the age-gated sweep collects later.
+    */
+  private[graft] def publishIfCurrent(
       spark: SparkSession,
       root: String,
-      gen: Long,
-      rows: Seq[BatchStat]): Unit = {
+      rows: Seq[BatchStat],
+      observed: Option[String]): Boolean = {
     import spark.implicits._
-    rows.toDF("batch", "path", "kmin", "kmax")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/g=$gen")
+    import org.apache.hadoop.fs.{CreateFlag, Options, Path}
+    commitLock.synchronized {
+      if (currentName(spark, root) != observed) false
+      else {
+        val name =
+          s"g=${observed.map(ordinal).getOrElse(0L) + 1L}-${token()}"
+        rows.distinct.toDF("batch", "path", "kmin", "kmax")
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/$name")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dst = new Path(ptrPath(root))
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.getFileSystem(conf).getUri, conf)
+        val tmp = new Path(s"$root/manifest/_current_tmp_${token()}")
+        fc.mkdir(
+          tmp.getParent,
+          org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+        val out = fc.create(
+          tmp,
+          java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+        try out.write(name.getBytes("UTF-8"))
+        finally out.close()
+        fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+        true
+      }
+    }
+  }
+
+  /** Run an optimistic write body until its validate-and-swap lands;
+    * each attempt re-observes and re-plans (the rebase — a lost race
+    * re-executes the attempt's staging work, the documented OCC cost
+    * under contention). Fails loudly after `attempts` lost races.
+    */
+  private def retryOcc[T](what: String, attempts: Int = 5)(
+      body: => Option[T]): T = {
+    var i = 0
+    while (i < attempts) {
+      body match {
+        case Some(t) => return t
+        case None => i += 1
+      }
+    }
+    sys.error(
+      s"$what lost $attempts optimistic-commit races — rebase budget " +
+        "exhausted under write contention")
   }
 
   /** (rowCount, distinctKeys, kmin, kmax) of `df` in ONE scan — the
@@ -108,22 +218,22 @@ object LakeTable {
 
   /** [[append]] with the stats already known (merge's internal path —
     * the source scan already produced them; never rescan to restate).
+    * Optimistic like every write: a lost race re-stages the batch
+    * against the new state.
     */
   private def appendStatted(
       df: DataFrame, root: String, kmin: Long, kmax: Long): Unit = {
     val spark = df.sparkSession
-    val prev = currentRows(spark, root)
-    val next = prev.map(_.batch).foldLeft(0)(math.max) + 1
-    val path = s"$root/data/v=$next"
-    df.write.mode(SaveMode.Overwrite).parquet(path)
-    publish(spark, root, prev :+ BatchStat(next, path, kmin, kmax))
-  }
-
-  private def publish(
-      spark: SparkSession, root: String, rows: Seq[BatchStat]): Unit = {
-    val gen = Snapshots.currentGen(spark, root).getOrElse(0L) + 1L
-    writeGen(spark, root, gen, rows.distinct)
-    Snapshots.swapPointer(spark, root, gen)
+    retryOcc("append") {
+      val (prev, obs) = currentState(spark, root)
+      val next = prev.map(_.batch).foldLeft(0)(math.max) + 1
+      val path = s"$root/data/v=$next-${token()}"
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      if (publishIfCurrent(
+          spark, root, prev :+ BatchStat(next, path, kmin, kmax), obs))
+        Some(()) // a lost race leaves the staged dir for the next sweep
+      else None
+    }
   }
 
   /** The live table state: union of every live batch. Fails loudly on
@@ -199,55 +309,71 @@ object LakeTable {
     */
   def merge(source: DataFrame, root: String, key: String): MergeReport = {
     val spark = source.sparkSession
-    val rows = currentRows(spark, root)
-    require(rows.nonEmpty, s"nothing committed under $root — append first")
-    val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
     require(
-      source.columns.toSeq.sorted == tableSchema.sorted,
-      s"source columns ${source.columns.toSeq.sorted} != table " +
-        s"columns ${tableSchema.sorted} — MERGE is SET*/INSERT*, " +
-        "align the source first")
+      isInitialized(spark, root),
+      s"nothing committed under $root — append first")
     val (n, nd, sMin, sMax) = keyStats(source, key)
-    if (n == 0L) return MergeReport(Nil, rows.map(_.batch), pureInsert = false)
+    if (n == 0L)
+      return MergeReport(
+        Nil, currentRows(spark, root).map(_.batch), pureInsert = false)
     require(nd == n, s"duplicate $key values in the merge source")
 
     import spark.implicits._
-    val ranges = rows.map(b => (b.batch, b.kmin, b.kmax))
-      .toDF("batch", "kmin", "kmax")
-    val touchedIds = source.select(col(key).as("k"))
-      .join(
-        broadcast(ranges),
-        col("k") >= col("kmin") && col("k") <= col("kmax"))
-      .select(col("batch")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    retryOcc("merge") {
+      val (rows, obs) = currentState(spark, root)
+      val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
+      require(
+        source.columns.toSeq.sorted == tableSchema.sorted,
+        s"source columns ${source.columns.toSeq.sorted} != table " +
+          s"columns ${tableSchema.sorted} — MERGE is SET*/INSERT*, " +
+          "align the source first")
+      val ranges = rows.map(b => (b.batch, b.kmin, b.kmax))
+        .toDF("batch", "kmin", "kmax")
+      val touchedIds = source.select(col(key).as("k"))
+        .join(
+          broadcast(ranges),
+          col("k") >= col("kmin") && col("k") <= col("kmax"))
+        .select(col("batch")).distinct()
+        .collect().map(_.getInt(0)).toSet
 
-    if (touchedIds.isEmpty) {
-      appendStatted(source, root, sMin, sMax)
-      return MergeReport(Nil, rows.map(_.batch), pureInsert = true)
+      if (touchedIds.isEmpty) {
+        // pure insert — but validated against the SAME observation the
+        // probe ran on: a batch committed meanwhile could contain a
+        // source key, so a lost race re-probes, never blind-appends
+        val next = rows.map(_.batch).foldLeft(0)(math.max) + 1
+        val path = s"$root/data/v=$next-${token()}"
+        source.write.mode(SaveMode.Overwrite).parquet(path)
+        if (publishIfCurrent(
+            spark, root, rows :+ BatchStat(next, path, sMin, sMax), obs))
+          Some(MergeReport(Nil, rows.map(_.batch), pureInsert = true))
+        else None
+      } else {
+        val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
+        val cols = tableSchema
+        val target = spark.read
+          .parquet(touched.map(_.path).distinct.sorted: _*)
+        val src = source.select(cols.map(col): _*)
+        val takeS = col(s"s.$key").isNotNull
+        val merged = target.as("t")
+          .join(src.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+          .select(cols.map(c =>
+            when(takeS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+
+        val next = rows.map(_.batch).max + 1
+        val path = s"$root/data/v=$next-${token()}"
+        merged.write.mode(SaveMode.Overwrite).parquet(path)
+        val stat = BatchStat(
+          next, path,
+          math.min(touched.map(_.kmin).min, sMin),
+          math.max(touched.map(_.kmax).max, sMax))
+        if (publishIfCurrent(spark, root, untouched :+ stat, obs)) {
+          sweep(spark, root)
+          Some(MergeReport(
+            touched.map(_.batch), untouched.map(_.batch),
+            pureInsert = false))
+        } else None
+      }
     }
-
-    val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
-    val cols = tableSchema
-    val target = spark.read
-      .parquet(touched.map(_.path).distinct.sorted: _*)
-    val src = source.select(cols.map(col): _*)
-    val takeS = col(s"s.$key").isNotNull
-    val merged = target.as("t")
-      .join(src.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
-      .select(cols.map(c =>
-        when(takeS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-
-    val next = rows.map(_.batch).max + 1
-    val path = s"$root/data/v=$next"
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
-    val stat = BatchStat(
-      next, path,
-      math.min(touched.map(_.kmin).min, sMin),
-      math.max(touched.map(_.kmax).max, sMax))
-    publish(spark, root, untouched :+ stat)
-    sweep(spark, root)
-    MergeReport(
-      touched.map(_.batch), untouched.map(_.batch), pureInsert = false)
   }
 
   /** CDC APPLY — [[merge]] generalized with DELETES (the Delta
@@ -277,80 +403,104 @@ object LakeTable {
       key: String,
       opCol: String = "op"): MergeReport = {
     val spark = changes.sparkSession
-    val rows = currentRows(spark, root)
-    require(rows.nonEmpty, s"nothing committed under $root — append first")
-    val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
+    require(
+      isInitialized(spark, root),
+      s"nothing committed under $root — append first")
     require(
       changes.columns.contains(opCol),
       s"changes must carry the op column '$opCol'")
-    require(
-      changes.columns.filter(_ != opCol).sorted.toSeq == tableSchema.sorted,
-      s"changes columns (minus $opCol) must equal the table's: " +
-        s"${tableSchema.sorted}")
     val badOps = changes
       .filter(!col(opCol).isin("U", "D")).limit(1).count()
     require(badOps == 0L, s"$opCol values must be 'U' or 'D'")
     val (n, nd, _, _) = keyStats(changes, key)
-    if (n == 0L) return MergeReport(Nil, rows.map(_.batch), pureInsert = false)
+    if (n == 0L)
+      return MergeReport(
+        Nil, currentRows(spark, root).map(_.batch), pureInsert = false)
     require(nd == n, s"duplicate $key values in the change set — " +
       "reduce to latest-per-key first")
-
-    import spark.implicits._
-    val ranges = rows.map(b => (b.batch, b.kmin, b.kmax))
-      .toDF("batch", "kmin", "kmax")
-    val touchedIds = changes.select(col(key).as("k"))
-      .join(
-        broadcast(ranges),
-        col("k") >= col("kmin") && col("k") <= col("kmax"))
-      .select(col("batch")).distinct()
-      .collect().map(_.getInt(0)).toSet
-
-    val upserts = changes.filter(col(opCol) === "U")
-      .select(tableSchema.map(col): _*)
-    if (touchedIds.isEmpty) {
-      // every delete targets a key no batch can hold — all no-ops
-      val (un, _, uMin, uMax) = keyStats(upserts, key)
-      if (un == 0L)
-        return MergeReport(Nil, rows.map(_.batch), pureInsert = false)
-      appendStatted(upserts, root, uMin, uMax)
-      return MergeReport(Nil, rows.map(_.batch), pureInsert = true)
+    // upsert stats are observation-independent — computed once
+    lazy val upsertStats = {
+      val ups = changes.filter(col(opCol) === "U")
+      keyStats(ups.drop(opCol), key)
     }
 
-    val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
-    val cols = tableSchema
-    val target = spark.read
-      .parquet(touched.map(_.path).distinct.sorted: _*)
-    val src = changes.select((cols :+ opCol).map(col): _*)
-    val matchedOrNew = col(s"s.$key").isNotNull
-    val applied = target.as("t")
-      .join(src.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
-      // a delete row (matched or absent-key) contributes nothing
-      .filter(!(matchedOrNew && col(s"s.$opCol") === "D"))
-      .select(cols.map(c =>
-        when(matchedOrNew, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    import spark.implicits._
+    retryOcc("applyChanges") {
+      val (rows, obs) = currentState(spark, root)
+      val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
+      require(
+        changes.columns.filter(_ != opCol).sorted.toSeq ==
+          tableSchema.sorted,
+        s"changes columns (minus $opCol) must equal the table's: " +
+          s"${tableSchema.sorted}")
+      val ranges = rows.map(b => (b.batch, b.kmin, b.kmax))
+        .toDF("batch", "kmin", "kmax")
+      val touchedIds = changes.select(col(key).as("k"))
+        .join(
+          broadcast(ranges),
+          col("k") >= col("kmin") && col("k") <= col("kmax"))
+        .select(col("batch")).distinct()
+        .collect().map(_.getInt(0)).toSet
 
-    // stats bound touched ∪ upserts; an all-delete rewrite can empty
-    // the batch — then the new generation simply omits it
-    val (an, _, uMin, uMax) = keyStats(upserts, key)
-    val bounds = touched.map(b => (b.kmin, b.kmax)) ++ (
-      if (an > 0L) Seq((uMin, uMax)) else Nil)
-    val next = rows.map(_.batch).max + 1
-    val path = s"$root/data/v=$next"
-    applied.write.mode(SaveMode.Overwrite).parquet(path)
-    val rewrittenEmpty =
-      spark.read.parquet(path).limit(1).count() == 0L
-    val kept =
-      if (rewrittenEmpty) untouched
-      else untouched :+ BatchStat(
-        next, path, bounds.map(_._1).min, bounds.map(_._2).max)
-    require(
-      kept.nonEmpty,
-      "applyChanges would delete the last row of the table — an empty " +
-        "keyed table has no manifest; truncate explicitly instead")
-    publish(spark, root, kept)
-    sweep(spark, root)
-    MergeReport(
-      touched.map(_.batch), untouched.map(_.batch), pureInsert = false)
+      val upserts = changes.filter(col(opCol) === "U")
+        .select(tableSchema.map(col): _*)
+      if (touchedIds.isEmpty) {
+        // every delete targets a key no batch can hold — all no-ops
+        val (un, _, uMin, uMax) = upsertStats
+        if (un == 0L)
+          Some(MergeReport(Nil, rows.map(_.batch), pureInsert = false))
+        else {
+          val next = rows.map(_.batch).foldLeft(0)(math.max) + 1
+          val path = s"$root/data/v=$next-${token()}"
+          upserts.write.mode(SaveMode.Overwrite).parquet(path)
+          if (publishIfCurrent(
+              spark, root,
+              rows :+ BatchStat(next, path, uMin, uMax), obs))
+            Some(MergeReport(Nil, rows.map(_.batch), pureInsert = true))
+          else None
+        }
+      } else {
+        val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
+        val cols = tableSchema
+        val target = spark.read
+          .parquet(touched.map(_.path).distinct.sorted: _*)
+        val src = changes.select((cols :+ opCol).map(col): _*)
+        val matchedOrNew = col(s"s.$key").isNotNull
+        val applied = target.as("t")
+          .join(src.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+          // a delete row (matched or absent-key) contributes nothing
+          .filter(!(matchedOrNew && col(s"s.$opCol") === "D"))
+          .select(cols.map(c =>
+            when(matchedOrNew, col(s"s.$c"))
+              .otherwise(col(s"t.$c")).as(c)): _*)
+
+        // stats bound touched ∪ upserts; an all-delete rewrite can
+        // empty the batch — then the new generation simply omits it
+        val (an, _, uMin, uMax) = upsertStats
+        val bounds = touched.map(b => (b.kmin, b.kmax)) ++ (
+          if (an > 0L) Seq((uMin, uMax)) else Nil)
+        val next = rows.map(_.batch).max + 1
+        val path = s"$root/data/v=$next-${token()}"
+        applied.write.mode(SaveMode.Overwrite).parquet(path)
+        val rewrittenEmpty =
+          spark.read.parquet(path).limit(1).count() == 0L
+        val kept =
+          if (rewrittenEmpty) untouched
+          else untouched :+ BatchStat(
+            next, path, bounds.map(_._1).min, bounds.map(_._2).max)
+        require(
+          kept.nonEmpty,
+          "applyChanges would delete the last row of the table — an " +
+            "empty keyed table has no manifest; truncate explicitly " +
+            "instead")
+        if (publishIfCurrent(spark, root, kept, obs)) {
+          sweep(spark, root)
+          Some(MergeReport(
+            touched.map(_.batch), untouched.map(_.batch),
+            pureInsert = false))
+        } else None
+      }
+    }
   }
 
   /** COMPACTION with RANGE CLUSTERING (io17 — Delta `OPTIMIZE` / the
@@ -375,28 +525,32 @@ object LakeTable {
       splits: Seq[Long]): Unit = {
     require(splits == splits.sorted && splits.distinct == splits,
       s"splits must be strictly increasing: $splits")
-    val rows = currentRows(spark, root)
-    require(rows.nonEmpty, s"nothing committed under $root")
-    val next = rows.map(_.batch).max + 1
-    val stage = s"$root/data/cmp=$next"
-    val bucket = splits.foldLeft(lit(0)) { (acc, s) =>
-      acc + when(col(key) >= s, 1).otherwise(0)
+    require(isInitialized(spark, root), s"nothing committed under $root")
+    retryOcc("compact") {
+      val (rows, obs) = currentState(spark, root)
+      val next = rows.map(_.batch).max + 1
+      val stage = s"$root/data/cmp=$next-${token()}"
+      val bucket = splits.foldLeft(lit(0)) { (acc, s) =>
+        acc + when(col(key) >= s, 1).otherwise(0)
+      }
+      val data = spark.read.parquet(rows.map(_.path).distinct.sorted: _*)
+      data.withColumn("gbucket", bucket)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("gbucket").parquet(stage)
+      val stats = spark.read.parquet(stage)
+        .groupBy(col("gbucket"))
+        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val kept = stats.zipWithIndex.map { case ((b, lo, hi), i) =>
+        BatchStat(next + i, s"$stage/gbucket=$b", lo, hi)
+      }.toSeq
+      if (publishIfCurrent(spark, root, kept, obs)) {
+        sweep(spark, root)
+        Some(())
+      } else None
     }
-    val data = spark.read.parquet(rows.map(_.path).distinct.sorted: _*)
-    data.withColumn("gbucket", bucket)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("gbucket").parquet(stage)
-    val stats = spark.read.parquet(stage)
-      .groupBy(col("gbucket"))
-      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val kept = stats.zipWithIndex.map { case ((b, lo, hi), i) =>
-      BatchStat(next + i, s"$stage/gbucket=$b", lo, hi)
-    }.toSeq
-    publish(spark, root, kept)
-    sweep(spark, root)
   }
 
   /** Sweep data dirs and manifest generations the live generation does
@@ -404,28 +558,59 @@ object LakeTable {
     * orphans, superseded generations. Identical discipline to
     * `Snapshots.ptrSweep` (pure cleanup, idempotent, safe to lose).
     */
-  def sweep(spark: SparkSession, root: String): Unit = {
+  def sweep(
+      spark: SparkSession,
+      root: String,
+      orphanGraceMs: Long = 15L * 60L * 1000L): Unit = {
     import org.apache.hadoop.fs.Path
-    val gen = Snapshots.currentGen(spark, root)
-      .getOrElse(sys.error(s"no committed manifest under $root"))
-    // keep a TOP-LEVEL entry under data/ when any live path lives
-    // inside it (compacted batches are gbucket subdirs of one cmp=<n>
-    // staging dir — partially-superseded staging dirs are kept whole,
-    // a disk-only over-approximation the next full compact collects)
-    val keepNames = currentRows(spark, root)
-      .map(b => b.path.stripPrefix(s"$root/data/").split('/').head)
-      .toSet
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // sweeping works at TOP-LEVEL granularity under data/ (compacted
+    // batches are gbucket subdirs of one cmp=<n> staging dir —
+    // partially-superseded staging dirs are kept whole, a disk-only
+    // over-approximation the next full compact collects), in two
+    // classes so a CONCURRENT stager's in-flight work is never
+    // collected:
+    //  - REPLACED: referenced by a superseded on-disk generation but
+    //    not the live one — provably unreadable (readers plan from the
+    //    pointer), deleted immediately;
+    //  - UNREFERENCED orphans (crashed or lost-race stagers): only a
+    //    clock can distinguish "dead" from "still writing", so these
+    //    are age-gated by `orphanGraceMs` (Delta VACUUM's retention
+    //    idea; pass 0 in single-writer maintenance to collect now).
+    // serialized with publishes (and other sweeps): a sweep reads the
+    // superseded generation dirs a concurrent sweep would delete
+    def top(path: String): String =
+      path.stripPrefix(s"$root/data/").split('/').head
+    commitLock.synchronized {
+    // the live name is read INSIDE the lock — a publish between read
+    // and sweep would otherwise make this sweep delete the new live
+    val live = currentName(spark, root)
+      .getOrElse(sys.error(s"no committed manifest under $root"))
+    val manDir = new Path(s"$root/manifest")
+    val genDirs = fs.listStatus(manDir)
+      .filter(_.getPath.getName.startsWith("g="))
+      .map(_.getPath.getName).toSeq
+    def pathsOf(gen: String): Set[String] =
+      spark.read.parquet(s"$root/manifest/$gen")
+        .select(col("path")).collect().map(r => top(r.getString(0))).toSet
+    val liveTops = pathsOf(live)
+    val supersededTops = genDirs.filter(_ != live)
+      .flatMap(g => pathsOf(g)).toSet -- liveTops
+    val now = System.currentTimeMillis()
     val dataDir = new Path(s"$root/data")
     if (fs.exists(dataDir))
-      fs.listStatus(dataDir)
-        .filter(st => !keepNames.contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, true))
-    val manDir = new Path(s"$root/manifest")
+      fs.listStatus(dataDir).foreach { st =>
+        val nm = st.getPath.getName
+        val replaced = supersededTops.contains(nm)
+        val orphan = !replaced && !liveTops.contains(nm) &&
+          now - st.getModificationTime >= orphanGraceMs
+        if (replaced || orphan) fs.delete(st.getPath, true)
+      }
     fs.listStatus(manDir)
       .filter(st => st.getPath.getName.startsWith("g=") &&
-        st.getPath.getName != s"g=$gen")
+        st.getPath.getName != live)
       .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 }

@@ -116,7 +116,7 @@ object ChangeFeed {
       key: String,
       opCol: String = "op"): Unit = {
     val spark = changes.sparkSession
-    if (graft.sources.Snapshots.currentGen(spark, root).isEmpty) {
+    if (!graft.sources.LakeTable.isInitialized(spark, root)) {
       val ups = changes.filter(org.apache.spark.sql.functions.col(opCol)
         === "U").drop(opCol)
       if (ups.limit(1).count() > 0L)

@@ -170,12 +170,52 @@ class LakeTableSpec extends AnyFunSuite {
       // generation never references
       kv(1L -> "TORN", 99L -> "TORN").write.parquet(s"$root/data/v=7")
       assert(state(root) == Map(1L -> "a", 5L -> "b"))
-      // the retry (a fresh merge) converges and the sweep collects the
-      // orphan
+      // the retry (a fresh merge) converges; the orphan is young, so
+      // the merge's own sweep leaves it (it could be an in-flight
+      // concurrent stager) — a zero-grace maintenance sweep collects it
       LakeTable.merge(kv(5L -> "B"), root, "k")
       assert(state(root) == Map(1L -> "a", 5L -> "B"))
+      val before = new java.io.File(s"$root/data").listFiles().map(_.getName)
+      assert(before.contains("v=7"), "young orphan must survive the grace")
+      LakeTable.sweep(spark, root, orphanGraceMs = 0L)
       val dirs = new java.io.File(s"$root/data").listFiles().map(_.getName)
-      assert(!dirs.contains("v=7"), "sweep must collect the orphan dir")
+      assert(!dirs.contains("v=7"), "zero-grace sweep must collect the orphan")
+      assert(state(root) == Map(1L -> "a", 5L -> "B"))
+    }
+  }
+
+  test("occ: a stale observation cannot publish; the rebase lands") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      // writer A observes, then writer B lands first
+      val (rowsA, obsA) = LakeTable.currentState(spark, root)
+      LakeTable.merge(kv(2L -> "b"), root, "k")
+      assert(
+        !LakeTable.publishIfCurrent(spark, root, rowsA, obsA),
+        "a stale observation must be refused")
+      assert(state(root) == Map(1L -> "a", 2L -> "b"),
+        "B's commit must survive the refused publish")
+      // A rebases: a plain merge re-observes and lands
+      LakeTable.merge(kv(3L -> "c"), root, "k")
+      assert(state(root) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    }
+  }
+
+  test("occ: concurrent disjoint merges all land — no lost updates") {
+    withRoot { root =>
+      LakeTable.append(kv(0L -> "z"), root, "k")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 4).map { i =>
+        new Thread(() =>
+          try LakeTable.merge(kv(i.toLong -> s"w$i"), root, "k")
+          catch { case t: Throwable => errs.add(t); () })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.isEmpty, s"no writer may fail: ${errs.size} did")
+      assert(state(root) == Map(
+        0L -> "z", 1L -> "w1", 2L -> "w2", 3L -> "w3", 4L -> "w4"),
+        "every concurrent merge must land exactly once")
     }
   }
 
@@ -186,7 +226,9 @@ class LakeTableSpec extends AnyFunSuite {
       LakeTable.merge(kv(1L -> "A", 10L -> "B"), root, "k")
       val dataDirs = new java.io.File(s"$root/data").listFiles()
         .map(_.getName).toSet
-      assert(dataDirs == Set("v=3"), s"replaced dirs must be swept: $dataDirs")
+      assert(
+        dataDirs.size == 1 && dataDirs.head.startsWith("v=3-"),
+        s"replaced dirs must be swept: $dataDirs")
       val gens = new java.io.File(s"$root/manifest").listFiles()
         .count(f => f.isDirectory && f.getName.startsWith("g="))
       assert(gens == 1, "superseded generations must be swept")

@@ -4499,6 +4499,94 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io20_retention_delete" -> { (s, dir) =>
+      // RETENTION DELETE with METADATA-ONLY drops (Delta DELETE WHERE /
+      // Iceberg delete-by-predicate): documents land as 4 key-range
+      // batches; deleting [0, cut] (cut mid-batch-1) drops batch 0 from
+      // the MANIFEST without touching a data byte, rewrites only the
+      // straddler, and carries batches 2-3 by path. All three class
+      // counts are REPLAYED by the oracle from the same split and
+      // classification arithmetic — the cost asymmetry (1 rewrite out
+      // of 4 batches for a 37.5% delete) is itself hash-locked.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io20").toString
+      try {
+        val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val batchCol = least(lit(3L), expr(s"doc_id * 4 div ${mx + 1}"))
+        (0L to 3L).foreach { b =>
+          graft.sources.LakeTable.append(
+            docs.filter(batchCol === b), root, "doc_id")
+        }
+        val cut = 3L * (mx + 1L) / 8L
+        val rep = graft.sources.LakeTable
+          .deleteRange(s, root, "doc_id", 0L, cut)
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn(
+              "dropped_metadata_only",
+              lit(rep.droppedMetadataOnly.size.toLong))
+            .withColumn(
+              "rewritten_batches", lit(rep.rewritten.size.toLong))
+            .withColumn(
+              "untouched_batches", lit(rep.untouched.size.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "io21_schema_evolution" -> { (s, dir) =>
+      // SCHEMA-EVOLVING MERGE (Delta mergeSchema/autoMerge): the source
+      // carries a NEW `quality` column; the rewritten batch takes the
+      // union schema, the untouched high batch stays on the OLD schema
+      // BY PATH (untouched_batches = 1), and the mergeSchema read
+      // fills its quality with null — evolution costs exactly what the
+      // merge already paid. sum/count of quality hash-lock both the
+      // new values and the null-fill.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io21").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        graft.sources.LakeTable.append(
+          docs.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          docs.filter(col("doc_id") > thr), root, "doc_id")
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(4L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn(
+            "quality", round(col("n_chars") / lit(1000.0), 3))
+        val inserts = docs
+          .filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+          .withColumn("quality", lit(0.5))
+        val rep = graft.sources.LakeTable.merge(
+          updates.unionByName(inserts), root, "doc_id",
+          mergeSchema = true)
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"),
+              round(sum(col("quality")), 3).as("sum_quality"),
+              count(col("quality")).as("n_quality"))
+            .withColumn(
+              "untouched_batches", lit(rep.untouched.size.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "st26_stream_cdc_lake" -> { (s, dir) =>
       // STREAMING CDC UPSERT SINK into the keyed lake table (Delta's
       // streaming-MERGE recipe: foreachBatch + upsert): three change
@@ -9034,6 +9122,48 @@ object SparkEntry {
         |                ELSE n_chars END) AS BIGINT) AS sum_chars,
         |  CAST(1 AS BIGINT) AS conflicts_detected
         |FROM documents GROUP BY lang""".stripMargin,
+    "io20_retention_delete" ->
+      // the oracle replays the quartile split, the cut, and the
+      // three-way classification (inside/straddling/disjoint) — the
+      // metadata-only economics are hash-locked, not asserted
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |c AS (SELECT (3 * (mx + 1)) // 8 AS cut FROM m),
+        |b AS (SELECT least(3, (doc_id * 4) // (mx + 1)) AS b,
+        |        min(doc_id) AS kmin, max(doc_id) AS kmax
+        |      FROM documents, m GROUP BY 1),
+        |cls AS (SELECT
+        |    count(*) FILTER (WHERE 0 <= kmin AND kmax <= cut)
+        |      AS dropped,
+        |    count(*) FILTER (WHERE kmax < 0 OR kmin > cut)
+        |      AS untouched,
+        |    count(*) FILTER (WHERE NOT (0 <= kmin AND kmax <= cut)
+        |      AND NOT (kmax < 0 OR kmin > cut)) AS rewritten
+        |  FROM b, c)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT dropped FROM cls) AS dropped_metadata_only,
+        |  (SELECT rewritten FROM cls) AS rewritten_batches,
+        |  (SELECT untouched FROM cls) AS untouched_batches
+        |FROM documents, c WHERE doc_id > cut GROUP BY lang""".stripMargin,
+    "io21_schema_evolution" ->
+      // merge semantics plus the evolved column: quality exists for
+      // updated low-half %4 keys and inserted %3=2 keys, NULL
+      // everywhere else (the old-schema batches' null-fill)
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |final AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN doc_id % 4 = 0 AND doc_id <= t
+        |         THEN round(n_chars / 1000.0, 3) END AS quality
+        |  FROM documents, thr
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, n_chars, 0.5
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(sum(quality), 3) AS sum_quality,
+        |  count(quality) AS n_quality,
+        |  CAST(1 AS BIGINT) AS untouched_batches
+        |FROM final GROUP BY lang""".stripMargin,
     "st26_stream_cdc_lake" ->
       // latest-state-with-deletes: %10=3 keys gone, %4 keys at +100
       // (v3 replaces v2 — never stacks), remaining evens at +10; the

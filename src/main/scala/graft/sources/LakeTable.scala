@@ -242,7 +242,11 @@ object LakeTable {
   def read(spark: SparkSession, root: String): DataFrame = {
     val rows = currentRows(spark, root)
     require(rows.nonEmpty, s"nothing committed under $root")
-    spark.read.parquet(rows.map(_.path).distinct.sorted: _*)
+    // mergeSchema: a schema-evolving merge (io21) leaves carried-by-
+    // path batches on the OLD schema — the union read fills their new
+    // columns with null (footer-merge cost only, batch-count-sized)
+    spark.read.option("mergeSchema", "true")
+      .parquet(rows.map(_.path).distinct.sorted: _*)
   }
 
   /** The batches a `key ∈ [lo, hi]` scan must read — planned from the
@@ -273,7 +277,8 @@ object LakeTable {
     if (kept.isEmpty)
       spark.read.parquet(rows.maxBy(_.batch).path).limit(0)
     else
-      spark.read.parquet(kept.map(_.path).distinct.sorted: _*)
+      spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(_.path).distinct.sorted: _*)
         .filter(col(key) >= lo && col(key) <= hi)
   }
 
@@ -307,7 +312,22 @@ object LakeTable {
     * that skips it costs disk, never correctness; the next merge's
     * sweep collects it).
     */
-  def merge(source: DataFrame, root: String, key: String): MergeReport = {
+  def merge(source: DataFrame, root: String, key: String): MergeReport =
+    merge(source, root, key, mergeSchema = false)
+
+  /** [[merge]] with SCHEMA EVOLUTION (io21 — Delta's
+    * `mergeSchema`/autoMerge): when `mergeSchema` is true the source
+    * may carry NEW columns; the rewritten batch takes the union
+    * schema, untouched batches stay on the old schema BY PATH, and
+    * [[read]]'s mergeSchema union fills their new columns with null —
+    * evolution costs exactly what the merge already paid, never a
+    * table rewrite. Dropping or retyping columns stays an error.
+    */
+  def merge(
+      source: DataFrame,
+      root: String,
+      key: String,
+      mergeSchema: Boolean): MergeReport = {
     val spark = source.sparkSession
     require(
       isInitialized(spark, root),
@@ -321,12 +341,23 @@ object LakeTable {
     import spark.implicits._
     retryOcc("merge") {
       val (rows, obs) = currentState(spark, root)
-      val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
-      require(
-        source.columns.toSeq.sorted == tableSchema.sorted,
-        s"source columns ${source.columns.toSeq.sorted} != table " +
-          s"columns ${tableSchema.sorted} — MERGE is SET*/INSERT*, " +
-          "align the source first")
+      val tableSchema = spark.read.option("mergeSchema", "true")
+        .parquet(rows.map(_.path).distinct.sorted: _*).columns.toSeq
+      if (mergeSchema)
+        require(
+          tableSchema.toSet.subsetOf(source.columns.toSet),
+          s"schema evolution may only ADD columns: the source is " +
+            s"missing ${tableSchema.toSet -- source.columns.toSet}")
+      else
+        require(
+          source.columns.toSeq.sorted == tableSchema.sorted,
+          s"source columns ${source.columns.toSeq.sorted} != table " +
+            s"columns ${tableSchema.sorted} — MERGE is SET*/INSERT*, " +
+            "align the source first (or pass mergeSchema = true)")
+      // the union schema: table columns first (stable order), then the
+      // source's additions
+      val unionCols = tableSchema ++
+        source.columns.filterNot(tableSchema.contains)
       val ranges = rows.map(b => (b.batch, b.kmin, b.kmax))
         .toDF("batch", "kmin", "kmax")
       val touchedIds = source.select(col(key).as("k"))
@@ -349,9 +380,16 @@ object LakeTable {
         else None
       } else {
         val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
-        val cols = tableSchema
-        val target = spark.read
+        val cols = unionCols
+        val srcTypes = source.schema.map(f => f.name -> f.dataType).toMap
+        // touched batches may predate both the table's and the source's
+        // newest columns — null-fill so the SET* projection resolves
+        val target0 = spark.read.option("mergeSchema", "true")
           .parquet(touched.map(_.path).distinct.sorted: _*)
+        val target = cols.foldLeft(target0) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(srcTypes(c)))
+        }
         val src = source.select(cols.map(col): _*)
         val takeS = col(s"s.$key").isNotNull
         val merged = target.as("t")
@@ -498,6 +536,76 @@ object LakeTable {
           Some(MergeReport(
             touched.map(_.batch), untouched.map(_.batch),
             pureInsert = false))
+        } else None
+      }
+    }
+  }
+
+  /** What [[deleteRange]] decided, for callers that assert or surface
+    * the plan (tests, the io20 row's hash-locked columns).
+    */
+  final case class DeleteReport(
+      droppedMetadataOnly: Seq[Int], rewritten: Seq[Int], untouched: Seq[Int])
+
+  /** RETENTION DELETE with METADATA-ONLY file drops (io20 — Delta
+    * `DELETE WHERE` / Iceberg delete-by-partition-predicate): remove
+    * every row with `key ∈ [lo, hi]`. The manifest stats split the
+    * batches three ways, and only ONE class pays a rewrite:
+    *
+    *  - ENTIRELY inside the range (`lo ≤ kmin ∧ kmax ≤ hi`): dropped
+    *    from the manifest — ZERO data bytes touched. This is the whole
+    *    point at 100 TB: a retention job that expires a day's
+    *    range-clustered batches is a manifest edit, not a scan;
+    *  - DISJOINT from the range: carried by path, untouched;
+    *  - STRADDLING the boundary: rewritten with the residual filter
+    *    (exact stats from one key-pruned agg over the rewrite);
+    *    a rewrite that empties is omitted.
+    *
+    * Optimistic like every write; deleting the last row fails loudly
+    * (the empty-table rule [[applyChanges]] documents).
+    */
+  def deleteRange(
+      spark: SparkSession,
+      root: String,
+      key: String,
+      lo: Long,
+      hi: Long): DeleteReport = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    require(isInitialized(spark, root), s"nothing committed under $root")
+    retryOcc("deleteRange") {
+      val (rows, obs) = currentState(spark, root)
+      val inside = rows.filter(b => lo <= b.kmin && b.kmax <= hi)
+      val disjoint = rows.filter(b => b.kmax < lo || b.kmin > hi)
+      val straddling = rows.filterNot(b =>
+        (lo <= b.kmin && b.kmax <= hi) || b.kmax < lo || b.kmin > hi)
+      if (inside.isEmpty && straddling.isEmpty)
+        Some(DeleteReport(Nil, Nil, rows.map(_.batch)))
+      else {
+        val rewrittenStats =
+          if (straddling.isEmpty) Nil
+          else {
+            val next = rows.map(_.batch).max + 1
+            val path = s"$root/data/v=$next-${token()}"
+            spark.read
+              .parquet(straddling.map(_.path).distinct.sorted: _*)
+              .filter(col(key) < lo || col(key) > hi)
+              .write.mode(SaveMode.Overwrite).parquet(path)
+            val r = spark.read.parquet(path)
+              .agg(count(lit(1)), min(col(key)), max(col(key))).collect()(0)
+            if (r.getLong(0) == 0L) Nil
+            else Seq(BatchStat(next, path, r.getLong(1), r.getLong(2)))
+          }
+        val kept = disjoint ++ rewrittenStats
+        require(
+          kept.nonEmpty,
+          "deleteRange would delete the last row of the table — an " +
+            "empty keyed table has no manifest; truncate explicitly " +
+            "instead")
+        if (publishIfCurrent(spark, root, kept, obs)) {
+          sweep(spark, root)
+          Some(DeleteReport(
+            inside.map(_.batch), straddling.map(_.batch),
+            disjoint.map(_.batch)))
         } else None
       }
     }

@@ -184,6 +184,87 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange: inside batches drop metadata-only, straddlers rewrite") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c", 20L -> "d"), root, "k")
+      LakeTable.append(kv(30L -> "e", 40L -> "f"), root, "k")
+      val pathsBefore = LakeTable.currentRows(spark, root)
+        .map(b => b.batch -> b.path).toMap
+      val rep = LakeTable.deleteRange(spark, root, "k", 0L, 15L)
+      assert(rep.droppedMetadataOnly == Seq(1), "batch [1,5] is inside")
+      assert(rep.rewritten == Seq(2), "batch [10,20] straddles")
+      assert(rep.untouched == Seq(3), "batch [30,40] is disjoint")
+      assert(state(root) == Map(20L -> "d", 30L -> "e", 40L -> "f"))
+      // the untouched batch kept its path; the rewrite has exact stats
+      val rows = LakeTable.currentRows(spark, root)
+      assert(rows.find(_.batch == 3).get.path == pathsBefore(3))
+      assert(rows.find(_.kmin == 20L).get.kmax == 20L, "exact rewrite stats")
+    }
+  }
+
+  test("deleteRange: no-op outside all ranges; emptied straddler omitted") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c"), root, "k")
+      val rep = LakeTable.deleteRange(spark, root, "k", 50L, 99L)
+      assert(rep.droppedMetadataOnly.isEmpty && rep.rewritten.isEmpty)
+      assert(state(root) == Map(1L -> "a", 5L -> "b", 10L -> "c"))
+      // [2, 7] straddles batch 1 and empties nothing... but [1, 9]
+      // covers every key of batch 1 without covering its stats range?
+      // no — [1,5] ⊆ [1,9] is inside. Straddle-and-empty needs a gap:
+      // stats [1,5] with only keys 1,5; delete [1,5] is inside too.
+      // Use [4, 12]: batch1 straddles (loses 5), batch2 inside (drops)
+      val rep2 = LakeTable.deleteRange(spark, root, "k", 4L, 12L)
+      assert(rep2.droppedMetadataOnly == Seq(2) && rep2.rewritten == Seq(1))
+      assert(state(root) == Map(1L -> "a"))
+    }
+  }
+
+  test("deleteRange refuses to empty the table") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 2L -> "b"), root, "k")
+      intercept[IllegalArgumentException] {
+        LakeTable.deleteRange(spark, root, "k", 0L, 9L)
+      }
+      assert(state(root) == Map(1L -> "a", 2L -> "b"))
+    }
+  }
+
+  test("schema-evolving merge: new column rides the rewrite, nulls elsewhere") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c"), root, "k") // stays untouched
+      val src = Seq((5L, "B", 0.9), (7L, "new", 0.5))
+        .toDF("k", "v", "quality")
+      // strict merge refuses the extra column
+      intercept[IllegalArgumentException] {
+        LakeTable.merge(src, root, "k")
+      }
+      val rep = LakeTable.merge(src, root, "k", mergeSchema = true)
+      assert(rep.untouched == Seq(2))
+      val got = LakeTable.read(spark, root)
+        .select(col("k"), col("v"), col("quality"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.get(2)).map(_.toString))))
+        .toMap
+      assert(got == Map(
+        1L -> (("a", None)),          // rewritten batch, no source row
+        5L -> (("B", Some("0.9"))),   // updated with the new column
+        7L -> (("new", Some("0.5"))), // inserted with the new column
+        10L -> (("c", None))))        // old-schema batch carried by path
+      // evolution may only add — a source DROPPING a column still fails
+      intercept[IllegalArgumentException] {
+        LakeTable.merge(
+          Seq((1L, 0.1)).toDF("k", "quality"), root, "k",
+          mergeSchema = true)
+      }
+    }
+  }
+
   test("occ: a stale observation cannot publish; the rebase lands") {
     withRoot { root =>
       LakeTable.append(kv(1L -> "a"), root, "k")

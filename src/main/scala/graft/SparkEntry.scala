@@ -4499,6 +4499,57 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "p14_table_maintenance" -> { (s, dir) =>
+      // TABLE-MAINTENANCE journey — the keyed-lake write path composed
+      // end to end, every hop through the OCC commit: three
+      // INTERLEAVED ingest appends (each spans the whole key space —
+      // worst case for pruning), one CDC wave (deletes %10=7, updates
+      // %5=0 at +9 — disjoint by construction), a RETENTION delete of
+      // [0, max/5], then range-clustering COMPACTION at max/2, and
+      // finally a stats-pruned probe of the upper half. The oracle
+      // replays the survivor set AND the post-compact bucket
+      // intersection, so both the data and the restored pruning are
+      // hash-locked through the full maintenance chain.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p14").toString
+      try {
+        val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        (0L to 2L).foreach { b =>
+          graft.sources.LakeTable.append(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            root, "doc_id")
+        }
+        val dels = docs
+          .filter(pmod(col("doc_id"), lit(10L)) === 7)
+          .withColumn("op", lit("D"))
+        val upds = docs
+          .filter(pmod(col("doc_id"), lit(5L)) === 0)
+          .withColumn("n_chars", col("n_chars") + 9L)
+          .withColumn("op", lit("U"))
+        graft.sources.LakeTable.applyChanges(
+          dels.unionByName(upds), root, "doc_id")
+        graft.sources.LakeTable.deleteRange(s, root, "doc_id", 0L, mx / 5)
+        graft.sources.LakeTable.compact(s, root, "doc_id", Seq(mx / 2))
+        val rows = graft.sources.LakeTable.currentRows(s, root)
+        val kept = graft.sources.LakeTable
+          .planPruned(rows, mx / 2, mx).size
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable
+            .readPruned(s, root, "doc_id", mx / 2, mx)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("batches_read", lit(kept.toLong))
+            .withColumn("batches_total", lit(rows.size.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "io20_retention_delete" -> { (s, dir) =>
       // RETENTION DELETE with METADATA-ONLY drops (Delta DELETE WHERE /
       // Iceberg delete-by-predicate): documents land as 4 key-range
@@ -9122,6 +9173,27 @@ object SparkEntry {
         |                ELSE n_chars END) AS BIGINT) AS sum_chars,
         |  CAST(1 AS BIGINT) AS conflicts_detected
         |FROM documents GROUP BY lang""".stripMargin,
+    "p14_table_maintenance" ->
+      // the survivor set replayed (CDC deletes, updates, retention
+      // cut), then the post-compact bucket layout and its probe
+      // intersection — the restored 1-of-2 pruning rides the hash
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |surv AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 9
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents, m
+        |  WHERE doc_id % 10 <> 7 AND doc_id > mx // 5),
+        |b AS (SELECT (doc_id >= mx // 2) AS hi, min(doc_id) AS kmin,
+        |             max(doc_id) AS kmax
+        |      FROM surv, m GROUP BY 1),
+        |na AS (SELECT count(*) AS n FROM b, m WHERE kmax >= mx // 2),
+        |nt AS (SELECT count(*) AS n FROM b)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT n FROM na) AS batches_read,
+        |  (SELECT n FROM nt) AS batches_total
+        |FROM surv, m WHERE doc_id >= mx // 2 GROUP BY lang""".stripMargin,
     "io20_retention_delete" ->
       // the oracle replays the quartile split, the cut, and the
       // three-way classification (inside/straddling/disjoint) — the

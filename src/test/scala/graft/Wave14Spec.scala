@@ -265,6 +265,20 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readPruned pushes the residual range down to the parquet scan") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(10L -> "c", 20L -> "d"), root, "k")
+      val df = LakeTable.readPruned(spark, root, "k", 2L, 15L)
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(
+        leaves.contains("GreaterThanOrEqual(k,2)") &&
+          leaves.contains("LessThanOrEqual(k,15)"),
+        s"residual filter must reach PushedFilters:\n$leaves")
+    }
+  }
+
   test("occ: a stale observation cannot publish; the rebase lands") {
     withRoot { root =>
       LakeTable.append(kv(1L -> "a"), root, "k")

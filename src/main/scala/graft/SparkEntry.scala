@@ -6195,6 +6195,52 @@ object SparkEntry {
           col("c_id"), col("c_us"))
         .localCheckpoint() // detach from the sink view before the drop
     },
+    "st27_stream_asof_fwd" -> { (s, dir) =>
+      // STREAM-STREAM FORWARD AS-OF join with TOLERANCE (pandas
+      // merge_asof direction='forward' — completing the streaming
+      // family the way q53 completed the batch one): each purchase
+      // resolves to the EARLIEST click in [p_us, p_us + 4h] (ties to
+      // min id, the q53 rule), -1 past the horizon — the bounded-wait
+      // contract that makes "the next event" answerable on a stream
+      // and bounds state by construction. Replayed OUT OF ORDER with
+      // the st24 sentinel-flush discipline; the fully flushed result
+      // is a pure function of the event set, hash-checked against the
+      // q53 window chain + the same tolerance CASE.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+        .collect()
+      val scrambled = all.sortBy(e =>
+        java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 29))
+      val maxMs = all.iterator.map(_.ts.getTime).max
+      def sentinel(t: Long) = graft.streaming.EventStreams.Event(
+        -1L, new java.sql.Timestamp(t), -1L, "sentinel", 0.0)
+      val ms = MemoryStream[graft.streaming.EventStreams.Event]
+      val qname =
+        "st27_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .asofEnrichStreamForward(ms.toDS(), 4L * 3600L * 1000000L)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        ms.addData(scrambled.toIndexedSeq)
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 16L * 3600 * 1000))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .filter(col("user_id") >= 0)
+        .select(
+          col("user_id"), col("p_us"), col("p_id"),
+          col("c_id"), col("c_us"))
+        .localCheckpoint()
+    },
     "st14_stream_funnel" -> { (s, dir) =>
       // STREAMING funnel (q29's staged minima with 2h per-stage
       // conversion windows) through the real stateful operator,
@@ -9247,6 +9293,35 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS silver_batches
         |FROM documents WHERE doc_id % 10 <> 3
         |GROUP BY lang""".stripMargin,
+    "st27_stream_asof_fwd" ->
+      // q53's forward window chain + the 4h tolerance CASE — one
+      // contract, two execution paths (batch q53 unbounded, streaming
+      // st27 horizon-bounded; the horizon is mirrored here exactly)
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, min(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, 1 AS tag, c_us AS t, c_id, c_us,
+        |    NULL::BIGINT AS p_id
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, 0, p_us, NULL, NULL, p_id FROM p),
+        |w AS (
+        |  SELECT *,
+        |    first_value(c_id IGNORE NULLS) OVER wf AS f_id,
+        |    first_value(c_us IGNORE NULLS) OVER wf AS f_us
+        |  FROM u
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY t, tag
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t AS p_us, p_id,
+        |  CASE WHEN f_us IS NOT NULL AND f_us - t <= 14400000000
+        |       THEN f_id ELSE -1 END AS c_id,
+        |  CASE WHEN f_us IS NOT NULL AND f_us - t <= 14400000000
+        |       THEN f_us ELSE -1 END AS c_us
+        |FROM w WHERE tag = 0""".stripMargin,
     "st25_feed_consume" ->
       // ticks 1..3 drain every committed batch exactly once (the
       // planted crash redelivers (1,3], the range-keyed sink absorbs

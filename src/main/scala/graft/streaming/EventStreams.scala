@@ -690,6 +690,101 @@ object EventStreams {
     }
   }
 
+  // ---- stream-stream FORWARD as-of join (st27) ----
+
+  final case class FwdAsofState(
+      quotes: List[(Long, Long)], trades: List[(Long, Long)])
+
+  /** STREAM-STREAM FORWARD AS-OF join with TOLERANCE (st27 — pandas
+    * `merge_asof(direction='forward', tolerance=H)`, the streaming twin
+    * of [[graft.operators.TemporalJoins.asofJoinForward]] / q53 with
+    * the bounded-wait contract a stream needs): for every purchase,
+    * the EARLIEST click by the same user in `[p_us, p_us + H]`
+    * (inclusive both ends, ties to min event_id — the q53 dedup rule);
+    * no click within the horizon ⇒ `-1` sentinels. The horizon is what
+    * makes the question answerable on a stream at all — "the next
+    * click, whenever it comes" can never resolve before end-of-stream —
+    * and it bounds state by construction.
+    *
+    * The st24 buffer-then-resolve discipline, mirrored forward:
+    *
+    *  - clicks and purchases buffer per user; arrival order never
+    *    matters (the fully-flushed result is a pure function of the
+    *    event set — differential-locked against the batch twin);
+    *  - a purchase RESOLVES TO ITS MATCH once the watermark passes its
+    *    best candidate (`best.c_us ≤ wm`): any later-arriving click is
+    *    `≥ wm ≥ best.c_us` by the watermark contract, so nothing can
+    *    undercut the best;
+    *  - a purchase RESOLVES AT THE HORIZON (`wm > p_us + H`): every
+    *    candidate has arrived, match-or-`-1` is final;
+    *  - clicks BELOW the watermark then EVICT: a held purchase with a
+    *    sub-watermark candidate would already have resolved (its best
+    *    would be ≤ wm), and every FUTURE purchase has `p_us ≥ wm`, so
+    *    a sub-watermark click can never be looked back at — state per
+    *    user is the in-horizon purchases plus the above-watermark
+    *    clicks, bounded forever.
+    */
+  def asofEnrichStreamForward(
+      events: Dataset[Event],
+      horizonUs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    require(horizonUs > 0, s"horizon must be positive: $horizonUs")
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    // earlier click wins; at equal c_us the SMALLER id wins (q53 rule)
+    def better(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FwdAsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[FwdAsofState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val decided = s.trades.map { case (pUs, pId) =>
+              val cands = s.quotes
+                .filter(q => q._1 >= pUs && q._1 <= pUs + horizonUs)
+              val bestOpt =
+                if (cands.isEmpty) None else Some(cands.reduce(better))
+              val ripe = bestOpt.exists(_._1 <= wmUs) ||
+                wmUs > pUs + horizonUs
+              ((pUs, pId), bestOpt, ripe)
+            }
+            val results = decided.collect {
+              case ((pUs, pId), Some((cUs, cId)), true) =>
+                AsofMatch(uid, pUs, pId, cId, cUs)
+              case ((pUs, pId), None, true) =>
+                AsofMatch(uid, pUs, pId, -1L, -1L)
+            }
+            val keepT = decided.collect { case (t, _, false) => t }
+            val keepQ = s.quotes.filter(_._1 >= wmUs)
+            if (keepT.isEmpty && keepQ.isEmpty) state.remove()
+            else {
+              state.update(FwdAsofState(keepQ, keepT))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            }
+            results.iterator
+          } else {
+            val prior = state.getOption.getOrElse(FwdAsofState(Nil, Nil))
+            val next = it.foldLeft(prior) { (st, e) =>
+              e.event_type match {
+                case "click" =>
+                  st.copy(quotes = (us(e.ts), e.event_id) :: st.quotes)
+                case "purchase" =>
+                  st.copy(trades = (us(e.ts), e.event_id) :: st.trades)
+                case _ => st
+              }
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   // ---- stream-stream AS-OF join (st24) ----
 
   final case class AsofState(

@@ -449,6 +449,140 @@ class LakeTableSpec extends AnyFunSuite {
   }
 }
 
+class StreamAsofForwardSpec extends AnyFunSuite {
+  import graft.streaming.EventStreams
+  import graft.streaming.EventStreams.Event
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def ev(id: Long, sec: Long, uid: Long, typ: String) =
+    Event(id, new java.sql.Timestamp(sec * 1000L), uid, typ, 0.0)
+
+  test("forward resolve: earliest in-horizon click, ties to min id, -1 past horizon") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Event]
+    // horizon 200 s
+    val q = EventStreams
+      .asofEnrichStreamForward(ms.toDS(), 200L * 1000000L, "1 second")
+      .writeStream.format("memory").queryName("fasof_t")
+      .outputMode("append").start()
+    try {
+      // scrambled on purpose: the click at 200 arrives before the
+      // purchase at 150 it must win; the 250-tie must go to id 5; the
+      // purchase at 260 has no click in [260, 460] → -1; u2 has no
+      // click at all → -1; the click at 100 is BEFORE the purchase and
+      // must never match forward
+      ms.addData(Seq(
+        ev(2, 200, 1, "click"),
+        ev(10, 150, 1, "purchase"),
+        ev(1, 100, 1, "click"),
+        ev(12, 100, 2, "purchase"),
+        ev(6, 250, 1, "click"),
+        ev(5, 250, 1, "click"),
+        ev(11, 260, 1, "purchase"),
+        ev(13, 240, 3, "purchase")))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 5000, -1, "sentinel"))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 9000, -1, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fasof_t").as[EventStreams.AsofMatch]
+      .collect().filter(_.user_id >= 0)
+      .map(m => (m.user_id, m.p_id) -> ((m.c_id, m.c_us))).toMap
+    assert(got == Map(
+      (1L, 10L) -> ((2L, 200L * 1000000L)),   // earliest ≥150 within 350
+      (1L, 11L) -> ((-1L, -1L)),              // nothing in [260, 460]
+      (2L, 12L) -> ((-1L, -1L)),              // no click at all
+      (3L, 13L) -> ((-1L, -1L))))             // other user's clicks invisible
+  }
+
+  test("tie at the purchase instant matches inclusively; min id wins") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams
+      .asofEnrichStreamForward(ms.toDS(), 100L * 1000000L, "1 second")
+      .writeStream.format("memory").queryName("fasof_tie")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        ev(7, 100, 1, "click"),
+        ev(3, 100, 1, "click"),
+        ev(9, 100, 1, "purchase")))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 4000, -1, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fasof_tie").as[EventStreams.AsofMatch]
+      .collect().filter(_.user_id >= 0)
+    assert(got.length == 1 && got.head.c_id == 3L,
+      s"same-instant click matches inclusively, min id: ${got.toSeq}")
+  }
+
+  test("full-table stream ≡ batch asofJoinForward under the same horizon") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val horizonUs = 4L * 3600L * 1000000L
+    val all = graft.sources.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val scrambled = all.sortBy(e =>
+      java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 17))
+    val maxMs = all.iterator.map(_.ts.getTime).max
+    val ms = MemoryStream[Event]
+    val q = EventStreams
+      .asofEnrichStreamForward(ms.toDS(), horizonUs)
+      .writeStream.format("memory").queryName("fasof_full")
+      .outputMode("append").start()
+    try {
+      ms.addData(scrambled.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(Event(
+        -1L, new java.sql.Timestamp(maxMs + 12L * 3600 * 1000), -1L,
+        "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("fasof_full")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "p_us", "p_id", "c_id", "c_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val ev2 = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val probes = ev2.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("p_id"))
+    val quotes = ev2.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("c_us"))
+      .agg(min(col("event_id")).as("c_id"))
+    val batch = graft.operators.TemporalJoins
+      .asofJoinForward(probes, quotes, "user_id", "p_us", "c_us",
+        payload = Seq("c_id", "c_us"))
+      .select(
+        col("user_id"), col("p_us"), col("p_id"),
+        when(col("c_us").isNotNull &&
+          col("c_us") - col("p_us") <= horizonUs, col("c_id"))
+          .otherwise(-1L).as("c_id"),
+        when(col("c_us").isNotNull &&
+          col("c_us") - col("p_us") <= horizonUs, col("c_us"))
+          .otherwise(-1L).as("c_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream/batch diverge: ${(streamed -- batch).take(3)} vs " +
+        s"${(batch -- streamed).take(3)}")
+  }
+}
+
 class ChangeFeedSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -6241,6 +6241,51 @@ object SparkEntry {
           col("c_id"), col("c_us"))
         .localCheckpoint()
     },
+    "st28_stream_asof_near" -> { (s, dir) =>
+      // STREAM-STREAM NEAREST AS-OF join with TOLERANCE — the third
+      // and last direction (st24 backward, st27 forward): each
+      // purchase resolves to the click with the SMALLEST distance in
+      // [p_us - 4h, p_us + 4h], ties to the BACKWARD side (the batch
+      // q49 rule: ≤ prefers the preceding quote) then min id, -1 when
+      // the window is empty. Horizon-uniform resolution (wm past
+      // p_us + H ⇒ both sides closed), eviction-front click state.
+      // Same sentinel-flush replay; hash-checked against the explicit
+      // horizon-argmin SQL.
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val all = graft.sources.Tables.events(s, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+        .collect()
+      val scrambled = all.sortBy(e =>
+        java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 41))
+      val maxMs = all.iterator.map(_.ts.getTime).max
+      def sentinel(t: Long) = graft.streaming.EventStreams.Event(
+        -1L, new java.sql.Timestamp(t), -1L, "sentinel", 0.0)
+      val ms = MemoryStream[graft.streaming.EventStreams.Event]
+      val qname =
+        "st28_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .asofEnrichStreamNearest(ms.toDS(), 4L * 3600L * 1000000L)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        ms.addData(scrambled.toIndexedSeq)
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
+        q.processAllAvailable()
+        ms.addData(sentinel(maxMs + 16L * 3600 * 1000))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .filter(col("user_id") >= 0)
+        .select(
+          col("user_id"), col("p_us"), col("p_id"),
+          col("c_id"), col("c_us"))
+        .localCheckpoint()
+    },
     "st14_stream_funnel" -> { (s, dir) =>
       // STREAMING funnel (q29's staged minima with 2h per-stage
       // conversion windows) through the real stateful operator,
@@ -9322,6 +9367,33 @@ object SparkEntry {
         |  CASE WHEN f_us IS NOT NULL AND f_us - t <= 14400000000
         |       THEN f_us ELSE -1 END AS c_us
         |FROM w WHERE tag = 0""".stripMargin,
+    "st28_stream_asof_near" ->
+      // explicit horizon-argmin: candidates within ±4h, ranked by
+      // (distance, c_us, c_id) — backward wins ties, the q49 rule;
+      // purchases with an empty window emit the -1 sentinels
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us, min(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.user_id, p.p_us, p.p_id, c.c_id, c.c_us,
+        |    abs(c.c_us - p.p_us) AS d
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_us BETWEEN p.p_us - 14400000000
+        |                   AND p.p_us + 14400000000),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, p_id
+        |    ORDER BY d, c_us, c_id) AS rn FROM j)
+        |SELECT user_id, p_us, p_id, c_id, c_us FROM r WHERE rn = 1
+        |UNION ALL
+        |SELECT p.user_id, p.p_us, p.p_id,
+        |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM p WHERE NOT EXISTS (
+        |  SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND c.c_us BETWEEN p.p_us - 14400000000
+        |                   AND p.p_us + 14400000000)""".stripMargin,
     "st25_feed_consume" ->
       // ticks 1..3 drain every committed batch exactly once (the
       // planted crash redelivers (1,3], the range-keyed sink absorbs

@@ -785,6 +785,86 @@ object EventStreams {
       }
   }
 
+  /** STREAM-STREAM NEAREST AS-OF join with TOLERANCE (st28 — pandas
+    * `merge_asof(direction='nearest', tolerance=H)`, completing the
+    * streaming direction family: st24 backward, st27 forward): for
+    * every purchase, the click by the same user in `[p_us - H, p_us +
+    * H]` with the SMALLEST distance — ties to the BACKWARD side
+    * (smaller c_us, the batch [[graft.operators.TemporalJoins
+    * .asofJoinNearest]] rule: `≤` prefers the preceding quote), then
+    * min event_id; nothing in the window ⇒ `-1` sentinels.
+    *
+    * Resolution is horizon-uniform: a purchase resolves once
+    * `wm > p_us + H` — by then every candidate on BOTH sides has
+    * arrived (a late click would be below the watermark and dropped).
+    * Clicks evict once they fall below `min(oldest held purchase, wm)
+    * − H`: no held purchase reaches further back, and a future
+    * purchase arrives at `p ≥ wm`, so its backward window starts at
+    * `wm − H` or later. State per user = in-horizon purchases + the
+    * eviction-front clicks, bounded forever.
+    */
+  def asofEnrichStreamNearest(
+      events: Dataset[Event],
+      horizonUs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    require(horizonUs > 0, s"horizon must be positive: $horizonUs")
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FwdAsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[FwdAsofState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ripe, held) = s.trades.partition(_._1 + horizonUs < wmUs)
+            val results = ripe.map { case (pUs, pId) =>
+              // smaller distance wins; tie → smaller c_us (backward,
+              // the batch nearest rule); tie → min id
+              def better(a: (Long, Long), b: (Long, Long)) = {
+                val (da, db) = (math.abs(a._1 - pUs), math.abs(b._1 - pUs))
+                if (da < db || (da == db && a._1 < b._1) ||
+                  (da == db && a._1 == b._1 && a._2 < b._2)) a
+                else b
+              }
+              val cands = s.quotes.filter(q =>
+                q._1 >= pUs - horizonUs && q._1 <= pUs + horizonUs)
+              if (cands.isEmpty) AsofMatch(uid, pUs, pId, -1L, -1L)
+              else {
+                val best = cands.reduce(better)
+                AsofMatch(uid, pUs, pId, best._2, best._1)
+              }
+            }
+            val front = math.min(
+              held.map(_._1).foldLeft(wmUs)(math.min), wmUs) - horizonUs
+            val keepQ = s.quotes.filter(_._1 >= front)
+            if (held.isEmpty && keepQ.isEmpty) state.remove()
+            else {
+              state.update(FwdAsofState(keepQ, held))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            }
+            results.iterator
+          } else {
+            val prior = state.getOption.getOrElse(FwdAsofState(Nil, Nil))
+            val next = it.foldLeft(prior) { (st, e) =>
+              e.event_type match {
+                case "click" =>
+                  st.copy(quotes = (us(e.ts), e.event_id) :: st.quotes)
+                case "purchase" =>
+                  st.copy(trades = (us(e.ts), e.event_id) :: st.trades)
+                case _ => st
+              }
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   // ---- stream-stream AS-OF join (st24) ----
 
   final case class AsofState(

@@ -583,6 +583,121 @@ class StreamAsofForwardSpec extends AnyFunSuite {
   }
 }
 
+class StreamAsofNearestSpec extends AnyFunSuite {
+  import graft.streaming.EventStreams
+  import graft.streaming.EventStreams.Event
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def ev(id: Long, sec: Long, uid: Long, typ: String) =
+    Event(id, new java.sql.Timestamp(sec * 1000L), uid, typ, 0.0)
+
+  test("nearest resolve: min distance, ties backward then min id, -1 outside") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams
+      .asofEnrichStreamNearest(ms.toDS(), 100L * 1000000L, "1 second")
+      .writeStream.format("memory").queryName("nasof_t")
+      .outputMode("append").start()
+    try {
+      // u1 p@200: clicks at 150 and 250 are both d=50 — BACKWARD (150,
+      // id 4) must win the tie, even though id 3 (the forward click)
+      // is smaller. u2 p@100: only a forward click at 150 → matches.
+      // u3 p@500: nothing within 100 s → -1. u4 p@300 with a click AT
+      // 300 → d=0 inclusive match.
+      ms.addData(Seq(
+        ev(3, 250, 1, "click"),
+        ev(4, 150, 1, "click"),
+        ev(10, 200, 1, "purchase"),
+        ev(5, 150, 2, "click"),
+        ev(11, 100, 2, "purchase"),
+        ev(12, 500, 3, "purchase"),
+        ev(6, 800, 3, "click"),
+        ev(7, 300, 4, "click"),
+        ev(13, 300, 4, "purchase")))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 5000, -1, "sentinel"))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 9000, -1, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nasof_t").as[EventStreams.AsofMatch]
+      .collect().filter(_.user_id >= 0)
+      .map(m => (m.user_id, m.p_id) -> ((m.c_id, m.c_us))).toMap
+    assert(got == Map(
+      (1L, 10L) -> ((4L, 150L * 1000000L)),
+      (2L, 11L) -> ((5L, 150L * 1000000L)),
+      (3L, 12L) -> ((-1L, -1L)),
+      (4L, 13L) -> ((7L, 300L * 1000000L))), s"got $got")
+  }
+
+  test("full-table stream ≡ independent horizon-nearest computation") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val horizonUs = 4L * 3600L * 1000000L
+    val all = graft.sources.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    val scrambled = all.sortBy(e =>
+      java.lang.Long.rotateLeft(e.event_id * 0x9E3779B97F4A7C15L, 11))
+    val maxMs = all.iterator.map(_.ts.getTime).max
+    val ms = MemoryStream[Event]
+    val q = EventStreams
+      .asofEnrichStreamNearest(ms.toDS(), horizonUs)
+      .writeStream.format("memory").queryName("nasof_full")
+      .outputMode("append").start()
+    try {
+      ms.addData(scrambled.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(Event(
+        -1L, new java.sql.Timestamp(maxMs + 12L * 3600 * 1000), -1L,
+        "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("nasof_full")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "p_us", "p_id", "c_id", "c_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // independent path: explicit horizon join + argmin by
+    // (distance, c_us, c_id)
+    val ev2 = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val probes = ev2.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("p_id"))
+    val quotes = ev2.filter(col("event_type") === "click")
+      .select(col("user_id").as("q_uid"),
+        unix_micros(col("ts")).as("c_us"), col("event_id"))
+      .groupBy(col("q_uid"), col("c_us"))
+      .agg(min(col("event_id")).as("c_id"))
+    val joined = probes.join(
+      quotes,
+      probes("user_id") === quotes("q_uid") &&
+        quotes("c_us") >= probes("p_us") - horizonUs &&
+        quotes("c_us") <= probes("p_us") + horizonUs,
+      "left")
+      .withColumn("d", abs(col("c_us") - col("p_us")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("p_id"))
+          .orderBy(col("d").asc_nulls_last, col("c_us").asc,
+            col("c_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p_us"), col("p_id"),
+        coalesce(col("c_id"), lit(-1L)).as("c_id"),
+        coalesce(col("c_us"), lit(-1L)).as("c_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == joined,
+      s"diverge: ${(streamed -- joined).take(3)} vs ${(joined -- streamed).take(3)}")
+  }
+}
+
 class ChangeFeedSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 

@@ -25,6 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in tests) drives one [[poll]] per micro-batch via foreachBatch — the
   * standard recipe for streaming over a source that exposes snapshots
   * rather than offsets natively.
+  *
+  * ONE CONSUMER per `consumerDir` assumed (the Kafka
+  * one-owner-per-partition discipline): the offset commit is atomic but
+  * not compare-and-swap, so two pollers sharing a dir could both read
+  * the same range — harmless with the range-keyed idempotent sink, but
+  * wasted work. Independent consumers use independent dirs, exactly like
+  * consumer groups.
   */
 object ChangeFeed {
 

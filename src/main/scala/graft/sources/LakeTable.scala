@@ -465,7 +465,13 @@ object LakeTable {
     import spark.implicits._
     retryOcc("applyChanges") {
       val (rows, obs) = currentState(spark, root)
-      val tableSchema = spark.read.parquet(rows.head.path).columns.toSeq
+      // the table schema is the UNION over live batches (mergeSchema
+      // footer read, batch-count-sized) — after a schema-evolving
+      // merge (io21) batches are heterogeneous, and deriving from any
+      // single batch would nondeterministically accept or reject the
+      // same change set depending on which batch it happened to be
+      val tableSchema = spark.read.option("mergeSchema", "true")
+        .parquet(rows.map(_.path).distinct.sorted: _*).columns.toSeq
       require(
         changes.columns.filter(_ != opCol).sorted.toSeq ==
           tableSchema.sorted,
@@ -500,8 +506,16 @@ object LakeTable {
       } else {
         val (touched, untouched) = rows.partition(b => touchedIds(b.batch))
         val cols = tableSchema
-        val target = spark.read
+        // touched batches may predate evolved columns — mergeSchema +
+        // null-fill to the union so the projection below resolves and
+        // an old-schema batch never silently drops an evolved column
+        val chTypes = changes.schema.map(f => f.name -> f.dataType).toMap
+        val target0 = spark.read.option("mergeSchema", "true")
           .parquet(touched.map(_.path).distinct.sorted: _*)
+        val target = cols.foldLeft(target0) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(chTypes(c)))
+        }
         val src = changes.select((cols :+ opCol).map(col): _*)
         val matchedOrNew = col(s"s.$key").isNotNull
         val applied = target.as("t")
@@ -586,7 +600,10 @@ object LakeTable {
           else {
             val next = rows.map(_.batch).max + 1
             val path = s"$root/data/v=$next-${token()}"
-            spark.read
+            // mergeSchema: an old-schema straddler (post-io21 layout)
+            // rewrites on the union schema, evolved columns null-filled
+            // — never silently dropped
+            spark.read.option("mergeSchema", "true")
               .parquet(straddling.map(_.path).distinct.sorted: _*)
               .filter(col(key) < lo || col(key) > hi)
               .write.mode(SaveMode.Overwrite).parquet(path)
@@ -641,7 +658,11 @@ object LakeTable {
       val bucket = splits.foldLeft(lit(0)) { (acc, s) =>
         acc + when(col(key) >= s, 1).otherwise(0)
       }
-      val data = spark.read.parquet(rows.map(_.path).distinct.sorted: _*)
+      // mergeSchema: post-evolution batches are heterogeneous; the
+      // compacted rewrite must carry the union schema, not whichever
+      // single file Spark happened to infer from
+      val data = spark.read.option("mergeSchema", "true")
+        .parquet(rows.map(_.path).distinct.sorted: _*)
       data.withColumn("gbucket", bucket)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("gbucket").parquet(stage)
@@ -661,10 +682,37 @@ object LakeTable {
     }
   }
 
-  /** Sweep data dirs and manifest generations the live generation does
-    * not reference — merge's replaced batches, crashed writers'
-    * orphans, superseded generations. Identical discipline to
-    * `Snapshots.ptrSweep` (pure cleanup, idempotent, safe to lose).
+  /** Sweep data dirs and manifest generations the RETAINED generations
+    * do not reference — merge's replaced batches, crashed writers'
+    * orphans, expired generations. Everything is age-gated by ONE
+    * retention grace (`orphanGraceMs`, Delta VACUUM's retention idea):
+    *
+    *  - a SUPERSEDED generation younger than the grace is RETAINED
+    *    with every data dir it references. This is load-bearing two
+    *    ways: a held DataFrame from [[read]]/[[readPruned]] was
+    *    PLANNED from the then-live generation but scans lazily at
+    *    action time — within the grace a concurrent merge/compact
+    *    cannot yank its files (the FileNotFoundException hazard VACUUM
+    *    retention exists for); and [[readAt]]/[[changesBetween]] serve
+    *    time travel and the row-level change feed from exactly these
+    *    retained generations.
+    *  - past the grace, an expired generation and the data dirs only
+    *    expired generations reference are deleted (provably unreadable
+    *    by then under the documented reader contract: hold a frame
+    *    across more than the retention window and it may be
+    *    invalidated — the same loud contract every lakehouse ships).
+    *  - UNREFERENCED orphans (crashed or lost-race stagers) age-gate
+    *    on the same clock: only time distinguishes "dead" from "still
+    *    writing". Pass 0 in single-writer maintenance to collect
+    *    everything now (which also forfeits time travel/CDF history —
+    *    the VACUUM tradeoff, stated).
+    *
+    * Sweeping works at TOP-LEVEL granularity under data/ (compacted
+    * batches are gbucket subdirs of one cmp=<n> staging dir —
+    * partially-superseded staging dirs are kept whole, a disk-only
+    * over-approximation the next full compact collects). Idempotent,
+    * pure cleanup, safe to lose — identical discipline to
+    * `Snapshots.ptrSweep`.
     */
   def sweep(
       spark: SparkSession,
@@ -673,52 +721,43 @@ object LakeTable {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // sweeping works at TOP-LEVEL granularity under data/ (compacted
-    // batches are gbucket subdirs of one cmp=<n> staging dir —
-    // partially-superseded staging dirs are kept whole, a disk-only
-    // over-approximation the next full compact collects), in two
-    // classes so a CONCURRENT stager's in-flight work is never
-    // collected:
-    //  - REPLACED: referenced by a superseded on-disk generation but
-    //    not the live one — provably unreadable (readers plan from the
-    //    pointer), deleted immediately;
-    //  - UNREFERENCED orphans (crashed or lost-race stagers): only a
-    //    clock can distinguish "dead" from "still writing", so these
-    //    are age-gated by `orphanGraceMs` (Delta VACUUM's retention
-    //    idea; pass 0 in single-writer maintenance to collect now).
-    // serialized with publishes (and other sweeps): a sweep reads the
-    // superseded generation dirs a concurrent sweep would delete
     def top(path: String): String =
       path.stripPrefix(s"$root/data/").split('/').head
+    // serialized with publishes (and other sweeps): a sweep reads the
+    // superseded generation dirs a concurrent sweep would delete
     commitLock.synchronized {
     // the live name is read INSIDE the lock — a publish between read
     // and sweep would otherwise make this sweep delete the new live
     val live = currentName(spark, root)
       .getOrElse(sys.error(s"no committed manifest under $root"))
     val manDir = new Path(s"$root/manifest")
-    val genDirs = fs.listStatus(manDir)
-      .filter(_.getPath.getName.startsWith("g="))
-      .map(_.getPath.getName).toSeq
+    val now = System.currentTimeMillis()
+    val genSts = fs.listStatus(manDir)
+      .filter(st => st.getPath.getName.startsWith("g=") &&
+        st.getPath.getName != live)
+    val (retainedGens, expiredGens) = genSts.partition(st =>
+      now - st.getModificationTime < orphanGraceMs)
     def pathsOf(gen: String): Set[String] =
       spark.read.parquet(s"$root/manifest/$gen")
         .select(col("path")).collect().map(r => top(r.getString(0))).toSet
-    val liveTops = pathsOf(live)
-    val supersededTops = genDirs.filter(_ != live)
-      .flatMap(g => pathsOf(g)).toSet -- liveTops
-    val now = System.currentTimeMillis()
+    val protectedTops =
+      (live +: retainedGens.map(_.getPath.getName).toSeq)
+        .flatMap(pathsOf).toSet
+    val expiredTops =
+      expiredGens.flatMap(g => pathsOf(g.getPath.getName)).toSet --
+        protectedTops
     val dataDir = new Path(s"$root/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         val nm = st.getPath.getName
-        val replaced = supersededTops.contains(nm)
-        val orphan = !replaced && !liveTops.contains(nm) &&
+        // replaced-and-expired dirs go with their generations; orphans
+        // (referenced by NO generation at all) age-gate on mtime
+        val replaced = expiredTops.contains(nm)
+        val orphan = !replaced && !protectedTops.contains(nm) &&
           now - st.getModificationTime >= orphanGraceMs
         if (replaced || orphan) fs.delete(st.getPath, true)
       }
-    fs.listStatus(manDir)
-      .filter(st => st.getPath.getName.startsWith("g=") &&
-        st.getPath.getName != live)
-      .foreach(st => fs.delete(st.getPath, true))
+    expiredGens.foreach(st => fs.delete(st.getPath, true))
     }
   }
 }

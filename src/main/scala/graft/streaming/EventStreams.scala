@@ -711,10 +711,13 @@ object EventStreams {
     *  - clicks and purchases buffer per user; arrival order never
     *    matters (the fully-flushed result is a pure function of the
     *    event set — differential-locked against the batch twin);
-    *  - a purchase RESOLVES TO ITS MATCH once the watermark passes its
-    *    best candidate (`best.c_us ≤ wm`): any later-arriving click is
-    *    `≥ wm ≥ best.c_us` by the watermark contract, so nothing can
-    *    undercut the best;
+    *  - a purchase RESOLVES TO ITS MATCH once the watermark reaches
+    *    its best candidate (`best.c_us ≤ wm`): any later-arriving
+    *    click must satisfy `c_us > wm ≥ best.c_us` — Spark's late-row
+    *    filter drops `ts ≤ watermark` (a LessThanOrEqual predicate in
+    *    WatermarkSupport), so even an equal-timestamp smaller-id click
+    *    can no longer be admitted (pinned empirically in
+    *    StreamAsofForwardSpec) — nothing can undercut the best;
     *  - a purchase RESOLVES AT THE HORIZON (`wm > p_us + H`): every
     *    candidate has arrived, match-or-`-1` is final;
     *  - clicks BELOW the watermark then EVICT: a held purchase with a
@@ -749,6 +752,13 @@ object EventStreams {
                 .filter(q => q._1 >= pUs && q._1 <= pUs + horizonUs)
               val bestOpt =
                 if (cands.isEmpty) None else Some(cands.reduce(better))
+              // `<=` is safe at the boundary: Spark's late-row filter
+              // for stateful ops drops rows with ts <= watermark
+              // (WatermarkSupport builds a LessThanOrEqual predicate),
+              // so once best.c_us == wm no admissible future click can
+              // tie it — equality cannot be undercut even by a
+              // smaller event_id (pinned empirically in
+              // StreamAsofForwardSpec's at-watermark test)
               val ripe = bestOpt.exists(_._1 <= wmUs) ||
                 wmUs > pUs + horizonUs
               ((pUs, pId), bestOpt, ripe)

@@ -314,20 +314,112 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
-  test("sweep removes replaced batches and superseded generations") {
+  test("merge RETAINS replaced batches within grace; zero-grace collects") {
     withRoot { root =>
       LakeTable.append(kv(1L -> "a"), root, "k")
       LakeTable.append(kv(10L -> "b"), root, "k")
+      // a frame planned from the pre-merge generation, held across the
+      // merge — the lazy-scan hazard retention exists for
+      val held = LakeTable.read(spark, root)
       LakeTable.merge(kv(1L -> "A", 10L -> "B"), root, "k")
+      // retention: superseded generations and the batches they
+      // reference survive the merge's own (default-grace) sweep, so
+      // the held reader still scans and time travel still works
       val dataDirs = new java.io.File(s"$root/data").listFiles()
         .map(_.getName).toSet
       assert(
-        dataDirs.size == 1 && dataDirs.head.startsWith("v=3-"),
-        s"replaced dirs must be swept: $dataDirs")
+        dataDirs.size == 3,
+        s"replaced dirs must be RETAINED within the grace: $dataDirs")
+      assert(held.collect().map(_.getLong(0)).toSet == Set(1L, 10L),
+        "a held pre-merge frame must stay readable within retention")
+      assert(state(root) == Map(1L -> "A", 10L -> "B"))
+      // zero-grace maintenance sweep collects history (the VACUUM
+      // tradeoff: forfeits time travel and invalidates held frames)
+      LakeTable.sweep(spark, root, orphanGraceMs = 0L)
+      val after = new java.io.File(s"$root/data").listFiles()
+        .map(_.getName).toSet
+      assert(
+        after.size == 1 && after.head.startsWith("v=3-"),
+        s"zero-grace sweep must collect replaced dirs: $after")
       val gens = new java.io.File(s"$root/manifest").listFiles()
         .count(f => f.isDirectory && f.getName.startsWith("g="))
-      assert(gens == 1, "superseded generations must be swept")
+      assert(gens == 1, "zero-grace sweep must collect superseded gens")
       assert(state(root) == Map(1L -> "A", 10L -> "B"))
+    }
+  }
+
+  // ---- schema evolution composed with the maintenance ops ----
+  // (the io21 layout — old-schema batches carried by path — fed
+  // through compact / applyChanges / deleteRange: each must read with
+  // mergeSchema, or Spark infers from one arbitrary file and can
+  // silently DROP the evolved column from the rewrite)
+
+  /** Two batches, then an evolving merge that touches only the HIGH
+    * one: batch [1,5] stays carried-by-path on the OLD (k, v) schema,
+    * the rewritten [100,200] batch carries the evolved (k, v, q)
+    * schema with a NON-NULL q on key 200 — the heterogeneous layout
+    * where a maintenance rewrite that infers its schema from the wrong
+    * file silently drops q's values.
+    */
+  private def evolvedRoot(root: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+    LakeTable.append(kv(100L -> "c", 200L -> "d"), root, "k")
+    LakeTable.merge(
+      Seq((200L, "D", 0.9)).toDF("k", "v", "q"), root, "k",
+      mergeSchema = true)
+  }
+
+  private def evolvedState(root: String): Map[Long, (String, Option[Double])] =
+    LakeTable.read(spark, root).select("k", "v", "q").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("evolve then compact: the evolved column survives the rewrite") {
+    withRoot { root =>
+      evolvedRoot(root)
+      // compact reads BOTH schemas into one rewrite
+      LakeTable.compact(spark, root, "k", splits = Seq(50L))
+      assert(evolvedState(root) == Map(
+        1L -> ("a", None), 5L -> ("b", None),
+        100L -> ("c", None), 200L -> ("D", Some(0.9))),
+        "compact must carry the union schema, not one file's")
+    }
+  }
+
+  test("evolve then applyChanges across mixed-schema batches keeps q") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      evolvedRoot(root)
+      // the change set speaks the UNION schema and touches BOTH the
+      // old-schema low batch (update 1) and the evolved batch (delete
+      // 100) — the survivor 200 must keep its non-null q through the
+      // mixed-schema target read
+      val rep = LakeTable.applyChanges(
+        Seq((1L, "A", Option.empty[Double], "U"),
+          (100L, "", Option.empty[Double], "D"))
+          .toDF("k", "v", "q", "op"), root, "k")
+      assert(rep.touched.sorted.size == 2)
+      assert(evolvedState(root) == Map(
+        1L -> ("A", None), 5L -> ("b", None), 200L -> ("D", Some(0.9))),
+        "applyChanges must derive the union schema and null-fill")
+    }
+  }
+
+  test("evolve then deleteRange straddler rewrites on the union schema") {
+    withRoot { root =>
+      evolvedRoot(root)
+      // [3, 150] straddles BOTH batches: the old-schema [1,5] (keep 1)
+      // and the evolved [100,200] (keep 200, whose q must survive the
+      // mixed-schema straddler read)
+      val rep = LakeTable.deleteRange(spark, root, "k", 3L, 150L)
+      assert(rep.rewritten.size == 2)
+      assert(evolvedState(root) == Map(
+        1L -> ("a", None), 200L -> ("D", Some(0.9))),
+        "the straddler rewrite must keep the evolved column's value")
     }
   }
 
@@ -522,6 +614,43 @@ class StreamAsofForwardSpec extends AnyFunSuite {
       .collect().filter(_.user_id >= 0)
     assert(got.length == 1 && got.head.c_id == 3L,
       s"same-instant click matches inclusively, min id: ${got.toSeq}")
+  }
+
+  test("a click exactly AT the watermark is late — resolving at ≤ is safe") {
+    // Spark's late-row filter for stateful ops drops rows with
+    // ts <= watermark (LessThanOrEqual in WatermarkSupport), so a
+    // same-instant smaller-id click arriving after the watermark
+    // reached best.c_us can never be admitted — resolution at
+    // best.c_us <= wm cannot be undercut. This test PINS that
+    // boundary: if Spark ever admitted ts == wm, the smaller id would
+    // win the tie-break and this assertion would flip.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams
+      .asofEnrichStreamForward(ms.toDS(), 500L * 1000000L, "1 second")
+      .writeStream.format("memory").queryName("fasof_strict")
+      .outputMode("append").start()
+    try {
+      // wm after this batch = 201 - 1 = 200 s == the held best's c_us
+      ms.addData(Seq(
+        ev(9, 100, 1, "purchase"),
+        ev(10, 200, 1, "click"),
+        ev(-1, 201, -1, "sentinel")))
+      q.processAllAvailable()
+      // same instant as the watermark, smaller id — DROPPED as late
+      ms.addData(ev(5, 200, 1, "click"))
+      q.processAllAvailable()
+      ms.addData(ev(-1, 9000, -1, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fasof_strict").as[EventStreams.AsofMatch]
+      .collect().filter(_.user_id >= 0)
+    assert(got.length == 1 && got.head.c_id == 10L,
+      s"the at-watermark click must have been dropped as late " +
+        s"(ts <= wm): ${got.toSeq}")
   }
 
   test("full-table stream ≡ batch asofJoinForward under the same horizon") {

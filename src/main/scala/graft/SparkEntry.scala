@@ -4638,6 +4638,55 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "io22_row_change_feed" -> { (s, dir) =>
+      // ROW-LEVEL CHANGE FEED between generations (Delta CDF / Iceberg
+      // changelog, net form — the medallion hop downstream of a
+      // MERGE): the io15 scenario's merge, then changesBetween(g2, g3)
+      // read OUT of the table — updates surface as update_pre/
+      // update_post pairs, new keys as inserts, and the BYTE-IDENTICAL
+      // rewrites of untouched neighbors in the touched batch do NOT
+      // appear (null-safe full-row equality). carried_batches = 1
+      // locks the zero-work property: the untouched high batch is
+      // carried by path and contributes nothing to the diff read.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io22").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), root, "doc_id")
+        val gFrom = graft.sources.LakeTable.currentName(s, root).get
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val inserts = docs
+          .filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+        graft.sources.LakeTable.merge(
+          updates.unionByName(inserts), root, "doc_id")
+        val gTo = graft.sources.LakeTable.currentName(s, root).get
+        val carried = graft.sources.LakeTable.diffPlan(
+          graft.sources.LakeTable.genRows(s, root, gFrom),
+          graft.sources.LakeTable.genRows(s, root, gTo)).carried.size
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable
+            .changesBetween(s, root, "doc_id", gFrom, gTo)
+            .groupBy(col("_change_type"), col("lang"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("carried_batches", lit(carried.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "st26_stream_cdc_lake" -> { (s, dir) =>
       // STREAMING CDC UPSERT SINK into the keyed lake table (Delta's
       // streaming-MERGE recipe: foreachBatch + upsert): three change
@@ -9327,6 +9376,26 @@ object SparkEntry {
         |  count(quality) AS n_quality,
         |  CAST(1 AS BIGINT) AS untouched_batches
         |FROM final GROUP BY lang""".stripMargin,
+    "io22_row_change_feed" ->
+      // the net row-level diff of the io15-shaped merge replayed from
+      // the base table: %6=0 low-half keys appear as update_pre (old
+      // n_chars) + update_post (+1000), %3=2 keys as inserts at +1e9;
+      // identically-rewritten neighbors never appear; carried_batches
+      // = 1 locks the zero-work plan for the untouched high batch
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |ch AS (
+        |  SELECT 'update_pre' AS _change_type, lang, n_chars
+        |  FROM documents, thr WHERE doc_id % 6 = 0 AND doc_id <= t
+        |  UNION ALL
+        |  SELECT 'update_post', lang, n_chars + 1000
+        |  FROM documents, thr WHERE doc_id % 6 = 0 AND doc_id <= t
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT _change_type, lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS carried_batches
+        |FROM ch GROUP BY _change_type, lang""".stripMargin,
     "st26_stream_cdc_lake" ->
       // latest-state-with-deletes: %10=3 keys gone, %4 keys at +100
       // (v3 replaces v2 — never stacks), remaining evens at +10; the

@@ -282,6 +282,177 @@ object LakeTable {
         .filter(col(key) >= lo && col(key) <= hi)
   }
 
+  // ---- time travel + row-level change feed over retained generations ----
+
+  /** On-disk manifest generations, oldest first. Within the sweep
+    * retention window this is the full lineage back from the live
+    * generation; past it, expired generations have been collected and
+    * only the live one is guaranteed present.
+    */
+  def generations(spark: SparkSession, root: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val manDir = new Path(s"$root/manifest")
+    val fs = manDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manDir)) Seq.empty
+    else fs.listStatus(manDir)
+      .map(_.getPath.getName).filter(_.startsWith("g="))
+      .sortBy(ordinal).toSeq
+  }
+
+  private[graft] def genRows(
+      spark: SparkSession, root: String, gen: String): Seq[BatchStat] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$root/manifest/$gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(
+      fs.exists(p),
+      s"generation $gen is not on disk under $root — either it never " +
+        "existed or it aged past the sweep retention window (time " +
+        "travel and the change feed read only RETAINED generations)")
+    spark.read.parquet(s"$root/manifest/$gen")
+      .select(col("batch"), col("path"), col("kmin"), col("kmax"))
+      .collect()
+      .map(r => BatchStat(
+        r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  /** TIME TRAVEL: the table state as of a retained generation (from
+    * [[generations]] or a name captured around a write) — the Delta
+    * `VERSION AS OF` / Iceberg snapshot read. Served entirely from the
+    * immutable generation manifest; fails loudly once the generation
+    * ages past retention.
+    */
+  def readAt(spark: SparkSession, root: String, gen: String): DataFrame = {
+    val rows = genRows(spark, root, gen)
+    require(rows.nonEmpty, s"generation $gen has an empty manifest")
+    spark.read.option("mergeSchema", "true")
+      .parquet(rows.map(_.path).distinct.sorted: _*)
+  }
+
+  /** What [[changesBetween]] decided at planning time, exposed so tests
+    * and cost-aware callers can assert the zero-work property: carried
+    * paths contribute NOTHING to the diff read.
+    */
+  final case class DiffPlan(
+      carried: Seq[String], removed: Seq[String], added: Seq[String])
+
+  private[graft] def diffPlan(
+      fromRows: Seq[BatchStat], toRows: Seq[BatchStat]): DiffPlan = {
+    val fromPaths = fromRows.map(_.path).toSet
+    val toPaths = toRows.map(_.path).toSet
+    DiffPlan(
+      carried = fromRows.map(_.path).filter(toPaths).sorted,
+      removed = fromRows.map(_.path).filterNot(toPaths).sorted,
+      added = toRows.map(_.path).filterNot(fromPaths).sorted)
+  }
+
+  /** ROW-LEVEL CHANGE FEED (Delta CDF / Iceberg changelog, the NET
+    * form): which rows changed between two retained generations, as
+    * `(table columns…, _change_type, _generation)` with `_change_type`
+    * ∈ {insert, update_pre, update_post, delete} and `_generation` the
+    * target generation's ordinal. This is the medallion hop downstream
+    * of a MERGE: a consumer reads changes OUT of a table someone else
+    * merged into, instead of replaying the CDC input.
+    *
+    * The plan reuses the merge's own economics AT READ TIME: batches
+    * carried BY PATH between the two manifests provably hold identical
+    * rows (batches are immutable; per-generation key uniqueness means
+    * a carried key cannot also appear in a removed or added batch) and
+    * contribute ZERO diff work. Only the symmetric difference —
+    * exactly what the intervening writes rewrote — is read: one
+    * full-outer join of removed-batch rows vs added-batch rows on the
+    * key. A row rewritten byte-identically (an untouched neighbor in a
+    * rewritten batch) is NOT a change — equality is null-safe over the
+    * full row, so the feed is the true net diff of the two as-of
+    * states. Diff cost is therefore proportional to what the writes
+    * touched — with one documented exception: a compaction rewrites
+    * every path, so diffing ACROSS a compact reads the whole table to
+    * prove the feed is empty (consume up to the pre-compact generation
+    * first, or pay the scan; stated, not hidden).
+    *
+    * Net-diff semantics across a multi-write span: intermediate states
+    * collapse (insert-then-update reads as one insert of the final
+    * row; update-then-delete as one delete of the FROM-state row) —
+    * the Iceberg net-changelog contract.
+    *
+    * Reference anchor: the reference persists each iteration's state
+    * as an immutable directory and diffs are implicit in the rank
+    * columns (`PageRankDriver.java:121-122,177-185`); here every
+    * version is a diffable snapshot with the diff computed only over
+    * rewritten files.
+    */
+  def changesBetween(
+      spark: SparkSession,
+      root: String,
+      key: String,
+      fromGen: String,
+      toGen: String): DataFrame = {
+    require(
+      ordinal(fromGen) <= ordinal(toGen),
+      s"fromGen $fromGen is newer than toGen $toGen — reverse them")
+    val fromRows = genRows(spark, root, fromGen)
+    val toRows = genRows(spark, root, toGen)
+    val plan = diffPlan(fromRows, toRows)
+
+    def readSide(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(paths: _*))
+    val preOpt = readSide(plan.removed)
+    val postOpt = readSide(plan.added)
+    // union schema over BOTH sides (evolution: a post-evolution added
+    // batch has columns the removed side lacks, and vice versa)
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      (preOpt.toSeq ++ postOpt.toSeq)
+        .flatMap(_.schema.map(f => f.name -> f.dataType)).toMap
+    val unionCols: Seq[String] = {
+      val pc = preOpt.map(_.columns.toSeq).getOrElse(Nil)
+      pc ++ postOpt.map(_.columns.toSeq).getOrElse(Nil)
+        .filterNot(pc.contains)
+    }
+    def align(df: DataFrame): DataFrame =
+      unionCols.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(types(c)))
+      }.select(unionCols.map(col): _*)
+    (preOpt, postOpt) match {
+      case (None, None) =>
+        // both sides carried — provably no change; typed empty frame
+        // on the toGen table schema (unionCols is empty here)
+        spark.read.option("mergeSchema", "true")
+          .parquet(toRows.map(_.path).distinct.sorted: _*).limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_generation", lit(ordinal(toGen)))
+      case _ =>
+        val empty = (preOpt.orElse(postOpt)).get.limit(0)
+        val pre = align(preOpt.getOrElse(empty))
+        val post = align(postOpt.getOrElse(empty))
+        val aK = col(s"a.$key")
+        val bK = col(s"b.$key")
+        val aS = struct(unionCols.map(c => col(s"a.$c").as(c)): _*)
+        val bS = struct(unionCols.map(c => col(s"b.$c").as(c)): _*)
+        pre.as("a")
+          .join(post.as("b"), aK === bK, "full_outer")
+          // identical rewrites (untouched neighbors in a rewritten
+          // batch) are not changes — null-safe full-row equality
+          .filter(aK.isNull || bK.isNull || !(aS <=> bS))
+          .select(explode(
+            when(aK.isNull,
+              array(struct(lit("insert").as("ct"), bS.as("row"))))
+            .when(bK.isNull,
+              array(struct(lit("delete").as("ct"), aS.as("row"))))
+            .otherwise(array(
+              struct(lit("update_pre").as("ct"), aS.as("row")),
+              struct(lit("update_post").as("ct"), bS.as("row"))))
+          ).as("ch"))
+          .select(
+            (unionCols.map(c => col(s"ch.row.$c").as(c)) :+
+              col("ch.ct").as("_change_type") :+
+              lit(ordinal(toGen)).as("_generation")): _*)
+    }
+  }
+
   /** Everything [[merge]]/[[append]] decided, for callers that assert
     * or surface the plan (tests, the io15 row's hash-locked columns).
     */

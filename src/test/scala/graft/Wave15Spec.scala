@@ -1,0 +1,221 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15: the row-level change feed over retained LakeTable
+  * generations (changesBetween — the medallion hop downstream of a
+  * MERGE), time travel (readAt), and their composition with the write
+  * path.
+  */
+class ChangeFeedBetweenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("cdf_t").toString
+    try f(root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def kv(pairs: (Long, String)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def gen(root: String): String =
+    LakeTable.currentName(spark, root).get
+
+  /** (change_type, k, v) triples of a feed, order-free. */
+  private def feed(df: DataFrame): Set[(String, Long, String)] =
+    df.select(col("_change_type"), col("k"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+  test("merge diff: insert + update pre/post; identical rewrites absent") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(100L -> "c", 200L -> "d"), root, "k")
+      val g2 = gen(root)
+      // touches only the low batch: 5 updated, 7 inserted; row 1 is
+      // rewritten into the new batch BYTE-IDENTICAL — not a change
+      LakeTable.merge(kv(5L -> "B", 7L -> "new"), root, "k")
+      val g3 = gen(root)
+      val ch = LakeTable.changesBetween(spark, root, "k", g2, g3)
+      assert(feed(ch) == Set(
+        ("update_pre", 5L, "b"), ("update_post", 5L, "B"),
+        ("insert", 7L, "new")),
+        "identical rewrite of key 1 must NOT appear in the feed")
+      assert(ch.select("_generation").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+    }
+  }
+
+  test("carried batches contribute ZERO diff work (plan-locked)") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(100L -> "c", 200L -> "d"), root, "k")
+      val g2 = gen(root)
+      val highPath = LakeTable.currentRows(spark, root)
+        .find(_.kmin == 100L).get.path
+      LakeTable.merge(kv(5L -> "B", 7L -> "new"), root, "k")
+      val g3 = gen(root)
+      val plan = LakeTable.diffPlan(
+        LakeTable.genRows(spark, root, g2),
+        LakeTable.genRows(spark, root, g3))
+      assert(plan.carried == Seq(highPath),
+        "the untouched batch must be carried by path — never read")
+      assert(plan.removed.size == 1 && plan.added.size == 1,
+        "the diff reads exactly what the merge rewrote")
+    }
+  }
+
+  test("deletes and metadata-only drops surface as delete rows") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(100L -> "c", 200L -> "d"), root, "k")
+      val g2 = gen(root)
+      // [1,5] is entirely inside → dropped metadata-only; [100,200]
+      // straddles at 100 → rewritten
+      LakeTable.deleteRange(spark, root, "k", 0L, 100L)
+      val g3 = gen(root)
+      assert(feed(LakeTable.changesBetween(spark, root, "k", g2, g3)) ==
+        Set(("delete", 1L, "a"), ("delete", 5L, "b"),
+          ("delete", 100L, "c")))
+    }
+  }
+
+  test("net-diff across a multi-write span collapses intermediates") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      val g1 = gen(root)
+      LakeTable.merge(kv(7L -> "v1"), root, "k")       // insert 7
+      LakeTable.merge(kv(7L -> "v2", 5L -> "B"), root, "k") // update both
+      LakeTable.applyChanges(
+        { val sp = spark; import sp.implicits._
+          Seq((1L, "", "D")).toDF("k", "v", "op") }, root, "k")
+      val gEnd = gen(root)
+      // insert-then-update reads as ONE insert of the final row;
+      // update-then-nothing as one update; delete of a FROM-state row
+      assert(feed(LakeTable.changesBetween(spark, root, "k", g1, gEnd)) ==
+        Set(("insert", 7L, "v2"),
+          ("update_pre", 5L, "b"), ("update_post", 5L, "B"),
+          ("delete", 1L, "a")))
+    }
+  }
+
+  test("feeding the changes forward reconstructs the target state") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(100L -> "c"), root, "k")
+      val gFrom = gen(root)
+      LakeTable.merge(kv(5L -> "B", 7L -> "new"), root, "k")
+      LakeTable.applyChanges(
+        Seq((100L, "", "D"), (8L, "x", "U")).toDF("k", "v", "op"),
+        root, "k")
+      val gTo = gen(root)
+      // seed a downstream copy from the FROM state, apply the feed as
+      // CDC (update_post/insert → U, delete → D), compare to TO state
+      val copy = java.nio.file.Files
+        .createTempDirectory("cdf_copy").toString
+      LakeTable.append(
+        LakeTable.readAt(spark, root, gFrom), copy, "k")
+      val cdc = LakeTable.changesBetween(spark, root, "k", gFrom, gTo)
+        .filter(col("_change_type") =!= "update_pre")
+        .withColumn("op",
+          when(col("_change_type") === "delete", "D").otherwise("U"))
+        .select(col("k"), col("v"), col("op"))
+      LakeTable.applyChanges(cdc, copy, "k")
+      val got = LakeTable.read(spark, copy)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = LakeTable.readAt(spark, root, gTo)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, "feed-forward must reconstruct the TO state")
+    }
+  }
+
+  test("diff across a compaction is empty (full rewrite, no net change)") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 50L -> "b"), root, "k")
+      LakeTable.append(kv(2L -> "c", 51L -> "d"), root, "k")
+      val g2 = gen(root)
+      LakeTable.compact(spark, root, "k", splits = Seq(40L))
+      val g3 = gen(root)
+      assert(
+        LakeTable.changesBetween(spark, root, "k", g2, g3).count() == 0L,
+        "compaction changes no rows — the feed must be empty")
+    }
+  }
+
+  test("equal generations yield a typed empty feed") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      val g = gen(root)
+      val ch = LakeTable.changesBetween(spark, root, "k", g, g)
+      assert(ch.count() == 0L)
+      assert(ch.columns.toSeq ==
+        Seq("k", "v", "_change_type", "_generation"))
+    }
+  }
+
+  test("schema evolution rides the feed: pre rows null-fill new columns") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      val g1 = gen(root)
+      LakeTable.merge(
+        Seq((5L, "B", 0.9)).toDF("k", "v", "q"), root, "k",
+        mergeSchema = true)
+      val g2 = gen(root)
+      val ch = LakeTable.changesBetween(spark, root, "k", g1, g2)
+        .select(col("_change_type"), col("k"), col("v"), col("q"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(ch == Set(
+        ("update_pre", 5L, "b", None),
+        ("update_post", 5L, "B", Some(0.9))))
+    }
+  }
+
+  test("a generation past retention fails loudly, naming the cause") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      val g1 = gen(root)
+      LakeTable.merge(kv(1L -> "A"), root, "k")
+      LakeTable.sweep(spark, root, orphanGraceMs = 0L)
+      val e = intercept[IllegalArgumentException] {
+        LakeTable.changesBetween(spark, root, "k", g1, gen(root))
+      }
+      assert(e.getMessage.contains("retention"))
+      val e2 = intercept[IllegalArgumentException] {
+        LakeTable.readAt(spark, root, g1)
+      }
+      assert(e2.getMessage.contains("retention"))
+    }
+  }
+
+  test("readAt serves every retained generation's state") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a"), root, "k")
+      val g1 = gen(root)
+      LakeTable.merge(kv(1L -> "A", 2L -> "b"), root, "k")
+      val g2 = gen(root)
+      LakeTable.merge(kv(2L -> "B2"), root, "k")
+      def st(g: String) = LakeTable.readAt(spark, root, g)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(st(g1) == Map(1L -> "a"))
+      assert(st(g2) == Map(1L -> "A", 2L -> "b"))
+      assert(LakeTable.generations(spark, root).size == 3)
+    }
+  }
+}

@@ -42,4 +42,76 @@ object GraftSql {
     register(spark, dir)
     spark.sql(query)
   }
+
+  // ---- DML over the keyed lake table ----
+  //
+  // The write path (LakeTable.merge/applyChanges/deleteRange) reached
+  // from SQL TEXT — the surface a pipeline author living in the SQL
+  // entry point needs. The grammar is deliberately small and LOUD:
+  // exactly the forms below are accepted (keywords case-insensitive,
+  // the USING body is any SELECT this entry can run); anything else
+  // that LOOKS like DML fails with the supported grammar in the
+  // message rather than half-parsing. Semantics are exactly the Scala
+  // API's (same candidate pruning, same OCC, same reports):
+  //
+  //   MERGE INTO LAKE '<root>' KEY <col> [WITH SCHEMA EVOLUTION]
+  //     USING <select…>
+  //   APPLY CHANGES INTO LAKE '<root>' KEY <col> [OP <col>]
+  //     USING <select…>            -- op column ∈ {'U','D'}
+  //   DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>
+  //
+  // (Ranges-only DELETE is honest, not lazy: the metadata-only drop
+  // economics io20 locks exist exactly for key-range predicates; an
+  // arbitrary-predicate delete is a caller-side applyChanges.)
+
+  private val MergeRe =
+    """(?is)\s*MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:(WITH\s+SCHEMA\s+EVOLUTION)\s+)?USING\s+(.+)""".r
+  private val ApplyRe =
+    """(?is)\s*APPLY\s+CHANGES\s+INTO\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:OP\s+(\w+)\s+)?USING\s+(.+)""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
+  private val DmlShaped = """(?is)\s*(MERGE|DELETE|APPLY)\b.*""".r
+
+  private def grammarError(statement: String): Nothing =
+    sys.error(
+      "unsupported DML clause. Supported forms:\n" +
+        "  MERGE INTO LAKE '<root>' KEY <col> [WITH SCHEMA EVOLUTION] " +
+        "USING <select>\n" +
+        "  APPLY CHANGES INTO LAKE '<root>' KEY <col> [OP <col>] " +
+        "USING <select>\n" +
+        "  DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>\n" +
+        s"got: ${statement.trim.take(200)}")
+
+  /** Route one statement: lake DML to the LakeTable write path,
+    * anything else to [[sql]]. DML returns its report as a one-row
+    * frame (the write itself has already committed when this returns).
+    */
+  def exec(spark: SparkSession, dir: String, statement: String): DataFrame = {
+    import spark.implicits._
+    statement match {
+      case MergeRe(root, key, evolve, select) =>
+        val rep = graft.sources.LakeTable.merge(
+          sql(spark, dir, select), root, key,
+          mergeSchema = evolve != null)
+        Seq((rep.touched.size.toLong, rep.untouched.size.toLong,
+          rep.pureInsert))
+          .toDF("touched_batches", "untouched_batches", "pure_insert")
+      case ApplyRe(root, key, opCol, select) =>
+        val rep = graft.sources.LakeTable.applyChanges(
+          sql(spark, dir, select), root, key,
+          opCol = Option(opCol).getOrElse("op"))
+        Seq((rep.touched.size.toLong, rep.untouched.size.toLong,
+          rep.pureInsert))
+          .toDF("touched_batches", "untouched_batches", "pure_insert")
+      case DeleteRe(root, key, lo, hi) =>
+        val rep = graft.sources.LakeTable.deleteRange(
+          spark, root, key, lo.toLong, hi.toLong)
+        Seq((rep.droppedMetadataOnly.size.toLong,
+          rep.rewritten.size.toLong, rep.untouched.size.toLong))
+          .toDF("dropped_metadata_only", "rewritten_batches",
+            "untouched_batches")
+      case DmlShaped(_) => grammarError(statement)
+      case other => sql(spark, dir, other)
+    }
+  }
 }

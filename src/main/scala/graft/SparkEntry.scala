@@ -6940,6 +6940,84 @@ object SparkEntry {
       // UNION-ALL-safe form), depth + running spend per hop; the same
       // string runs verbatim in DuckDB
       GraftSql.sql(s, dir, sql4RecursiveChain)),
+    "sql6_merge_dml" -> { (s, dir) =>
+      // MERGE INTO through the SQL ENTRY (the io15 semantics reached
+      // from SQL TEXT — GraftSql.exec routes the statement to
+      // LakeTable.merge, same candidate pruning, same OCC): the USING
+      // body is ordinary SQL over the registered views; the read-back
+      // state hash-matches io15's oracle exactly (same semantics, new
+      // surface), untouched_batches riding from the DML report frame.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sql6").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), root, "doc_id")
+        val rep = GraftSql.exec(s, dir,
+          s"""MERGE INTO LAKE '$root' KEY doc_id USING
+             |SELECT doc_id, text, lang, source,
+             |       n_chars + 1000 AS n_chars
+             |FROM documents WHERE doc_id % 6 = 0 AND doc_id <= $thr
+             |UNION ALL
+             |SELECT doc_id + 1000000000 AS doc_id, text, lang, source,
+             |       n_chars
+             |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
+        val untouched =
+          rep.select(col("untouched_batches")).collect()(0).getLong(0)
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("untouched_batches", lit(untouched)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "sql7_delete_dml" -> { (s, dir) =>
+      // DELETE WHERE ... BETWEEN through the SQL ENTRY (io20 semantics
+      // from SQL TEXT): the range delete routes to
+      // LakeTable.deleteRange, and the metadata-only economics —
+      // dropped/rewritten/untouched batch counts — ride back in the
+      // DML report frame and into the hash, same oracle as io20.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sql7").toString
+      try {
+        val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val batchCol = least(lit(3L), expr(s"doc_id * 4 div ${mx + 1}"))
+        (0L to 3L).foreach { b =>
+          graft.sources.LakeTable.append(
+            docs.filter(batchCol === b), root, "doc_id")
+        }
+        val cut = 3L * (mx + 1L) / 8L
+        val rep = GraftSql.exec(s, dir,
+          s"DELETE FROM LAKE '$root' WHERE doc_id BETWEEN 0 AND $cut")
+        val r = rep.collect()(0)
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable.read(s, root)
+            .groupBy(col("lang"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("dropped_metadata_only", lit(r.getLong(0)))
+            .withColumn("rewritten_batches", lit(r.getLong(1)))
+            .withColumn("untouched_batches", lit(r.getLong(2))))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
 
     "q17_pivot" -> { (s, dir) =>
       // PIVOT: hourly event matrix, one column per event type. Explicit
@@ -10409,6 +10487,44 @@ object SparkEntry {
     "sql3_big_spender_exists" -> sql3BigSpenderExists,
     "sql4_recursive_chain" -> sql4RecursiveChain,
     "sql5_lateral_topn" -> sql5LateralTopOrders,
+    "sql6_merge_dml" ->
+      // identical semantics to io15 (same merge, reached from SQL
+      // text) — the oracle is io15's, verbatim
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |final AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr WHERE doc_id % 3 < 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS untouched_batches
+        |FROM final GROUP BY lang""".stripMargin,
+    "sql7_delete_dml" ->
+      // identical semantics to io20 (same range delete, reached from
+      // SQL text) — the oracle is io20's, verbatim
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |c AS (SELECT (3 * (mx + 1)) // 8 AS cut FROM m),
+        |b AS (SELECT least(3, (doc_id * 4) // (mx + 1)) AS b,
+        |        min(doc_id) AS kmin, max(doc_id) AS kmax
+        |      FROM documents, m GROUP BY 1),
+        |cls AS (SELECT
+        |    count(*) FILTER (WHERE 0 <= kmin AND kmax <= cut)
+        |      AS dropped,
+        |    count(*) FILTER (WHERE kmax < 0 OR kmin > cut)
+        |      AS untouched,
+        |    count(*) FILTER (WHERE NOT (0 <= kmin AND kmax <= cut)
+        |      AND NOT (kmax < 0 OR kmin > cut)) AS rewritten
+        |  FROM b, c)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT dropped FROM cls) AS dropped_metadata_only,
+        |  (SELECT rewritten FROM cls) AS rewritten_batches,
+        |  (SELECT untouched FROM cls) AS untouched_batches
+        |FROM documents, c WHERE doc_id > cut GROUP BY lang""".stripMargin,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
     "m7_audio_segments" ->

@@ -204,6 +204,51 @@ class ChangeFeedBetweenSpec extends AnyFunSuite {
     }
   }
 
+  test("sql dml: MERGE / APPLY CHANGES / DELETE route to the write path") {
+    withRoot { root =>
+      val dir = "/root/testdata/sf0.001"
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      // MERGE via SQL text (values from the registered documents view)
+      val rep = GraftSql.exec(spark, dir,
+        s"""MERGE INTO LAKE '$root' KEY k USING
+           |SELECT CAST(5 AS BIGINT) AS k, 'B' AS v
+           |UNION ALL SELECT CAST(7 AS BIGINT), 'new'""".stripMargin)
+      assert(rep.columns.toSeq ==
+        Seq("touched_batches", "untouched_batches", "pure_insert"))
+      assert(LakeTable.read(spark, root).count() == 3)
+      // APPLY CHANGES via SQL text (delete 7, restate 1)
+      GraftSql.exec(spark, dir,
+        s"""APPLY CHANGES INTO LAKE '$root' KEY k OP op USING
+           |SELECT CAST(7 AS BIGINT) AS k, '' AS v, 'D' AS op
+           |UNION ALL SELECT CAST(1 AS BIGINT), 'A', 'U'""".stripMargin)
+      // DELETE via SQL text
+      val del = GraftSql.exec(spark, dir,
+        s"DELETE FROM LAKE '$root' WHERE k BETWEEN 4 AND 6")
+      assert(del.columns.contains("dropped_metadata_only"))
+      val st = LakeTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(st == Map(1L -> "A"))
+    }
+  }
+
+  test("sql dml: unsupported clauses fail loudly with the grammar") {
+    val dir = "/root/testdata/sf0.001"
+    // standard-SQL MERGE shape (WHEN MATCHED...) is not the grammar
+    val e1 = intercept[RuntimeException] {
+      GraftSql.exec(spark, dir,
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE")
+    }
+    assert(e1.getMessage.contains("Supported forms"))
+    // arbitrary-predicate DELETE is a caller-side applyChanges
+    val e2 = intercept[RuntimeException] {
+      GraftSql.exec(spark, dir, "DELETE FROM LAKE '/x' WHERE k < 5")
+    }
+    assert(e2.getMessage.contains("Supported forms"))
+    // non-DML delegates to spark.sql unchanged
+    assert(GraftSql.exec(spark, dir,
+      "SELECT count(*) AS n FROM region").collect()(0).getLong(0) == 5L)
+  }
+
   test("readAt serves every retained generation's state") {
     withRoot { root =>
       LakeTable.append(kv(1L -> "a"), root, "k")

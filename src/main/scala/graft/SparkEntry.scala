@@ -486,7 +486,8 @@ object SparkEntry {
     * clbl ASC ≡ the engine's max_by((gain, -clbl))) reproduces every
     * move.
     */
-  private def louvainRoundsSql(l: String, k: Int): String = {
+  private def louvainRoundsSql(
+      l: String, k: Int, init: Option[String] = None): String = {
     val sb = new StringBuilder
     sb.append(
       s"""kv$l AS MATERIALIZED (
@@ -498,7 +499,8 @@ object SparkEntry {
          |adj$l AS MATERIALIZED (
          |  SELECT u AS vtx, v AS nbr, w FROM we$l WHERE u <> v
          |  UNION ALL SELECT v, u, w FROM we$l WHERE u <> v),
-         |l${l}_0 AS MATERIALIZED (SELECT id, id AS lbl FROM kv$l)""".stripMargin)
+         |l${l}_0 AS MATERIALIZED (${init.getOrElse(
+        s"SELECT id, id AS lbl FROM kv$l")})""".stripMargin)
     for (i <- 1 to k) {
       val p = i % 2
       sb.append(s""",
@@ -2850,6 +2852,27 @@ object SparkEntry {
       // bounded while still hash-locking contraction + weighted moves.
       val e = graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b")
       val lab = graft.operators.Louvain.multilevel(e, 6, 2)
+      val qv = GraphBuilder.modularity(e, lab)
+        .select(col("n_comms"), col("q_r"))
+      lab.crossJoin(broadcast(qv))
+    },
+    "g58_louvain_warm" -> { (s, dir) =>
+      // WARM-START Louvain (the g56/g57 incremental discipline applied
+      // to community detection — verdict r14 #3): yesterday's labels
+      // (4 gain rounds on the graph MINUS a deterministic ~20% edge
+      // delta) seed today's level-0 assignment on the full graph — new
+      // vertices as singletons — and the move phase re-enters for 4
+      // more rounds. Fixed-budget unroll on both phases keeps the
+      // whole trajectory hash-green (the g52 discipline applied
+      // twice); the converged-mode payoff (strictly fewer rounds to
+      // the fixpoint) is differential-locked in LouvainSpec. Unlike
+      // warm CC there is NO grow-only restriction: gain moves always
+      // escape a stale seed (see Louvain.moveRoundsWeightedWarm).
+      val e = graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b")
+      val we = graft.operators.Louvain.fromEdges(e)
+      val weOld = we.filter((col("u") + col("v")) % 5 =!= 0)
+      val prior = graft.operators.Louvain.moveRoundsWeighted(weOld, 4)
+      val lab = graft.operators.Louvain.moveRoundsWeightedWarm(we, 4, prior)
       val qv = GraphBuilder.modularity(e, lab)
         .select(col("n_comms"), col("q_r"))
       lab.crossJoin(broadcast(qv))
@@ -8079,6 +8102,23 @@ object SparkEntry {
          |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
          |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
          |${louvainMultilevelSql(levels = 6, rounds = 8)}""".stripMargin,
+    "g58_louvain_warm" ->
+      // the warm trajectory replayed decision for decision: prior = 4
+      // rounds on the (u+v)%5<>0 subgraph, seed = coalesce(prior, id)
+      // over the FULL vertex universe, then 4 more rounds on the full
+      // graph from that seed
+      s"""WITH ${portableBlocksSql(200, 600, "g22b")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |weP AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue
+         |  WHERE (u + v) % 5 <> 0),
+         |${louvainRoundsSql("P", 4)},
+         |weA AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue),
+         |${louvainRoundsSql("A", 4, init = Some(
+        "SELECT k.id, coalesce(p.lbl, k.id) AS lbl FROM kvA k " +
+          "LEFT JOIN lP_4 p ON p.id = k.id"))}${louvainFinalSql("lA_4")}""".stripMargin,
     "g53_coreness" -> corenessSql(300, 900, "g53", k = 9),
     "g54_matching" -> matchingSql(300, 900, "g54", k = 6),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),

@@ -147,6 +147,46 @@ object Louvain {
       wedges: DataFrame, maxRounds: Int = 20): (DataFrame, Int) =
     runMoves(wedges, maxRounds, stopOnStable = true)
 
+  /** WARM-START gain-move pass (g58 — the g56/g57 incremental
+    * discipline applied to Louvain): the level-0 community assignment
+    * seeds from `init(id, lbl)` — yesterday's labels — instead of
+    * singletons; vertices absent from the seed (new today) start as
+    * their own singleton, and seed rows for vertices no longer in the
+    * graph are simply never joined (community labels are opaque Longs,
+    * nothing requires a label to name a live vertex).
+    *
+    * SOUNDNESS BOUNDARY (contrast with warm CC's grow-only rule):
+    * edge ADDITIONS and REMOVALS are both warm-safe here — every gain
+    * decision is a pure function of the current label frame, so a
+    * stale seed can never corrupt an invariant the way a shrink-only
+    * HashMin label can (hence no grow-only restriction). The honest
+    * limit is OPTIMIZER-SHAPED instead: gain moves relocate one
+    * vertex at a time and can merge communities but never SPLIT one,
+    * so the result is a move-phase fixpoint AT LEAST AS COARSE as the
+    * seed — seed from a prior run's labels (a fixpoint of a nearby
+    * graph, the intended use) and the dynamics re-optimize freely;
+    * seed a pathologically over-merged partition (e.g. everything in
+    * one community) and it is already a fixpoint the move phase
+    * cannot leave. Cold start from singletons is the finest partition
+    * — the safe default when no trusted prior exists. Both halves are
+    * spec-pinned in LouvainSpec; the converged-mode payoff
+    * (warm-from-converged on a perturbed graph stabilizes in strictly
+    * fewer rounds) is differential-locked there too.
+    */
+  def moveRoundsWeightedWarm(
+      wedges: DataFrame, rounds: Int, init: DataFrame): DataFrame =
+    runMoves(wedges, rounds, stopOnStable = false, Some(init))._1
+
+  /** [[moveRoundsWeightedWarm]] run TO STABILITY, bounded — the
+    * converged-mode payoff of warm starts (fewer rounds to the
+    * fixpoint). Returns (labels, rounds run).
+    */
+  def moveRoundsConvergedWarm(
+      wedges: DataFrame,
+      init: DataFrame,
+      maxRounds: Int = 20): (DataFrame, Int) =
+    runMoves(wedges, maxRounds, stopOnStable = true, Some(init))
+
   /** Unweighted convenience: [[fromEdges]] + [[moveRoundsWeighted]]. */
   def moveRounds(edges: DataFrame, rounds: Int): DataFrame =
     moveRoundsWeighted(fromEdges(edges), rounds)
@@ -403,13 +443,23 @@ object Louvain {
   private def runMoves(
       wedges: DataFrame,
       maxRounds: Int,
-      stopOnStable: Boolean): (DataFrame, Int) = {
+      stopOnStable: Boolean,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val (we, und, kv, m) = louvainFrames(wedges)
     require(m > 0, "empty graph")
 
-    var labels = kv.select(col("id"), col("id").as("lbl"))
-      .transform(CacheScope.rotate)
+    // cold: every vertex its own singleton; warm: seed labels joined
+    // onto THIS graph's vertex universe (new vertices → singleton,
+    // departed seed rows never join)
+    var labels = init match {
+      case None => kv.select(col("id"), col("id").as("lbl"))
+        .transform(CacheScope.rotate)
+      case Some(seed) => kv.select(col("id"))
+        .join(seed.select(col("id"), col("lbl")), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+        .transform(CacheScope.rotate)
+    }
     var iters = 0
     var stable = false
     var prevQuiet = false

@@ -118,6 +118,78 @@ class LouvainSpec extends AnyFunSuite {
       "converged must equal the fixed unroll at the stop level")
   }
 
+  test("warm seeded with singletons ≡ cold (same trajectory)") {
+    val e = graft.sources.SyntheticGraph.portableBlocks(
+      spark, 200, 600, "g22b")
+    val we = Louvain.fromEdges(e)
+    val ids = we.select(col("u").as("id"))
+      .union(we.select(col("v").as("id"))).distinct()
+    val singles = ids.select(col("id"), col("id").as("lbl"))
+    assert(labelMap(Louvain.moveRoundsWeightedWarm(we, 4, singles)) ==
+      labelMap(Louvain.moveRoundsWeighted(we, 4)))
+  }
+
+  test("warm: unseeded vertices start as singletons; stale rows ignored") {
+    val sp = spark
+    import sp.implicits._
+    val we = Louvain.fromEdges(tiny)
+    // seed covers only {0,1,2} (plus a departed vertex 99) — the
+    // other triangle must behave exactly as cold-started
+    val seed = Seq((0L, 0L), (1L, 0L), (2L, 0L), (99L, 7L))
+      .toDF("id", "lbl")
+    val (lab, _) = Louvain.moveRoundsConvergedWarm(we, seed)
+    val m = labelMap(lab)
+    assert(m(0L) == m(1L) && m(1L) == m(2L))
+    assert(m(3L) == m(4L) && m(4L) == m(5L))
+    assert(m(0L) != m(3L))
+    assert(!m.contains(99L), "departed seed rows must not resurface")
+  }
+
+  test("warm boundary: an over-merged seed is a fixpoint (documented)") {
+    // the move phase can merge but never SPLIT — seeding everything
+    // into one community leaves the dynamics nowhere to go; this pins
+    // the documented optimizer-shaped limit of warm starts
+    val sp = spark
+    import sp.implicits._
+    val we = Louvain.fromEdges(tiny)
+    val allOne = (0L to 5L).map(i => (i, 0L)).toDF("id", "lbl")
+    val (lab, iters) = Louvain.moveRoundsConvergedWarm(we, allOne)
+    assert(labelMap(lab).values.toSet.size == 1)
+    assert(iters == 2, "two quiet parity rounds prove the fixpoint")
+  }
+
+  test("differential: warm-from-converged on a perturbed graph is faster") {
+    // 20 rings of 6-cliques with bridges — a fixture whose move phase
+    // genuinely CONVERGES from cold (the noisy planted fixture churns
+    // in the documented level-0 limit cycle and never proves a
+    // fixpoint inside any budget, so it cannot measure rounds-to-stop)
+    val sp = spark
+    import sp.implicits._
+    val cliques = for {
+      c <- 0 until 12; i <- 0 until 10; j <- (i + 1) until 10
+    } yield ((c * 10 + i).toLong, (c * 10 + j).toLong)
+    val bridges = (0 until 12).map(c =>
+      ((c * 10).toLong, (((c + 1) % 12) * 10).toLong))
+    val e = (cliques ++ bridges).toDF("src", "dst")
+    val we = Louvain.fromEdges(e)
+    // yesterday's graph: a small deterministic edge delta removed
+    // (10 of 552 edges) — the daily-refresh shape; the delta must be
+    // small relative to the graph (a rewired-half graph is a
+    // different graph, not a refresh) and must leave yesterday's run
+    // a TRUE fixpoint (prior below its cap), or the seed is junk
+    val weOld = we.filter((col("u") + col("v")) % 51 =!= 0)
+    val (prior, nPrior) = Louvain.moveRoundsConverged(weOld, 40)
+    val (labCold, nCold) = Louvain.moveRoundsConverged(we, 40)
+    val (labWarm, nWarm) = Louvain.moveRoundsConvergedWarm(we, prior, 40)
+    assert(nPrior < 40, s"yesterday's run must converge: $nPrior")
+    assert(nCold < 40, s"fixture must cold-converge: $nCold")
+    assert(nWarm < nCold,
+      s"warm must reach the fixpoint in strictly fewer rounds: " +
+        s"$nWarm vs $nCold")
+    assert(q(e, labWarm) >= q(e, labCold) - 1e-9,
+      s"warm modularity ${q(e, labWarm)} vs cold ${q(e, labCold)}")
+  }
+
   test("budget robustness: a different per-level budget still recovers") {
     // the per-level rounds knob changes the trajectory, not the answer
     // on recoverable structure: budget 12 self-stops at its own depth

@@ -486,6 +486,16 @@ object SparkEntry {
     * clbl ASC ≡ the engine's max_by((gain, -clbl))) reproduces every
     * move.
     */
+  /** 16-bit Morton interleave as engine-portable SQL — the exact
+    * algebra of [[graft.operators.Layout.zValue16]] (bit i of x at
+    * position 2i, of y at 2i+1), so DuckDB replays the io23 layout
+    * decision term for term.
+    */
+  private def zMortonSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + " +
+        s"((($y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+
   private def louvainRoundsSql(
       l: String, k: Int, init: Option[String] = None): String = {
     val sb = new StringBuilder
@@ -4708,6 +4718,66 @@ object SparkEntry {
         val rootP = java.nio.file.Paths.get(root)
         java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "io23_zorder_compact" -> { (s, dir) =>
+      // Z-ORDER COMPACTION (Delta OPTIMIZE ZORDER / Iceberg z-order
+      // rewrite — io9's Morton algebra carried into the MANAGED
+      // table): orders land as 4 interleaved batches, then compact two
+      // ways — lexicographic on o_orderkey (io17) vs z-order on
+      // (o_orderkey, o_custkey) with per-batch bounds for BOTH columns
+      // riding the manifest. A selective o_custkey probe then prunes
+      // on the SECOND dimension: the z layout reads a strict subset of
+      // batches while the lex layout must read them all — both counts,
+      // and the planning arithmetic that produced them, are replayed
+      // by the oracle and ride the hash.
+      val ord = t(s, dir, "orders")
+      val zroot = java.nio.file.Files
+        .createTempDirectory("graft_io23z").toString
+      val lexroot = java.nio.file.Files
+        .createTempDirectory("graft_io23l").toString
+      def rmrf(root: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      try {
+        (0L to 3L).foreach { i =>
+          val part = ord.filter(pmod(col("o_orderkey"), lit(4L)) === i)
+          graft.sources.LakeTable.append(part, zroot, "o_orderkey")
+          graft.sources.LakeTable.append(part, lexroot, "o_orderkey")
+        }
+        val r = ord.agg(
+          max(col("o_orderkey")), min(col("o_custkey")),
+          max(col("o_custkey"))).collect()(0)
+        val (mx, cmin, cmax) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        graft.sources.LakeTable.compactZ(
+          s, zroot, "o_orderkey", "o_custkey", buckets = 4)
+        graft.sources.LakeTable.compact(
+          s, lexroot, "o_orderkey",
+          Seq(mx / 4, mx / 2, 3 * mx / 4))
+        val lo = cmin
+        val hi = cmin + (cmax - cmin) / 4
+        val zRows = graft.sources.LakeTable.currentRows(s, zroot)
+        val lexRows = graft.sources.LakeTable.currentRows(s, lexroot)
+        val zRead = graft.sources.LakeTable
+          .planPrunedOn(zRows, "o_custkey", lo, hi).size
+        val lexRead = graft.sources.LakeTable
+          .planPrunedOn(lexRows, "o_custkey", lo, hi).size
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable
+            .readPrunedOn(s, zroot, "o_custkey", lo, hi)
+            .groupBy(col("o_orderstatus"))
+            .agg(
+              count(lit(1)).as("n_orders"),
+              round(sum(col("o_totalprice")), 2).as("sum_price"))
+            .withColumn("z_batches_read", lit(zRead.toLong))
+            .withColumn("z_batches_total", lit(zRows.size.toLong))
+            .withColumn("lex_batches_read", lit(lexRead.toLong))
+            .withColumn("lex_batches_total", lit(lexRows.size.toLong)))
+      } finally {
+        rmrf(zroot); rmrf(lexroot)
       }
     },
     "st26_stream_cdc_lake" -> { (s, dir) =>
@@ -9514,6 +9584,47 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(1 AS BIGINT) AS carried_batches
         |FROM ch GROUP BY _change_type, lang""".stripMargin,
+    "io23_zorder_compact" ->
+      // the oracle replays BOTH layout decisions from scratch: the
+      // 16-bit scaling, the Morton interleave, the equal-z-range
+      // bucketing and per-bucket custkey bounds for the z table; the
+      // quartile split for the lex table; then the same intersection
+      // rule on the same probe — z reads fewer batches on the second
+      // dimension and that asymmetry rides the hash
+      s"""WITH m AS (SELECT min(o_orderkey) AS omin,
+         |    max(o_orderkey) AS omax, min(o_custkey) AS cmin,
+         |    max(o_custkey) AS cmax FROM orders),
+         |probe AS (SELECT cmin AS lo, cmin + (cmax - cmin) // 4 AS hi
+         |  FROM m),
+         |sxy AS (SELECT o_custkey,
+         |    (o_orderkey - omin) * 65535 // (omax - omin) AS sx,
+         |    (o_custkey - cmin) * 65535 // (cmax - cmin) AS sy
+         |  FROM orders, m),
+         |zb AS (SELECT ((${zMortonSql("sx", "sy")}) * 4) // 4294967296
+         |      AS b,
+         |    min(o_custkey) AS c1, max(o_custkey) AS c2
+         |  FROM sxy GROUP BY 1),
+         |zk AS (SELECT count(*) AS n FROM zb, probe
+         |  WHERE c2 >= lo AND c1 <= hi),
+         |zt AS (SELECT count(*) AS n FROM zb),
+         |lexb AS (SELECT
+         |    (CASE WHEN o_orderkey >= omax // 4 THEN 1 ELSE 0 END
+         |     + CASE WHEN o_orderkey >= omax // 2 THEN 1 ELSE 0 END
+         |     + CASE WHEN o_orderkey >= (3 * omax) // 4 THEN 1 ELSE 0
+         |       END) AS b,
+         |    min(o_custkey) AS c1, max(o_custkey) AS c2
+         |  FROM orders, m GROUP BY 1),
+         |lexk AS (SELECT count(*) AS n FROM lexb, probe
+         |  WHERE c2 >= lo AND c1 <= hi),
+         |lext AS (SELECT count(*) AS n FROM lexb)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS sum_price,
+         |  (SELECT n FROM zk) AS z_batches_read,
+         |  (SELECT n FROM zt) AS z_batches_total,
+         |  (SELECT n FROM lexk) AS lex_batches_read,
+         |  (SELECT n FROM lext) AS lex_batches_total
+         |FROM orders, probe WHERE o_custkey BETWEEN lo AND hi
+         |GROUP BY o_orderstatus""".stripMargin,
     "st26_stream_cdc_lake" ->
       // latest-state-with-deletes: %10=3 keys gone, %4 keys at +100
       // (v3 replaces v2 — never stacks), remaining evens at +10; the

@@ -50,10 +50,23 @@ import org.apache.spark.sql.functions._
   */
 object LakeTable {
 
-  /** One live manifest row: data batch `batch` at `path` whose keys all
-    * lie in [kmin, kmax].
+  /** Optional SECONDARY-column stats for a batch (Iceberg's per-file
+    * column bounds, one extra column): `col2`'s values in this batch
+    * all lie in [lo, hi]. Written by [[compactZ]]; absent on plain
+    * appends/merges (pruning on that column then keeps the batch —
+    * conservative the safe way round).
     */
-  final case class BatchStat(batch: Int, path: String, kmin: Long, kmax: Long)
+  final case class SecStat(col2: String, lo: Long, hi: Long)
+
+  /** One live manifest row: data batch `batch` at `path` whose keys all
+    * lie in [kmin, kmax], plus optional second-dimension bounds.
+    */
+  final case class BatchStat(
+      batch: Int,
+      path: String,
+      kmin: Long,
+      kmax: Long,
+      sec: Option[SecStat] = None)
 
   // ---- OCC manifest addressing ----
   //
@@ -114,14 +127,28 @@ object LakeTable {
     currentName(spark, root) match {
       case None => (Seq.empty, None)
       case some @ Some(name) =>
-        val rows = spark.read.parquet(s"$root/manifest/$name")
-          .select(col("batch"), col("path"), col("kmin"), col("kmax"))
-          .collect()
-          .map(r => BatchStat(
-            r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-          .toSeq
-        (rows, some)
+        (readManifest(spark, s"$root/manifest/$name"), some)
     }
+
+  /** One manifest dir → BatchStat rows (secondary stats optional —
+    * pre-extension manifests lack the columns entirely).
+    */
+  private def readManifest(
+      spark: SparkSession, dir: String): Seq[BatchStat] = {
+    val df = spark.read.parquet(dir)
+    val hasSec = df.columns.contains("col2")
+    val cols =
+      Seq(col("batch"), col("path"), col("kmin"), col("kmax")) ++
+        (if (hasSec) Seq(col("col2"), col("k2min"), col("k2max"))
+         else Nil)
+    df.select(cols: _*).collect().map { r =>
+      val sec =
+        if (hasSec && !r.isNullAt(4))
+          Some(SecStat(r.getString(4), r.getLong(5), r.getLong(6)))
+        else None
+      BatchStat(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), sec)
+    }.toSeq
+  }
 
   private[graft] def currentRows(
       spark: SparkSession, root: String): Seq[BatchStat] =
@@ -147,7 +174,11 @@ object LakeTable {
       else {
         val name =
           s"g=${observed.map(ordinal).getOrElse(0L) + 1L}-${token()}"
-        rows.distinct.toDF("batch", "path", "kmin", "kmax")
+        rows.distinct
+          .map(b => (b.batch, b.path, b.kmin, b.kmax,
+            b.sec.map(_.col2), b.sec.map(_.lo), b.sec.map(_.hi)))
+          .toDF("batch", "path", "kmin", "kmax",
+            "col2", "k2min", "k2max")
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/$name")
         val conf = spark.sparkContext.hadoopConfiguration
@@ -309,12 +340,7 @@ object LakeTable {
       s"generation $gen is not on disk under $root — either it never " +
         "existed or it aged past the sweep retention window (time " +
         "travel and the change feed read only RETAINED generations)")
-    spark.read.parquet(s"$root/manifest/$gen")
-      .select(col("batch"), col("path"), col("kmin"), col("kmax"))
-      .collect()
-      .map(r => BatchStat(
-        r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      .toSeq
+    readManifest(spark, s"$root/manifest/$gen")
   }
 
   /** TIME TRAVEL: the table state as of a retained generation (from
@@ -851,6 +877,118 @@ object LakeTable {
         Some(())
       } else None
     }
+  }
+
+  /** Z-ORDER COMPACTION (io23 — Delta `OPTIMIZE ... ZORDER BY`, the
+    * Iceberg z-order rewrite): the live table rewrites into `buckets`
+    * batches along the MORTON CURVE of (`key`, `key2`), and the
+    * manifest carries per-batch bounds for BOTH columns, so a
+    * selective range probe on EITHER dimension prunes batches —
+    * [[compact]]'s lexicographic clustering gives perfect `key`
+    * skipping and ZERO `key2` skipping; the z-curve trades a little of
+    * the first for most of the second (each batch covers a rectangle
+    * of the key plane). This is the [[graft.operators.Layout]] io9
+    * algebra carried into the MANAGED table: the layout decision rides
+    * the manifest, not a reader convention.
+    *
+    * Deterministic, oracle-replayable arithmetic: both columns scale
+    * into [0, 65535] by `(v - min) * 65535 div (max - min)` (one
+    * bounds scan), interleave via [[graft.operators.Layout.zValue16]],
+    * and bucket i = z ∈ [i·2³²/buckets, (i+1)·2³²/buckets) — equal
+    * z-ranges, not equal row counts (quantile targets would need a
+    * second pass; the curve's locality is what matters for pruning).
+    * Primary-key stats stay exact (per-bucket grouped agg over the
+    * output, both columns in ONE pass); state is untouched; publish
+    * rides the atomic pointer like every write.
+    */
+  def compactZ(
+      spark: SparkSession,
+      root: String,
+      key: String,
+      key2: String,
+      buckets: Int): Unit = {
+    require(buckets >= 2 && buckets <= 4096, s"buckets: $buckets")
+    require(isInitialized(spark, root), s"nothing committed under $root")
+    retryOcc("compactZ") {
+      val (rows, obs) = currentState(spark, root)
+      val next = rows.map(_.batch).max + 1
+      val stage = s"$root/data/cmpz=$next-${token()}"
+      val data = spark.read.option("mergeSchema", "true")
+        .parquet(rows.map(_.path).distinct.sorted: _*)
+      val b = data.agg(
+        min(col(key)), max(col(key)), min(col(key2)), max(col(key2)))
+        .collect()(0)
+      val (xlo, xhi, ylo, yhi) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      def scale16(c: String, lo: Long, hi: Long) =
+        if (hi <= lo) lit(0L)
+        else expr(s"(($c - $lo) * 65535) div ${hi - lo}")
+      val z = graft.operators.Layout.zValue16(
+        scale16(key, xlo, xhi), scale16(key2, ylo, yhi))
+      data
+        .withColumn("gz", z)
+        .withColumn("gbucket", expr(s"(gz * $buckets) div ${1L << 32}"))
+        .drop("gz")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("gbucket").parquet(stage)
+      val stats = spark.read.parquet(stage)
+        .groupBy(col("gbucket"))
+        .agg(
+          min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+          min(col(key2)).as("k2min"), max(col(key2)).as("k2max"))
+        .collect()
+        .map(r => (r.getAs[Number](0).intValue,
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      val kept = stats.zipWithIndex.map {
+        case ((bk, lo, hi, lo2, hi2), i) =>
+          BatchStat(next + i, s"$stage/gbucket=$bk", lo, hi,
+            Some(SecStat(key2, lo2, hi2)))
+      }.toSeq
+      if (publishIfCurrent(spark, root, kept, obs)) {
+        sweep(spark, root)
+        Some(())
+      } else None
+    }
+  }
+
+  /** The batches a `column ∈ [lo, hi]` scan must read, planned from
+    * the SECONDARY manifest stats: a batch with bounds for `column`
+    * outside the range is skipped; a batch WITHOUT bounds for that
+    * column is kept (conservative — correctness never depends on a
+    * stat being present).
+    */
+  private[graft] def planPrunedOn(
+      rows: Seq[BatchStat],
+      column: String,
+      lo: Long,
+      hi: Long): Seq[BatchStat] =
+    rows.filter(_.sec match {
+      case Some(s) if s.col2 == column => s.hi >= lo && s.lo <= hi
+      case _ => true
+    })
+
+  /** io23 read path: range scan on the SECOND dimension planned from
+    * the z-compaction's per-batch bounds — the probe [[readPruned]]
+    * serves for the primary key, on the other axis. Residual filter
+    * rides the scan as always.
+    */
+  def readPrunedOn(
+      spark: SparkSession,
+      root: String,
+      column: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, s"nothing committed under $root")
+    val kept = planPrunedOn(rows, column, lo, hi)
+    if (kept.isEmpty)
+      spark.read.parquet(rows.maxBy(_.batch).path).limit(0)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(_.path).distinct.sorted: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Sweep data dirs and manifest generations the RETAINED generations

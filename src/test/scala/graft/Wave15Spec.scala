@@ -249,6 +249,82 @@ class ChangeFeedBetweenSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM region").collect()(0).getLong(0) == 5L)
   }
 
+  test("compactZ: both-dimension pruning; state untouched") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      // (k, c) grid: k 0..99, c = (k * 37) % 100 — both dims spread
+      val rows = (0L until 100L).map(k => (k, (k * 37L) % 100L, s"r$k"))
+      val df = rows.toDF("k", "c", "v")
+      (0L to 3L).foreach { i =>
+        LakeTable.append(df.filter(pmod(col("k"), lit(4L)) === i),
+          root, "k")
+      }
+      val stateBefore = LakeTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      LakeTable.compactZ(spark, root, "k", "c", buckets = 4)
+      assert(LakeTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        stateBefore, "compaction must not change state")
+      val batches = LakeTable.currentRows(spark, root)
+      assert(batches.forall(_.sec.exists(_.col2 == "c")),
+        "every z batch must carry secondary bounds")
+      // a selective probe on EITHER dimension prunes
+      val kKept = LakeTable.planPruned(batches, 0L, 24L).size
+      val cKept = LakeTable.planPrunedOn(batches, "c", 0L, 24L).size
+      assert(kKept < batches.size, s"primary pruning: $kKept")
+      assert(cKept < batches.size, s"secondary pruning: $cKept")
+      // the pruned read returns exactly the filtered rows
+      val got = LakeTable.readPrunedOn(spark, root, "c", 0L, 24L)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == rows.filter(_._2 <= 24L).map(_._1).toSet)
+    }
+  }
+
+  test("planPrunedOn keeps batches without stats for that column") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(
+        Seq((1L, 100L, "a")).toDF("k", "c", "v"), root, "k")
+      LakeTable.compactZ(spark, root, "k", "c", buckets = 2)
+      // a later plain append has NO secondary bounds — a c-probe that
+      // would skip it by range must keep it (conservative)
+      LakeTable.append(
+        Seq((50L, 5L, "b")).toDF("k", "c", "v"), root, "k")
+      val rows = LakeTable.currentRows(spark, root)
+      val kept = LakeTable.planPrunedOn(rows, "c", 0L, 10L)
+      assert(kept.exists(_.sec.isEmpty),
+        "the stat-less batch must be kept")
+      val got = LakeTable.readPrunedOn(spark, root, "c", 0L, 10L)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(50L))
+      // and a probe on an unknown column keeps everything
+      assert(LakeTable.planPrunedOn(rows, "nope", 0L, 1L).size ==
+        rows.size)
+    }
+  }
+
+  test("merge after compactZ drops the rewritten batch's sec stats") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "c", "v"),
+        root, "k")
+      LakeTable.compactZ(spark, root, "k", "c", buckets = 2)
+      LakeTable.merge(
+        Seq((2L, 99L, "B")).toDF("k", "c", "v"), root, "k")
+      val st = LakeTable.read(spark, root)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(st == Map(1L -> 10L, 2L -> 99L))
+      // the merged rewrite has no c bounds — a c-probe keeps it
+      val rows = LakeTable.currentRows(spark, root)
+      assert(LakeTable.readPrunedOn(spark, root, "c", 99L, 99L)
+        .count() == 1L)
+    }
+  }
+
   test("readAt serves every retained generation's state") {
     withRoot { root =>
       LakeTable.append(kv(1L -> "a"), root, "k")

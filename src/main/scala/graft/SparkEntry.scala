@@ -5515,6 +5515,57 @@ object SparkEntry {
           .foreach(p => Files.deleteIfExists(p))
       }
     },
+    "p15_incremental_index" -> { (s, dir) =>
+      // CHANGE-FEED → ANN-INDEX incremental maintenance journey (the
+      // production loop of a living vector store at 100 TB, composing
+      // ONLY existing operators): the corpus arrives as three
+      // change-feed commits (day-0 load, an append delta, a delete
+      // list); the index BUILDS from the feed's day-0 read, then each
+      // refresh reads DELTA BYTES — never the corpus — and applies
+      // them through the e13 append / e27 partition-pruned delete
+      // paths. The final probe at nProbe = nList must be the exact
+      // kNN over the survivors (the p11 lock applied incrementally):
+      // any refresh that lost, duplicated, or misplaced a vector
+      // breaks the hash.
+      val emb = t(s, dir, "embeddings")
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_p15_feed").toString
+      val idxRoot = java.nio.file.Files
+        .createTempDirectory("graft_p15_idx").toString
+      def rmrf(root: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      try {
+        graft.sources.Snapshots.commitPtr(
+          emb.filter(pmod(col("vec_id"), lit(3)) < 2), feed, version = 1)
+        graft.sources.Snapshots.commitPtr(
+          emb.filter(pmod(col("vec_id"), lit(3)) === 2), feed,
+          version = 2)
+        graft.sources.Snapshots.commitPtr(
+          emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+            .select(col("vec_id")), feed, version = 3)
+        val day0 = graft.sources.Snapshots.changesSincePtr(s, feed, 0, 1)
+        val idx = Similarity.buildIvfIndex(day0, nList = 16)
+        Similarity.writeIvfIndex(idx, idxRoot)
+        idx.release()
+        Similarity.appendToIvfIndex(
+          s, idxRoot,
+          graft.sources.Snapshots.changesSincePtr(s, feed, 1, 2))
+        Similarity.deleteFromIvfIndex(
+          s, idxRoot,
+          graft.sources.Snapshots.changesSincePtr(s, feed, 2, 3))
+        val disk = Similarity.readIvfIndex(s, idxRoot)
+        graft.operators.CacheScope.sealAfter(
+          Similarity.probeIvfPruned(
+            disk, Seq(1L, 2L, 3L, 4L, 5L), k = 10,
+            nProbe = disk.nList))
+      } finally {
+        rmrf(feed); rmrf(idxRoot)
+      }
+    },
     "e22_knn_graph" -> ((s, dir) =>
       // the GRAPH-ANN family's build half (single-layer NSW adjacency):
       // per-vector top-8 neighbors with candidates from the IVF coarse
@@ -8918,6 +8969,26 @@ object SparkEntry {
         |p AS (
         |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
         |  FROM base WHERE vec_id IN (1, 2, 4, 5, 7)),
+        |r AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+        |      AS cos_sim
+        |  FROM base e, p WHERE e.vec_id <> p.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "p15_incremental_index" ->
+      // exact kNN over the incremental journey's survivors (appends
+      // landed, %7 deletes applied): the feed-driven refresh must
+      // reproduce it byte for byte
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+        |p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM base WHERE vec_id IN (1, 2, 3, 4, 5)),
         |r AS (
         |  SELECT p.probe_id, e.vec_id,
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)

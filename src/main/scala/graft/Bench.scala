@@ -326,6 +326,26 @@ object Bench {
         (walls, calib)
       }
     } catch { case _: Throwable => (Map.empty[String, Double], None) }
+    // committed idle WORK invariants (shuffle-read + input MB per
+    // query, r14 verdict #5): bytes don't drift with host speed the
+    // way walls and even CPU seconds do (g13's per-iteration shuffle
+    // was byte-identical across rounds while its CPU inflated 2-3×),
+    // so work is the cross-round comparison KEY: walls are compared
+    // only at matching work, and a work CHANGE is its own signal (a
+    // plan change — real, whatever the wall says)
+    val idleWork: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else
+        ("\"([A-Za-z0-9_]+)\":\\{\"shuffle_read_mb\":([0-9.]+)," +
+          "\"shuffle_write_mb\":[0-9.]+,\"spill_mb\":[0-9.]+," +
+          "\"input_mb\":([0-9.]+)").r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toDouble + m.group(3).toDouble))
+          .toMap
+    } catch { case _: Throwable => Map.empty }
     // per-query resource rows, augmented with (a) post-query cache
     // occupancy and (b) the committed idle wall + drift ratio, so an
     // idle-to-idle drift (the r11 g13 case: +38% with an unchanged
@@ -379,6 +399,37 @@ object Bench {
     }
     val suspects = (contended ++ vsIdle).distinct
     val contendedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // WORK-KEYED regression rule (r14 verdict #5 — walls compared only
+    // at matching work, host-calibrated):
+    //  - work_changed: this run's shuffle+input MB differs >25% AND
+    //    >5 MB from the committed idle run's for the same query — the
+    //    PLAN changed; that is a review signal in its own right and
+    //    wall comparison for these queries is meaningless;
+    //  - regressions: work MATCHED but the wall exceeds 2× the idle
+    //    wall even after discounting the measured host-speed ratio
+    //    (calib_vs_idle) — slow at identical work on a speed-adjusted
+    //    clock is the one shape that is actually the engine's fault.
+    val calibRatio = idleCalib1t.map(ic => calib1t / ic).getOrElse(1.0)
+    def workOf(u: graft.metrics.ResourceSnapshot): Double =
+      (u.shuffleReadBytes + u.inputBytes) / 1048576.0
+    val workChanged = results.collect {
+      case (k, Right(_), u) if idleWork.get(k).exists { iw =>
+        val w = workOf(u)
+        math.abs(w - iw) > 5.0 &&
+          math.abs(w - iw) > 0.25 * math.max(iw, 1.0)
+      } => k
+    }
+    val workChangedSet = workChanged.toSet
+    val regressions = results.collect {
+      case (k, Right((v, _)), u)
+          if !workChangedSet.contains(k) && idleWork.contains(k) &&
+            idleWalls.get(k).exists(iw =>
+              iw >= 0.5 && v > 2.0 * iw * math.max(1.0, calibRatio)) => k
+    }
+    val workChangedJson =
+      workChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressionsJson =
+      regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-readable contention DISCOUNT (r10 advice): re-total the
     // run with each suspect's wall replaced by its committed idle wall
     // (min-guarded so the substitution can only shrink), so a contended
@@ -430,7 +481,7 @@ object Bench {
     // sidecar file + an EARLY stdout line; only the compact contract
     // line is printed last
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"contention_suspects":$contendedJson,"resources":$rs$extraJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"contention_suspects":$contendedJson,"work_changed":$workChangedJson,"regressions":$regressionsJson,"resources":$rs$extraJson,"sf":"$sfDir"}"""
     // BENCH_EOD.json by default: the committed BENCH_DETAIL.json is the
     // IDLE reference artifact and the (contended) end-of-round driver
     // run must never overwrite it (it did in r7 AND r8). An explicitly
@@ -449,7 +500,9 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r2d(total)},"unit":"sec",""" +
         s""""queries":$qsCompact,"queries_omitted":$nOmitted,""" +
-        s""""errors":$nErr,"contention_suspects":$contendedJson$extraJson,"sf":"$sfDir"}""")
+        s""""errors":$nErr,"contention_suspects":$contendedJson,""" +
+        s""""work_changed":$workChangedJson,""" +
+        s""""regressions":$regressionsJson$extraJson,"sf":"$sfDir"}""")
     if (nErr > 0) System.err.println(s"[bench] $nErr queries FAILED")
     spark.stop()
   }

@@ -20,7 +20,9 @@ final case class ResourceSnapshot(
     executorRunMs: Long,
     executorCpuMs: Long,
     jvmGcMs: Long,
-    peakStageShuffleWriteBytes: Long) {
+    peakStageShuffleWriteBytes: Long,
+    inputRecords: Long = 0L,
+    shuffleRecords: Long = 0L) {
 
   /** Delta between two snapshots of the SAME listener (peak is carried
     * from `this`, it is not delta-able).
@@ -35,7 +37,9 @@ final case class ResourceSnapshot(
     executorRunMs - o.executorRunMs,
     executorCpuMs - o.executorCpuMs,
     jvmGcMs - o.jvmGcMs,
-    peakStageShuffleWriteBytes)
+    peakStageShuffleWriteBytes,
+    inputRecords - o.inputRecords,
+    shuffleRecords - o.shuffleRecords)
 
   private def mb(b: Long): Double = math.round(b / 1048576.0 * 100) / 100.0
 
@@ -49,6 +53,12 @@ final case class ResourceSnapshot(
       s""""shuffle_write_mb":${mb(shuffleWriteBytes)},""" +
       s""""spill_mb":${mb(memorySpillBytes + diskSpillBytes)},""" +
       s""""input_mb":${mb(inputBytes)},""" +
+      // row counts are WORK INVARIANTS: they do not drift with host
+      // speed, compression, or contention — the cross-round currency
+      // the r14 verdict asked for when walls and CPU seconds both
+      // inflated on identical plans
+      s""""input_rows":$inputRecords,""" +
+      s""""shuffle_rows":$shuffleRecords,""" +
       s""""executor_run_ms":$executorRunMs,""" +
       s""""executor_cpu_ms":$executorCpuMs,""" +
       s""""gc_ms":$jvmGcMs}"""
@@ -94,6 +104,8 @@ final class ResourceListener extends SparkListener {
   private val cpuMs = new AtomicLong(0)
   private val gcMs = new AtomicLong(0)
   private val peakStageShuffleWrite = new AtomicLong(0)
+  private val inputRecs = new AtomicLong(0)
+  private val shuffleRecs = new AtomicLong(0)
 
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
     val tm = ev.stageInfo.taskMetrics
@@ -109,6 +121,8 @@ final class ResourceListener extends SparkListener {
       cpuMs.addAndGet(tm.executorCpuTime / 1000000L) // reported in ns
       gcMs.addAndGet(tm.jvmGCTime)
       peakStageShuffleWrite.updateAndGet(p => math.max(p, w))
+      inputRecs.addAndGet(tm.inputMetrics.recordsRead)
+      shuffleRecs.addAndGet(tm.shuffleWriteMetrics.recordsWritten)
     }
     updates.incrementAndGet()
     ()
@@ -117,7 +131,8 @@ final class ResourceListener extends SparkListener {
   def snapshot: ResourceSnapshot = ResourceSnapshot(
     shuffleRead.get(), shuffleWrite.get(), memSpill.get(), diskSpill.get(),
     input.get(), output.get(), runMs.get(), cpuMs.get(), gcMs.get(),
-    peakStageShuffleWriteBytes = peakStageShuffleWrite.get())
+    peakStageShuffleWriteBytes = peakStageShuffleWrite.get(),
+    inputRecords = inputRecs.get(), shuffleRecords = shuffleRecs.get())
 
   def resetPeak(): Unit = peakStageShuffleWrite.set(0)
 

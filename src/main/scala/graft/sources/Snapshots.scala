@@ -100,9 +100,12 @@ object Snapshots {
   // `version-hint` pattern). Every reader plans from the pointer, so
   // every intermediate crash state reads consistently: a generation
   // without a pointer swap is invisible, and the swap either happened
-  // entirely or not at all. Single writer assumed (the family
-  // contract); readers are concurrent-safe because generations are
-  // never mutated, only superseded and later swept.
+  // entirely or not at all. One logical writer per VERSION (commitPtr's
+  // contract; retries dedup); INDEPENDENT concurrent appenders go
+  // through appendNextPtr, whose observe→publish→swap runs under the
+  // commit lock so exactly one writer wins each version number.
+  // Readers are concurrent-safe because generations are never
+  // mutated, only superseded and later swept.
 
   private def ptrPath(root: String) = s"$root/manifest/_current"
 
@@ -175,21 +178,60 @@ object Snapshots {
           .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     }
 
+  // serializes the observe → write-generation → swap critical section
+  // across writers in THIS JVM — the single-process stand-in for the
+  // put-if-absent a distributed deployment gets from HDFS
+  // create-exclusive / S3 conditional writes (the same note as
+  // LakeTable's commitLock; the OCC protocol around it is
+  // filesystem-agnostic)
+  private val ptrCommitLock = new Object
+
   /** [[commit]] through the pointer: data dir first, then a NEW manifest
     * generation (previous rows + this one, deduped — a retried commit
     * converges instead of double-listing), then the atomic swap. A crash
     * before the swap leaves the new generation invisible; the retry
     * overwrites both idempotently.
+    *
+    * CONTRACT: `version` identifies ONE logical commit — this call is
+    * for the single writer that owns it (and its retries, which dedup).
+    * Two INDEPENDENT writers must not name the same version (they
+    * would race the same data dir); independent appenders use
+    * [[appendNextPtr]], which picks the version under the commit lock.
     */
   def commitPtr(df: DataFrame, root: String, version: Int): Unit = {
     val spark = df.sparkSession
     val path = s"$root/data/v=$version"
     df.write.mode(SaveMode.Overwrite).parquet(path)
-    val prev = currentRows(spark, root)
-    val gen = currentGen(spark, root).getOrElse(0L) + 1L
-    writeManifestGen(
-      spark, root, gen, (prev :+ ((version, path))).distinct)
-    swapPointer(spark, root, gen)
+    ptrCommitLock.synchronized {
+      val prev = currentRows(spark, root)
+      val gen = currentGen(spark, root).getOrElse(0L) + 1L
+      writeManifestGen(
+        spark, root, gen, (prev :+ ((version, path))).distinct)
+      swapPointer(spark, root, gen)
+    }
+  }
+
+  /** OPTIMISTIC APPEND for INDEPENDENT writers: stage the batch under
+    * a collision-free token path, then — under the commit lock —
+    * observe the head, take `head + 1`, publish, swap. A writer that
+    * loses the observe race simply lands at the NEXT version (its
+    * staged data dir is already unique, nothing is re-staged); exactly
+    * one writer wins each version number, every append lands exactly
+    * once. Returns the version this batch committed as.
+    */
+  def appendNextPtr(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val stage = s"$root/data/a=$tok"
+    df.write.mode(SaveMode.Overwrite).parquet(stage)
+    ptrCommitLock.synchronized {
+      val prev = currentRows(spark, root)
+      val v = prev.map(_._1).foldLeft(0)(math.max) + 1
+      val gen = currentGen(spark, root).getOrElse(0L) + 1L
+      writeManifestGen(spark, root, gen, prev :+ ((v, stage)))
+      swapPointer(spark, root, gen)
+      v
+    }
   }
 
   /** Newest committed version through the pointer; None before the

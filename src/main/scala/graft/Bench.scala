@@ -114,6 +114,14 @@ object Bench {
       // for the contract lines
       System.err.println(s"[bench] running $name")
       res.quiesce(); res.resetPeak()
+      // collect the PREDECESSORS' transient garbage OUTSIDE the timed
+      // window: in the r15 idle run, queries following heavy newcomers
+      // paid their heap debris as GC-wake (st14: 28 s of GC for 3.3 s
+      // of engine CPU, a 10× wall at byte-identical work) — the
+      // marathon must measure each query's engine, not its neighbor's
+      // allocation history. periodicGC (30 s) bounds the steady state;
+      // this bounds the per-query start state.
+      System.gc()
       val snap0 = res.snapshot
       val first = once(fn)
       res.quiesce()

@@ -59,10 +59,14 @@ object GraftSql {
   //   APPLY CHANGES INTO LAKE '<root>' KEY <col> [OP <col>]
   //     USING <select…>            -- op column ∈ {'U','D'}
   //   DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>
+  //   CHANGES FROM LAKE '<root>' KEY <col>
+  //     BETWEEN '<generation>' AND '<generation>'
   //
   // (Ranges-only DELETE is honest, not lazy: the metadata-only drop
   // economics io20 locks exist exactly for key-range predicates; an
-  // arbitrary-predicate delete is a caller-side applyChanges.)
+  // arbitrary-predicate delete is a caller-side applyChanges. CHANGES
+  // is the io22 row-level feed — generation names come from
+  // LakeTable.generations or a name captured around a write.)
 
   private val MergeRe =
     """(?is)\s*MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:(WITH\s+SCHEMA\s+EVOLUTION)\s+)?USING\s+(.+)""".r
@@ -70,7 +74,9 @@ object GraftSql {
     """(?is)\s*APPLY\s+CHANGES\s+INTO\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:OP\s+(\w+)\s+)?USING\s+(.+)""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
-  private val DmlShaped = """(?is)\s*(MERGE|DELETE|APPLY)\b.*""".r
+  private val ChangesRe =
+    """(?is)\s*CHANGES\s+FROM\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'\s*;?\s*""".r
+  private val DmlShaped = """(?is)\s*(MERGE|DELETE|APPLY|CHANGES)\b.*""".r
 
   private def grammarError(statement: String): Nothing =
     sys.error(
@@ -80,6 +86,8 @@ object GraftSql {
         "  APPLY CHANGES INTO LAKE '<root>' KEY <col> [OP <col>] " +
         "USING <select>\n" +
         "  DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>\n" +
+        "  CHANGES FROM LAKE '<root>' KEY <col> BETWEEN '<gen>' AND " +
+        "'<gen>'\n" +
         s"got: ${statement.trim.take(200)}")
 
   /** Route one statement: lake DML to the LakeTable write path,
@@ -110,6 +118,9 @@ object GraftSql {
           rep.rewritten.size.toLong, rep.untouched.size.toLong))
           .toDF("dropped_metadata_only", "rewritten_batches",
             "untouched_batches")
+      case ChangesRe(root, key, fromGen, toGen) =>
+        graft.sources.LakeTable
+          .changesBetween(spark, root, key, fromGen, toGen)
       case DmlShaped(_) => grammarError(statement)
       case other => sql(spark, dir, other)
     }

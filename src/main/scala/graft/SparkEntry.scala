@@ -5566,6 +5566,70 @@ object SparkEntry {
         rmrf(feed); rmrf(idxRoot)
       }
     },
+    "p16_incremental_gold" -> { (s, dir) =>
+      // SILVER→GOLD incremental hop via the ROW-LEVEL change feed (the
+      // medallion stage p13 stops short of — io22 applied end to end):
+      // gold bootstraps from the silver table AS OF the pre-merge
+      // generation (readAt), a merge wave lands (io15 shape), and gold
+      // then updates from the FEED ALONE — update_pre/delete rows
+      // subtract, update_post/insert rows add — reading delta bytes,
+      // never re-scanning silver. The feed is read through the SQL
+      // surface (CHANGES FROM LAKE ... BETWEEN gens). Hash-locked to
+      // the from-scratch recompute of the final state: incremental ≡
+      // recompute, with feed_rows pinning the delta size.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p16").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), root, "doc_id")
+        val gFrom = graft.sources.LakeTable.currentName(s, root).get
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val inserts = docs
+          .filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+        graft.sources.LakeTable.merge(
+          updates.unionByName(inserts), root, "doc_id")
+        val gTo = graft.sources.LakeTable.currentName(s, root).get
+        val gold0 = graft.sources.LakeTable.readAt(s, root, gFrom)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+        val feed = GraftSql.exec(s, dir,
+          s"CHANGES FROM LAKE '$root' KEY doc_id " +
+            s"BETWEEN '$gFrom' AND '$gTo'")
+        val feedRows = feed.count()
+        val sign = when(
+          col("_change_type").isin("insert", "update_post"), 1L)
+          .otherwise(-1L)
+        val delta = feed.groupBy(col("lang")).agg(
+          sum(sign).as("dn"),
+          sum(sign * col("n_chars")).as("dchars"))
+        graft.operators.CacheScope.sealAfter(
+          gold0.join(delta, Seq("lang"), "full_outer")
+            .select(
+              col("lang"),
+              (coalesce(col("n_docs"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n_docs"),
+              (coalesce(col("sum_chars"), lit(0L)) +
+                coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+            .filter(col("n_docs") > 0)
+            .withColumn("feed_rows", lit(feedRows)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "e22_knn_graph" -> ((s, dir) =>
       // the GRAPH-ANN family's build half (single-layer NSW adjacency):
       // per-vector top-8 neighbors with candidates from the IVF coarse
@@ -9000,6 +9064,28 @@ object SparkEntry {
         |                       ORDER BY cos_sim DESC, vec_id) AS rn
         |  FROM r)
         |SELECT probe_id, vec_id, cos_sim FROM rk WHERE rn <= 10""".stripMargin,
+    "p16_incremental_gold" ->
+      // incremental ≡ recompute: the from-scratch final state, with
+      // feed_rows = 2·|updates| + |inserts| pinning the delta size the
+      // incremental hop actually read
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |final AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr WHERE doc_id % 3 < 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT
+        |    2 * (SELECT count(*) FROM documents, thr
+        |         WHERE doc_id % 6 = 0 AND doc_id <= t)
+        |    + (SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
+        |      AS n)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT n FROM fr) AS feed_rows
+        |FROM final GROUP BY lang""".stripMargin,
     "e28_ivf_rebalance" ->
       // exact kNN over the full corpus: the rebalance must be invisible
       // at nProbe = nList — same e5-shaped ground truth as e27's

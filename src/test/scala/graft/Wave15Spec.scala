@@ -231,6 +231,26 @@ class ChangeFeedBetweenSpec extends AnyFunSuite {
     }
   }
 
+  test("sql CHANGES FROM LAKE returns the row-level feed") {
+    withRoot { root =>
+      val dir = "/root/testdata/sf0.001"
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      val g1 = gen(root)
+      LakeTable.merge(kv(5L -> "B", 7L -> "new"), root, "k")
+      val g2 = gen(root)
+      val viaSql = GraftSql.exec(spark, dir,
+        s"CHANGES FROM LAKE '$root' KEY k BETWEEN '$g1' AND '$g2'")
+      assert(feed(viaSql) ==
+        feed(LakeTable.changesBetween(spark, root, "k", g1, g2)))
+      // malformed (unquoted generations) fails with the grammar
+      val e = intercept[RuntimeException] {
+        GraftSql.exec(spark, dir,
+          s"CHANGES FROM LAKE '$root' KEY k BETWEEN $g1 AND $g2")
+      }
+      assert(e.getMessage.contains("Supported forms"))
+    }
+  }
+
   test("sql dml: unsupported clauses fail loudly with the grammar") {
     val dir = "/root/testdata/sf0.001"
     // standard-SQL MERGE shape (WHEN MATCHED...) is not the grammar
@@ -371,6 +391,41 @@ class ChangeFeedBetweenSpec extends AnyFunSuite {
         .count() == 1L)
       assert(graft.sources.Snapshots.headVersionPtr(spark, root)
         .contains(1))
+    }
+  }
+
+  test("plan lock: readPrunedOn pushes the residual filter to the scan") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      val rows = (0L until 100L).map(k => (k, (k * 37L) % 100L, s"r$k"))
+      (0L to 1L).foreach { i =>
+        LakeTable.append(
+          rows.toDF("k", "c", "v")
+            .filter(pmod(col("k"), lit(2L)) === i), root, "k")
+      }
+      LakeTable.compactZ(spark, root, "k", "c", buckets = 4)
+      val df = LakeTable.readPrunedOn(spark, root, "c", 10L, 30L)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [IsNotNull(c), " +
+        "GreaterThanOrEqual(c,10), LessThanOrEqual(c,30)]"), p)
+    }
+  }
+
+  test("plan lock: changesBetween scans ONLY the symmetric difference") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> "a", 5L -> "b"), root, "k")
+      LakeTable.append(kv(100L -> "c", 200L -> "d"), root, "k")
+      val g2 = gen(root)
+      val carriedPath = LakeTable.currentRows(spark, root)
+        .find(_.kmin == 100L).get.path
+      LakeTable.merge(kv(5L -> "B"), root, "k")
+      val g3 = gen(root)
+      val files = LakeTable.changesBetween(spark, root, "k", g2, g3)
+        .inputFiles
+      assert(files.nonEmpty)
+      assert(!files.exists(_.startsWith(s"file:$carriedPath")),
+        s"the carried batch must never be scanned: ${files.toSeq}")
     }
   }
 

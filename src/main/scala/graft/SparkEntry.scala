@@ -2887,6 +2887,22 @@ object SparkEntry {
         .select(col("n_comms"), col("q_r"))
       lab.crossJoin(broadcast(qv))
     },
+    "g58b_louvain_warm_ladder" -> { (s, dir) =>
+      // WARM MULTILEVEL ladder — g58's seed carried through the FULL
+      // algorithm: level 0 re-enters warm from the prior labels (4
+      // rounds), contraction, then a cold level on the supergraph (4
+      // rounds), labels projected back. Fixed budgets on every phase
+      // keep the three-chain trajectory (prior → warm level → cold
+      // level) hash-green end to end, the g52b discipline seeded.
+      val e = graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b")
+      val we = graft.operators.Louvain.fromEdges(e)
+      val weOld = we.filter((col("u") + col("v")) % 5 =!= 0)
+      val prior = graft.operators.Louvain.moveRoundsWeighted(weOld, 4)
+      val lab = graft.operators.Louvain.multilevelWarm(e, prior, 4, 2)
+      val qv = GraphBuilder.modularity(e, lab)
+        .select(col("n_comms"), col("q_r"))
+      lab.crossJoin(broadcast(qv))
+    },
     "g52c_louvain_converged" -> { (s, dir) =>
       // CONVERGED multilevel Louvain — the ladder depth is the
       // algorithm's own (stop when a level's move phase makes zero
@@ -8304,6 +8320,31 @@ object SparkEntry {
          |${louvainRoundsSql("A", 4, init = Some(
         "SELECT k.id, coalesce(p.lbl, k.id) AS lbl FROM kvA k " +
           "LEFT JOIN lP_4 p ON p.id = k.id"))}${louvainFinalSql("lA_4")}""".stripMargin,
+    "g58b_louvain_warm_ladder" ->
+      // the warm ladder unrolled: prior chain on the subgraph, warm
+      // level A from the coalesced seed, contraction by lA_4, cold
+      // level B, projection — decision for decision in DuckDB
+      s"""WITH ${portableBlocksSql(200, 600, "g22b")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |weP AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue
+         |  WHERE (u + v) % 5 <> 0),
+         |${louvainRoundsSql("P", 4)},
+         |weA AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue),
+         |${louvainRoundsSql("A", 4, init = Some(
+        "SELECT k.id, coalesce(p.lbl, k.id) AS lbl FROM kvA k " +
+          "LEFT JOIN lP_4 p ON p.id = k.id"))},
+         |weB AS MATERIALIZED (
+         |  SELECT least(a.lbl, b.lbl) AS u, greatest(a.lbl, b.lbl) AS v,
+         |    CAST(sum(w.w) AS BIGINT) AS w
+         |  FROM weA w JOIN lA_4 a ON a.id = w.u JOIN lA_4 b ON b.id = w.v
+         |  GROUP BY 1, 2),
+         |${louvainRoundsSql("B", 4)},
+         |proj AS MATERIALIZED (
+         |  SELECT a.id, b.lbl FROM lA_4 a JOIN lB_4 b ON b.id = a.lbl)
+         |${louvainFinalSql("proj")}""".stripMargin,
     "g53_coreness" -> corenessSql(300, 900, "g53", k = 9),
     "g54_matching" -> matchingSql(300, 900, "g54", k = 6),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),

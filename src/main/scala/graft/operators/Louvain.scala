@@ -305,6 +305,74 @@ object Louvain {
     (mapping, level)
   }
 
+  /** WARM multilevel ladder (g58b — [[multilevelConverged]] seeded at
+    * level 0): the first move phase enters warm from `init` and stops
+    * on its OWN stability (the identity-labels stop rule is meaningless
+    * under a seed — a warmed fixpoint has `lbl ≠ id` almost everywhere,
+    * so level 0 uses the zero-moves-both-parities rule instead); the
+    * contracted levels then run the cold ladder unchanged, where the
+    * identity check is again exact (every contracted level starts from
+    * singleton supervertices). Depth counts every level INCLUDING the
+    * warm one, so the caller sees the same budget semantics as cold.
+    */
+  def multilevelConvergedWarm(
+      edges: DataFrame,
+      init: DataFrame,
+      maxRoundsPerLevel: Int = 20,
+      maxLevels: Int = 10): (DataFrame, Int) = {
+    require(maxLevels >= 1, "maxLevels must be >= 1")
+    val w0 = fromEdges(edges)
+    val lab0 = runMoves(w0, maxRoundsPerLevel, stopOnStable = true,
+      Some(init))._1
+    var mapping = lab0
+    var w = CacheScope.rotate(contractWeighted(w0, lab0))
+    var level = 1
+    var done = false
+    while (level < maxLevels && !done) {
+      val lab = moveRoundsConverged(w, maxRoundsPerLevel)._1
+      level += 1
+      val moved = lab.filter(col("id") =!= col("lbl")).count()
+      mapping = CacheScope.rotate(
+        mapping
+          .join(lab.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+            Seq("lbl"))
+          .select(col("id"), col("lbl2").as("lbl")))
+      if (moved == 0L) done = true
+      else w = CacheScope.rotate(contractWeighted(w, lab))
+    }
+    (mapping, level)
+  }
+
+  /** Fixed-budget warm ladder — the oracle-unrollable twin of
+    * [[multilevelConvergedWarm]] (the [[multilevel]]/[[multilevelConverged]]
+    * relationship, warm): level 0 runs exactly `roundsPerLevel` warm
+    * rounds from `init`, each further level `roundsPerLevel` cold
+    * rounds on the contraction.
+    */
+  def multilevelWarm(
+      edges: DataFrame,
+      init: DataFrame,
+      roundsPerLevel: Int,
+      levels: Int): DataFrame = {
+    require(levels >= 1, "levels must be >= 1")
+    var w = fromEdges(edges)
+    var mapping: DataFrame = null
+    for (i <- 1 to levels) {
+      val lab =
+        if (i == 1) moveRoundsWeightedWarm(w, roundsPerLevel, init)
+        else moveRoundsWeighted(w, roundsPerLevel)
+      mapping =
+        if (mapping == null) lab
+        else CacheScope.rotate(
+          mapping
+            .join(lab.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"))
+            .select(col("id"), col("lbl2").as("lbl")))
+      w = contractWeighted(w, lab)
+    }
+    mapping
+  }
+
   /** ONE synchronous gain-move round (pre-checkpoint), exposed so the
     * PlanSpec round audit can walk the executed plan: the cached
     * nbr-partitioned adjacency never re-exchanges (the |V|-row label

@@ -190,6 +190,43 @@ class LouvainSpec extends AnyFunSuite {
       s"warm modularity ${q(e, labWarm)} vs cold ${q(e, labCold)}")
   }
 
+  test("warm ladder: seeded from its own converged output is a fixpoint") {
+    val sp = spark
+    import sp.implicits._
+    val cliques = for {
+      c <- 0 until 12; i <- 0 until 10; j <- (i + 1) until 10
+    } yield ((c * 10 + i).toLong, (c * 10 + j).toLong)
+    val bridges = (0 until 12).map(c =>
+      ((c * 10).toLong, (((c + 1) % 12) * 10).toLong))
+    val e = (cliques ++ bridges).toDF("src", "dst")
+    val (cold, coldLevels) = Louvain.multilevelConverged(e, 12, 8)
+    val (warm, warmLevels) = Louvain.multilevelConvergedWarm(e, cold, 12, 8)
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      labelMap(df).groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(parts(warm) == parts(cold),
+      "re-seeding the converged partition must reproduce it")
+    assert(warmLevels <= coldLevels,
+      s"warm ladder must not be deeper: $warmLevels vs $coldLevels")
+  }
+
+  test("warm ladder: fixed unroll ≡ converged at budget ≥ stop depth") {
+    val sp = spark
+    import sp.implicits._
+    val cliques = for {
+      c <- 0 until 12; i <- 0 until 10; j <- (i + 1) until 10
+    } yield ((c * 10 + i).toLong, (c * 10 + j).toLong)
+    val bridges = (0 until 12).map(c =>
+      ((c * 10).toLong, (((c + 1) % 12) * 10).toLong))
+    val e = (cliques ++ bridges).toDF("src", "dst")
+    val we = Louvain.fromEdges(e)
+    val prior = Louvain.moveRoundsConverged(
+      we.filter((col("u") + col("v")) % 51 =!= 0), 40)._1
+    val (conv, levels) = Louvain.multilevelConvergedWarm(e, prior, 12, 8)
+    assert(labelMap(conv) ==
+      labelMap(Louvain.multilevelWarm(e, prior, 12, levels)),
+      "converged warm ladder must equal the fixed unroll at its depth")
+  }
+
   test("budget robustness: a different per-level budget still recovers") {
     // the per-level rounds knob changes the trajectory, not the answer
     // on recoverable structure: budget 12 self-stops at its own depth

@@ -61,12 +61,22 @@ object GraftSql {
   //   DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>
   //   CHANGES FROM LAKE '<root>' KEY <col>
   //     BETWEEN '<generation>' AND '<generation>'
+  //   GENERATIONS FROM LAKE '<root>'
+  //
+  // and, inside any SELECT/WITH statement, the TABLE forms (sql8 —
+  // the Delta `VERSION AS OF` read, the first query every auditor
+  // runs; rewritten to temp views over LakeTable.read/readAt before
+  // Catalyst sees the text, so pushdown/pruning apply unchanged):
+  //
+  //   ... FROM LAKE '<root>'                          -- live state
+  //   ... FROM LAKE '<root>' VERSION AS OF '<gen>'    -- time travel
   //
   // (Ranges-only DELETE is honest, not lazy: the metadata-only drop
   // economics io20 locks exist exactly for key-range predicates; an
   // arbitrary-predicate delete is a caller-side applyChanges. CHANGES
   // is the io22 row-level feed — generation names come from
-  // LakeTable.generations or a name captured around a write.)
+  // GENERATIONS/LakeTable.generations or a name captured around a
+  // write.)
 
   private val MergeRe =
     """(?is)\s*MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:(WITH\s+SCHEMA\s+EVOLUTION)\s+)?USING\s+(.+)""".r
@@ -76,7 +86,14 @@ object GraftSql {
     """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
   private val ChangesRe =
     """(?is)\s*CHANGES\s+FROM\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'\s*;?\s*""".r
-  private val DmlShaped = """(?is)\s*(MERGE|DELETE|APPLY|CHANGES)\b.*""".r
+  private val GenerationsRe =
+    """(?is)\s*GENERATIONS\s+FROM\s+LAKE\s+'([^']+)'\s*;?\s*""".r
+  private val DmlShaped =
+    """(?is)\s*(MERGE|DELETE|APPLY|CHANGES|GENERATIONS)\b.*""".r
+  // a LAKE table reference inside a SELECT/WITH — optional time travel
+  private val LakeRefRe =
+    """(?i)LAKE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?""".r
+  private val SelectShaped = """(?is)\s*(SELECT|WITH)\b.*""".r
 
   private def grammarError(statement: String): Nothing =
     sys.error(
@@ -88,6 +105,8 @@ object GraftSql {
         "  DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>\n" +
         "  CHANGES FROM LAKE '<root>' KEY <col> BETWEEN '<gen>' AND " +
         "'<gen>'\n" +
+        "  GENERATIONS FROM LAKE '<root>'\n" +
+        "  SELECT ... FROM LAKE '<root>' [VERSION AS OF '<gen>'] ...\n" +
         s"got: ${statement.trim.take(200)}")
 
   /** Route one statement: lake DML to the LakeTable write path,
@@ -121,7 +140,32 @@ object GraftSql {
       case ChangesRe(root, key, fromGen, toGen) =>
         graft.sources.LakeTable
           .changesBetween(spark, root, key, fromGen, toGen)
+      case GenerationsRe(root) =>
+        val gens = graft.sources.LakeTable.generations(spark, root)
+        gens.map(g => (g, graft.sources.LakeTable.ordinal(g)))
+          .toDF("generation", "ordinal")
       case DmlShaped(_) => grammarError(statement)
+      case sel @ SelectShaped(_) if LakeRefRe.findFirstIn(sel).isDefined =>
+        // TIME TRAVEL + live lake reads from SQL text: each LAKE
+        // reference becomes a temp view over readAt/read (immutable
+        // generation manifests make the as-of view byte-stable), then
+        // the rewritten statement runs through Catalyst unchanged —
+        // a view is a thin logical plan, so pushdown reaches the scan
+        var i = 0
+        val rewritten = LakeRefRe.replaceAllIn(sel, m => {
+          val frame = Option(m.group(2)) match {
+            case Some(gen) =>
+              graft.sources.LakeTable.readAt(spark, m.group(1), gen)
+            case None => graft.sources.LakeTable.read(spark, m.group(1))
+          }
+          i += 1
+          val view = s"graft_lake_ref_$i"
+          frame.createOrReplaceTempView(view)
+          view
+        })
+        sql(spark, dir, rewritten)
+      case other if LakeRefRe.findFirstIn(other).isDefined =>
+        grammarError(statement) // LAKE-shaped but not a form we accept
       case other => sql(spark, dir, other)
     }
   }

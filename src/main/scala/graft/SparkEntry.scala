@@ -4154,7 +4154,9 @@ object SparkEntry {
         // swapped — must stay invisible and get swept
         graft.sources.Snapshots.writeManifestGen(
           s, root, 99L, Seq((1, s"$root/data/v=1")))
-        graft.sources.Snapshots.expirePtr(s, root, cut = 2)
+        // single-maintenance-writer collect-now (grace 0): this row
+        // hash-locks n_gens = 1, the VACUUM-style immediate sweep
+        graft.sources.Snapshots.expirePtr(s, root, cut = 2, graceMs = 0L)
         val gen = graft.sources.Snapshots.currentGen(s, root).get
         val mrows = s.read.parquet(s"$root/manifest/g=$gen")
           .agg(count(lit(1)).as("manifest_rows"))

@@ -77,12 +77,13 @@ object LakeTable {
   // on a path), then VALIDATE-AND-SWAP: publish only if the pointer
   // still names the observed generation, otherwise throw the staged
   // work away and REBASE (re-plan against the new state) — the Delta
-  // commit protocol. The validate-and-swap itself is guarded by a
-  // JVM-wide lock: the single-process stand-in for the atomic
-  // put-if-absent a distributed deployment gets from HDFS
-  // create-exclusive / S3 conditional writes — the OCC protocol around
-  // it (observe, stage, validate, swap, rebase-on-conflict) is
-  // filesystem-agnostic and is what the tests lock.
+  // commit protocol. The validate-and-swap itself is guarded twice:
+  // a JVM-wide lock serializes in-process writers cheaply, and a
+  // CREATE-EXCLUSIVE claim file (see [[CommitClaim]] — the HDFS
+  // put-if-absent primitive, with stale-claim breaking) serializes
+  // writers ACROSS processes; the OCC protocol around them (observe,
+  // stage, validate, swap, rebase-on-conflict) is filesystem-agnostic
+  // and is what the tests lock.
 
   private val commitLock = new Object
 
@@ -114,7 +115,7 @@ object LakeTable {
   def isInitialized(spark: SparkSession, root: String): Boolean =
     currentName(spark, root).nonEmpty
 
-  private def ordinal(name: String): Long =
+  private[graft] def ordinal(name: String): Long =
     name.stripPrefix("g=").takeWhile(_ != '-').toLong
 
   /** The live batch list plus the generation it was read from — the
@@ -123,31 +124,68 @@ object LakeTable {
     */
   private[graft] def currentState(
       spark: SparkSession,
-      root: String): (Seq[BatchStat], Option[String]) =
+      root: String): (Seq[BatchStat], Option[String]) = {
+    val (rows, obs, _) = currentStateKeyed(spark, root)
+    (rows, obs)
+  }
+
+  /** [[currentState]] plus the MANIFEST KEY — the key column name the
+    * table was committed under (r15 advice #1: every keyed op names a
+    * key, and classifying batches by kmin/kmax against the WRONG
+    * column would silently drop or duplicate rows; the manifest is the
+    * one place the true key can live). None only for manifests written
+    * before the field existed (they validate permissively and are
+    * stamped by their next publish).
+    */
+  private[graft] def currentStateKeyed(
+      spark: SparkSession,
+      root: String): (Seq[BatchStat], Option[String], Option[String]) =
     currentName(spark, root) match {
-      case None => (Seq.empty, None)
+      case None => (Seq.empty, None, None)
       case some @ Some(name) =>
-        (readManifest(spark, s"$root/manifest/$name"), some)
+        val (rows, k) = readManifest(spark, s"$root/manifest/$name")
+        (rows, some, k)
     }
 
-  /** One manifest dir → BatchStat rows (secondary stats optional —
-    * pre-extension manifests lack the columns entirely).
+  /** Fail loudly when a keyed op names a key other than the manifest's
+    * (a wrong key turns metadata-only pruning into silent data loss —
+    * the r15 advice scenario). A manifest predating the field accepts
+    * any key, honestly permissive.
+    */
+  private def requireKeyMatches(
+      stored: Option[String], key: String, root: String): Unit =
+    stored.foreach(k => require(
+      k == key,
+      s"key mismatch: the table at $root is keyed by '$k' (manifest-" +
+        s"recorded), got '$key' — keyed ops must name the manifest key"))
+
+  /** One manifest dir → (BatchStat rows, manifest key). Secondary
+    * stats and the key column are optional — pre-extension manifests
+    * lack the columns entirely.
     */
   private def readManifest(
-      spark: SparkSession, dir: String): Seq[BatchStat] = {
+      spark: SparkSession, dir: String): (Seq[BatchStat], Option[String]) = {
     val df = spark.read.parquet(dir)
     val hasSec = df.columns.contains("col2")
+    val hasKey = df.columns.contains("kcol")
     val cols =
       Seq(col("batch"), col("path"), col("kmin"), col("kmax")) ++
         (if (hasSec) Seq(col("col2"), col("k2min"), col("k2max"))
-         else Nil)
-    df.select(cols: _*).collect().map { r =>
+         else Nil) ++
+        (if (hasKey) Seq(col("kcol")) else Nil)
+    val collected = df.select(cols: _*).collect()
+    val rows = collected.map { r =>
       val sec =
         if (hasSec && !r.isNullAt(4))
           Some(SecStat(r.getString(4), r.getLong(5), r.getLong(6)))
         else None
       BatchStat(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), sec)
     }.toSeq
+    val key =
+      if (!hasKey) None
+      else collected.headOption.flatMap(r =>
+        Option(r.getString(if (hasSec) 7 else 4)))
+    (rows, key)
   }
 
   private[graft] def currentRows(
@@ -166,19 +204,29 @@ object LakeTable {
       spark: SparkSession,
       root: String,
       rows: Seq[BatchStat],
-      observed: Option[String]): Boolean = {
+      observed: Option[String],
+      key: Option[String] = None): Boolean = {
     import spark.implicits._
     import org.apache.hadoop.fs.{CreateFlag, Options, Path}
+    // the JVM lock serializes in-process writers cheaply; the claim
+    // file serializes ACROSS processes (create-exclusive put-if-absent
+    // — see CommitClaim; the r15 verdict's cross-JVM gap)
     commitLock.synchronized {
+      CommitClaim.withClaim(spark, s"$root/manifest") {
       if (currentName(spark, root) != observed) false
       else {
+        // the manifest key: what the writer validated against, or —
+        // for a key-less republish (tests, the io19 stale-publish
+        // probe) — whatever the observed generation recorded
+        val kcol: Option[String] = key.orElse(observed.flatMap(o =>
+          readManifest(spark, s"$root/manifest/$o")._2))
         val name =
           s"g=${observed.map(ordinal).getOrElse(0L) + 1L}-${token()}"
         rows.distinct
           .map(b => (b.batch, b.path, b.kmin, b.kmax,
-            b.sec.map(_.col2), b.sec.map(_.lo), b.sec.map(_.hi)))
+            b.sec.map(_.col2), b.sec.map(_.lo), b.sec.map(_.hi), kcol))
           .toDF("batch", "path", "kmin", "kmax",
-            "col2", "k2min", "k2max")
+            "col2", "k2min", "k2max", "kcol")
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/$name")
         val conf = spark.sparkContext.hadoopConfiguration
@@ -196,6 +244,7 @@ object LakeTable {
         finally out.close()
         fc.rename(tmp, dst, Options.Rename.OVERWRITE)
         true
+      }
       }
     }
   }
@@ -234,6 +283,41 @@ object LakeTable {
     else (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
   }
 
+  /** SECONDARY bounds for a rewrite batch, derived WITHOUT scanning
+    * the rewrite (r15 verdict #4 — a routine merge after [[compactZ]]
+    * must not forfeit io23's second-dimension pruning): every row of
+    * the rewrite comes from a touched batch or from `source`, so when
+    * every touched batch carries bounds for ONE secondary column and
+    * the source has that column, the union of those bounds with the
+    * source's min/max (one scalar agg over the source — the only cost,
+    * and only paid by tables that were z-compacted) contains every
+    * rewritten value. Conservative the safe way round: replaced rows
+    * can only leave the bounds WIDER than exact; a batch that can't be
+    * bounded gets no stat and pruning keeps it. Source rows with a
+    * null secondary value are ignorable: a range probe's predicate
+    * never matches null, so pruning a batch that holds them loses
+    * nothing.
+    */
+  private def unionSecStat(
+      touched: Seq[BatchStat], source: DataFrame): Option[SecStat] = {
+    val secs = touched.flatMap(_.sec)
+    val cols2 = secs.map(_.col2).distinct
+    if (secs.size != touched.size || cols2.size != 1) None
+    else {
+      val c = cols2.head
+      if (!source.columns.contains(c) ||
+          source.schema(c).dataType !=
+            org.apache.spark.sql.types.LongType) None
+      else {
+        val r = source.agg(min(col(c)), max(col(c))).collect()(0)
+        val (lo0, hi0) = (secs.map(_.lo).min, secs.map(_.hi).max)
+        if (r.isNullAt(0)) Some(SecStat(c, lo0, hi0))
+        else Some(SecStat(
+          c, math.min(lo0, r.getLong(0)), math.max(hi0, r.getLong(1))))
+      }
+    }
+  }
+
   /** Append `df` as a new batch: data dir first, then a new manifest
     * generation, then the atomic pointer swap. Requires `key` non-null
     * and unique WITHIN `df`; cross-batch key disjointness is the
@@ -244,7 +328,7 @@ object LakeTable {
     val (n, nd, kmin, kmax) = keyStats(df, key)
     require(n > 0, "empty batch — nothing to append")
     require(nd == n, s"duplicate $key values within the appended batch")
-    appendStatted(df, root, kmin, kmax)
+    appendStatted(df, root, key, kmin, kmax)
   }
 
   /** [[append]] with the stats already known (merge's internal path —
@@ -253,15 +337,18 @@ object LakeTable {
     * against the new state.
     */
   private def appendStatted(
-      df: DataFrame, root: String, kmin: Long, kmax: Long): Unit = {
+      df: DataFrame, root: String, key: String,
+      kmin: Long, kmax: Long): Unit = {
     val spark = df.sparkSession
     retryOcc("append") {
-      val (prev, obs) = currentState(spark, root)
+      val (prev, obs, tkey) = currentStateKeyed(spark, root)
+      requireKeyMatches(tkey, key, root)
       val next = prev.map(_.batch).foldLeft(0)(math.max) + 1
       val path = s"$root/data/v=$next-${token()}"
       df.write.mode(SaveMode.Overwrite).parquet(path)
       if (publishIfCurrent(
-          spark, root, prev :+ BatchStat(next, path, kmin, kmax), obs))
+          spark, root, prev :+ BatchStat(next, path, kmin, kmax), obs,
+          Some(key)))
         Some(()) // a lost race leaves the staged dir for the next sweep
       else None
     }
@@ -302,16 +389,27 @@ object LakeTable {
       lo: Long,
       hi: Long): DataFrame = {
     require(lo <= hi, s"empty range [$lo, $hi]")
-    val rows = currentRows(spark, root)
+    val (rows, _, tkey) = currentStateKeyed(spark, root)
     require(rows.nonEmpty, s"nothing committed under $root")
+    requireKeyMatches(tkey, key, root)
     val kept = planPruned(rows, lo, hi)
-    if (kept.isEmpty)
-      spark.read.parquet(rows.maxBy(_.batch).path).limit(0)
+    if (kept.isEmpty) emptyFrame(spark, rows)
     else
       spark.read.option("mergeSchema", "true")
         .parquet(kept.map(_.path).distinct.sorted: _*)
         .filter(col(key) >= lo && col(key) <= hi)
   }
+
+  /** The typed empty frame of a fully-pruned probe, on the UNION
+    * schema over live batches (r15 advice: deriving from any single
+    * batch loses post-evolution columns exactly when the plan prunes
+    * to zero — the one case downstream selects would then break).
+    * Footer-merge cost only, batch-count-sized.
+    */
+  private def emptyFrame(
+      spark: SparkSession, rows: Seq[BatchStat]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(rows.map(_.path).distinct.sorted: _*).limit(0)
 
   // ---- time travel + row-level change feed over retained generations ----
 
@@ -331,7 +429,13 @@ object LakeTable {
   }
 
   private[graft] def genRows(
-      spark: SparkSession, root: String, gen: String): Seq[BatchStat] = {
+      spark: SparkSession, root: String, gen: String): Seq[BatchStat] =
+    genManifest(spark, root, gen)._1
+
+  private def genManifest(
+      spark: SparkSession,
+      root: String,
+      gen: String): (Seq[BatchStat], Option[String]) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$root/manifest/$gen")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -418,7 +522,8 @@ object LakeTable {
       ordinal(fromGen) <= ordinal(toGen),
       s"fromGen $fromGen is newer than toGen $toGen — reverse them")
     val fromRows = genRows(spark, root, fromGen)
-    val toRows = genRows(spark, root, toGen)
+    val (toRows, tkey) = genManifest(spark, root, toGen)
+    requireKeyMatches(tkey, key, root)
     val plan = diffPlan(fromRows, toRows)
 
     def readSide(paths: Seq[String]): Option[DataFrame] =
@@ -537,7 +642,8 @@ object LakeTable {
 
     import spark.implicits._
     retryOcc("merge") {
-      val (rows, obs) = currentState(spark, root)
+      val (rows, obs, tkey) = currentStateKeyed(spark, root)
+      requireKeyMatches(tkey, key, root)
       val tableSchema = spark.read.option("mergeSchema", "true")
         .parquet(rows.map(_.path).distinct.sorted: _*).columns.toSeq
       if (mergeSchema)
@@ -572,7 +678,8 @@ object LakeTable {
         val path = s"$root/data/v=$next-${token()}"
         source.write.mode(SaveMode.Overwrite).parquet(path)
         if (publishIfCurrent(
-            spark, root, rows :+ BatchStat(next, path, sMin, sMax), obs))
+            spark, root, rows :+ BatchStat(next, path, sMin, sMax), obs,
+            Some(key)))
           Some(MergeReport(Nil, rows.map(_.batch), pureInsert = true))
         else None
       } else {
@@ -600,8 +707,10 @@ object LakeTable {
         val stat = BatchStat(
           next, path,
           math.min(touched.map(_.kmin).min, sMin),
-          math.max(touched.map(_.kmax).max, sMax))
-        if (publishIfCurrent(spark, root, untouched :+ stat, obs)) {
+          math.max(touched.map(_.kmax).max, sMax),
+          unionSecStat(touched, src))
+        if (publishIfCurrent(spark, root, untouched :+ stat, obs,
+            Some(key))) {
           sweep(spark, root)
           Some(MergeReport(
             touched.map(_.batch), untouched.map(_.batch),
@@ -661,7 +770,8 @@ object LakeTable {
 
     import spark.implicits._
     retryOcc("applyChanges") {
-      val (rows, obs) = currentState(spark, root)
+      val (rows, obs, tkey) = currentStateKeyed(spark, root)
+      requireKeyMatches(tkey, key, root)
       // the table schema is the UNION over live batches (mergeSchema
       // footer read, batch-count-sized) — after a schema-evolving
       // merge (io21) batches are heterogeneous, and deriving from any
@@ -696,7 +806,7 @@ object LakeTable {
           upserts.write.mode(SaveMode.Overwrite).parquet(path)
           if (publishIfCurrent(
               spark, root,
-              rows :+ BatchStat(next, path, uMin, uMax), obs))
+              rows :+ BatchStat(next, path, uMin, uMax), obs, Some(key)))
             Some(MergeReport(Nil, rows.map(_.batch), pureInsert = true))
           else None
         }
@@ -736,13 +846,14 @@ object LakeTable {
         val kept =
           if (rewrittenEmpty) untouched
           else untouched :+ BatchStat(
-            next, path, bounds.map(_._1).min, bounds.map(_._2).max)
+            next, path, bounds.map(_._1).min, bounds.map(_._2).max,
+            unionSecStat(touched, upserts))
         require(
           kept.nonEmpty,
           "applyChanges would delete the last row of the table — an " +
             "empty keyed table has no manifest; truncate explicitly " +
             "instead")
-        if (publishIfCurrent(spark, root, kept, obs)) {
+        if (publishIfCurrent(spark, root, kept, obs, Some(key))) {
           sweep(spark, root)
           Some(MergeReport(
             touched.map(_.batch), untouched.map(_.batch),
@@ -784,7 +895,8 @@ object LakeTable {
     require(lo <= hi, s"empty range [$lo, $hi]")
     require(isInitialized(spark, root), s"nothing committed under $root")
     retryOcc("deleteRange") {
-      val (rows, obs) = currentState(spark, root)
+      val (rows, obs, tkey) = currentStateKeyed(spark, root)
+      requireKeyMatches(tkey, key, root)
       val inside = rows.filter(b => lo <= b.kmin && b.kmax <= hi)
       val disjoint = rows.filter(b => b.kmax < lo || b.kmin > hi)
       val straddling = rows.filterNot(b =>
@@ -806,8 +918,18 @@ object LakeTable {
               .write.mode(SaveMode.Overwrite).parquet(path)
             val r = spark.read.parquet(path)
               .agg(count(lit(1)), min(col(key)), max(col(key))).collect()(0)
+            // secondary bounds survive the rewrite when every straddler
+            // carries them for one column: deletion only removes rows,
+            // so the straddlers' union still contains every survivor
+            val secs = straddling.flatMap(_.sec)
+            val sec =
+              if (secs.size == straddling.size &&
+                  secs.map(_.col2).distinct.size == 1)
+                Some(SecStat(secs.head.col2,
+                  secs.map(_.lo).min, secs.map(_.hi).max))
+              else None
             if (r.getLong(0) == 0L) Nil
-            else Seq(BatchStat(next, path, r.getLong(1), r.getLong(2)))
+            else Seq(BatchStat(next, path, r.getLong(1), r.getLong(2), sec))
           }
         val kept = disjoint ++ rewrittenStats
         require(
@@ -815,7 +937,7 @@ object LakeTable {
           "deleteRange would delete the last row of the table — an " +
             "empty keyed table has no manifest; truncate explicitly " +
             "instead")
-        if (publishIfCurrent(spark, root, kept, obs)) {
+        if (publishIfCurrent(spark, root, kept, obs, Some(key))) {
           sweep(spark, root)
           Some(DeleteReport(
             inside.map(_.batch), straddling.map(_.batch),
@@ -849,7 +971,8 @@ object LakeTable {
       s"splits must be strictly increasing: $splits")
     require(isInitialized(spark, root), s"nothing committed under $root")
     retryOcc("compact") {
-      val (rows, obs) = currentState(spark, root)
+      val (rows, obs, tkey) = currentStateKeyed(spark, root)
+      requireKeyMatches(tkey, key, root)
       val next = rows.map(_.batch).max + 1
       val stage = s"$root/data/cmp=$next-${token()}"
       val bucket = splits.foldLeft(lit(0)) { (acc, s) =>
@@ -863,16 +986,27 @@ object LakeTable {
       data.withColumn("gbucket", bucket)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("gbucket").parquet(stage)
+      // when the table tracks one secondary column (a prior compactZ),
+      // its per-bucket bounds ride the SAME grouped agg — exact, free,
+      // and the lex rewrite keeps io23's second-dimension pruning alive
+      val secCol = rows.flatMap(_.sec).map(_.col2).distinct match {
+        case Seq(c) if data.columns.contains(c) && c != key => Some(c)
+        case _ => None
+      }
+      val aggs = Seq(max(col(key)).as("kmax")) ++ secCol.toSeq.flatMap(c =>
+        Seq(min(col(c)).as("k2min"), max(col(c)).as("k2max")))
       val stats = spark.read.parquet(stage)
         .groupBy(col("gbucket"))
-        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+        .agg(min(col(key)).as("kmin"), aggs: _*)
         .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          secCol.filter(_ => !r.isNullAt(3))
+            .map(c => SecStat(c, r.getLong(3), r.getLong(4)))))
         .sortBy(_._1)
-      val kept = stats.zipWithIndex.map { case ((b, lo, hi), i) =>
-        BatchStat(next + i, s"$stage/gbucket=$b", lo, hi)
+      val kept = stats.zipWithIndex.map { case ((b, lo, hi, sec), i) =>
+        BatchStat(next + i, s"$stage/gbucket=$b", lo, hi, sec)
       }.toSeq
-      if (publishIfCurrent(spark, root, kept, obs)) {
+      if (publishIfCurrent(spark, root, kept, obs, Some(key))) {
         sweep(spark, root)
         Some(())
       } else None
@@ -910,7 +1044,8 @@ object LakeTable {
     require(buckets >= 2 && buckets <= 4096, s"buckets: $buckets")
     require(isInitialized(spark, root), s"nothing committed under $root")
     retryOcc("compactZ") {
-      val (rows, obs) = currentState(spark, root)
+      val (rows, obs, tkey) = currentStateKeyed(spark, root)
+      requireKeyMatches(tkey, key, root)
       val next = rows.map(_.batch).max + 1
       val stage = s"$root/data/cmpz=$next-${token()}"
       val data = spark.read.option("mergeSchema", "true")
@@ -920,9 +1055,27 @@ object LakeTable {
         .collect()(0)
       val (xlo, xhi, ylo, yhi) =
         (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-      def scale16(c: String, lo: Long, hi: Long) =
-        if (hi <= lo) lit(0L)
-        else expr(s"(($c - $lo) * 65535) div ${hi - lo}")
+      // overflow-safe 16-bit scaling (r15 advice #4: the naive
+      // (c − lo) · 65535 wraps past a ~1.4e14 span and z-clustering
+      // silently degrades to noise): pre-shift both the offset and the
+      // span so (span ≫ s) · 65535 < 2⁶³ — for narrow spans s = 0 and
+      // the arithmetic is bit-identical to the unshifted form the io23
+      // oracle replays; for wide spans the shift only coarsens the
+      // 16-bit grid's low bits, which the grid was discarding anyway.
+      // x ≤ y ⇒ x ≫ s ≤ y ≫ s keeps the result in [0, 65535] exactly.
+      def scale16(c: String, lo: Long, hi: Long) = {
+        val span = BigInt(hi) - BigInt(lo)
+        require(span < BigInt(Long.MaxValue),
+          s"$c spans ≥ 2^63 — rescale the column before z-ordering")
+        val sp = span.toLong
+        if (sp <= 0L) lit(0L)
+        else {
+          val shift = math.max(
+            0, 64 - java.lang.Long.numberOfLeadingZeros(sp) - 46)
+          expr(s"(shiftright($c - $lo, $shift) * 65535) " +
+            s"div ${math.max(sp >> shift, 1L)}")
+        }
+      }
       val z = graft.operators.Layout.zValue16(
         scale16(key, xlo, xhi), scale16(key2, ylo, yhi))
       data
@@ -945,7 +1098,7 @@ object LakeTable {
           BatchStat(next + i, s"$stage/gbucket=$bk", lo, hi,
             Some(SecStat(key2, lo2, hi2)))
       }.toSeq
-      if (publishIfCurrent(spark, root, kept, obs)) {
+      if (publishIfCurrent(spark, root, kept, obs, Some(key))) {
         sweep(spark, root)
         Some(())
       } else None
@@ -983,8 +1136,7 @@ object LakeTable {
     val rows = currentRows(spark, root)
     require(rows.nonEmpty, s"nothing committed under $root")
     val kept = planPrunedOn(rows, column, lo, hi)
-    if (kept.isEmpty)
-      spark.read.parquet(rows.maxBy(_.batch).path).limit(0)
+    if (kept.isEmpty) emptyFrame(spark, rows)
     else
       spark.read.option("mergeSchema", "true")
         .parquet(kept.map(_.path).distinct.sorted: _*)
@@ -1032,9 +1184,12 @@ object LakeTable {
       spark.sparkContext.hadoopConfiguration)
     def top(path: String): String =
       path.stripPrefix(s"$root/data/").split('/').head
-    // serialized with publishes (and other sweeps): a sweep reads the
-    // superseded generation dirs a concurrent sweep would delete
+    // serialized with publishes (and other sweeps) IN and ACROSS
+    // processes: a sweep reads the superseded generation dirs a
+    // concurrent sweep would delete, and must never interleave with a
+    // cross-JVM publish's observe→swap window
     commitLock.synchronized {
+    CommitClaim.withClaim(spark, s"$root/manifest") {
     // the live name is read INSIDE the lock — a publish between read
     // and sweep would otherwise make this sweep delete the new live
     val live = currentName(spark, root)
@@ -1067,6 +1222,7 @@ object LakeTable {
         if (replaced || orphan) fs.delete(st.getPath, true)
       }
     expiredGens.foreach(st => fs.delete(st.getPath, true))
+    }
     }
   }
 }

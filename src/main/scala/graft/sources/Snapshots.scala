@@ -179,11 +179,10 @@ object Snapshots {
     }
 
   // serializes the observe → write-generation → swap critical section
-  // across writers in THIS JVM — the single-process stand-in for the
-  // put-if-absent a distributed deployment gets from HDFS
-  // create-exclusive / S3 conditional writes (the same note as
-  // LakeTable's commitLock; the OCC protocol around it is
-  // filesystem-agnostic)
+  // across writers in THIS JVM; cross-process exclusivity comes from
+  // the CREATE-EXCLUSIVE claim file each section also takes (see
+  // [[CommitClaim]] — the HDFS put-if-absent primitive with
+  // stale-claim breaking; the same pairing as LakeTable's commitLock)
   private val ptrCommitLock = new Object
 
   /** [[commit]] through the pointer: data dir first, then a NEW manifest
@@ -203,11 +202,13 @@ object Snapshots {
     val path = s"$root/data/v=$version"
     df.write.mode(SaveMode.Overwrite).parquet(path)
     ptrCommitLock.synchronized {
-      val prev = currentRows(spark, root)
-      val gen = currentGen(spark, root).getOrElse(0L) + 1L
-      writeManifestGen(
-        spark, root, gen, (prev :+ ((version, path))).distinct)
-      swapPointer(spark, root, gen)
+      CommitClaim.withClaim(spark, s"$root/manifest") {
+        val prev = currentRows(spark, root)
+        val gen = currentGen(spark, root).getOrElse(0L) + 1L
+        writeManifestGen(
+          spark, root, gen, (prev :+ ((version, path))).distinct)
+        swapPointer(spark, root, gen)
+      }
     }
   }
 
@@ -225,12 +226,14 @@ object Snapshots {
     val stage = s"$root/data/a=$tok"
     df.write.mode(SaveMode.Overwrite).parquet(stage)
     ptrCommitLock.synchronized {
-      val prev = currentRows(spark, root)
-      val v = prev.map(_._1).foldLeft(0)(math.max) + 1
-      val gen = currentGen(spark, root).getOrElse(0L) + 1L
-      writeManifestGen(spark, root, gen, prev :+ ((v, stage)))
-      swapPointer(spark, root, gen)
-      v
+      CommitClaim.withClaim(spark, s"$root/manifest") {
+        val prev = currentRows(spark, root)
+        val v = prev.map(_._1).foldLeft(0)(math.max) + 1
+        val gen = currentGen(spark, root).getOrElse(0L) + 1L
+        writeManifestGen(spark, root, gen, prev :+ ((v, stage)))
+        swapPointer(spark, root, gen)
+        v
+      }
     }
   }
 
@@ -360,26 +363,47 @@ object Snapshots {
   /** Sweep everything the live generation does not reference: expired
     * and orphaned data dirs AND superseded manifest generations. Pure
     * cleanup — skipping it (a crash after the swap) costs disk, never
-    * correctness.
+    * correctness. Two safety rails (r15 advice #2 — the unserialized,
+    * ungated sweep could delete a CONCURRENT appender's work):
+    *
+    *  - the live state is re-read UNDER the commit lock + claim, so a
+    *    generation published between a stale read and the deletes can
+    *    never lose its just-referenced data dir;
+    *  - unreferenced dirs AGE-GATE on `graceMs` (LakeTable.sweep's
+    *    discipline): an [[appendNextPtr]] stager writes its `a=<tok>`
+    *    dir BEFORE taking the lock, and only time distinguishes that
+    *    in-flight dir from a crashed writer's corpse. Pass 0 in
+    *    single-writer maintenance to collect everything now — the
+    *    VACUUM tradeoff, stated.
     */
-  private[graft] def ptrSweep(spark: SparkSession, root: String): Unit = {
+  private[graft] def ptrSweep(
+      spark: SparkSession,
+      root: String,
+      graceMs: Long = 15L * 60L * 1000L): Unit = {
     import org.apache.hadoop.fs.Path
-    val gen = currentGen(spark, root)
-      .getOrElse(sys.error(s"no committed manifest under $root"))
-    val keepNames = currentRows(spark, root)
-      .map(p => new Path(p._2).getName).toSet
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val dataDir = new Path(s"$root/data")
-    if (fs.exists(dataDir))
-      fs.listStatus(dataDir)
-        .filter(st => !keepNames.contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, true))
-    val manDir = new Path(s"$root/manifest")
-    fs.listStatus(manDir)
-      .filter(st => st.getPath.getName.startsWith("g=") &&
-        st.getPath.getName != s"g=$gen")
-      .foreach(st => fs.delete(st.getPath, true))
+    ptrCommitLock.synchronized {
+      CommitClaim.withClaim(spark, s"$root/manifest") {
+        val gen = currentGen(spark, root)
+          .getOrElse(sys.error(s"no committed manifest under $root"))
+        val keepNames = currentRows(spark, root)
+          .map(p => new Path(p._2).getName).toSet
+        val fs = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val now = System.currentTimeMillis()
+        val dataDir = new Path(s"$root/data")
+        if (fs.exists(dataDir))
+          fs.listStatus(dataDir)
+            .filter(st => !keepNames.contains(st.getPath.getName) &&
+              now - st.getModificationTime >= graceMs)
+            .foreach(st => fs.delete(st.getPath, true))
+        val manDir = new Path(s"$root/manifest")
+        fs.listStatus(manDir)
+          .filter(st => st.getPath.getName.startsWith("g=") &&
+            st.getPath.getName != s"g=$gen" &&
+            now - st.getModificationTime >= graceMs)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+    }
   }
 
   /** [[expire]] through the pointer — the io12c close. Three steps,
@@ -388,13 +412,24 @@ object Snapshots {
     * pointer rename — the step [[expire]] could not make atomic) →
     * sweep (pure cleanup; a lost sweep is re-swept by the next
     * expire). Re-expiring at the same cut is idempotent end to end.
+    * `graceMs` rides through to [[ptrSweep]]: the default retains
+    * young unreferenced dirs (a concurrent appender's staged batch);
+    * single-writer maintenance passes 0 to collect now.
     */
-  def expirePtr(spark: SparkSession, root: String, cut: Int): Unit = {
+  def expirePtr(
+      spark: SparkSession,
+      root: String,
+      cut: Int,
+      graceMs: Long = 15L * 60L * 1000L): Unit = {
     val kept = ptrCheckpoint(spark, root, cut)
-    val gen = currentGen(spark, root).getOrElse(0L) + 1L
-    writeManifestGen(spark, root, gen, kept)
-    swapPointer(spark, root, gen)
-    ptrSweep(spark, root)
+    ptrCommitLock.synchronized {
+      CommitClaim.withClaim(spark, s"$root/manifest") {
+        val gen = currentGen(spark, root).getOrElse(0L) + 1L
+        writeManifestGen(spark, root, gen, kept)
+        swapPointer(spark, root, gen)
+      }
+    }
+    ptrSweep(spark, root, graceMs)
   }
 
   def expire(spark: SparkSession, root: String, cut: Int): Unit = {

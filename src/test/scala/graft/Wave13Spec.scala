@@ -422,7 +422,7 @@ class AtomicSnapshotSpec extends AnyFunSuite {
     withRoot { root =>
       commit3(root)
       assert(ks(Snapshots.readVersionPtr(spark, root, 2)) == Set(1L, 2L, 3L, 4L))
-      Snapshots.expirePtr(spark, root, cut = 2)
+      Snapshots.expirePtr(spark, root, cut = 2, graceMs = 0L)
       assert(ks(Snapshots.readVersionPtr(spark, root, 3)) ==
         Set(1L, 2L, 3L, 4L, 5L, 6L), "as-of-3 byte-stable after expiry")
       intercept[IllegalArgumentException] {
@@ -445,7 +445,7 @@ class AtomicSnapshotSpec extends AnyFunSuite {
       assert(ks(Snapshots.readVersionPtr(spark, root, 1)) == Set(1L, 2L),
         "pre-cut history must still read — nothing was published")
       // full retry from scratch converges
-      Snapshots.expirePtr(spark, root, cut = 2)
+      Snapshots.expirePtr(spark, root, cut = 2, graceMs = 0L)
       assert(ks(Snapshots.readVersionPtr(spark, root, 3)) == before)
       intercept[IllegalArgumentException] {
         Snapshots.readVersionPtr(spark, root, 1)
@@ -464,7 +464,7 @@ class AtomicSnapshotSpec extends AnyFunSuite {
       assert(ks(Snapshots.readVersionPtr(spark, root, 3)) == before)
       assert(ks(Snapshots.readVersionPtr(spark, root, 1)) == Set(1L, 2L),
         "unswapped generation must be invisible")
-      Snapshots.expirePtr(spark, root, cut = 2)
+      Snapshots.expirePtr(spark, root, cut = 2, graceMs = 0L)
       assert(ks(Snapshots.readVersionPtr(spark, root, 3)) == before)
     }
   }
@@ -484,7 +484,7 @@ class AtomicSnapshotSpec extends AnyFunSuite {
         Snapshots.readVersionPtr(spark, root, 1)
       }
       // re-expire is the documented recovery: idempotent, sweeps
-      Snapshots.expirePtr(spark, root, cut = 2)
+      Snapshots.expirePtr(spark, root, cut = 2, graceMs = 0L)
       assert(ks(Snapshots.readVersionPtr(spark, root, 3)) == before)
       val files = new java.io.File(s"$root/data").listFiles().map(_.getName)
       assert(files.sorted.toSeq == Seq("ckpt=2", "v=3"),
@@ -500,7 +500,7 @@ class AtomicSnapshotSpec extends AnyFunSuite {
       Seq(99L).toDF("k").write.parquet(s"$root/data/v=9")
       assert(ks(Snapshots.readVersionPtr(spark, root, 9)) ==
         Set(1L, 2L, 3L, 4L, 5L, 6L), "orphan must not be planned")
-      Snapshots.expirePtr(spark, root, cut = 1)
+      Snapshots.expirePtr(spark, root, cut = 1, graceMs = 0L)
       assert(!new java.io.File(s"$root/data/v=9").exists(),
         "expire must sweep crashed-commit orphans")
     }

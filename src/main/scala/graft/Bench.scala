@@ -313,27 +313,35 @@ object Bench {
     // committed idle walls (BENCH_DETAIL.json is the idle reference
     // artifact): feeds the per-row vs_idle column below, the 3× vsIdle
     // contention suspects, and the adjusted-total discount
-    val (idleWalls: Map[String, Double], idleCalib1t: Option[Double]) = try {
+    val (idleWalls: Map[String, Double], idleCalib1t: Option[Double],
+        idleCalibWide: Option[Double]) = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
       val qStart = txt.indexOf("\"queries\":{")
-      // the idle run's own host-speed calibration, for the
-      // calib_vs_idle ratio below — engine- and SF-independent, so it
-      // parses regardless of the scale-factor gate
+      // the idle run's own host-speed calibrations, for the
+      // calib_vs_idle ratios below — engine- and SF-independent, so
+      // they parse regardless of the scale-factor gate. The WIDE
+      // calibration is the contention witness: a co-tenant stealing
+      // parallel throughput inflates calib_wide while calib_1t stays
+      // flat (measured 1.94 vs ~0.9 within one hour in r15).
       val calib = "\"calib_1t_sec\":([0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+      val calibW = "\"calib_wide_sec\":([0-9.]+)".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
       // the walls are only comparable at the SAME scale factor — an
       // sf0.01 iteration run must not be "discounted" against sf0.1 walls
       val sfOk = txt.contains("\"sf\":\"" + sfDir + "\"")
-      if (qStart < 0 || !sfOk) (Map.empty[String, Double], calib)
+      if (qStart < 0 || !sfOk) (Map.empty[String, Double], calib, calibW)
       else {
         val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
         val walls = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        (walls, calib)
+        (walls, calib, calibW)
       }
-    } catch { case _: Throwable => (Map.empty[String, Double], None) }
+    } catch {
+      case _: Throwable => (Map.empty[String, Double], None, None)
+    }
     // committed idle WORK invariants (shuffle-read + input MB per
     // query, r14 verdict #5): bytes don't drift with host speed the
     // way walls and even CPU seconds do (g13's per-iteration shuffle
@@ -346,13 +354,30 @@ object Bench {
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
       if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-      else
-        ("\"([A-Za-z0-9_]+)\":\\{\"shuffle_read_mb\":([0-9.]+)," +
-          "\"shuffle_write_mb\":[0-9.]+,\"spill_mb\":[0-9.]+," +
-          "\"input_mb\":([0-9.]+)").r
+      else {
+        // per-query FLAT objects parsed field-by-field, not by field
+        // ORDER (r15 advice #5: the ordered regex silently emptied the
+        // map on any resource-row reshape, turning the work-keyed
+        // rules off with no signal). Resource rows are the only
+        // brace-valued entries keyed by query name.
+        val field = (name: String, body: String) =>
+          ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(body)
+            .map(_.group(1).toDouble)
+        val parsed = "\"([A-Za-z0-9_]+)\":\\{([^{}]*)\\}".r
           .findAllMatchIn(txt)
-          .map(m => m.group(1) -> (m.group(2).toDouble + m.group(3).toDouble))
-          .toMap
+          .flatMap { m =>
+            for {
+              sr <- field("shuffle_read_mb", m.group(2))
+              in <- field("input_mb", m.group(2))
+            } yield m.group(1) -> (sr + in)
+          }.toMap
+        if (parsed.isEmpty)
+          System.err.println(
+            "[bench] BENCH_DETAIL.json matches this sf but idleWork " +
+              "parsed EMPTY — resource-row shape changed? work-keyed " +
+              "regression rules are OFF this run")
+        parsed
+      }
     } catch { case _: Throwable => Map.empty }
     // per-query resource rows, augmented with (a) post-query cache
     // occupancy and (b) the committed idle wall + drift ratio, so an
@@ -406,6 +431,7 @@ object Bench {
           if idleWalls.get(k).exists(iw => iw >= 0.5 && v > 3.0 * iw) => k
     }
     val suspects = (contended ++ vsIdle).distinct
+    val suspectSet = suspects.toSet
     val contendedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // WORK-KEYED regression rule (r14 verdict #5 — walls compared only
     // at matching work, host-calibrated):
@@ -418,6 +444,16 @@ object Bench {
     //    (calib_vs_idle) — slow at identical work on a speed-adjusted
     //    clock is the one shape that is actually the engine's fault.
     val calibRatio = idleCalib1t.map(ic => calib1t / ic).getOrElse(1.0)
+    // the WIDE ratio joins the clock discount (r15 verdict #2: six
+    // "regressions" from one contended driver window, all clear at
+    // idle — calib_1t missed the oversubscription calib_wide sees), and
+    // per-query contention suspects are excluded outright: a wall the
+    // run itself already attributes to the host is not an engine
+    // regression, it is noise by construction.
+    val calibWideRatio =
+      idleCalibWide.map(ic => calibWide / ic).getOrElse(1.0)
+    val hostRatio =
+      math.max(1.0, math.max(calibRatio, calibWideRatio))
     def workOf(u: graft.metrics.ResourceSnapshot): Double =
       (u.shuffleReadBytes + u.inputBytes) / 1048576.0
     val workChanged = results.collect {
@@ -430,9 +466,10 @@ object Bench {
     val workChangedSet = workChanged.toSet
     val regressions = results.collect {
       case (k, Right((v, _)), u)
-          if !workChangedSet.contains(k) && idleWork.contains(k) &&
+          if !workChangedSet.contains(k) && !suspectSet.contains(k) &&
+            idleWork.contains(k) &&
             idleWalls.get(k).exists(iw =>
-              iw >= 0.5 && v > 2.0 * iw * math.max(1.0, calibRatio)) => k
+              iw >= 0.5 && v > 2.0 * iw * hostRatio) => k
     }
     val workChangedJson =
       workChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -444,7 +481,6 @@ object Bench {
     // driver run self-reports the number an idle host would have
     // produced instead of reading as a regression. idle_ref_n says how
     // many queries had an idle reference to discount against.
-    val suspectSet = suspects.toSet
     val adjustedTotal = results.collect { case (k, Right((v, _)), _) =>
       if (suspectSet.contains(k))
         idleWalls.get(k).map(math.min(v, _)).getOrElse(v)

@@ -596,12 +596,63 @@ object SparkEntry {
     sb.toString
   }
 
+  /** WARM L-level fixed-unroll Louvain oracle (the g58c lock —
+    * [[louvainMultilevelSql]] with level A seeded): level A runs
+    * `rounds` gain rounds from `init` instead of singletons, the
+    * contracted levels run cold, and the projection chain folds back.
+    * Equals the engine's self-stopped `multilevelConvergedWarm` at the
+    * same per-level budget for any `levels` ≥ the observed stop depth,
+    * by the same no-op-tail argument as the cold ladder (stabilized
+    * levels replay their tail rounds as fixpoints, post-stop levels
+    * replay identity). Caller supplies CTEs ending in `ue(u, v)` and
+    * the init SELECT (over `kvA` ∪ the prior labels).
+    */
+  private def louvainMultilevelWarmSql(
+      levels: Int, rounds: Int, init: String): String = {
+    require(levels >= 1 && levels <= 26)
+    val names = (0 until levels).map(i => ('A' + i).toChar.toString)
+    val sb = new StringBuilder
+    sb ++=
+      s"""weA AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue),
+         |""".stripMargin
+    sb ++= louvainRoundsSql("A", rounds, init = Some(init))
+    for (i <- 1 until levels) {
+      val p = names(i - 1)
+      val c = names(i)
+      sb ++= s""",
+        |we$c AS MATERIALIZED (
+        |  SELECT least(a.lbl, b.lbl) AS u, greatest(a.lbl, b.lbl) AS v,
+        |    CAST(sum(w.w) AS BIGINT) AS w
+        |  FROM we$p w JOIN l${p}_$rounds a ON a.id = w.u
+        |  JOIN l${p}_$rounds b ON b.id = w.v
+        |  GROUP BY 1, 2),
+        |""".stripMargin
+      sb ++= louvainRoundsSql(c, rounds)
+    }
+    var mapping = s"lA_$rounds"
+    for (i <- 1 until levels) {
+      val c = names(i)
+      val next = s"proj$c"
+      sb ++= s""",
+        |$next AS MATERIALIZED (
+        |  SELECT p.id, c.lbl FROM $mapping p
+        |  JOIN l${c}_$rounds c ON c.id = p.lbl)""".stripMargin
+      mapping = next
+    }
+    sb ++= louvainFinalSql(
+      mapping, s", CAST($levels AS BIGINT) AS levels_run")
+    sb.toString
+  }
+
   /** Shared modularity tail for the Louvain oracles: Newman Q of the
     * labels in CTE `labCte` over the original graph's `ue`, emitted as
     * `n_comms, q_r` columns on every label row (mirrors the engine's
-    * crossJoin of the 1-row modularity frame).
+    * crossJoin of the 1-row modularity frame). `extraCols` appends
+    * literal columns (e.g. the converged ladder's depth lock).
     */
-  private def louvainFinalSql(labCte: String): String =
+  private def louvainFinalSql(
+      labCte: String, extraCols: String = ""): String =
     s""",
        |qme AS MATERIALIZED (
        |  SELECT count(*) AS m_edges,
@@ -617,7 +668,7 @@ object SparkEntry {
        |SELECT t.id, t.lbl, qds.n_comms,
        |  round(CAST(qme.intra_edges AS DOUBLE)/qme.m_edges
        |      - CAST(qds.sum_deg_sq AS DOUBLE)/(4.0*qme.m_edges*qme.m_edges), 9)
-       |    AS q_r
+       |    AS q_r$extraCols
        |FROM $labCte t, qme, qds""".stripMargin
 
   /** Unrolled CORENESS recurrence (g53 oracle): c_0 = degree, then k
@@ -2903,6 +2954,28 @@ object SparkEntry {
         .select(col("n_comms"), col("q_r"))
       lab.crossJoin(broadcast(qv))
     },
+    "g58c_louvain_warm_converged" -> { (s, dir) =>
+      // the WARM ladder run TO CONVERGENCE (r15 verdict #5 — the form
+      // a daily community refresh actually runs: g58b's fixed unroll
+      // proved the trajectory, this row pins the self-determined
+      // depth): level 0 re-enters warm from the prior labels and stops
+      // on its own stability, the contracted levels run the cold
+      // ladder, and `levels_run` — the expensive dimension — rides the
+      // hash. Oracle: the fixed 8-round unroll at the observed depth
+      // (capped levels run exactly 8 in both, stabilized levels no-op
+      // their tails, post-stop levels replay identity — the g52c
+      // argument, warm-seeded).
+      val e = graft.sources.SyntheticGraph.portableBlocks(s, 200, 600, "g22b")
+      val we = graft.operators.Louvain.fromEdges(e)
+      val weOld = we.filter((col("u") + col("v")) % 5 =!= 0)
+      val prior = graft.operators.Louvain.moveRoundsWeighted(weOld, 4)
+      val (lab, levels) = graft.operators.Louvain.multilevelConvergedWarm(
+        e, prior, maxRoundsPerLevel = 8, maxLevels = 12)
+      val qv = GraphBuilder.modularity(e, lab)
+        .select(col("n_comms"), col("q_r"))
+      lab.crossJoin(broadcast(qv))
+        .withColumn("levels_run", lit(levels.toLong))
+    },
     "g52c_louvain_converged" -> { (s, dir) =>
       // CONVERGED multilevel Louvain — the ladder depth is the
       // algorithm's own (stop when a level's move phase makes zero
@@ -4347,6 +4420,96 @@ object SparkEntry {
               count(lit(1)).as("n_docs"),
               sum(col("n_chars")).as("sum_chars"))
             .withColumn("final_offset", lit(off)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        dirs.foreach { d =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    },
+    "st29_lake_feed_stream" -> { (s, dir) =>
+      // STREAMING CONSUMPTION of the ROW-LEVEL lake change feed (r15
+      // verdict #1 — io22's feed driven by a real Structured Streaming
+      // job, the production medallion hop p16 ran batch-style): a
+      // tick-driven consumer keeps a committed GENERATION offset,
+      // bootstraps from the head snapshot (readAt as one insert
+      // batch), then per tick reads changesBetween(offset, head) —
+      // delta bytes, never the table — into a range-keyed idempotent
+      // sink (partitioned by target generation ordinal). A merge wave
+      // and a CDC delete wave land BETWEEN ticks; the crash window
+      // (range processed, offset never committed) is planted before
+      // tick 2, whose re-poll REDELIVERS and overwrites; a caught-up
+      // tick is a no-op. Downstream state is reconstructed from SIGNED
+      // contributions (insert/update_post +, update_pre/delete −) — it
+      // must equal the live table state exactly: zero loss, zero
+      // duplication, offset at the head generation.
+      val docs = t(s, dir, "documents")
+      val dirs = Seq("graft_st29l", "graft_st29c", "graft_st29o")
+        .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+      val (lake, consumer, out) = (dirs(0), dirs(1), dirs(2))
+      try {
+        val sp = s
+        import sp.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+        def sink(df: DataFrame, from: Option[String], to: String): Unit =
+          df.withColumn(
+            "feed_to", lit(graft.sources.LakeTable.ordinal(to)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("feed_to")
+            .parquet(out)
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), lake, "doc_id") // g1
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), lake, "doc_id") // g2
+        val ticks = MemoryStream[Int]
+        val q = graft.streaming.LakeChangeFeed.streamingConsumer(
+          ticks.toDS().toDF(), lake, "doc_id", consumer)(sink)
+        try {
+          ticks.addData(1); q.processAllAvailable() // bootstrap at g2
+          // merge wave → g3 (the io22 shape: updates + inserts)
+          val updates = docs
+            .filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+              col("doc_id") <= thr)
+            .withColumn("n_chars", col("n_chars") + 1000L)
+          val inserts = docs
+            .filter(pmod(col("doc_id"), lit(3L)) === 2)
+            .withColumn("doc_id", col("doc_id") + 1000000000L)
+          graft.sources.LakeTable.merge(
+            updates.unionByName(inserts), lake, "doc_id")
+          // the crash: (g2, g3] was processed but the offset commit died
+          val from = graft.streaming.LakeChangeFeed
+            .committedGen(s, consumer).get
+          val head = graft.sources.LakeTable.currentName(s, lake).get
+          sink(graft.sources.LakeTable
+            .changesBetween(s, lake, "doc_id", from, head),
+            Some(from), head)
+          ticks.addData(2); q.processAllAvailable() // redelivers (g2, g3]
+          // CDC delete wave → g4 (deletes are −rows in the feed)
+          graft.sources.LakeTable.applyChanges(
+            docs.filter(pmod(col("doc_id"), lit(12L)) === 3)
+              .withColumn("op", lit("D")),
+            lake, "doc_id")
+          ticks.addData(3); q.processAllAvailable() // consumes (g3, g4]
+          ticks.addData(4); q.processAllAvailable() // caught up: no-op
+        } finally q.stop()
+        val offOrd = graft.sources.LakeTable.ordinal(
+          graft.streaming.LakeChangeFeed.committedGen(s, consumer).get)
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(out)
+            .withColumn("sign",
+              when(col("_change_type").isin("insert", "update_post"), 1L)
+                .otherwise(-1L))
+            .groupBy(col("lang"))
+            .agg(
+              sum(col("sign")).as("n_docs"),
+              sum(col("sign") * col("n_chars")).as("sum_chars"))
+            .withColumn("final_gen", lit(offOrd)))
       } finally {
         import scala.jdk.CollectionConverters._
         dirs.foreach { d =>
@@ -7244,6 +7407,53 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "sql8_time_travel" -> { (s, dir) =>
+      // TIME TRAVEL from SQL TEXT (r15 verdict #2 — `VERSION AS OF`,
+      // the query every auditor runs first): the io22 scenario's
+      // table, then ONE SQL statement aggregates the PRE-MERGE state
+      // (via the as-of generation captured around the write) next to
+      // the LIVE state — GraftSql rewrites each LAKE reference to a
+      // temp view over readAt/read, so the statement runs through
+      // Catalyst with pushdown intact and both states ride one hash
+      // (the as-of side must show the base, the live side the merged
+      // updates and inserts).
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sql8").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), root, "doc_id")
+        val gAsof = graft.sources.LakeTable.currentName(s, root).get
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val inserts = docs
+          .filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+        graft.sources.LakeTable.merge(
+          updates.unionByName(inserts), root, "doc_id")
+        graft.operators.CacheScope.sealAfter(GraftSql.exec(s, dir,
+          s"""SELECT 'asof' AS src, lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_chars
+             |FROM LAKE '$root' VERSION AS OF '$gAsof'
+             |GROUP BY lang
+             |UNION ALL
+             |SELECT 'live' AS src, lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_chars
+             |FROM LAKE '$root'
+             |GROUP BY lang""".stripMargin))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
 
     "q17_pivot" -> { (s, dir) =>
       // PIVOT: hourly event matrix, one column per event type. Explicit
@@ -8347,6 +8557,21 @@ object SparkEntry {
          |proj AS MATERIALIZED (
          |  SELECT a.id, b.lbl FROM lA_4 a JOIN lB_4 b ON b.id = a.lbl)
          |${louvainFinalSql("proj")}""".stripMargin,
+    "g58c_louvain_warm_converged" ->
+      // the converged warm ladder's depth lock: prior chain on the
+      // subgraph, then the fixed 8-round unroll at the self-determined
+      // depth (6 on this fixture) with level A warm-seeded — the g52c
+      // no-op-tail equivalence argument, warm; levels_run rides the hash
+      s"""WITH ${portableBlocksSql(200, 600, "g22b")},
+         |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM pe WHERE src <> dst),
+         |weP AS MATERIALIZED (
+         |  SELECT u, v, CAST(1 AS BIGINT) AS w FROM ue
+         |  WHERE (u + v) % 5 <> 0),
+         |${louvainRoundsSql("P", 4)},
+         |${louvainMultilevelWarmSql(levels = 6, rounds = 8, init =
+        "SELECT k.id, coalesce(p.lbl, k.id) AS lbl FROM kvA k " +
+          "LEFT JOIN lP_4 p ON p.id = k.id")}""".stripMargin,
     "g53_coreness" -> corenessSql(300, 900, "g53", k = 9),
     "g54_matching" -> matchingSql(300, 900, "g54", k = 6),
     "g36_walks" -> walksSql(300, 900, "g36", len = 8),
@@ -9901,6 +10126,25 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(3 AS BIGINT) AS final_offset
         |FROM documents GROUP BY lang""".stripMargin,
+    "st29_lake_feed_stream" ->
+      // the signed feed contributions TELESCOPE to the live state:
+      // bootstrap(+base) + redelivered-once merge diff (−old +new,
+      // +inserts) + delete diff (−victims) ≡ base minus %12=3 victims,
+      // %6=0 low-half keys at +1000, plus the %3=2 inserts; the offset
+      // sits at generation 4 (two appends, one merge, one CDC apply)
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |cur AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr
+        |  WHERE doc_id % 3 < 2 AND doc_id % 12 <> 3
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(4 AS BIGINT) AS final_gen
+        |FROM cur GROUP BY lang""".stripMargin,
     "p13_medallion_merge" ->
       // latest-state semantics: v3's +100 replaces (never stacks on)
       // v2's +10 for %4 keys — the latest-per-key reduction before the
@@ -10876,6 +11120,27 @@ object SparkEntry {
         |  (SELECT rewritten FROM cls) AS rewritten_batches,
         |  (SELECT untouched FROM cls) AS untouched_batches
         |FROM documents, c WHERE doc_id > cut GROUP BY lang""".stripMargin,
+    "sql8_time_travel" ->
+      // two states of one table through one statement: the as-of side
+      // is the pre-merge base (%3<2), the live side carries the io15
+      // merge (low-half %6=0 at +1000, %3=2 inserts at +1e9)
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |base AS (
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 < 2),
+        |live AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr WHERE doc_id % 3 < 2
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2)
+        |SELECT 'asof' AS src, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM base GROUP BY lang
+        |UNION ALL
+        |SELECT 'live' AS src, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM live GROUP BY lang""".stripMargin,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
     "m7_audio_segments" ->

@@ -21,11 +21,13 @@ import org.apache.spark.sql.SparkSession
   * OCC callers retry the whole observe/stage/publish attempt, which is
   * the correct unit of retry under contention.
   *
-  * Scope note (stated, not hidden): create-exclusive is atomic on HDFS
-  * and POSIX `O_CREAT|O_EXCL`; Hadoop's LocalFileSystem approximates it
-  * (exists-then-create) — good enough to serialize cooperating local
-  * processes, while object stores want their native conditional put.
-  * The protocol around the claim is filesystem-agnostic either way.
+  * Scope note (stated, not hidden): create-exclusive is atomic on HDFS;
+  * Hadoop's LocalFileSystem merely approximates it (exists-then-create,
+  * measurably racy under threads), so `file:` paths route through POSIX
+  * `O_CREAT|O_EXCL` via java.nio instead — genuinely atomic, and the
+  * CommitClaimSpec concurrency test locks it. Object stores want their
+  * native conditional put. The protocol around the claim is
+  * filesystem-agnostic either way.
   */
 private[graft] object CommitClaim {
 
@@ -43,31 +45,53 @@ private[graft] object CommitClaim {
     val claim = new Path(s"$dir/_claim")
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(claim.getParent)
+    val pidLine =
+      s"${java.lang.ProcessHandle.current().pid()}\n".getBytes("UTF-8")
+    // the atomic put-if-absent: POSIX O_CREAT|O_EXCL for file: (Hadoop's
+    // LocalFileSystem exists-then-create is NOT atomic), HDFS
+    // create-exclusive otherwise
+    val localPath: Option[java.nio.file.Path] =
+      if (fs.getScheme == "file")
+        Some(java.nio.file.Paths.get(
+          claim.makeQualified(fs.getUri, fs.getWorkingDirectory)
+            .toUri.getPath))
+      else None
+    def tryCreate(): Boolean = localPath match {
+      case Some(p) =>
+        try {
+          java.nio.file.Files.write(p, pidLine,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case None =>
+        try {
+          val out = fs.create(claim, false)
+          try out.write(pidLine)
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
-      try {
-        val out = fs.create(claim, false) // create-exclusive: the claim
-        try out.write(
-          s"${java.lang.ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
-        finally out.close()
-        held = true
-      } catch {
-        case _: java.io.IOException =>
-          // claimed by someone else: break a corpse, wait for a writer
-          val age =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(claim).getModificationTime
-            catch { case _: java.io.IOException => -1L } // gone: re-try now
-          if (age >= staleMs) fs.delete(claim, false)
-          else if (age >= 0L) {
-            if (System.currentTimeMillis() > deadline)
-              sys.error(
-                s"commit claim under $dir held for ${timeoutMs} ms — " +
-                  "another writer is stuck or the host is wedged; " +
-                  s"break the stale claim ($claim) or retry")
-            Thread.sleep(50L)
-          }
+      if (tryCreate()) held = true
+      else {
+        // claimed by someone else: break a corpse, wait for a writer
+        val age =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(claim).getModificationTime
+          catch { case _: java.io.IOException => -1L } // gone: re-try now
+        if (age >= staleMs) fs.delete(claim, false)
+        else if (age >= 0L) {
+          if (System.currentTimeMillis() > deadline)
+            sys.error(
+              s"commit claim under $dir held for ${timeoutMs} ms — " +
+                "another writer is stuck or the host is wedged; " +
+                s"break the stale claim ($claim) or retry")
+          Thread.sleep(50L)
+        }
       }
     }
     try body

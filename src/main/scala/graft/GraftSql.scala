@@ -62,6 +62,16 @@ object GraftSql {
   //   CHANGES FROM LAKE '<root>' KEY <col>
   //     BETWEEN '<generation>' AND '<generation>'
   //   GENERATIONS FROM LAKE '<root>'
+  //   OPTIMIZE LAKE '<root>' BUCKETS <n> [ZORDER BY <col>]
+  //   VACUUM LAKE '<root>' [RETAIN <n> HOURS]
+  //
+  // OPTIMIZE needs NO key in the grammar — the manifest records the
+  // table's key column (the io16 field), which is the point of
+  // recording it: maintenance doesn't re-guess what the writers
+  // declared. Lex form derives equal-width splits from the manifest
+  // bounds (compactAuto); ZORDER BY routes to compactZ. VACUUM is the
+  // grace-gated sweep; RETAIN 0 HOURS is the single-writer collect-now
+  // mode (forfeits time travel/CDF history — the stated tradeoff).
   //
   // and, inside any SELECT/WITH statement, the TABLE forms (sql8 —
   // the Delta `VERSION AS OF` read, the first query every auditor
@@ -88,8 +98,12 @@ object GraftSql {
     """(?is)\s*CHANGES\s+FROM\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'\s*;?\s*""".r
   private val GenerationsRe =
     """(?is)\s*GENERATIONS\s+FROM\s+LAKE\s+'([^']+)'\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+LAKE\s+'([^']+)'\s+BUCKETS\s+(\d+)(?:\s+ZORDER\s+BY\s+(\w+))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+LAKE\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val DmlShaped =
-    """(?is)\s*(MERGE|DELETE|APPLY|CHANGES|GENERATIONS)\b.*""".r
+    """(?is)\s*(MERGE|DELETE|APPLY|CHANGES|GENERATIONS|OPTIMIZE|VACUUM)\b.*""".r
   // a LAKE table reference inside a SELECT/WITH — optional time travel
   private val LakeRefRe =
     """(?i)LAKE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?""".r
@@ -106,6 +120,8 @@ object GraftSql {
         "  CHANGES FROM LAKE '<root>' KEY <col> BETWEEN '<gen>' AND " +
         "'<gen>'\n" +
         "  GENERATIONS FROM LAKE '<root>'\n" +
+        "  OPTIMIZE LAKE '<root>' BUCKETS <n> [ZORDER BY <col>]\n" +
+        "  VACUUM LAKE '<root>' [RETAIN <n> HOURS]\n" +
         "  SELECT ... FROM LAKE '<root>' [VERSION AS OF '<gen>'] ...\n" +
         s"got: ${statement.trim.take(200)}")
 
@@ -144,6 +160,23 @@ object GraftSql {
         val gens = graft.sources.LakeTable.generations(spark, root)
         gens.map(g => (g, graft.sources.LakeTable.ordinal(g)))
           .toDF("generation", "ordinal")
+      case OptimizeRe(root, buckets, zcol) =>
+        val lk = graft.sources.LakeTable
+        val (before, _, keyOpt) = lk.currentStateKeyed(spark, root)
+        val key = keyOpt.getOrElse(sys.error(
+          s"the manifest under $root predates key recording — run one " +
+            "keyed write first (it stamps the key) or use the Scala API"))
+        if (zcol != null) lk.compactZ(spark, root, key, zcol, buckets.toInt)
+        else lk.compactAuto(spark, root, key, buckets.toInt)
+        Seq((before.size.toLong, lk.currentRows(spark, root).size.toLong))
+          .toDF("batches_before", "batches_after")
+      case VacuumRe(root, hours) =>
+        val grace = Option(hours)
+          .map(_.toLong * 3600000L).getOrElse(15L * 60L * 1000L)
+        val rep = graft.sources.LakeTable.sweep(spark, root, grace)
+        Seq((rep.gensSwept, rep.dirsSwept,
+          graft.sources.LakeTable.currentRows(spark, root).size.toLong))
+          .toDF("gens_swept", "dirs_swept", "batches_live")
       case DmlShaped(_) => grammarError(statement)
       case sel @ SelectShaped(_) if LakeRefRe.findFirstIn(sel).isDefined =>
         // TIME TRAVEL + live lake reads from SQL text: each LAKE

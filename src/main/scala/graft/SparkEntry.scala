@@ -7407,6 +7407,84 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "sql9_optimize" -> { (s, dir) =>
+      // OPTIMIZE from SQL TEXT — the maintenance verb that completes
+      // the lake lifecycle's SQL surface, and the first consumer of
+      // the manifest-RECORDED key (the statement names no key; the
+      // manifest vouches for it): orders land as 4 interleaved
+      // appends (worst case for pruning), OPTIMIZE BUCKETS 4 derives
+      // equal-width splits from the manifest bounds and rewrites into
+      // disjoint ranges; the read-back state (via the LAKE table form)
+      // is compaction-invariant and the batch counts ride the report
+      // frame — the oracle replays the equal-width bucket arithmetic
+      // to predict batches_after.
+      val ord = t(s, dir, "orders")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sql9").toString
+      try {
+        (0L to 3L).foreach { i =>
+          graft.sources.LakeTable.append(
+            ord.filter(pmod(col("o_orderkey"), lit(4L)) === i),
+            root, "o_orderkey")
+        }
+        val rep = GraftSql.exec(s, dir,
+          s"OPTIMIZE LAKE '$root' BUCKETS 4").collect()(0)
+        graft.operators.CacheScope.sealAfter(
+          GraftSql.exec(s, dir,
+            s"""SELECT o_orderstatus, count(*) AS n_orders,
+               |       round(sum(o_totalprice), 2) AS sum_price
+               |FROM LAKE '$root' GROUP BY o_orderstatus""".stripMargin)
+            .withColumn("batches_before", lit(rep.getLong(0)))
+            .withColumn("batches_after", lit(rep.getLong(1))))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "sql10_vacuum" -> { (s, dir) =>
+      // VACUUM from SQL TEXT (Delta VACUUM, the grace-gated sweep):
+      // after the io15-shape merge the default-grace sweep RETAINED
+      // the superseded generations (time travel / CDF read them);
+      // `VACUUM ... RETAIN 0 HOURS` is the explicit single-writer
+      // collect-now — it sweeps exactly the 2 superseded generations
+      // and the 1 replaced data dir (deterministic given the write
+      // history, so both counts ride the hash), the live state reads
+      // back unchanged, and time travel to the vacuumed generation now
+      // fails loudly (asserted in the spec; the stated tradeoff).
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sql10").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), root, "doc_id")
+        graft.sources.LakeTable.merge(
+          docs.filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+            col("doc_id") <= thr)
+            .withColumn("n_chars", col("n_chars") + 1000L),
+          root, "doc_id")
+        val rep = GraftSql.exec(s, dir,
+          s"VACUUM LAKE '$root' RETAIN 0 HOURS").collect()(0)
+        graft.operators.CacheScope.sealAfter(
+          GraftSql.exec(s, dir,
+            s"""SELECT lang, count(*) AS n_docs,
+               |       sum(n_chars) AS sum_chars
+               |FROM LAKE '$root' GROUP BY lang""".stripMargin)
+            .withColumn("gens_swept", lit(rep.getLong(0)))
+            .withColumn("dirs_swept", lit(rep.getLong(1)))
+            .withColumn("batches_live", lit(rep.getLong(2))))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
     "sql8_time_travel" -> { (s, dir) =>
       // TIME TRAVEL from SQL TEXT (r15 verdict #2 — `VERSION AS OF`,
       // the query every auditor runs first): the io22 scenario's
@@ -11141,6 +11219,43 @@ object SparkEntry {
         |SELECT 'live' AS src, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM live GROUP BY lang""".stripMargin,
+    "sql9_optimize" ->
+      // the oracle replays the OPTIMIZE planning itself: equal-width
+      // splits from min/max, bucket = split-membership sum, and
+      // batches_after = count of NONEMPTY buckets; the state is
+      // compaction-invariant
+      """WITH m AS (SELECT min(o_orderkey) AS lo,
+        |    max(o_orderkey) - min(o_orderkey) + 1 AS span FROM orders),
+        |b AS (SELECT count(DISTINCT
+        |    (CASE WHEN o_orderkey >= lo + (span * 1) // 4
+        |          THEN 1 ELSE 0 END
+        |   + CASE WHEN o_orderkey >= lo + (span * 2) // 4
+        |          THEN 1 ELSE 0 END
+        |   + CASE WHEN o_orderkey >= lo + (span * 3) // 4
+        |          THEN 1 ELSE 0 END)) AS n
+        |  FROM orders, m)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(4 AS BIGINT) AS batches_before,
+        |  (SELECT n FROM b) AS batches_after
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "sql10_vacuum" ->
+      // collect-now sweeps exactly the 2 superseded generations and
+      // the merge's 1 replaced data dir; the live state (base %3<2,
+      // low-half %6=0 keys at +1000) reads back unchanged from the
+      // 2 live batches
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |final AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr WHERE doc_id % 3 < 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS gens_swept,
+        |  CAST(1 AS BIGINT) AS dirs_swept,
+        |  CAST(2 AS BIGINT) AS batches_live
+        |FROM final GROUP BY lang""".stripMargin,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),
     "m7_audio_segments" ->

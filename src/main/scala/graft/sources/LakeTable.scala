@@ -1013,6 +1013,35 @@ object LakeTable {
     }
   }
 
+  /** [[compact]] with the splits DERIVED from the manifest (the
+    * production OPTIMIZE path — callers don't guess splits): equal-
+    * width intervals over [min kmin, max kmax], pure manifest
+    * arithmetic so an oracle can replay the bucket bounds with no
+    * second scan. Equal-width (not equal-rows) is deliberate: quantile
+    * targets would cost a pass over the table, and clustering quality
+    * — the thing pruning cares about — depends on the bounds, not the
+    * balance. The bounds are read from the CURRENT manifest and the
+    * compact re-observes under OCC; a racing write can only make the
+    * derived splits stale, never wrong (any strictly-increasing splits
+    * compact correctly — bounds guide clustering, not correctness).
+    */
+  def compactAuto(
+      spark: SparkSession,
+      root: String,
+      key: String,
+      buckets: Int): Unit = {
+    require(buckets >= 2 && buckets <= 4096, s"buckets: $buckets")
+    val rows = currentRows(spark, root)
+    require(rows.nonEmpty, s"nothing committed under $root")
+    val lo = rows.map(_.kmin).min
+    val hi = rows.map(_.kmax).max
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val splits = (1 until buckets)
+      .map(i => (BigInt(lo) + span * i / buckets).toLong)
+      .distinct.filter(s => s > lo && s <= hi)
+    compact(spark, root, key, splits)
+  }
+
   /** Z-ORDER COMPACTION (io23 — Delta `OPTIMIZE ... ZORDER BY`, the
     * Iceberg z-order rewrite): the live table rewrites into `buckets`
     * batches along the MORTON CURVE of (`key`, `key2`), and the
@@ -1175,10 +1204,16 @@ object LakeTable {
     * pure cleanup, safe to lose — identical discipline to
     * `Snapshots.ptrSweep`.
     */
+  /** What [[sweep]] collected, for the VACUUM report (sql10): swept
+    * generation count and swept data-dir count — both deterministic
+    * given the write history and the grace, so they can ride a hash.
+    */
+  final case class SweepReport(gensSwept: Long, dirsSwept: Long)
+
   def sweep(
       spark: SparkSession,
       root: String,
-      orphanGraceMs: Long = 15L * 60L * 1000L): Unit = {
+      orphanGraceMs: Long = 15L * 60L * 1000L): SweepReport = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -1211,6 +1246,7 @@ object LakeTable {
       expiredGens.flatMap(g => pathsOf(g.getPath.getName)).toSet --
         protectedTops
     val dataDir = new Path(s"$root/data")
+    var dirsSwept = 0L
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         val nm = st.getPath.getName
@@ -1219,9 +1255,13 @@ object LakeTable {
         val replaced = expiredTops.contains(nm)
         val orphan = !replaced && !protectedTops.contains(nm) &&
           now - st.getModificationTime >= orphanGraceMs
-        if (replaced || orphan) fs.delete(st.getPath, true)
+        if (replaced || orphan) {
+          fs.delete(st.getPath, true)
+          dirsSwept += 1L
+        }
       }
     expiredGens.foreach(st => fs.delete(st.getPath, true))
+    SweepReport(expiredGens.length.toLong, dirsSwept)
     }
     }
   }

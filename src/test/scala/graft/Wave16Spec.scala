@@ -489,3 +489,126 @@ class SqlTimeTravelSpec extends AnyFunSuite {
     }
   }
 }
+
+/** OPTIMIZE/VACUUM from SQL text — the maintenance verbs that complete
+  * the lake lifecycle's SQL surface, keyed by the MANIFEST (the
+  * statement names no key; the recorded field vouches for it).
+  */
+class SqlMaintenanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("w16_maint").toString
+    try f(root)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def seqKv(n: Long): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    (0L until n).map(i => (i, i * 7L)).toDF("k", "v")
+  }
+
+  test("OPTIMIZE derives splits from the manifest and restores pruning") {
+    withRoot { root =>
+      val df = seqKv(400L)
+      (0L to 3L).foreach(i =>
+        LakeTable.append(df.filter(pmod(col("k"), lit(4L)) === i),
+          root, "k"))
+      // interleaved appends: every batch spans the key space, a range
+      // probe must read all 4
+      val before = LakeTable.currentRows(spark, root)
+      assert(LakeTable.planPruned(before, 0L, 50L).size == 4)
+      val rep = GraftSql.exec(spark, sfDir,
+        s"OPTIMIZE LAKE '$root' BUCKETS 4").collect()(0)
+      assert(rep.getLong(0) == 4L && rep.getLong(1) == 4L)
+      val after = LakeTable.currentRows(spark, root)
+      assert(LakeTable.planPruned(after, 0L, 50L).size == 1,
+        "equal-width compaction must restore single-batch pruning")
+      // state is compaction-invariant
+      assert(LakeTable.read(spark, root)
+        .agg(sum(col("v"))).collect()(0).getLong(0) ==
+        (0L until 400L).map(_ * 7L).sum)
+    }
+  }
+
+  test("OPTIMIZE ... ZORDER BY routes to compactZ with secondary bounds") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(
+        (0L until 400L).map(i =>
+          (i, if (i % 2 == 0) i else 1000000L + i)).toDF("k", "v"),
+        root, "k")
+      GraftSql.exec(spark, sfDir,
+        s"OPTIMIZE LAKE '$root' BUCKETS 4 ZORDER BY v")
+      val rows = LakeTable.currentRows(spark, root)
+      assert(rows.forall(_.sec.exists(_.col2 == "v")))
+      assert(LakeTable.planPrunedOn(rows, "v", 0L, 500L).size < rows.size)
+    }
+  }
+
+  test("OPTIMIZE fails loudly when the manifest predates key recording") {
+    withRoot { root =>
+      LakeTable.append(seqKv(10L), root, "k")
+      val g = LakeTable.currentName(spark, root).get
+      val manDir = s"$root/manifest/$g"
+      val rows = spark.read.parquet(manDir).drop("kcol").collect()
+      val schema = spark.read.parquet(manDir).drop("kcol").schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), schema)
+        .coalesce(1).write.mode("overwrite").parquet(manDir)
+      val e = intercept[RuntimeException](GraftSql.exec(
+        spark, sfDir, s"OPTIMIZE LAKE '$root' BUCKETS 2"))
+      assert(e.getMessage.contains("predates key recording"))
+    }
+  }
+
+  test("VACUUM RETAIN 0 collects history; the default retains it") {
+    withRoot { root =>
+      val df = seqKv(100L)
+      LakeTable.append(df.filter(col("k") < 50L), root, "k")
+      LakeTable.append(df.filter(col("k") >= 50L), root, "k")
+      val gOld = LakeTable.currentName(spark, root).get
+      LakeTable.merge(
+        seqKv(100L).filter(col("k") < 10L)
+          .withColumn("v", col("v") + 1L), root, "k")
+      // default grace: nothing young is swept, time travel still works
+      val r0 = GraftSql.exec(spark, sfDir, s"VACUUM LAKE '$root'")
+        .collect()(0)
+      assert(r0.getLong(0) == 0L && r0.getLong(1) == 0L)
+      assert(LakeTable.readAt(spark, root, gOld).count() == 100L)
+      // collect-now: 2 superseded generations + 1 replaced data dir
+      val r1 = GraftSql.exec(spark, sfDir,
+        s"VACUUM LAKE '$root' RETAIN 0 HOURS").collect()(0)
+      assert(r1.getLong(0) == 2L, s"gens_swept=${r1.getLong(0)}")
+      assert(r1.getLong(1) == 1L, s"dirs_swept=${r1.getLong(1)}")
+      assert(r1.getLong(2) == 2L, s"batches_live=${r1.getLong(2)}")
+      // live state unchanged; the vacuumed generation now fails loudly
+      assert(LakeTable.read(spark, root).count() == 100L)
+      val e = intercept[IllegalArgumentException](
+        LakeTable.readAt(spark, root, gOld))
+      assert(e.getMessage.contains("retention") ||
+        e.getMessage.contains("not on disk"))
+    }
+  }
+
+  test("compactAuto collapses duplicate splits on a tiny key span") {
+    withRoot { root =>
+      val sp = spark
+      import sp.implicits._
+      LakeTable.append(
+        Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v"), root, "k")
+      LakeTable.compactAuto(spark, root, "k", 4)
+      assert(LakeTable.read(spark, root).count() == 3L)
+      assert(LakeTable.currentRows(spark, root).size <= 3)
+    }
+  }
+}

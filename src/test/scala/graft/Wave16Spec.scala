@@ -455,6 +455,20 @@ class SqlTimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("plan lock: a filter over the LAKE table form reaches the scan") {
+    withRoot { root =>
+      LakeTable.append(kv(1L -> 10L, 2L -> 20L, 3L -> 30L), root, "k")
+      // the rewrite substitutes a temp view — a THIN logical plan, so
+      // Catalyst must still push the predicate into the parquet scan
+      val df = GraftSql.exec(spark, sfDir,
+        s"SELECT k, v FROM LAKE '$root' WHERE v > 15")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,15)]")
+        || p.contains("GreaterThan(v,15)"), p)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    }
+  }
+
   test("GENERATIONS lists the retained lineage in ordinal order") {
     withRoot { root =>
       LakeTable.append(kv(1L -> 10L), root, "k")

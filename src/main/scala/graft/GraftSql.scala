@@ -134,14 +134,14 @@ object GraftSql {
     statement match {
       case MergeRe(root, key, evolve, select) =>
         val rep = graft.sources.LakeTable.merge(
-          sql(spark, dir, select), root, key,
+          sql(spark, dir, rewriteLakeRefs(spark, select)), root, key,
           mergeSchema = evolve != null)
         Seq((rep.touched.size.toLong, rep.untouched.size.toLong,
           rep.pureInsert))
           .toDF("touched_batches", "untouched_batches", "pure_insert")
       case ApplyRe(root, key, opCol, select) =>
         val rep = graft.sources.LakeTable.applyChanges(
-          sql(spark, dir, select), root, key,
+          sql(spark, dir, rewriteLakeRefs(spark, select)), root, key,
           opCol = Option(opCol).getOrElse("op"))
         Seq((rep.touched.size.toLong, rep.untouched.size.toLong,
           rep.pureInsert))
@@ -171,35 +171,51 @@ object GraftSql {
         Seq((before.size.toLong, lk.currentRows(spark, root).size.toLong))
           .toDF("batches_before", "batches_after")
       case VacuumRe(root, hours) =>
-        val grace = Option(hours)
-          .map(_.toLong * 3600000L).getOrElse(15L * 60L * 1000L)
+        // bounded before the multiply: an astronomical RETAIN would
+        // overflow Long to a NEGATIVE grace — i.e. collect-everything-
+        // now, the exact opposite of the maximally-conservative intent
+        val grace = Option(hours).map { h =>
+          require(
+            h.length <= 7 && h.toLong <= 876000L, // ≤ 100 years
+            s"RETAIN $h HOURS out of range (0..876000)")
+          h.toLong * 3600000L
+        }.getOrElse(15L * 60L * 1000L)
         val rep = graft.sources.LakeTable.sweep(spark, root, grace)
         Seq((rep.gensSwept, rep.dirsSwept,
           graft.sources.LakeTable.currentRows(spark, root).size.toLong))
           .toDF("gens_swept", "dirs_swept", "batches_live")
       case DmlShaped(_) => grammarError(statement)
       case sel @ SelectShaped(_) if LakeRefRe.findFirstIn(sel).isDefined =>
-        // TIME TRAVEL + live lake reads from SQL text: each LAKE
-        // reference becomes a temp view over readAt/read (immutable
-        // generation manifests make the as-of view byte-stable), then
-        // the rewritten statement runs through Catalyst unchanged —
-        // a view is a thin logical plan, so pushdown reaches the scan
-        var i = 0
-        val rewritten = LakeRefRe.replaceAllIn(sel, m => {
-          val frame = Option(m.group(2)) match {
-            case Some(gen) =>
-              graft.sources.LakeTable.readAt(spark, m.group(1), gen)
-            case None => graft.sources.LakeTable.read(spark, m.group(1))
-          }
-          i += 1
-          val view = s"graft_lake_ref_$i"
-          frame.createOrReplaceTempView(view)
-          view
-        })
-        sql(spark, dir, rewritten)
+        sql(spark, dir, rewriteLakeRefs(spark, sel))
       case other if LakeRefRe.findFirstIn(other).isDefined =>
         grammarError(statement) // LAKE-shaped but not a form we accept
       case other => sql(spark, dir, other)
     }
   }
+
+  /** TIME TRAVEL + live lake reads from SQL text: each LAKE reference
+    * becomes a temp view over readAt/read (immutable generation
+    * manifests make the as-of view byte-stable), and the rewritten
+    * statement runs through Catalyst unchanged — a view is a thin
+    * logical plan, so pushdown reaches the scan (plan-locked in
+    * SqlTimeTravelSpec). View names carry a UNIQUE token: two threads
+    * sharing one session must never cross-wire each other's rewrites
+    * through a fixed name. Applied to SELECT statements AND to
+    * MERGE/APPLY USING bodies, so a lake-to-lake hop
+    * (`MERGE INTO LAKE 'a' ... USING SELECT ... FROM LAKE 'b'`) works
+    * as the grammar promises.
+    */
+  private def rewriteLakeRefs(
+      spark: SparkSession, statement: String): String =
+    LakeRefRe.replaceAllIn(statement, m => {
+      val frame = Option(m.group(2)) match {
+        case Some(gen) =>
+          graft.sources.LakeTable.readAt(spark, m.group(1), gen)
+        case None => graft.sources.LakeTable.read(spark, m.group(1))
+      }
+      val view = "graft_lake_ref_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      frame.createOrReplaceTempView(view)
+      view
+    })
 }

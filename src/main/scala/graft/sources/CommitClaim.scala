@@ -14,12 +14,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Liveness: a holder that crashes leaves the claim file behind, so a
   * waiter BREAKS a claim older than `staleMs` (the lease-expiry rule
-  * every file-lock protocol ships; the critical section is a manifest
-  * write + pointer rename — seconds, not minutes, so a minute-old
-  * claim is a corpse, not a slow writer). Waiting is bounded: past
-  * `timeoutMs` the claimant FAILS LOUDLY instead of queueing forever —
-  * OCC callers retry the whole observe/stage/publish attempt, which is
-  * the correct unit of retry under contention.
+  * every file-lock protocol ships). The break is ATOMIC: the waiter
+  * RENAMES the corpse to a unique tombstone and deletes the tombstone
+  * — rename succeeds for exactly one breaker, so two waiters can never
+  * each "delete the corpse" with the second delete landing on the
+  * winner's fresh claim (the check-then-delete race a naive break
+  * has). `staleMs` defaults to 10 minutes: the critical section is a
+  * manifest write + pointer rename — seconds even on a contended
+  * cluster — so a ten-minute-old claim is a corpse, not a slow writer
+  * (a deployment whose commits legitimately run longer should raise
+  * `staleMs` or add an mtime heartbeat; stated, not hidden). Waiting
+  * is bounded: past `timeoutMs` the claimant FAILS LOUDLY instead of
+  * queueing forever — OCC callers retry the whole observe/stage/
+  * publish attempt, which is the correct unit of retry under
+  * contention. The deadline is checked on EVERY loop path (including
+  * claim-vanished and persistent-create-failure), and every non-
+  * acquiring iteration sleeps, so a misconfigured filesystem surfaces
+  * as a loud timeout, never a silent hot spin.
   *
   * Scope note (stated, not hidden): create-exclusive is atomic on HDFS;
   * Hadoop's LocalFileSystem merely approximates it (exists-then-create,
@@ -39,7 +50,7 @@ private[graft] object CommitClaim {
   def withClaim[T](
       spark: SparkSession,
       dir: String,
-      staleMs: Long = 60000L,
+      staleMs: Long = 10L * 60L * 1000L,
       timeoutMs: Long = 30000L)(body: => T): T = {
     import org.apache.hadoop.fs.Path
     val claim = new Path(s"$dir/_claim")
@@ -73,25 +84,34 @@ private[graft] object CommitClaim {
           true
         } catch { case _: java.io.IOException => false }
     }
+    // ATOMIC corpse break: rename to a unique tombstone, then delete
+    // the tombstone — exactly one breaker's rename succeeds, and a
+    // loser can never delete the winner's just-created fresh claim
+    def breakStale(): Unit = {
+      val tomb = new Path(s"$dir/_claim_broken_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      try { if (fs.rename(claim, tomb)) fs.delete(tomb, false) }
+      catch { case _: java.io.IOException => () } // already gone/broken
+    }
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
       if (tryCreate()) held = true
       else {
-        // claimed by someone else: break a corpse, wait for a writer
+        // the deadline gates EVERY non-acquiring path — a persistent
+        // create failure (permissions, flaky fs) must fail loudly, not
+        // hot-spin
+        if (System.currentTimeMillis() > deadline)
+          sys.error(
+            s"commit claim under $dir not acquired within ${timeoutMs} " +
+              "ms — another writer is stuck, the claim path is not " +
+              s"writable, or the host is wedged; inspect $claim")
         val age =
           try System.currentTimeMillis() -
             fs.getFileStatus(claim).getModificationTime
-          catch { case _: java.io.IOException => -1L } // gone: re-try now
-        if (age >= staleMs) fs.delete(claim, false)
-        else if (age >= 0L) {
-          if (System.currentTimeMillis() > deadline)
-            sys.error(
-              s"commit claim under $dir held for ${timeoutMs} ms — " +
-                "another writer is stuck or the host is wedged; " +
-                s"break the stale claim ($claim) or retry")
-          Thread.sleep(50L)
-        }
+          catch { case _: java.io.IOException => -1L } // gone: re-try
+        if (age >= staleMs) breakStale()
+        else Thread.sleep(50L)
       }
     }
     try body

@@ -212,14 +212,18 @@ object LakeTable {
     // file serializes ACROSS processes (create-exclusive put-if-absent
     // — see CommitClaim; the r15 verdict's cross-JVM gap)
     commitLock.synchronized {
+      // the manifest key: what the writer validated against, or — for
+      // a key-less republish (tests, the io19 stale-publish probe) —
+      // whatever the observed generation recorded. Read OUTSIDE the
+      // claim: generation manifests are immutable, and every spark job
+      // inside the claim-held window stretches the lease other writers
+      // wait on.
+      val kcol: Option[String] = key.orElse(observed.flatMap(o =>
+        try readManifest(spark, s"$root/manifest/$o")._2
+        catch { case _: Exception => None })) // superseded+swept: stale
       CommitClaim.withClaim(spark, s"$root/manifest") {
       if (currentName(spark, root) != observed) false
       else {
-        // the manifest key: what the writer validated against, or —
-        // for a key-less republish (tests, the io19 stale-publish
-        // probe) — whatever the observed generation recorded
-        val kcol: Option[String] = key.orElse(observed.flatMap(o =>
-          readManifest(spark, s"$root/manifest/$o")._2))
         val name =
           s"g=${observed.map(ordinal).getOrElse(0L) + 1L}-${token()}"
         rows.distinct
@@ -296,24 +300,30 @@ object LakeTable {
     * bounded gets no stat and pruning keeps it. Source rows with a
     * null secondary value are ignorable: a range probe's predicate
     * never matches null, so pruning a batch that holds them loses
-    * nothing.
+    * nothing. `source = None` is the ROW-REMOVAL form (deleteRange
+    * straddlers): no new values can appear, so the touched union alone
+    * bounds the rewrite.
     */
   private def unionSecStat(
-      touched: Seq[BatchStat], source: DataFrame): Option[SecStat] = {
+      touched: Seq[BatchStat],
+      source: Option[DataFrame]): Option[SecStat] = {
     val secs = touched.flatMap(_.sec)
     val cols2 = secs.map(_.col2).distinct
     if (secs.size != touched.size || cols2.size != 1) None
     else {
       val c = cols2.head
-      if (!source.columns.contains(c) ||
-          source.schema(c).dataType !=
-            org.apache.spark.sql.types.LongType) None
-      else {
-        val r = source.agg(min(col(c)), max(col(c))).collect()(0)
-        val (lo0, hi0) = (secs.map(_.lo).min, secs.map(_.hi).max)
-        if (r.isNullAt(0)) Some(SecStat(c, lo0, hi0))
-        else Some(SecStat(
-          c, math.min(lo0, r.getLong(0)), math.max(hi0, r.getLong(1))))
+      val (lo0, hi0) = (secs.map(_.lo).min, secs.map(_.hi).max)
+      source match {
+        case None => Some(SecStat(c, lo0, hi0)) // row-removal rewrite
+        case Some(src)
+            if !src.columns.contains(c) ||
+              src.schema(c).dataType !=
+                org.apache.spark.sql.types.LongType => None
+        case Some(src) =>
+          val r = src.agg(min(col(c)), max(col(c))).collect()(0)
+          if (r.isNullAt(0)) Some(SecStat(c, lo0, hi0))
+          else Some(SecStat(
+            c, math.min(lo0, r.getLong(0)), math.max(hi0, r.getLong(1))))
       }
     }
   }
@@ -708,7 +718,7 @@ object LakeTable {
           next, path,
           math.min(touched.map(_.kmin).min, sMin),
           math.max(touched.map(_.kmax).max, sMax),
-          unionSecStat(touched, src))
+          unionSecStat(touched, Some(src)))
         if (publishIfCurrent(spark, root, untouched :+ stat, obs,
             Some(key))) {
           sweep(spark, root)
@@ -847,7 +857,7 @@ object LakeTable {
           if (rewrittenEmpty) untouched
           else untouched :+ BatchStat(
             next, path, bounds.map(_._1).min, bounds.map(_._2).max,
-            unionSecStat(touched, upserts))
+            unionSecStat(touched, Some(upserts)))
         require(
           kept.nonEmpty,
           "applyChanges would delete the last row of the table — an " +
@@ -921,13 +931,7 @@ object LakeTable {
             // secondary bounds survive the rewrite when every straddler
             // carries them for one column: deletion only removes rows,
             // so the straddlers' union still contains every survivor
-            val secs = straddling.flatMap(_.sec)
-            val sec =
-              if (secs.size == straddling.size &&
-                  secs.map(_.col2).distinct.size == 1)
-                Some(SecStat(secs.head.col2,
-                  secs.map(_.lo).min, secs.map(_.hi).max))
-              else None
+            val sec = unionSecStat(straddling, None)
             if (r.getLong(0) == 0L) Nil
             else Seq(BatchStat(next, path, r.getLong(1), r.getLong(2), sec))
           }

@@ -415,18 +415,40 @@ object Snapshots {
     * `graceMs` rides through to [[ptrSweep]]: the default retains
     * young unreferenced dirs (a concurrent appender's staged batch);
     * single-writer maintenance passes 0 to collect now.
+    *
+    * The publish is OPTIMISTIC against the generation the checkpoint
+    * observed: the (expensive) checkpoint runs outside the lock, and
+    * the swap lands only if the pointer still names that generation —
+    * a commit that slipped in between would otherwise be silently
+    * DROPPED from the expired manifest (its rows are absent from the
+    * stale `kept` list: lost update, then data loss at the next
+    * sweep). A lost race re-checkpoints against the new state — the
+    * same rebase rule every optimistic writer here follows.
     */
   def expirePtr(
       spark: SparkSession,
       root: String,
       cut: Int,
       graceMs: Long = 15L * 60L * 1000L): Unit = {
-    val kept = ptrCheckpoint(spark, root, cut)
-    ptrCommitLock.synchronized {
-      CommitClaim.withClaim(spark, s"$root/manifest") {
-        val gen = currentGen(spark, root).getOrElse(0L) + 1L
-        writeManifestGen(spark, root, gen, kept)
-        swapPointer(spark, root, gen)
+    var published = false
+    var attempts = 0
+    while (!published) {
+      attempts += 1
+      require(
+        attempts <= 5,
+        "expirePtr lost 5 optimistic-publish races — rebase budget " +
+          "exhausted under commit contention")
+      val observed = currentGen(spark, root)
+      val kept = ptrCheckpoint(spark, root, cut)
+      ptrCommitLock.synchronized {
+        CommitClaim.withClaim(spark, s"$root/manifest") {
+          if (currentGen(spark, root) == observed) {
+            val gen = observed.getOrElse(0L) + 1L
+            writeManifestGen(spark, root, gen, kept)
+            swapPointer(spark, root, gen)
+            published = true
+          }
+        }
       }
     }
     ptrSweep(spark, root, graceMs)

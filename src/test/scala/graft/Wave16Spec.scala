@@ -216,7 +216,7 @@ class CommitClaimSpec extends AnyFunSuite {
       val claim = new java.io.File(s"$dir/_claim")
       claim.getParentFile.mkdirs()
       assert(claim.createNewFile())
-      claim.setLastModified(System.currentTimeMillis() - 120000L)
+      claim.setLastModified(System.currentTimeMillis() - 700000L)
       // stale: broken and acquired
       val r = CommitClaim.withClaim(spark, dir) { 42 }
       assert(r == 42)
@@ -478,6 +478,21 @@ class SqlTimeTravelSpec extends AnyFunSuite {
       assert(gens.length == 2)
       assert(gens.map(_.getLong(1)).toSeq == Seq(1L, 2L))
       assert(gens.map(_.getString(0)).forall(_.startsWith("g=")))
+    }
+  }
+
+  test("lake-to-lake MERGE: the USING body may read another LAKE table") {
+    withRoot { target =>
+      withRoot { src =>
+        LakeTable.append(kv(1L -> 10L, 2L -> 20L), target, "k")
+        LakeTable.append(kv(2L -> 99L, 3L -> 30L), src, "k")
+        GraftSql.exec(spark, sfDir,
+          s"MERGE INTO LAKE '$target' KEY k USING " +
+            s"SELECT * FROM LAKE '$src'")
+        val got = LakeTable.read(spark, target).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == Map(1L -> 10L, 2L -> 99L, 3L -> 30L))
+      }
     }
   }
 

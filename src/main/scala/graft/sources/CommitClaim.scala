@@ -14,12 +14,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Liveness: a holder that crashes leaves the claim file behind, so a
   * waiter BREAKS a claim older than `staleMs` (the lease-expiry rule
-  * every file-lock protocol ships). The break is ATOMIC: the waiter
-  * RENAMES the corpse to a unique tombstone and deletes the tombstone
-  * — rename succeeds for exactly one breaker, so two waiters can never
-  * each "delete the corpse" with the second delete landing on the
-  * winner's fresh claim (the check-then-delete race a naive break
-  * has). `staleMs` defaults to 10 minutes: the critical section is a
+  * every file-lock protocol ships). The break is IDENTITY-VERIFIED
+  * and serialized: breakers hold a JVM lock (in-process races gone),
+  * re-judge staleness under it, RENAME the corpse to a unique
+  * tombstone (atomic — exactly one breaker gets the file), and then
+  * VERIFY the tombstone's mtime matches the corpse they judged; a
+  * mismatch means the rename grabbed a FRESH claim that replaced the
+  * corpse in the window, and the break RESTORES it (no-replace atomic
+  * move) instead of stealing a live writer's lease — the failure the
+  * naive check-then-delete break has. Residual honesty: ACROSS
+  * processes there remains a microsecond window (two processes break-
+  * race a corpse while a third acquires) that a filesystem lease
+  * cannot close without server-side fencing; it requires a prior
+  * crash AND a triple race, and real deployments put the claim on a
+  * store with conditional puts. `staleMs` defaults to 10 minutes: the
+  * critical section is a
   * manifest write + pointer rename — seconds even on a contended
   * cluster — so a ten-minute-old claim is a corpse, not a slow writer
   * (a deployment whose commits legitimately run longer should raise
@@ -41,6 +50,11 @@ import org.apache.spark.sql.SparkSession
   * filesystem-agnostic either way.
   */
 private[graft] object CommitClaim {
+
+  // serializes BREAKERS within this JVM: two threads must never both
+  // judge the same corpse stale and race the rename (the cross-process
+  // residual window is documented above)
+  private val breakLock = new Object
 
   /** Run `body` holding the claim file `dir/_claim`. Re-entrant per
     * the CALLER's discipline only (callers hold a JVM lock around it,
@@ -84,14 +98,24 @@ private[graft] object CommitClaim {
           true
         } catch { case _: java.io.IOException => false }
     }
-    // ATOMIC corpse break: rename to a unique tombstone, then delete
-    // the tombstone — exactly one breaker's rename succeeds, and a
-    // loser can never delete the winner's just-created fresh claim
-    def breakStale(): Unit = {
-      val tomb = new Path(s"$dir/_claim_broken_" +
-        java.util.UUID.randomUUID().toString.take(8))
-      try { if (fs.rename(claim, tomb)) fs.delete(tomb, false) }
-      catch { case _: java.io.IOException => () } // already gone/broken
+    // IDENTITY-VERIFIED corpse break (see the object Scaladoc): only a
+    // file whose mtime still matches the judged corpse is collected; a
+    // grabbed FRESH claim is restored, never stolen
+    def breakStale(corpseMtime: Long): Unit = breakLock.synchronized {
+      try {
+        // re-judge under the lock: a mismatch means someone already
+        // broke-and-replaced it — nothing to do
+        if (fs.getFileStatus(claim).getModificationTime == corpseMtime) {
+          val tomb = new Path(s"$dir/_claim_broken_" +
+            java.util.UUID.randomUUID().toString.take(8))
+          if (fs.rename(claim, tomb)) {
+            if (fs.getFileStatus(tomb).getModificationTime == corpseMtime)
+              fs.delete(tomb, false) // it was the corpse
+            else if (!fs.rename(tomb, claim))
+              fs.delete(tomb, false) // a new claim raced in: yield to it
+          }
+        }
+      } catch { case _: java.io.IOException => () } // gone: re-try loop
     }
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
@@ -106,12 +130,14 @@ private[graft] object CommitClaim {
             s"commit claim under $dir not acquired within ${timeoutMs} " +
               "ms — another writer is stuck, the claim path is not " +
               s"writable, or the host is wedged; inspect $claim")
-        val age =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(claim).getModificationTime
-          catch { case _: java.io.IOException => -1L } // gone: re-try
-        if (age >= staleMs) breakStale()
-        else Thread.sleep(50L)
+        val mtime =
+          try Some(fs.getFileStatus(claim).getModificationTime)
+          catch { case _: java.io.IOException => None } // gone: re-try
+        mtime match {
+          case Some(m) if System.currentTimeMillis() - m >= staleMs =>
+            breakStale(m)
+          case _ => Thread.sleep(50L)
+        }
       }
     }
     try body

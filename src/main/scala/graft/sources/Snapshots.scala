@@ -422,35 +422,51 @@ object Snapshots {
     * a commit that slipped in between would otherwise be silently
     * DROPPED from the expired manifest (its rows are absent from the
     * stale `kept` list: lost update, then data loss at the next
-    * sweep). A lost race re-checkpoints against the new state — the
-    * same rebase rule every optimistic writer here follows.
+    * sweep). A lost race re-checkpoints against the new state, and
+    * after a few losses the retry ESCALATES: the final attempt runs
+    * checkpoint AND publish inside the commit lock + claim, briefly
+    * blocking committers instead of starving forever under constant
+    * commit traffic — optimism with a bounded-starvation fallback.
     */
   def expirePtr(
       spark: SparkSession,
       root: String,
       cut: Int,
       graceMs: Long = 15L * 60L * 1000L): Unit = {
+    def publishKept(observed: Option[Long], kept: Seq[(Int, String)])
+        : Boolean =
+      if (currentGen(spark, root) != observed) false
+      else {
+        val gen = observed.getOrElse(0L) + 1L
+        writeManifestGen(spark, root, gen, kept)
+        swapPointer(spark, root, gen)
+        true
+      }
     var published = false
     var attempts = 0
-    while (!published) {
+    while (!published && attempts < 4) {
       attempts += 1
-      require(
-        attempts <= 5,
-        "expirePtr lost 5 optimistic-publish races — rebase budget " +
-          "exhausted under commit contention")
       val observed = currentGen(spark, root)
       val kept = ptrCheckpoint(spark, root, cut)
-      ptrCommitLock.synchronized {
+      published = ptrCommitLock.synchronized {
         CommitClaim.withClaim(spark, s"$root/manifest") {
-          if (currentGen(spark, root) == observed) {
-            val gen = observed.getOrElse(0L) + 1L
-            writeManifestGen(spark, root, gen, kept)
-            swapPointer(spark, root, gen)
-            published = true
-          }
+          publishKept(observed, kept)
         }
       }
     }
+    if (!published)
+      // escalation: checkpoint under the lock — committers wait one
+      // checkpoint's length, the expire cannot be starved
+      ptrCommitLock.synchronized {
+        CommitClaim.withClaim(spark, s"$root/manifest") {
+          val observed = currentGen(spark, root)
+          val kept = ptrCheckpoint(spark, root, cut)
+          require(
+            publishKept(observed, kept),
+            "expirePtr: pointer moved inside the commit lock — broken " +
+              "claim discipline (an uncooperative writer bypassed it)")
+        }
+      }
     ptrSweep(spark, root, graceMs)
   }
 

@@ -231,6 +231,34 @@ class CommitClaimSpec extends AnyFunSuite {
     }
   }
 
+  test("racing breakers of one stale claim still exclude (atomic break)") {
+    withDir { dir =>
+      // the check-then-delete hazard: every waiter sees the SAME stale
+      // corpse; a non-atomic break lets the second waiter delete the
+      // first's fresh claim and both enter. The rename-break admits
+      // exactly one at a time.
+      val claim = new java.io.File(s"$dir/_claim")
+      claim.getParentFile.mkdirs()
+      assert(claim.createNewFile())
+      claim.setLastModified(System.currentTimeMillis() - 700000L)
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ths = (1 to 6).map { _ =>
+        new Thread(() => {
+          CommitClaim.withClaim(spark, dir) {
+            val now = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, now))
+            Thread.sleep(20L)
+            inside.decrementAndGet()
+          }
+          ()
+        })
+      }
+      ths.foreach(_.start()); ths.foreach(_.join())
+      assert(maxInside.get() == 1, s"overlap: ${maxInside.get()} inside")
+    }
+  }
+
   test("the claim serializes concurrent holders (no overlap)") {
     withDir { dir =>
       val inside = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -267,6 +295,39 @@ class PtrSweepGraceSpec extends AnyFunSuite {
       java.nio.file.Files.walk(java.nio.file.Paths.get(root))
         .iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("expire racing live appenders never drops a committed version") {
+    // the lost-update shape the optimistic expire exists for: a commit
+    // landing between expire's checkpoint and its publish must survive
+    // into the published manifest (pre-fix, the stale `kept` list
+    // silently omitted it). Free-running appender vs repeated expires;
+    // every acknowledged append must be readable at the end.
+    val sp = spark
+    import sp.implicits._
+    withRoot { root =>
+      Snapshots.commitPtr(Seq(0L).toDF("k"), root, 1)
+      val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val appender = new Thread(() => {
+        (1 to 8).foreach { i =>
+          Snapshots.appendNextPtr(Seq(100L + i).toDF("k"), root)
+          appended.add(100L + i)
+          ()
+        }
+      })
+      appender.start()
+      (1 to 3).foreach { _ =>
+        Snapshots.expirePtr(spark, root, cut = 1)
+        Thread.sleep(30L)
+      }
+      appender.join()
+      Snapshots.expirePtr(spark, root, cut = 1)
+      val live = Snapshots.readVersionPtr(spark, root, Int.MaxValue)
+        .select(col("k")).collect().map(_.getLong(0)).toSet
+      import scala.jdk.CollectionConverters._
+      val lost = appended.asScala.toSet -- live
+      assert(lost.isEmpty, s"acknowledged appends dropped by expire: $lost")
     }
   }
 

@@ -349,7 +349,10 @@ object Bench {
     // so work is the cross-round comparison KEY: walls are compared
     // only at matching work, and a work CHANGE is its own signal (a
     // plan change — real, whatever the wall says)
-    val idleWork: Map[String, Double] = try {
+    // (work MB, cpu sec, gc sec) per query — work keys the comparison
+    // (bytes don't drift with host speed), cpu+gc are the r16 verdict
+    // #4 evidence columns the RegressionRule ladder reads
+    val idleWork: Map[String, (Double, Double, Double)] = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
@@ -369,7 +372,9 @@ object Bench {
             for {
               sr <- field("shuffle_read_mb", m.group(2))
               in <- field("input_mb", m.group(2))
-            } yield m.group(1) -> (sr + in)
+              cpu <- field("executor_cpu_ms", m.group(2))
+              gc <- field("gc_ms", m.group(2))
+            } yield m.group(1) -> (sr + in, cpu / 1000.0, gc / 1000.0)
           }.toMap
         if (parsed.isEmpty)
           System.err.println(
@@ -432,7 +437,6 @@ object Bench {
     }
     val suspects = (contended ++ vsIdle).distinct
     val suspectSet = suspects.toSet
-    val contendedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // WORK-KEYED regression rule (r14 verdict #5 — walls compared only
     // at matching work, host-calibrated):
     //  - work_changed: this run's shuffle+input MB differs >25% AND
@@ -456,21 +460,27 @@ object Bench {
       math.max(1.0, math.max(calibRatio, calibWideRatio))
     def workOf(u: graft.metrics.ResourceSnapshot): Double =
       (u.shuffleReadBytes + u.inputBytes) / 1048576.0
-    val workChanged = results.collect {
-      case (k, Right(_), u) if idleWork.get(k).exists { iw =>
-        val w = workOf(u)
-        math.abs(w - iw) > 5.0 &&
-          math.abs(w - iw) > 0.25 * math.max(iw, 1.0)
-      } => k
+    // the full decision ladder lives in RegressionRule (pure, unit-
+    // tested on the r16 false-flag window): work-changed → plan signal;
+    // wall >2× at matched work then needs CPU evidence (cpu flat ⇒
+    // scheduling delay; tiny cpu ⇒ noise; cpu up WITH a gc burst ⇒
+    // co-tenant GC wake) before it is called an engine regression
+    val ruleSamples = results.collect { case (k, Right((v, _)), u) =>
+      graft.metrics.RegressionRule.Sample(
+        k, v, workOf(u), u.executorCpuMs / 1000.0, u.jvmGcMs / 1000.0)
     }
-    val workChangedSet = workChanged.toSet
-    val regressions = results.collect {
-      case (k, Right((v, _)), u)
-          if !workChangedSet.contains(k) && !suspectSet.contains(k) &&
-            idleWork.contains(k) &&
-            idleWalls.get(k).exists(iw =>
-              iw >= 0.5 && v > 2.0 * iw * hostRatio) => k
+    val idleRefs = idleWork.flatMap { case (k, (w, cpu, gc)) =>
+      idleWalls.get(k).map(iw =>
+        k -> graft.metrics.RegressionRule.IdleRef(iw, w, cpu, gc))
     }
+    val ruleVerdict = graft.metrics.RegressionRule.judge(
+      ruleSamples, idleRefs, hostRatio, suspectSet)
+    val workChanged = ruleVerdict.workChanged
+    // demoted rows are contention-shaped: count them as suspects so the
+    // adjusted totals discount their walls to the idle reference
+    val allSuspects = (suspects ++ ruleVerdict.demoted).distinct
+    val allSuspectSet = allSuspects.toSet
+    val regressions = ruleVerdict.regressions
     val workChangedJson =
       workChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressionsJson =
@@ -481,8 +491,10 @@ object Bench {
     // driver run self-reports the number an idle host would have
     // produced instead of reading as a regression. idle_ref_n says how
     // many queries had an idle reference to discount against.
+    val contendedJson =
+      allSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val adjustedTotal = results.collect { case (k, Right((v, _)), _) =>
-      if (suspectSet.contains(k))
+      if (allSuspectSet.contains(k))
         idleWalls.get(k).map(math.min(v, _)).getOrElse(v)
       else v
     }.sum

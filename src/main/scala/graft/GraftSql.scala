@@ -61,9 +61,42 @@ object GraftSql {
   //   DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>
   //   CHANGES FROM LAKE '<root>' KEY <col>
   //     BETWEEN '<generation>' AND '<generation>'
+  //   CHANGES FROM LAKE '<root>' KEY <col> CONSUMER '<dir>'
   //   GENERATIONS FROM LAKE '<root>'
   //   OPTIMIZE LAKE '<root>' BUCKETS <n> [ZORDER BY <col>]
   //   VACUUM LAKE '<root>' [RETAIN <n> HOURS]
+  //   PAGERANK [MAXITER n] [DAMPING d] [THRESHOLD t] [MINITER n]
+  //     USING <select…>             -- select must expose src, dst
+  //   PAGERANK FROM LAKE '<root>' [VERSION AS OF '<gen>'] [opts…]
+  //   COMPONENTS USING <select…>
+  //   COMPONENTS FROM LAKE '<root>' [VERSION AS OF '<gen>']
+  //
+  // PAGERANK / COMPONENTS (sql11/sql12 — r16 verdict #1) are the
+  // engine's FLAGSHIP algorithms surfaced as SQL table verbs (the
+  // Neo4j GDS `CALL gds.pageRank` shape, reference
+  // PageRankDriver.java:58-71): the edge set comes from any SELECT
+  // this entry can run (LAKE references included — rewritten first) or
+  // straight from a keyed lake table, and the verb routes to the
+  // AUDITED operators (operators/PageRank.run — NetworkX-aligned
+  // dangling redistribution, convergence rule and all —
+  // and the g15 HashMin components path) with NO new algorithm code.
+  // Option defaults are the reference CLI's (PageRankConfig:
+  // damping 0.85, maxIter 10, tol 1e-6, minIter 5). Output:
+  // PAGERANK → (id BIGINT, rank DOUBLE); COMPONENTS →
+  // (id BIGINT, component_id BIGINT).
+  //
+  // CHANGES … CONSUMER (sql13 — r16 verdict #7) is the OFFSET-RELATIVE
+  // incremental read — the st29 streaming hop as one SQL statement: it
+  // resolves the consumer's committed generation under `<dir>` (the
+  // LakeChangeFeed offset discipline), reads the row-level feed from
+  // that offset to head (bootstrap = full head snapshot as `insert`
+  // rows when no offset exists yet), MATERIALIZES the rows, and then
+  // commits head as the new offset. Delivery contract: the frame is
+  // materialized BEFORE the offset commit, so a crash mid-statement
+  // redelivers (at-least-once); pair the statement's consumer with an
+  // idempotent downstream write for exactly-once, exactly as st29's
+  // range-keyed sink does. A caught-up consumer gets an empty frame
+  // and the offset stays put.
   //
   // OPTIMIZE needs NO key in the grammar — the manifest records the
   // table's key column (the io16 field), which is the point of
@@ -96,14 +129,31 @@ object GraftSql {
     """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
   private val ChangesRe =
     """(?is)\s*CHANGES\s+FROM\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'\s*;?\s*""".r
+  private val ChangesConsumerRe =
+    """(?is)\s*CHANGES\s+FROM\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+CONSUMER\s+'([^']+)'\s*;?\s*""".r
   private val GenerationsRe =
     """(?is)\s*GENERATIONS\s+FROM\s+LAKE\s+'([^']+)'\s*;?\s*""".r
+  // graph verbs: the option blob is parsed field-by-field after the
+  // match (Java regex keeps only the last repetition of a group)
+  private val GraphOpt = """(?:MAXITER|DAMPING|THRESHOLD|MINITER)"""
+  private val PageRankUsingRe =
+    ("""(?is)\s*PAGERANK((?:\s+""" + GraphOpt +
+      """\s+[0-9.eE+\-]+)*)\s+USING\s+(.+)""").r
+  private val PageRankLakeRe =
+    ("""(?is)\s*PAGERANK\s+FROM\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?((?:\s+""" + GraphOpt +
+      """\s+[0-9.eE+\-]+)*)\s*;?\s*""").r
+  private val ComponentsUsingRe =
+    """(?is)\s*COMPONENTS\s+USING\s+(.+)""".r
+  private val ComponentsLakeRe =
+    ("""(?is)\s*COMPONENTS\s+FROM\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""").r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+LAKE\s+'([^']+)'\s+BUCKETS\s+(\d+)(?:\s+ZORDER\s+BY\s+(\w+))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+LAKE\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val DmlShaped =
-    """(?is)\s*(MERGE|DELETE|APPLY|CHANGES|GENERATIONS|OPTIMIZE|VACUUM)\b.*""".r
+    """(?is)\s*(MERGE|DELETE|APPLY|CHANGES|GENERATIONS|OPTIMIZE|VACUUM|PAGERANK|COMPONENTS)\b.*""".r
   // a LAKE table reference inside a SELECT/WITH — optional time travel
   private val LakeRefRe =
     """(?i)LAKE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+'([^']+)')?""".r
@@ -119,9 +169,15 @@ object GraftSql {
         "  DELETE FROM LAKE '<root>' WHERE <col> BETWEEN <lo> AND <hi>\n" +
         "  CHANGES FROM LAKE '<root>' KEY <col> BETWEEN '<gen>' AND " +
         "'<gen>'\n" +
+        "  CHANGES FROM LAKE '<root>' KEY <col> CONSUMER '<dir>'\n" +
         "  GENERATIONS FROM LAKE '<root>'\n" +
         "  OPTIMIZE LAKE '<root>' BUCKETS <n> [ZORDER BY <col>]\n" +
         "  VACUUM LAKE '<root>' [RETAIN <n> HOURS]\n" +
+        "  PAGERANK [MAXITER n] [DAMPING d] [THRESHOLD t] [MINITER n] " +
+        "USING <select>\n" +
+        "  PAGERANK FROM LAKE '<root>' [VERSION AS OF '<gen>'] [opts]\n" +
+        "  COMPONENTS USING <select>\n" +
+        "  COMPONENTS FROM LAKE '<root>' [VERSION AS OF '<gen>']\n" +
         "  SELECT ... FROM LAKE '<root>' [VERSION AS OF '<gen>'] ...\n" +
         s"got: ${statement.trim.take(200)}")
 
@@ -134,14 +190,14 @@ object GraftSql {
     statement match {
       case MergeRe(root, key, evolve, select) =>
         val rep = graft.sources.LakeTable.merge(
-          sql(spark, dir, rewriteLakeRefs(spark, select)), root, key,
+          sqlRewritten(spark, dir, select), root, key,
           mergeSchema = evolve != null)
         Seq((rep.touched.size.toLong, rep.untouched.size.toLong,
           rep.pureInsert))
           .toDF("touched_batches", "untouched_batches", "pure_insert")
       case ApplyRe(root, key, opCol, select) =>
         val rep = graft.sources.LakeTable.applyChanges(
-          sql(spark, dir, rewriteLakeRefs(spark, select)), root, key,
+          sqlRewritten(spark, dir, select), root, key,
           opCol = Option(opCol).getOrElse("op"))
         Seq((rep.touched.size.toLong, rep.untouched.size.toLong,
           rep.pureInsert))
@@ -156,6 +212,21 @@ object GraftSql {
       case ChangesRe(root, key, fromGen, toGen) =>
         graft.sources.LakeTable
           .changesBetween(spark, root, key, fromGen, toGen)
+      case ChangesConsumerRe(root, key, consumerDir) =>
+        changesConsumer(spark, root, key, consumerDir)
+      case PageRankUsingRe(opts, select) =>
+        runPageRank(
+          spark,
+          edgeCols(sqlRewritten(spark, dir, select), "PAGERANK USING body"),
+          opts)
+      case PageRankLakeRe(root, gen, opts) =>
+        runPageRank(spark, lakeEdges(spark, root, gen), opts)
+      case ComponentsUsingRe(select) =>
+        runComponents(
+          edgeCols(
+            sqlRewritten(spark, dir, select), "COMPONENTS USING body"))
+      case ComponentsLakeRe(root, gen) =>
+        runComponents(lakeEdges(spark, root, gen))
       case GenerationsRe(root) =>
         val gens = graft.sources.LakeTable.generations(spark, root)
         gens.map(g => (g, graft.sources.LakeTable.ordinal(g)))
@@ -186,7 +257,7 @@ object GraftSql {
           .toDF("gens_swept", "dirs_swept", "batches_live")
       case DmlShaped(_) => grammarError(statement)
       case sel @ SelectShaped(_) if LakeRefRe.findFirstIn(sel).isDefined =>
-        sql(spark, dir, rewriteLakeRefs(spark, sel))
+        sqlRewritten(spark, dir, sel)
       case other if LakeRefRe.findFirstIn(other).isDefined =>
         grammarError(statement) // LAKE-shaped but not a form we accept
       case other => sql(spark, dir, other)
@@ -201,13 +272,22 @@ object GraftSql {
     * SqlTimeTravelSpec). View names carry a UNIQUE token: two threads
     * sharing one session must never cross-wire each other's rewrites
     * through a fixed name. Applied to SELECT statements AND to
-    * MERGE/APPLY USING bodies, so a lake-to-lake hop
-    * (`MERGE INTO LAKE 'a' ... USING SELECT ... FROM LAKE 'b'`) works
-    * as the grammar promises.
+    * MERGE/APPLY/PAGERANK/COMPONENTS USING bodies, so a lake-to-lake
+    * hop (`MERGE INTO LAKE 'a' ... USING SELECT ... FROM LAKE 'b'`)
+    * works as the grammar promises.
+    *
+    * The views are DROPPED as soon as the statement's frame is built
+    * (r16 advice #3 — the per-statement unique names otherwise
+    * accumulate in the session catalog without bound): `spark.sql`
+    * analyzes eagerly, so the returned frame's plan holds the RESOLVED
+    * lake relations and never consults the catalog again; execution,
+    * further composition, and the DML paths' writes all run after the
+    * drop by design (a leak test pins the catalog stays clean).
     */
-  private def rewriteLakeRefs(
-      spark: SparkSession, statement: String): String =
-    LakeRefRe.replaceAllIn(statement, m => {
+  private def sqlRewritten(
+      spark: SparkSession, dir: String, statement: String): DataFrame = {
+    val created = scala.collection.mutable.ListBuffer[String]()
+    val rewritten = LakeRefRe.replaceAllIn(statement, m => {
       val frame = Option(m.group(2)) match {
         case Some(gen) =>
           graft.sources.LakeTable.readAt(spark, m.group(1), gen)
@@ -216,6 +296,104 @@ object GraftSql {
       val view = "graft_lake_ref_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       frame.createOrReplaceTempView(view)
+      created += view
       view
     })
+    try sql(spark, dir, rewritten)
+    finally created.foreach(v => spark.catalog.dropTempView(v))
+  }
+
+  // ---- graph verbs (sql11/sql12) ----
+
+  /** Project/validate the graph verbs' edge contract: the source must
+    * expose `src` and `dst` (cast to BIGINT — the engine's vertex id
+    * type). Anything else fails loudly with the contract, not a
+    * resolution error three joins deep.
+    */
+  private def edgeCols(
+      df: DataFrame, what: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val have = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(
+      have.contains("src") && have.contains("dst"),
+      s"$what must expose columns src, dst (BIGINT vertex ids); got " +
+        s"[${df.columns.mkString(", ")}]")
+    df.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+  }
+
+  /** Edges straight from a keyed lake table (live or as-of). */
+  private def lakeEdges(
+      spark: SparkSession, root: String, gen: String): DataFrame =
+    edgeCols(
+      Option(gen) match {
+        case Some(g) => graft.sources.LakeTable.readAt(spark, root, g)
+        case None => graft.sources.LakeTable.read(spark, root)
+      },
+      s"LAKE '$root'")
+
+  /** Parse one `[MAXITER n] [DAMPING d] [THRESHOLD t] [MINITER n]`
+    * option blob (order-free; the regex already vouched for the shape)
+    * into a [[graft.operators.PageRankConfig]] over the reference
+    * defaults.
+    */
+  private def pageRankConfig(opts: String): graft.operators.PageRankConfig = {
+    def opt(name: String): Option[String] =
+      ("(?i)" + name + """\s+([0-9.eE+\-]+)""").r
+        .findFirstMatchIn(Option(opts).getOrElse(""))
+        .map(_.group(1))
+    val base = graft.operators.PageRankConfig()
+    base.copy(
+      maxIter = opt("MAXITER").map(_.toInt).getOrElse(base.maxIter),
+      damping = opt("DAMPING").map(_.toDouble).getOrElse(base.damping),
+      tol = opt("THRESHOLD").map(_.toDouble).getOrElse(base.tol),
+      minIter = opt("MINITER").map(_.toInt).getOrElse(base.minIter))
+  }
+
+  private def runPageRank(
+      spark: SparkSession, edges: DataFrame, opts: String): DataFrame =
+    graft.operators.PageRank.run(spark, edges, pageRankConfig(opts)).ranks
+
+  private def runComponents(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Dedup
+      .componentsFromPairs(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .select(col("doc_id").as("id"), col("group_id").as("component_id"))
+  }
+
+  /** The sql13 offset-relative CDF read — [[graft.streaming.LakeChangeFeed]]'s
+    * poll as one SQL statement (see the grammar comment for the
+    * delivery contract). Materializes via localCheckpoint BEFORE the
+    * offset commit so the returned frame is self-contained: it never
+    * re-plans from generations a later VACUUM might collect, and the
+    * caller can consume it any number of times.
+    */
+  private def changesConsumer(
+      spark: SparkSession,
+      root: String,
+      key: String,
+      consumerDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val lk = graft.sources.LakeTable
+    val head = lk.currentName(spark, root)
+      .getOrElse(sys.error(s"nothing committed under $root"))
+    graft.streaming.LakeChangeFeed.committedGen(spark, consumerDir) match {
+      case Some(f) if f == head =>
+        // caught up: typed empty feed frame, offset untouched
+        lk.changesBetween(spark, root, key, head, head)
+      case Some(f) =>
+        val feed =
+          lk.changesBetween(spark, root, key, f, head).localCheckpoint()
+        graft.streaming.LakeChangeFeed.commitGen(spark, consumerDir, head)
+        feed
+      case None =>
+        val snap = lk.readAt(spark, root, head)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_generation", lit(lk.ordinal(head)))
+          .localCheckpoint()
+        graft.streaming.LakeChangeFeed.commitGen(spark, consumerDir, head)
+        snap
+    }
+  }
 }

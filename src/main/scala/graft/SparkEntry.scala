@@ -4429,6 +4429,102 @@ object SparkEntry {
         }
       }
     },
+    "st30_cdf_source" -> { (s, dir) =>
+      // THE LAKE CDF AS A FIRST-CLASS STREAMING SOURCE (r16 verdict
+      // #2 — st29's poll helper lifted into the engine:
+      // `spark.readStream.format("graft-cdf")`): the offset IS a
+      // manifest generation living in the streaming checkpoint's own
+      // offset log, so recovery is the ENGINE's — this row runs st29's
+      // exact wave scenario as four KILL-AND-RESTART legs, each a
+      // fresh query resuming from the same checkpoint (replacing
+      // st29's hand-planted crash): leg 1 bootstraps the head snapshot
+      // (insert rows), the query DIES, a merge wave lands, leg 2
+      // resumes from the checkpointed generation and reads exactly
+      // (g2, g3], a CDC delete wave lands, leg 3 reads (g3, g4], leg 4
+      // is caught up (no batch). The signed reconstruction must equal
+      // the live table exactly, and final_gen is read from the
+      // CHECKPOINT'S OWN offset log — the integration the bespoke
+      // consumerDir could not give.
+      val docs = t(s, dir, "documents")
+      val dirs = Seq("graft_st30l", "graft_st30k", "graft_st30o")
+        .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+      val (lake, ckpt, out) = (dirs(0), dirs(1), dirs(2))
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), lake, "doc_id") // g1
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), lake, "doc_id") // g2
+        // one kill-and-restart leg: a FRESH query on the SAME
+        // checkpoint, drained and stopped (range-keyed idempotent
+        // sink: a replayed batch re-plans the same (start, end] and
+        // overwrites its own generation dir)
+        def leg(): Unit = {
+          val q = s.readStream.format("graft-cdf")
+            .option("key", "doc_id").load(lake)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_generation")
+                .parquet(out)
+              ()
+            }
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+        leg() // bootstrap at g2
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val inserts = docs
+          .filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+        graft.sources.LakeTable.merge(
+          updates.unionByName(inserts), lake, "doc_id") // g3
+        leg() // resumes from ckpt: (g2, g3]
+        graft.sources.LakeTable.applyChanges(
+          docs.filter(pmod(col("doc_id"), lit(12L)) === 3)
+            .withColumn("op", lit("D")),
+          lake, "doc_id") // g4
+        leg() // (g3, g4]
+        leg() // caught up: no batch
+        // the committed offset from the CHECKPOINT's offset log: the
+        // newest offsets file's last line is the generation name
+        val offDir = java.nio.file.Paths.get(s"$ckpt/offsets")
+        val last = java.nio.file.Files.list(offDir).iterator()
+        val newest = {
+          import scala.jdk.CollectionConverters._
+          last.asScala.toSeq
+            .filter(_.getFileName.toString.forall(_.isDigit))
+            .maxBy(_.getFileName.toString.toLong)
+        }
+        val offOrd = graft.sources.LakeTable.ordinal(
+          new String(java.nio.file.Files.readAllBytes(newest), "UTF-8")
+            .split("\n").filter(_.startsWith("g=")).last.trim)
+        graft.operators.CacheScope.sealAfter(
+          s.read.parquet(out)
+            .withColumn("sign",
+              when(col("_change_type").isin("insert", "update_post"), 1L)
+                .otherwise(-1L))
+            .groupBy(col("lang"))
+            .agg(
+              sum(col("sign")).as("n_docs"),
+              sum(col("sign") * col("n_chars")).as("sum_chars"))
+            .withColumn("final_gen", lit(offOrd)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        dirs.foreach { d =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    },
     "st29_lake_feed_stream" -> { (s, dir) =>
       // STREAMING CONSUMPTION of the ROW-LEVEL lake change feed (r15
       // verdict #1 — io22's feed driven by a real Structured Streaming
@@ -4894,6 +4990,69 @@ object SparkEntry {
               count(lit(1)).as("n_rows"),
               sum(col("n_chars")).as("sum_chars"))
             .withColumn("carried_batches", lit(carried.toLong)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val rootP = java.nio.file.Paths.get(root)
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    },
+    "io24_multicol_stats" -> { (s, dir) =>
+      // MULTI-COLUMN secondary stats (r16 verdict #6 — the Iceberg
+      // per-column bounds map, one stat per tracked column instead of
+      // io23's single col2): the event log keyed by event_id z-orders
+      // on (event_id, user_id) for user probes, and ALSO tracks
+      // ts_days — the business date, which correlates with the
+      // append-ordered key (the exact production shape: time-pruning
+      // pays off because the layout already clusters the correlated
+      // key). A first-quarter date probe prunes on the THIRD (non-z)
+      // column; a narrow-key merge wave then rewrites the touched
+      // buckets and the bounds SURVIVE via the per-column union —
+      // pre/post planning counts and the post-merge date-sliced
+      // aggregate all ride the hash, each replayed by the oracle from
+      // the z arithmetic.
+      val ev = graft.sources.Tables.events(s, dir).withColumn(
+        "ts_days",
+        datediff(col("ts"), lit("1970-01-01")).cast("long"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_io24").toString
+      try {
+        (0L to 3L).foreach { i =>
+          graft.sources.LakeTable.append(
+            ev.filter(pmod(col("event_id"), lit(4L)) === i),
+            root, "event_id")
+        }
+        graft.sources.LakeTable.compactZ(
+          s, root, "event_id", "user_id", buckets = 4,
+          statCols = Seq("ts_days"))
+        val b = ev.agg(
+          min(col("ts_days")), max(col("ts_days")),
+          min(col("event_id")), max(col("event_id"))).collect()(0)
+        val (dmin, dmax) = (b.getLong(0), b.getLong(1))
+        val (emin, emax) = (b.getLong(2), b.getLong(3))
+        val (dlo, dhi) = (dmin, dmin + (dmax - dmin) / 4)
+        val pre = graft.sources.LakeTable.currentRows(s, root)
+        val preRead = graft.sources.LakeTable
+          .planPrunedOn(pre, "ts_days", dlo, dhi).size
+        val src = ev
+          .filter(col("event_id") <= emin + (emax - emin) / 8 &&
+            pmod(col("event_id"), lit(7L)) === 0)
+          .withColumn("value", col("value") + 1.0)
+        graft.sources.LakeTable.merge(src, root, "event_id")
+        val post = graft.sources.LakeTable.currentRows(s, root)
+        val postRead = graft.sources.LakeTable
+          .planPrunedOn(post, "ts_days", dlo, dhi).size
+        graft.operators.CacheScope.sealAfter(
+          graft.sources.LakeTable
+            .readPrunedOn(s, root, "ts_days", dlo, dhi)
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(sum(col("value")), 4).as("sum_value"))
+            .withColumn("pre_batches_read", lit(preRead.toLong))
+            .withColumn("pre_batches_total", lit(pre.size.toLong))
+            .withColumn("post_batches_read", lit(postRead.toLong))
+            .withColumn("post_batches_total", lit(post.size.toLong)))
       } finally {
         import scala.jdk.CollectionConverters._
         val rootP = java.nio.file.Paths.get(root)
@@ -7532,6 +7691,98 @@ object SparkEntry {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     },
+    "sql11_pagerank" -> { (s, dir) =>
+      // PAGERANK from SQL TEXT (r16 verdict #1 — the engine's flagship
+      // finally reachable at the SQL entry, the Neo4j GDS CALL shape):
+      // one statement names the edge select (the g1 orders graph) and
+      // the reference CLI's parameters, GraftSql routes it to the
+      // AUDITED PageRank.run — same operator, same convergence rule,
+      // same dangling redistribution — and the row hash-locks to the
+      // SAME converged oracle as g6 (the whole point: the SQL verb is
+      // plumbing, not a second implementation).
+      GraftSql.exec(s, dir,
+        "PAGERANK MAXITER 10 DAMPING 0.85 THRESHOLD 1e-6 MINITER 5 " +
+          "USING " + graft.sources.EdgeListReader.fromOrdersSql)
+        .select(col("id"), round(col("rank"), 9).as("rank_r"))
+    },
+    "sql12_components" -> { (s, dir) =>
+      // COMPONENTS from SQL TEXT — the g15 HashMin path behind a SQL
+      // verb; the edge select regenerates the g15 portable md5 graph
+      // in Spark SQL (conv/md5/pmod are the same algebra
+      // SyntheticGraph.portable uses), so the row hash-locks to the
+      // SAME recursive-closure oracle as g15.
+      def ep(tag: String) =
+        "pmod(cast(conv(substr(md5(concat_ws(':', cast(id AS string), " +
+          s"'$tag', 'g15')), 1, 8), 16, 10) AS bigint), 600)"
+      GraftSql.exec(s, dir,
+        s"COMPONENTS USING SELECT ${ep("s")} AS src, ${ep("d")} AS dst " +
+          "FROM range(250)")
+    },
+    "sql13_changes_consumer" -> { (s, dir) =>
+      // CHANGES … CONSUMER from SQL TEXT (r16 verdict #7 — the
+      // offset-relative incremental read; p16's silver→gold hop in
+      // pure SQL): hop 1 bootstraps gold from the full head snapshot
+      // (no offset yet → insert rows) and commits the generation; a
+      // merge wave lands; hop 2 reads EXACTLY the feed since the
+      // committed offset — delta bytes, never the table — and the
+      // signed-contribution update hash-locks to the from-scratch
+      // recompute, with feed_rows pinning the delta the second hop
+      // actually read.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sql13").toString
+      val cons = java.nio.file.Files
+        .createTempDirectory("graft_sql13_consumer").toString
+      try {
+        val thr = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+        val base = docs.filter(pmod(col("doc_id"), lit(3L)) < 2)
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") <= thr), root, "doc_id")
+        graft.sources.LakeTable.append(
+          base.filter(col("doc_id") > thr), root, "doc_id")
+        val hop1 = GraftSql.exec(s, dir,
+          s"CHANGES FROM LAKE '$root' KEY doc_id CONSUMER '$cons'")
+        val gold0 = hop1.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+        val updates = docs
+          .filter(pmod(col("doc_id"), lit(6L)) === 0 &&
+            col("doc_id") <= thr)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val inserts = docs
+          .filter(pmod(col("doc_id"), lit(3L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
+        graft.sources.LakeTable.merge(
+          updates.unionByName(inserts), root, "doc_id")
+        val feed = GraftSql.exec(s, dir,
+          s"CHANGES FROM LAKE '$root' KEY doc_id CONSUMER '$cons'")
+        val feedRows = feed.count()
+        val sign = when(
+          col("_change_type").isin("insert", "update_post"), 1L)
+          .otherwise(-1L)
+        val delta = feed.groupBy(col("lang")).agg(
+          sum(sign).as("dn"),
+          sum(sign * col("n_chars")).as("dchars"))
+        graft.operators.CacheScope.sealAfter(
+          gold0.join(delta, Seq("lang"), "full_outer")
+            .select(
+              col("lang"),
+              (coalesce(col("n_docs"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n_docs"),
+              (coalesce(col("sum_chars"), lit(0L)) +
+                coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+            .filter(col("n_docs") > 0)
+            .withColumn("feed_rows", lit(feedRows)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Seq(root, cons).foreach { d =>
+          val p = java.nio.file.Paths.get(d)
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      }
+    },
 
     "q17_pivot" -> { (s, dir) =>
       // PIVOT: hourly event matrix, one column per event type. Explicit
@@ -10087,6 +10338,68 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(1 AS BIGINT) AS carried_batches
         |FROM ch GROUP BY _change_type, lang""".stripMargin,
+    "io24_multicol_stats" ->
+      // the oracle replays the whole lifecycle from scratch: the z
+      // layout (scaling, Morton, equal-z buckets) with per-bucket
+      // ts_days bounds, the date-probe intersection BEFORE the merge,
+      // the merge's candidate selection (buckets whose key range holds
+      // an actual source key collapse into ONE rewrite whose ts_days
+      // bounds are the touched∪source union — exactly unionSecStat),
+      // the intersection AFTER, and the value-bumped final aggregate
+      s"""WITH m AS (SELECT min(event_id) AS emin, max(event_id) AS emax,
+         |    min(user_id) AS umin, max(user_id) AS umax FROM events),
+         |d AS (SELECT event_id, user_id, event_type, value,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS ts_days
+         |  FROM events),
+         |dm AS (SELECT min(ts_days) AS dmin, max(ts_days) AS dmax FROM d),
+         |probe AS (SELECT dmin AS dlo, dmin + (dmax - dmin) // 4 AS dhi
+         |  FROM dm),
+         |sxy AS (SELECT d.*,
+         |    (event_id - emin) * 65535 // (emax - emin) AS sx,
+         |    (user_id - umin) * 65535 // (umax - umin) AS sy
+         |  FROM d, m),
+         |zb AS (SELECT ((${zMortonSql("sx", "sy")}) * 4) // 4294967296
+         |      AS b,
+         |    min(event_id) AS k1, max(event_id) AS k2,
+         |    min(ts_days) AS d1, max(ts_days) AS d2
+         |  FROM sxy GROUP BY 1),
+         |pre_read AS (SELECT count(*) AS n FROM zb, probe
+         |  WHERE d2 >= dlo AND d1 <= dhi),
+         |pre_total AS (SELECT count(*) AS n FROM zb),
+         |srck AS (SELECT event_id, ts_days FROM d, m
+         |  WHERE event_id <= emin + (emax - emin) // 8
+         |    AND event_id % 7 = 0),
+         |touched AS (SELECT b, d1, d2 FROM zb
+         |  WHERE EXISTS (SELECT 1 FROM srck
+         |                WHERE event_id BETWEEN k1 AND k2)),
+         |untouched AS (SELECT * FROM zb
+         |  WHERE b NOT IN (SELECT b FROM touched)),
+         |rew AS (SELECT least(min(d1), (SELECT min(ts_days) FROM srck))
+         |      AS rd1,
+         |    greatest(max(d2), (SELECT max(ts_days) FROM srck)) AS rd2
+         |  FROM touched),
+         |post_total AS (SELECT (SELECT count(*) FROM untouched)
+         |  + (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END
+         |     FROM touched) AS n),
+         |post_read AS (SELECT
+         |    (SELECT count(*) FROM untouched, probe
+         |     WHERE d2 >= dlo AND d1 <= dhi)
+         |  + (SELECT CASE WHEN (SELECT count(*) FROM touched) > 0
+         |       AND (SELECT rd2 FROM rew) >= (SELECT dlo FROM probe)
+         |       AND (SELECT rd1 FROM rew) <= (SELECT dhi FROM probe)
+         |       THEN 1 ELSE 0 END) AS n),
+         |fin AS (SELECT event_type,
+         |    CASE WHEN event_id IN (SELECT event_id FROM srck)
+         |         THEN value + 1.0 ELSE value END AS value
+         |  FROM d, probe WHERE ts_days BETWEEN dlo AND dhi)
+         |SELECT event_type, count(*) AS n_events,
+         |  round(sum(value), 4) AS sum_value,
+         |  (SELECT n FROM pre_read) AS pre_batches_read,
+         |  (SELECT n FROM pre_total) AS pre_batches_total,
+         |  (SELECT n FROM post_read) AS post_batches_read,
+         |  (SELECT n FROM post_total) AS post_batches_total
+         |FROM fin GROUP BY event_type""".stripMargin,
     "io23_zorder_compact" ->
       // the oracle replays BOTH layout decisions from scratch: the
       // 16-bit scaling, the Morton interleave, the equal-z-range
@@ -10204,6 +10517,25 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(3 AS BIGINT) AS final_offset
         |FROM documents GROUP BY lang""".stripMargin,
+    "st30_cdf_source" ->
+      // identical telescoping contract to st29 — same waves, same
+      // signed reconstruction, same final generation — delivered
+      // through the checkpoint-integrated source instead of the poll
+      // helper (the point: the engine's offset log replaces consumerDir
+      // with zero semantic drift)
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |cur AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr
+        |  WHERE doc_id % 3 < 2 AND doc_id % 12 <> 3
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(4 AS BIGINT) AS final_gen
+        |FROM cur GROUP BY lang""".stripMargin,
     "st29_lake_feed_stream" ->
       // the signed feed contributions TELESCOPE to the live state:
       // bootstrap(+base) + redelivered-once merge diff (−old +new,
@@ -11255,6 +11587,44 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS gens_swept,
         |  CAST(1 AS BIGINT) AS dirs_swept,
         |  CAST(2 AS BIGINT) AS batches_live
+        |FROM final GROUP BY lang""".stripMargin,
+    "sql11_pagerank" ->
+      // the SQL verb is plumbing over the audited operator, so the
+      // oracle IS g6's converged oracle — same graph, same stopping
+      // rule, same ranks
+      pageRankConvergedSql(maxIter = 10, tol = 1e-6, minIter = 5),
+    "sql12_components" ->
+      // g15's recursive-closure oracle verbatim: the SQL verb's edge
+      // select regenerates the identical portable graph
+      s"""WITH RECURSIVE ${portableGraphSql(600, 250, "g15")},
+         |ed AS (SELECT src AS u, dst AS v FROM pe
+         |       UNION SELECT dst, src FROM pe),
+         |nodes AS (SELECT DISTINCT u AS id FROM ed),
+         |r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, r.m FROM ed e JOIN r ON e.v = r.id)
+         |SELECT id, min(m) AS component_id FROM r GROUP BY 1""".stripMargin,
+    "sql13_changes_consumer" ->
+      // incremental ≡ recompute, p16's contract through the CONSUMER
+      // verb: same final state, same feed_rows delta size
+      """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+        |final AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id <= t
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents, thr WHERE doc_id % 3 < 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT
+        |    2 * (SELECT count(*) FROM documents, thr
+        |         WHERE doc_id % 6 = 0 AND doc_id <= t)
+        |    + (SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
+        |      AS n)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT n FROM fr) AS feed_rows
         |FROM final GROUP BY lang""".stripMargin,
     "d7_simhash" -> simhashSigSql,
     "d14_simhash_neardup" -> simhashNearDupSql(maxDist = 3),

@@ -60,18 +60,26 @@ import org.apache.spark.storage.StorageLevel
   * [[moveRoundsWeighted]] directly, closing the multilevel loop with
   * gain moves at every level.
   *
-  * BENCH-FIXTURE COST NOTE (accepted and stated, r15 verdict): on the
-  * 200-vertex gate fixtures each round costs ~1-2 s of pure per-round
-  * overhead — Catalyst planning of the ~8-join round plan, the
-  * localCheckpoint rotation job, and 32-thread task scheduling — not
-  * data (the whole graph fits in one task). That fixed cost shrinks
-  * RELATIVELY at real scale (the same plan amortizes over |E|-sized
-  * stages) and is the price of the hash-locked oracle-replayable
-  * trajectory. Thinning the rotation cadence would not help: carrying
-  * k un-checkpointed rounds multiplies the round plan's depth (and
-  * Catalyst's optimization time, the dominant term here) by k — it
-  * trades the checkpoint jobs for strictly slower planning while
-  * changing no value.
+  * BENCH-FIXTURE COST NOTE (r15 verdict, revised r16/r17 with a
+  * measurement): on the 200-vertex gate fixtures each round costs
+  * ~0.5-1 s of pure per-round overhead — Catalyst planning of the
+  * ~8-join round plan, the localCheckpoint rotation job, and task
+  * scheduling — not data (the whole graph fits in one task). The r17
+  * A/B isolated the DOMINANT term as exchange WIDTH: planning every
+  * round's ~6 exchanges at the session's 32 reducers schedules
+  * hundreds of sub-millisecond tasks per round (53.5 s → 31.0 s for
+  * the same converged ladder at ≤4 partitions, labels bit-identical —
+  * the decision algebra is partition-count independent). Every entry
+  * point therefore runs under [[PlanScope.narrowFor]], which narrows
+  * the shuffle width to ~8k rows/reducer when Catalyst's estimate says
+  * the graph is tiny and is the identity at real scale. The residual
+  * fixed cost (planning + rotation) shrinks RELATIVELY at 100 TB (the
+  * same plan amortizes over |E|-sized stages) and is the price of the
+  * hash-locked oracle-replayable trajectory. Thinning the rotation
+  * cadence would still not help: carrying k un-checkpointed rounds
+  * multiplies the round plan's depth (and Catalyst's optimization
+  * time) by k — it trades the checkpoint jobs for strictly slower
+  * planning while changing no value.
   */
 object Louvain {
 
@@ -239,6 +247,7 @@ object Louvain {
     require(levels >= 1, "levels must be >= 1")
     var w = fromEdges(edges)
     var mapping: DataFrame = null
+    PlanScope.narrowFor(w) {
     for (_ <- 1 to levels) {
       val lab = moveRoundsWeighted(w, roundsPerLevel)
       mapping =
@@ -251,6 +260,7 @@ object Louvain {
       w = contractWeighted(w, lab)
     }
     mapping
+    }
   }
 
   /** [[multilevel]] with the LADDER DEPTH decided by the algorithm's
@@ -299,6 +309,7 @@ object Louvain {
     var mapping: DataFrame = null
     var level = 0
     var done = false
+    PlanScope.narrowFor(w) {
     while (level < maxLevels && !done) {
       val lab = moveRoundsConverged(w, maxRoundsPerLevel)._1
       level += 1
@@ -316,6 +327,7 @@ object Louvain {
       else w = CacheScope.rotate(contractWeighted(w, lab))
     }
     (mapping, level)
+    }
   }
 
   /** WARM multilevel ladder (g58b — [[multilevelConverged]] seeded at
@@ -335,6 +347,7 @@ object Louvain {
       maxLevels: Int = 10): (DataFrame, Int) = {
     require(maxLevels >= 1, "maxLevels must be >= 1")
     val w0 = fromEdges(edges)
+    PlanScope.narrowFor(w0) {
     val lab0 = runMoves(w0, maxRoundsPerLevel, stopOnStable = true,
       Some(init))._1
     var mapping = lab0
@@ -354,6 +367,7 @@ object Louvain {
       else w = CacheScope.rotate(contractWeighted(w, lab))
     }
     (mapping, level)
+    }
   }
 
   /** Fixed-budget warm ladder — the oracle-unrollable twin of
@@ -370,6 +384,7 @@ object Louvain {
     require(levels >= 1, "levels must be >= 1")
     var w = fromEdges(edges)
     var mapping: DataFrame = null
+    PlanScope.narrowFor(w) {
     for (i <- 1 to levels) {
       val lab =
         if (i == 1) moveRoundsWeightedWarm(w, roundsPerLevel, init)
@@ -384,6 +399,7 @@ object Louvain {
       w = contractWeighted(w, lab)
     }
     mapping
+    }
   }
 
   /** ONE synchronous gain-move round (pre-checkpoint), exposed so the
@@ -527,6 +543,7 @@ object Louvain {
       stopOnStable: Boolean,
       init: Option[DataFrame] = None): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    PlanScope.narrowFor(wedges) {
     val (we, und, kv, m) = louvainFrames(wedges)
     require(m > 0, "empty graph")
 
@@ -569,5 +586,6 @@ object Louvain {
     und.unpersist(false)
     kv.unpersist(false)
     (labels, iters)
+    }
   }
 }

@@ -50,23 +50,28 @@ import org.apache.spark.sql.functions._
   */
 object LakeTable {
 
-  /** Optional SECONDARY-column stats for a batch (Iceberg's per-file
-    * column bounds, one extra column): `col2`'s values in this batch
-    * all lie in [lo, hi]. Written by [[compactZ]]; absent on plain
-    * appends/merges (pruning on that column then keeps the batch —
-    * conservative the safe way round).
+  /** SECONDARY-column stats for a batch (Iceberg's per-file column
+    * bounds): `col2`'s values in this batch all lie in [lo, hi]. A
+    * batch carries a LIST of these — one per tracked column (r16
+    * verdict #6: a table z-ordered on (user, day) also wants
+    * time-pruning on a shipment-date column; Delta/Iceberg carry
+    * per-column stats maps). Written by [[compactZ]] (its `statCols`);
+    * absent on plain appends (pruning on an untracked column keeps the
+    * batch — conservative the safe way round); carried through
+    * merge/applyChanges/deleteRange/compact by [[unionSecStat]].
     */
   final case class SecStat(col2: String, lo: Long, hi: Long)
 
   /** One live manifest row: data batch `batch` at `path` whose keys all
-    * lie in [kmin, kmax], plus optional second-dimension bounds.
+    * lie in [kmin, kmax], plus per-column secondary bounds (at most one
+    * [[SecStat]] per column name).
     */
   final case class BatchStat(
       batch: Int,
       path: String,
       kmin: Long,
       kmax: Long,
-      sec: Option[SecStat] = None)
+      sec: Seq[SecStat] = Nil)
 
   // ---- OCC manifest addressing ----
   //
@@ -166,25 +171,37 @@ object LakeTable {
   private def readManifest(
       spark: SparkSession, dir: String): (Seq[BatchStat], Option[String]) = {
     val df = spark.read.parquet(dir)
+    // three manifest vintages read transparently (generation manifests
+    // are immutable, so time travel/CDF must parse whatever shape the
+    // write that created them used): no sec columns at all; the legacy
+    // single-column flat form (col2/k2min/k2max); the per-column array
+    // form (sec_cols/sec_los/sec_his)
+    val hasSecArr = df.columns.contains("sec_cols")
     val hasSec = df.columns.contains("col2")
     val hasKey = df.columns.contains("kcol")
     val cols =
       Seq(col("batch"), col("path"), col("kmin"), col("kmax")) ++
-        (if (hasSec) Seq(col("col2"), col("k2min"), col("k2max"))
+        (if (hasSecArr) Seq(col("sec_cols"), col("sec_los"), col("sec_his"))
+         else if (hasSec) Seq(col("col2"), col("k2min"), col("k2max"))
          else Nil) ++
         (if (hasKey) Seq(col("kcol")) else Nil)
     val collected = df.select(cols: _*).collect()
     val rows = collected.map { r =>
-      val sec =
-        if (hasSec && !r.isNullAt(4))
-          Some(SecStat(r.getString(4), r.getLong(5), r.getLong(6)))
-        else None
+      val sec: Seq[SecStat] =
+        if (hasSecArr && !r.isNullAt(4)) {
+          val cs = r.getSeq[String](4)
+          val los = r.getSeq[Long](5)
+          val his = r.getSeq[Long](6)
+          cs.indices.map(i => SecStat(cs(i), los(i), his(i)))
+        } else if (!hasSecArr && hasSec && !r.isNullAt(4))
+          Seq(SecStat(r.getString(4), r.getLong(5), r.getLong(6)))
+        else Nil
       BatchStat(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), sec)
     }.toSeq
     val key =
       if (!hasKey) None
       else collected.headOption.flatMap(r =>
-        Option(r.getString(if (hasSec) 7 else 4)))
+        Option(r.getString(if (hasSecArr || hasSec) 7 else 4)))
     (rows, key)
   }
 
@@ -230,7 +247,7 @@ object LakeTable {
           .map(b => (b.batch, b.path, b.kmin, b.kmax,
             b.sec.map(_.col2), b.sec.map(_.lo), b.sec.map(_.hi), kcol))
           .toDF("batch", "path", "kmin", "kmax",
-            "col2", "k2min", "k2max", "kcol")
+            "sec_cols", "sec_los", "sec_his", "kcol")
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest/$name")
         val conf = spark.sparkContext.hadoopConfiguration
@@ -262,9 +279,20 @@ object LakeTable {
       body: => Option[T]): T = {
     var i = 0
     while (i < attempts) {
-      body match {
-        case Some(t) => return t
-        case None => i += 1
+      // a claim-wait TIMEOUT is a lost race, not a failure (r16 advice
+      // #2): a cross-process peer held the commit claim longer than the
+      // wait budget (its claimed section can span a Spark manifest
+      // write), so back off and re-run the whole observe/stage/publish
+      // attempt — exactly what a lost validate does
+      try {
+        body match {
+          case Some(t) => return t
+          case None => i += 1
+        }
+      } catch {
+        case _: ClaimTimeoutException =>
+          i += 1
+          if (i < attempts) Thread.sleep(200L * i)
       }
     }
     sys.error(
@@ -306,24 +334,45 @@ object LakeTable {
     */
   private def unionSecStat(
       touched: Seq[BatchStat],
-      source: Option[DataFrame]): Option[SecStat] = {
-    val secs = touched.flatMap(_.sec)
-    val cols2 = secs.map(_.col2).distinct
-    if (secs.size != touched.size || cols2.size != 1) None
+      source: Option[DataFrame]): Seq[SecStat] = {
+    // per COLUMN: only a column every touched batch bounds can bound
+    // the rewrite (a batch without the stat may hold any value); the
+    // columns are independent, so one unboundable column never costs
+    // the others their stats (the r16 multi-column generalization)
+    val cols2 = touched.flatMap(_.sec.map(_.col2)).distinct
+      .filter(c => touched.forall(_.sec.exists(_.col2 == c)))
+    if (touched.isEmpty) Nil
     else {
-      val c = cols2.head
-      val (lo0, hi0) = (secs.map(_.lo).min, secs.map(_.hi).max)
-      source match {
-        case None => Some(SecStat(c, lo0, hi0)) // row-removal rewrite
-        case Some(src)
-            if !src.columns.contains(c) ||
-              src.schema(c).dataType !=
-                org.apache.spark.sql.types.LongType => None
-        case Some(src) =>
-          val r = src.agg(min(col(c)), max(col(c))).collect()(0)
-          if (r.isNullAt(0)) Some(SecStat(c, lo0, hi0))
-          else Some(SecStat(
-            c, math.min(lo0, r.getLong(0)), math.max(hi0, r.getLong(1))))
+      // ONE scalar agg over the source covers every bounded column
+      val srcCols = source.toSeq.flatMap { src =>
+        cols2.filter(c => src.columns.contains(c) &&
+          src.schema(c).dataType == org.apache.spark.sql.types.LongType)
+      }
+      val srcBounds: Map[String, Option[(Long, Long)]] = source match {
+        case Some(src) if srcCols.nonEmpty =>
+          val exprs = srcCols.flatMap(c =>
+            Seq(min(col(c)).as(s"n_$c"), max(col(c)).as(s"x_$c")))
+          val r = src.agg(exprs.head, exprs.tail: _*).collect()(0)
+          srcCols.map { c =>
+            val iL = r.fieldIndex(s"n_$c")
+            val iH = r.fieldIndex(s"x_$c")
+            c -> (if (r.isNullAt(iL)) None
+                  else Some((r.getLong(iL), r.getLong(iH))))
+          }.toMap
+        case _ => Map.empty
+      }
+      cols2.flatMap { c =>
+        val cs = touched.flatMap(_.sec.filter(_.col2 == c))
+        val (lo0, hi0) = (cs.map(_.lo).min, cs.map(_.hi).max)
+        source match {
+          case None => Some(SecStat(c, lo0, hi0)) // row-removal rewrite
+          case Some(_) if !srcCols.contains(c) => None // source unbounded
+          case Some(_) => srcBounds(c) match {
+            case None => Some(SecStat(c, lo0, hi0)) // all-null source col
+            case Some((sl, sh)) => Some(SecStat(
+              c, math.min(lo0, sl), math.max(hi0, sh)))
+          }
+        }
       }
     }
   }
@@ -993,19 +1042,22 @@ object LakeTable {
       // when the table tracks one secondary column (a prior compactZ),
       // its per-bucket bounds ride the SAME grouped agg — exact, free,
       // and the lex rewrite keeps io23's second-dimension pruning alive
-      val secCol = rows.flatMap(_.sec).map(_.col2).distinct match {
-        case Seq(c) if data.columns.contains(c) && c != key => Some(c)
-        case _ => None
-      }
-      val aggs = Seq(max(col(key)).as("kmax")) ++ secCol.toSeq.flatMap(c =>
-        Seq(min(col(c)).as("k2min"), max(col(c)).as("k2max")))
+      // every column the table tracks keeps its per-bucket bounds,
+      // recomputed EXACT from the same grouped agg (the rewrite scans
+      // the data anyway — the one place stats are free to re-tighten)
+      val secCols = rows.flatMap(_.sec).map(_.col2).distinct
+        .filter(c => data.columns.contains(c) && c != key)
+      val aggs = Seq(max(col(key)).as("kmax")) ++ secCols.flatMap(c =>
+        Seq(min(col(c)).as(s"n_$c"), max(col(c)).as(s"x_$c")))
       val stats = spark.read.parquet(stage)
         .groupBy(col("gbucket"))
         .agg(min(col(key)).as("kmin"), aggs: _*)
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-          secCol.filter(_ => !r.isNullAt(3))
-            .map(c => SecStat(c, r.getLong(3), r.getLong(4)))))
+          secCols.filter(c => !r.isNullAt(r.fieldIndex(s"n_$c")))
+            .map(c => SecStat(c,
+              r.getLong(r.fieldIndex(s"n_$c")),
+              r.getLong(r.fieldIndex(s"x_$c"))))))
         .sortBy(_._1)
       val kept = stats.zipWithIndex.map { case ((b, lo, hi, sec), i) =>
         BatchStat(next + i, s"$stage/gbucket=$b", lo, hi, sec)
@@ -1067,13 +1119,21 @@ object LakeTable {
     * Primary-key stats stay exact (per-bucket grouped agg over the
     * output, both columns in ONE pass); state is untouched; publish
     * rides the atomic pointer like every write.
+    *
+    * `statCols` (r16 verdict #6): EXTRA Long columns to carry
+    * per-bucket bounds for — the layout stays the (key, key2)
+    * z-curve, but the manifest then also prunes range probes on these
+    * columns (Iceberg's per-column stats map; io24 measures the third
+    * dimension). Columns the table already tracked keep their bounds
+    * too — maintenance never silently drops a stat a writer recorded.
     */
   def compactZ(
       spark: SparkSession,
       root: String,
       key: String,
       key2: String,
-      buckets: Int): Unit = {
+      buckets: Int,
+      statCols: Seq[String] = Nil): Unit = {
     require(buckets >= 2 && buckets <= 4096, s"buckets: $buckets")
     require(isInitialized(spark, root), s"nothing committed under $root")
     retryOcc("compactZ") {
@@ -1117,19 +1177,29 @@ object LakeTable {
         .drop("gz")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("gbucket").parquet(stage)
+      // tracked columns: key2 (the z partner) + the caller's statCols
+      // + whatever the table already tracked — exact per-bucket bounds
+      // for all of them in the SAME grouped agg
+      val secCols = (Seq(key2) ++ statCols ++ rows.flatMap(_.sec)
+        .map(_.col2)).distinct
+        .filter(c => c != key && data.columns.contains(c))
       val stats = spark.read.parquet(stage)
         .groupBy(col("gbucket"))
         .agg(
-          min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-          min(col(key2)).as("k2min"), max(col(key2)).as("k2max"))
+          min(col(key)).as("kmin"),
+          max(col(key)).as("kmax") +: secCols.flatMap(c =>
+            Seq(min(col(c)).as(s"n_$c"), max(col(c)).as(s"x_$c"))): _*)
         .collect()
         .map(r => (r.getAs[Number](0).intValue,
-          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          r.getLong(r.fieldIndex("kmin")), r.getLong(r.fieldIndex("kmax")),
+          secCols.filter(c => !r.isNullAt(r.fieldIndex(s"n_$c")))
+            .map(c => SecStat(c,
+              r.getLong(r.fieldIndex(s"n_$c")),
+              r.getLong(r.fieldIndex(s"x_$c"))))))
         .sortBy(_._1)
       val kept = stats.zipWithIndex.map {
-        case ((bk, lo, hi, lo2, hi2), i) =>
-          BatchStat(next + i, s"$stage/gbucket=$bk", lo, hi,
-            Some(SecStat(key2, lo2, hi2)))
+        case ((bk, lo, hi, sec), i) =>
+          BatchStat(next + i, s"$stage/gbucket=$bk", lo, hi, sec)
       }.toSeq
       if (publishIfCurrent(spark, root, kept, obs, Some(key))) {
         sweep(spark, root)
@@ -1149,9 +1219,9 @@ object LakeTable {
       column: String,
       lo: Long,
       hi: Long): Seq[BatchStat] =
-    rows.filter(_.sec match {
-      case Some(s) if s.col2 == column => s.hi >= lo && s.lo <= hi
-      case _ => true
+    rows.filter(_.sec.find(_.col2 == column) match {
+      case Some(s) => s.hi >= lo && s.lo <= hi
+      case None => true
     })
 
   /** io23 read path: range scan on the SECOND dimension planned from

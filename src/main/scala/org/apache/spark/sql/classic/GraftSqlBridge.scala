@@ -54,4 +54,18 @@ object GraftSqlBridge {
     ds.sparkSession
       .internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
   }
+
+  /** Re-plan a batch frame as a STREAMING frame — the contract a V1
+    * streaming `Source.getBatch` must honor (`MicroBatchExecution`
+    * asserts `isStreaming` on the returned plan; FileStreamSource and
+    * Delta's DeltaSource use exactly this `internalCreateDataFrame`
+    * path, which is `private[sql]`, hence the bridge). Zero-copy:
+    * `toRdd` is the lazily-planned InternalRow RDD of the batch plan.
+    */
+  def streamingFrame(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

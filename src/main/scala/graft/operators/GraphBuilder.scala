@@ -210,6 +210,9 @@ object GraphBuilder {
     */
   def labelPropagation(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // narrowed planning for tiny graphs (see PlanScope) — the argmax
+    // algebra is exact-integer, partition-count independent
+    PlanScope.narrowFor(edges) {
     val ue = undirectedSimple(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
@@ -246,6 +249,7 @@ object GraphBuilder {
     und.unpersist(false)
     verts.unpersist(false)
     labels
+    }
   }
 
   /** [[labelPropagation]] run TO LABEL STABILITY — the early-stop twin
@@ -266,6 +270,7 @@ object GraphBuilder {
   def labelPropagationConverged(
       edges: DataFrame, maxIter: Int = 100): (DataFrame, Int) = {
     require(maxIter >= 1, "maxIter must be >= 1")
+    PlanScope.narrowFor(edges) {
     val ue = undirectedSimple(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val und = ue.select(col("u").as("vtx"), col("v").as("nbr"))
@@ -305,6 +310,7 @@ object GraphBuilder {
     und.unpersist(false)
     verts.unpersist(false)
     (labels, iters)
+    }
   }
 
   /** DataFrame-NATIVE connected components by HashMin label diffusion
@@ -343,6 +349,7 @@ object GraphBuilder {
       maxRounds: Int = 100,
       initLabels: Option[DataFrame] = None): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    PlanScope.narrowFor(edges) {
     val (ue, sym) = ccAdjacency(edges)
     val verts = vertices(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -375,6 +382,7 @@ object GraphBuilder {
     sym.unpersist(false)
     verts.unpersist(false)
     (labels.select(col("id"), col("lbl").as("component_id")), rounds)
+    }
   }
 
   /** Connected components by STAR CONTRACTION — the alternating
@@ -407,6 +415,7 @@ object GraphBuilder {
   def connectedComponentsStar(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    PlanScope.narrowFor(edges) {
     val verts = vertices(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def canon(df: DataFrame): DataFrame = df
@@ -459,6 +468,7 @@ object GraphBuilder {
         coalesce(col("component_id"), col("id")).as("component_id"))
     val out = CacheScope.sealAfter(labels, verts)
     (out, rounds)
+    }
   }
 
   /** The once-built frames [[connectedComponentsDF]] loops over: the

@@ -64,7 +64,7 @@ object Mis {
   def lubyMis(
       edges: DataFrame,
       salt: String = "mis-v1",
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame = PlanScope.narrowFor(edges) {
     val und = symmetrize(edges)
     val verts = GraphBuilder.vertices(edges)
     val misFlag = misOn(und, verts, salt, maxRounds)
@@ -149,7 +149,7 @@ object Mis {
       edges: DataFrame,
       salt: String = "color-v1",
       maxColors: Int = 64,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame = PlanScope.narrowFor(edges) {
     val und = symmetrize(edges)
     var remaining = GraphBuilder.vertices(edges)
       .transform(CacheScope.rotate)
@@ -231,7 +231,7 @@ object Mis {
   def lubyMatching(
       edges: DataFrame,
       salt: String = "match-v1",
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame = PlanScope.narrowFor(edges) {
     val canon = canonEdges(edges)
     val mFlag = matchOnCounted(canon, salt, maxRounds)._1
       .withColumn("in_matching", lit(true))

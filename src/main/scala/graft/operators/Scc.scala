@@ -53,6 +53,11 @@ object Scc {
       maxOuter: Int = 40,
       maxInner: Int = 100): (DataFrame, Int) = {
     require(maxOuter >= 1 && maxInner >= 1, "need positive round caps")
+    // tiny-fixture loops plan at a narrowed shuffle width (the Louvain
+    // r17 measurement: per-round cost is 32-wide task scheduling, not
+    // data); identity at real scale, labels are exact integers so the
+    // result is partition-count independent
+    PlanScope.narrowFor(edges) {
     val e0 = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var active = GraphBuilder.vertices(e0).transform(CacheScope.rotate)
@@ -125,6 +130,7 @@ object Scc {
     require(nActive == 0,
       s"SCC did not settle within $maxOuter settle rounds ($nActive left)")
     (settled.reduce(_ unionByName _), outer)
+    }
   }
 
   /** HashMin to fixpoint over the (possibly reversed) active subgraph:

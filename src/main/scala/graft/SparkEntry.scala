@@ -5612,6 +5612,11 @@ object SparkEntry {
       // ranking) — the approximate pruned path is locked by unit tests
       // + the PlanSpec PartitionFilters assert. Sealed eagerly so the
       // temp layout can be deleted before returning.
+      // narrowed planning for the fixture-sized corpus (PlanScope): the
+      // lifecycle's per-stage frames are |corpus|-sized and the kNN
+      // ranking is a deterministic (sim, id) argmax — partition-count
+      // independent; at scale the estimate keeps the session width
+      graft.operators.PlanScope.narrowFor(t(s, dir, "embeddings")) {
       val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), nList = 16)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivf_e7").toString
@@ -5629,6 +5634,7 @@ object SparkEntry {
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
       }
+      }
     },
 
     "e21_filtered_ivf" -> { (s, dir) =>
@@ -5640,6 +5646,8 @@ object SparkEntry {
       // is the EXACT filtered kNN and e19's oracle hash-checks the
       // whole filtered round-trip.
       val emb = t(s, dir, "embeddings")
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(emb) {
       val idx = Similarity.buildIvfIndex(emb, nList = 16)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivf_e21").toString
@@ -5659,6 +5667,7 @@ object SparkEntry {
         val root = Paths.get(tmp)
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
+      }
       }
     },
 
@@ -5697,6 +5706,8 @@ object SparkEntry {
       // result must be the exact kNN over the FULL corpus, so e5's
       // oracle hash-locks the append round-trip itself.
       val emb = t(s, dir, "embeddings")
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(emb) {
       val idx = Similarity.buildIvfIndex(
         emb.filter(pmod(col("vec_id"), lit(2)) === 0), nList = 16)
       val tmp = java.nio.file.Files
@@ -5717,6 +5728,7 @@ object SparkEntry {
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
       }
+      }
     },
     "e27_ivf_delete" -> { (s, dir) =>
       // index maintenance, the DELETE half (e13 is the append half —
@@ -5727,6 +5739,8 @@ object SparkEntry {
       // list. At nProbe = nList the result must be the exact kNN over
       // the SURVIVORS, so the oracle hash-locks the delete round-trip.
       val emb = t(s, dir, "embeddings")
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(emb) {
       val idx = Similarity.buildIvfIndex(emb, nList = 16)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivf_e27").toString
@@ -5748,6 +5762,7 @@ object SparkEntry {
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
       }
+      }
     },
     "e28_ivf_rebalance" -> { (s, dir) =>
       // index maintenance, the REBALANCE/OPTIMIZE half completing the
@@ -5759,6 +5774,8 @@ object SparkEntry {
       // the corpus — the oracle hash-locks the whole
       // split → rewrite → reopen → probe round-trip.
       val emb = t(s, dir, "embeddings")
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(emb) {
       val idx = Similarity.buildIvfIndex(emb, nList = 16)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivf_e28").toString
@@ -5777,6 +5794,7 @@ object SparkEntry {
         val root = Paths.get(tmp)
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
+      }
       }
     },
     "p12_incremental_refresh" -> { (s, dir) =>
@@ -5827,6 +5845,8 @@ object SparkEntry {
       // SURVIVORS (vec_id % 3 ≠ 0), byte for byte — any step that
       // lost, duplicated, or misplaced a vector breaks the hash.
       val emb = t(s, dir, "embeddings")
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(emb) {
       val idx = Similarity.buildIvfIndex(
         emb.filter(pmod(col("vec_id"), lit(2)) === 0), nList = 16)
       val tmp = java.nio.file.Files
@@ -5854,6 +5874,7 @@ object SparkEntry {
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
       }
+      }
     },
     "p15_incremental_index" -> { (s, dir) =>
       // CHANGE-FEED → ANN-INDEX incremental maintenance journey (the
@@ -5878,6 +5899,8 @@ object SparkEntry {
         java.nio.file.Files.walk(rootP).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(emb) {
       try {
         graft.sources.Snapshots.commitPtr(
           emb.filter(pmod(col("vec_id"), lit(3)) < 2), feed, version = 1)
@@ -5904,6 +5927,7 @@ object SparkEntry {
             nProbe = disk.nList))
       } finally {
         rmrf(feed); rmrf(idxRoot)
+      }
       }
     },
     "p16_incremental_gold" -> { (s, dir) =>
@@ -6003,6 +6027,10 @@ object SparkEntry {
       // trajectory is a function of the graph, and the round-trip must
       // not change the graph).
       val emb = t(s, dir, "embeddings")
+      // NOT narrowed (unlike the IVF lifecycle rows): the e22 build's
+      // per-row candidate scoring is cpu-bound (47 s executor-cpu at
+      // sf0.1) — measured +1.3 s when narrowed to 9 partitions; this
+      // operator needs the width
       val g = graft.operators.Similarity.knnGraphIvf(
         emb, m = 8, nList = 16, nProbe = 16)
       val tmp = java.nio.file.Files
@@ -6052,6 +6080,8 @@ object SparkEntry {
       // is hash-locked. The pruned (nProbe < nList) path and the
       // rerank tail are locked by unit tests + the PartitionFilters
       // plan assert.
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(t(s, dir, "embeddings")) {
       val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), nList = 16)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfsq_e12").toString
@@ -6068,6 +6098,7 @@ object SparkEntry {
         val root = Paths.get(tmp)
         Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
+      }
       }
     },
     "e10_knn_truncated" -> ((s, dir) =>
@@ -6121,6 +6152,8 @@ object SparkEntry {
       // e14, so e14_pq_adc's oracle hash-locks the entire
       // write → read → prune → reconstruct → score round-trip; the
       // pruned path and the disk-size economics are spec-locked.
+      // narrowed planning for the fixture-sized corpus — see e7's note
+      graft.operators.PlanScope.narrowFor(t(s, dir, "embeddings")) {
       val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), nList = 16)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_e16").toString
@@ -6136,6 +6169,7 @@ object SparkEntry {
         val root = java.nio.file.Paths.get(tmp)
         java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       }
     },
     "e15_sign_knn" -> ((s, dir) =>
@@ -6396,16 +6430,19 @@ object SparkEntry {
         val ms = MemoryStream[graft.streaming.EventStreams.Event]
         val qname =
           "st17_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.EventStreams.spendLedger(ms.toDS())
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("update").start()
-        try {
-          val (h1, h2) = scrambled.splitAt(scrambled.length / 2)
-          ms.addData(h1.toIndexedSeq)
-          q.processAllAvailable()
-          ms.addData(h2.toIndexedSeq)
-          q.processAllAvailable()
-        } finally q.stop()
+        // state width from the replayed row count — see st10's note
+        graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
+          val q = graft.streaming.EventStreams.spendLedger(ms.toDS())
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("update").start()
+          try {
+            val (h1, h2) = scrambled.splitAt(scrambled.length / 2)
+            ms.addData(h1.toIndexedSeq)
+            q.processAllAvailable()
+            ms.addData(h2.toIndexedSeq)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         val out = s.table(qname)
           .groupBy(col("user_id"))
           .agg(max_by(
@@ -6546,6 +6583,11 @@ object SparkEntry {
       val ms = MemoryStream[(Long, java.sql.Timestamp)]
       val qname =
         "st10_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count (PlanScope): the dedup
+      // operator commits one state store per shuffle partition per
+      // micro-batch — fixture-sized state at session width pays fixed
+      // store overhead, not data; at scale the count keeps full width
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       // delay must exceed the fixture's 30-day event span: the scramble
       // sends old keys in late batches, and a tighter watermark would
       // drop them as late data before dedup ever saw them
@@ -6560,6 +6602,7 @@ object SparkEntry {
           q.processAllAvailable()
         }
       } finally q.stop()
+      }
       s.table(qname)
         .agg(
           count("*").as("n_distinct"),
@@ -6589,17 +6632,20 @@ object SparkEntry {
         .createTempDirectory("graft_st13").toString
       try {
         val ms = MemoryStream[graft.streaming.EventStreams.Event]
-        val q = graft.streaming.EventStreams
-          .sinkExactlyOnce(ms.toDS().toDF(), tmp)
+        // state width from the replayed row count — see st10's note
         var firstBatch: Seq[graft.streaming.EventStreams.Event] = Seq.empty
-        try {
-          all.grouped(math.max(all.length / 4, 1)).zipWithIndex.foreach {
-            case (b, i) =>
-              if (i == 0) firstBatch = b.toIndexedSeq
-              ms.addData(b.toIndexedSeq)
-              q.processAllAvailable()
-          }
-        } finally q.stop()
+        graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
+          val q = graft.streaming.EventStreams
+            .sinkExactlyOnce(ms.toDS().toDF(), tmp)
+          try {
+            all.grouped(math.max(all.length / 4, 1)).zipWithIndex.foreach {
+              case (b, i) =>
+                if (i == 0) firstBatch = b.toIndexedSeq
+                ms.addData(b.toIndexedSeq)
+                q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
         // the retry: re-run batch 0's idempotent write (what a restarted
         // query does when the sink committed but the checkpoint didn't)
         graft.streaming.EventStreams.writeBatchIdempotent(
@@ -6648,6 +6694,8 @@ object SparkEntry {
         .withColumn("is_current", lit(true))
         .localCheckpoint()
       val ms = MemoryStream[(Long, Long, String, Long)]
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = ms.toDS()
         .toDF("user_id", "event_id", "event_type", "valid_from")
         .writeStream
@@ -6668,6 +6716,7 @@ object SparkEntry {
         ms.addData(batches.head.toIndexedSeq)
         q.processAllAvailable()
       } finally q.stop()
+      }
       table
     },
     "st8_stream_dedup" -> { (s, dir) =>
@@ -6691,6 +6740,8 @@ object SparkEntry {
       val ms = MemoryStream[(Long, String)]
       val qname =
         "st8_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.streaming.EventStreams
         .dedupDocsStream(ms.toDS().toDF("doc_id", "text"))
         .writeStream.format("memory").queryName(qname)
@@ -6701,6 +6752,7 @@ object SparkEntry {
           q.processAllAvailable()
         }
       } finally q.stop()
+      }
       s.table(qname)
     },
     "st19_stream_cms" -> { (s, dir) =>
@@ -6730,6 +6782,8 @@ object SparkEntry {
       val toks = ms.toDS().toDF("doc_id", "text")
         .filter(length(trim(col("text"))) > 0)
         .select(explode(TextOps.tokens(col("text"))).as("t"))
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.operators.CountMin.sketch(toks, depth = 3, width = 128)
         .writeStream.format("memory").queryName(qname)
         .outputMode("complete").start()
@@ -6739,6 +6793,7 @@ object SparkEntry {
           q.processAllAvailable()
         }
       } finally q.stop()
+      }
       s.table(qname)
     },
     "st24_stream_asof" -> { (s, dir) =>
@@ -6770,6 +6825,8 @@ object SparkEntry {
       val ms = MemoryStream[graft.streaming.EventStreams.Event]
       val qname =
         "st24_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.streaming.EventStreams.asofEnrichStream(ms.toDS())
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
@@ -6785,6 +6842,7 @@ object SparkEntry {
         ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table(qname)
         .filter(col("user_id") >= 0) // drop the sentinel user
         .select(
@@ -6819,6 +6877,8 @@ object SparkEntry {
       val ms = MemoryStream[graft.streaming.EventStreams.Event]
       val qname =
         "st27_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.streaming.EventStreams
         .asofEnrichStreamForward(ms.toDS(), 4L * 3600L * 1000000L)
         .writeStream.format("memory").queryName(qname)
@@ -6831,6 +6891,7 @@ object SparkEntry {
         ms.addData(sentinel(maxMs + 16L * 3600 * 1000))
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table(qname)
         .filter(col("user_id") >= 0)
         .select(
@@ -6864,6 +6925,8 @@ object SparkEntry {
       val ms = MemoryStream[graft.streaming.EventStreams.Event]
       val qname =
         "st28_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.streaming.EventStreams
         .asofEnrichStreamNearest(ms.toDS(), 4L * 3600L * 1000000L)
         .writeStream.format("memory").queryName(qname)
@@ -6876,6 +6939,7 @@ object SparkEntry {
         ms.addData(sentinel(maxMs + 16L * 3600 * 1000))
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table(qname)
         .filter(col("user_id") >= 0)
         .select(
@@ -6908,6 +6972,8 @@ object SparkEntry {
       val ms = MemoryStream[graft.streaming.EventStreams.Event]
       val qname =
         "st14_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.streaming.EventStreams.funnelEventTime(ms.toDS())
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
@@ -6919,6 +6985,7 @@ object SparkEntry {
         ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table(qname)
         .filter(col("user_id") >= 0) // drop the sentinel user
         .select(col("user_id"), col("stage"))
@@ -6949,6 +7016,8 @@ object SparkEntry {
       val ms = MemoryStream[graft.streaming.EventStreams.Event]
       val qname =
         "st6_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.streaming.EventStreams.sessionizeEventTime(ms.toDS())
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
@@ -6962,6 +7031,7 @@ object SparkEntry {
         ms.addData(sentinel(maxMs + 8L * 3600 * 1000))
         q.processAllAvailable()
       } finally q.stop()
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("start_ts"))
       val out = s.table(qname)
@@ -7003,6 +7073,8 @@ object SparkEntry {
       val ms = MemoryStream[graft.streaming.EventStreams.Event]
       val qname =
         "st20_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // state width from the replayed row count — see st10's note
+      graft.operators.PlanScope.narrowForRows(s, all.length.toLong) {
       val q = graft.streaming.EventStreams
         .sessionizeNativeStream(ms.toDS().toDF())
         .writeStream.format("memory").queryName(qname)
@@ -7017,6 +7089,7 @@ object SparkEntry {
           -1L, "sentinel", 0.0))
         q.processAllAvailable()
       } finally q.stop()
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("start_ts"))
       val out = s.table(qname)

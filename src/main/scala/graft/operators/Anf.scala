@@ -52,6 +52,11 @@ object Anf {
       edges: DataFrame, maxH: Int, lgK: Int = 12): DataFrame = {
     require(maxH >= 0, "maxH must be >= 0")
     val spark = edges.sparkSession
+    // narrowed planning for tiny graphs (see PlanScope): HLL register
+    // merges are max-per-register — order- and partition-independent —
+    // so narrowing changes nothing but the scheduling bill; at scale
+    // the estimate keeps full width.
+    PlanScope.narrowFor(edges) {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -84,6 +89,7 @@ object Anf {
     e.unpersist(false)
     import spark.implicits._
     trace.toSeq.toDF("h", "nf")
+    }
   }
 
   /** Per-vertex HARMONIC CENTRALITY, depth-bounded — HyperBall's other
@@ -133,6 +139,8 @@ object Anf {
       topN: Int,
       lgK: Int = 12): DataFrame = {
     require(maxH >= 1 && topN >= 1, "need maxH >= 1 and topN >= 1")
+    // narrowed planning for tiny graphs — see [[neighborhoodFunction]]
+    PlanScope.narrowFor(edges) {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -162,5 +170,6 @@ object Anf {
       .select(col("id"), round(hExpr, 6).as("harmonic"))
       .orderBy(desc("harmonic"), asc("id"))
       .limit(topN)
+    }
   }
 }

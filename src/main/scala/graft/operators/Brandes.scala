@@ -66,6 +66,8 @@ object Brandes {
   def sampledHarmonic(
       edges: DataFrame, seeds: Seq[Long],
       maxDepth: Int = 64): (DataFrame, Int) = {
+    // narrowed planning for tiny graphs — see [[run]]'s note
+    PlanScope.narrowFor(edges) {
     val f = forward(edges, seeds, maxDepth, converge = true)
     val byLevel = f.levels.zipWithIndex.drop(1).map { case (lv, l) =>
       lv.select(col("seed"), col("id"), lit(l.toDouble).as("d"))
@@ -81,6 +83,7 @@ object Brandes {
           .groupBy(col("id"))
           .agg(round(sum(lit(1.0) / col("d")), 6).as("harm_r"))
     (CacheScope.sealAfter(out, f.sym, f.ue), f.stopDepth)
+    }
   }
 
   private case class Forward(
@@ -89,6 +92,11 @@ object Brandes {
   private def run(
       edges: DataFrame, seeds: Seq[Long], depth: Int,
       converge: Boolean): (DataFrame, Int) = {
+    // narrowed planning for tiny graphs (see PlanScope): σ counts are
+    // integer sums and the δ accumulation is a per-(seed,vertex) sum of
+    // doubles whose addend SET is partition-independent; at scale the
+    // estimate keeps full width.
+    PlanScope.narrowFor(edges) {
     val f = forward(edges, seeds, depth, converge)
     val levels = f.levels
     val sym = f.sym
@@ -138,6 +146,7 @@ object Brandes {
       .groupBy(col("id"))
       .agg(round(sum(col("delta")) / 2.0, 6).as("bc_r"))
     (CacheScope.sealAfter(out, sym, ue), stopDepth)
+    }
   }
 
   /** The batched multi-source forward BFS both centralities share:

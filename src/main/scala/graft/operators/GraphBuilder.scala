@@ -541,6 +541,10 @@ object GraphBuilder {
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    // narrowed planning for tiny graphs (see PlanScope): the peel is a
+    // set-valued fixpoint (degrees are integer counts), partition-count
+    // independent; at scale the estimate keeps full width.
+    PlanScope.narrowFor(edges) {
     val (ue, und) = kCoreAdjacency(edges)
     var s = vertices(edges)
     var prevCp: DataFrame = null
@@ -556,6 +560,7 @@ object GraphBuilder {
     val out = kCoreInternalDeg(und, s)
       .select(col("id"), col("deg").as("core_deg"))
     CacheScope.sealAfter(out, ue, und, s)
+    }
   }
 
   /** k-core run TO FIXPOINT — [[kCore]]'s peel with the reference's
@@ -574,6 +579,8 @@ object GraphBuilder {
   def kCoreConverged(
       edges: DataFrame, k: Int, maxRounds: Int = 1000): (DataFrame, Int) = {
     require(k >= 1 && maxRounds >= 1, "need k >= 1 and maxRounds >= 1")
+    // narrowed planning for tiny graphs — see [[kCore]]'s note
+    PlanScope.narrowFor(edges) {
     val (ue, und) = kCoreAdjacency(edges)
     var s = vertices(edges)
     var prevCount = -1L
@@ -594,6 +601,7 @@ object GraphBuilder {
     val out = kCoreInternalDeg(und, s)
       .select(col("id"), col("deg").as("core_deg"))
     (CacheScope.sealAfter(out, ue, und, s), rounds)
+    }
   }
 
   /** The peel loops' shared adjacency: canonical undirected simple edges
@@ -700,6 +708,8 @@ object GraphBuilder {
       stopOnStable: Boolean): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     import org.apache.spark.sql.expressions.Window
+    // narrowed planning for tiny graphs — see [[kCore]]'s note
+    PlanScope.narrowFor(edges) {
     val (ue, und) = kCoreAdjacency(edges)
     val verts = vertices(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -727,6 +737,7 @@ object GraphBuilder {
     }
     val out = c.select(col("id"), col("val").as("coreness"))
     (CacheScope.sealAfter(out, ue, und, verts), rounds)
+    }
   }
 
   /** WEIGHTED s-core by fixed-round peeling — [[kCore]]'s generalization
@@ -746,6 +757,8 @@ object GraphBuilder {
   def kCoreWeighted(
       edges: DataFrame, minStrength: Double, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // narrowed planning for tiny graphs — see [[kCore]]'s note
+    PlanScope.narrowFor(edges) {
     val und = kCoreWeightedAdjacency(edges)
     var s = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
@@ -762,6 +775,7 @@ object GraphBuilder {
     }
     val out = kCoreStrength(und, s).select(col("id"), col("st").as("core_strength"))
     CacheScope.sealAfter(out, und, s)
+    }
   }
 
   /** The weighted peel's symmetrized, nbr-partitioned persisted
@@ -808,6 +822,8 @@ object GraphBuilder {
     */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3 && rounds >= 1, "need k >= 3 and rounds >= 1")
+    // narrowed planning for tiny graphs — see [[kCore]]'s note
+    PlanScope.narrowFor(edges) {
     var ue = undirectedSimple(edges).transform(CacheScope.rotate)
     for (_ <- 1 to rounds) {
       ue = edgeSupport(ue)
@@ -815,6 +831,7 @@ object GraphBuilder {
         .select(col("u"), col("v")) // eager: edgeSupport seals each round
     }
     edgeSupport(ue)
+    }
   }
 
   /** [[kTruss]] run TO FIXPOINT — peel until the surviving edge count
@@ -827,6 +844,8 @@ object GraphBuilder {
   def kTrussConverged(
       edges: DataFrame, k: Int, maxRounds: Int = 1000): (DataFrame, Int) = {
     require(k >= 3 && maxRounds >= 1, "need k >= 3 and maxRounds >= 1")
+    // narrowed planning for tiny graphs — see [[kCore]]'s note
+    PlanScope.narrowFor(edges) {
     var ue = undirectedSimple(edges).transform(CacheScope.rotate)
     var prev = -1L
     var rounds = 0
@@ -842,6 +861,7 @@ object GraphBuilder {
       ue = next
     }
     (edgeSupport(ue), rounds)
+    }
   }
 
   /** Per-edge triangle support over a canonical (u < v) simple edge

@@ -41,6 +41,13 @@ object Hits {
     */
   def run(edgesRaw: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // narrowed planning for tiny graphs (see PlanScope): every round
+    // plans 2 gather exchanges; on a fixture-sized graph the session
+    // width schedules hundreds of sub-millisecond tasks per round. At
+    // scale the estimate keeps the session width (narrowFor only
+    // narrows). Values are unchanged: integer sums are exact under any
+    // partitioning.
+    PlanScope.narrowFor(edgesRaw) {
     val e = edgesRaw.select(col("src"), col("dst")).dropDuplicates()
     val eSrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val eDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -74,6 +81,7 @@ object Hits {
         (coalesce(col("araw"), lit(0.0)) / col("sa")).as("auth"),
         (coalesce(col("hraw"), lit(0.0)) / col("sh")).as("hub"))
     CacheScope.sealAfter(out, eSrc, eDst, verts, araw, h)
+    }
   }
 
   /** [[run]] TO CONVERGENCE on a NORMALIZED-score L1 delta — the
@@ -103,6 +111,8 @@ object Hits {
       minIter: Int = 2): (DataFrame, Int) = {
     require(maxK >= 1, "maxK must be >= 1")
     require(minIter >= 1 && minIter <= maxK, "need 1 <= minIter <= maxK")
+    // narrowed planning for tiny graphs — see [[run]]'s note
+    PlanScope.narrowFor(edgesRaw) {
     val e = edgesRaw.select(col("src"), col("dst")).dropDuplicates()
     val eSrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val eDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -162,6 +172,7 @@ object Hits {
         (coalesce(col("araw"), lit(0.0)) / col("sa")).as("auth"),
         (coalesce(col("hraw"), lit(0.0)) / col("sh")).as("hub"))
     (CacheScope.sealAfter(out, eSrc, eDst, verts, araw, h), iters)
+    }
   }
 
   /** The two pre-partitioned persisted edge copies the loop gathers

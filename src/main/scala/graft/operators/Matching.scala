@@ -81,6 +81,11 @@ object Matching {
       maxRounds: Int,
       stopWhenDrained: Boolean): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    // narrowed planning for tiny graphs (see PlanScope): the local-min
+    // selection is a deterministic function of the md5 ranks, so the
+    // matching is partition-count independent; at scale the estimate
+    // keeps full width.
+    PlanScope.narrowFor(edges) {
     // portable edge rank: md5("u:v") on the canonical pair — the
     // d12/d21 determinism discipline applied to edge priorities
     var e = GraphBuilder.undirectedSimple(edges)
@@ -106,5 +111,6 @@ object Matching {
       matched = nextMatched
     }
     (matched, rounds)
+    }
   }
 }

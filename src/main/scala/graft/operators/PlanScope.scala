@@ -101,4 +101,16 @@ private[graft] object PlanScope {
     narrowShufflePartitions(
       spark, narrowTarget(spark, estimateRows(frame)))(body)
   }
+
+  /** [[narrowShufflePartitions]] sized from an EXACT row count the
+    * caller already holds (e.g. a replayed stream's collected event
+    * array) — same ~8k rows/reducer target, same only-narrows contract.
+    * The streaming fixtures use this around the drive-the-stream block:
+    * each stateful operator otherwise commits one state-store instance
+    * PER shuffle partition PER micro-batch, a fixed cost that dwarfs
+    * fixture-sized state; at scale the row count keeps the session
+    * width.
+    */
+  def narrowForRows[T](spark: SparkSession, nRows: Long)(body: => T): T =
+    narrowShufflePartitions(spark, narrowTarget(spark, nRows))(body)
 }

@@ -38,6 +38,12 @@ object ShortestPaths {
     */
   def run(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // narrowed planning for tiny graphs (see PlanScope): each round
+    // plans a join + min-agg exchange pair; fixture-sized graphs pay
+    // scheduling, not data, at the session width. min over doubles is
+    // exact, so values are partition-count independent. At scale the
+    // estimate keeps full width.
+    PlanScope.narrowFor(edges) {
     val e = edges
       .select(col("src").as("id"), col("dst"), col("w").cast("double").as("w"))
       .repartition(col("id"))
@@ -59,6 +65,7 @@ object ShortestPaths {
     }
     e.unpersist(false)
     dist
+    }
   }
 
   /** [[run]] TO CONVERGENCE — stop when a relaxation round improves
@@ -88,6 +95,8 @@ object ShortestPaths {
     // is a caller bug, not a graph with no reachable vertices
     require(!sources.isEmpty,
       "SSSP requires a non-empty source set")
+    // narrowed planning for tiny graphs — see [[run]]'s note
+    PlanScope.narrowFor(edges) {
     val e = edges
       .select(col("src").as("id"), col("dst"), col("w").cast("double").as("w"))
       .repartition(col("id"))
@@ -120,6 +129,7 @@ object ShortestPaths {
     }
     e.unpersist(false)
     (dist, rounds)
+    }
   }
 
   /** BATCHED multi-source min-hop BFS: hop distances from EVERY seed in
@@ -141,6 +151,8 @@ object ShortestPaths {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
+    // narrowed planning for tiny graphs — see [[run]]'s note
+    PlanScope.narrowFor(edges) {
     val e = edges
       .select(col("src").as("id"), col("dst"))
       .dropDuplicates()
@@ -158,6 +170,7 @@ object ShortestPaths {
     }
     e.unpersist(false)
     dist
+    }
   }
 
   /** One multi-source BFS relaxation round — exposed for the PlanSpec

@@ -36,6 +36,10 @@ object Walks {
     */
   def randomWalks(edges: DataFrame, len: Int, salt: String): DataFrame = {
     require(len >= 1, "len must be >= 1")
+    // narrowed planning for tiny graphs (see PlanScope): steps are
+    // deterministic hash draws — partition-count independent; at scale
+    // the estimate keeps full width.
+    PlanScope.narrowFor(edges) {
     // deduped directed adjacency, neighbors sorted ascending so the
     // modular index is well-defined cross-engine; self-loops are legal
     // walk steps and stay
@@ -70,6 +74,7 @@ object Walks {
     val out = all
       .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "vtx")))
     CacheScope.sealAfter(out, adj)
+    }
   }
 
   /** WEIGHTED random walks — [[randomWalks]] with transition probability
@@ -101,6 +106,8 @@ object Walks {
       edges.filter(col("w") < 1).limit(1).isEmpty,
       "weightedRandomWalks requires integer edge weights >= 1 " +
         "(a w < 1 row was found)")
+    // narrowed planning for tiny graphs — see [[randomWalks]]'s note
+    PlanScope.narrowFor(edges) {
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(col("src")).orderBy(col("dst"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -139,6 +146,7 @@ object Walks {
     val out = all
       .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "vtx")))
     CacheScope.sealAfter(out, adj)
+    }
   }
 
   /** NODE2VEC second-order biased walks (Grover & Leskovec 2016): the
@@ -170,6 +178,8 @@ object Walks {
       retW: Long = 1L, inW: Long = 4L, outW: Long = 2L): DataFrame = {
     require(len >= 1, "len must be >= 1")
     require(retW >= 1 && inW >= 1 && outW >= 1, "weights must be >= 1")
+    // narrowed planning for tiny graphs — see [[randomWalks]]'s note
+    PlanScope.narrowFor(edges) {
     val adj = edges.select(col("src"), col("dst")).distinct()
       .groupBy(col("src"))
       .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
@@ -199,6 +209,7 @@ object Walks {
     val out = all
       .select(col("walk_id"), posexplode(col("path")).as(Seq("step", "vtx")))
     CacheScope.sealAfter(out, adj)
+    }
   }
 
   /** One node2vec step: per-candidate integer weights from the
@@ -303,6 +314,8 @@ object Walks {
     require(walks >= 1 && maxSteps >= 1, "walks and maxSteps must be >= 1")
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
     val spark = edges.sparkSession
+    // narrowed planning for tiny graphs — see [[randomWalks]]'s note
+    PlanScope.narrowFor(edges) {
     val adj = edges.select(col("src"), col("dst")).distinct()
       .groupBy(col("src"))
       .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
@@ -341,6 +354,7 @@ object Walks {
       .withColumn(
         "est", round(col("n_end").cast("double") / walks, 9))
     CacheScope.sealAfter(out, adj)
+    }
   }
 
   private[graft] def walkStep(

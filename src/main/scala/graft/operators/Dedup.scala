@@ -682,6 +682,13 @@ object Dedup {
     */
   def ppJoinSets(setsIn: DataFrame, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    // narrowed planning for fixture-sized corpora (see PlanScope): the
+    // prefix/candidate/verify chain plans 5+ exchanges whose rows are
+    // prefix-bounded — scheduling-dominated at the session width on a
+    // small corpus (measured 23 s executor-run for 6 s cpu at sf0.1);
+    // candidates and verification are set algebra, partition-count
+    // independent, and at scale the estimate keeps full width.
+    PlanScope.narrowFor(setsIn) {
     val sets = setsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = sets.select(col("doc_id"), explode(col("ts")).as("t"))
@@ -723,6 +730,7 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     CacheScope.sealAfter(out, sets)
+    }
   }
 
   /** EDIT-DISTANCE near-dup pairs — the character-level member of the

@@ -204,6 +204,70 @@ class PlanScopeSpec extends AnyFunSuite {
       }
     assert(labelsAt(1) == labelsAt(3))
   }
+
+  test("narrowForRows narrows by an exact count and restores") {
+    val before = spark.conf.get(key)
+    PlanScope.narrowForRows(spark, 500L) {
+      assert(spark.conf.get(key) == "1")
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
+  // The r17 wraps extend the Louvain differential above to the other
+  // loop families: each wrapped operator's RESULT must be identical at
+  // width 1 and width 3 (the values are partition-count-independent
+  // algebra; the narrowing is scheduling-only).
+  private def at[T](width: Int)(body: => T): T =
+    PlanScope.narrowShufflePartitions(spark, width)(body)
+
+  test("HITS scores are IDENTICAL at different shuffle widths") {
+    val e = graft.sources.SyntheticGraph.portable(spark, 60, 180, "w17h")
+    def scores(width: Int) = at(width) {
+      graft.operators.Hits.run(e, k = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    }
+    assert(scores(1) == scores(3))
+  }
+
+  test("SSSP distances are IDENTICAL at different shuffle widths") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.SyntheticGraph.portable(spark, 60, 180, "w17s")
+      .withColumn("w", (pmod(col("src") + col("dst"), lit(5)) + 1).cast("double"))
+    val seed = e.agg(min(col("src")).as("id"))
+    def dists(width: Int) = at(width) {
+      graft.operators.ShortestPaths.runConverged(e, seed, maxRounds = 30)
+        ._1.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    }
+    assert(dists(1) == dists(3))
+  }
+
+  test("tiny-graph PageRank ranks are IDENTICAL at different widths") {
+    // the r17 PageRank narrowing is gated on this: the 9-dp-rounded
+    // ranks every caller hashes must not move with the plan width
+    val e = graft.sources.SyntheticGraph.portable(spark, 60, 180, "w17p")
+    def ranks(width: Int) = at(width) {
+      PageRank.runFixed(spark, e, k = 4).ranks.collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+        .sortBy(_._1).toSeq
+    }
+    assert(ranks(1) == ranks(3))
+  }
+
+  test("PPJoin pairs are IDENTICAL at different shuffle widths") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w v"),
+      (4L, "a b c d e"), (5L, "p q r s t")).toDF("doc_id", "text")
+    def pairs(width: Int) = at(width) {
+      graft.operators.Dedup.ppJoin(docs, tau = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    }
+    assert(pairs(1) == pairs(3))
+  }
 }
 
 class ClaimOwnershipSpec extends AnyFunSuite {
